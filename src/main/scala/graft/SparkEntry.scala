@@ -1,13 +1,46 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.{CdcQueries, DedupQueries, RelationalQueries, TextQueries, VectorQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The declared operator inventory (SURVEY.md §2.6):
+  *   - Tier A (CdcQueries): the reference's faithful CDC semantics.
+  *   - Tier B (RelationalQueries): joins / aggs / windows / sorts / set ops /
+  *     scalar functions.
+  *   - Tier D (TextQueries / DedupQueries / VectorQueries): the LLM-pipeline
+  *     extensions (text analysis, dedup, similarity search).
+  *   - Tier C (streaming) is validated in ScalaTest (StreamingSpec) — no
+  *     batch oracle by nature.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's core end-to-end path: change stream → envelope → JSON
+    * (reference `main.go:50-113`).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("cdc_envelope")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CdcQueries.queries ++
+      RelationalQueries.queries ++
+      TextQueries.queries ++
+      DedupQueries.queries ++
+      VectorQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (approx sketches, SimHash, LSH ANN) — those get rows-only checks here
+    * and property tests in ScalaTest.
+    */
+  def oracleSql: Map[String, String] =
+    CdcQueries.oracles ++
+      RelationalQueries.oracles ++
+      TextQueries.oracles ++
+      DedupQueries.oracles ++
+      VectorQueries.oracles
 }

@@ -1,0 +1,215 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.cdc.{Envelope, Normalize, Routing}
+
+/** Tier A — the reference's faithful CDC semantics expressed as
+  * batch-checkable queries over the `events` stand-in change stream and
+  * `lineitem` (SURVEY.md §2.6 Tier A). Each query has a DuckDB oracle.
+  *
+  * `events.event_type` plays the role of the CDC routing/action key
+  * (reference `main.go:51-60`), per FIXTURES.md §3.
+  */
+object CdcQueries {
+
+  /** Test routing map (FIXTURES.md §3): 'error' is deliberately unmapped and
+    * must be dropped, mirroring the unmapped-table drop (`main.go:51-55`).
+    */
+  val testGroups: Map[String, Seq[String]] = Map(
+    "grp_engage" -> Seq("click", "view"),
+    "grp_convert" -> Seq("purchase", "signup"))
+
+  val tableToGroup: Map[String, String] =
+    Routing.invert(testGroups, Seq("grp_engage", "grp_convert"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R4 + R12: group semi-filter + keyed routing, as a literal map expr that
+    // stays inside whole-stage codegen (broadcast-join shape in Routing).
+    "cdc_route_filter" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("grp", Routing.groupExpr(col("event_type"), tableToGroup))
+        .filter(col("grp").isNotNull)
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("grp")
+    },
+
+    // R5: action-type predicate (keep insert/update analog, drop the rest).
+    "cdc_action_filter" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(
+          col("event_id"),
+          col("event_type"),
+          round(col("value"), 2).as("value_r"))
+        .orderBy("event_id")
+    },
+
+    // R10 + R11: envelope struct + to_json with nulls kept (json.Marshal
+    // semantics, `main.go:80-88`).
+    "cdc_envelope" -> { (s, dir) =>
+      val after = map(
+        lit("event_id"), col("event_id").cast("string"),
+        lit("event_type"), col("event_type"),
+        lit("props"), col("props"),
+        lit("user_id"), col("user_id").cast("string"))
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          Envelope.toJsonColumn(
+            Envelope.envelope(Envelope.nullBefore, after, lit("events")))
+            .as("envelope"))
+        .orderBy("event_id")
+    },
+
+    // R8 booleans: tinyint(1) semantics incl. else→false (H9).
+    "cdc_type_norm_bool" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_partkey"),
+          col("l_suppkey"),
+          Normalize.normBool(col("l_linenumber")).as("b"))
+        .orderBy(RelationalQueries.liKey.map(col): _*)
+    },
+
+    // R8 dates: date → RFC3339 with midnight time part (`main.go:147-154`).
+    "cdc_type_norm_date" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_partkey"),
+          col("l_suppkey"),
+          Normalize.normDateTyped(col("l_shipdate")).as("ship_rfc3339"))
+        .orderBy(RelationalQueries.liKey.map(col): _*)
+    },
+
+    // R8 numerics: int→int64, float/decimal→float64 (`main.go:183-194`).
+    "cdc_type_norm_num" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_partkey"),
+          col("l_suppkey"),
+          Normalize.normInt(col("l_linenumber")).as("ln_i64"),
+          Normalize.normFloat(col("l_quantity")).as("qty_f64"),
+          RelationalQueries.money(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_r"))
+        .orderBy(RelationalQueries.liKey.map(col): _*)
+    },
+
+    // R8 text: strict-base64 round trip + passthrough (H1). '#' in customer
+    // names is outside the base64 alphabet, so `raw` must pass through.
+    "cdc_type_norm_text" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .select(
+          col("c_custkey"),
+          col("c_name"),
+          Normalize.normText(base64(col("c_name").cast("binary"))).as("dec"),
+          Normalize.normText(col("c_name")).as("raw"))
+        .orderBy("c_custkey")
+    },
+
+    // R16: JSON field extraction (`$.source.table` analog).
+    "cdc_json_extract" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")
+    },
+
+    // R7: update before/after pairing via lag over the per-key change order.
+    "cdc_update_pairing" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          round(col("value"), 2).as("after_v"),
+          round(lag(col("value"), 1).over(w), 2).as("before_v"))
+        .orderBy("event_id")
+    },
+
+    // H3: at-least-once replay collapse — duplicate the stream, dedup by key.
+    // groupBy (not dropDuplicates) so map-side partial aggregation kicks in
+    // at scale.
+    "cdc_dedup_replay" -> { (s, dir) =>
+      val e = Tables.events(s, dir)
+      e.unionAll(e)
+        .groupBy("event_id")
+        .agg(
+          min(col("event_type")).as("event_type"),
+          count(lit(1)).as("copies"))
+        .orderBy("event_id")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "cdc_route_filter" ->
+      """SELECT CASE WHEN event_type IN ('click','view') THEN 'grp_engage'
+        |            WHEN event_type IN ('purchase','signup') THEN 'grp_convert' END AS grp,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events
+        |WHERE event_type IN ('click','view','purchase','signup')
+        |GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    "cdc_action_filter" ->
+      """SELECT event_id, event_type, round(value, 2) AS value_r
+        |FROM events WHERE event_type IN ('click','purchase')
+        |ORDER BY event_id""".stripMargin,
+
+    "cdc_envelope" ->
+      """SELECT event_id,
+        |       to_json(struct_pack(
+        |         before := CAST(NULL AS VARCHAR),
+        |         after := struct_pack(
+        |           event_id := CAST(event_id AS VARCHAR),
+        |           event_type := event_type,
+        |           props := props,
+        |           user_id := CAST(user_id AS VARCHAR)),
+        |         source := struct_pack("table" := 'events'))) AS envelope
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "cdc_type_norm_bool" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, (l_linenumber = 1) AS b
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "cdc_type_norm_date" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       strftime(date_trunc('day', l_shipdate), '%Y-%m-%dT%H:%M:%SZ') AS ship_rfc3339
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "cdc_type_norm_num" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |       CAST(l_linenumber AS BIGINT) AS ln_i64,
+         |       CAST(l_quantity AS DOUBLE) AS qty_f64,
+         |       ${RelationalQueries.moneySql("l_extendedprice * (1 - l_discount)")} AS net_r
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "cdc_type_norm_text" ->
+      """SELECT c_custkey, c_name,
+        |       decode(from_base64(base64(encode(c_name)))) AS dec,
+        |       c_name AS raw
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "cdc_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "cdc_update_pairing" ->
+      """SELECT event_id, user_id, round(value, 2) AS after_v,
+        |       round(lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 2) AS before_v
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "cdc_dedup_replay" ->
+      """SELECT event_id, min(event_type) AS event_type,
+        |       CAST(count(*) AS BIGINT) AS copies
+        |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+        |GROUP BY event_id ORDER BY event_id""".stripMargin)
+}

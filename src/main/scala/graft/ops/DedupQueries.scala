@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.SimHash64
+
+/** Tier D (dedup) — the deduplication family for training-data pipelines:
+  * exact (content-hash groupBy), MinHash+LSH near-dup with exact-Jaccard
+  * verification, and SimHash near-dup. Everything is expressed as
+  * shuffle-on-key DataFrame plans:
+  *
+  *   - exact: one hash-aggregate on sha256(text) — map-side partial combine,
+  *     linear at 100 TB.
+  *   - MinHash/LSH: shingle → per-doc signature (one agg) → band-bucket
+  *     equi-join (candidates only) → exact Jaccard on the candidate set.
+  *     The band join is the LSH bucketing shuffle; no O(n²) pair blowup.
+  *   - SimHash: per-doc fingerprint, banded into 4×16-bit keys for
+  *     candidate generation, Hamming-verified.
+  */
+object DedupQueries {
+
+  /** Word 3-gram shingles per doc, distinct. Requires ≥ 3 tokens. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ts) - 2),
+          |  i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ', element_at(ts, i + 2)))"""
+          .stripMargin)).as("shingle"))
+      .distinct()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: duplicate-injected corpus collapsed by content hash.
+    "dedup_exact" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val replay = d.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      d.unionByName(replay)
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")
+    },
+
+    // MinHash+LSH near-dup: 2-hash band bucketing (md5-order MinHash — the
+    // same total order in any engine), then exact shingle-Jaccard ≥ 0.5 on
+    // candidates only.
+    "dedup_near_jaccard" -> { (s, dir) =>
+      val sh = shingles(s, dir)
+      val sig = sh.groupBy("doc_id").agg(
+        min(md5(concat(lit("0"), col("shingle")))).as("h0"),
+        min(md5(concat(lit("1"), col("shingle")))).as("h1"))
+      val a = sig.select(col("doc_id").as("da"), col("h0"), col("h1"))
+      val b = sig.select(col("doc_id").as("db"), col("h0").as("g0"), col("h1").as("g1"))
+      val cand = a.join(b,
+          col("h0") === col("g0") && col("h1") === col("g1") && col("da") < col("db"))
+        .select("da", "db")
+      val card = sh.groupBy("doc_id").agg(count(lit(1)).as("nc"))
+      val x = sh.select(col("doc_id").as("da"), col("shingle"))
+      val y = sh.select(col("doc_id").as("db"), col("shingle"))
+      val inter = cand.join(x, "da").join(y, Seq("db", "shingle"))
+        .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+      inter
+        .join(card.select(col("doc_id").as("da"), col("nc").as("na")), "da")
+        .join(card.select(col("doc_id").as("db"), col("nc").as("nb")), "db")
+        .select(col("da"), col("db"),
+          round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 3)
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("da", "db")
+    },
+
+    // SimHash near-dup (no DuckDB oracle — custom Catalyst expression;
+    // property-tested in ScalaTest). Bands the 64-bit fingerprint into
+    // 4×16-bit keys; docs sharing any band are candidates; Hamming ≤ 12
+    // confirms.
+    "dedup_simhash" -> { (s, dir) =>
+      val fp = Tables.documents(s, dir)
+        .select(col("doc_id"), SimHash64.simhash64(split(col("text"), " ")).as("fp"))
+      val banded = fp.select(col("doc_id"), col("fp"),
+        explode(array((0 until 4).map(bnd =>
+          struct(lit(bnd).as("band"),
+            shiftright(col("fp"), bnd * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))
+          .as("bk"))
+        .select(col("doc_id"), col("fp"), col("bk.band"), col("bk.key"))
+      val l = banded.select(col("doc_id").as("da"), col("fp").as("fa"), col("band"), col("key"))
+      val r = banded.select(col("doc_id").as("db"), col("fp").as("fb"), col("band"), col("key"))
+      l.join(r, Seq("band", "key"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db"), SimHash64.hamming64(col("fa"), col("fb")).as("hd"))
+        .distinct()
+        .filter(col("hd") <= 12)
+        .orderBy("da", "db")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT sha256(text) AS h, min(doc_id) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM (SELECT * FROM documents
+        |      UNION ALL
+        |      SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+        |      FROM documents WHERE doc_id % 50 = 0)
+        |GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "dedup_near_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(ts) - 1),
+        |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+        |  FROM toks
+        |), sig AS (
+        |  SELECT doc_id, min(md5('0' || shingle)) AS h0, min(md5('1' || shingle)) AS h1
+        |  FROM sh GROUP BY doc_id
+        |), cand AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM sig a JOIN sig b ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+        |), inter AS (
+        |  SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS ni
+        |  FROM cand c
+        |  JOIN sh x ON x.doc_id = c.da
+        |  JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
+        |  GROUP BY 1, 2
+        |), card AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nc FROM sh GROUP BY doc_id
+        |)
+        |SELECT da, db,
+        |       round(CAST(ni AS DOUBLE) / (ca.nc + cb.nc - ni), 3) AS jaccard
+        |FROM inter
+        |JOIN card ca ON ca.doc_id = da
+        |JOIN card cb ON cb.doc_id = db
+        |WHERE round(CAST(ni AS DOUBLE) / (ca.nc + cb.nc - ni), 3) >= 0.5
+        |ORDER BY da, db""".stripMargin)
+}

@@ -1,0 +1,621 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Tier B — the general relational surface (SURVEY.md §2.6 Tier B): joins,
+  * aggregations, grouping sets, windows, sort/top-k, set ops, scalar
+  * functions. All Spark built-ins (whole-stage-codegen'd); Catalyst owns the
+  * physical strategy. Every query is deterministic (full aggregation or
+  * ORDER BY over a unique key) and doubles are rounded for the DuckDB oracle.
+  */
+object RelationalQueries {
+
+  /** Deterministic 2-decimal money rounding: `floor(x*100 + 0.5)/100` is the
+    * identical IEEE op sequence in Spark and DuckDB, unlike `round(double, 2)`
+    * whose half-way tie-breaking differs between the engines (Spark goes via
+    * shortest-repr BigDecimal, DuckDB via scaled nearbyint). Price×discount
+    * products land on exact half-cents constantly, so `round` diverges on
+    * real data. Non-negative inputs only.
+    */
+  def money(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 100 + 0.5) / 100.0
+
+  def moneySql(x: String): String = s"floor(($x)*100 + 0.5)/100"
+
+  /** The unique lineitem row key ((l_orderkey, l_linenumber) alone has dups
+    * in the testdata) — per-row lineitem queries order by all four so the
+    * positional oracle compare is deterministic.
+    */
+  val liKey: Seq[String] = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: partial (map-side) + final hash aggregation.
+    "q1_agg" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(money(col("l_extendedprice") * (lit(1) - col("l_discount")))), 2).as("sum_disc"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // 3-way equi-join: lineitem ⋈ orders ⋈ customer. orders/customer are the
+    // smaller sides; at 100 TB lineitem stays shuffle-partitioned on the key
+    // while customer broadcasts — AQE picks that automatically here.
+    "join_inner3" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          round(sum(money(col("l_extendedprice") * (lit(1) - col("l_discount")))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Left outer with a join-side predicate so unmatched rows exist.
+    "join_left" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      o.join(l, o("o_orderkey") === l("l_orderkey") && l("l_quantity") > 45, "left")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(l("l_orderkey")).as("n_matched"),
+          round(sum(coalesce(l("l_quantity"), lit(0.0))), 2).as("qty_sum"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Right outer (mirror shape).
+    "join_right" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      l.join(o, o("o_orderkey") === l("l_orderkey") && l("l_quantity") > 45, "right")
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(l("l_orderkey")).as("n_matched"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Full outer: customers vs. order-placing custkeys, classified.
+    "join_full" -> { (s, dir) =>
+      val c = Tables.customer(s, dir).select(col("c_custkey"))
+      val o = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+      c.join(o, c("c_custkey") === o("o_custkey"), "full")
+        .agg(
+          sum(when(c("c_custkey").isNotNull && o("o_custkey").isNotNull, 1).otherwise(0)).as("n_both"),
+          sum(when(o("o_custkey").isNull, 1).otherwise(0)).as("n_cust_only"),
+          sum(when(c("c_custkey").isNull, 1).otherwise(0)).as("n_order_only"))
+    },
+
+    // Broadcast join of two tiny dims — explicitly hinted.
+    "join_broadcast" -> { (s, dir) =>
+      Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy("n_nationkey")
+    },
+
+    // Left-semi = EXISTS.
+    "join_semi" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    },
+
+    // Left-anti = NOT EXISTS.
+    "join_anti" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    },
+
+    // Range (theta) join: equi on user_id + time-proximity band. The equi key
+    // carries the shuffle; the band predicate filters inside each partition —
+    // the shape that survives 100×, unlike a pure theta join.
+    "join_range" -> { (s, dir) =>
+      val e1 = Tables.events(s, dir).select(
+        col("user_id").as("u1"), col("ts").as("ts1"), col("event_id").as("id1"))
+      val e2 = Tables.events(s, dir).select(
+        col("user_id").as("u2"), col("ts").as("ts2"), col("event_id").as("id2"))
+      e1.join(e2,
+          col("u1") === col("u2") &&
+            col("ts2") > col("ts1") &&
+            col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTES"))
+        .groupBy(col("u1").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("user_id"), col("n_pairs"))
+        .orderBy("user_id")
+    },
+
+    // As-of join: for each purchase, the latest click value at or before it,
+    // via the merge-ordered window emulation (no native as-of in Spark SQL;
+    // at 100 TB this is a single shuffle on user_id + in-partition sort).
+    "join_asof" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn("click_v",
+          when(col("event_type") === "click", col("value")))
+        .withColumn("asof_click",
+          last(col("click_v"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          round(col("asof_click"), 2).as("asof_click"))
+        .orderBy("event_id")
+    },
+
+    // Exact distinct aggregation (expands to two-phase agg under the hood).
+    "agg_count_distinct" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // ROLLUP with grouping-null disambiguation via coalesce.
+    "agg_rollup" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_quantity")), 2).as("qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("qty"), col("n"))
+        .orderBy("rf", "ls")
+    },
+
+    // CUBE.
+    "agg_cube" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_quantity")), 2).as("qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("qty"), col("n"))
+        .orderBy("rf", "ls")
+    },
+
+    // Statistical aggregates.
+    "agg_stats" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_linestatus")
+        .agg(
+          round(min(col("l_quantity")), 2).as("min_q"),
+          round(max(col("l_quantity")), 2).as("max_q"),
+          round(avg(col("l_quantity")), 2).as("avg_q"),
+          round(stddev_samp(col("l_quantity")), 2).as("sd_q"),
+          count(lit(1)).as("n"))
+        .orderBy("l_linestatus")
+    },
+
+    // HLL sketch — no DuckDB oracle (different sketch); error-bound checked
+    // in ScalaTest instead (SURVEY.md §2.6).
+    "agg_approx_distinct" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+    },
+
+    // Ranking windows: rank over values, row_number over a unique total order.
+    "window_rank" -> { (s, dir) =>
+      val byQty = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_quantity").desc)
+      val unique = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"),
+          rank().over(byQty).as("rnk"),
+          dense_rank().over(byQty).as("drnk"),
+          row_number().over(unique).as("rn"))
+        .filter(col("rn") <= 5)
+        .orderBy("l_returnflag", "rn")
+    },
+
+    // lag/lead.
+    "window_lag_lead" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_tp"),
+          round(lead(col("o_totalprice"), 1).over(w), 2).as("next_tp"))
+        .orderBy("o_orderkey")
+    },
+
+    // ROWS frame: running sum + trailing moving average.
+    "window_rows_frame" -> { (s, dir) =>
+      val ord = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      val running = ord.rowsBetween(Window.unboundedPreceding, 0)
+      val trailing = ord.rowsBetween(-3, 0)
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          round(sum(col("l_quantity")).over(running), 2).as("run_qty"),
+          round(avg(col("l_quantity")).over(trailing), 2).as("ma4_qty"))
+        .orderBy(liKey.map(col): _*)
+    },
+
+    // RANGE frame over a numeric ordering column.
+    "window_range_frame" -> { (s, dir) =>
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_quantity"))
+        .rangeBetween(-5, 0)
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_returnflag"), col("l_quantity"),
+          count(lit(1)).over(w).as("n_in_band"),
+          round(sum(col("l_quantity")).over(w), 2).as("qty_in_band"))
+        .orderBy(liKey.map(col): _*)
+    },
+
+    // Global sort + limit → TakeOrderedAndProject (no full sort at scale).
+    "sort_topk" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("tp"))
+        .orderBy(col("tp").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // Per-group top-k via row_number — the scalable top-k pattern.
+    "topk_per_group" -> { (s, dir) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(
+          col("c_mktsegment"), col("c_custkey"),
+          round(col("c_acctbal"), 2).as("bal"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    },
+
+    // Set ops over key sets: big spenders vs. high balances.
+    "set_union" -> { (s, dir) =>
+      bigSpenders(s, dir).union(richCustomers(s, dir)).distinct().orderBy("k")
+    },
+    "set_intersect" -> { (s, dir) =>
+      bigSpenders(s, dir).intersect(richCustomers(s, dir)).orderBy("k")
+    },
+    "set_except" -> { (s, dir) =>
+      bigSpenders(s, dir).except(richCustomers(s, dir)).orderBy("k")
+    },
+
+    // Scalar string functions.
+    "scalar_string" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_mktsegment")).as("lo"),
+          substring(col("c_name"), 10, 6).as("sub"),
+          length(col("c_name")).as("len"),
+          trim(concat(lit("  "), col("c_name"), lit("  "))).as("trimmed"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+          size(split(col("c_name"), "#")).as("n_parts"),
+          concat_ws("-", col("c_mktsegment"), col("c_name")).as("joined"))
+        .orderBy("c_custkey")
+    },
+
+    // Scalar date functions.
+    "scalar_date" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("qtr"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("mon_start"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).cast("long").as("days_since"))
+        .orderBy("o_orderkey")
+    },
+
+    // Scalar math functions.
+    "scalar_math" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          round(sqrt(col("l_quantity")), 4).as("sqrt_q"),
+          round(pow(lit(1) + col("l_tax"), 2), 6).as("pow_tax"),
+          round(abs(col("l_discount") - 0.05), 4).as("abs_d"),
+          ceil(col("l_quantity") / 7).cast("long").as("ceil_q"),
+          floor(col("l_quantity") / 7).cast("long").as("floor_q"),
+          (col("l_orderkey") % 7).as("mod7"),
+          round(exp(col("l_discount")), 6).as("exp_d"),
+          round(log(lit(1) + col("l_quantity")), 6).as("ln_q"))
+        .orderBy(liKey.map(col): _*)
+    },
+
+    // Array functions over tokenized text.
+    "scalar_array" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(toks).as("n_toks"),
+          array_contains(toks, "data").as("has_data"),
+          element_at(toks, 1).as("first_tok"),
+          element_at(toks, -1).as("last_tok"),
+          size(array_distinct(toks)).as("n_distinct"))
+        .orderBy("doc_id")
+    },
+
+    // Map functions (construct + access).
+    "scalar_map" -> { (s, dir) =>
+      val m = map(
+        lit("seg"), col("c_mktsegment"),
+        lit("name"), col("c_name"))
+      Tables.customer(s, dir)
+        .select(
+          col("c_custkey"),
+          element_at(m, "seg").as("seg"),
+          size(m).as("m_size"))
+        .orderBy("c_custkey")
+    },
+
+    // from_json → typed struct → field access (R16 typed variant).
+    "json_from_json" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").cast("long").as("k"))
+        .orderBy("event_id")
+    })
+
+  private def bigSpenders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice")).as("spend"))
+      .filter(col("spend") > 300000)
+      .select(col("o_custkey").as("k"))
+
+  private def richCustomers(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("k"))
+
+  private val setA =
+    "SELECT o_custkey AS k FROM orders GROUP BY o_custkey HAVING sum(o_totalprice) > 300000"
+  private val setB =
+    "SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000"
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       round(sum(l_quantity), 2) AS sum_qty,
+         |       round(sum(l_extendedprice), 2) AS sum_base,
+         |       round(sum(${moneySql("l_extendedprice * (1 - l_discount)")}), 2) AS sum_disc,
+         |       round(avg(l_quantity), 2) AS avg_qty,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "join_inner3" ->
+      s"""SELECT c_mktsegment,
+         |       round(sum(${moneySql("l_extendedprice * (1 - l_discount)")}), 2) AS revenue,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "join_left" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(l_orderkey) AS BIGINT) AS n_matched,
+        |       round(sum(coalesce(l_quantity, 0)), 2) AS qty_sum
+        |FROM orders LEFT JOIN lineitem
+        |  ON o_orderkey = l_orderkey AND l_quantity > 45
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "join_right" ->
+      """SELECT o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(l_orderkey) AS BIGINT) AS n_matched
+        |FROM lineitem RIGHT JOIN orders
+        |  ON o_orderkey = l_orderkey AND l_quantity > 45
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "join_full" ->
+      """SELECT CAST(sum(CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cust_only,
+        |       CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_order_only
+        |FROM (SELECT c_custkey FROM customer) c
+        |FULL JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        |  ON c_custkey = o_custkey""".stripMargin,
+
+    "join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_range" ->
+      """SELECT e1.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id
+        | AND e2.ts > e1.ts
+        | AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "join_asof" ->
+      """SELECT event_id, user_id, round(asof_v, 2) AS asof_click
+        |FROM (
+        |  SELECT event_id, user_id, event_type,
+        |         last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_v
+        |  FROM events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "agg_count_distinct" ->
+      """SELECT l_returnflag,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       round(sum(l_quantity), 2) AS qty,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       round(sum(l_quantity), 2) AS qty,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT l_linestatus,
+        |       round(min(l_quantity), 2) AS min_q,
+        |       round(max(l_quantity), 2) AS max_q,
+        |       round(avg(l_quantity), 2) AS avg_q,
+        |       round(stddev_samp(l_quantity), 2) AS sd_q,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "window_rank" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |       CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk, CAST(rn AS INT) AS rn
+        |FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |         rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rnk,
+        |         dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS drnk,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 5 ORDER BY l_returnflag, rn""".stripMargin,
+
+    "window_lag_lead" ->
+      """SELECT o_orderkey, o_custkey,
+        |       round(lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS prev_tp,
+        |       round(lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS next_tp
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "window_rows_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+        |       round(sum(l_quantity) OVER w_run, 2) AS run_qty,
+        |       round(avg(l_quantity) OVER w_ma, 2) AS ma4_qty
+        |FROM lineitem
+        |WINDOW
+        |  w_run AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  w_ma AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "window_range_frame" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag, l_quantity,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_in_band,
+        |       round(sum(l_quantity) OVER w, 2) AS qty_in_band
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity
+        |             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "sort_topk" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS tp
+        |FROM orders ORDER BY tp DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "topk_per_group" ->
+      """SELECT c_mktsegment, c_custkey, bal, CAST(rn AS INT) AS rn FROM (
+        |  SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS bal,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer)
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "set_union" -> s"SELECT k FROM ($setA UNION $setB) ORDER BY k",
+    "set_intersect" -> s"SELECT k FROM ($setA INTERSECT $setB) ORDER BY k",
+    "set_except" -> s"SELECT k FROM ($setA EXCEPT $setB) ORDER BY k",
+
+    "scalar_string" ->
+      """SELECT c_custkey,
+        |       upper(c_name) AS up,
+        |       lower(c_mktsegment) AS lo,
+        |       substring(c_name, 10, 6) AS sub,
+        |       CAST(length(c_name) AS INT) AS len,
+        |       trim('  ' || c_name || '  ') AS trimmed,
+        |       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |       CAST(len(string_split(c_name, '#')) AS INT) AS n_parts,
+        |       concat_ws('-', c_mktsegment, c_name) AS joined
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "scalar_date" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS INT) AS yr,
+        |       CAST(month(o_orderdate) AS INT) AS mo,
+        |       CAST(day(o_orderdate) AS INT) AS dom,
+        |       CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mon_start,
+        |       datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "scalar_math" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       round(sqrt(l_quantity), 4) AS sqrt_q,
+        |       round(pow(1 + l_tax, 2), 6) AS pow_tax,
+        |       round(abs(l_discount - 0.05), 4) AS abs_d,
+        |       CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil_q,
+        |       CAST(floor(l_quantity / 7) AS BIGINT) AS floor_q,
+        |       l_orderkey % 7 AS mod7,
+        |       round(exp(l_discount), 6) AS exp_d,
+        |       round(ln(1 + l_quantity), 6) AS ln_q
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "scalar_array" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+        |       list_contains(string_split(text, ' '), 'data') AS has_data,
+        |       string_split(text, ' ')[1] AS first_tok,
+        |       string_split(text, ' ')[-1] AS last_tok,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "scalar_map" ->
+      """SELECT c_custkey, c_mktsegment AS seg, 2 AS m_size
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "json_from_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin)
+}

@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Tier D (text) — the text-analysis surface a large-scale training-data
+  * pipeline needs: token statistics, term frequencies, quality scoring,
+  * language ID (marker-token heuristic), document fingerprinting. All pure
+  * column expressions (codegen'd, no UDFs); everything shuffles at most once
+  * on (doc or term) keys, so each scales linearly with the corpus.
+  */
+object TextQueries {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Marker-token dictionaries for the language-ID heuristic. Deterministic:
+    * score = #marker tokens present; ties break on lang name ascending.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("und", "der", "nicht"),
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "que"),
+    "fr" -> Seq("le", "la", "et"),
+    "zh" -> Seq("de", "shi", "bu"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokenization + per-doc stats. avg token
+    // length uses the closed form (single-space-separated corpus) so the
+    // oracle is arithmetic-identical.
+    "text_tokens" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(toks).as("n_toks"),
+          size(array_distinct(toks)).as("n_distinct"),
+          round((length(col("text")) - size(toks) + 1)
+            .cast("double") / size(toks), 4).as("avg_tok_len"))
+        .orderBy("doc_id")
+    },
+
+    // Term frequency / top terms: one shuffle on the term key.
+    "text_top_terms" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(toks).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(20)
+    },
+
+    // Quality scoring: type-token ratio, stopword ratio, a composite score.
+    "text_quality" -> { (s, dir) =>
+      val nToks = size(toks)
+      val nStop = size(filter(toks, t => t === "a" || t === "the" || t === "of"))
+      val ttr = size(array_distinct(toks)).cast("double") / nToks
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          nToks.as("n_toks"),
+          round(ttr, 4).as("ttr"),
+          round(nStop.cast("double") / nToks, 4).as("stop_ratio"),
+          round(log(lit(1) + nToks) * ttr, 4).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Language ID: argmax of marker-token hits per language (ties → first
+    // lang alphabetically). The dictionary fans out as a tiny literal
+    // dimension — a broadcast-joined scoring pass, one shuffle on doc_id.
+    "text_lang_id" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val scored = langMarkers.map { case (lang, markers) =>
+        val hits = markers.map(m => when(array_contains(toks, m), 1).otherwise(0))
+          .reduce(_ + _)
+        docs.select(
+          col("doc_id"), col("lang"),
+          lit(lang).as("cand"), hits.cast("long").as("score"))
+      }.reduce(_ unionAll _)
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("cand"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("cand").as("pred_lang"), col("score"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprint: canonicalized (sorted distinct tokens) md5 —
+    // an order-insensitive content fingerprint.
+    "text_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("fp"))
+        .orderBy("doc_id")
+    })
+
+  private def langScoreSql(lang: String, markers: Seq[String]): String = {
+    val hits = markers
+      .map(m => s"CASE WHEN list_contains(string_split(text,' '), '$m') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"SELECT doc_id, lang, '$lang' AS cand, CAST($hits AS BIGINT) AS score FROM documents"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+        |       round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |             / len(string_split(text, ' ')), 4) AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_top_terms" ->
+      """SELECT term, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+        |       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |             / len(string_split(text, ' ')), 4) AS ttr,
+        |       round(CAST(len(list_filter(string_split(text, ' '),
+        |                    t -> t = 'a' OR t = 'the' OR t = 'of')) AS DOUBLE)
+        |             / len(string_split(text, ' ')), 4) AS stop_ratio,
+        |       round(ln(1 + len(string_split(text, ' ')))
+        |             * CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |             / len(string_split(text, ' ')), 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_lang_id" -> {
+      val scores = TextQueries.langMarkers
+        .map { case (l, ms) => langScoreSql(l, ms) }
+        .mkString("(", " UNION ALL ", ")")
+      s"""SELECT doc_id, lang, cand AS pred_lang, score FROM (
+         |  SELECT doc_id, lang, cand, score,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY score DESC, cand) AS rn
+         |  FROM $scores)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Tier D (vectors) — embedding-column operations and similarity search:
+  * norms/dot products via codegen'd higher-order functions, brute-force
+  * cosine top-k as the exactness baseline, and a sign-bit LSH bucketed
+  * variant as the 100 TB scale path (candidates come from an equi-join on
+  * the bucket key instead of an O(n²) cross product).
+  */
+object VectorQueries {
+
+  /** Sequential-fold sum of an array<double> — same evaluation order as the
+    * DuckDB oracle's list_reduce, so results are bit-identical.
+    */
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  private def sq(v: Column): Column =
+    transform(v, x => x.cast("double") * x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  private def l2(v: Column): Column = sqrt(foldSum(sq(v)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Vector norms + dimension via HOFs (no UDF, stays in codegen).
+    "emb_norm" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(l2(col("embedding")), 4).as("l2_norm"))
+        .orderBy("vec_id")
+    },
+
+    // Dot product between consecutive vectors (zip_with exercise).
+    "emb_dot_pairs" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+      val b = e.select((col("vec_id") - 1).as("ida"), col("embedding").as("eb"))
+      a.join(b, "ida")
+        .select(col("ida").as("vec_id"), round(dot(col("ea"), col("eb")), 4).as("dot_next"))
+        .orderBy("vec_id")
+    },
+
+    // Brute-force cosine top-k: 10 query vectors broadcast against the full
+    // table — the exact baseline every ANN variant is measured against.
+    "sim_cosine_topk" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val t = e.select(col("vec_id").as("t_id"), col("embedding").as("te"))
+      val cos = dot(col("qe"), col("te")) / (l2(col("qe")) * l2(col("te")))
+      val w = Window.partitionBy("q_id")
+        .orderBy(round(col("cos"), 6).desc, col("t_id"))
+      t.join(broadcast(q), col("q_id") =!= col("t_id"))
+        .withColumn("cos", cos)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("t_id"), round(col("cos"), 4).as("cos_r"), col("rn"))
+        .orderBy("q_id", "rn")
+    },
+
+    // Sign-bit LSH ANN (no DuckDB oracle — recall property-tested in
+    // ScalaTest against the brute-force baseline): 16-bit bucket from the
+    // sign pattern of the first 16 dims; candidates share the bucket key.
+    "sim_ann_lsh" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val bucket = aggregate(
+        zip_with(
+          slice(col("embedding"), 1, 16),
+          sequence(lit(0), lit(15)),
+          (x, i) => when(x > 0, pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x)
+      val withB = e.withColumn("bkt", bucket)
+      val q = withB.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bkt"))
+      val t = withB.select(col("vec_id").as("t_id"), col("embedding").as("te"), col("bkt"))
+      val cos = dot(col("qe"), col("te")) / (l2(col("qe")) * l2(col("te")))
+      val w = Window.partitionBy("q_id")
+        .orderBy(round(col("cos"), 6).desc, col("t_id"))
+      t.join(broadcast(q), Seq("bkt"))
+        .filter(col("q_id") =!= col("t_id"))
+        .withColumn("cos", cos)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("t_id"), round(col("cos"), 4).as("cos_r"), col("rn"))
+        .orderBy("q_id", "rn")
+    })
+
+  private val dotSql =
+    "list_reduce(list_transform(range(1, len(qe) + 1), i -> CAST(qe[i] AS DOUBLE) * CAST(te[i] AS DOUBLE)), (a, b) -> a + b)"
+  private def normSql(v: String) =
+    s"sqrt(list_reduce(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))"
+
+  val oracles: Map[String, String] = Map(
+    "emb_norm" ->
+      s"""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+         |       round(${normSql("embedding")}, 4) AS l2_norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "emb_dot_pairs" ->
+      """SELECT a.vec_id AS vec_id,
+        |       round(list_reduce(list_transform(range(1, len(a.embedding) + 1),
+        |             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+        |             (x, y) -> x + y), 4) AS dot_next
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY vec_id""".stripMargin,
+
+    "sim_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |t AS (SELECT vec_id AS t_id, embedding AS te FROM embeddings),
+         |scored AS (
+         |  SELECT q_id, t_id,
+         |         $dotSql / (${normSql("qe")} * ${normSql("te")}) AS cos
+         |  FROM q JOIN t ON q_id <> t_id
+         |), ranked AS (
+         |  SELECT q_id, t_id, cos,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY round(cos, 6) DESC, t_id) AS rn
+         |  FROM scored)
+         |SELECT q_id, t_id, round(cos, 4) AS cos_r, CAST(rn AS INT) AS rn
+         |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)
+}
