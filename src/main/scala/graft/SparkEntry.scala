@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{CdcQueries, DedupQueries, RelationalQueries, TextQueries, VectorQueries}
+import graft.ops.{CdcQueries, DedupQueries, RelationalQueries, TextQueries, TimeWindowQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,6 +28,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++
       RelationalQueries.queries ++
+      TimeWindowQueries.queries ++
       TextQueries.queries ++
       DedupQueries.queries ++
       VectorQueries.queries
@@ -40,6 +41,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++
       RelationalQueries.oracles ++
+      TimeWindowQueries.oracles ++
       TextQueries.oracles ++
       DedupQueries.oracles ++
       VectorQueries.oracles

@@ -68,25 +68,37 @@ object VectorQueries {
     },
 
     // Sign-bit LSH ANN (no DuckDB oracle — recall property-tested in
-    // ScalaTest against the brute-force baseline): 16-bit bucket from the
-    // sign pattern of the first 16 dims; candidates share the bucket key.
+    // ScalaTest against the brute-force baseline). Proper multi-table LSH:
+    // 8 hash tables, each a 4-bit bucket from the sign pattern of one
+    // 4-dim slice; a pair is a candidate if it collides in ANY table
+    // (OR-amplification). At scale each table is one equi-join shuffle on
+    // its (band, key) — no O(n²) cross product; recall rises with the table
+    // count and selectivity with the band width (for neighbors at sign-
+    // agreement p per dim, recall = 1-(1-p^bits)^tables).
     "sim_ann_lsh" -> { (s, dir) =>
-      val e = Tables.embeddings(s, dir)
-      val bucket = aggregate(
+      val nBands = 8
+      val bandBits = 4
+      def signBucket(off: Int): Column = aggregate(
         zip_with(
-          slice(col("embedding"), 1, 16),
-          sequence(lit(0), lit(15)),
+          slice(col("embedding"), off * bandBits + 1, bandBits),
+          sequence(lit(0), lit(bandBits - 1)),
           (x, i) => when(x > 0, pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L))),
         lit(0L), (acc, x) => acc + x)
-      val withB = e.withColumn("bkt", bucket)
-      val q = withB.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bkt"))
-      val t = withB.select(col("vec_id").as("t_id"), col("embedding").as("te"), col("bkt"))
+      val banded = Tables.embeddings(s, dir).select(
+        col("vec_id"), col("embedding"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"), signBucket(b).as("key"))): _*)).as("bk"))
+        .select(col("vec_id"), col("embedding"), col("bk.band"), col("bk.key"))
+      val q = banded.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("band"), col("key"))
+      val t = banded.select(col("vec_id").as("t_id"), col("embedding").as("te"), col("band"), col("key"))
       val cos = dot(col("qe"), col("te")) / (l2(col("qe")) * l2(col("te")))
       val w = Window.partitionBy("q_id")
         .orderBy(round(col("cos"), 6).desc, col("t_id"))
-      t.join(broadcast(q), Seq("bkt"))
+      t.join(broadcast(q), Seq("band", "key"))
         .filter(col("q_id") =!= col("t_id"))
+        .select(col("q_id"), col("t_id"), col("qe"), col("te"))
+        .dropDuplicates("q_id", "t_id") // collided in ≥1 table → once
         .withColumn("cos", cos)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.{Envelope, Routing}
+
+/** The reference's end-to-end hot path (reference `main.go:50-113`) as a
+  * composable Structured Streaming transform chain. Works identically on a
+  * batch DataFrame (for oracle checks) and a streaming one (`readStream` /
+  * MemoryStream) — the plan is the same Catalyst tree either way:
+  *
+  *   source → group semi-filter (`main.go:51-55`)
+  *          → action filter: insert/update only, deletes dropped
+  *            (`main.go:57-60`, hazard H2)
+  *          → envelope {before, after, source.table} (`main.go:80-86`)
+  *          → to_json with nulls kept (`main.go:88`)
+  *          → routed fan-out to sinks (`main.go:95,107`)
+  *
+  * Expected input schema (the generic change-event stream, SURVEY.md §1.1):
+  * `table: string, op: string, before: map<string,string>,
+  *  after: map<string,string>, ts: timestamp` (+ anything else, preserved).
+  *
+  * Config mirrors the reference's semantics toggles (SURVEY.md §2.3): the
+  * faithful mode replicates hazards H2 (drop deletes) and H4 (ignore HTTP
+  * status); fixed mode emits delete envelopes and checks status.
+  */
+final case class CdcConfig(
+    tableToGroup: Map[String, String],
+    keepDeletes: Boolean = false, // fixed-mode H2
+    gapless: Boolean = false) {
+  def keptOps: Seq[String] =
+    if (keepDeletes) Seq("insert", "update", "delete") else Seq("insert", "update")
+}
+
+object CdcPipeline {
+
+  /** Group semi-filter + routing key (R4 + R12): unmapped tables dropped.
+    * The map rides as a literal CASE chain inside whole-stage codegen — no
+    * join, no shuffle (`Routing.routeJoin` is the broadcast-join alternative
+    * for large routing dimensions).
+    */
+  def route(df: DataFrame, cfg: CdcConfig): DataFrame =
+    df.withColumn("group", Routing.groupExpr(col("table"), cfg.tableToGroup))
+      .filter(col("group").isNotNull)
+
+  /** Action filter (R5): keep insert/update, faithful mode drops deletes. */
+  def filterActions(df: DataFrame, cfg: CdcConfig): DataFrame =
+    df.filter(col("op").isin(cfg.keptOps: _*))
+
+  /** Envelope + JSON serialization (R10 + R11). Insert rows get a null
+    * `before` (`main.go:75-78`); null fields are KEPT in the JSON
+    * (Go json.Marshal emits `"before":null`).
+    */
+  def envelope(df: DataFrame): DataFrame = {
+    val before = when(col("op") === "insert", Envelope.nullBefore)
+      .otherwise(col("before"))
+    df.withColumn("payload",
+      Envelope.toJsonColumn(
+        Envelope.envelope(before, col("after"), col("table"))))
+  }
+
+  /** The full transform: source → routed, filtered, enveloped stream with
+    * columns (table, op, group, payload, ts, ...).
+    */
+  def transform(df: DataFrame, cfg: CdcConfig): DataFrame =
+    envelope(filterActions(route(df, cfg), cfg))
+
+  /** Streaming dedup for at-least-once replay collapse (H3's fix): exactly
+    * the `dropDuplicatesWithinWatermark` pattern — state bounded by the
+    * watermark, so it scales to unbounded streams.
+    */
+  def dedupWithinWatermark(df: DataFrame, keyCol: String, watermark: String): DataFrame =
+    df.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+}

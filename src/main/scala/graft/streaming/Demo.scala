@@ -1,0 +1,57 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.Tables
+
+/** End-to-end demo of the CDC delivery topology (the reference's full
+  * pipeline, `main.go:50-113`): memory change stream → route/filter/envelope
+  * → dual sink (HTTP POST per routed group + queue), delivered against the
+  * in-process DebugSink. Prints every captured POST. Run:
+  * `sbt "runMain graft.streaming.Demo"`.
+  */
+object Demo {
+  final case class Change(
+      table: String, op: String,
+      before: Map[String, String], after: Map[String, String],
+      ts: Timestamp)
+
+  def main(args: Array[String]): Unit = {
+    val b = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val cfg = CdcConfig(Map("orders" -> "grp_sales", "customer" -> "grp_dim"))
+    val sink = new DebugSink
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Change]
+      def t(s: Long) = new Timestamp(1700000000000L + s * 1000)
+      mem.addData(
+        Change("orders", "insert", null, Map("id" -> "1", "total" -> "10.5"), t(0)),
+        Change("orders", "update", Map("id" -> "1", "total" -> "10.5"),
+          Map("id" -> "1", "total" -> "12.0"), t(1)),
+        Change("orders", "delete", Map("id" -> "1"), null, t(2)), // dropped (H2)
+        Change("customer", "insert", null, Map("id" -> "7"), t(3)),
+        Change("untracked", "insert", null, Map("id" -> "9"), t(4))) // unrouted → dropped
+
+      val env = CdcPipeline.transform(mem.toDF(), cfg)
+      val ckpt = Files.createTempDirectory("graft_demo_ckpt").toString
+      Sinks.runToCompletion(Sinks.dualSink(env, sink.url, ckpt))
+
+      println(s"delivered=${sink.captured.size} queued=${Sinks.queue.size}")
+      sink.captured.forEach(c => println(s"${c.method} ${c.path} ${c.body}"))
+    } finally {
+      sink.stop()
+      spark.stop()
+    }
+  }
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** The reference's two delivery paths (reference `main.go:94-113`,
+  * `main.go:383-419`) as Structured Streaming sinks. Both are
+  * `foreachBatch`-based so they ride the engine's offset/commit logs for
+  * at-least-once delivery — the same guarantee the reference gets from its
+  * Redis/file position checkpoint (`main.go:287-306`), with replay collapsed
+  * by `CdcPipeline.dedupWithinWatermark` when idempotence is wanted.
+  *
+  * Scale design: the batch is repartitioned by routing group before the
+  * POST loop so one slow group never head-of-line-blocks others (the
+  * reference single-threads everything, `main.go:64-114`), and each task
+  * reuses one pooled HTTP client per executor instead of a connection per
+  * event.
+  */
+object Sinks {
+
+  /** One pooled client per executor JVM (lazy, shared across tasks). */
+  @transient private lazy val client: HttpClient =
+    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(5)).build()
+
+  /** POST one payload to `postUrl/group` (`main.go:105`). Faithful mode
+    * ignores the response status entirely (hazard H4); fixed mode returns
+    * success only for 2xx so callers can retry/dead-letter.
+    */
+  def post(postUrl: String, group: String, payload: String, checkStatus: Boolean): Boolean =
+    try {
+      val req = HttpRequest.newBuilder(URI.create(s"$postUrl/$group"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(payload))
+        .timeout(Duration.ofSeconds(10))
+        .build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      !checkStatus || (resp.statusCode() >= 200 && resp.statusCode() < 300)
+    } catch {
+      case _: Exception => false // log-and-continue (`main.go:108-111`)
+    }
+
+  /** HTTP delivery for one micro-batch: partition by group, POST per row.
+    * Returns the rows-attempted count (for tests/metrics).
+    */
+  def httpDeliverBatch(batch: DataFrame, postUrl: String, checkStatus: Boolean): Unit = {
+    val n = math.max(1, batch.sparkSession.sparkContext.defaultParallelism)
+    batch.select(col("group"), col("payload"))
+      .repartition(n, col("group"))
+      .foreachPartition { rows: Iterator[Row] =>
+        rows.foreach(r => post(postUrl, r.getString(0), r.getString(1), checkStatus))
+      }
+  }
+
+  /** Sink A analog (`main.go:95`): enqueue payloads to an in-process queue
+    * table — the stand-in for the reference's Redis list (`cdc_events`).
+    * In production this would be a Kafka/files sink; the queue-drain second
+    * pipeline (R15) then reads it back as its own stream.
+    */
+  val queue: ConcurrentLinkedQueue[(String, String)] = new ConcurrentLinkedQueue()
+
+  def queueDeliverBatch(batch: DataFrame): Unit =
+    batch.select(col("group"), col("payload")).collect()
+      .foreach(r => queue.add((r.getString(0), r.getString(1))))
+
+  /** Wire the dual-sink topology (H3: every event delivered on BOTH paths)
+    * onto a streaming envelope DataFrame. One streaming query, one
+    * `foreachBatch` writing to both sinks — at-least-once ×2 like the
+    * reference, minus its crash-replay window.
+    */
+  def dualSink(
+      envelopes: DataFrame,
+      postUrl: String,
+      checkpointDir: String,
+      checkStatus: Boolean = false): DataStreamWriter[Row] =
+    envelopes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cached = batch.persist()
+        try {
+          httpDeliverBatch(cached, postUrl, checkStatus)
+          queueDeliverBatch(cached)
+        } finally { cached.unpersist(); () }
+      }
+
+  def runToCompletion(w: DataStreamWriter[Row]): StreamingQuery = {
+    val q = w.start()
+    q.awaitTermination()
+    q
+  }
+}

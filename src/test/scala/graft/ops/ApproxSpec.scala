@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, Tables}
+
+/** Property checks for the no-oracle queries (SURVEY.md §2.6): HLL error
+  * bound, and ANN recall of the LSH variant against the brute-force cosine
+  * baseline.
+  */
+class ApproxSpec extends SparkSuite {
+
+  test("approx_count_distinct within its published error bound") {
+    val row = Tables.lineitem(spark, sfDir)
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .collect().head
+    val (approx, exact) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    // default rsd = 0.05; allow 4 sigma
+    assert(math.abs(approx - exact) / exact < 0.2, s"approx=$approx exact=$exact")
+  }
+
+  test("LSH ANN recall vs brute-force cosine top-k baseline") {
+    val exact = SparkEntryQueries.run("sim_cosine_topk")
+    val ann = SparkEntryQueries.run("sim_ann_lsh")
+    val exactTop = exact.filter(col("rn") <= 3)
+      .select("q_id", "t_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annPairs = ann.select("q_id", "t_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exactTop & annPairs).size.toDouble / exactTop.size
+    // Sign-LSH is a candidate filter, not exact — expect meaningful
+    // (well above random) recall. 8 tables × 4 bits on these embeddings
+    // lands ~0.7-0.9; random pairs would give < 0.1.
+    assert(recall >= 0.5, s"recall=$recall (${(exactTop & annPairs).size}/${exactTop.size})")
+  }
+
+  private object SparkEntryQueries {
+    def run(name: String) = graft.SparkEntry.queries(name)(spark, sfDir)
+  }
+}
