@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{CdcQueries, DedupQueries, RelationalQueries, TextQueries, TimeWindowQueries, VectorQueries}
+import graft.ops.{AdvancedQueries, CdcQueries, DedupQueries, MultimodalQueries, RelationalQueries, SqlQueries, TextQueries, TimeWindowQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,9 +28,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++
       RelationalQueries.queries ++
+      AdvancedQueries.queries ++
+      SqlQueries.queries ++
       TimeWindowQueries.queries ++
       TextQueries.queries ++
       DedupQueries.queries ++
+      MultimodalQueries.queries ++
       VectorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,8 +44,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++
       RelationalQueries.oracles ++
+      AdvancedQueries.oracles ++
+      SqlQueries.oracles ++
       TimeWindowQueries.oracles ++
       TextQueries.oracles ++
       DedupQueries.oracles ++
+      MultimodalQueries.oracles ++
       VectorQueries.oracles
 }

@@ -1,0 +1,272 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Tier B widening — the window/aggregate/scalar families beyond the first
+  * batch (SURVEY.md §2.6): distribution windows (ntile/percent_rank/
+  * cume_dist), value windows (first/last/nth), ordered list aggregation,
+  * argmax aggregation, correlation/covariance, percentiles, string and date
+  * function families, conditional/null handling, bit ops, hashing.
+  */
+object AdvancedQueries {
+
+  import RelationalQueries.liKey
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Distribution window functions.
+    "window_distribution" -> { (s, dir) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(
+          col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("c_custkey")
+    },
+
+    // Value window functions over an explicit frame.
+    "window_value_fns" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(w).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+        .orderBy("o_orderkey")
+    },
+
+    // Ordered list aggregation, emitted as a joined string (array column
+    // renderings differ across engines; the string is canonical).
+    "agg_collect_sorted" -> { (s, dir) =>
+      Tables.nation(s, dir)
+        .groupBy("n_regionkey")
+        .agg(
+          array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("n_regionkey")
+    },
+
+    // Argmax/argmin via max_by/min_by over a unique combined ordering key
+    // (o_totalprice alone can tie; orderkey disambiguates deterministically).
+    "agg_argmax" -> { (s, dir) =>
+      val key = (round(col("o_totalprice") * 100, 0).cast("long") * 100000000L
+        + col("o_orderkey"))
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          max_by(col("o_orderkey"), key).as("top_order"),
+          min_by(col("o_orderkey"), key).as("bottom_order"),
+          round(max(col("o_totalprice")), 2).as("top_tp"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Correlation / covariance / variance.
+    "agg_corr" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qe"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qe"),
+          round(var_samp(col("l_quantity")), 4).as("var_q"))
+        .orderBy("l_returnflag")
+    },
+
+    // Exact percentiles (continuous interpolation).
+    "agg_percentile" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_linestatus")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"))
+        .orderBy("l_linestatus")
+    },
+
+    // String function family, second batch.
+    "scalar_string2" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .select(
+          col("c_custkey"),
+          lpad(col("c_custkey").cast("string"), 9, "0").as("padded"),
+          rpad(col("c_mktsegment"), 12, ".").as("rpadded"),
+          translate(col("c_name"), "#", "-").as("translated"),
+          regexp_replace(col("c_name"), "[0-9]+", "N").as("masked"),
+          reverse(col("c_mktsegment")).as("rev"),
+          repeat(lit("ab"), 3).as("rep"),
+          substring_index(col("c_name"), "#", 1).as("prefix"),
+          instr(col("c_name"), "#").cast("int").as("hash_at"),
+          ascii(col("c_mktsegment")).cast("int").as("first_ascii"))
+        .orderBy("c_custkey")
+    },
+
+    // Date function family, second batch.
+    "scalar_date2" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+          date_format(date_add(col("o_orderdate").cast("date"), 45), "yyyy-MM-dd").as("plus45d"),
+          dayofyear(col("o_orderdate")).cast("int").as("doy"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy("o_orderkey")
+    },
+
+    // Conditional / null handling.
+    "scalar_conditional" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          when(col("l_quantity") < 10, "low")
+            .when(col("l_quantity") < 40, "mid")
+            .otherwise("high").as("band"),
+          greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+          least(col("l_tax"), col("l_discount")).as("min_rate"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("rf_or_none"))
+        .orderBy(liKey.map(col): _*)
+    },
+
+    // Bit operations.
+    "scalar_bitops" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          (col("l_orderkey").bitwiseAND(lit(255L))).as("and255"),
+          (col("l_orderkey").bitwiseOR(lit(16L))).as("or16"),
+          (col("l_orderkey").bitwiseXOR(col("l_partkey"))).as("xor_pk"),
+          shiftleft(col("l_linenumber"), 2).cast("long").as("shl2"),
+          shiftright(col("l_partkey"), 1).as("shr1"))
+        .orderBy(liKey.map(col): _*)
+    },
+
+    // Hash family (md5/sha2 — engine-portable digests; sha1/xxhash64 exist
+    // in Spark but have no DuckDB counterpart, so they stay oracle-free).
+    "scalar_hash" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          md5(col("text")).as("h_md5"),
+          sha2(col("text"), 256).as("h_sha256"))
+        .orderBy("doc_id")
+    },
+
+    // Union by name (schema-aligned union — column order differs).
+    "set_union_by_name" -> { (s, dir) =>
+      val a = Tables.customer(s, dir)
+        .select(col("c_custkey").as("k"), col("c_name").as("name"))
+        .filter(col("k") <= 50)
+      val b = Tables.customer(s, dir)
+        .select(col("c_name").as("name"), col("c_custkey").as("k"))
+        .filter(col("k") >= 40)
+      a.unionByName(b)
+        .groupBy("k")
+        .agg(min(col("name")).as("name"), count(lit(1)).as("copies"))
+        .orderBy("k")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "window_distribution" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       CAST(ntile(4) OVER w AS INT) AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "window_value_fns" ->
+      """SELECT o_orderkey, o_custkey,
+        |       first_value(o_orderkey) OVER w AS first_ok,
+        |       last_value(o_orderkey) OVER w AS last_ok,
+        |       nth_value(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "agg_collect_sorted" ->
+      """SELECT n_regionkey,
+        |       array_to_string(list_sort(list(n_name)), ',') AS nations,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "agg_argmax" ->
+      """SELECT o_orderpriority,
+        |       arg_max(o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) * 100000000 + o_orderkey) AS top_order,
+        |       arg_min(o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) * 100000000 + o_orderkey) AS bottom_order,
+        |       round(max(o_totalprice), 2) AS top_tp
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_corr" ->
+      """SELECT l_returnflag,
+        |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qe,
+        |       round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qe,
+        |       round(var_samp(l_quantity), 4) AS var_q
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_percentile" ->
+      """SELECT l_linestatus,
+        |       round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+        |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "scalar_string2" ->
+      """SELECT c_custkey,
+        |       lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS padded,
+        |       rpad(c_mktsegment, 12, '.') AS rpadded,
+        |       translate(c_name, '#', '-') AS translated,
+        |       regexp_replace(c_name, '[0-9]+', 'N', 'g') AS masked,
+        |       reverse(c_mktsegment) AS rev,
+        |       repeat('ab', 3) AS rep,
+        |       split_part(c_name, '#', 1) AS prefix,
+        |       CAST(instr(c_name, '#') AS INT) AS hash_at,
+        |       CAST(ascii(c_mktsegment[1]) AS INT) AS first_ascii
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "scalar_date2" ->
+      """SELECT o_orderkey,
+        |       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        |       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        |       strftime(CAST(o_orderdate AS DATE) + 45, '%Y-%m-%d') AS plus45d,
+        |       CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "scalar_conditional" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       CASE WHEN l_quantity < 10 THEN 'low'
+        |            WHEN l_quantity < 40 THEN 'mid' ELSE 'high' END AS band,
+        |       greatest(l_tax, l_discount) AS max_rate,
+        |       least(l_tax, l_discount) AS min_rate,
+        |       coalesce(nullif(l_returnflag, 'N'), 'none') AS rf_or_none
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "scalar_bitops" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       l_orderkey & 255 AS and255,
+        |       l_orderkey | 16 AS or16,
+        |       xor(l_orderkey, l_partkey) AS xor_pk,
+        |       CAST(l_linenumber << 2 AS BIGINT) AS shl2,
+        |       l_partkey >> 1 AS shr1
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "scalar_hash" ->
+      """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "set_union_by_name" ->
+      """SELECT k, min(name) AS name, CAST(count(*) AS BIGINT) AS copies FROM (
+        |  SELECT c_custkey AS k, c_name AS name FROM customer WHERE c_custkey <= 50
+        |  UNION ALL
+        |  SELECT c_custkey, c_name FROM customer WHERE c_custkey >= 40)
+        |GROUP BY k ORDER BY k""".stripMargin)
+}

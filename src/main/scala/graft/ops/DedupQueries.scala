@@ -72,6 +72,27 @@ object DedupQueries {
         .orderBy("da", "db")
     },
 
+    // Embedding-cosine near-dup, exact variant (oracle yes): all pairs above
+    // the similarity threshold. Brute force is the correctness baseline; the
+    // 100 TB path blocks candidates with sign-LSH first (sim_ann_lsh) and
+    // verifies only collisions — same downstream filter, sub-quadratic pairs.
+    "dedup_near_cosine" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+      val dot = aggregate(
+        zip_with(col("ea"), col("eb"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      def n2(c: org.apache.spark.sql.Column) = sqrt(aggregate(
+        transform(c, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x))
+      a.join(b, col("va") < col("vb"))
+        .withColumn("cos", dot / (n2(col("ea")) * n2(col("eb"))))
+        .filter(col("cos") >= 0.45)
+        .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_r"))
+        .orderBy("va", "vb")
+    },
+
     // SimHash near-dup (no DuckDB oracle — custom Catalyst expression;
     // property-tested in ScalaTest). Bands the 64-bit fingerprint into
     // 4×16-bit keys; docs sharing any band are candidates; Hamming ≤ 12
@@ -95,7 +116,20 @@ object DedupQueries {
         .orderBy("da", "db")
     })
 
+  private val cosSql =
+    """list_reduce(list_transform(range(1, len(a.embedding) + 1),
+      |  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+      |/ (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+      | * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))"""
+      .stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_near_cosine" ->
+      s"""SELECT va, vb, round(cos, 4) AS cos_r FROM (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb, $cosSql AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |WHERE cos >= 0.45 ORDER BY va, vb""".stripMargin,
+
     "dedup_exact" ->
       """SELECT sha256(text) AS h, min(doc_id) AS keep_id,
         |       CAST(count(*) AS BIGINT) AS n_copies

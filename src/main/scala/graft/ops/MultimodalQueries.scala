@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tier D (multimodal) — oracle-checked queries over the media table
+  * (`Multimodal`): metadata-only scans, stub decode, resize planning, frame
+  * sampling, and histogram features. The decode kernels are deterministic
+  * byte arithmetic (see Multimodal scaladoc) so DuckDB can replay them; the
+  * Spark side still runs the real typed-Dataset `mapPartitions` plumbing.
+  */
+object MultimodalQueries {
+
+  private val modalitySql =
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+  private val mimeSql =
+    "CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Metadata-only scan: content column is never touched → columnar pruning
+    // makes this free at 100 TB (ReadSchema excludes the payload).
+    "mm_metadata" -> { (s, dir) =>
+      Multimodal.mediaTable(s, dir).toDF()
+        .select(
+          col("media_id"), col("modality"), col("mime"), col("n_bytes"),
+          sha2(col("content"), 256).as("sha"))
+        .orderBy("media_id")
+    },
+
+    // Stub decode through the typed mapPartitions boundary.
+    "mm_decode" -> { (s, dir) =>
+      Multimodal.decode(Multimodal.mediaTable(s, dir)).toDF()
+        .orderBy("media_id")
+    },
+
+    // Resize planning over decoded metadata (pure column arithmetic).
+    "mm_resize" -> { (s, dir) =>
+      Multimodal.resizePlan(
+          Multimodal.decode(Multimodal.mediaTable(s, dir)).toDF())
+        .select(col("media_id"), col("width"), col("height"), col("out_w"), col("out_h"))
+        .orderBy("media_id")
+    },
+
+    // Frame sampling (video modality only), every 7th byte.
+    "mm_frames" -> { (s, dir) =>
+      Multimodal.frameSample(Multimodal.mediaTable(s, dir), 7)
+        .orderBy("media_id")
+    },
+
+    // Histogram features: raw bin counts (ints — exactly comparable; the
+    // L1-normalized float vector is `featureStub`, property-tested).
+    "mm_features" -> { (s, dir) =>
+      Multimodal.features(Multimodal.mediaTable(s, dir)).toDF()
+        .select(
+          col("media_id"),
+          element_at(col("feature"), 1).cast("int").as("b0"),
+          element_at(col("feature"), 2).cast("int").as("b1"),
+          element_at(col("feature"), 3).cast("int").as("b2"),
+          element_at(col("feature"), 4).cast("int").as("b3"))
+        .orderBy("media_id")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "mm_metadata" ->
+      s"""SELECT doc_id AS media_id, $modalitySql AS modality, $mimeSql AS mime,
+         |       CAST(length(text) AS BIGINT) AS n_bytes, sha256(text) AS sha
+         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "mm_decode" ->
+      s"""SELECT doc_id AS media_id, $modalitySql AS modality,
+         |       CAST(ascii(text[1]) % 64 + 1 AS INT) AS width,
+         |       CAST(ascii(text[2]) % 64 + 1 AS INT) AS height,
+         |       3 AS channels,
+         |       CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE length(text) * 10 END AS BIGINT) AS duration_ms
+         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "mm_resize" ->
+      s"""SELECT doc_id AS media_id,
+         |       CAST(ascii(text[1]) % 64 + 1 AS INT) AS width,
+         |       CAST(ascii(text[2]) % 64 + 1 AS INT) AS height,
+         |       CAST(greatest(1, (ascii(text[1]) % 64 + 1) // 2) AS INT) AS out_w,
+         |       CAST(greatest(1, (ascii(text[2]) % 64 + 1) // 2) AS INT) AS out_h
+         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "mm_frames" ->
+      """SELECT doc_id AS media_id,
+        |       CAST((length(text) + 6) // 7 AS INT) AS n_frames,
+        |       CAST(ascii(text[1]) AS INT) AS first_frame,
+        |       CAST(ascii(text[CAST((length(text) - 1) // 7 * 7 + 1 AS INT)]) AS INT) AS last_frame
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin,
+
+    "mm_features" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(len(list_filter(hist, x -> x = 0)) AS INT) AS b0,
+        |       CAST(len(list_filter(hist, x -> x = 1)) AS INT) AS b1,
+        |       CAST(len(list_filter(hist, x -> x = 2)) AS INT) AS b2,
+        |       CAST(len(list_filter(hist, x -> x = 3)) AS INT) AS b3
+        |FROM (SELECT doc_id,
+        |             list_transform(range(1, length(text) + 1), i -> ascii(text[i]) % 4) AS hist
+        |      FROM documents)
+        |ORDER BY media_id""".stripMargin)
+}

@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** The SQL entry surface: the same engine driven through `spark.sql` over
+  * registered views — CTEs, correlated/scalar/IN subqueries, GROUPING SETS,
+  * PIVOT. Catalyst compiles these to the same physical plans as the
+  * DataFrame API; declaring them separately proves the SQL-text surface a
+  * reference user would script against.
+  */
+object SqlQueries {
+
+  /** Register all testdata tables as temp views (idempotent). */
+  def registerViews(s: SparkSession, dir: String): Unit =
+    Tables.all.foreach { t =>
+      Tables.load(s, dir, t).createOrReplaceTempView(t)
+      if (t == "events") Tables.events(s, dir).createOrReplaceTempView(t)
+    }
+
+  private def q(sql: String): (SparkSession, String) => DataFrame = { (s, dir) =>
+    registerViews(s, dir)
+    s.sql(sql)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // WITH-clause pipeline: revenue per nation through a CTE chain.
+    "sql_cte" -> q(
+      """WITH cust_rev AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY o_custkey
+        |), nat_rev AS (
+        |  SELECT c_nationkey, round(sum(rev), 2) AS nation_rev,
+        |         CAST(count(*) AS BIGINT) AS n_cust
+        |  FROM cust_rev JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_nationkey)
+        |SELECT n_name, nation_rev, n_cust
+        |FROM nat_rev JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin),
+
+    // Correlated EXISTS subquery.
+    "sql_exists" -> q(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // Scalar subquery in the projection + predicate.
+    "sql_scalar_subquery" -> q(
+      """SELECT o_orderkey, round(o_totalprice, 2) AS tp,
+        |       round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 2) AS delta
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.8
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // IN / NOT IN subqueries.
+    "sql_in_subquery" -> q(
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        |ORDER BY p_partkey""".stripMargin),
+
+    // Explicit GROUPING SETS with grouping() disambiguation.
+    "sql_grouping_sets" -> q(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |       round(sum(l_quantity), 2) AS qty,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY rf, ls""".stripMargin),
+
+    // PIVOT: order counts per priority × status (oracle via FILTER
+    // aggregation). Missing combinations pivot to null in Spark — coalesced
+    // to 0 to match COUNT semantics.
+    "sql_pivot" -> q(
+      """SELECT o_orderpriority,
+        |       coalesce(st_o, 0) AS st_o, coalesce(st_f, 0) AS st_f,
+        |       coalesce(st_p, 0) AS st_p
+        |FROM (
+        |  SELECT o_orderpriority, o_orderstatus FROM orders)
+        |PIVOT (count(*) FOR o_orderstatus IN ('O' AS st_o, 'F' AS st_f, 'P' AS st_p))
+        |ORDER BY o_orderpriority""".stripMargin),
+
+    // UNPIVOT / stack: wide → long over the lineitem charge columns.
+    "sql_unpivot" -> q(
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, metric,
+        |       round(v, 2) AS v_r
+        |FROM lineitem
+        |UNPIVOT (v FOR metric IN (l_discount AS disc, l_tax AS tax))
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, metric""".stripMargin),
+
+    // Lateral view explode through SQL.
+    "sql_lateral_explode" -> q(
+      """SELECT doc_id, pos, tok
+        |FROM documents
+        |LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
+        |WHERE pos < 3
+        |ORDER BY doc_id, pos""".stripMargin))
+
+  val oracles: Map[String, String] = Map(
+    "sql_cte" ->
+      """WITH cust_rev AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY o_custkey
+        |), nat_rev AS (
+        |  SELECT c_nationkey, round(sum(rev), 2) AS nation_rev,
+        |         CAST(count(*) AS BIGINT) AS n_cust
+        |  FROM cust_rev JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey)
+        |SELECT n_name, nation_rev, n_cust
+        |FROM nat_rev JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin,
+
+    "sql_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "sql_scalar_subquery" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS tp,
+        |       round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 2) AS delta
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.8
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "sql_in_subquery" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "sql_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |       round(sum(l_quantity), 2) AS qty,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY rf, ls""".stripMargin,
+
+    "sql_pivot" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS st_o,
+        |       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS st_f,
+        |       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS st_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "sql_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, metric, round(v, 2) AS v_r
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, 'disc' AS metric, l_discount AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, 'tax', l_tax FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, metric""".stripMargin,
+
+    "sql_lateral_explode" ->
+      """SELECT doc_id, CAST(pos - 1 AS INT) AS pos, tok FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents)
+        |WHERE pos <= 3 ORDER BY doc_id, pos""".stripMargin)
+}
