@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers the engine's custom Catalyst expressions as SQL functions, so
+  * the SQL-text surface can call them like built-ins:
+  *
+  *   `SELECT strict_base64_decode(c), simhash64(split(text, ' ')) FROM t`
+  *
+  * Wire up with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * or programmatically via `SparkSessionExtensionsProvider`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  /** The custom function surface: name → expression builder. */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "strict_base64_decode" -> (children => StrictBase64Decode(children.head)),
+    "simhash64" -> (children => SimHash64(children.head)),
+    "vector_dot" -> (children => VectorDot(children(0), children(1))))
+
+  /** Register on an already-running session (the config path above only
+    * applies at session construction).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, name, builder)
+    }
+}

@@ -77,17 +77,14 @@ object DedupQueries {
     // 100 TB path blocks candidates with sign-LSH first (sim_ann_lsh) and
     // verifies only collisions — same downstream filter, sub-quadratic pairs.
     "dedup_near_cosine" -> { (s, dir) =>
+      import graft.functions.VectorOps
       val e = Tables.embeddings(s, dir)
-      val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
-      val dot = aggregate(
-        zip_with(col("ea"), col("eb"), (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      def n2(c: org.apache.spark.sql.Column) = sqrt(aggregate(
-        transform(c, x => x.cast("double") * x.cast("double")),
-        lit(0.0), (acc, x) => acc + x))
+        .select(col("vec_id"), col("embedding"),
+          VectorOps.norm(col("embedding")).as("nrm")) // norm once per row, not per pair
+      val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
       a.join(b, col("va") < col("vb"))
-        .withColumn("cos", dot / (n2(col("ea")) * n2(col("eb"))))
+        .withColumn("cos", VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
         .filter(col("cos") >= 0.45)
         .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_r"))
         .orderBy("va", "vb")

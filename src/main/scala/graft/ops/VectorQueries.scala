@@ -14,19 +14,14 @@ import graft.Tables
   */
 object VectorQueries {
 
-  /** Sequential-fold sum of an array<double> — same evaluation order as the
-    * DuckDB oracle's list_reduce, so results are bit-identical.
+  /** Codegen'd kernels (graft.functions.VectorDot): sequential index-order
+    * accumulation with per-element double widening — bit-identical to the
+    * DuckDB oracle's list_reduce, but a primitive loop inside
+    * WholeStageCodegen instead of a per-element lambda.
     */
-  private def foldSum(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
-  private def sq(v: Column): Column =
-    transform(v, x => x.cast("double") * x.cast("double"))
-
-  private def dot(a: Column, b: Column): Column =
-    foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
-
-  private def l2(v: Column): Column = sqrt(foldSum(sq(v)))
+  private def l2(v: Column): Column = graft.functions.VectorOps.norm(v)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Vector norms + dimension via HOFs (no UDF, stays in codegen).
@@ -51,12 +46,15 @@ object VectorQueries {
 
     // Brute-force cosine top-k: 10 query vectors broadcast against the full
     // table — the exact baseline every ANN variant is measured against.
+    // Norms are computed once per row BEFORE the join (not per pair).
     "sim_cosine_topk" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      val t = e.select(col("vec_id").as("t_id"), col("embedding").as("te"))
-      val cos = dot(col("qe"), col("te")) / (l2(col("qe")) * l2(col("te")))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          l2(col("embedding")).as("qn"))
+      val t = e.select(col("vec_id").as("t_id"), col("embedding").as("te"),
+        l2(col("embedding")).as("tn"))
+      val cos = dot(col("qe"), col("te")) / (col("qn") * col("tn"))
       val w = Window.partitionBy("q_id")
         .orderBy(round(col("cos"), 6).desc, col("t_id"))
       t.join(broadcast(q), col("q_id") =!= col("t_id"))
@@ -85,19 +83,21 @@ object VectorQueries {
           (x, i) => when(x > 0, pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L))),
         lit(0L), (acc, x) => acc + x)
       val banded = Tables.embeddings(s, dir).select(
-        col("vec_id"), col("embedding"),
+        col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"),
         explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band"), signBucket(b).as("key"))): _*)).as("bk"))
-        .select(col("vec_id"), col("embedding"), col("bk.band"), col("bk.key"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("bk.band"), col("bk.key"))
       val q = banded.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("band"), col("key"))
-      val t = banded.select(col("vec_id").as("t_id"), col("embedding").as("te"), col("band"), col("key"))
-      val cos = dot(col("qe"), col("te")) / (l2(col("qe")) * l2(col("te")))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("band"), col("key"))
+      val t = banded.select(col("vec_id").as("t_id"), col("embedding").as("te"),
+        col("nrm").as("tn"), col("band"), col("key"))
+      val cos = dot(col("qe"), col("te")) / (col("qn") * col("tn"))
       val w = Window.partitionBy("q_id")
         .orderBy(round(col("cos"), 6).desc, col("t_id"))
       t.join(broadcast(q), Seq("band", "key"))
         .filter(col("q_id") =!= col("t_id"))
-        .select(col("q_id"), col("t_id"), col("qe"), col("te"))
+        .select(col("q_id"), col("t_id"), col("qe"), col("te"), col("qn"), col("tn"))
         .dropDuplicates("q_id", "t_id") // collided in ≥1 table → once
         .withColumn("cos", cos)
         .withColumn("rn", row_number().over(w))

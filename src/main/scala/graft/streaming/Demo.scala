@@ -49,6 +49,14 @@ object Demo {
 
       println(s"delivered=${sink.captured.size} queued=${Sinks.queue.size}")
       sink.captured.forEach(c => println(s"${c.method} ${c.path} ${c.body}"))
+
+      // custom-function SQL surface
+      graft.functions.GraftExtensions.register(spark)
+      spark.sql(
+        """SELECT strict_base64_decode('aGVsbG8=') AS dec,
+          |       simhash64(array('a','b')) AS fp,
+          |       vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp""".stripMargin)
+        .collect().foreach(r => println(s"sql-surface: $r"))
     } finally {
       sink.stop()
       spark.stop()
