@@ -50,6 +50,20 @@ object Demo {
       println(s"delivered=${sink.captured.size} queued=${Sinks.queue.size}")
       sink.captured.forEach(c => println(s"${c.method} ${c.path} ${c.body}"))
 
+      // custom keyed state: flatMapGroupsWithState sessionization
+      val sess = MemoryStream[Sessionize.Event]
+      sess.addData(
+        Sessionize.Event(1, t(0), 1.0), Sessionize.Event(1, t(10), 2.0),
+        Sessionize.Event(1, t(310), 4.0), Sessionize.Event(2, t(0), 8.0))
+      val sq = Sessionize.sessions(
+          sess.toDS().withWatermark("ts", "0 seconds"), gapMs = 60000L)
+        .writeStream.format("memory").queryName("demo_sessions")
+        .outputMode("append").start()
+      sq.processAllAvailable()
+      sq.stop()
+      spark.table("demo_sessions").collect()
+        .foreach(r => println(s"session: $r"))
+
       // custom-function SQL surface
       graft.functions.GraftExtensions.register(spark)
       spark.sql(

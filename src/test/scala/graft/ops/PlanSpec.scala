@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Physical-plan regression guards for the scale-critical shapes (audited
+  * via `graft.Plans`): filter pushdown into the parquet scan, column
+  * pruning, broadcast joins for small dims, top-k without a global sort.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("action filter is pushed down to the parquet scan") {
+    val f = formatted("cdc_action_filter")
+    assert(f.contains("PushedFilters: [In(event_type"), f)
+  }
+
+  test("q1_agg scan is column-pruned to the referenced columns") {
+    val f = formatted("q1_agg")
+    assert(f.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_returnflag:string,l_linestatus:string>"), f)
+  }
+
+  test("small-dim joins broadcast (no shuffle join for nation x region)") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("sort+limit compiles to TakeOrderedAndProject (no global sort)") {
+    assert(plan("sort_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("hash aggregation is two-phase (map-side partial before the shuffle)") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate") && p.contains("partial_"), p)
+  }
+
+  test("cosine kernel stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("dedup_near_cosine")(spark, sfDir)
+    df.collect() // finalize the AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("vector_dot"), p)
+    // the projection computing the dot product must carry a `*(n)` marker —
+    // i.e. sit inside a whole-stage-codegen region, not a fallback project
+    assert("""\*\(\d+\) Project \[va""".r.findFirstIn(p).isDefined, p)
+  }
+}
