@@ -66,6 +66,25 @@ object CdcPipeline {
   def transform(df: DataFrame, cfg: CdcConfig): DataFrame =
     envelope(filterActions(route(df, cfg), cfg))
 
+  /** Wire schema for serialized change events (what `CdcFileSource` lines
+    * carry).
+    */
+  val wireSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "table STRING, op STRING, before MAP<STRING,STRING>, " +
+        "after MAP<STRING,STRING>, ts TIMESTAMP")
+
+  /** Parse `CdcFileSource` output (`line STRING, pos BIGINT`) into the
+    * change-event columns `transform` expects; malformed lines → null table,
+    * dropped by the route filter (fixing the reference's queue-worker panic,
+    * hazard H7).
+    */
+  def parseLines(df: DataFrame): DataFrame =
+    df.withColumn("e", from_json(col("line"), wireSchema))
+      .select(col("e.table").as("table"), col("e.op").as("op"),
+        col("e.before").as("before"), col("e.after").as("after"),
+        col("e.ts").as("ts"), col("pos"))
+
   /** Streaming dedup for at-least-once replay collapse (H3's fix): exactly
     * the `dropDuplicatesWithinWatermark` pattern — state bounded by the
     * watermark, so it scales to unbounded streams.

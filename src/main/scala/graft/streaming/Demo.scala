@@ -50,6 +50,21 @@ object Demo {
       println(s"delivered=${sink.captured.size} queued=${Sinks.queue.size}")
       sink.captured.forEach(c => println(s"${c.method} ${c.path} ${c.body}"))
 
+      // the full reference topology through the custom DSv2 source: tail an
+      // append-only change log, transform, deliver
+      val log = Files.createTempFile("demo_cdc_log", ".jsonl")
+      Files.writeString(log,
+        """{"table":"orders","op":"insert","after":{"id":"10"},"ts":"2024-01-01T00:00:00"}
+          |{"table":"orders","op":"delete","after":{"id":"10"},"ts":"2024-01-01T00:00:01"}
+          |{"table":"customer","op":"insert","after":{"id":"11"},"ts":"2024-01-01T00:00:02"}
+          |""".stripMargin)
+      val src = spark.readStream.format(classOf[graft.sources.CdcFileSource].getName)
+        .option("path", log.toString).load()
+      val ckpt2 = Files.createTempDirectory("graft_demo_src_ckpt").toString
+      Sinks.runToCompletion(Sinks.dualSink(
+        CdcPipeline.transform(CdcPipeline.parseLines(src), cfg), sink.url, ckpt2))
+      println(s"file-source delivered total=${sink.captured.size}")
+
       // custom keyed state: flatMapGroupsWithState sessionization
       val sess = MemoryStream[Sessionize.Event]
       sess.addData(
