@@ -68,6 +68,28 @@ object Sinks {
     batch.select(col("group"), col("payload")).collect()
       .foreach(r => queue.add((r.getString(0), r.getString(1))))
 
+  /** The queue-drain second pipeline (R15, reference `main.go:383-419`):
+    * pop everything currently queued and POST each payload again —
+    * re-resolving the group from the payload itself like the reference's
+    * worker (`extractTableNameFromPayload`, `main.go:421-430`), so a table
+    * unmapped between enqueue and drain is dropped, not crashed (H7 fixed:
+    * unparsable payloads are skipped).
+    */
+  def drainQueue(postUrl: String, tableToGroup: Map[String, String],
+      checkStatus: Boolean = false): Int = {
+    val tableRe = """"source":\{"table":"([^"]+)"\}""".r
+    var n = 0
+    var item = queue.poll()
+    while (item != null) {
+      val (_, payload) = item
+      tableRe.findFirstMatchIn(payload).map(_.group(1))
+        .flatMap(tableToGroup.get)
+        .foreach { group => if (post(postUrl, group, payload, checkStatus)) n += 1 }
+      item = queue.poll()
+    }
+    n
+  }
+
   /** Wire the dual-sink topology (H3: every event delivered on BOTH paths)
     * onto a streaming envelope DataFrame. One streaming query, one
     * `foreachBatch` writing to both sinks — at-least-once ×2 like the

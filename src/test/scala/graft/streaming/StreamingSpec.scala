@@ -126,6 +126,46 @@ class StreamingSpec extends SparkSuite {
       server.respondStatus = 500
       assert(Sinks.post(server.url, "g", "{}", checkStatus = false))
       assert(!Sinks.post(server.url, "g", "{}", checkStatus = true))
+      server.respondStatus = 200
+
+      // R15: the queue-drain second pipeline re-POSTs everything queued,
+      // re-resolving the group from the payload (at-least-once ×2, H3)
+      val before = server.captured.size
+      val drained = Sinks.drainQueue(server.url, cfg.tableToGroup)
+      assert(drained == 3 && Sinks.queue.isEmpty)
+      assert(server.captured.size == before + 3)
     } finally server.stop()
   }
+
+  test("watermark drops late data behind the watermark (append window agg)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ChangeEvent]
+    val agg = mem.toDF()
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "10 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("late_drop")
+      .outputMode("append").start()
+    try {
+      // batch 1: events at t=0..5s, then t=100s → watermark advances to 95s,
+      // closing (and emitting) the first window
+      mem.addData(ev("orders", 0), ev("orders", 5), ev("orders", 100))
+      q.processAllAvailable()
+      // batch 2: a LATE event at t=3s — behind the watermark, must be dropped
+      mem.addData(ev("orders", 3))
+      q.processAllAvailable()
+      mem.addData(ev("orders", 200)) // close remaining windows
+      q.processAllAvailable()
+      val rows = spark.table("late_drop").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // first window holds exactly the 2 on-time events; the late one is gone
+      assert(rows(1700000000L) == 2, rows.toString)
+    } finally q.stop()
+  }
+
+  private def ev(table: String, offsetS: Long): ChangeEvent =
+    ChangeEvent(table, "insert", null, Map("id" -> offsetS.toString),
+      new Timestamp(1700000000000L + offsetS * 1000))
 }
