@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{AdvancedQueries, CdcQueries, DedupQueries, MultimodalQueries, RelationalQueries, SqlQueries, TextQueries, TimeWindowQueries, VectorQueries}
+import graft.ops.{AdvancedQueries, CdcQueries, DedupQueries, HofQueries, MultimodalQueries, RelationalQueries, SqlQueries, TextQueries, TimeWindowQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,6 +30,7 @@ object SparkEntry {
       RelationalQueries.queries ++
       AdvancedQueries.queries ++
       SqlQueries.queries ++
+      HofQueries.queries ++
       TimeWindowQueries.queries ++
       TextQueries.queries ++
       DedupQueries.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
       RelationalQueries.oracles ++
       AdvancedQueries.oracles ++
       SqlQueries.oracles ++
+      HofQueries.oracles ++
       TimeWindowQueries.oracles ++
       TextQueries.oracles ++
       DedupQueries.oracles ++

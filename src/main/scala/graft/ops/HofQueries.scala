@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Array higher-order functions, multiset set-ops, cross join, null-safe
+  * equality join — the remaining relational corners of SURVEY.md §2.6.
+  */
+object HofQueries {
+
+  private def toks: Column = split(col("text"), " ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // transform / filter / exists / forall / aggregate over token arrays.
+    "scalar_hof" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          element_at(transform(toks, t => upper(t)), 1).as("first_upper"),
+          size(filter(toks, t => length(t) > 4)).as("n_long"),
+          exists(toks, t => t === "data").as("has_data"),
+          forall(toks, t => length(t) > 0).as("all_nonempty"),
+          aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("total_chars"))
+        .orderBy("doc_id")
+    },
+
+    // regexp_extract_all (array result joined to a canonical string).
+    "scalar_regexp_all" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .select(
+          col("c_custkey"),
+          array_join(regexp_extract_all(col("c_name"), lit("[0-9]+"), lit(0)), ",")
+            .as("all_digits"),
+          size(regexp_extract_all(col("c_name"), lit("[a-z]+"), lit(0))).as("n_words"))
+        .orderBy("c_custkey")
+    },
+
+    // Multiset EXCEPT ALL / INTERSECT ALL (multiplicity-preserving),
+    // aggregated to per-key counts for deterministic compare.
+    "set_except_all" -> { (s, dir) =>
+      val a = Tables.lineitem(s, dir).filter(col("l_quantity") > 25).select("l_suppkey")
+      val b = Tables.lineitem(s, dir).filter(col("l_discount") > 0.05).select("l_suppkey")
+      a.exceptAll(b)
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+        .orderBy("l_suppkey")
+    },
+    "set_intersect_all" -> { (s, dir) =>
+      val a = Tables.lineitem(s, dir).filter(col("l_quantity") > 25).select("l_suppkey")
+      val b = Tables.lineitem(s, dir).filter(col("l_discount") > 0.05).select("l_suppkey")
+      a.intersectAll(b)
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+        .orderBy("l_suppkey")
+    },
+
+    // Cross join (tiny dims only — deliberately; Catalyst broadcasts it).
+    "join_cross" -> { (s, dir) =>
+      Tables.nation(s, dir).crossJoin(Tables.region(s, dir))
+        .select(col("n_nationkey"), col("r_regionkey"), col("n_name"), col("r_name"))
+        .orderBy("n_nationkey", "r_regionkey")
+    },
+
+    // Null-safe equality join (<=>): null keys match each other, unlike =.
+    "join_null_safe" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), nullif(col("c_nationkey"), lit(3)).as("ck"))
+      val n = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"),
+          nullif(col("n_nationkey"), lit(3)).as("nk"))
+      c.join(n, col("ck") <=> col("nk"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy("n_name")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "scalar_hof" ->
+      """SELECT doc_id,
+        |       upper(string_split(text, ' ')[1]) AS first_upper,
+        |       CAST(len(list_filter(string_split(text, ' '), t -> strlen(t) > 4)) AS INT) AS n_long,
+        |       len(list_filter(string_split(text, ' '), t -> t = 'data')) > 0 AS has_data,
+        |       len(list_filter(string_split(text, ' '), t -> NOT strlen(t) > 0)) = 0 AS all_nonempty,
+        |       CAST(list_reduce(list_prepend(0, list_transform(string_split(text, ' '),
+        |            t -> CAST(strlen(t) AS INT))), (a, b) -> a + b) AS INT) AS total_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "scalar_regexp_all" ->
+      """SELECT c_custkey,
+        |       array_to_string(regexp_extract_all(c_name, '[0-9]+', 0), ',') AS all_digits,
+        |       CAST(len(regexp_extract_all(c_name, '[a-z]+', 0)) AS INT) AS n_words
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT l_suppkey FROM lineitem WHERE l_quantity > 25
+        |  EXCEPT ALL
+        |  SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT l_suppkey FROM lineitem WHERE l_quantity > 25
+        |  INTERSECT ALL
+        |  SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "join_cross" ->
+      """SELECT n_nationkey, r_regionkey, n_name, r_name
+        |FROM nation CROSS JOIN region
+        |ORDER BY n_nationkey, r_regionkey""".stripMargin,
+
+    "join_null_safe" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust
+        |FROM (SELECT c_custkey, nullif(c_nationkey, 3) AS ck FROM customer) c
+        |JOIN (SELECT n_nationkey, n_name, nullif(n_nationkey, 3) AS nk FROM nation) n
+        |  ON c.ck IS NOT DISTINCT FROM n.nk
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+}

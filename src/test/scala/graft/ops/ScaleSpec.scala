@@ -1,0 +1,74 @@
+package graft.ops
+
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, Tables}
+
+/** The two explicit scale patterns as executable proofs:
+  * bucketed co-located joins (no shuffle at join time) and salted skew
+  * joins (same results as the plain join, hot key spread over reducers).
+  */
+class ScaleSpec extends SparkSuite {
+
+  test("bucketed tables join without a shuffle exchange") {
+    // disable broadcast so the join exercises the shuffle path the pattern
+    // exists for (at real scale neither side broadcasts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables.orders(spark, sfDir).write
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    Tables.lineitem(spark, sfDir).write
+      .bucketBy(4, "l_orderkey").saveAsTable("b_lineitem")
+
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located: SortMergeJoin directly over the two bucketed scans, and
+    // the ONLY hash exchange in the final plan is the aggregation's — the
+    // join itself shuffles nothing
+    val finalPlan = plan.substring(0, math.max(plan.indexOf("== Initial Plan =="), 0) match {
+      case 0 => plan.length
+      case i => i
+    })
+    assert(finalPlan.contains("SortMergeJoin"), plan)
+    assert(finalPlan.split("Bucketed: true", -1).length - 1 == 2, plan)
+    assert(finalPlan.split("Exchange hashpartitioning", -1).length - 1 == 1, plan)
+
+    // and it agrees with the plain (shuffled) join
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(joined.collect().toSet == plain.collect().toSet)
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+  }
+
+  test("salted join returns exactly the plain join's result") {
+    val facts = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+    val dim = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    val salted = Skew.saltedJoin(facts, dim, "l_orderkey", "l_suppkey", salts = 8)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+    val plain = facts.join(dim, "l_orderkey")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+    assert(salted.collect().toSet == plain.collect().toSet)
+  }
+
+  test("salt is deterministic and spans the full range") {
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("k")
+      .select(Skew.salt(col("k"), 8).as("s"))
+    val vals = df.distinct().collect().map(_.getInt(0)).sorted
+    assert(vals.toSeq == (0 until 8))
+    // rerun → identical assignment
+    val a = (1L to 100L).toDF("k").select(col("k"), Skew.salt(col("k"), 8).as("s")).collect()
+    val b = (1L to 100L).toDF("k").select(col("k"), Skew.salt(col("k"), 8).as("s")).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+}
