@@ -95,6 +95,34 @@ object TextQueries {
           col("doc_id"),
           md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("fp"))
         .orderBy("doc_id")
+    },
+
+    // BPE-ish token counting: a subword-style regex (letter runs, digit
+    // runs, punctuation runs — the GPT-2 pre-tokenizer shape) instead of
+    // whitespace; the LLM-pipeline "how many tokens is this corpus" pass.
+    "text_bpe_tokens" -> { (s, dir) =>
+      val pieces = regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"), lit(0))
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(pieces).as("n_pieces"),
+          size(filter(pieces, p => p.rlike("^[0-9]+$"))).as("n_numeric"),
+          element_at(pieces, 1).as("first_piece"))
+        .orderBy("doc_id")
+    },
+
+    // Rolling polynomial hash (Rabin–Karp shape) over the document's chars:
+    // h = (h * 31 + code) mod 2^31 — a streaming-friendly content hash
+    // computable without materializing the text twice. Sequential integer
+    // fold → identical in any engine.
+    "text_rolling_hash" -> { (s, dir) =>
+      val codes = transform(split(col("text"), ""), ch => ascii(ch).cast("long"))
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          aggregate(codes, lit(0L), (h, c) => pmod(h * 31 + c, lit(2147483648L)))
+            .as("rhash"))
+        .orderBy("doc_id")
     })
 
   private def langScoreSql(lang: String, markers: Seq[String]): String = {
@@ -146,5 +174,20 @@ object TextQueries {
     "text_fingerprint" ->
       """SELECT doc_id,
         |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+', 0)) AS INT) AS n_pieces,
+        |       CAST(len(list_filter(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+', 0),
+        |                p -> regexp_full_match(p, '[0-9]+'))) AS INT) AS n_numeric,
+        |       regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+', 0)[1] AS first_piece
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_rolling_hash" ->
+      """SELECT doc_id,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
+        |         (h, c) -> (h * 31 + c) % 2147483648) AS rhash
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -9,7 +9,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -74,10 +74,11 @@ class CdcFileTable(path: String) extends Table with SupportsRead {
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
+      private val maxLines = Option(options.get("maxLinesPerBatch")).map(_.toLong)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = CdcFileSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new CdcFileMicroBatchStream(path)
+          new CdcFileMicroBatchStream(path, maxLines)
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] =
             Array(CdcRangePartition(path, 0L, CdcFileSource.lineCount(path)))
@@ -92,7 +93,7 @@ class CdcFileTable(path: String) extends Table with SupportsRead {
   * server — parallelism comes from the downstream shuffle, as in the
   * reference's single-consumer topology, `k8s/deployment.yaml:8`).
   */
-class CdcFileMicroBatchStream(path: String)
+class CdcFileMicroBatchStream(path: String, maxLinesPerBatch: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // Trigger.AvailableNow: pin the end offset once so all batches of the
@@ -104,7 +105,21 @@ class CdcFileMicroBatchStream(path: String)
   override def initialOffset(): Offset = CdcOffset(0L)
   override def latestOffset(): Offset =
     CdcOffset(pinnedEnd.getOrElse(CdcFileSource.lineCount(path)))
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
+
+  /** Admission control (backpressure): honor `maxLinesPerBatch` so a large
+    * backlog drains in bounded micro-batches instead of one giant one —
+    * the knob that keeps recovery-from-far-behind from OOMing a batch.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val end = latestOffset().asInstanceOf[CdcOffset].pos
+    limit match {
+      case m: ReadMaxRows =>
+        CdcOffset(math.min(end, start.asInstanceOf[CdcOffset].pos + m.maxRows()))
+      case _ => CdcOffset(end)
+    }
+  }
+  override def getDefaultReadLimit: ReadLimit =
+    maxLinesPerBatch.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
   override def reportLatestOffset(): Offset = latestOffset()
   override def deserializeOffset(json: String): Offset = {
     val pos = """"pos"\s*:\s*(\d+)""".r.findFirstMatchIn(json)

@@ -56,6 +56,28 @@ class CdcFileSourceSpec extends SparkSuite {
     assert(payloads.exists(_.contains(""""id":"4"""")))
   }
 
+  test("admission control: maxLinesPerBatch drains a backlog in bounded batches") {
+    val log = Files.createTempFile("cdc_log_rl", ".jsonl")
+    append(log, (1 to 5).map(i => line("orders", "insert", i)): _*)
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format(classOf[CdcFileSource].getName)
+      .option("path", log.toString)
+      .option("maxLinesPerBatch", "2")
+      .load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("cdc_rl_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.add(batch.count()); ()
+      }
+      .start()
+    q.awaitTermination()
+    val sizes = batchSizes.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+    assert(sizes.sum == 5, sizes.toString)
+    assert(sizes.forall(_ <= 2), sizes.toString)
+    assert(sizes.count(_ > 0) >= 3, sizes.toString)
+  }
+
   test("batch read of the full log") {
     val log = Files.createTempFile("cdc_log_b", ".jsonl")
     append(log, line("orders", "insert", 1), line("orders", "update", 2))
