@@ -66,6 +66,19 @@ object CdcPipeline {
   def transform(df: DataFrame, cfg: CdcConfig): DataFrame =
     envelope(filterActions(route(df, cfg), cfg))
 
+  /** Observability (R20 done right): the reference logs every column of
+    * every row on the hot path (`main.go:199-202`); here the hot path stays
+    * clean and per-batch aggregates ride the plan via `observe` — counts by
+    * op plus distinct tables, retrievable from an `Observation` (batch) or
+    * the streaming progress events.
+    */
+  def observed(df: DataFrame, observation: org.apache.spark.sql.Observation): DataFrame =
+    df.observe(observation,
+      count(lit(1)).as("n_events"),
+      sum(when(col("op") === "insert", 1).otherwise(0)).as("n_inserts"),
+      sum(when(col("op") === "update", 1).otherwise(0)).as("n_updates"),
+      approx_count_distinct(col("table")).as("n_tables"))
+
   /** Wire schema for serialized change events (what `CdcFileSource` lines
     * carry).
     */

@@ -168,4 +168,15 @@ class StreamingSpec extends SparkSuite {
   private def ev(table: String, offsetS: Long): ChangeEvent =
     ChangeEvent(table, "insert", null, Map("id" -> offsetS.toString),
       new Timestamp(1700000000000L + offsetS * 1000))
+
+  test("observe() metrics ride the transform (R20 without per-row logging)") {
+    import spark.implicits._
+    val obs = new org.apache.spark.sql.Observation("cdc_metrics")
+    CdcPipeline.observed(
+      CdcPipeline.transform(fixture.toDF(), cfg), obs).collect()
+    val m = obs.get
+    assert(m("n_events") == 3L)
+    assert(m("n_inserts") == 2L)
+    assert(m("n_updates") == 1L)
+  }
 }
