@@ -90,6 +90,42 @@ object AdvancedQueries {
         .orderBy("l_linestatus")
     },
 
+    // Median + linear-regression aggregates (qty vs net price per flag).
+    "agg_regression" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(median(col("l_quantity")), 4).as("med_q"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // Boolean aggregates.
+    "agg_bool" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          every(col("l_quantity") > 0).as("all_pos"),
+          some(col("l_quantity") > 49).as("any_big"),
+          count_if(col("l_discount") > 0.05).as("n_disc"))
+        .orderBy("l_returnflag")
+    },
+
+    // try_cast: null on failure instead of error (the reference's lenient
+    // dynamic typing, SURVEY §1.2).
+    "scalar_trycast" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .select(
+          col("c_custkey"),
+          expr("try_cast(substring_index(c_name, '#', -1) AS BIGINT)").as("tail_num"),
+          expr("try_cast(c_mktsegment AS DOUBLE)").as("seg_num"),
+          expr("try_cast(c_acctbal AS STRING)").as("bal_str"))
+        .orderBy("c_custkey")
+    },
+
     // String function family, second batch.
     "scalar_string2" -> { (s, dir) =>
       Tables.customer(s, dir)
@@ -218,6 +254,29 @@ object AdvancedQueries {
         |       round(quantile_cont(l_quantity, 0.9), 4) AS p90,
         |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_regression" ->
+      """SELECT l_returnflag,
+        |       round(median(l_quantity), 4) AS med_q,
+        |       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |       round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_bool" ->
+      """SELECT l_returnflag,
+        |       bool_and(l_quantity > 0) AS all_pos,
+        |       bool_or(l_quantity > 49) AS any_big,
+        |       CAST(count(*) FILTER (l_discount > 0.05) AS BIGINT) AS n_disc
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "scalar_trycast" ->
+      """SELECT c_custkey,
+        |       TRY_CAST(split_part(c_name, '#', -1) AS BIGINT) AS tail_num,
+        |       TRY_CAST(c_mktsegment AS DOUBLE) AS seg_num,
+        |       TRY_CAST(c_acctbal AS VARCHAR) AS bal_str
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "scalar_string2" ->
       """SELECT c_custkey,

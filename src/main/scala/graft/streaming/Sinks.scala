@@ -68,6 +68,28 @@ object Sinks {
     batch.select(col("group"), col("payload")).collect()
       .foreach(r => queue.add((r.getString(0), r.getString(1))))
 
+  /** Dead-letter queue for fixed-mode delivery: failed POSTs (transport
+    * error or non-2xx when `checkStatus`) land here instead of vanishing —
+    * the reference's direct path has no retry or dead-lettering at all
+    * (hazard H4; `main.go:108-111` just logs).
+    */
+  val deadLetters: ConcurrentLinkedQueue[(String, String)] = new ConcurrentLinkedQueue()
+
+  /** HTTP delivery with dead-lettering: like `httpDeliverBatch` but failures
+    * are captured for redelivery/inspection.
+    */
+  def httpDeliverBatchDlq(batch: DataFrame, postUrl: String): Unit = {
+    val n = math.max(1, batch.sparkSession.sparkContext.defaultParallelism)
+    batch.select(col("group"), col("payload"))
+      .repartition(n, col("group"))
+      .foreachPartition { rows: Iterator[Row] =>
+        rows.foreach { r =>
+          if (!post(postUrl, r.getString(0), r.getString(1), checkStatus = true))
+            deadLetters.add((r.getString(0), r.getString(1)))
+        }
+      }
+  }
+
   /** The queue-drain second pipeline (R15, reference `main.go:383-419`):
     * pop everything currently queued and POST each payload again —
     * re-resolving the group from the payload itself like the reference's
