@@ -111,6 +111,25 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // TF-IDF: term frequency × inverse document frequency, top-3 terms per
+    // doc. Two shuffles total (term-stats, then per-doc window) — the
+    // canonical "score every token in the corpus" shape.
+    "text_tfidf" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val n = docs.count() // corpus size — a scalar, computed once
+      val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(df_, "term")
+        .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), round(col("tfidf"), 4).as("tfidf_r"), col("rn"))
+        .orderBy("doc_id", "rn")
+    },
+
     // Rolling polynomial hash (Rabin–Karp shape) over the document's chars:
     // h = (h * 31 + code) mod 2^31 — a streaming-friendly content hash
     // computable without materializing the text twice. Sequential integer
@@ -183,6 +202,23 @@ object TextQueries {
         |                p -> regexp_full_match(p, '[0-9]+'))) AS INT) AS n_numeric,
         |       regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+', 0)[1] AS first_piece
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.term, tf * ln(n.n / df) AS tfidf
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+        |SELECT doc_id, term, round(tfidf, 4) AS tfidf_r, CAST(rn AS INT) AS rn FROM (
+        |  SELECT doc_id, term, tfidf,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
 
     "text_rolling_hash" ->
       """SELECT doc_id,

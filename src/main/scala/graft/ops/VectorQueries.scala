@@ -104,7 +104,58 @@ object VectorQueries {
         .filter(col("rn") <= 3)
         .select(col("q_id"), col("t_id"), round(col("cos"), 4).as("cos_r"), col("rn"))
         .orderBy("q_id", "rn")
+    },
+
+    "sim_ann_ivf" -> { (s, dir) => ivfQuery(s, dir) },
+
+    // Approximate percentile sketch (no DuckDB oracle — different sketch;
+    // error bound property-tested against the exact percentile).
+    "agg_approx_percentile" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_linestatus")
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+        .orderBy("l_linestatus")
     })
+
+  /** IVF-style ANN (no oracle — recall property-tested): a fixed coarse
+    * quantizer (every 50th vector is a "centroid"), each vector assigned to
+    * its nearest centroid cell, queries probe their nProbe=4 nearest cells
+    * and rank candidates exactly. At 100 TB: centroids broadcast, cell
+    * assignment is one narrow pass, the search joins on cell id — the
+    * shuffle shrinks from all-pairs to per-probed-cell.
+    */
+  private def ivfQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val sim = dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))
+    def nearestCells(df: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(round(sim, 6).desc, col("c_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= n)
+    }
+    val cells = nearestCells(e, 1)
+      .select(col("vec_id").as("t_id"), col("embedding").as("te"),
+        col("nrm").as("tn"), col("c_id").as("cell"))
+    val probes = nearestCells(e.filter(col("vec_id") < 10), 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("c_id").as("cell"))
+    val cos = dot(col("qe"), col("te")) / (col("qn") * col("tn"))
+    val w = Window.partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("t_id"))
+    cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("t_id"))
+      .select(col("q_id"), col("t_id"), col("qe"), col("te"), col("qn"), col("tn"))
+      .dropDuplicates("q_id", "t_id")
+      .withColumn("cos", cos)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("t_id"), round(col("cos"), 4).as("cos_r"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
 
   private val dotSql =
     "list_reduce(list_transform(range(1, len(qe) + 1), i -> CAST(qe[i] AS DOUBLE) * CAST(te[i] AS DOUBLE)), (a, b) -> a + b)"

@@ -35,6 +35,24 @@ class ApproxSpec extends SparkSuite {
     assert(recall >= 0.5, s"recall=$recall (${(exactTop & annPairs).size}/${exactTop.size})")
   }
 
+  test("IVF ANN recall vs brute-force cosine top-k baseline") {
+    val exact = SparkEntryQueries.run("sim_cosine_topk")
+    val ivf = SparkEntryQueries.run("sim_ann_ivf")
+    val exactTop = exact.filter(col("rn") <= 3)
+      .select("q_id", "t_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfPairs = ivf.select("q_id", "t_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exactTop & ivfPairs).size.toDouble / exactTop.size
+    assert(recall >= 0.4, s"recall=$recall (${(exactTop & ivfPairs).size}/${exactTop.size})")
+  }
+
+  test("approx_percentile within 5% of the exact percentile") {
+    SparkEntryQueries.run("agg_approx_percentile").collect().foreach { r =>
+      val (approx, exact) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+    }
+  }
+
   private object SparkEntryQueries {
     def run(name: String) = graft.SparkEntry.queries(name)(spark, sfDir)
   }
