@@ -15,19 +15,23 @@ import org.apache.spark.sql.types._
   * `dedup_near_cosine` after switching). This expression compiles to a tight
   * primitive loop inside WholeStageCodegen.
   *
-  * Accumulation is sequential in index order with each element widened to
-  * double — bit-identical to both the HOF formulation it replaces and the
-  * DuckDB oracle's `list_reduce(list_transform(...))`.
+  * Semantics exactly match `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0,
+  * (acc,v) -> acc+v)` so [[RewriteHofDotProduct]] may substitute it:
+  * sequential index-order accumulation with per-element double widening
+  * (bit-identical sums), null if the lengths differ (zip_with pads with
+  * null, which poisons the sum) or any element is null.
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
-  private def elemAccessor(e: Expression): String = e.dataType match {
-    case ArrayType(FloatType, _) => "getFloat"
-    case _ => "getDouble"
-  }
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def mayHaveNullElems(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
@@ -36,37 +40,55 @@ case class VectorDot(left: Expression, right: Expression)
       TypeCheckResult.TypeCheckFailure(s"vector_dot requires array<float|double>, got $other")
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val n = math.min(x.numElements(), y.numElements())
-    val leftIsFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    val rightIsFloat = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val n = x.numElements()
+    if (y.numElements() != n) return null // zip_with pads with null → null sum
+    val checkNulls = mayHaveNullElems(left) || mayHaveNullElems(right)
+    val (lf, rf) = (isFloat(left), isFloat(right))
     var sum = 0.0
     var i = 0
     while (i < n) {
-      val xi = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
-      val yi = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       sum += xi * yi
       i += 1
     }
     sum
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val checkNulls = mayHaveNullElems(left) || mayHaveNullElems(right)
+    val accessorL = if (isFloat(left)) "getFloat" else "getDouble"
+    val accessorR = if (isFloat(right)) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
+      val nullCheck =
+        if (checkNulls)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |double $sum = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += ((double) $a.${elemAccessor(left)}($i))
-         |        * ((double) $b.${elemAccessor(right)}($i));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $sum += ((double) $a.$accessorL($i)) * ((double) $b.$accessorR($i));
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $sum;
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorDot =
     copy(left = l, right = r)
