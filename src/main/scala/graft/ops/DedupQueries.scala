@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -72,6 +73,43 @@ object DedupQueries {
         .orderBy("da", "db")
     },
 
+    // Prefix-filtered exact Jaccard join (the AllPairs/PPJoin family —
+    // cf. "Distributed Streaming Set Similarity Join", ICDE 2020, PAPERS.md)
+    // over 3-gram shingles: order each doc's shingle set by ascending global
+    // frequency (rare first) and index only the first |x| - ceil(t*|x|) + 1
+    // — any pair with J >= t MUST collide on an indexed shingle, so unlike
+    // MinHash banding this candidate generation has NO false negatives and
+    // the output equals the exhaustive-pairs oracle. Shuffles: shingle
+    // stats, prefix equi-join (the candidate shuffle — rare shingles → tiny
+    // buckets), intersection count. All-pairs never materializes.
+    "dedup_jaccard_prefix" -> { (s, dir) =>
+      val t = 0.5
+      val tok = shingles(s, dir).withColumnRenamed("shingle", "tok")
+      val freq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+      val ranked = tok.join(freq, "tok")
+      val w = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+      val ordered = ranked
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      val prefix = ordered.filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
+      val cand = prefix.select(col("doc_id").as("da"), col("tok"), col("n").as("na"))
+        .join(prefix.select(col("doc_id").as("db"), col("tok"), col("n").as("nb")), "tok")
+        .filter(col("da") < col("db"))
+        // size filter: J >= t needs t*max(na,nb) <= min(na,nb)
+        .filter(least(col("na"), col("nb")) >= greatest(col("na"), col("nb")) * t)
+        .select("da", "db", "na", "nb").distinct()
+      val x = tok.select(col("doc_id").as("da"), col("tok"))
+      val y = tok.select(col("doc_id").as("db"), col("tok"))
+      val inter = cand.join(x, "da").join(y, Seq("db", "tok"))
+        .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("ni"))
+      inter
+        .withColumn("jaccard",
+          round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 3))
+        .filter(col("jaccard") >= t)
+        .select(col("da"), col("db"), col("jaccard"))
+        .orderBy("da", "db")
+    },
+
     // Embedding-cosine near-dup, exact variant (oracle yes): all pairs above
     // the similarity threshold. Brute force is the correctness baseline; the
     // 100 TB path blocks candidates with sign-LSH first (sim_ann_lsh) and
@@ -121,6 +159,29 @@ object DedupQueries {
       .stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Exhaustive all-pairs over shingles — the prefix-filtered Spark plan
+    // must produce exactly this (prefix filtering is lossless for J >= t).
+    "dedup_jaccard_prefix" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), tok AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(ts) - 1),
+        |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS tok
+        |  FROM toks
+        |), card AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS ni
+        |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db,
+        |       round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 3) AS jaccard
+        |FROM inter JOIN card ca ON ca.doc_id = da JOIN card cb ON cb.doc_id = db
+        |WHERE round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 3) >= 0.5
+        |ORDER BY da, db""".stripMargin,
+
     "dedup_near_cosine" ->
       s"""SELECT va, vb, round(cos, 4) AS cos_r FROM (
          |  SELECT a.vec_id AS va, b.vec_id AS vb, $cosSql AS cos
