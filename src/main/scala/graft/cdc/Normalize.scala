@@ -104,4 +104,20 @@ object Normalize {
       case Other => c
     }
   }
+
+  /** Whole-row normalization — the `rowToMap` analog (`main.go:125-209`):
+    * every column in `metas` is rewritten through the kernel; columns
+    * without metadata pass through untouched (the reference's
+    * beyond-schema positional passthrough, `main.go:204-206`).
+    */
+  def normalizeRow(df: org.apache.spark.sql.DataFrame, metas: Seq[ColumnMeta]): org.apache.spark.sql.DataFrame = {
+    val byName = metas.map(m => m.name -> m).toMap
+    val cols = df.columns.map { name =>
+      byName.get(name) match {
+        case Some(meta) => normalize(org.apache.spark.sql.functions.col(name), meta).as(name)
+        case None => org.apache.spark.sql.functions.col(name)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
 }

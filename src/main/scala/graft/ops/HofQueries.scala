@@ -26,6 +26,24 @@ object HofQueries {
         .orderBy("doc_id")
     },
 
+    // Map higher-order functions: transform_values / map_filter /
+    // map_zip_with over a per-row measure map.
+    "scalar_map_hof" -> { (s, dir) =>
+      val m = map(
+        lit("q"), col("l_quantity"),
+        lit("d"), col("l_discount"))
+      val doubled = transform_values(m, (_, v) => v * 2)
+      val big = map_filter(doubled, (_, v) => v > 10)
+      val zipped = map_zip_with(m, doubled, (_, a, b) => b - a)
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          round(element_at(doubled, "q"), 2).as("q2"),
+          size(big).as("n_big"),
+          round(element_at(zipped, "d"), 4).as("d_delta"))
+        .orderBy(RelationalQueries.liKey.map(col): _*)
+    },
+
     // regexp_extract_all (array result joined to a canonical string).
     "scalar_regexp_all" -> { (s, dir) =>
       Tables.customer(s, dir)
@@ -84,6 +102,14 @@ object HofQueries {
         |       CAST(list_reduce(list_prepend(0, list_transform(string_split(text, ' '),
         |            t -> CAST(strlen(t) AS INT))), (a, b) -> a + b) AS INT) AS total_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "scalar_map_hof" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       round(l_quantity * 2, 2) AS q2,
+        |       CAST((CASE WHEN l_quantity * 2 > 10 THEN 1 ELSE 0 END)
+        |          + (CASE WHEN l_discount * 2 > 10 THEN 1 ELSE 0 END) AS INT) AS n_big,
+        |       round(l_discount * 2 - l_discount, 4) AS d_delta
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
 
     "scalar_regexp_all" ->
       """SELECT c_custkey,

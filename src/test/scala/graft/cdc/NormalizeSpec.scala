@@ -95,6 +95,25 @@ class NormalizeSpec extends SparkSuite {
 
   // --- full dispatch precedence --------------------------------------------
 
+  test("normalizeRow rewrites only columns with metadata (rowToMap analog)") {
+    import Normalize.{ColumnMeta, MySqlType}
+    import spark.implicits._
+    val df = Seq((1, "aGVsbG8=", "2024-03-01", 2.5, "extra"))
+      .toDF("flag", "note", "day", "amt", "untouched")
+    val out = Normalize.normalizeRow(df, Seq(
+      ColumnMeta("flag", MySqlType.Int, "tinyint(1)"),
+      ColumnMeta("note", MySqlType.Text),
+      ColumnMeta("day", MySqlType.Date),
+      ColumnMeta("amt", MySqlType.Float)))
+    val row = out.collect().head
+    assert(out.schema("flag").dataType == BooleanType)
+    assert(row.getBoolean(0) == true)
+    assert(row.getString(1) == "hello") // speculative base64 (H1)
+    assert(row.getString(2) == "2024-03-01T00:00:00Z")
+    assert(row.getDouble(3) == 2.5)
+    assert(row.getString(4) == "extra") // no metadata → passthrough
+  }
+
   test("tinyint(1) wins over generic int (predicate precedence §2.4)") {
     import Normalize.{ColumnMeta, MySqlType}
     import spark.implicits._
