@@ -60,6 +60,28 @@ class ScaleSpec extends SparkSuite {
     assert(salted.collect().toSet == plain.collect().toSet)
   }
 
+  test("partitioned layout prunes non-matching partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.lineitem(spark, sfDir).write
+      .partitionBy("l_returnflag").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter(col("l_returnflag") === "A")
+      .groupBy("l_linestatus").agg(count(lit(1)).as("n"))
+    q.collect()
+    val formatted = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the partition predicate must prune at planning time, not post-scan
+    assert(formatted.contains("PartitionFilters: ["), formatted)
+    assert(formatted.contains("l_returnflag#") &&
+      """PartitionFilters: \[[^\]]*= A""".r.findFirstIn(formatted).isDefined, formatted)
+    // and agree with the unpartitioned computation
+    val plain = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "A")
+      .groupBy("l_linestatus").agg(count(lit(1)).as("n"))
+    assert(q.collect().toSet.map((r: org.apache.spark.sql.Row) => r.toString) ==
+      plain.collect().toSet.map((r: org.apache.spark.sql.Row) => r.toString))
+  }
+
   test("salt is deterministic and spans the full range") {
     import spark.implicits._
     val df = (1L to 1000L).toDF("k")
