@@ -72,6 +72,20 @@ object HofQueries {
         .orderBy("l_suppkey")
     },
 
+    // explode vs explode_outer: rows whose array filters to empty survive
+    // only the outer variant (with a null element) — the left-join-shaped
+    // unnest every flattening pipeline needs.
+    "scalar_explode_outer" -> { (s, dir) =>
+      val longToks = filter(split(col("text"), " "), t => length(t) >= 8)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode_outer(longToks).as("tok"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("tok")).as("n_toks"))
+        .orderBy("doc_id")
+    },
+
     // Cross join (tiny dims only — deliberately; Catalyst broadcasts it).
     "join_cross" -> { (s, dir) =>
       Tables.nation(s, dir).crossJoin(Tables.region(s, dir))
@@ -129,6 +143,18 @@ object HofQueries {
         |  SELECT l_suppkey FROM lineitem WHERE l_quantity > 25
         |  INTERSECT ALL
         |  SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "scalar_explode_outer" ->
+      """SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(tok) AS BIGINT) AS n_toks
+        |FROM (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(lt) = 0 THEN [NULL] ELSE lt END) AS tok
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split(text, ' '), t -> strlen(t) >= 8) AS lt
+        |        FROM documents))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "join_cross" ->
