@@ -1,8 +1,5 @@
 package graft.streaming
 
-import java.net.URI
-import java.net.http.{HttpClient, HttpRequest, HttpResponse}
-import java.time.Duration
 import java.util.concurrent.ConcurrentLinkedQueue
 
 import org.apache.spark.sql.{DataFrame, Row}
@@ -24,26 +21,18 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   */
 object Sinks {
 
-  /** One pooled client per executor JVM (lazy, shared across tasks). */
-  @transient private lazy val client: HttpClient =
-    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(5)).build()
-
-  /** POST one payload to `postUrl/group` (`main.go:105`). Faithful mode
-    * ignores the response status entirely (hazard H4); fixed mode returns
-    * success only for 2xx so callers can retry/dead-letter.
+  /** POST one payload to `postUrl/group` (`main.go:105`) over the pooled
+    * keep-alive client (see FastHttp — the JDK client stalls ~40ms per
+    * small POST). Faithful mode ignores the response status entirely
+    * (hazard H4); fixed mode returns success only for 2xx so callers can
+    * retry/dead-letter. Transport failure → false, log-and-continue
+    * (`main.go:108-111`).
     */
-  def post(postUrl: String, group: String, payload: String, checkStatus: Boolean): Boolean =
-    try {
-      val req = HttpRequest.newBuilder(URI.create(s"$postUrl/$group"))
-        .header("Content-Type", "application/json")
-        .POST(HttpRequest.BodyPublishers.ofString(payload))
-        .timeout(Duration.ofSeconds(10))
-        .build()
-      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-      !checkStatus || (resp.statusCode() >= 200 && resp.statusCode() < 300)
-    } catch {
-      case _: Exception => false // log-and-continue (`main.go:108-111`)
-    }
+  def post(postUrl: String, group: String, payload: String, checkStatus: Boolean): Boolean = {
+    val status = FastHttp.post(s"$postUrl/$group", payload)
+    if (status < 0) false
+    else !checkStatus || (status >= 200 && status < 300)
+  }
 
   /** HTTP delivery for one micro-batch: partition by group, POST per row.
     * Returns the rows-attempted count (for tests/metrics).

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.CdcQueries
+
+/** CDC-path throughput benchmark: events/sec through the full
+  * route→filter→envelope transform, and through real HTTP delivery to the
+  * in-process DebugSink. The reference's ceiling is one synchronous POST
+  * per event per path (`main.go:107` — throughput ≈ 1/RTT); this prints
+  * both the transform-only rate (the engine's own cost) and the delivered
+  * rate against a localhost sink for comparison.
+  *
+  * Run: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
+  *       sbt "runMain graft.streaming.ThroughputBench"`
+  */
+object ThroughputBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // events table as the change stream: event_type plays the table/routing
+    // key (FIXTURES.md §3), payload = the full row as the after image
+    val cfg = CdcConfig(CdcQueries.tableToGroup)
+    def changeStream = Tables.events(spark, sfDir)
+      .select(
+        col("event_type").as("table"),
+        lit("insert").as("op"),
+        graft.cdc.Envelope.nullBefore.as("before"),
+        map(
+          lit("event_id"), col("event_id").cast("string"),
+          lit("user_id"), col("user_id").cast("string"),
+          lit("value"), col("value").cast("string")).as("after"),
+        col("ts"))
+
+    val n = changeStream.count()
+    // warmup
+    CdcPipeline.transform(changeStream, cfg).write.mode("overwrite").format("noop").save()
+
+    val t0 = System.nanoTime()
+    CdcPipeline.transform(changeStream, cfg).write.mode("overwrite").format("noop").save()
+    val transformSec = (System.nanoTime() - t0) / 1e9
+
+    // delivered throughput against a real localhost HTTP sink
+    val sink = new DebugSink
+    val deliverN = math.min(n, 20000L)
+    val batch = CdcPipeline.transform(changeStream.limit(deliverN.toInt), cfg).persist()
+    batch.count()
+    val t1 = System.nanoTime()
+    Sinks.httpDeliverBatch(batch, sink.url, checkStatus = false)
+    val deliverSec = (System.nanoTime() - t1) / 1e9
+    val delivered = sink.captured.size
+    sink.stop()
+    batch.unpersist()
+
+    println(
+      s"""{"transform_events":$n,"transform_sec":$transformSec,""" +
+        s""""transform_eps":${(n / transformSec).toLong},""" +
+        s""""delivered":$delivered,"deliver_sec":$deliverSec,""" +
+        s""""deliver_eps":${(delivered / deliverSec).toLong}}""")
+    spark.stop()
+  }
+}
