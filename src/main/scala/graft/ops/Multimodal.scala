@@ -114,6 +114,21 @@ object Multimodal {
       .withColumn("out_w", greatest(lit(1), (col("width") / factor).cast("int")))
       .withColumn("out_h", greatest(lit(1), (col("height") / factor).cast("int")))
 
+  /** STUB payload resize: keep every `factor`-th byte (the downsampling
+    * analog); a real impl swaps the body for a codec call with the same
+    * per-partition iterator shape. The payload genuinely shrinks — this is
+    * the byte-level stage, distinct from `resizePlan`'s metadata planning.
+    */
+  def resizeBytes(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val out = m.content.indices.collect {
+        case i if i % factor == 0 => m.content(i)
+      }.toArray
+      m.copy(content = out, n_bytes = out.length.toLong)
+    })
+  }
+
   /** STUB frame sampling for video: every k-th byte is "a frame"; returns
     * frame count + first/last sampled byte. Real impl: ffmpeg keyframe pull
     * with the same per-partition iterator shape.

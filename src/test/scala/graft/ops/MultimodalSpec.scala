@@ -34,6 +34,17 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("resizeBytes shrinks payloads by the factor and keeps metadata consistent") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val resized = Multimodal.resizeBytes(media, 3)
+    val pairs = media.collect().map(m => m.media_id -> m.n_bytes).toMap
+    resized.collect().take(50).foreach { m =>
+      val orig = pairs(m.media_id)
+      assert(m.n_bytes == (orig + 2) / 3, s"id=${m.media_id} orig=$orig got=${m.n_bytes}")
+      assert(m.content.length.toLong == m.n_bytes)
+    }
+  }
+
   test("decode stub is total: empty payloads get floor dimensions") {
     val d = Multimodal.decodeStub(
       Multimodal.MediaRow(0L, "image", "image/png", Array.empty[Byte], 0L))
