@@ -111,6 +111,32 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // The composed training-data pipeline: exact-dedup by content hash,
+    // quality scoring, language + length filters, corpus-level z-score —
+    // the end-to-end "select the training corpus" query every stage above
+    // feeds into. One agg for corpus stats (broadcast scalar), one dedup
+    // shuffle, everything else narrow.
+    "pipeline_corpus_select" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val scored = Tables.documents(s, dir)
+        .withColumn("n_toks", size(toks))
+        .withColumn("ttr",
+          size(array_distinct(toks)).cast("double") / col("n_toks"))
+        .withColumn("quality", round(log(lit(1) + col("n_toks")) * col("ttr"), 6))
+      // exact dedup: keep the lowest doc_id per content hash
+      val w = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
+      val deduped = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val stats = deduped.agg(
+        avg(col("quality")).as("mu"), stddev_samp(col("quality")).as("sd"))
+      deduped.crossJoin(stats)
+        .filter(col("lang") === "en" && col("n_toks").between(20, 40))
+        .select(
+          col("doc_id"), col("n_toks"),
+          round(col("quality"), 4).as("quality_r"),
+          round((col("quality") - col("mu")) / col("sd"), 4).as("quality_z"))
+        .orderBy("doc_id")
+    },
+
     // TF-IDF: term frequency × inverse document frequency, top-3 terms per
     // doc. Two shuffles total (term-stats, then per-doc window) — the
     // canonical "score every token in the corpus" shape.
@@ -202,6 +228,28 @@ object TextQueries {
         |                p -> regexp_full_match(p, '[0-9]+'))) AS INT) AS n_numeric,
         |       regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+', 0)[1] AS first_piece
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipeline_corpus_select" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text, lang,
+        |         len(string_split(text, ' ')) AS n_toks,
+        |         round(ln(1 + len(string_split(text, ' ')))
+        |               * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |                  / len(string_split(text, ' '))), 6) AS quality
+        |  FROM documents
+        |), deduped AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |    FROM scored)
+        |  WHERE rn = 1
+        |), stats AS (
+        |  SELECT avg(quality) AS mu, stddev_samp(quality) AS sd FROM deduped)
+        |SELECT doc_id, CAST(n_toks AS INT) AS n_toks,
+        |       round(quality, 4) AS quality_r,
+        |       round((quality - mu) / sd, 4) AS quality_z
+        |FROM deduped CROSS JOIN stats
+        |WHERE lang = 'en' AND n_toks BETWEEN 20 AND 40
+        |ORDER BY doc_id""".stripMargin,
 
     "text_tfidf" ->
       """WITH tf AS (
