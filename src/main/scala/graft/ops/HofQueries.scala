@@ -72,6 +72,25 @@ object HofQueries {
         .orderBy("l_suppkey")
     },
 
+    // Array set operations (distinct semantics), canonicalized to sorted
+    // joined strings for cross-engine compare.
+    "scalar_array_setops" -> { (s, dir) =>
+      val ts = split(col("text"), " ")
+      val head = array_distinct(slice(ts, 1, 10))
+      val tail = array_distinct(slice(ts, -10, 10))
+      // empty-set renderings differ across engines ('' vs NULL) — nullif
+      // canonicalizes both to NULL
+      def canon(c: org.apache.spark.sql.Column) =
+        nullif(array_join(array_sort(c), ","), lit(""))
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          canon(array_union(head, tail)).as("u"),
+          canon(array_intersect(head, tail)).as("i"),
+          canon(array_except(head, tail)).as("e"))
+        .orderBy("doc_id")
+    },
+
     // explode vs explode_outer: rows whose array filters to empty survive
     // only the outer variant (with a null element) — the left-join-shaped
     // unnest every flattening pipeline needs.
@@ -144,6 +163,18 @@ object HofQueries {
         |  INTERSECT ALL
         |  SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "scalar_array_setops" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_distinct(string_split(text, ' ')[1:10]) AS h,
+        |         list_distinct(string_split(text, ' ')[-10:]) AS tl
+        |  FROM documents)
+        |SELECT doc_id,
+        |       nullif(array_to_string(list_sort(list_distinct(list_concat(h, tl))), ','), '') AS u,
+        |       nullif(array_to_string(list_sort(list_filter(h, x -> list_contains(tl, x))), ','), '') AS i,
+        |       nullif(array_to_string(list_sort(list_filter(h, x -> NOT list_contains(tl, x))), ','), '') AS e
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "scalar_explode_outer" ->
       """SELECT doc_id,

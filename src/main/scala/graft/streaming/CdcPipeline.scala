@@ -98,6 +98,19 @@ object CdcPipeline {
         col("e.before").as("before"), col("e.after").as("after"),
         col("e.ts").as("ts"), col("pos"))
 
+  /** The typed consumption edge (SURVEY §1.1/§1.3): project one table's
+    * envelopes into typed columns. The canonical stream stays schema-free
+    * (map images, like the reference); analytics over a known table cast
+    * the after-image fields on the way out — schema-on-read, no catalog.
+    */
+  def typedView(envelopes: DataFrame, table: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val cols = schema.fields.map { f =>
+      col("after").getItem(f.name).cast(f.dataType).as(f.name)
+    }
+    envelopes.filter(col("table") === table).select(cols.toSeq: _*)
+  }
+
   /** Streaming dedup for at-least-once replay collapse (H3's fix): exactly
     * the `dropDuplicatesWithinWatermark` pattern — state bounded by the
     * watermark, so it scales to unbounded streams.

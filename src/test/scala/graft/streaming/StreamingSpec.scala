@@ -169,6 +169,18 @@ class StreamingSpec extends SparkSuite {
     ChangeEvent(table, "insert", null, Map("id" -> offsetS.toString),
       new Timestamp(1700000000000L + offsetS * 1000))
 
+  test("typedView projects one table's after-images into typed columns") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val env = CdcPipeline.transform(fixture.toDF(), cfg)
+    val typed = CdcPipeline.typedView(env, "orders",
+      StructType(Seq(StructField("id", LongType), StructField("total", DoubleType))))
+    assert(typed.schema.map(f => (f.name, f.dataType)) ==
+      Seq(("id", LongType), ("total", DoubleType)))
+    val rows = typed.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+    assert(rows.toSeq == Seq((1L, 10.5), (1L, 12.0))) // insert + update image
+  }
+
   test("observe() metrics ride the transform (R20 without per-row logging)") {
     import spark.implicits._
     val obs = new org.apache.spark.sql.Observation("cdc_metrics")
