@@ -40,7 +40,9 @@ object Tables {
     import org.apache.spark.sql.types.LongType
     val df = load(spark, dir, "events")
     if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer division (`div`) — `/` is double division and epoch-ns
+      // exceeds 2^53, which silently rounds the microsecond digit
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")

@@ -156,6 +156,35 @@ object AdvancedQueries {
         .orderBy("o_orderkey")
     },
 
+    // String function family, third batch.
+    "scalar_string3" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .select(
+          col("c_custkey"),
+          substring(col("c_name"), 1, 8).as("l8"),
+          col("c_name").substr(length(col("c_name")) - 2, lit(3)).as("r3"),
+          chr(ascii(col("c_mktsegment")) + 1).as("next_chr"),
+          instr(col("c_name"), "0").cast("int").as("zero_at"),
+          col("c_name").contains("1").as("has_one"),
+          col("c_name").startsWith("Customer").as("is_cust"),
+          col("c_name").endsWith("9").as("ends_9"))
+        .orderBy("c_custkey")
+    },
+
+    // Time-of-day parts over the µs-precision events timestamps (lossless
+    // after the nanos conversion, so directly comparable).
+    "scalar_date3" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          hour(col("ts")).cast("int").as("h"),
+          minute(col("ts")).cast("int").as("mi"),
+          second(col("ts")).cast("int").as("sec"),
+          (unix_micros(col("ts")) % 1000000L).as("us_part"),
+          dayofweek(col("ts")).cast("int").as("dow_sun1"))
+        .orderBy("event_id")
+    },
+
     // Conditional / null handling.
     "scalar_conditional" -> { (s, dir) =>
       Tables.lineitem(s, dir)
@@ -299,6 +328,26 @@ object AdvancedQueries {
         |       CAST(dayofyear(o_orderdate) AS INT) AS doy,
         |       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "scalar_string3" ->
+      """SELECT c_custkey,
+        |       substring(c_name, 1, 8) AS l8,
+        |       substring(c_name, length(c_name) - 2, 3) AS r3,
+        |       chr(ascii(c_mktsegment[1]) + 1) AS next_chr,
+        |       CAST(instr(c_name, '0') AS INT) AS zero_at,
+        |       contains(c_name, '1') AS has_one,
+        |       starts_with(c_name, 'Customer') AS is_cust,
+        |       ends_with(c_name, '9') AS ends_9
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "scalar_date3" ->
+      """SELECT event_id,
+        |       CAST(hour(ts) AS INT) AS h,
+        |       CAST(minute(ts) AS INT) AS mi,
+        |       CAST(second(ts) AS INT) AS sec,
+        |       epoch_us(ts) % 1000000 AS us_part,
+        |       CAST(dayofweek(ts) + 1 AS INT) AS dow_sun1
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "scalar_conditional" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
