@@ -73,6 +73,40 @@ object DedupQueries {
         .orderBy("da", "db")
     },
 
+    // Banded MinHash LSH (the standard b×r construction): 8 md5-order
+    // min-hashes per doc, grouped into 4 bands of 2; docs colliding on ANY
+    // whole band are candidates (OR across bands boosts recall, AND within
+    // a band keeps buckets selective: P(candidate) = 1-(1-J^r)^b). Exact
+    // Jaccard verifies candidates. Fully oracle-replayable — md5 gives the
+    // same min-hash order in any engine.
+    "dedup_minhash_banded" -> { (s, dir) =>
+      val sh = shingles(s, dir)
+      val sigExprs = (0 until 8)
+        .map(i => min(md5(concat(lit(i.toString), col("shingle")))).as(s"h$i"))
+      val sig = sh.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
+      val banded = sig.select(col("doc_id"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      val cand = banded.select(col("doc_id").as("da"), col("band"), col("key"))
+        .join(banded.select(col("doc_id").as("db"), col("band"), col("key")), Seq("band", "key"))
+        .filter(col("da") < col("db"))
+        .select("da", "db").distinct()
+      val card = sh.groupBy("doc_id").agg(count(lit(1)).as("nc"))
+      val x = sh.select(col("doc_id").as("da"), col("shingle"))
+      val y = sh.select(col("doc_id").as("db"), col("shingle"))
+      val inter = cand.join(x, "da").join(y, Seq("db", "shingle"))
+        .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+      inter
+        .join(card.select(col("doc_id").as("da"), col("nc").as("na")), "da")
+        .join(card.select(col("doc_id").as("db"), col("nc").as("nb")), "db")
+        .select(col("da"), col("db"),
+          round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 3)
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("da", "db")
+    },
+
     // Prefix-filtered exact Jaccard join (the AllPairs/PPJoin family —
     // cf. "Distributed Streaming Set Similarity Join", ICDE 2020, PAPERS.md)
     // over 3-gram shingles: order each doc's shingle set by ascending global
@@ -158,7 +192,50 @@ object DedupQueries {
       | * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))"""
       .stripMargin
 
+  /** DuckDB oracle for the banded variant, generated to mirror the 4-band
+    * OR-construction (band joins unioned, then exact Jaccard).
+    */
+  private val minhashBandedSql: String = {
+    val sigCols = (0 until 8)
+      .map(i => s"min(md5('$i' || shingle)) AS h$i").mkString(", ")
+    val bandJoins = (0 until 4).map { b =>
+      s"""SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM sig a JOIN sig b
+         |    ON a.h${2 * b} = b.h${2 * b} AND a.h${2 * b + 1} = b.h${2 * b + 1}
+         |   AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n  UNION\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3
+       |), sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, len(ts) - 1),
+       |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+       |  FROM toks
+       |), sig AS (
+       |  SELECT doc_id, $sigCols FROM sh GROUP BY doc_id
+       |), cand AS (
+       |$bandJoins
+       |), inter AS (
+       |  SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS ni
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.da
+       |  JOIN sh y ON y.doc_id = c.db AND y.shingle = x.shingle
+       |  GROUP BY 1, 2
+       |), card AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nc FROM sh GROUP BY doc_id
+       |)
+       |SELECT da, db,
+       |       round(CAST(ni AS DOUBLE) / (ca.nc + cb.nc - ni), 3) AS jaccard
+       |FROM inter
+       |JOIN card ca ON ca.doc_id = da
+       |JOIN card cb ON cb.doc_id = db
+       |WHERE round(CAST(ni AS DOUBLE) / (ca.nc + cb.nc - ni), 3) >= 0.5
+       |ORDER BY da, db""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "dedup_minhash_banded" -> minhashBandedSql,
     // Exhaustive all-pairs over shingles — the prefix-filtered Spark plan
     // must produce exactly this (prefix filtering is lossless for J >= t).
     "dedup_jaccard_prefix" ->
