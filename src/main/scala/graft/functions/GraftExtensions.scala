@@ -32,7 +32,13 @@ object GraftExtensions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "strict_base64_decode" -> (children => StrictBase64Decode(children.head)),
     "simhash64" -> (children => SimHash64(children.head)),
-    "vector_dot" -> (children => VectorDot(children(0), children(1))))
+    "vector_dot" -> (children => VectorDot(children(0), children(1))),
+    "minhash_sig" -> (children => MinHashSig(
+      children(0),
+      children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) => k
+        case other => throw new IllegalArgumentException(s"k must be an int literal, got $other")
+      })))
 
   /** Register on an already-running session (the config path above only
     * applies at session construction).

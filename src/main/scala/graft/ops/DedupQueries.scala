@@ -107,6 +107,40 @@ object DedupQueries {
         .orderBy("da", "db")
     },
 
+    // Banded MinHash via the ONE-PASS signature aggregate (custom
+    // TypedImperativeAggregate, graft.functions.MinHashSig): one buffer of
+    // k longs per doc instead of k separate min() columns. No DuckDB oracle
+    // (xxhash64 is Spark's) — ApproxSpec proves soundness (every emitted
+    // pair is in the exhaustive truth set) and recall.
+    "dedup_minhash_onepass" -> { (s, dir) =>
+      val sh = shingles(s, dir)
+      val sig = sh.groupBy("doc_id")
+        .agg(graft.functions.MinHashSig.minhash_sig(col("shingle"), 8).as("sig"))
+      val banded = sig.select(col("doc_id"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          concat_ws(":",
+            element_at(col("sig"), 2 * b + 1),
+            element_at(col("sig"), 2 * b + 2)).as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      val cand = banded.select(col("doc_id").as("da"), col("band"), col("key"))
+        .join(banded.select(col("doc_id").as("db"), col("band"), col("key")), Seq("band", "key"))
+        .filter(col("da") < col("db"))
+        .select("da", "db").distinct()
+      val card = sh.groupBy("doc_id").agg(count(lit(1)).as("nc"))
+      val x = sh.select(col("doc_id").as("da"), col("shingle"))
+      val y = sh.select(col("doc_id").as("db"), col("shingle"))
+      val inter = cand.join(x, "da").join(y, Seq("db", "shingle"))
+        .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+      inter
+        .join(card.select(col("doc_id").as("da"), col("nc").as("na")), "da")
+        .join(card.select(col("doc_id").as("db"), col("nc").as("nb")), "db")
+        .select(col("da"), col("db"),
+          round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 3)
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("da", "db")
+    },
+
     // Prefix-filtered exact Jaccard join (the AllPairs/PPJoin family —
     // cf. "Distributed Streaming Set Similarity Join", ICDE 2020, PAPERS.md)
     // over 3-gram shingles: order each doc's shingle set by ascending global

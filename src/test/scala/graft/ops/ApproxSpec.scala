@@ -46,6 +46,16 @@ class ApproxSpec extends SparkSuite {
     assert(recall >= 0.4, s"recall=$recall (${(exactTop & ivfPairs).size}/${exactTop.size})")
   }
 
+  test("one-pass MinHash banding: sound (subset of exhaustive) with real recall") {
+    val truth = SparkEntryQueries.run("dedup_jaccard_prefix") // exhaustive-verified
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val onepass = SparkEntryQueries.run("dedup_minhash_onepass")
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(onepass.subsetOf(truth), s"unsound pairs: ${(onepass -- truth).take(5)}")
+    val recall = if (truth.isEmpty) 1.0 else (onepass & truth).size.toDouble / truth.size
+    assert(recall >= 0.5, s"recall=$recall (${(onepass & truth).size}/${truth.size})")
+  }
+
   test("approx_percentile within 5% of the exact percentile") {
     SparkEntryQueries.run("agg_approx_percentile").collect().foreach { r =>
       val (approx, exact) = (r.getDouble(1), r.getDouble(2))
