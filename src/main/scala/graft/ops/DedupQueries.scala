@@ -196,6 +196,50 @@ object DedupQueries {
         .orderBy("va", "vb")
     },
 
+    // Dedup clustering: connected components over the verified near-dup
+    // pair graph (the stage that turns pairs into keep-one-per-cluster
+    // decisions). Label propagation to fixpoint: each round every vertex
+    // takes the min label in its neighborhood — O(component diameter)
+    // rounds, each one distributed join+agg; the driver only checks a
+    // one-row convergence metric. Oracle: DuckDB recursive CTE computing
+    // min-reachable-id per vertex over the same edge set.
+    "dedup_components" -> { (s, dir) =>
+      val t = 0.5
+      val sh = shingles(s, dir)
+      val card = sh.groupBy("doc_id").agg(count(lit(1)).as("nc"))
+      val x = sh.select(col("doc_id").as("da"), col("shingle"))
+      val y = sh.select(col("doc_id").as("db"), col("shingle"))
+      val inter = x.join(y, "shingle").filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("ni"))
+      val pairs = inter
+        .join(card.select(col("doc_id").as("da"), col("nc").as("na")), "da")
+        .join(card.select(col("doc_id").as("db"), col("nc").as("nb")), "db")
+        .filter(round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 3) >= t)
+        .select("da", "db")
+      val edges = pairs.select(col("da").as("u"), col("db").as("v"))
+        .unionAll(pairs.select(col("db").as("u"), col("da").as("v")))
+        .persist()
+      var labels = edges.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("comp"))
+      var converged = false
+      while (!converged) {
+        val viaNeighbors = edges
+          .join(labels.withColumnRenamed("id", "v").withColumnRenamed("comp", "vcomp"), "v")
+          .groupBy(col("u").as("id")).agg(min(col("vcomp")).as("ncomp"))
+        val next = labels.join(viaNeighbors, "id")
+          .select(col("id"), least(col("comp"), col("ncomp")).as("comp"))
+          .persist()
+        val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+          .filter(col("comp") =!= col("old")).limit(1).count()
+        labels.unpersist() // initial labels aren't cached; unpersist is a no-op there
+        labels = next
+        converged = changed == 0
+      }
+      edges.unpersist()
+      labels.select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
+    },
+
     // SimHash near-dup (no DuckDB oracle — custom Catalyst expression;
     // property-tested in ScalaTest). Bands the 64-bit fingerprint into
     // 4×16-bit keys; docs sharing any band are candidates; Hamming ≤ 12
@@ -270,6 +314,35 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash_banded" -> minhashBandedSql,
+
+    "dedup_components" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(ts) - 1),
+        |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+        |  FROM toks
+        |), card AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nc FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT x.doc_id AS da, y.doc_id AS db, CAST(count(*) AS BIGINT) AS ni
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT da, db FROM inter
+        |  JOIN card ca ON ca.doc_id = da JOIN card cb ON cb.doc_id = db
+        |  WHERE round(CAST(ni AS DOUBLE) / (ca.nc + cb.nc - ni), 3) >= 0.5
+        |), edges AS (
+        |  SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs
+        |), reach(u, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+        |)
+        |SELECT u AS doc_id, min(r) AS component
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
     // Exhaustive all-pairs over shingles — the prefix-filtered Spark plan
     // must produce exactly this (prefix filtering is lossless for J >= t).
     "dedup_jaccard_prefix" ->
