@@ -108,6 +108,30 @@ object VectorQueries {
 
     "sim_ann_ivf" -> { (s, dir) => ivfQuery(s, dir) },
 
+    // Symmetric int8 quantization of the embedding column (the 4× storage
+    // cut for vector stores): per-vector scale = max|x|, q = round(x/s*127)
+    // via the engine-portable floor(y+0.5) formulation, plus the max
+    // reconstruction error after dequantization. All sequential-fold
+    // arithmetic → bit-comparable across engines.
+    "emb_quantize" -> { (s, dir) =>
+      val xs = transform(col("embedding"), x => x.cast("double"))
+      val scale = aggregate(xs, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+      val q = transform(xs, x => floor(x / col("s") * 127 + 0.5).cast("int"))
+      val recon = zip_with(xs, col("q"),
+        (x, qi) => abs(x - qi.cast("double") * col("s") / 127))
+      Tables.embeddings(s, dir)
+        .withColumn("s", scale)
+        .withColumn("q", q)
+        .select(
+          col("vec_id"),
+          round(col("s"), 6).as("scale_r"),
+          array_min(col("q")).as("qmin"),
+          array_max(col("q")).as("qmax"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("qsum"),
+          round(aggregate(recon, lit(0.0), (acc, x) => greatest(acc, x)), 5).as("max_err"))
+        .orderBy("vec_id")
+    },
+
     // Approximate percentile sketch (no DuckDB oracle — different sketch;
     // error bound property-tested against the exact percentile).
     "agg_approx_percentile" -> { (s, dir) =>
@@ -175,6 +199,31 @@ object VectorQueries {
         |             (x, y) -> x + y), 4) AS dot_next
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |ORDER BY vec_id""".stripMargin,
+
+    "emb_quantize" ->
+      """WITH t AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+        |  FROM embeddings
+        |), sc AS (
+        |  SELECT vec_id, xs,
+        |         list_reduce(list_prepend(0.0, list_transform(xs, x -> abs(x))),
+        |                     (a, b) -> greatest(a, b)) AS s
+        |  FROM t
+        |), qq AS (
+        |  SELECT vec_id, xs, s,
+        |         list_transform(xs, x -> CAST(floor(x / s * 127 + 0.5) AS INT)) AS q
+        |  FROM sc)
+        |SELECT vec_id,
+        |       round(s, 6) AS scale_r,
+        |       list_min(q) AS qmin,
+        |       list_max(q) AS qmax,
+        |       CAST(list_sum(q) AS BIGINT) AS qsum,
+        |       round(list_reduce(list_prepend(0.0,
+        |             list_transform(range(1, len(xs) + 1),
+        |               i -> abs(xs[i] - CAST(q[i] AS DOUBLE) * s / 127))),
+        |             (a, b) -> greatest(a, b)), 5) AS max_err
+        |FROM qq ORDER BY vec_id""".stripMargin,
 
     "sim_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
