@@ -246,8 +246,10 @@ object RelationalQueries {
 
     // ROWS frame: running sum + trailing moving average.
     "window_rows_frame" -> { (s, dir) =>
+      // l_partkey completes a total order — (suppkey, shipdate, orderkey,
+      // linenumber) ties exist at sf0.1, making running sums ambiguous
       val ord = Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey")
       val running = ord.rowsBetween(Window.unboundedPreceding, 0)
       val trailing = ord.rowsBetween(-3, 0)
       Tables.lineitem(s, dir)
@@ -537,9 +539,9 @@ object RelationalQueries {
         |       round(avg(l_quantity) OVER w_ma, 2) AS ma4_qty
         |FROM lineitem
         |WINDOW
-        |  w_run AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  w_run AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |  w_ma AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  w_ma AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
         |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
 
