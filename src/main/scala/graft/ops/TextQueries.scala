@@ -87,6 +87,15 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Classifier evaluation: confusion matrix of the language-ID heuristic
+    // against the labeled lang column.
+    "text_lang_confusion" -> { (s, dir) =>
+      queries("text_lang_id")(s, dir)
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    },
+
     // Document fingerprint: canonicalized (sorted distinct tokens) md5 —
     // an order-insensitive content fingerprint.
     "text_fingerprint" -> { (s, dir) =>
@@ -220,6 +229,20 @@ object TextQueries {
       """SELECT doc_id,
         |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_lang_confusion" -> {
+      val scores = TextQueries.langMarkers
+        .map { case (l, ms) => langScoreSql(l, ms) }
+        .mkString("(", " UNION ALL ", ")")
+      s"""SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT doc_id, lang, cand AS pred_lang FROM (
+         |    SELECT doc_id, lang, cand, score,
+         |           row_number() OVER (PARTITION BY doc_id
+         |                              ORDER BY score DESC, cand) AS rn
+         |    FROM $scores)
+         |  WHERE rn = 1)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     "text_bpe_tokens" ->
       """SELECT doc_id,
