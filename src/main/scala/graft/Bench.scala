@@ -13,9 +13,12 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (scheduler, codegen, parquet reader) so the first
-    // timed query doesn't absorb startup cost.
+    // timed query doesn't absorb startup cost — against the SAME sfDir the
+    // timed queries read, so the warmup exercises the benched scale factor
+    // and never depends on a fixed path.
     spark.range(1000).selectExpr("sum(id)").collect()
-    SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
+    SparkEntry.queries("cdc_envelope")(spark, sfDir)
+      .write.mode("overwrite").format("noop").save()
     // noop sink forces full evaluation of every column (count() lets Spark
     // skip projections); -1 marks a failed query.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -24,11 +27,19 @@ object Bench {
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    }
+    // ms precision keeps the one-line JSON compact enough to survive a
+    // bounded tail-of-stdout capture (the full-precision line did not).
+    def ms3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val line =
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     spark.stop()
+    // Emit the result line LAST so nothing Spark logs after it can push it
+    // out of a bounded output capture.
+    println(line)
+    System.out.flush()
   }
 }

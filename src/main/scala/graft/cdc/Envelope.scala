@@ -30,12 +30,11 @@ object Envelope {
       after.as("after"),
       struct(table.as("table")).as("source"))
 
-  /** Envelope with struct (typed) images instead of maps. */
+  /** Alias of [[envelope]] for struct (typed) images — the Column-level
+    * construction is type-generic, so map and struct images share one body.
+    */
   def envelopeTyped(before: Column, after: Column, table: Column): Column =
-    struct(
-      before.as("before"),
-      after.as("after"),
-      struct(table.as("table")).as("source"))
+    envelope(before, after, table)
 
   /** Serialize like the reference's `json.Marshal` (`main.go:88`):
     * nulls are kept (`{"before":null,...}`), hence ignoreNullFields=false —

@@ -36,8 +36,13 @@ object GraftExtensions {
     "minhash_sig" -> (children => MinHashSig(
       children(0),
       children(1) match {
+        // Any integral literal: SQL `8` arrives as Int but `8L` / typed
+        // literals are just as valid a k.
         case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) => k
-        case other => throw new IllegalArgumentException(s"k must be an int literal, got $other")
+        case org.apache.spark.sql.catalyst.expressions.Literal(k: Long, _) => Math.toIntExact(k)
+        case org.apache.spark.sql.catalyst.expressions.Literal(k: Short, _) => k.toInt
+        case org.apache.spark.sql.catalyst.expressions.Literal(k: Byte, _) => k.toInt
+        case other => throw new IllegalArgumentException(s"k must be an integral literal, got $other")
       })))
 
   /** Register on an already-running session (the config path above only

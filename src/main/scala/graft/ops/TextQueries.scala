@@ -151,14 +151,17 @@ object TextQueries {
     // canonical "score every token in the corpus" shape.
     "text_tfidf" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val n = docs.count() // corpus size — a scalar, computed once
+      // corpus size stays inside the plan (1-row broadcast cross join) so
+      // building this DataFrame triggers no eager action
+      val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val tf = docs.select(col("doc_id"), explode(toks).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df_ = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("term"))
       tf.join(df_, "term")
-        .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("term"), round(col("tfidf"), 4).as("tfidf_r"), col("rn"))

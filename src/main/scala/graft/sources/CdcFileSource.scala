@@ -48,17 +48,36 @@ object CdcFileSource {
     StructField("line", StringType, nullable = false),
     StructField("pos", LongType, nullable = false)))
 
-  /** Read lines [from, until) of the log. */
-  def readLines(path: String, from: Long, until: Long): Iterator[(String, Long)] = {
-    val all = Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8).asScala
-    all.iterator.zipWithIndex
-      .slice(from.toInt, until.toInt)
-      .map { case (l, i) => (l, i.toLong) }
+  /** Open a lazy reader over lines [from, until) of the log. Streams the
+    * file (constant memory regardless of log size) and carries its own
+    * close handle — a tail over a growing log stays O(batch), not O(file).
+    */
+  def openLines(path: String, from: Long, until: Long): LineRange = {
+    val stream = Files.lines(Paths.get(path), StandardCharsets.UTF_8)
+      .skip(from).limit(math.max(0L, until - from))
+    new LineRange(stream, from)
+  }
+
+  /** Eagerly materialized range — test/utility surface over [[openLines]]. */
+  def readLines(path: String, from: Long, until: Long): Seq[(String, Long)] = {
+    val r = openLines(path, from, until)
+    try r.iterator.toVector finally r.close()
   }
 
   def lineCount(path: String): Long = {
     val p = Paths.get(path)
-    if (Files.exists(p)) Files.readAllLines(p, StandardCharsets.UTF_8).size().toLong else 0L
+    if (!Files.exists(p)) 0L
+    else {
+      val s = Files.lines(p, StandardCharsets.UTF_8)
+      try s.count() finally s.close()
+    }
+  }
+
+  final class LineRange(stream: java.util.stream.Stream[String], from: Long)
+      extends AutoCloseable {
+    val iterator: Iterator[(String, Long)] =
+      stream.iterator().asScala.zipWithIndex.map { case (l, i) => (l, from + i) }
+    override def close(): Unit = stream.close()
   }
 }
 
@@ -143,12 +162,13 @@ object CdcReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdcRangePartition]
     new PartitionReader[InternalRow] {
-      private val it = CdcFileSource.readLines(p.path, p.from, p.until)
+      private val range = CdcFileSource.openLines(p.path, p.from, p.until)
+      private val it = range.iterator
       private var cur: (String, Long) = _
       override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
       override def get(): InternalRow =
         InternalRow(UTF8String.fromString(cur._1), cur._2)
-      override def close(): Unit = ()
+      override def close(): Unit = range.close()
     }
   }
 }

@@ -24,4 +24,26 @@ class ExtensionsSpec extends SparkSuite {
     assert(row.getLong(2) == again)
     assert(row.getDouble(3) == 4.0)
   }
+
+  test("minhash_sig resolves through SQL for int and long k literals") {
+    GraftExtensions.register(spark)
+    val sig = spark.sql(
+      """SELECT minhash_sig(t, 8) AS sig
+        |FROM VALUES ('a'), ('b'), ('c') AS v(t)""".stripMargin)
+      .collect().head.getSeq[Long](0)
+    assert(sig.length == 8)
+    // a BIGINT literal k is just as valid as an INT one
+    val sigL = spark.sql(
+      """SELECT minhash_sig(t, 8L) AS sig
+        |FROM VALUES ('a'), ('b'), ('c') AS v(t)""".stripMargin)
+      .collect().head.getSeq[Long](0)
+    assert(sigL == sig)
+    // and agrees with the typed-API construction
+    import org.apache.spark.sql.functions.col
+    val typed = spark.createDataFrame(Seq(Tuple1("a"), Tuple1("b"), Tuple1("c")))
+      .toDF("t")
+      .agg(MinHashSig.minhash_sig(col("t"), 8).as("sig"))
+      .collect().head.getSeq[Long](0)
+    assert(typed == sig)
+  }
 }
