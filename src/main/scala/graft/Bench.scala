@@ -21,7 +21,10 @@ object Bench {
       .write.mode("overwrite").format("noop").save()
     // noop sink forces full evaluation of every column (count() lets Spark
     // skip projections); -1 marks a failed query.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 benches a subset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
