@@ -39,7 +39,12 @@ object GraftExtensions {
         // Any integral literal: SQL `8` arrives as Int but `8L` / typed
         // literals are just as valid a k.
         case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) => k
-        case org.apache.spark.sql.catalyst.expressions.Literal(k: Long, _) => Math.toIntExact(k)
+        case org.apache.spark.sql.catalyst.expressions.Literal(k: Long, _) =>
+          // Single error surface: out-of-range k is an invalid argument,
+          // not an arithmetic overflow.
+          if (k < Int.MinValue || k > Int.MaxValue)
+            throw new IllegalArgumentException(s"k out of int range: $k")
+          else k.toInt
         case org.apache.spark.sql.catalyst.expressions.Literal(k: Short, _) => k.toInt
         case org.apache.spark.sql.catalyst.expressions.Literal(k: Byte, _) => k.toInt
         case other => throw new IllegalArgumentException(s"k must be an integral literal, got $other")

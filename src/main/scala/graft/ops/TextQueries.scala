@@ -67,17 +67,19 @@ object TextQueries {
     },
 
     // Language ID: argmax of marker-token hits per language (ties → first
-    // lang alphabetically). The dictionary fans out as a tiny literal
-    // dimension — a broadcast-joined scoring pass, one shuffle on doc_id.
+    // lang alphabetically). All five scores come from ONE projection over a
+    // single scan of documents, then `stack()` pivots them to (cand, score)
+    // rows — a per-language unionAll would re-scan the corpus once per
+    // language (5 full scans at 100 TB for the same answer).
     "text_lang_id" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val scored = langMarkers.map { case (lang, markers) =>
+      val scoreCols = langMarkers.flatMap { case (lang, markers) =>
         val hits = markers.map(m => when(array_contains(toks, m), 1).otherwise(0))
           .reduce(_ + _)
-        docs.select(
-          col("doc_id"), col("lang"),
-          lit(lang).as("cand"), hits.cast("long").as("score"))
-      }.reduce(_ unionAll _)
+        Seq(lit(lang), hits.cast("long"))
+      }
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          stack((lit(langMarkers.size) +: scoreCols): _*).as(Seq("cand", "score")))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("cand"))
       scored
