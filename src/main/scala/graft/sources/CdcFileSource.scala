@@ -73,7 +73,83 @@ object CdcFileSource {
     }
   }
 
-  final class LineRange(stream: java.util.stream.Stream[String], from: Long)
+  /** Incremental tail over the growing log: a stateful line counter that
+    * reads only the bytes appended since its previous poll, so a
+    * long-running stream does O(new data) per micro-batch instead of
+    * re-scanning the file (O(file) per poll, O(file²) cumulative — the r2
+    * complexity bug). Mirrors the reference's O(1) position bookkeeping
+    * (`main.go:119-123`): it keeps a byte position, not a line recount.
+    *
+    * Semantics match `Files.lines`: '\n' terminates a line ('\r\n' works —
+    * the counter keys on the '\n' byte, which UTF-8 guarantees appears only
+    * as the newline character), and unterminated trailing text counts as a
+    * line. Because that trailing text can still grow, `byteAfterNl` never
+    * advances past the last newline — the partial tail is re-scanned next
+    * poll (O(partial), not O(file)). Truncation/rotation resets the state.
+    */
+  final class Tail(path: String) {
+    private var completeLines = 0L // lines terminated by '\n'
+    private var byteAfterNl = 0L   // offset just past the last '\n' seen
+    private var scanned = 0L       // total bytes ever read (test/diagnostic surface)
+
+    def bytesScanned: Long = scanned
+
+    /** Current end of the log as (line count, byte offset where the next
+      * complete line starts; -1 when a partial trailing line makes the
+      * byte position of "line N" not yet knowable).
+      */
+    def poll(): (Long, Long) = synchronized {
+      val p = Paths.get(path)
+      if (!Files.exists(p)) return (0L, -1L)
+      val size = Files.size(p)
+      if (size < byteAfterNl) { completeLines = 0L; byteAfterNl = 0L } // rotated/truncated
+      if (size > byteAfterNl) {
+        val in = Files.newInputStream(p)
+        try {
+          var toSkip = byteAfterNl
+          while (toSkip > 0) {
+            val s = in.skip(toSkip)
+            if (s <= 0) toSkip = 0 else toSkip -= s
+          }
+          val buf = new Array[Byte](64 * 1024)
+          var readPos = byteAfterNl
+          var n = in.read(buf)
+          while (n > 0) {
+            var i = 0
+            while (i < n) {
+              if (buf(i) == '\n') { completeLines += 1; byteAfterNl = readPos + i + 1 }
+              i += 1
+            }
+            scanned += n
+            readPos += n
+            n = in.read(buf)
+          }
+        } finally in.close()
+      }
+      if (size > byteAfterNl) (completeLines + 1, -1L) else (completeLines, byteAfterNl)
+    }
+  }
+
+  /** Open a lazy reader over lines [from, until) starting at a known byte
+    * offset — a seek replaces the O(from) line skip of [[openLines]], so
+    * reading the tail of a long log costs O(batch), not O(position).
+    */
+  def openLinesAt(path: String, from: Long, until: Long, fromByte: Long): LineRange = {
+    val in = Files.newInputStream(Paths.get(path))
+    var toSkip = fromByte
+    while (toSkip > 0) {
+      val s = in.skip(toSkip)
+      if (s <= 0) toSkip = 0 else toSkip -= s
+    }
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+    val stream = reader.lines().limit(math.max(0L, until - from))
+    new LineRange(stream, from) {
+      override def close(): Unit = { super.close(); reader.close() }
+    }
+  }
+
+  class LineRange(stream: java.util.stream.Stream[String], from: Long)
       extends AutoCloseable {
     val iterator: Iterator[(String, Long)] =
       stream.iterator().asScala.zipWithIndex.map { case (l, i) => (l, from + i) }
@@ -81,8 +157,17 @@ object CdcFileSource {
   }
 }
 
-final case class CdcOffset(pos: Long) extends Offset {
-  override def json(): String = s"""{"pos":$pos}"""
+/** Log position: line count, plus (when known) the byte offset where line
+  * `pos` starts, so the next batch's reader can seek instead of re-skipping
+  * `pos` lines. `bytePos` is -1 when unknown (legacy checkpoint JSON,
+  * admission-capped offsets, partial trailing line) — readers then fall
+  * back to the line skip. Mirrors the reference's `{name, pos}` position
+  * JSON (`main.go:41-44`), which is likewise a byte position.
+  */
+final case class CdcOffset(pos: Long, bytePos: Long = -1L) extends Offset {
+  override def json(): String =
+    if (bytePos >= 0) s"""{"pos":$pos,"bytePos":$bytePos}"""
+    else s"""{"pos":$pos}"""
 }
 
 class CdcFileTable(path: String) extends Table with SupportsRead {
@@ -115,26 +200,40 @@ class CdcFileTable(path: String) extends Table with SupportsRead {
 class CdcFileMicroBatchStream(path: String, maxLinesPerBatch: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
+  // Incremental tail: each poll reads only bytes appended since the last
+  // one, so a long-running stream's offset discovery is O(new data), not
+  // O(file) — the r2 version re-counted the whole log every micro-batch.
+  private val tail = new CdcFileSource.Tail(path)
+
+  /** Bytes this stream has ever scanned for offset discovery — lets specs
+    * assert that polling an unchanged log reads nothing.
+    */
+  def bytesScanned: Long = tail.bytesScanned
+
   // Trigger.AvailableNow: pin the end offset once so all batches of the
   // trigger drain exactly the log-as-of-start, then the query terminates.
-  private var pinnedEnd: Option[Long] = None
-  override def prepareForTriggerAvailableNow(): Unit =
-    pinnedEnd = Some(CdcFileSource.lineCount(path))
+  private var pinnedEnd: Option[CdcOffset] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val (pos, byte) = tail.poll()
+    pinnedEnd = Some(CdcOffset(pos, byte))
+  }
 
-  override def initialOffset(): Offset = CdcOffset(0L)
+  override def initialOffset(): Offset = CdcOffset(0L, 0L)
   override def latestOffset(): Offset =
-    CdcOffset(pinnedEnd.getOrElse(CdcFileSource.lineCount(path)))
+    pinnedEnd.getOrElse { val (pos, byte) = tail.poll(); CdcOffset(pos, byte) }
 
   /** Admission control (backpressure): honor `maxLinesPerBatch` so a large
     * backlog drains in bounded micro-batches instead of one giant one —
     * the knob that keeps recovery-from-far-behind from OOMing a batch.
+    * A capped offset's byte position is unknown (we count lines, not map
+    * line→byte mid-file), so the next batch falls back to the line skip.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val end = latestOffset().asInstanceOf[CdcOffset].pos
+    val end = latestOffset().asInstanceOf[CdcOffset]
     limit match {
-      case m: ReadMaxRows =>
-        CdcOffset(math.min(end, start.asInstanceOf[CdcOffset].pos + m.maxRows()))
-      case _ => CdcOffset(end)
+      case m: ReadMaxRows if start.asInstanceOf[CdcOffset].pos + m.maxRows() < end.pos =>
+        CdcOffset(start.asInstanceOf[CdcOffset].pos + m.maxRows())
+      case _ => end
     }
   }
   override def getDefaultReadLimit: ReadLimit =
@@ -144,25 +243,30 @@ class CdcFileMicroBatchStream(path: String, maxLinesPerBatch: Option[Long] = Non
     val pos = """"pos"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalArgumentException(s"bad offset: $json"))
-    CdcOffset(pos)
+    val bytePos = """"bytePos"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    CdcOffset(pos, bytePos)
   }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val (s, e) = (start.asInstanceOf[CdcOffset].pos, end.asInstanceOf[CdcOffset].pos)
-    if (e <= s) Array.empty else Array(CdcRangePartition(path, s, e))
+    val (s, e) = (start.asInstanceOf[CdcOffset], end.asInstanceOf[CdcOffset])
+    if (e.pos <= s.pos) Array.empty
+    else Array(CdcRangePartition(path, s.pos, e.pos, s.bytePos))
   }
   override def createReaderFactory(): PartitionReaderFactory = CdcReaderFactory
   override def commit(end: Offset): Unit = () // nothing to ack; the log is a file
   override def stop(): Unit = ()
 }
 
-final case class CdcRangePartition(path: String, from: Long, until: Long)
-    extends InputPartition
+final case class CdcRangePartition(path: String, from: Long, until: Long,
+    fromByte: Long = -1L) extends InputPartition
 
 object CdcReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdcRangePartition]
     new PartitionReader[InternalRow] {
-      private val range = CdcFileSource.openLines(p.path, p.from, p.until)
+      private val range =
+        if (p.fromByte >= 0) CdcFileSource.openLinesAt(p.path, p.from, p.until, p.fromByte)
+        else CdcFileSource.openLines(p.path, p.from, p.until)
       private val it = range.iterator
       private var cur: (String, Long) = _
       override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }

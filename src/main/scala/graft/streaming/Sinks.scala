@@ -46,16 +46,25 @@ object Sinks {
       }
   }
 
-  /** Sink A analog (`main.go:95`): enqueue payloads to an in-process queue
-    * table — the stand-in for the reference's Redis list (`cdc_events`).
-    * In production this would be a Kafka/files sink; the queue-drain second
-    * pipeline (R15) then reads it back as its own stream.
+  /** Sink A analog (`main.go:95`): enqueue payloads to a queue — the
+    * stand-in for the reference's Redis list (`cdc_events`,
+    * `main.go:36-39`). Pluggable behind [[DurableQueue]]: the in-process
+    * impl backs the unit specs; [[FileQueue]] survives process death like
+    * the reference's Redis list does. The queue-drain second pipeline (R15)
+    * then consumes it via [[drainQueue]].
     */
   val queue: ConcurrentLinkedQueue[(String, String)] = new ConcurrentLinkedQueue()
 
-  def queueDeliverBatch(batch: DataFrame): Unit =
-    batch.select(col("group"), col("payload")).collect()
-      .foreach(r => queue.add((r.getString(0), r.getString(1))))
+  /** Executor-side enqueue: one client per partition task, rows never pass
+    * through the driver (the r2 driver-side `collect()` made the driver the
+    * throughput ceiling of sink A while the HTTP sink was per-partition).
+    */
+  def queueDeliverBatch(batch: DataFrame, q: DurableQueue = InProcessQueue): Unit =
+    batch.select(col("group"), col("payload")).foreachPartition { rows: Iterator[Row] =>
+      val c = q.client()
+      try rows.foreach(r => c.enqueue(r.getString(0), r.getString(1)))
+      finally c.close()
+    }
 
   /** Dead-letter queue for fixed-mode delivery: failed POSTs (transport
     * error or non-2xx when `checkStatus`) land here instead of vanishing —
@@ -87,16 +96,13 @@ object Sinks {
     * unparsable payloads are skipped).
     */
   def drainQueue(postUrl: String, tableToGroup: Map[String, String],
-      checkStatus: Boolean = false): Int = {
+      checkStatus: Boolean = false, q: DurableQueue = InProcessQueue): Int = {
     val tableRe = """"source":\{"table":"([^"]+)"\}""".r
     var n = 0
-    var item = queue.poll()
-    while (item != null) {
-      val (_, payload) = item
+    q.drain { (_, payload) =>
       tableRe.findFirstMatchIn(payload).map(_.group(1))
         .flatMap(tableToGroup.get)
         .foreach { group => if (post(postUrl, group, payload, checkStatus)) n += 1 }
-      item = queue.poll()
     }
     n
   }
@@ -110,7 +116,8 @@ object Sinks {
       envelopes: DataFrame,
       postUrl: String,
       checkpointDir: String,
-      checkStatus: Boolean = false): DataStreamWriter[Row] =
+      checkStatus: Boolean = false,
+      q: DurableQueue = InProcessQueue): DataStreamWriter[Row] =
     envelopes.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -119,7 +126,7 @@ object Sinks {
         val cached = batch.persist()
         try {
           httpDeliverBatch(cached, postUrl, checkStatus)
-          queueDeliverBatch(cached)
+          queueDeliverBatch(cached, q)
         } finally { cached.unpersist(); () }
       }
 

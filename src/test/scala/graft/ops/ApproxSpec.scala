@@ -56,6 +56,18 @@ class ApproxSpec extends SparkSuite {
     assert(recall >= 0.5, s"recall=$recall (${(onepass & truth).size}/${truth.size})")
   }
 
+  test("sign-LSH cosine dedup reproduces the brute-force pair set exactly") {
+    // The 21×3-bit banding is empirically lossless on this corpus (checked
+    // at every shipped SF) — the sub-quadratic plan must return the exact
+    // exhaustive answer, not an approximation of it.
+    val exact = SparkEntryQueries.run("dedup_near_cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = SparkEntryQueries.run("dedup_near_cosine_lsh")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact,
+      s"missed: ${(exact -- lsh).take(5)}; spurious: ${(lsh -- exact).take(5)}")
+  }
+
   test("approx_percentile within 5% of the exact percentile") {
     SparkEntryQueries.run("agg_approx_percentile").collect().foreach { r =>
       val (approx, exact) = (r.getDouble(1), r.getDouble(2))

@@ -39,6 +39,15 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("HashAggregate") && p.contains("partial_"), p)
   }
 
+  test("dedup_near_cosine_lsh plan has no nested-loop or cartesian join") {
+    val df = SparkEntry.queries("dedup_near_cosine_lsh")(spark, sfDir)
+    df.collect() // finalize the AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // candidates must come from the banded equi-join, then exact verify
+    assert(p.contains("vector_dot"), p)
+  }
+
   test("cosine kernel stays inside whole-stage codegen") {
     val df = SparkEntry.queries("dedup_near_cosine")(spark, sfDir)
     df.collect() // finalize the AQE plan

@@ -78,6 +78,50 @@ class CdcFileSourceSpec extends SparkSuite {
     assert(sizes.count(_ > 0) >= 3, sizes.toString)
   }
 
+  test("polling an unchanged log is O(new bytes): no rescan, seekable offsets") {
+    val log = Files.createTempFile("cdc_log_t", ".jsonl")
+    append(log, (1 to 1000).map(i => line("orders", "insert", i % 10)): _*)
+    val size = Files.size(log)
+
+    val stream = new CdcFileMicroBatchStream(log.toString)
+    val first = stream.latestOffset().asInstanceOf[CdcOffset]
+    assert(first.pos == 1000 && first.bytePos == size)
+    assert(stream.bytesScanned == size)
+
+    // Poll the UNCHANGED log repeatedly: zero additional bytes read —
+    // the r2 implementation re-counted all 1000 lines per poll.
+    (1 to 50).foreach(_ => stream.latestOffset())
+    assert(stream.bytesScanned == size, "poll on unchanged log rescanned it")
+
+    // Append two lines: the next poll reads only the appended bytes.
+    append(log, line("orders", "insert", 1), line("orders", "insert", 2))
+    val grown = Files.size(log)
+    val next = stream.latestOffset().asInstanceOf[CdcOffset]
+    assert(next.pos == 1002 && next.bytePos == grown)
+    assert(stream.bytesScanned == grown)
+
+    // The batch range carries the start byte so the reader seeks, and the
+    // seek path returns exactly the lines the skip path would.
+    val parts = stream.planInputPartitions(first, next)
+    assert(parts.length == 1)
+    val part = parts(0).asInstanceOf[CdcRangePartition]
+    assert(part.fromByte == size)
+    assert(CdcFileSource.readLines(log.toString, 1000, 1002) ==
+      { val r = CdcFileSource.openLinesAt(log.toString, 1000, 1002, size)
+        try r.iterator.toVector finally r.close() })
+
+    // A partial trailing line counts as a line (Files.lines semantics) but
+    // publishes no byte position; completing it converges the count.
+    Files.write(log, "{\"partial".getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.APPEND)
+    val partial = stream.latestOffset().asInstanceOf[CdcOffset]
+    assert(partial.pos == 1003 && partial.bytePos == -1L)
+    Files.write(log, "\":1}\n".getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.APPEND)
+    val completed = stream.latestOffset().asInstanceOf[CdcOffset]
+    assert(completed.pos == 1003 && completed.bytePos == Files.size(log))
+  }
+
   test("batch read of the full log") {
     val log = Files.createTempFile("cdc_log_b", ".jsonl")
     append(log, line("orders", "insert", 1), line("orders", "update", 2))
