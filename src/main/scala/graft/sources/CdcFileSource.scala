@@ -179,10 +179,11 @@ class CdcFileTable(path: String) extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       private val maxLines = Option(options.get("maxLinesPerBatch")).map(_.toLong)
+      private val positionDir = Option(options.get("positionDir"))
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = CdcFileSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new CdcFileMicroBatchStream(path, maxLines)
+          new CdcFileMicroBatchStream(path, maxLines, positionDir)
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] =
             Array(CdcRangePartition(path, 0L, CdcFileSource.lineCount(path)))
@@ -197,8 +198,22 @@ class CdcFileTable(path: String) extends Table with SupportsRead {
   * server — parallelism comes from the downstream shuffle, as in the
   * reference's single-consumer topology, `k8s/deployment.yaml:8`).
   */
-class CdcFileMicroBatchStream(path: String, maxLinesPerBatch: Option[Long] = None)
+class CdcFileMicroBatchStream(path: String, maxLinesPerBatch: Option[Long] = None,
+    positionDir: Option[String] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // Optional operational position mirror (option `positionDir`): committed
+  // offsets dual-write to two files there, surviving loss of either copy —
+  // the reference's Redis+file degraded-mode checkpoint (`main.go:287-306`)
+  // alongside the engine's canonical offset/commit log. The engine invokes
+  // `commit(end)` when the batch AFTER `end` starts ("safe to discard"
+  // semantics), so the mirror trails the in-flight batch — exactly as the
+  // reference's position file trails the event being forwarded.
+  private val positions: Option[DualPositionStore] = positionDir.map { d =>
+    val base = Paths.get(d)
+    new DualPositionStore(base.resolve("position.json"),
+      base.resolve("position.backup.json"))
+  }
 
   // Incremental tail: each poll reads only bytes appended since the last
   // one, so a long-running stream's offset discovery is O(new data), not
@@ -253,7 +268,10 @@ class CdcFileMicroBatchStream(path: String, maxLinesPerBatch: Option[Long] = Non
     else Array(CdcRangePartition(path, s.pos, e.pos, s.bytePos))
   }
   override def createReaderFactory(): PartitionReaderFactory = CdcReaderFactory
-  override def commit(end: Offset): Unit = () // nothing to ack; the log is a file
+  // The log itself needs no ack; the commit hook feeds the optional
+  // dual-written position mirror (degraded-mode ops surface).
+  override def commit(end: Offset): Unit =
+    positions.foreach(_.save(end.asInstanceOf[CdcOffset]))
   override def stop(): Unit = ()
 }
 

@@ -107,6 +107,26 @@ object Sinks {
     n
   }
 
+  /** The queue-drain pipeline as a STREAMING query (R15 the Spark-native
+    * way): a [[FileQueue]] directory is just files, so Spark's file-stream
+    * source tails it natively — new segments published by the enqueue side
+    * become micro-batches here, with the engine checkpoint tracking which
+    * segments were already drained (exactly-once segment accounting, vs the
+    * reference worker's destructive BLPOP that loses an event popped right
+    * before a crash, `main.go:383-419`). Returns `(group, payload)` rows;
+    * wire to [[httpDeliverBatch]] via `foreachBatch` for the POST leg.
+    */
+  def queueStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val lines = spark.readStream
+      .format("text")
+      .option("pathGlobFilter", "q-*.seg")
+      .load(dir)
+    val tab = instr(col("value"), "\t")
+    lines.filter(tab > 0).select(
+      substring_index(col("value"), "\t", 1).as("group"),
+      expr("substring(value, instr(value, '\t') + 1)").as("payload"))
+  }
+
   /** Wire the dual-sink topology (H3: every event delivered on BOTH paths)
     * onto a streaming envelope DataFrame. One streaming query, one
     * `foreachBatch` writing to both sinks — at-least-once ×2 like the

@@ -122,6 +122,51 @@ class CdcFileSourceSpec extends SparkSuite {
     assert(completed.pos == 1003 && completed.bytePos == Files.size(log))
   }
 
+  test("dual position store survives loss or corruption of either copy") {
+    val dir = Files.createTempDirectory("cdc_pos")
+    val (p1, p2) = (dir.resolve("position.json"), dir.resolve("position.backup.json"))
+    val store = new DualPositionStore(p1, p2)
+    assert(store.load().isEmpty)
+    assert(store.save(CdcOffset(42, 4200)) == 2)
+    assert(store.load().contains(CdcOffset(42, 4200)))
+
+    // lose the primary → backup restores the position (main.go:287-306)
+    Files.delete(p1)
+    assert(store.load().contains(CdcOffset(42, 4200)))
+    // corrupt the backup after a newer primary write → freshest survivor wins
+    assert(store.save(CdcOffset(50, 5000)) == 2)
+    Files.write(p2, "garbage".getBytes(StandardCharsets.UTF_8))
+    assert(store.load().contains(CdcOffset(50, 5000)))
+    // both gone → no position (fresh start), not a crash
+    Files.delete(p1); Files.delete(p2)
+    assert(store.load().isEmpty)
+  }
+
+  test("committed offsets dual-write to the position mirror (positionDir option)") {
+    val log = Files.createTempFile("cdc_log_p", ".jsonl")
+    val posDir = Files.createTempDirectory("cdc_posdir")
+    append(log, (1 to 3).map(i => line("orders", "insert", i)): _*)
+    val q = spark.readStream.format(classOf[CdcFileSource].getName)
+      .option("path", log.toString)
+      .option("positionDir", posDir.toString)
+      .option("maxLinesPerBatch", "1") // 3 batches → commits fire between them
+      .load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("cdc_p_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .format("noop")
+      .start()
+    q.awaitTermination()
+    val store = new DualPositionStore(
+      posDir.resolve("position.json"), posDir.resolve("position.backup.json"))
+    // The engine commits a batch when the NEXT one starts, so the mirror
+    // trails the final in-flight batch: pos 2 of 3 after this run.
+    assert(store.load().map(_.pos).contains(2L))
+    // both physical copies independently present
+    assert(Files.exists(posDir.resolve("position.json")))
+    assert(Files.exists(posDir.resolve("position.backup.json")))
+  }
+
   test("batch read of the full log") {
     val log = Files.createTempFile("cdc_log_b", ".jsonl")
     append(log, line("orders", "insert", 1), line("orders", "update", 2))

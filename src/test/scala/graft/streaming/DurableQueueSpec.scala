@@ -77,6 +77,40 @@ class DurableQueueSpec extends SparkSuite {
     assert(redelivered == 4 && q.pending == 0)
   }
 
+  test("queueStream drains segments as a streaming source, exactly once per segment") {
+    val qdir = Files.createTempDirectory("graft_fq4").toString
+    val ckpt = Files.createTempDirectory("graft_fq4_ckpt").toString
+    val q = FileQueue(qdir)
+    val c1 = q.client()
+    c1.enqueue("grp_sales", """{"i":1}"""); c1.enqueue("grp_dim", """{"i":2}""")
+    c1.close()
+
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    def drainOnce(): Unit = {
+      val qy = Sinks.queueStream(spark, qdir).writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => got.add((r.getString(0), r.getString(1))))
+          ()
+        }.start()
+      qy.awaitTermination()
+    }
+    drainOnce()
+    assert(got.toArray(Array.empty[(String, String)]).toSet ==
+      Set(("grp_sales", """{"i":1}"""), ("grp_dim", """{"i":2}""")))
+
+    // A later segment: the restarted query (same checkpoint) reads ONLY it —
+    // the engine checkpoint is the segment ledger, no destructive pop needed.
+    val c2 = q.client()
+    c2.enqueue("grp_sales", """{"i":3}""")
+    c2.close()
+    got.clear()
+    drainOnce()
+    assert(got.toArray(Array.empty[(String, String)]).toSeq ==
+      Seq(("grp_sales", """{"i":3}""")))
+  }
+
   test("empty partitions publish no segments; enqueue is partition-local") {
     import spark.implicits._
     val qdir = Files.createTempDirectory("graft_fq3").toString
