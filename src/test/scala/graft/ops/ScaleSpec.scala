@@ -11,6 +11,24 @@ import graft.{SparkSuite, Tables}
   */
 class ScaleSpec extends SparkSuite {
 
+  test("label-propagation plan depth is bounded regardless of iteration count") {
+    import spark.implicits._
+    // A 41-vertex chain forces ~40 propagation rounds (worst-case diameter);
+    // without per-round lineage truncation the final plan would be ~40
+    // join+agg layers deep and this assertion would fail.
+    val chain = (0 until 40).map(i => (i.toLong, (i + 1).toLong)).toDF("u", "v")
+    val edges = chain.unionAll(chain.select(col("v").as("u"), col("u").as("v")))
+    val labels = DedupQueries.connectedComponents(edges)
+    val rows = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 41 && rows.forall(_._2 == 0L), "chain must collapse to comp 0")
+    def depth(p: org.apache.spark.sql.catalyst.trees.TreeNode[_]): Int =
+      1 + (if (p.children.isEmpty) 0
+           else p.children.map(c =>
+             depth(c.asInstanceOf[org.apache.spark.sql.catalyst.trees.TreeNode[_]])).max)
+    val d = depth(labels.queryExecution.logical)
+    assert(d <= 5, s"plan depth $d grew with iterations — lineage not truncated")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // disable broadcast so the join exercises the shuffle path the pattern
     // exists for (at real scale neither side broadcasts)
