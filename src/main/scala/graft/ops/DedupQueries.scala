@@ -145,12 +145,15 @@ object DedupQueries {
       val viaNeighbors = edges
         .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), "v")
         .groupBy(col("u").as("id")).agg(min(col("vcomp")).as("ncomp"))
+      // The changed flag rides the same projection the round materializes —
+      // the convergence check is then a scan of the checkpointed partitions,
+      // not another shuffle join against the previous labels.
       val next = labels.join(viaNeighbors, "id")
-        .select(col("id"), least(col("comp"), col("ncomp")).as("comp"))
+        .select(col("id"), least(col("comp"), col("ncomp")).as("comp"),
+          (col("ncomp") < col("comp")).as("chg"))
         .localCheckpoint()
-      val changed = next.join(labels.select(col("id"), col("comp").as("old")), "id")
-        .filter(col("comp") =!= col("old")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("chg")).limit(1).count()
+      labels = next.select("id", "comp")
       converged = changed == 0
     }
     labels
