@@ -51,19 +51,39 @@ object Demo {
       sink.captured.forEach(c => println(s"${c.method} ${c.path} ${c.body}"))
 
       // the full reference topology through the custom DSv2 source: tail an
-      // append-only change log, transform, deliver
+      // append-only change log, transform, deliver — with the DURABLE queue
+      // (the reference's Redis list) and the dual-written position mirror
       val log = Files.createTempFile("demo_cdc_log", ".jsonl")
       Files.writeString(log,
         """{"table":"orders","op":"insert","after":{"id":"10"},"ts":"2024-01-01T00:00:00"}
           |{"table":"orders","op":"delete","after":{"id":"10"},"ts":"2024-01-01T00:00:01"}
           |{"table":"customer","op":"insert","after":{"id":"11"},"ts":"2024-01-01T00:00:02"}
           |""".stripMargin)
+      val posDir = Files.createTempDirectory("graft_demo_pos")
       val src = spark.readStream.format(classOf[graft.sources.CdcFileSource].getName)
-        .option("path", log.toString).load()
+        .option("path", log.toString)
+        .option("positionDir", posDir.toString)
+        .load()
+      val qdir = Files.createTempDirectory("graft_demo_queue").toString
       val ckpt2 = Files.createTempDirectory("graft_demo_src_ckpt").toString
       Sinks.runToCompletion(Sinks.dualSink(
-        CdcPipeline.transform(CdcPipeline.parseLines(src), cfg), sink.url, ckpt2))
-      println(s"file-source delivered total=${sink.captured.size}")
+        CdcPipeline.transform(CdcPipeline.parseLines(src), cfg), sink.url, ckpt2,
+        q = FileQueue(qdir)))
+      println(s"file-source delivered total=${sink.captured.size} " +
+        s"durable-queued=${FileQueue(qdir).pending}")
+
+      // "process restart": a fresh handle (config only) drains what the
+      // durable queue holds — the second delivery leg, as a STREAMING query
+      // over the segment files (R15, Spark-native)
+      val ckpt3 = Files.createTempDirectory("graft_demo_drain_ckpt").toString
+      val drain = Sinks.queueStream(spark, qdir).writeStream
+        .option("checkpointLocation", ckpt3)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Sinks.httpDeliverBatch(batch, sink.url, checkStatus = false); ()
+        }.start()
+      drain.awaitTermination()
+      println(s"after queue drain delivered total=${sink.captured.size}")
 
       // custom keyed state: flatMapGroupsWithState sessionization
       val sess = MemoryStream[Sessionize.Event]
