@@ -29,6 +29,53 @@ class ScaleSpec extends SparkSuite {
     assert(d <= 5, s"plan depth $d grew with iterations — lineage not truncated")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    import spark.implicits._
+    // One key carries ~100× the rows of every other: the classic hot-key
+    // shape that stalls a shuffle join on the one reducer holding it. With
+    // AQE skew handling (thresholds lowered to fire at test scale) the
+    // engine re-plans mid-query and splits that partition — the runtime
+    // answer to skew, complementing the deterministic salting proof below.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // Global aggregate after the join: a per-key groupBy would add a
+      // distribution requirement that makes AQE decline the split (it
+      // would cost an extra shuffle) — the skew fix applies to the join
+      // output consumed without a key-distribution constraint.
+      // md5(i) payload: incompressible, so the hot partition's COMPRESSED
+      // shuffle size (what AQE measures) actually exceeds the threshold.
+      val hot = (1 to 60000).map(i => (0L, i)) ++ (1L to 2000L).map(k => (k, -k.toInt))
+      val left = hot.toDF("k", "i").withColumn("pad", md5(col("i").cast("string")))
+      val right = (0L to 2000L).toDF("k").withColumn("v", col("k") * 2)
+      // Aggregate over `pad` so column pruning cannot drop it from the
+      // shuffle: the hot partition's measured size stays above threshold.
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum(length(col("pad"))).as("sp"))
+      val row = joined.collect().head
+      // results correct despite the split: 60000 hot + 2000 singletons
+      assert(row.getLong(0) == 62000L && row.getLong(1) == 62000L * 32L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // disable broadcast so the join exercises the shuffle path the pattern
     // exists for (at real scale neither side broadcasts)
