@@ -75,23 +75,30 @@ object DedupQueries {
     // row_number sort-shuffle the r2 version paid), so the prefix is a
     // slice and the intersection is a codegen'd array_intersect instead
     // of two shuffle joins + a groupBy.
-    // `hs` carries xxhash64(tok) instead of the strings: the verify join
-    // shuffles 8-byte longs, not ~25-byte shingles (3× lighter), and
-    // array_intersect hashes longs. An intra-pair 64-bit collision
-    // (~C(100,2)/2^64 ≈ 1e-15) is the only way this differs from string
-    // intersection — negligible against the oracle.
+    // The whole candidate pipeline runs on xxhash64(tok), not the strings:
+    // joins and array_intersect handle 8-byte longs instead of ~25-byte
+    // shingles. Lossless — equal shingles give equal hashes, so no true
+    // pair is lost; a cross-doc collision only ADDS a candidate that exact
+    // verification then rejects, and an intra-pair collision
+    // (~C(100,2)/2^64 ≈ 1e-15) is the only way results could differ from
+    // string intersection. The prefix guarantee needs any CONSISTENT global
+    // token order; (df, hash) rare-first is one.
+    // localCheckpoint: this aggregate is referenced 4× downstream (both
+    // prefix self-join sides + both verify fetch joins) — materialize it
+    // once instead of re-running the collect_list agg per reference.
     val docs = tok.join(freq, "tok")
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .agg(sort_array(collect_list(struct(col("df"), xxhash64(col("tok")).as("h"))))
+        .as("st"))
       .select(col("doc_id"),
-        expr("transform(st, x -> x.tok)").as("toks"),
-        expr("transform(st, x -> xxhash64(x.tok))").as("hs"),
+        expr("transform(st, x -> x.h)").as("hs"),
         size(col("st")).as("n"))
+      .localCheckpoint()
     // Index only the first |x| - ceil(t*|x|) + 1 rare shingles: any pair
     // with J >= t MUST collide on an indexed one (lossless). posexplode
     // keeps the 1-based rank for the positional filter below.
     val pre = docs.select(col("doc_id"), col("n"),
-      posexplode(expr(s"slice(toks, 1, cast(n - ceil(n * $t) + 1 AS int))")))
+      posexplode(expr(s"slice(hs, 1, cast(n - ceil(n * $t) + 1 AS int))")))
       .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"), col("col").as("tok"))
     // Candidates stay narrow (ids + sizes); arrays are fetched back per
     // UNIQUE candidate pair, not dragged through the prefix self-join.
