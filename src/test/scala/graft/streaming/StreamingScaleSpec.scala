@@ -55,6 +55,49 @@ class StreamingScaleSpec extends SparkSuite {
     } finally sink.stop()
   }
 
+  test("10k events through the DURABLE queue: segment enqueue + streaming drain") {
+    import org.apache.spark.sql.functions._
+    val lines = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(to_json(struct(
+        col("event_type").as("table"),
+        lit("insert").as("op"),
+        map(lit("event_id"), col("event_id").cast("string")).as("after"),
+        col("ts"))).as("line"))
+      .limit(10000)
+      .collect().map(_.getString(0))
+    val log = Files.createTempFile("cdc_dq_log", ".jsonl")
+    Files.write(log, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val expected = lines.count { l =>
+      CdcQueries.tableToGroup.keys.exists(t => l.contains(s""""table":"$t""""))
+    }
+    val sink = new DebugSink
+    val qdir = Files.createTempDirectory("cdc_dq_queue").toString
+    try {
+      val src = spark.readStream.format(classOf[graft.sources.CdcFileSource].getName)
+        .option("path", log.toString).load()
+      val env = CdcPipeline.transform(CdcPipeline.parseLines(src), cfg)
+      val ckpt = Files.createTempDirectory("cdc_dq_ckpt").toString
+      val t0 = System.nanoTime()
+      Sinks.runToCompletion(Sinks.dualSink(env, sink.url, ckpt, q = FileQueue(qdir)))
+      assert(FileQueue(qdir).pending == expected)
+
+      // drain leg: the segments as a streaming source, counted not POSTed
+      // (the HTTP leg above already measured delivery)
+      val drained = new java.util.concurrent.atomic.AtomicLong()
+      val ckpt2 = Files.createTempDirectory("cdc_dq_drain_ckpt").toString
+      val dq = Sinks.queueStream(spark, qdir).writeStream
+        .option("checkpointLocation", ckpt2)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          drained.addAndGet(b.count()); ()
+        }.start()
+      dq.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      info(f"enqueued+drained $expected events through file segments in $sec%.1fs")
+      assert(drained.get() == expected)
+    } finally sink.stop()
+  }
+
   test("continuous tail: appended lines arrive in later micro-batches") {
     val log = Files.createTempFile("cdc_tail_log", ".jsonl")
     def line(id: Int) =
