@@ -51,9 +51,27 @@ object DedupQueries {
 
   private[ops] def shingles(s: SparkSession, dir: String): DataFrame = {
     // Drop entries of stopped sessions so test suites that spin up many
-    // short-lived sessions don't pin dead plans.
+    // short-lived sessions don't pin dead plans (their cached blocks died
+    // with the context; this just releases the map references). For a
+    // LIVE session the entries are deliberately kept for the session's
+    // lifetime — one per data dir, the working set Verify/Bench share —
+    // and can be released explicitly via [[clearCache]].
     shingleCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     shingleCache.computeIfAbsent((s, dir), _ => buildShingles(s, dir).persist())
+  }
+
+  /** Unpersist and drop every cached shingle set of `s` — for long-lived
+    * services that iterate many data dirs in one session.
+    */
+  def clearCache(s: SparkSession): Unit = {
+    val it = shingleCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        try e.getValue.unpersist() catch { case _: Exception => () }
+        it.remove()
+      }
+    }
   }
 
   /** Prefix-filtered exact Jaccard pairs (the AllPairs/PPJoin family — cf.

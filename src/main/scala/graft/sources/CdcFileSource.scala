@@ -80,12 +80,20 @@ object CdcFileSource {
     * complexity bug). Mirrors the reference's O(1) position bookkeeping
     * (`main.go:119-123`): it keeps a byte position, not a line recount.
     *
-    * Semantics match `Files.lines`: '\n' terminates a line ('\r\n' works —
-    * the counter keys on the '\n' byte, which UTF-8 guarantees appears only
-    * as the newline character), and unterminated trailing text counts as a
-    * line. Because that trailing text can still grow, `byteAfterNl` never
-    * advances past the last newline — the partial tail is re-scanned next
-    * poll (O(partial), not O(file)). Truncation/rotation resets the state.
+    * CONTRACT — the log is '\n'-framed UTF-8 (JSONL: a raw CR inside a JSON
+    * string is impossible, it must be escaped), and ONLY terminated lines
+    * are offered as offsets: a partial trailing line that a writer is still
+    * appending is invisible until its '\n' lands, so a batch can never read
+    * a torn prefix of an in-flight record (and the record is delivered
+    * whole by a later batch — counting the partial would permanently skip
+    * its completion). This is why `bytePos` is always publishable: the
+    * offset boundary is by construction a line boundary.
+    *
+    * Truncation (size < last seen position) resets the state and rescans.
+    * In-place rotation to an equal-or-larger file is NOT detectable by
+    * size alone (that needs inode-level monitoring, as `tail -F` does) —
+    * out of scope for this file-log analog of the binlog, where positions
+    * only grow.
     */
   final class Tail(path: String) {
     private var completeLines = 0L // lines terminated by '\n'
@@ -94,15 +102,14 @@ object CdcFileSource {
 
     def bytesScanned: Long = scanned
 
-    /** Current end of the log as (line count, byte offset where the next
-      * complete line starts; -1 when a partial trailing line makes the
-      * byte position of "line N" not yet knowable).
+    /** Current end of the log as (terminated-line count, byte offset just
+      * past the last terminator — where line N starts).
       */
     def poll(): (Long, Long) = synchronized {
       val p = Paths.get(path)
-      if (!Files.exists(p)) return (0L, -1L)
+      if (!Files.exists(p)) return (0L, 0L)
       val size = Files.size(p)
-      if (size < byteAfterNl) { completeLines = 0L; byteAfterNl = 0L } // rotated/truncated
+      if (size < byteAfterNl) { completeLines = 0L; byteAfterNl = 0L } // truncated
       if (size > byteAfterNl) {
         val in = Files.newInputStream(p)
         try {
@@ -126,8 +133,43 @@ object CdcFileSource {
           }
         } finally in.close()
       }
-      if (size > byteAfterNl) (completeLines + 1, -1L) else (completeLines, byteAfterNl)
+      (completeLines, byteAfterNl)
     }
+  }
+
+  /** Byte offset just past the `n`th '\n' at or after `fromByte` — maps an
+    * admission-capped line offset back to a byte position so every batch of
+    * a large backlog drain seeks instead of line-skipping from the file
+    * head (which would be O(backlog²) cumulative). Returns -1 if fewer
+    * than `n` newlines exist past `fromByte`.
+    */
+  def byteAfterNewlines(path: String, fromByte: Long, n: Long): Long = {
+    if (n <= 0) return fromByte
+    val in = Files.newInputStream(Paths.get(path))
+    try {
+      var toSkip = fromByte
+      while (toSkip > 0) {
+        val s = in.skip(toSkip)
+        if (s <= 0) toSkip = 0 else toSkip -= s
+      }
+      val buf = new Array[Byte](64 * 1024)
+      var readPos = fromByte
+      var seen = 0L
+      var r = in.read(buf)
+      while (r > 0) {
+        var i = 0
+        while (i < r) {
+          if (buf(i) == '\n') {
+            seen += 1
+            if (seen == n) return readPos + i + 1
+          }
+          i += 1
+        }
+        readPos += r
+        r = in.read(buf)
+      }
+      -1L
+    } finally in.close()
   }
 
   /** Open a lazy reader over lines [from, until) starting at a known byte
@@ -168,6 +210,19 @@ final case class CdcOffset(pos: Long, bytePos: Long = -1L) extends Offset {
   override def json(): String =
     if (bytePos >= 0) s"""{"pos":$pos,"bytePos":$bytePos}"""
     else s"""{"pos":$pos}"""
+}
+
+object CdcOffset {
+  /** The single wire-format parser — used by both the engine checkpoint
+    * restore and the dual-written position mirror, so the format cannot
+    * drift between the two.
+    */
+  def parse(json: String): Option[CdcOffset] = {
+    val pos = """"pos"\s*:\s*(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+    val bytePos = """"bytePos"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    pos.map(CdcOffset(_, bytePos))
+  }
 }
 
 class CdcFileTable(path: String) extends Table with SupportsRead {
@@ -240,28 +295,30 @@ class CdcFileMicroBatchStream(path: String, maxLinesPerBatch: Option[Long] = Non
   /** Admission control (backpressure): honor `maxLinesPerBatch` so a large
     * backlog drains in bounded micro-batches instead of one giant one —
     * the knob that keeps recovery-from-far-behind from OOMing a batch.
-    * A capped offset's byte position is unknown (we count lines, not map
-    * line→byte mid-file), so the next batch falls back to the line skip.
+    * The capped offset's byte position is recovered by scanning just the
+    * capped span from the start offset's byte — every batch of a backlog
+    * drain stays a seek + O(batch) read, not a line skip from the file
+    * head (which would be O(backlog²) cumulative across the drain).
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val end = latestOffset().asInstanceOf[CdcOffset]
+    val s = start.asInstanceOf[CdcOffset]
     limit match {
-      case m: ReadMaxRows if start.asInstanceOf[CdcOffset].pos + m.maxRows() < end.pos =>
-        CdcOffset(start.asInstanceOf[CdcOffset].pos + m.maxRows())
+      case m: ReadMaxRows if s.pos + m.maxRows() < end.pos =>
+        val cappedByte =
+          if (s.bytePos >= 0)
+            CdcFileSource.byteAfterNewlines(path, s.bytePos, m.maxRows())
+          else -1L // legacy checkpoint without byte position: reader line-skips
+        CdcOffset(s.pos + m.maxRows(), cappedByte)
       case _ => end
     }
   }
   override def getDefaultReadLimit: ReadLimit =
     maxLinesPerBatch.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
   override def reportLatestOffset(): Offset = latestOffset()
-  override def deserializeOffset(json: String): Offset = {
-    val pos = """"pos"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
-      .map(_.group(1).toLong)
+  override def deserializeOffset(json: String): Offset =
+    CdcOffset.parse(json)
       .getOrElse(throw new IllegalArgumentException(s"bad offset: $json"))
-    val bytePos = """"bytePos"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
-      .map(_.group(1).toLong).getOrElse(-1L)
-    CdcOffset(pos, bytePos)
-  }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[CdcOffset], end.asInstanceOf[CdcOffset])
     if (e.pos <= s.pos) Array.empty

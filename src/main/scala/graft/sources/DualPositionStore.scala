@@ -19,17 +19,24 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   */
 final class DualPositionStore(primary: Path, secondary: Path) {
 
-  private def writeOne(target: Path, json: String): Boolean =
+  private def writeOne(target: Path, json: String): Boolean = {
+    var tmp: Path = null
     try {
       if (target.getParent != null) Files.createDirectories(target.getParent)
-      val tmp = Files.createTempFile(
+      tmp = Files.createTempFile(
         if (target.getParent != null) target.getParent else target.toAbsolutePath.getParent,
         ".pos-", ".tmp")
       Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
       true
-    } catch { case _: Exception => false }
+    } catch {
+      case _: Exception =>
+        // don't leak one temp file per failed commit
+        if (tmp != null) { try Files.deleteIfExists(tmp) catch { case _: Exception => () } }
+        false
+    }
+  }
 
   /** Write the position to both stores; succeeds if EITHER write lands
     * (degraded mode keeps running on one store, like the reference when
@@ -43,13 +50,8 @@ final class DualPositionStore(primary: Path, secondary: Path) {
   private def readOne(target: Path): Option[CdcOffset] =
     try {
       if (!Files.exists(target)) None
-      else {
-        val json = new String(Files.readAllBytes(target), StandardCharsets.UTF_8)
-        val pos = """"pos"\s*:\s*(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
-        val bytePos = """"bytePos"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
-          .map(_.group(1).toLong).getOrElse(-1L)
-        pos.map(CdcOffset(_, bytePos))
-      }
+      else CdcOffset.parse(
+        new String(Files.readAllBytes(target), StandardCharsets.UTF_8))
     } catch { case _: Exception => None }
 
   /** Freshest readable position, from whichever copies survive; None only

@@ -20,10 +20,19 @@ import scala.jdk.CollectionConverters._
 trait QueueClient {
   def enqueue(group: String, payload: String): Unit
   /** Make everything enqueued so far durable/visible. Called once per
-    * partition task; a crash before close() re-runs the Spark task, so
-    * visibility-on-close is what makes delivery at-least-once, not at-most.
+    * SUCCESSFUL partition task; a crash before close() re-runs the Spark
+    * task, so visibility-on-close is what makes delivery at-least-once,
+    * not at-most.
     */
   def close(): Unit
+  /** Discard everything enqueued so far — called when the partition task
+    * FAILS, so a half-written attempt is never published (Spark's retry
+    * produces the complete segment instead). Impls whose enqueue is
+    * immediately visible (the in-process test queue) cannot un-publish;
+    * there abort is a no-op and retries surface as at-least-once
+    * duplicates, which the delivery contract already tolerates.
+    */
+  def abort(): Unit = ()
 }
 
 trait DurableQueue extends Serializable {
@@ -95,6 +104,10 @@ final case class FileQueue(dir: String) extends DurableQueue {
         Files.move(tmp, seg, StandardCopyOption.ATOMIC_MOVE)
       } else Files.deleteIfExists(tmp)
     }
+    override def abort(): Unit = if (out != null) {
+      try out.close() catch { case _: IOException => () }
+      Files.deleteIfExists(tmp); ()
+    }
   }
 
   private def segments: Seq[Path] =
@@ -107,6 +120,19 @@ final case class FileQueue(dir: String) extends DurableQueue {
     }
 
   override def drain(handle: (String, String) => Unit): Long = {
+    // Sweep temp files orphaned by a JVM crash between createTempFile and
+    // close/abort: anything still .tmp-* after 15 minutes is dead — live
+    // writers publish within a micro-batch. (Task-FAILURE leftovers are
+    // handled deterministically by abort(); this catches process death.)
+    if (Files.isDirectory(dirPath)) {
+      val cutoff = System.currentTimeMillis() - 15 * 60 * 1000
+      val s = Files.list(dirPath)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".tmp-"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .foreach(p => try Files.deleteIfExists(p) catch { case _: IOException => () })
+      finally s.close()
+    }
     var n = 0L
     segments.foreach { seg =>
       val lines = Files.lines(seg, StandardCharsets.UTF_8)

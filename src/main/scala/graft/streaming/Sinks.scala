@@ -62,8 +62,13 @@ object Sinks {
   def queueDeliverBatch(batch: DataFrame, q: DurableQueue = InProcessQueue): Unit =
     batch.select(col("group"), col("payload")).foreachPartition { rows: Iterator[Row] =>
       val c = q.client()
-      try rows.foreach(r => c.enqueue(r.getString(0), r.getString(1)))
-      finally c.close()
+      // Publish only on success: a failed task aborts its half-written
+      // segment and lets Spark's retry produce the complete one, so the
+      // drain never sees data from an attempt that did not finish.
+      try {
+        rows.foreach(r => c.enqueue(r.getString(0), r.getString(1)))
+        c.close()
+      } catch { case e: Throwable => c.abort(); throw e }
     }
 
   /** Dead-letter queue for fixed-mode delivery: failed POSTs (transport

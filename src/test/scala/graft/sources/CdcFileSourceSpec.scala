@@ -110,16 +110,36 @@ class CdcFileSourceSpec extends SparkSuite {
       { val r = CdcFileSource.openLinesAt(log.toString, 1000, 1002, size)
         try r.iterator.toVector finally r.close() })
 
-    // A partial trailing line counts as a line (Files.lines semantics) but
-    // publishes no byte position; completing it converges the count.
+    // A partial trailing line is INVISIBLE until terminated — offering it
+    // as an offset would deliver a torn prefix of an in-flight record and
+    // then never re-read its completion. The offset holds at the last
+    // clean boundary; the '\n' makes the whole record appear at once.
     Files.write(log, "{\"partial".getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.APPEND)
     val partial = stream.latestOffset().asInstanceOf[CdcOffset]
-    assert(partial.pos == 1003 && partial.bytePos == -1L)
+    assert(partial.pos == 1002 && partial.bytePos == grown)
     Files.write(log, "\":1}\n".getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.APPEND)
     val completed = stream.latestOffset().asInstanceOf[CdcOffset]
     assert(completed.pos == 1003 && completed.bytePos == Files.size(log))
+  }
+
+  test("admission-capped offsets keep a byte position (backlog drain stays O(backlog))") {
+    val log = Files.createTempFile("cdc_log_cap", ".jsonl")
+    append(log, (1 to 10).map(i => line("orders", "insert", i % 10)): _*)
+    val stream = new CdcFileMicroBatchStream(log.toString, maxLinesPerBatch = Some(4))
+    val start = CdcOffset(0L, 0L)
+    val capped = stream.latestOffset(start,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(4L))
+      .asInstanceOf[CdcOffset]
+    assert(capped.pos == 4)
+    assert(capped.bytePos == CdcFileSource.byteAfterNewlines(log.toString, 0L, 4L))
+    assert(capped.bytePos > 0)
+    // the capped offset chains: next batch seeks from it, no skip from 0
+    val capped2 = stream.latestOffset(capped,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(4L))
+      .asInstanceOf[CdcOffset]
+    assert(capped2.pos == 8 && capped2.bytePos > capped.bytePos)
   }
 
   test("dual position store survives loss or corruption of either copy") {

@@ -29,12 +29,14 @@ class TailPropertySpec extends AnyFunSuite {
 
   private val appendScript: Gen[List[String]] = Gen.listOfN(12, chunk)
 
-  private def truth(path: java.nio.file.Path): Long = {
-    val s = Files.lines(path, StandardCharsets.UTF_8)
-    try s.count() finally s.close()
-  }
+  /** Ground truth: TERMINATED lines only — the source's offset contract
+    * (a partial trailing line a writer is still appending is invisible
+    * until its '\n' lands, so no batch can read a torn record prefix).
+    */
+  private def truth(path: java.nio.file.Path): Long =
+    Files.readAllBytes(path).count(_ == '\n'.toByte).toLong
 
-  test("property: poll() == Files.lines count after every append, O(new bytes) scanning") {
+  test("property: poll() == terminated-line count after every append, O(new bytes) scanning") {
     samples(appendScript, 120).foreach { script =>
       val log = Files.createTempFile("tail_prop", ".log")
       try {
@@ -43,17 +45,14 @@ class TailPropertySpec extends AnyFunSuite {
           Files.write(log, c.getBytes(StandardCharsets.UTF_8), StandardOpenOption.APPEND)
           val (pos, bytePos) = tail.poll()
           assert(pos == truth(log), s"script=${script.map(_.replace("\n", "\\n"))}")
-          // bytePos is published only when no partial trailing line exists,
-          // and then it must be exactly the file size.
-          val size = Files.size(log)
-          val endsClean = size == 0 ||
-            Files.readAllBytes(log).last == '\n'.toByte
-          if (endsClean) assert(bytePos == size) else assert(bytePos == -1L)
+          // bytePos is always a clean line boundary: just past the last '\n'
+          assert(bytePos == lastByteAfterNl(log))
           // polling again without appends reads nothing beyond the partial tail
+          val size = Files.size(log)
           val before = tail.bytesScanned
           tail.poll(); tail.poll()
           val rescan = tail.bytesScanned - before
-          val partial = if (endsClean) 0L else size - lastByteAfterNl(log)
+          val partial = size - lastByteAfterNl(log)
           assert(rescan == 2 * partial,
             s"idle polls rescanned $rescan bytes (partial tail = $partial)")
         }

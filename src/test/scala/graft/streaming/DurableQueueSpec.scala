@@ -111,6 +111,25 @@ class DurableQueueSpec extends SparkSuite {
       Seq(("grp_sales", """{"i":3}""")))
   }
 
+  test("a failed partition task publishes nothing (abort discards the half segment)") {
+    import spark.implicits._
+    val qdir = Files.createTempDirectory("graft_fq5").toString
+    val q = FileQueue(qdir)
+    val batch = CdcPipeline.transform(fixture.toDF(), cfg)
+      .withColumn("payload",
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("table") === "customer",
+          org.apache.spark.sql.functions.lit(null).cast("string"))
+          .otherwise(org.apache.spark.sql.functions.col("payload")))
+      .coalesce(1) // one partition → the null row fails THE task that also
+                   // enqueued the two valid rows before it
+    intercept[Exception] { Sinks.queueDeliverBatch(batch, q) }
+    // the failed attempt's partial segment must NOT be visible
+    assert(q.pending == 0, "failed task published a partial segment")
+    val leftovers = Files.list(Paths.get(qdir)).iterator().asScala.toSeq
+    assert(leftovers.forall(!_.getFileName.toString.startsWith("q-")), leftovers.toString)
+  }
+
   test("empty partitions publish no segments; enqueue is partition-local") {
     import spark.implicits._
     val qdir = Files.createTempDirectory("graft_fq3").toString

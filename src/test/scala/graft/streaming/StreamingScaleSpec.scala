@@ -30,7 +30,7 @@ class StreamingScaleSpec extends SparkSuite {
       .limit(10000)
       .collect().map(_.getString(0))
     val log = Files.createTempFile("cdc_scale_log", ".jsonl")
-    Files.write(log, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(log, (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
 
     val expected = lines.count { l =>
       CdcQueries.tableToGroup.keys.exists(t => l.contains(s""""table":"$t""""))
@@ -66,7 +66,7 @@ class StreamingScaleSpec extends SparkSuite {
       .limit(10000)
       .collect().map(_.getString(0))
     val log = Files.createTempFile("cdc_dq_log", ".jsonl")
-    Files.write(log, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(log, (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     val expected = lines.count { l =>
       CdcQueries.tableToGroup.keys.exists(t => l.contains(s""""table":"$t""""))
     }
