@@ -85,6 +85,23 @@ object Demo {
       drain.awaitTermination()
       println(s"after queue drain delivered total=${sink.captured.size}")
 
+      // rotating file set (the reference's real binlog shape: {name, pos}
+      // over mysql-bin.000001, 000002, ...): both files drain in order
+      val logDir = Files.createTempDirectory("demo_cdc_logs")
+      Files.writeString(logDir.resolve("log.000001.jsonl"),
+        """{"table":"orders","op":"insert","after":{"id":"20"},"ts":"2024-01-01T00:00:03"}
+          |""".stripMargin)
+      Files.writeString(logDir.resolve("log.000002.jsonl"),
+        """{"table":"orders","op":"insert","after":{"id":"21"},"ts":"2024-01-01T00:00:04"}
+          |{"table":"customer","op":"insert","after":{"id":"22"},"ts":"2024-01-01T00:00:05"}
+          |""".stripMargin)
+      val dirSrc = spark.readStream.format(classOf[graft.sources.CdcLogDirSource].getName)
+        .option("path", logDir.toString).load()
+      val ckpt4 = Files.createTempDirectory("graft_demo_dir_ckpt").toString
+      Sinks.runToCompletion(Sinks.dualSink(
+        CdcPipeline.transform(CdcPipeline.parseLines(dirSrc), cfg), sink.url, ckpt4))
+      println(s"rotating-set delivered total=${sink.captured.size}")
+
       // custom keyed state: flatMapGroupsWithState sessionization
       val sess = MemoryStream[Sessionize.Event]
       sess.addData(
