@@ -336,18 +336,27 @@ final case class CdcRangePartition(path: String, from: Long, until: Long,
     fromByte: Long = -1L) extends InputPartition
 
 object CdcReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[CdcRangePartition]
+
+  /** Shared partition-reader body for the single-file and directory
+    * sources: seek when a byte position is known, line-skip otherwise.
+    */
+  private[sources] def rangeReader(path: String, from: Long, until: Long,
+      fromByte: Long)(toRow: (String, Long) => InternalRow): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val range =
-        if (p.fromByte >= 0) CdcFileSource.openLinesAt(p.path, p.from, p.until, p.fromByte)
-        else CdcFileSource.openLines(p.path, p.from, p.until)
+        if (fromByte >= 0) CdcFileSource.openLinesAt(path, from, until, fromByte)
+        else CdcFileSource.openLines(path, from, until)
       private val it = range.iterator
       private var cur: (String, Long) = _
       override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
-      override def get(): InternalRow =
-        InternalRow(UTF8String.fromString(cur._1), cur._2)
+      override def get(): InternalRow = toRow(cur._1, cur._2)
       override def close(): Unit = range.close()
+    }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CdcRangePartition]
+    rangeReader(p.path, p.from, p.until, p.fromByte) { (line, pos) =>
+      InternalRow(UTF8String.fromString(line), pos)
     }
   }
 }

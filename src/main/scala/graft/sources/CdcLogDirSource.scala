@@ -68,9 +68,11 @@ object CdcLogDirSource {
 
 final case class CdcDirOffset(name: String, pos: Long, bytePos: Long = -1L)
     extends Offset {
-  override def json(): String =
-    if (bytePos >= 0) s"""{"name":"$name","pos":$pos,"bytePos":$bytePos}"""
-    else s"""{"name":"$name","pos":$pos}"""
+  override def json(): String = {
+    val n = CdcDirOffset.escape(name)
+    if (bytePos >= 0) s"""{"name":"$n","pos":$pos,"bytePos":$bytePos}"""
+    else s"""{"name":"$n","pos":$pos}"""
+  }
 
   /** Rotation order: by file name, then line. */
   def isBefore(o: CdcDirOffset): Boolean =
@@ -78,8 +80,17 @@ final case class CdcDirOffset(name: String, pos: Long, bytePos: Long = -1L)
 }
 
 object CdcDirOffset {
+  // File names are arbitrary POSIX strings — a quote or backslash in one
+  // must survive the checkpoint JSON round trip or a restart resumes from
+  // a truncated name (re-reading or skipping whole files).
+  private[sources] def escape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def unescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
   def parse(json: String): Option[CdcDirOffset] = {
-    val name = """"name"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+    val name = """"name"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
+      .map(m => unescape(m.group(1)))
     val pos = """"pos"\s*:\s*(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
     val bytePos = """"bytePos"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toLong).getOrElse(-1L)
@@ -101,10 +112,13 @@ class CdcLogDirTable(dir: String) extends Table with SupportsRead {
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new CdcLogDirMicroBatchStream(dir, maxLines)
         override def toBatch: Batch = new Batch {
+          // Whole-file batch reads need no line counts: an unbounded range
+          // lets each executor read its file to EOF, so the driver never
+          // pre-scans the data just to plan (batch semantics match
+          // CdcFileSource's: the file at rest, trailing partial included).
           override def planInputPartitions(): Array[InputPartition] =
             CdcLogDirSource.listLogs(dir).map { f =>
-              val (lines, _) = new CdcFileSource.Tail(s"$dir/$f").poll()
-              CdcDirRangePartition(dir, f, 0L, lines, 0L): InputPartition
+              CdcDirRangePartition(dir, f, 0L, Long.MaxValue, 0L): InputPartition
             }.toArray
           override def createReaderFactory(): PartitionReaderFactory =
             CdcDirReaderFactory
@@ -128,16 +142,21 @@ class CdcLogDirMicroBatchStream(dir: String, maxLinesPerBatch: Option[Long] = No
   private var scannedSealed = 0L
 
   /** Total bytes ever scanned for offset discovery (test surface). */
-  def bytesScanned: Long =
+  def bytesScanned: Long = synchronized {
     scannedSealed + current.map(_._2.bytesScanned).getOrElse(0L)
+  }
 
-  private def sealedCount(name: String): Long =
+  // Synchronized like pollEnd: planInputPartitions/cappedEnd also call
+  // this, and scannedSealed/current must not tear against a concurrent
+  // progress-reporting poll.
+  private def sealedCount(name: String): Long = synchronized {
     sealedCounts.computeIfAbsent(name, { n =>
       val t = new CdcFileSource.Tail(s"$dir/$n")
       val (lines, _) = t.poll()
       scannedSealed += t.bytesScanned
       lines
     })
+  }
 
   private def pollEnd(): CdcDirOffset = synchronized {
     val files = CdcLogDirSource.listLogs(dir)
@@ -153,7 +172,6 @@ class CdcLogDirMicroBatchStream(dir: String, maxLinesPerBatch: Option[Long] = No
           val (lines, _) = tail.poll()
           scannedSealed += tail.bytesScanned
           sealedCounts.put(name, lines)
-          current = None
         }
         // files that appeared and were already rotated past: seal lazily
         val tail = new CdcFileSource.Tail(s"$dir/$newest")
@@ -187,7 +205,6 @@ class CdcLogDirMicroBatchStream(dir: String, maxLinesPerBatch: Option[Long] = No
     var remaining = maxRows
     val files = CdcLogDirSource.listLogs(dir)
       .filter(f => f >= start.name && f <= end.name)
-      .filter(f => start.name.isEmpty || f >= start.name)
     var fromPos = if (files.headOption.contains(start.name)) start.pos else 0L
     var fromByte = if (files.headOption.contains(start.name)) start.bytePos else 0L
     for (f <- files) {
@@ -240,18 +257,9 @@ final case class CdcDirRangePartition(dir: String, file: String, from: Long,
 object CdcDirReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdcDirRangePartition]
-    val path = s"${p.dir}/${p.file}"
-    new PartitionReader[InternalRow] {
-      private val range =
-        if (p.fromByte >= 0) CdcFileSource.openLinesAt(path, p.from, p.until, p.fromByte)
-        else CdcFileSource.openLines(path, p.from, p.until)
-      private val it = range.iterator
-      private var cur: (String, Long) = _
-      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
-      override def get(): InternalRow =
-        InternalRow(UTF8String.fromString(cur._1), cur._2,
-          UTF8String.fromString(p.file))
-      override def close(): Unit = range.close()
+    val fileName = UTF8String.fromString(p.file)
+    CdcReaderFactory.rangeReader(s"${p.dir}/${p.file}", p.from, p.until, p.fromByte) {
+      (line, pos) => InternalRow(UTF8String.fromString(line), pos, fileName)
     }
   }
 }

@@ -90,13 +90,19 @@ object CdcPipeline {
   /** Parse `CdcFileSource` output (`line STRING, pos BIGINT`) into the
     * change-event columns `transform` expects; malformed lines → null table,
     * dropped by the route filter (fixing the reference's queue-worker panic,
-    * hazard H7).
+    * hazard H7). A `file` column (the rotating `CdcLogDirSource`) is
+    * passed through: after rotation, `pos` alone is ambiguous — line 0
+    * exists in every log file — so cross-rotation ordering and any
+    * position-keyed dedup must use (file, pos).
     */
-  def parseLines(df: DataFrame): DataFrame =
+  def parseLines(df: DataFrame): DataFrame = {
+    val carry = Seq(col("pos")) ++
+      (if (df.columns.contains("file")) Seq(col("file")) else Seq.empty)
     df.withColumn("e", from_json(col("line"), wireSchema))
-      .select(col("e.table").as("table"), col("e.op").as("op"),
+      .select(Seq(col("e.table").as("table"), col("e.op").as("op"),
         col("e.before").as("before"), col("e.after").as("after"),
-        col("e.ts").as("ts"), col("pos"))
+        col("e.ts").as("ts")) ++ carry: _*)
+  }
 
   /** The typed consumption edge (SURVEY §1.1/§1.3): project one table's
     * envelopes into typed columns. The canonical stream stays schema-free

@@ -115,6 +115,27 @@ class CdcLogDirSourceSpec extends SparkSuite {
       Seq(("a.jsonl", 2L, 3L), ("b.jsonl", 0L, 1L)))
   }
 
+  test("offset JSON round-trips exotic file names; pipeline keeps (file, pos)") {
+    // names with a quote/backslash must survive the checkpoint round trip
+    val weird = CdcDirOffset("""my"log\1.jsonl""", 7L, 123L)
+    assert(CdcDirOffset.parse(weird.json()).contains(weird))
+    assert(CdcDirOffset.parse("""{"name":"a.jsonl","pos":3}""")
+      .contains(CdcDirOffset("a.jsonl", 3L, -1L)))
+
+    // parseLines passes `file` through: after rotation pos alone is
+    // ambiguous (line 0 exists in every file) — (file, pos) is the key
+    val dir = Files.createTempDirectory("cdc_dir_key")
+    append(dir, "log.000001.jsonl", line("orders", 1))
+    append(dir, "log.000002.jsonl", line("orders", 2))
+    val parsed = CdcPipeline.parseLines(
+      spark.read.format(classOf[CdcLogDirSource].getName)
+        .option("path", dir.toString).load())
+    assert(parsed.columns.contains("file") && parsed.columns.contains("pos"))
+    val keys = CdcPipeline.transform(parsed, cfg)
+      .select("file", "pos").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(keys == Set(("log.000001.jsonl", 0L), ("log.000002.jsonl", 0L)))
+  }
+
   test("batch read spans all files with per-file positions") {
     val dir = Files.createTempDirectory("cdc_dir_batch")
     append(dir, "a.jsonl", line("orders", 1), line("orders", 2))
