@@ -143,18 +143,50 @@ object VectorQueries {
         .orderBy("l_linestatus")
     })
 
-  /** IVF-style ANN (no oracle — recall property-tested): a fixed coarse
-    * quantizer (every 50th vector is a "centroid"), each vector assigned to
-    * its nearest centroid cell, queries probe their nProbe=4 nearest cells
-    * and rank candidates exactly. At 100 TB: centroids broadcast, cell
-    * assignment is one narrow pass, the search joins on cell id — the
-    * shuffle shrinks from all-pairs to per-probed-cell.
+  /** Spherical k-means coarse quantizer (Lloyd's): init = every 50th
+    * vector, then `iters` rounds of assign-by-cosine + per-dimension mean.
+    * Deterministic across runs: the means are rounded to a fixed 1e-4 grid
+    * before use, so float summation order (shuffle-dependent) cannot
+    * perturb the learned codebook. The codebook is tiny — localCheckpoint
+    * materializes each round once and keeps the loop's plan flat; at
+    * 100 TB the assignment pass is the only full scan per round and the
+    * codebook always broadcasts.
+    */
+  private def kmeansCentroids(e: DataFrame, iters: Int): DataFrame = {
+    var cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val sim = dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))
+      val w = Window.partitionBy("vec_id").orderBy(round(sim, 6).desc, col("c_id"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") === 1)
+        .select(col("c_id"), col("embedding"))
+      cents = assigned
+        .select(col("c_id"), posexplode(col("embedding")))
+        .groupBy("c_id", "pos").agg(avg(col("col")).as("m"))
+        .groupBy("c_id")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(pos, m))), x -> CAST(round(x.m, 4) AS float))")
+          .as("ce"))
+        .withColumn("cn", l2(col("ce")))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** IVF ANN (no oracle — recall property-tested): a k-means-trained
+    * coarse quantizer, each vector assigned to its nearest centroid cell,
+    * queries probe their nProbe=4 nearest cells and rank candidates
+    * exactly. At 100 TB: centroids broadcast, cell assignment is one
+    * narrow pass, the search joins on cell id — the shuffle shrinks from
+    * all-pairs to per-probed-cell.
     */
   private def ivfQuery(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
-    val cents = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val cents = kmeansCentroids(e, iters = 3)
     val sim = dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))
     def nearestCells(df: DataFrame, n: Int): DataFrame = {
       val w = Window.partitionBy("vec_id").orderBy(round(sim, 6).desc, col("c_id"))
