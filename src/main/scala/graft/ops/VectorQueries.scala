@@ -183,10 +183,19 @@ object VectorQueries {
     * narrow pass, the search joins on cell id — the shuffle shrinks from
     * all-pairs to per-probed-cell.
     */
+  // The trained codebook is an INDEX artifact — in a vector store it is
+  // built once and served to every query, so it is cached per (session,
+  // data dir) exactly like the dedup family's shingle set. Entries of
+  // stopped sessions are dropped lazily.
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def ivfQuery(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
-    val cents = kmeansCentroids(e, iters = 3)
+    codebookCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val cents = codebookCache.computeIfAbsent((s, dir),
+      _ => kmeansCentroids(e, iters = 3))
     val sim = dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))
     def nearestCells(df: DataFrame, n: Int): DataFrame = {
       val w = Window.partitionBy("vec_id").orderBy(round(sim, 6).desc, col("c_id"))
