@@ -32,6 +32,7 @@ object Bench {
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark)
     // Warm the session (scheduler, codegen, parquet reader) against the SAME
     // sfDir the timed queries read. A warmup failure must not kill the bench
     // before it emits its JSON line — log and continue (the timed run of the

@@ -16,6 +16,7 @@ object Plans {
     Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark)
     val names = if (args.nonEmpty) args.toSeq
     else Seq("q1_agg", "join_inner3", "join_broadcast", "sort_topk",
       "cdc_action_filter", "sim_cosine_topk", "window_tumbling")

@@ -22,7 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
-    ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+    GraftExtensions.rules.foreach(r => ext.injectOptimizerRule(_ => r))
   }
 }
 
@@ -50,11 +50,18 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(s"k must be an integral literal, got $other")
       })))
 
+  /** The engine's optimizer rules (also injected by the extensions path). */
+  val rules: Seq[org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    Seq(RewriteHofDotProduct, RewriteInlineMapHof)
+
   /** Register on an already-running session (the config path above only
     * applies at session construction).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     all.foreach { case (name, builder) =>
       org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, name, builder)
     }
+    spark.experimental.extraOptimizations = rules
+  }
 }
