@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     GraftExtensions.rules.foreach(r => ext.injectOptimizerRule(_ => r))
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
 
@@ -63,5 +64,6 @@ object GraftExtensions {
       org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, name, builder)
     }
     spark.experimental.extraOptimizations = rules
+    spark.experimental.extraStrategies = Seq(graft.plans.AsofJoinStrategy)
   }
 }

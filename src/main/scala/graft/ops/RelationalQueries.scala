@@ -159,6 +159,28 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // The same as-of semantics through the NATIVE operator (custom
+    // LogicalPlan + SparkStrategy + SparkPlan, graft.plans.AsofJoin): one
+    // shuffle per side on user_id, in-partition (by, on) sort, single
+    // two-pointer merge — no union, no window state. The value-IS-NOT-NULL
+    // filter on the right mirrors the emulation's IGNORE NULLS.
+    "join_asof_native" -> { (s, dir) =>
+      val purchases = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = Tables.events(s, dir) // fresh read → fresh attribute ids
+        .filter(col("event_type") === "click" && col("value").isNotNull)
+        .select(col("user_id").as("u_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_eid"), col("value").as("click_v"))
+      graft.plans.Asof.join(purchases, clicks,
+        by = Seq("user_id"), on = Seq("ts", "event_id"), exclusive = true,
+        rightBy = Seq("u_id"), rightOn = Seq("click_ts", "click_eid"))
+        .select(
+          col("event_id"), col("user_id"),
+          round(col("click_v"), 2).as("asof_click"))
+        .orderBy("event_id")
+    },
+
     // Exact distinct aggregation (expands to two-phase agg under the hood).
     "agg_count_distinct" -> { (s, dir) =>
       Tables.lineitem(s, dir)
@@ -474,6 +496,18 @@ object RelationalQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "join_asof" ->
+      """SELECT event_id, user_id, round(asof_v, 2) AS asof_click
+        |FROM (
+        |  SELECT event_id, user_id, event_type,
+        |         last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_v
+        |  FROM events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // Same result as join_asof — the native operator must be
+    // indistinguishable from the windowed emulation.
+    "join_asof_native" ->
       """SELECT event_id, user_id, round(asof_v, 2) AS asof_click
         |FROM (
         |  SELECT event_id, user_id, event_type,

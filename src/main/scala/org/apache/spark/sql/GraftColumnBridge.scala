@@ -11,6 +11,14 @@ object GraftColumnBridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Construct a DataFrame over a (possibly custom) logical plan —
+    * `Dataset.ofRows` is `private[sql]` in Spark 4.x.
+    */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a function builder on a LIVE session's registry (the
     * `spark.sql.extensions` config only applies at session construction).
     */
