@@ -19,7 +19,8 @@ object Plans {
     graft.functions.GraftExtensions.register(spark)
     val names = if (args.nonEmpty) args.toSeq
     else Seq("q1_agg", "join_inner3", "join_broadcast", "sort_topk",
-      "cdc_action_filter", "sim_cosine_topk", "window_tumbling")
+      "cdc_action_filter", "sim_cosine_topk", "window_tumbling",
+      "join_asof_native")
     names.foreach { n =>
       println(s"\n=== $n ===")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

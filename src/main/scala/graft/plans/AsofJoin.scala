@@ -49,7 +49,8 @@ case class AsofJoin(
     rightBy: Seq[AttributeReference],
     leftOn: Seq[AttributeReference],
     rightOn: Seq[AttributeReference],
-    exclusive: Boolean) extends BinaryNode {
+    exclusive: Boolean,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   // Right side is optional per left row — its columns go nullable.
   override def output: Seq[Attribute] =
@@ -69,8 +70,8 @@ case class AsofJoin(
 /** Plans [[AsofJoin]] to [[AsofJoinExec]]. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lb, rb, lo, ro, ex) =>
-      AsofJoinExec(planLater(l), planLater(r), lb, rb, lo, ro, ex) :: Nil
+    case AsofJoin(l, r, lb, rb, lo, ro, ex, tol) =>
+      AsofJoinExec(planLater(l), planLater(r), lb, rb, lo, ro, ex, tol) :: Nil
     case _ => Nil
   }
 }
@@ -91,7 +92,8 @@ case class AsofJoinExec(
     rightBy: Seq[AttributeReference],
     leftOn: Seq[AttributeReference],
     rightOn: Seq[AttributeReference],
-    exclusive: Boolean) extends BinaryExecNode {
+    exclusive: Boolean,
+    tolerance: Option[Long]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -116,6 +118,10 @@ case class AsofJoinExec(
     val rightOutput = right.output
     val allOutput = output
     val (lBy, rBy, lOn, rOn, excl) = (leftBy, rightBy, leftOn, rightOn, exclusive)
+    // Tolerance compares the FIRST on column as a long in its native unit
+    // (µs for timestamps, days for dates) — validated by Asof.join.
+    val tol = tolerance
+    val onHeadType = leftOn.head.dataType
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lByProj = UnsafeProjection.create(lBy, leftOutput)
       val rByProj = UnsafeProjection.create(rBy, rightOutput)
@@ -126,11 +132,20 @@ case class AsofJoinExec(
       val resultProj = UnsafeProjection.create(allOutput, allOutput)
       val joiner = new JoinedRow
       val nullRight = new GenericInternalRow(rightOutput.size)
+      // Native-unit long view of the first on column, for tolerance checks.
+      import org.apache.spark.sql.types.{DateType, IntegerType}
+      def onHeadLong(onRow: InternalRow): Option[Long] =
+        if (onRow.isNullAt(0)) None
+        else onHeadType match {
+          case DateType | IntegerType => Some(onRow.getInt(0).toLong)
+          case _ => Some(onRow.getLong(0))
+        }
       val rBuf = rIter.buffered
       // Latest right row whose (by, on) precedes the current left row, plus
       // a copy of its by-key: a key change on the left invalidates it.
       var candidate: InternalRow = null
       var candidateKey: UnsafeRow = null
+      var candidateOnHead: Option[Long] = None
       lIter.map { lRow =>
         val lKey = lByProj(lRow)
         val lTime = lOnProj(lRow)
@@ -140,16 +155,24 @@ case class AsofJoinExec(
           if (keyCmp < 0) {
             rBuf.next() // behind every remaining left key — discard
           } else if (keyCmp == 0) {
-            val onCmp = onOrd.compare(rOnProj(rBuf.head), lTime)
+            val rTime = rOnProj(rBuf.head)
+            val onCmp = onOrd.compare(rTime, lTime)
             if (onCmp < 0 || (onCmp == 0 && !excl)) {
               // Shuffle iterators reuse row objects — buffer a copy.
+              candidateOnHead = onHeadLong(rTime)
               candidate = rBuf.next().copy()
               candidateKey = lKey.copy()
             } else scan = false // too late for this left row; keep for later ones
           } else scan = false // right has moved to a later key group
         }
         val matched = candidate != null && candidateKey != null &&
-          byOrd.compare(candidateKey, lKey) == 0
+          byOrd.compare(candidateKey, lKey) == 0 &&
+          tol.forall(t => (candidateOnHead, onHeadLong(lTime)) match {
+            // The buffered candidate is the CLOSEST preceding row, so if it
+            // is out of tolerance every earlier one is too — no match.
+            case (Some(c), Some(l)) => l - c <= t
+            case _ => false // undefined distance (null on value) never matches
+          })
         resultProj(joiner(lRow, if (matched) candidate else nullRight))
       }
     }
@@ -167,6 +190,11 @@ object Asof {
     * duplicate names would be ambiguous downstream). The sides must not
     * share attribute ids — read the right side independently (a fresh
     * `spark.read`) or alias its columns.
+    *
+    * `tolerance` (pandas merge_asof's knob) bounds how far back a match
+    * may reach, as `left.on - right.on <= tolerance` on the FIRST `on`
+    * column in its native unit (µs for timestamps, days for dates); a
+    * too-distant or null-timed candidate yields the null row instead.
     */
   def join(
       left: DataFrame,
@@ -175,7 +203,8 @@ object Asof {
       on: Seq[String],
       exclusive: Boolean = false,
       rightBy: Seq[String] = Nil,
-      rightOn: Seq[String] = Nil): DataFrame = {
+      rightOn: Seq[String] = Nil,
+      tolerance: Option[Long] = None): DataFrame = {
     val rBy = if (rightBy.isEmpty) by else rightBy
     val rOn = if (rightOn.isEmpty) on else rightOn
     require(rBy.size == by.size && rOn.size == on.size,
@@ -196,10 +225,19 @@ object Asof {
         case a: AttributeReference if a.name == name => a
       }.getOrElse(throw new IllegalArgumentException(
         s"$side side has no column '$name' (has: ${plan.output.map(_.name).mkString(", ")})"))
+    val lOnAttrs = on.map(resolve(lp, "left"))
+    tolerance.foreach { t =>
+      require(t >= 0, s"tolerance must be non-negative, got $t")
+      import org.apache.spark.sql.types._
+      val dt = lOnAttrs.head.dataType
+      require(Seq(LongType, IntegerType, DateType, TimestampType,
+        TimestampNTZType).contains(dt),
+        s"tolerance needs a long-comparable first on column, got $dt")
+    }
     GraftColumnBridge.ofRows(left.sparkSession, AsofJoin(
       lp, rp,
       by.map(resolve(lp, "left")), rBy.map(resolve(rp, "right")),
-      on.map(resolve(lp, "left")), rOn.map(resolve(rp, "right")),
-      exclusive))
+      lOnAttrs, rOn.map(resolve(rp, "right")),
+      exclusive, tolerance))
   }
 }

@@ -65,6 +65,57 @@ class AsofJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(shuffles.size <= 3, s"unexpected shuffles:\n$plan")
   }
 
+  test("tolerance bounds the lookback; null-timed candidates never match") {
+    def joined(tol: Option[Long]): Map[Int, Option[Double]] = collectMatches(
+      Asof.join(leftDf, rightDf,
+        by = Seq("k"), on = Seq("t"), exclusive = true,
+        rightBy = Seq("rk"), rightOn = Seq("rt"), tolerance = tol))
+    // a@20's closest earlier click is a@15 (Δ5): in at tol=5, out at tol=4
+    // — and an out-of-tolerance closest means NO earlier row can match.
+    assert(joined(Some(5L))(101) == Some(2.0))
+    assert(joined(Some(4L))(101) == None)
+    assert(joined(Some(0L))(100) == None) // a@10 ← a@5 is Δ5
+    val nullTimed = Seq(("a", Option.empty[Long], 0.5)).toDF("rk", "rt", "v")
+      .union(rightDf.select(col("rk"), col("rt").cast("long"), col("v")))
+    val out = collectMatches(Asof.join(leftDf, nullTimed,
+      by = Seq("k"), on = Seq("t"), exclusive = true,
+      rightBy = Seq("rk"), rightOn = Seq("rt"), tolerance = Some(1000L)))
+    assert(out(100) == Some(1.0)) // the null-timed row sorts first, is
+    // superseded by a@5, and never wins under tolerance
+    intercept[IllegalArgumentException] {
+      Asof.join(leftDf, rightDf, by = Seq("k"), on = Seq("t"),
+        rightBy = Seq("rk"), rightOn = Seq("rt"), tolerance = Some(-1L))
+    }
+  }
+
+  test("streaming: micro-batch as-of enrichment against a static right side") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(String, Long, Int)]
+    val collected = scala.collection.mutable.ArrayBuffer[(Int, Option[Double])]()
+    val q = stream.toDF().toDF("k", "t", "lid").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val enriched = Asof.join(batch, rightDf,
+          by = Seq("k"), on = Seq("t"), exclusive = true,
+          rightBy = Seq("rk"), rightOn = Seq("rt"))
+        collected.synchronized {
+          collected ++= collectMatches(enriched).toSeq
+        }
+        ()
+      }
+      .start()
+    try {
+      stream.addData(("a", 12L, 200), ("b", 9L, 201))
+      q.processAllAvailable()
+      stream.addData(("a", 30L, 202))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(collected.toMap == Map(
+      200 -> Some(1.0), // a@12 ← a@5
+      201 -> Some(3.0), // b@9  ← b@7
+      202 -> Some(2.0))) // a@30 ← a@15 in the later batch
+  }
+
   test("helper rejects shared attribute ids and unknown columns") {
     val shared = leftDf
     intercept[IllegalArgumentException] {
