@@ -122,7 +122,16 @@ case class AsofJoinExec(
     // (µs for timestamps, days for dates) — validated by Asof.join.
     val tol = tolerance
     val onHeadType = leftOn.head.dataType
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+    val lRdd = left.execute()
+    val rRdd = right.execute()
+    // EnsureRequirements co-partitions the sides and AQE coalesces their
+    // shuffles consistently; if either contract ever breaks, fail with the
+    // operator's name rather than zipPartitions' generic error.
+    if (lRdd.getNumPartitions != rRdd.getNumPartitions)
+      throw new IllegalStateException(
+        s"as-of join sides lost co-partitioning: left has " +
+          s"${lRdd.getNumPartitions} partitions, right ${rRdd.getNumPartitions}")
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       val lByProj = UnsafeProjection.create(lBy, leftOutput)
       val rByProj = UnsafeProjection.create(rBy, rightOutput)
       val lOnProj = UnsafeProjection.create(lOn, leftOutput)
