@@ -41,6 +41,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * them), and null `on` values sort FIRST (they behave as
   * earlier-than-everything timestamps); filter either out beforehand if
   * those rows should not participate.
+  *
+  * Ties: when several RIGHT rows share one `(by, on)` tuple exactly, which
+  * of them matches is unspecified (sorting is not stable across equal
+  * tuples) — append a unique sequence column to `on` if that matters.
   */
 case class AsofJoin(
     left: LogicalPlan,
