@@ -63,7 +63,12 @@ object GraftExtensions {
     all.foreach { case (name, builder) =>
       org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, name, builder)
     }
-    spark.experimental.extraOptimizations = rules
-    spark.experimental.extraStrategies = Seq(graft.plans.AsofJoinStrategy)
+    // Append-if-absent: a live session may already carry its own rules or
+    // strategies (or an earlier register() call) — never clobber them.
+    val exp = spark.experimental
+    exp.extraOptimizations =
+      exp.extraOptimizations ++ rules.filterNot(exp.extraOptimizations.contains)
+    if (!exp.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.AsofJoinStrategy
   }
 }

@@ -28,24 +28,42 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * `scalar_map_hof` (three map HOFs over 600k lineitem rows): ~2.5× faster.
   *
   * Semantics guards (any miss leaves the expression alone):
-  *   - every key is a non-null foldable literal, pairwise distinct — so the
-  *     constructor's duplicate-key policy can never fire and entry-wise
-  *     rewriting is order-safe;
-  *   - lambda bodies are deterministic — `map_filter`'s rewrite evaluates
-  *     the value expression conditionally, and `map_zip_with`'s evaluates
-  *     per-side bodies once per entry;
+  *   - every key is a non-null literal of a type whose boxed values compare
+  *     by content (string/integral/boolean/date/timestamp — not binary or
+  *     float/double, where `==` diverges from runtime map-key equality),
+  *     pairwise distinct — so the constructor's duplicate-key policy can
+  *     never fire and entry-wise rewriting is order-safe;
+  *   - lambda bodies AND value expressions are deterministic — the
+  *     reduction duplicates a value expression once per lambda-variable
+  *     reference and (for `map_filter`) evaluates it conditionally, either
+  *     of which would re-draw a rand()-like value the constructor evaluates
+  *     exactly once;
   *   - ≤ 16 entries, so beta-reduction cannot blow up the expression tree.
   */
 object RewriteInlineMapHof extends Rule[LogicalPlan] {
 
   private val MaxEntries = 16
 
+  /** Key types whose boxed values compare correctly with `==` (content
+    * equality, no -0.0/0.0 or array-reference pitfalls) — binary and
+    * floating-point keys stay un-rewritten.
+    */
+  private def safeKeyType(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           BooleanType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+  }
+
   /** Inline constructor with distinct, non-null literal keys → entry list. */
   private object InlineMap {
     def unapply(e: Expression): Option[(Seq[(Literal, Expression)], CreateMap)] = e match {
       case cm @ CreateMap(children, _) if children.size % 2 == 0 && children.nonEmpty =>
         val entries = children.grouped(2).map {
-          case Seq(k: Literal, v) if k.value != null => Some(k -> v)
+          case Seq(k: Literal, v) if k.value != null && safeKeyType(k.dataType) =>
+            Some(k -> v)
           case _ => None
         }.toSeq
         if (entries.forall(_.isDefined)) {
@@ -70,9 +88,13 @@ object RewriteInlineMapHof extends Rule[LogicalPlan] {
     CreateMap(Seq(k, v), like.useStringTypeWhenEmpty)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    // Value determinism is required everywhere: beta-reduction duplicates a
+    // value expression once per lambda-variable reference, so a rand()-like
+    // value that the constructor would evaluate once could otherwise be
+    // re-drawn per reference (v - v must stay 0).
     case TransformValues(InlineMap(entries, cm),
         LambdaFunction(body, Seq(kv: NamedLambdaVariable, vv: NamedLambdaVariable), _))
-        if body.deterministic =>
+        if body.deterministic && entries.forall(_._2.deterministic) =>
       CreateMap(
         entries.flatMap { case (k, v) => Seq(k, subst(body, kv -> k, vv -> v)) },
         cm.useStringTypeWhenEmpty)
@@ -81,6 +103,7 @@ object RewriteInlineMapHof extends Rule[LogicalPlan] {
         LambdaFunction(body,
           Seq(kv: NamedLambdaVariable, xv: NamedLambdaVariable, yv: NamedLambdaVariable), _))
         if body.deterministic &&
+          (left ++ right).forall(_._2.deterministic) &&
           left.map(_._1.value) == right.map(_._1.value) &&
           left.map(_._1.dataType) == right.map(_._1.dataType) =>
       CreateMap(

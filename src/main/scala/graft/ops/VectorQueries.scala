@@ -185,17 +185,36 @@ object VectorQueries {
     */
   // The trained codebook is an INDEX artifact — in a vector store it is
   // built once and served to every query, so it is cached per (session,
-  // data dir) exactly like the dedup family's shingle set. Entries of
-  // stopped sessions are dropped lazily.
-  private val codebookCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  // data dir) exactly like the dedup family's shingle set. The tiny
+  // centroid table is materialized to the DRIVER (rows + schema, rebuilt
+  // as a local relation per use): unlike caching the localCheckpoint-backed
+  // DataFrame, this survives executor/block loss on a real cluster.
+  // Entries of stopped sessions are dropped lazily.
+  private val codebookCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]()
+
+  private def codebook(s: SparkSession, dir: String, e: DataFrame): DataFrame = {
+    codebookCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (s, dir)
+    // Train OUTSIDE the map's bin lock (computeIfAbsent would hold it
+    // across the k-means Spark jobs, stalling unrelated same-bin keys); a
+    // racing duplicate training is benign and loses to putIfAbsent.
+    var entry = codebookCache.get(key)
+    if (entry == null) {
+      val trained = kmeansCentroids(e, iters = 3)
+      val fresh = (trained.collect().toSeq, trained.schema)
+      val prev = codebookCache.putIfAbsent(key, fresh)
+      entry = if (prev == null) fresh else prev
+    }
+    s.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(entry._1).asJava, entry._2)
+  }
 
   private def ivfQuery(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
-    codebookCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val cents = codebookCache.computeIfAbsent((s, dir),
-      _ => kmeansCentroids(e, iters = 3))
+    val cents = codebook(s, dir, e)
     val sim = dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))
     def nearestCells(df: DataFrame, n: Int): DataFrame = {
       val w = Window.partitionBy("vec_id").orderBy(round(sim, 6).desc, col("c_id"))

@@ -220,6 +220,11 @@ object Asof {
       tolerance: Option[Long] = None): DataFrame = {
     val rBy = if (rightBy.isEmpty) by else rightBy
     val rOn = if (rightOn.isEmpty) on else rightOn
+    require(by.nonEmpty,
+      "as-of join needs at least one by column (a global as-of would " +
+        "funnel everything through one partition — add a key, or broadcast " +
+        "the right side and window instead)")
+    require(on.nonEmpty, "as-of join needs at least one on column")
     require(rBy.size == by.size && rOn.size == on.size,
       "rightBy/rightOn must pair up with by/on")
     // Self-healing registration: the strategy is consulted lazily at
@@ -233,11 +238,20 @@ object Asof {
     val shared = lp.outputSet.intersect(rp.outputSet)
     require(shared.isEmpty,
       s"as-of join sides share attributes $shared — re-read or alias the right side")
-    def resolve(plan: LogicalPlan, side: String)(name: String): AttributeReference =
-      plan.output.collectFirst {
-        case a: AttributeReference if a.name == name => a
-      }.getOrElse(throw new IllegalArgumentException(
+    // Match the session's name-resolution mode (case-insensitive unless
+    // spark.sql.caseSensitive is set, like every other column lookup).
+    val caseSensitive =
+      left.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def resolve(plan: LogicalPlan, side: String)(name: String): AttributeReference = {
+      val hits = plan.output.collect {
+        case a: AttributeReference
+            if a.name == name || (!caseSensitive && a.name.equalsIgnoreCase(name)) => a
+      }
+      if (hits.size > 1) throw new IllegalArgumentException(
+        s"$side side column '$name' is ambiguous (${hits.map(_.name).mkString(", ")})")
+      hits.headOption.getOrElse(throw new IllegalArgumentException(
         s"$side side has no column '$name' (has: ${plan.output.map(_.name).mkString(", ")})"))
+    }
     val lOnAttrs = on.map(resolve(lp, "left"))
     tolerance.foreach { t =>
       require(t >= 0, s"tolerance must be non-negative, got $t")

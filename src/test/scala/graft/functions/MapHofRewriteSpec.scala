@@ -91,6 +91,41 @@ class MapHofRewriteSpec extends SparkSuite {
         map(lit("q"), col("l_quantity")),
         (_, v) => v + rand()).as("m")).limit(1)
       assert(nd.queryExecution.optimizedPlan.toString.contains("transform_values"))
+      // nondeterministic VALUE — beta-reduction would re-draw it per
+      // lambda-variable reference (v - v must stay 0)
+      val ndv = li.select(transform_values(
+        map(lit("q"), rand()),
+        (_, v) => v - v).as("m")).limit(1)
+      assert(ndv.queryExecution.optimizedPlan.toString.contains("transform_values"))
+      // float/binary keys — boxed == diverges from runtime map-key equality
+      val fk = li.select(transform_values(
+        map(lit(0.0d), col("l_quantity")),
+        (_, v) => v * 2).as("m")).limit(1)
+      assert(fk.queryExecution.optimizedPlan.toString.contains("transform_values"))
+    }
+  }
+
+  test("register() appends rules without clobbering pre-existing ones") {
+    val marker: org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+      new org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+        override def apply(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = p
+      }
+    val exp = spark.experimental
+    val (savedRules, savedStrategies) = (exp.extraOptimizations, exp.extraStrategies)
+    try {
+      exp.extraOptimizations = Seq(marker)
+      GraftExtensions.register(spark)
+      assert(exp.extraOptimizations.contains(marker))
+      assert(GraftExtensions.rules.forall(exp.extraOptimizations.contains))
+      GraftExtensions.register(spark) // idempotent — no duplicates
+      assert(exp.extraOptimizations.count(_ eq marker) == 1)
+      GraftExtensions.rules.foreach(r =>
+        assert(exp.extraOptimizations.count(_ == r) == 1))
+    } finally {
+      exp.extraOptimizations = savedRules
+      exp.extraStrategies = savedStrategies
     }
   }
 }

@@ -125,6 +125,17 @@ class AsofJoinSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       Asof.join(leftDf, rightDf, by = Seq("nope"), on = Seq("t"),
         rightBy = Seq("rk"), rightOn = Seq("rt"))
     }
+    intercept[IllegalArgumentException] { // un-keyed as-of: clear error
+      Asof.join(leftDf, rightDf, by = Nil, on = Seq("t"),
+        rightOn = Seq("rt"))
+    }
+  }
+
+  test("column names resolve case-insensitively, like the rest of Spark") {
+    val out = Asof.join(leftDf, rightDf,
+      by = Seq("K"), on = Seq("T"), exclusive = true,
+      rightBy = Seq("RK"), rightOn = Seq("RT"))
+    assert(collectMatches(out)(100) == Some(1.0))
   }
 
   test("right columns come through nullable and typed") {
