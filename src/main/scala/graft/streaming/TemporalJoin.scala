@@ -25,6 +25,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * kept as the standing image (exactly a CDC table snapshot entry) plus
   * any newer ones. Emission happens when the watermark passes a probe
   * (event-time timeout covers batches with no new rows for the key).
+  *
+  * Rows at or behind the union watermark when they arrive are late data
+  * and are dropped by the operator's watermark filter (the standard
+  * flatMapGroupsWithState contract, pinned by the spec) — size the two
+  * delay knobs for the sides' real disorder.
+  *
+  * Update stream contracts: exact duplicate (ts, v) redeliveries collapse
+  * (at-least-once CDC replay is safe); among conflicting updates sharing
+  * one (key, ts) the largest value wins deterministically; null-valued
+  * update rows (possible through the untyped `.as[Update]` path) are
+  * dropped — model deletes as explicit sentinel values if they must
+  * enrich.
   */
 object TemporalJoin {
 
@@ -84,35 +96,48 @@ object TemporalJoin {
           val probesAll = (prev.probes ++ incoming.collect {
             case t if !t.isUpdate => (t.ts.getTime, t.id)
           }).sorted
+          // `.sorted.distinct` on (ts, v): exact redeliveries collapse
+          // (at-least-once CDC replay) and same-ts conflicts resolve
+          // deterministically (largest value wins) instead of by arrival
+          // order, which a task retry could flip.
           var updatesAll = (prev.updates ++ incoming.collect {
-            case t if t.isUpdate => (t.ts.getTime, t.v.get)
-          }).sortBy(_._1)
-          // Probes at or before the watermark have seen every update that
-          // can precede them (later ones would be late data) — emit.
+            case t if t.isUpdate && t.v.isDefined => (t.ts.getTime, t.v.get)
+          }).sorted.distinct.toIndexedSeq
+          // Probes at or before the watermark can emit: Spark's
+          // flatMapGroupsWithState late filter only admits rows with
+          // ts > watermark (ties are dropped as late — verified by
+          // TemporalJoinSpec), so every update that can precede or tie an
+          // emitted probe has already arrived.
           val (ready, pending) = probesAll.partition(_._1 <= wm)
+          // Both sequences are sorted: advance one cursor over the update
+          // history instead of rescanning it per probe.
+          var ui = 0
           val out = ready.map { case (pt, id) =>
-            val m = updatesAll.takeWhile(_._1 <= pt).lastOption
+            while (ui < updatesAll.size && updatesAll(ui)._1 <= pt) ui += 1
+            val m = (if (ui == 0) None else Some(updatesAll(ui - 1)))
               .filter { case (ut, _) => tol.forall(pt - ut <= _) }
             Enriched(key, pt, id, m.map(_._2), m.map(_._1))
           }
-          // Prune updates no future probe (ts > wm) can match: with a
-          // tolerance, anything older than wm - tolerance; without, keep
-          // the single latest at-or-before wm (the standing image) plus
-          // everything newer.
-          updatesAll = tol match {
+          // Prune updates no future probe (ts > wm after the late filter)
+          // can match: with a tolerance, anything older than
+          // wm - tolerance; without, keep the single latest at-or-before
+          // wm (the standing image) plus everything newer.
+          updatesAll = (tol match {
             case Some(t) => updatesAll.dropWhile(_._1 < wm - t)
             case None =>
               val (past, future) = updatesAll.partition(_._1 <= wm)
               past.takeRight(1) ++ future
-          }
+          }).toIndexedSeq
           if (pending.isEmpty && updatesAll.isEmpty) state.remove()
           else {
             state.update(Buf(pending, updatesAll))
-            // Wake when the watermark passes the oldest held probe, even
-            // if no new rows arrive for this key.
-            pending.headOption.foreach { case (pt, _) =>
-              state.setTimeoutTimestamp(pt + 1)
-            }
+            // Wake when the watermark passes the oldest held probe — or,
+            // with a tolerance and no pending probes, once the whole
+            // update history ages out, so the drained key's state is
+            // removed instead of leaking under key churn.
+            val wake = pending.headOption.map(_._1)
+              .orElse(tol.flatMap(t => updatesAll.lastOption.map(_._1 + t)))
+            wake.foreach(w => state.setTimeoutTimestamp(math.max(w, wm + 1)))
           }
           out.iterator
       }

@@ -65,6 +65,41 @@ class TemporalJoinSpec extends SparkSuite {
     assert(byId(3).v == Some(0.5), byId) // exact tie is inclusive
   }
 
+  test("an update tie-timed WITH the watermark arriving a batch late is late data") {
+    // Pins the contract the emit condition relies on: Spark's
+    // flatMapGroupsWithState late filter drops rows with ts <= watermark,
+    // so once a probe's timestamp is reached no tie-timed update can
+    // arrive — emitting probes at the watermark (not just before) is safe.
+    val out = run(None) { (probes, updates, q) =>
+      probes.addData(Probe("k1", t(10), 1))
+      updates.addData(Update("k9", t(10), 0.0)) // union watermark → 10s
+      q.processAllAvailable()
+      updates.addData(Update("k1", t(10), 7.0)) // ts == watermark: dropped
+      q.processAllAvailable()
+      probes.addData(Probe("k9", t(50), 99)) // advance both sides past 10s
+      updates.addData(Update("k9", t(50), 0.0))
+      q.processAllAvailable()
+      probes.addData(Probe("k9", t(51), 98))
+      q.processAllAvailable()
+    }
+    assert(out.find(_.id == 1).map(_.v) == Some(None), out)
+  }
+
+  test("same-(key, ts) update conflicts resolve deterministically (largest value)") {
+    val out = run(None) { (probes, updates, q) =>
+      updates.addData(Update("k1", t(5), 1.0), Update("k1", t(5), 2.0))
+      updates.addData(Update("k1", t(5), 2.0)) // exact redelivery collapses
+      probes.addData(Probe("k1", t(10), 1))
+      q.processAllAvailable()
+      probes.addData(Probe("k9", t(50), 99))
+      updates.addData(Update("k9", t(50), 0.0))
+      q.processAllAvailable()
+      probes.addData(Probe("k9", t(51), 98))
+      q.processAllAvailable()
+    }
+    assert(out.find(_.id == 1).flatMap(_.v) == Some(2.0), out)
+  }
+
   test("no update yet → None; tolerance turns stale matches into None") {
     val out = run(Some(10000L)) { (probes, updates, q) =>
       probes.addData(Probe("k1", t(10), 1)) // update at 8s: Δ2s, in tolerance
