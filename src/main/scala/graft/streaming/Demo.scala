@@ -116,6 +116,40 @@ object Demo {
       spark.table("demo_sessions").collect()
         .foreach(r => println(s"session: $r"))
 
+      // event-time temporal enrichment: the purchase stream picks up the
+      // latest dimension value as-of its timestamp, even though the
+      // update arrives in a later micro-batch
+      val probes = MemoryStream[TemporalJoin.Probe]
+      val updates = MemoryStream[TemporalJoin.Update]
+      val tq = TemporalJoin.join(probes.toDS(), updates.toDS())
+        .writeStream.format("memory").queryName("demo_temporal")
+        .outputMode("append").start()
+      probes.addData(TemporalJoin.Probe("widget", t(10), 1))
+      tq.processAllAvailable()
+      updates.addData(TemporalJoin.Update("widget", t(5), 19.99))
+      tq.processAllAvailable()
+      probes.addData(TemporalJoin.Probe("widget", t(60), 2))
+      updates.addData(TemporalJoin.Update("widget", t(60), 24.99))
+      tq.processAllAvailable()
+      probes.addData(TemporalJoin.Probe("widget", t(61), 3))
+      tq.processAllAvailable()
+      tq.stop()
+      spark.table("demo_temporal").collect()
+        .foreach(r => println(s"temporal: $r"))
+
+      // ingest-side streaming dedup: exact copies collapse in-window
+      val docs = MemoryStream[StreamingDedup.Doc]
+      val dq = StreamingDedup.exact(docs.toDS(), "60 seconds")
+        .writeStream.format("memory").queryName("demo_dedup")
+        .outputMode("append").start()
+      docs.addData(
+        StreamingDedup.Doc(1, t(0), "same text"),
+        StreamingDedup.Doc(2, t(1), "same text"),
+        StreamingDedup.Doc(3, t(2), "other text"))
+      dq.processAllAvailable()
+      dq.stop()
+      println(s"stream-dedup survivors=${spark.table("demo_dedup").count()} of 3")
+
       // custom-function SQL surface
       graft.functions.GraftExtensions.register(spark)
       spark.sql(
