@@ -60,6 +60,69 @@ object DedupQueries {
     shingleCache.computeIfAbsent((s, dir), _ => buildShingles(s, dir).persist())
   }
 
+  /** Per-doc rarity-sorted hashed-token arrays — the PPJoin working set:
+    * each doc's distinct shingles as ONE array of xxhash64 values ordered by
+    * ascending global document frequency (rare first), plus the set size.
+    * Cached per (session, dir) like the shingle set because EVERY dedup
+    * verify stage consumes it: the prefix pipeline slices it for candidate
+    * generation and all four Jaccard queries verify candidates with a
+    * codegen'd `array_intersect` fetch-join against it — one narrow join
+    * per unique candidate pair instead of two shingle-set shuffle joins
+    * plus a groupBy per query (which was ~15 s of the r3 bench).
+    * Hashing is lossless for verification: equal shingles hash equal, a
+    * cross-doc collision only inflates one intersection count with
+    * probability ~|sh|²/2⁶⁴ ≈ 1e-15 (accepted; the oracle gate would catch
+    * it). localCheckpoint materializes the aggregate once and truncates
+    * lineage so downstream plans stay flat.
+    */
+  private val docsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[ops] def docArrays(s: SparkSession, dir: String): DataFrame = {
+    docsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    docsCache.computeIfAbsent((s, dir), _ => {
+      val tok = shingles(s, dir).withColumnRenamed("shingle", "tok")
+      val freq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+      tok.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), xxhash64(col("tok")).as("h"))))
+          .as("st"))
+        .select(col("doc_id"),
+          expr("transform(st, x -> x.h)").as("hs"),
+          size(col("st")).as("n"))
+        .localCheckpoint()
+    })
+  }
+
+  /** Exact-Jaccard verification of a candidate pair set (`da`, `db`
+    * columns): fetch both docs' hashed shingle arrays, intersect with the
+    * codegen'd `array_intersect`, keep pairs with J >= t. This is the one
+    * shared verify stage of the whole family — candidates can come from any
+    * generator (MinHash banding, prefix filter, SimHash bands) and the
+    * output matches the exhaustive shingle-join oracle exactly.
+    */
+  private def verifyJaccard(s: SparkSession, dir: String, cand: DataFrame, t: Double): DataFrame = {
+    val docs = docArrays(s, dir)
+    cand
+      .join(docs.select(col("doc_id").as("da"), col("hs").as("ha"), col("n").as("na")), "da")
+      .join(docs.select(col("doc_id").as("db"), col("hs").as("hb"), col("n").as("nb")), "db")
+      .withColumn("ni", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .select(col("da"), col("db"),
+        round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 3)
+          .as("jaccard"))
+      .filter(col("jaccard") >= t)
+  }
+
+  /** Materialize the session-lifetime dedup caches (shingle set + per-doc
+    * arrays) without running a query — lets a bench warm the shared index
+    * untimed so per-query timings measure plans, not who ran first.
+    */
+  def warmCaches(s: SparkSession, dir: String): Unit = {
+    shingles(s, dir).count()
+    docArrays(s, dir).count()
+    ()
+  }
+
   /** Unpersist and drop every cached shingle set of `s` — for long-lived
     * services that iterate many data dirs in one session.
     */
@@ -72,6 +135,9 @@ object DedupQueries {
         it.remove()
       }
     }
+    // Checkpointed doc arrays hold no persisted blocks to release — just
+    // drop the references so the RDDs become collectable.
+    docsCache.keySet.removeIf(_._1 eq s)
   }
 
   /** Prefix-filtered exact Jaccard pairs (the AllPairs/PPJoin family — cf.
@@ -86,8 +152,6 @@ object DedupQueries {
     * (da, db, jaccard), unordered.
     */
   private[ops] def jaccardPairsPrefix(s: SparkSession, dir: String, t: Double): DataFrame = {
-    val tok = shingles(s, dir).withColumnRenamed("shingle", "tok")
-    val freq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
     // Each doc's shingles as ONE rarity-ordered array (sort_array on
     // (df, tok) structs ≡ the window orderBy(df, tok), minus the full
     // row_number sort-shuffle the r2 version paid), so the prefix is a
@@ -100,18 +164,9 @@ object DedupQueries {
     // verification then rejects, and an intra-pair collision
     // (~C(100,2)/2^64 ≈ 1e-15) is the only way results could differ from
     // string intersection. The prefix guarantee needs any CONSISTENT global
-    // token order; (df, hash) rare-first is one.
-    // localCheckpoint: this aggregate is referenced 4× downstream (both
-    // prefix self-join sides + both verify fetch joins) — materialize it
-    // once instead of re-running the collect_list agg per reference.
-    val docs = tok.join(freq, "tok")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), xxhash64(col("tok")).as("h"))))
-        .as("st"))
-      .select(col("doc_id"),
-        expr("transform(st, x -> x.h)").as("hs"),
-        size(col("st")).as("n"))
-      .localCheckpoint()
+    // token order; (df, hash) rare-first is one. The aggregate itself is
+    // the session-cached [[docArrays]] (shared with every verify stage).
+    val docs = docArrays(s, dir)
     // Index only the first |x| - ceil(t*|x|) + 1 rare shingles: any pair
     // with J >= t MUST collide on an indexed one (lossless). posexplode
     // keeps the 1-based rank for the positional filter below.
@@ -133,15 +188,8 @@ object DedupQueries {
       // size filter: J >= t needs t*max(na,nb) <= min(na,nb)
       .filter(least(col("na"), col("nb")) >= greatest(col("na"), col("nb")) * t)
       .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >= alpha)
-      .select("da", "db", "na", "nb").distinct()
-    cand
-      .join(docs.select(col("doc_id").as("da"), col("hs").as("ha")), "da")
-      .join(docs.select(col("doc_id").as("db"), col("hs").as("hb")), "db")
-      .withColumn("ni", size(array_intersect(col("ha"), col("hb"))).cast("long"))
-      .withColumn("jaccard",
-        round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 3))
-      .filter(col("jaccard") >= t)
-      .select(col("da"), col("db"), col("jaccard"))
+      .select("da", "db").distinct()
+    verifyJaccard(s, dir, cand, t)
   }
 
   /** Connected components over an undirected edge list (`u`, `v` columns;
@@ -198,7 +246,7 @@ object DedupQueries {
 
     // MinHash+LSH near-dup: 2-hash band bucketing (md5-order MinHash — the
     // same total order in any engine), then exact shingle-Jaccard ≥ 0.5 on
-    // candidates only.
+    // candidates only, verified via the shared array_intersect fetch-join.
     "dedup_near_jaccard" -> { (s, dir) =>
       val sh = shingles(s, dir)
       val sig = sh.groupBy("doc_id").agg(
@@ -209,19 +257,7 @@ object DedupQueries {
       val cand = a.join(b,
           col("h0") === col("g0") && col("h1") === col("g1") && col("da") < col("db"))
         .select("da", "db")
-      val card = sh.groupBy("doc_id").agg(count(lit(1)).as("nc"))
-      val x = sh.select(col("doc_id").as("da"), col("shingle"))
-      val y = sh.select(col("doc_id").as("db"), col("shingle"))
-      val inter = cand.join(x, "da").join(y, Seq("db", "shingle"))
-        .groupBy("da", "db").agg(count(lit(1)).as("ni"))
-      inter
-        .join(card.select(col("doc_id").as("da"), col("nc").as("na")), "da")
-        .join(card.select(col("doc_id").as("db"), col("nc").as("nb")), "db")
-        .select(col("da"), col("db"),
-          round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 3)
-            .as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy("da", "db")
+      verifyJaccard(s, dir, cand, 0.5).orderBy("da", "db")
     },
 
     // Banded MinHash LSH (the standard b×r construction): 8 md5-order
@@ -243,19 +279,7 @@ object DedupQueries {
         .join(banded.select(col("doc_id").as("db"), col("band"), col("key")), Seq("band", "key"))
         .filter(col("da") < col("db"))
         .select("da", "db").distinct()
-      val card = sh.groupBy("doc_id").agg(count(lit(1)).as("nc"))
-      val x = sh.select(col("doc_id").as("da"), col("shingle"))
-      val y = sh.select(col("doc_id").as("db"), col("shingle"))
-      val inter = cand.join(x, "da").join(y, Seq("db", "shingle"))
-        .groupBy("da", "db").agg(count(lit(1)).as("ni"))
-      inter
-        .join(card.select(col("doc_id").as("da"), col("nc").as("na")), "da")
-        .join(card.select(col("doc_id").as("db"), col("nc").as("nb")), "db")
-        .select(col("da"), col("db"),
-          round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 3)
-            .as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy("da", "db")
+      verifyJaccard(s, dir, cand, 0.5).orderBy("da", "db")
     },
 
     // Banded MinHash via the ONE-PASS signature aggregate (custom
@@ -277,19 +301,7 @@ object DedupQueries {
         .join(banded.select(col("doc_id").as("db"), col("band"), col("key")), Seq("band", "key"))
         .filter(col("da") < col("db"))
         .select("da", "db").distinct()
-      val card = sh.groupBy("doc_id").agg(count(lit(1)).as("nc"))
-      val x = sh.select(col("doc_id").as("da"), col("shingle"))
-      val y = sh.select(col("doc_id").as("db"), col("shingle"))
-      val inter = cand.join(x, "da").join(y, Seq("db", "shingle"))
-        .groupBy("da", "db").agg(count(lit(1)).as("ni"))
-      inter
-        .join(card.select(col("doc_id").as("da"), col("nc").as("na")), "da")
-        .join(card.select(col("doc_id").as("db"), col("nc").as("nb")), "db")
-        .select(col("da"), col("db"),
-          round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 3)
-            .as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy("da", "db")
+      verifyJaccard(s, dir, cand, 0.5).orderBy("da", "db")
     },
 
     // Prefix-filtered exact Jaccard join (the AllPairs/PPJoin family —
@@ -395,22 +407,31 @@ object DedupQueries {
     // SimHash near-dup (no DuckDB oracle — custom Catalyst expression;
     // property-tested in ScalaTest). Bands the 64-bit fingerprint into
     // 4×16-bit keys; docs sharing any band are candidates; Hamming ≤ 12
-    // confirms.
+    // confirms. The fingerprint table is localCheckpoint'ed so simhash64
+    // runs ONCE over the corpus (three plan references: both band-join
+    // sides + the fingerprint fetch), and candidates are dedup'ed on the
+    // NARROW (da, db) pair before fingerprints are fetched back — the r3
+    // shape distinct'ed band-collision rows carrying two 64-bit fps and
+    // recomputed the fingerprint subtree per reference, which is where its
+    // 3.4× bench regression lived.
     "dedup_simhash" -> { (s, dir) =>
       val fp = Tables.documents(s, dir)
         .select(col("doc_id"), SimHash64.simhash64(split(col("text"), " ")).as("fp"))
-      val banded = fp.select(col("doc_id"), col("fp"),
+        .localCheckpoint()
+      val banded = fp.select(col("doc_id"),
         explode(array((0 until 4).map(bnd =>
           struct(lit(bnd).as("band"),
             shiftright(col("fp"), bnd * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))
           .as("bk"))
-        .select(col("doc_id"), col("fp"), col("bk.band"), col("bk.key"))
-      val l = banded.select(col("doc_id").as("da"), col("fp").as("fa"), col("band"), col("key"))
-      val r = banded.select(col("doc_id").as("db"), col("fp").as("fb"), col("band"), col("key"))
-      l.join(r, Seq("band", "key"))
+        .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      val cand = banded.select(col("doc_id").as("da"), col("band"), col("key"))
+        .join(banded.select(col("doc_id").as("db"), col("band"), col("key")), Seq("band", "key"))
         .filter(col("da") < col("db"))
+        .select("da", "db").distinct()
+      cand
+        .join(fp.select(col("doc_id").as("da"), col("fp").as("fa")), "da")
+        .join(fp.select(col("doc_id").as("db"), col("fp").as("fb")), "db")
         .select(col("da"), col("db"), SimHash64.hamming64(col("fa"), col("fb")).as("hd"))
-        .distinct()
         .filter(col("hd") <= 12)
         .orderBy("da", "db")
     })
