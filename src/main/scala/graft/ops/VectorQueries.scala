@@ -158,10 +158,18 @@ object VectorQueries {
       .localCheckpoint()
     for (_ <- 1 to iters) {
       val sim = dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))
-      val w = Window.partitionBy("vec_id").orderBy(round(sim, 6).desc, col("c_id"))
+      // Nearest-centroid assignment as ONE map-side-combinable aggregate:
+      // max_by over the (similarity, -c_id) ordering struct — same
+      // deterministic tie-break as a window ordered (sim desc, c_id asc),
+      // without the sort-shuffle of all n×k candidate rows a row_number
+      // window pays per round. embedding is functionally dependent on
+      // vec_id, so first() is deterministic.
       val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") === 1)
+        .groupBy("vec_id")
+        .agg(
+          max_by(col("c_id"), struct(round(sim, 6).as("s"), (-col("c_id")).as("nc")))
+            .as("c_id"),
+          first(col("embedding")).as("embedding"))
         .select(col("c_id"), col("embedding"))
       cents = assigned
         .select(col("c_id"), posexplode(col("embedding")))
@@ -216,18 +224,33 @@ object VectorQueries {
       .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
     val cents = codebook(s, dir, e)
     val sim = dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))
-    def nearestCells(df: DataFrame, n: Int): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy(round(sim, 6).desc, col("c_id"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= n)
-    }
-    val cells = nearestCells(e, 1)
-      .select(col("vec_id").as("t_id"), col("embedding").as("te"),
-        col("nrm").as("tn"), col("c_id").as("cell"))
-    val probes = nearestCells(e.filter(col("vec_id") < 10), 4)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-        col("nrm").as("qn"), col("c_id").as("cell"))
+    // Cell assignment with NO window: a row_number window over the exploded
+    // n×k candidate set forces a sort-shuffle of every candidate row, where
+    // an aggregate gets map-side partial combine on the same answer — the
+    // difference between one narrow pass and a window sort at 100 TB.
+    // Tie-break rides the ordering struct: (round(sim,6), -c_id) max ≡
+    // sim desc, then c_id asc — identical to the window it replaces.
+    val assignOrd = struct(round(sim, 6).as("s"), (-col("c_id")).as("nc"))
+    // Nearest cell per vector (the full-corpus pass): max_by aggregate.
+    val cells = e.crossJoin(broadcast(cents))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("c_id"), assignOrd).as("cell"),
+        first(col("embedding")).as("te"),
+        first(col("nrm")).as("tn"))
+      .select(col("vec_id").as("t_id"), col("te"), col("tn"), col("cell"))
+    // nProbe nearest cells per QUERY vector (10 rows): collect the k-entry
+    // candidate list per query, sort by the same ordering, slice, explode.
+    val probes = e.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
+      .groupBy("vec_id")
+      .agg(
+        slice(sort_array(collect_list(struct(
+          round(sim, 6).as("s"), (-col("c_id")).as("nc"), col("c_id"))),
+          asc = false), 1, 4).as("cs"),
+        first(col("embedding")).as("qe"),
+        first(col("nrm")).as("qn"))
+      .select(col("vec_id").as("q_id"), col("qe"), col("qn"),
+        explode(col("cs.c_id")).as("cell"))
     val cos = dot(col("qe"), col("te")) / (col("qn") * col("tn"))
     val w = Window.partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("t_id"))
     cells.join(broadcast(probes), Seq("cell"))

@@ -48,6 +48,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("vector_dot"), p)
   }
 
+  test("IVF cell assignment is an aggregate, not a window sort") {
+    // The only Window allowed in the ANN plan is the final per-query
+    // ranking; nearest-cell assignment (full-corpus n×k candidates) must be
+    // a max_by/collect aggregate with map-side partial combine — a
+    // row_number window there would sort-shuffle every candidate row.
+    val p = plan("sim_ann_ivf")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 1, s"expected exactly 1 Window (final ranking), got $windows:\n$p")
+    assert(p.contains("max_by"), p)
+  }
+
   test("cosine kernel stays inside whole-stage codegen") {
     val df = SparkEntry.queries("dedup_near_cosine")(spark, sfDir)
     df.collect() // finalize the AQE plan
