@@ -219,6 +219,18 @@ object VectorQueries {
       scala.jdk.CollectionConverters.SeqHasAsJava(entry._1).asJava, entry._2)
   }
 
+  /** Train-and-cache the IVF codebook without running a search — like the
+    * dedup family's cache warmers, this lets a bench build the shared index
+    * artifact untimed so per-query timings measure search plans, not which
+    * query ran first.
+    */
+  def warmCodebook(s: SparkSession, dir: String): Unit = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+    codebook(s, dir, e)
+    ()
+  }
+
   private def ivfQuery(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
