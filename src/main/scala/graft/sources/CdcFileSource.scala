@@ -8,9 +8,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -232,16 +233,32 @@ class CdcFileTable(path: String) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownFilters {
       private val maxLines = Option(options.get("maxLinesPerBatch")).map(_.toLong)
       private val positionDir = Option(options.get("positionDir"))
+      private var pushed: Array[Filter] = Array.empty
+      // Accept raw-column predicates (string ops on `line`, comparisons on
+      // `pos`) for source-side row skipping, but report EVERY filter back
+      // as residual — Spark re-applies the exact predicates, so pushdown
+      // can only drop rows the query would drop anyway.
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters.filter(LineFilters.supported(_, Set("line", "pos")))
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      private val guards = LineFilters.guardFilters(k => Option(options.get(k)))
       override def build(): Scan = new Scan {
+        private val fs = pushed.toSeq ++ guards
         override def readSchema(): StructType = CdcFileSource.schema
+        override def description(): String =
+          s"cdc-file($path), PushedFilters: ${pushed.mkString("[", ", ", "]")}" +
+            (if (guards.nonEmpty) s", LineGuards: ${guards.mkString("[", ", ", "]")}" else "")
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new CdcFileMicroBatchStream(path, maxLines, positionDir)
+          new CdcFileMicroBatchStream(path, maxLines, positionDir, fs)
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] =
-            Array(CdcRangePartition(path, 0L, CdcFileSource.lineCount(path)))
+            Array(CdcRangePartition(path, 0L, CdcFileSource.lineCount(path),
+              filters = fs))
           override def createReaderFactory(): PartitionReaderFactory = CdcReaderFactory
         }
       }
@@ -254,7 +271,7 @@ class CdcFileTable(path: String) extends Table with SupportsRead {
   * reference's single-consumer topology, `k8s/deployment.yaml:8`).
   */
 class CdcFileMicroBatchStream(path: String, maxLinesPerBatch: Option[Long] = None,
-    positionDir: Option[String] = None)
+    positionDir: Option[String] = None, filters: Seq[Filter] = Nil)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // Optional operational position mirror (option `positionDir`): committed
@@ -322,7 +339,9 @@ class CdcFileMicroBatchStream(path: String, maxLinesPerBatch: Option[Long] = Non
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[CdcOffset], end.asInstanceOf[CdcOffset])
     if (e.pos <= s.pos) Array.empty
-    else Array(CdcRangePartition(path, s.pos, e.pos, s.bytePos))
+    // Offsets always cover the UNFILTERED line count (positions must stay
+    // stable under any filter set); only row emission is filtered.
+    else Array(CdcRangePartition(path, s.pos, e.pos, s.bytePos, filters))
   }
   override def createReaderFactory(): PartitionReaderFactory = CdcReaderFactory
   // The log itself needs no ack; the commit hook feeds the optional
@@ -333,29 +352,42 @@ class CdcFileMicroBatchStream(path: String, maxLinesPerBatch: Option[Long] = Non
 }
 
 final case class CdcRangePartition(path: String, from: Long, until: Long,
-    fromByte: Long = -1L) extends InputPartition
+    fromByte: Long = -1L, filters: Seq[Filter] = Nil) extends InputPartition
 
 object CdcReaderFactory extends PartitionReaderFactory {
 
   /** Shared partition-reader body for the single-file and directory
     * sources: seek when a byte position is known, line-skip otherwise.
+    * Pushed filters are applied per line BEFORE row materialization — a
+    * skipped line never becomes an InternalRow and never reaches the
+    * downstream `from_json` decode.
     */
   private[sources] def rangeReader(path: String, from: Long, until: Long,
-      fromByte: Long)(toRow: (String, Long) => InternalRow): PartitionReader[InternalRow] =
+      fromByte: Long, filters: Seq[Filter] = Nil, file: String = "")(
+      toRow: (String, Long) => InternalRow): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val range =
         if (fromByte >= 0) CdcFileSource.openLinesAt(path, from, until, fromByte)
         else CdcFileSource.openLines(path, from, until)
       private val it = range.iterator
       private var cur: (String, Long) = _
-      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def next(): Boolean = {
+        while (it.hasNext) {
+          val c = it.next()
+          if (filters.isEmpty || LineFilters.evalAll(filters, c._1, c._2, file)) {
+            cur = c
+            return true
+          }
+        }
+        false
+      }
       override def get(): InternalRow = toRow(cur._1, cur._2)
       override def close(): Unit = range.close()
     }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdcRangePartition]
-    rangeReader(p.path, p.from, p.until, p.fromByte) { (line, pos) =>
+    rangeReader(p.path, p.from, p.until, p.fromByte, p.filters) { (line, pos) =>
       InternalRow(UTF8String.fromString(line), pos)
     }
   }

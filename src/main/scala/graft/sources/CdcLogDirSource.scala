@@ -7,9 +7,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -105,21 +106,39 @@ class CdcLogDirTable(dir: String) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownFilters {
       private val maxLines = Option(options.get("maxLinesPerBatch")).map(_.toLong)
+      private var pushed: Array[Filter] = Array.empty
+      // Same contract as CdcFileTable: accept raw-column predicates for
+      // source-side skipping, keep everything residual. A filter on `file`
+      // alone additionally prunes WHOLE log files from the plan — the
+      // rotating source's partition pruning.
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters.filter(LineFilters.supported(_, Set("line", "pos", "file")))
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      private val guards = LineFilters.guardFilters(k => Option(options.get(k)))
       override def build(): Scan = new Scan {
+        private val fs = pushed.toSeq ++ guards
+        private val (fileFs, _) = LineFilters.fileOnly(fs)
         override def readSchema(): StructType = CdcLogDirSource.schema
+        override def description(): String =
+          s"cdc-logdir($dir), PushedFilters: ${pushed.mkString("[", ", ", "]")}" +
+            (if (guards.nonEmpty) s", LineGuards: ${guards.mkString("[", ", ", "]")}" else "")
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new CdcLogDirMicroBatchStream(dir, maxLines)
+          new CdcLogDirMicroBatchStream(dir, maxLines, fs)
         override def toBatch: Batch = new Batch {
           // Whole-file batch reads need no line counts: an unbounded range
           // lets each executor read its file to EOF, so the driver never
           // pre-scans the data just to plan (batch semantics match
           // CdcFileSource's: the file at rest, trailing partial included).
           override def planInputPartitions(): Array[InputPartition] =
-            CdcLogDirSource.listLogs(dir).map { f =>
-              CdcDirRangePartition(dir, f, 0L, Long.MaxValue, 0L): InputPartition
-            }.toArray
+            CdcLogDirSource.listLogs(dir)
+              .filterNot(LineFilters.prunesFile(fileFs, _))
+              .map { f =>
+                CdcDirRangePartition(dir, f, 0L, Long.MaxValue, 0L, fs): InputPartition
+              }.toArray
           override def createReaderFactory(): PartitionReaderFactory =
             CdcDirReaderFactory
         }
@@ -130,8 +149,15 @@ class CdcLogDirTable(dir: String) extends Table with SupportsRead {
 /** One ordered partition per log file in the batch range — sealed files
   * read in parallel, each a seek + sequential scan.
   */
-class CdcLogDirMicroBatchStream(dir: String, maxLinesPerBatch: Option[Long] = None)
+class CdcLogDirMicroBatchStream(dir: String, maxLinesPerBatch: Option[Long] = None,
+    filters: Seq[Filter] = Nil)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // File-only conjuncts prune whole files from batch plans below — and for
+  // sealed files, skip even the one-time line count, since no row of a
+  // pruned file can survive. Offset bookkeeping (pollEnd/cappedEnd) stays
+  // on the UNFILTERED stream: positions must not depend on the filter set.
+  private val fileOnlyFilters = LineFilters.fileOnly(filters)._1
 
   // Terminated-line counts of SEALED (no-longer-newest) files — each
   // counted exactly once; survives only for this stream instance, and is
@@ -238,12 +264,13 @@ class CdcLogDirMicroBatchStream(dir: String, maxLinesPerBatch: Option[Long] = No
     if (e.name.isEmpty || !s.isBefore(e)) return Array.empty
     val files = CdcLogDirSource.listLogs(dir)
       .filter(f => (s.name.isEmpty || f >= s.name) && f <= e.name)
+      .filterNot(LineFilters.prunesFile(fileOnlyFilters, _))
     files.flatMap { f =>
       val from = if (f == s.name) s.pos else 0L
       val fromByte = if (f == s.name) s.bytePos else 0L
       val until = if (f == e.name) e.pos else sealedCount(f)
       if (until <= from) None
-      else Some(CdcDirRangePartition(dir, f, from, until, fromByte): InputPartition)
+      else Some(CdcDirRangePartition(dir, f, from, until, fromByte, filters): InputPartition)
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = CdcDirReaderFactory
@@ -252,13 +279,15 @@ class CdcLogDirMicroBatchStream(dir: String, maxLinesPerBatch: Option[Long] = No
 }
 
 final case class CdcDirRangePartition(dir: String, file: String, from: Long,
-    until: Long, fromByte: Long = -1L) extends InputPartition
+    until: Long, fromByte: Long = -1L, filters: Seq[Filter] = Nil)
+    extends InputPartition
 
 object CdcDirReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdcDirRangePartition]
     val fileName = UTF8String.fromString(p.file)
-    CdcReaderFactory.rangeReader(s"${p.dir}/${p.file}", p.from, p.until, p.fromByte) {
+    CdcReaderFactory.rangeReader(s"${p.dir}/${p.file}", p.from, p.until, p.fromByte,
+        p.filters, p.file) {
       (line, pos) => InternalRow(UTF8String.fromString(line), pos, fileName)
     }
   }

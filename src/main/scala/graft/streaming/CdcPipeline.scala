@@ -87,6 +87,45 @@ object CdcPipeline {
       "table STRING, op STRING, before MAP<STRING,STRING>, " +
         "after MAP<STRING,STRING>, ts TIMESTAMP")
 
+  /** Raw-line pre-filter for the route + action predicates — the pushdown
+    * surface of the CDC log sources. A SOUND over-approximation on the
+    * compact JSON wire format (json.Marshal-style, no space after the
+    * colon: `"op":"insert"`, `"table":"orders"`): any line whose parsed
+    * (table, op) the pipeline would keep must contain the corresponding
+    * substrings, so the source may skip non-matching lines before they are
+    * materialized or JSON-decoded. False positives (a guard substring
+    * inside a VALUE string) pass through and die at the exact post-parse
+    * filters, which always run — the guard never changes semantics, only
+    * bandwidth. Compiles to an And of Or(StringContains…) conjuncts, which
+    * both CDC sources accept via SupportsPushDownFilters.
+    *
+    * Wire-format caveat (documented contract): a writer that emits
+    * non-compact JSON (spaces after colons) must not use the guard — pass
+    * `prefilter = false` in [[transformPrefiltered]].
+    */
+  def lineGuard(cfg: CdcConfig): Column = {
+    def anyContains(pats: Seq[String]): Column =
+      pats.map(p => col("line").contains(p)) match {
+        case Nil => lit(false) // nothing routable: every line drops
+        case cs  => cs.reduce(_ || _)
+      }
+    val tableG = anyContains(
+      cfg.tableToGroup.keys.toSeq.sorted.map(t => s""""table":"$t""""))
+    val opG = anyContains(cfg.keptOps.map(o => s""""op":"$o""""))
+    tableG && opG
+  }
+
+  /** [[parseLines]] + [[transform]] with the raw-line guard applied BEFORE
+    * the decode — the full pipeline as the sources see it: the guard lands
+    * in the scan's PushedFilters, non-routable lines are skipped at the
+    * source, and the exact route/action filters re-check the survivors.
+    */
+  def transformPrefiltered(raw: DataFrame, cfg: CdcConfig,
+      prefilter: Boolean = true): DataFrame = {
+    val guarded = if (prefilter) raw.filter(lineGuard(cfg)) else raw
+    transform(parseLines(guarded), cfg)
+  }
+
   /** Parse `CdcFileSource` output (`line STRING, pos BIGINT`) into the
     * change-event columns `transform` expects; malformed lines → null table,
     * dropped by the route filter (fixing the reference's queue-worker panic,
