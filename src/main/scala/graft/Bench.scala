@@ -42,6 +42,11 @@ object Bench {
     // failure must not kill the bench before it emits its JSON line — log
     // and continue (the timed run of the same query will then report its
     // own failure as -1).
+    // The untimed warm/index-build work is REPORTED as `warm_sec` in both
+    // JSON outputs: moving index builds out of the measured region changed
+    // the r3→r4 total by measurement boundary, not only by plan work, so
+    // cross-round comparisons need the excluded time visible.
+    val warmT0 = System.nanoTime()
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
       SparkEntry.queries("cdc_envelope")(spark, sfDir)
@@ -51,6 +56,7 @@ object Bench {
     } catch {
       case e: Throwable => System.err.println(s"[bench] warmup failed (continuing): $e")
     }
+    val warmSec = (System.nanoTime() - warmT0) / 1e9
     // Local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 benches a subset.
     // Unknown names are a typo, not an empty bench — warn, and fail fast
     // when the filter selects nothing (a 0.0-total line reads as a result).
@@ -80,10 +86,12 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + ms3(v) }.mkString("{", ",", "}")
     // `value` IS the suite total of per-query medians (failed queries
     // excluded) — the round-over-round headline. Per-query deltas against
-    // the PREVIOUS bench run (the bench_full.json this run overwrites, i.e.
-    // last round's committed medians when the driver runs in a fresh
-    // checkout) make regressions attributable without archaeology; only
-    // computed when the previous run covered the same sf dir.
+    // the PREVIOUS bench run (the bench_full.json this run overwrites) make
+    // regressions attributable without archaeology; only computed when the
+    // previous run covered the same sf dir. bench_full.json is GIT-TRACKED
+    // for exactly this reason: a driver running in a fresh checkout reads
+    // last round's committed medians (the r4 debut emitted deltas:{}
+    // because the file only ever existed in the writer's working tree).
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     val deltas: Seq[(String, Double)] = prev match {
@@ -102,6 +110,7 @@ object Bench {
     // Full per-query medians (+ deltas) to disk (unbounded, machine-readable).
     val full =
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","reps":$reps,""" +
+        s""""warm_sec":${ms3(warmSec)},""" +
         s""""n_queries":${results.size},"n_failed":$failed,$deltaJson""" +
         s""""queries":${qmap(results)},"deltas":${qmap(deltas)},"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_full.json"), full.getBytes(StandardCharsets.UTF_8))
@@ -110,6 +119,7 @@ object Bench {
     val top5 = results.sortBy(-_._2).take(5)
     val line =
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","reps":$reps,""" +
+        s""""warm_sec":${ms3(warmSec)},""" +
         s""""n_queries":${results.size},"n_failed":$failed,$deltaJson""" +
         s""""queries":${qmap(top5)},"sf":"$sfDir"}"""
     spark.stop()

@@ -83,11 +83,63 @@ case class MinHashSig(
   override def prettyName: String = "minhash_sig"
 }
 
+/** Scalar companion to the [[MinHashSig]] aggregate: the k-slot signature
+  * computed from a PRE-HASHED per-doc token array (`array<long>`) in one
+  * projection. This is the shape a session-cached per-doc hash-array table
+  * already holds (`DedupQueries.docArrays`) — there the signature needs no
+  * aggregation at all, and re-aggregating the exploded token stream would
+  * pay a redundant groupBy shuffle plus k string-hashes per (doc, token,
+  * slot) (the r4 bench's #2 cost). Slot i re-hashes each 64-bit token hash
+  * with xxhash64 seed i — a fresh hash family over the token identity, so
+  * the MinHash estimator property (P[slot match] = Jaccard) is unchanged.
+  * The aggregate remains the one-pass path when no per-doc array exists
+  * (e.g. signatures over a raw token stream).
+  */
+case class MinHashFromHashes(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"minhash_from_hashes requires array<bigint>, got $other")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val buf = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val x = arr.getLong(j)
+      var i = 0
+      while (i < k) {
+        val h = XxHash64Function.hash(x, LongType, i.toLong)
+        if (h < buf(i)) buf(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(buf)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashFromHashes =
+    copy(child = c)
+
+  override def prettyName: String = "minhash_from_hashes"
+}
+
 object MinHashSig {
   import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
 
   def minhash_sig(c: Column, k: Int): Column =
     toColumn(MinHashSig(toExpression(c), k).toAggregateExpression())
+
+  /** Signature from a pre-hashed token array — see [[MinHashFromHashes]]. */
+  def minhash_from_hashes(c: Column, k: Int): Column =
+    toColumn(MinHashFromHashes(toExpression(c), k))
 
   /** Signature-estimated Jaccard: fraction of matching slots. */
   def estJaccard(a: Column, b: Column): Column = {

@@ -22,6 +22,11 @@ import graft.functions.SimHash64
   */
 object DedupQueries {
 
+  /** Session conf gating the deliberately-quadratic `dedup_near_cosine`
+    * exactness baseline (max embedding rows; default 20000).
+    */
+  val ExactCosineCapKey = "spark.graft.dedup.exactCosineMaxRows"
+
   /** Word 3-gram shingles per doc, distinct. Requires ≥ 3 tokens. */
   private def buildShingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -123,8 +128,9 @@ object DedupQueries {
     ()
   }
 
-  /** Unpersist and drop every cached shingle set of `s` — for long-lived
-    * services that iterate many data dirs in one session.
+  /** Unpersist and drop every cached dedup artifact of `s` (shingle set +
+    * per-doc arrays) — for long-lived services that iterate many data dirs
+    * in one session.
     */
   def clearCache(s: SparkSession): Unit = {
     val it = shingleCache.entrySet().iterator()
@@ -135,9 +141,19 @@ object DedupQueries {
         it.remove()
       }
     }
-    // Checkpointed doc arrays hold no persisted blocks to release — just
-    // drop the references so the RDDs become collectable.
-    docsCache.keySet.removeIf(_._1 eq s)
+    // localCheckpoint PERSISTS the backing RDD (MEMORY_AND_DISK); dropping
+    // the map reference alone frees those blocks only when GC +
+    // ContextCleaner get around to it, which can pin executor storage for
+    // a long-lived service. Unpersist the checkpoint RDD explicitly.
+    val dt = docsCache.entrySet().iterator()
+    while (dt.hasNext) {
+      val e = dt.next()
+      if (e.getKey._1 eq s) {
+        org.apache.spark.sql.GraftColumnBridge.checkpointRdd(e.getValue)
+          .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
+        dt.remove()
+      }
+    }
   }
 
   /** Prefix-filtered exact Jaccard pairs (the AllPairs/PPJoin family — cf.
@@ -282,15 +298,21 @@ object DedupQueries {
       verifyJaccard(s, dir, cand, 0.5).orderBy("da", "db")
     },
 
-    // Banded MinHash via the ONE-PASS signature aggregate (custom
-    // TypedImperativeAggregate, graft.functions.MinHashSig): one buffer of
-    // k longs per doc instead of k separate min() columns. No DuckDB oracle
-    // (xxhash64 is Spark's) — ApproxSpec proves soundness (every emitted
-    // pair is in the exhaustive truth set) and recall.
+    // Banded MinHash via the ONE-PASS signature path. With the session's
+    // per-doc hashed-array cache ([[docArrays]]) the whole signature is a
+    // scalar PROJECTION (graft.functions.MinHashFromHashes) over one row
+    // per doc — no groupBy shuffle and no k string-hashes per (doc, token,
+    // slot), which is where the r4 bench's 4.5 s went (the aggregate
+    // re-hashed every string shingle 8×; the cache already holds xxhash64
+    // token identities). The MinHashSig TypedImperativeAggregate remains
+    // the one-pass path for raw token streams with no per-doc cache
+    // (MinHashSigSpec). No DuckDB oracle (xxhash64 is Spark's) — ApproxSpec
+    // proves soundness (every emitted pair is in the exhaustive truth set)
+    // and recall.
     "dedup_minhash_onepass" -> { (s, dir) =>
-      val sh = shingles(s, dir)
-      val sig = sh.groupBy("doc_id")
-        .agg(graft.functions.MinHashSig.minhash_sig(col("shingle"), 8).as("sig"))
+      val sig = docArrays(s, dir)
+        .select(col("doc_id"),
+          graft.functions.MinHashSig.minhash_from_hashes(col("hs"), 8).as("sig"))
       val banded = sig.select(col("doc_id"), explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           concat_ws(":",
@@ -318,14 +340,27 @@ object DedupQueries {
     },
 
     // Embedding-cosine near-dup, exact variant (oracle yes): all pairs above
-    // the similarity threshold. Brute force is the correctness baseline; the
-    // 100 TB path blocks candidates with sign-LSH first (sim_ann_lsh) and
-    // verifies only collisions — same downstream filter, sub-quadratic pairs.
+    // the similarity threshold. This is the deliberately O(n²) EXACTNESS
+    // BASELINE — the recall yardstick dedup_near_cosine_lsh (same oracle,
+    // sub-quadratic) is measured against, NOT the production path. It is
+    // size-gated below so it cannot silently run at a scale where the
+    // cartesian is a cluster-killer.
     "dedup_near_cosine" -> { (s, dir) =>
       import graft.functions.VectorOps
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding"),
           VectorOps.norm(col("embedding")).as("nrm")) // norm once per row, not per pair
+      // Refuse oversized corpora: n rows → n(n-1)/2 exact cosines. The cap
+      // (default 20k rows ≈ 2e8 pairs, single-node-feasible) is a session
+      // conf so a cluster that really wants the exhaustive answer can opt
+      // in explicitly rather than discover the quadratic by page.
+      val cap = s.conf.get(DedupQueries.ExactCosineCapKey, "20000").toLong
+      val n = e.count()
+      require(n <= cap,
+        s"dedup_near_cosine is the O(n²) exactness baseline: $n embedding rows exceed " +
+          s"the ${DedupQueries.ExactCosineCapKey}=$cap gate (≈${n * (n - 1) / 2} pairs). " +
+          "Use dedup_near_cosine_lsh (same result, banded-LSH candidates) at scale, " +
+          "or raise the cap to run the exhaustive baseline deliberately.")
       val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
       a.join(b, col("va") < col("vb"))

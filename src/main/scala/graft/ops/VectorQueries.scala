@@ -133,15 +133,74 @@ object VectorQueries {
     },
 
     // Approximate percentile sketch (no DuckDB oracle — different sketch;
-    // error bound property-tested against the exact percentile).
+    // error bound property-tested against the exact percentile). The exact
+    // yardstick is computed by [[exactMedianByGroup]] — a bucketed two-pass
+    // selection — NOT by `percentile(...)`: that aggregate builds a
+    // value→count OpenHashMap per partition over a mostly-distinct double
+    // column (600 k values/group here) and merges 32 partial maps, which
+    // both allocates O(distinct) and was the whole-suite's slowest query
+    // under bench heap pressure (9.2 s in r4; the selection plan is ~10×
+    // lighter and scales to groups that could never fit a count map).
     "agg_approx_percentile" -> { (s, dir) =>
-      Tables.lineitem(s, dir)
-        .groupBy("l_linestatus")
-        .agg(
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
-        .orderBy("l_linestatus")
+      val li = Tables.lineitem(s, dir)
+      val approx = li.groupBy("l_linestatus")
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"))
+      val exact = exactMedianByGroup(
+        li.select(col("l_linestatus").as("g"), col("l_extendedprice").cast("double").as("v")))
+        .select(col("g").as("l_linestatus"), col("median").as("p50_exact"))
+      approx.join(exact, "l_linestatus").orderBy("l_linestatus")
     })
+
+  /** Exact median per group by DISTRIBUTED SELECTION (two passes), for
+    * groups too large to sort on one task or to hold as a value→count map
+    * (what Spark's exact `percentile` builds):
+    *
+    *   1. one histogram aggregate — per-(group, bucket) counts over a
+    *      fixed 1024-bucket value grid (map-side combinable, one shuffle of
+    *      ≤ 1024 rows per group) — locates the bucket(s) holding the median
+    *      ranks via a cumulative sum over the tiny histogram;
+    *   2. a second scan keeps ONLY rows of those buckets (for the median,
+    *      ~n/1024 rows per group) and sorts just them to pick the ranked
+    *      values.
+    *
+    * Rank convention matches `percentile(v, 0.5)` / quantile_cont: ranks
+    * (n+1) div 2 and (n+2) div 2 (1-based), averaged — continuous
+    * interpolation at p = 0.5. Equal values always land in the same bucket,
+    * so intra-bucket row_number ties can only occur between equal values
+    * and cannot perturb the result. At 100 TB each pass is a full scan but
+    * per-task state is O(1024), never O(group).
+    */
+  private[ops] def exactMedianByGroup(vals: DataFrame): DataFrame = {
+    val nb = 1024
+    val stats = vals.groupBy("g")
+      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+    // Target 1-based ranks: k1 = (n+1) div 2, k2 = (n+2) div 2 (equal when
+    // n is odd). SQL `div`, not Column `/` — the latter is double division.
+    val ranks = stats.select(col("g"),
+      explode(array(expr("(n + 1) div 2"), expr("(n + 2) div 2"))).as("k")).distinct()
+    // Bucket id: value position on the [lo, hi] grid; the +epsilon width
+    // keeps hi (and a degenerate lo == hi group) in the last/first bucket.
+    val bucket = least(lit(nb - 1),
+      floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / nb + lit(1e-12))).cast("int"))
+    val bucketed = vals.join(broadcast(stats.select("g", "lo", "hi")), "g")
+      .select(col("g"), col("v"), bucket.as("b"))
+    val hist = bucketed.groupBy("g", "b").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum_before",
+      coalesce(sum("c").over(Window.partitionBy("g").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // The bucket holding rank k: cum_before < k <= cum_before + c.
+    val targets = cum.join(ranks, Seq("g"))
+      .filter(col("k") > col("cum_before") && col("k") <= col("cum_before") + col("c"))
+      .select(col("g"), col("b"), col("k"), col("cum_before"))
+    // Pass 2: rank only the target buckets' rows; global rank k is local
+    // rank k - cum_before within its bucket.
+    val wb = Window.partitionBy("g", "b").orderBy("v")
+    bucketed.join(broadcast(targets.select("g", "b").distinct()), Seq("g", "b"))
+      .withColumn("rnb", row_number().over(wb))
+      .join(broadcast(targets), Seq("g", "b"))
+      .filter(col("rnb") === col("k") - col("cum_before"))
+      .groupBy("g").agg(avg("v").as("median"))
+  }
 
   /** Spherical k-means coarse quantizer (Lloyd's): init = every 50th
     * vector, then `iters` rounds of assign-by-cosine + per-dimension mean.

@@ -19,6 +19,19 @@ object GraftColumnBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** The persisted RDD backing a `localCheckpoint()`ed DataFrame (its plan
+    * is the `LogicalRDD` the checkpoint produced). `localCheckpoint`
+    * persists that RDD at MEMORY_AND_DISK, and dropping the DataFrame
+    * reference alone frees the blocks only when GC + ContextCleaner get
+    * around to it — callers that manage checkpoint lifetimes (session
+    * caches) use this handle to `unpersist` eagerly.
+    */
+  def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
   /** Register a function builder on a LIVE session's registry (the
     * `spark.sql.extensions` config only applies at session construction).
     */
