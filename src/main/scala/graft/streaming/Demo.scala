@@ -60,17 +60,36 @@ object Demo {
           |{"table":"customer","op":"insert","after":{"id":"11"},"ts":"2024-01-01T00:00:02"}
           |""".stripMargin)
       val posDir = Files.createTempDirectory("graft_demo_pos")
+      // The default pipeline path is transformPrefiltered: the route/action
+      // guard is applied BEFORE the JSON decode, and — because Spark's
+      // micro-batch planner never invokes DSv2 pushFilters — the streaming
+      // source takes the same guard via the opt-in guardTables/guardOps
+      // options (compact-JSON wire format; the exact post-parse filters
+      // still re-check every survivor).
       val src = spark.readStream.format(classOf[graft.sources.CdcFileSource].getName)
         .option("path", log.toString)
         .option("positionDir", posDir.toString)
+        .option("guardTables", cfg.tableToGroup.keys.toSeq.sorted.mkString(","))
+        .option("guardOps", cfg.keptOps.mkString(","))
         .load()
       val qdir = Files.createTempDirectory("graft_demo_queue").toString
       val ckpt2 = Files.createTempDirectory("graft_demo_src_ckpt").toString
       Sinks.runToCompletion(Sinks.dualSink(
-        CdcPipeline.transform(CdcPipeline.parseLines(src), cfg), sink.url, ckpt2,
+        CdcPipeline.transformPrefiltered(src, cfg), sink.url, ckpt2,
         q = FileQueue(qdir)))
       println(s"file-source delivered total=${sink.captured.size} " +
         s"durable-queued=${FileQueue(qdir).pending}")
+
+      // batch over the same log: here the guard needs no option — it lands
+      // in the scan's PushedFilters via SupportsPushDownFilters; print the
+      // scan description as proof the source, not the query, skips lines
+      val batchRaw = spark.read.format(classOf[graft.sources.CdcFileSource].getName)
+        .option("path", log.toString).load()
+      CdcPipeline.transformPrefiltered(batchRaw, cfg).queryExecution.executedPlan
+        .collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            println(s"batch scan: ${b.scan.description()}")
+        }
 
       // "process restart": a fresh handle (config only) drains what the
       // durable queue holds — the second delivery leg, as a STREAMING query
@@ -96,10 +115,13 @@ object Demo {
           |{"table":"customer","op":"insert","after":{"id":"22"},"ts":"2024-01-01T00:00:05"}
           |""".stripMargin)
       val dirSrc = spark.readStream.format(classOf[graft.sources.CdcLogDirSource].getName)
-        .option("path", logDir.toString).load()
+        .option("path", logDir.toString)
+        .option("guardTables", cfg.tableToGroup.keys.toSeq.sorted.mkString(","))
+        .option("guardOps", cfg.keptOps.mkString(","))
+        .load()
       val ckpt4 = Files.createTempDirectory("graft_demo_dir_ckpt").toString
       Sinks.runToCompletion(Sinks.dualSink(
-        CdcPipeline.transform(CdcPipeline.parseLines(dirSrc), cfg), sink.url, ckpt4))
+        CdcPipeline.transformPrefiltered(dirSrc, cfg), sink.url, ckpt4))
       println(s"rotating-set delivered total=${sink.captured.size}")
 
       // custom keyed state: flatMapGroupsWithState sessionization

@@ -29,6 +29,21 @@ class ScaleSpec extends SparkSuite {
     assert(d <= 5, s"plan depth $d grew with iterations — lineage not truncated")
   }
 
+  test("the O(n²) exact-cosine baseline refuses corpora over its size gate") {
+    // dedup_near_cosine is the deliberate quadratic exactness yardstick; the
+    // session-conf gate keeps it from silently running where the cartesian
+    // would be a cluster-killer. The shipped SFs sit under the default cap.
+    spark.conf.set(DedupQueries.ExactCosineCapKey, "3")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.SparkEntry.queries("dedup_near_cosine")(spark, sfDir)
+      }
+      assert(e.getMessage.contains("dedup_near_cosine_lsh"), e.getMessage)
+    } finally spark.conf.unset(DedupQueries.ExactCosineCapKey)
+    // back under the default cap, the baseline runs
+    assert(graft.SparkEntry.queries("dedup_near_cosine")(spark, sfDir).count() >= 0)
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     import spark.implicits._
     // One key carries ~100× the rows of every other: the classic hot-key
