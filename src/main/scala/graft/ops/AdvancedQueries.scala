@@ -79,15 +79,23 @@ object AdvancedQueries {
         .orderBy("l_returnflag")
     },
 
-    // Exact percentiles (continuous interpolation).
+    // Exact percentiles (continuous interpolation). l_quantity has ~50
+    // distinct values, so `percentile`'s value→count map is tiny there;
+    // l_extendedprice is mostly-distinct (the map would hold ~600k doubles
+    // per group and merge 32 partials — the suite's top allocation cost in
+    // r4), so its percentile goes through the bucketed two-pass selection
+    // (VectorQueries.exactPercentileByGroup, bit-identical arithmetic).
     "agg_percentile" -> { (s, dir) =>
-      Tables.lineitem(s, dir)
-        .groupBy("l_linestatus")
+      val li = Tables.lineitem(s, dir)
+      val qty = li.groupBy("l_linestatus")
         .agg(
           round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"))
-        .orderBy("l_linestatus")
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"))
+      val price = VectorQueries.exactPercentileByGroup(
+        li.select(col("l_linestatus").as("g"), col("l_extendedprice").cast("double").as("v")),
+        0.25)
+        .select(col("g").as("l_linestatus"), round(col("pct"), 4).as("p25_price"))
+      qty.join(price, "l_linestatus").orderBy("l_linestatus")
     },
 
     // Median + linear-regression aggregates (qty vs net price per flag).

@@ -145,39 +145,45 @@ object VectorQueries {
       val li = Tables.lineitem(s, dir)
       val approx = li.groupBy("l_linestatus")
         .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"))
-      val exact = exactMedianByGroup(
-        li.select(col("l_linestatus").as("g"), col("l_extendedprice").cast("double").as("v")))
-        .select(col("g").as("l_linestatus"), col("median").as("p50_exact"))
+      val exact = exactPercentileByGroup(
+        li.select(col("l_linestatus").as("g"), col("l_extendedprice").cast("double").as("v")), 0.5)
+        .select(col("g").as("l_linestatus"), col("pct").as("p50_exact"))
       approx.join(exact, "l_linestatus").orderBy("l_linestatus")
     })
 
-  /** Exact median per group by DISTRIBUTED SELECTION (two passes), for
-    * groups too large to sort on one task or to hold as a value→count map
-    * (what Spark's exact `percentile` builds):
+  /** Exact continuous percentile per group by DISTRIBUTED SELECTION (two
+    * passes), for groups too large to sort on one task or to hold as a
+    * value→count map (what Spark's exact `percentile` builds):
     *
     *   1. one histogram aggregate — per-(group, bucket) counts over a
     *      fixed 1024-bucket value grid (map-side combinable, one shuffle of
-    *      ≤ 1024 rows per group) — locates the bucket(s) holding the median
+    *      ≤ 1024 rows per group) — locates the bucket(s) holding the target
     *      ranks via a cumulative sum over the tiny histogram;
-    *   2. a second scan keeps ONLY rows of those buckets (for the median,
-    *      ~n/1024 rows per group) and sorts just them to pick the ranked
-    *      values.
+    *   2. a second scan keeps ONLY rows of those buckets (~n/1024 rows per
+    *      group) and sorts just them to pick the ranked values.
     *
-    * Rank convention matches `percentile(v, 0.5)` / quantile_cont: ranks
-    * (n+1) div 2 and (n+2) div 2 (1-based), averaged — continuous
-    * interpolation at p = 0.5. Equal values always land in the same bucket,
-    * so intra-bucket row_number ties can only occur between equal values
-    * and cannot perturb the result. At 100 TB each pass is a full scan but
-    * per-task state is O(1024), never O(group).
+    * BIT-IDENTICAL to `percentile(v, p)` / quantile_cont: the 0-based
+    * fractional position is pos0 = p·(n−1), the picked ranks are
+    * floor(pos0)+1 and floor(pos0)+2 (1-based, second clamped to n), and
+    * the interpolation is Spark's own weighted form
+    * (1−frac)·v1 + frac·v2 — `frac = pos0 − floor(pos0)` and `1 − frac`
+    * both reduce to single exactly-rounded subtractions of the same
+    * quantities Spark subtracts, so no new rounding is introduced. Equal
+    * values always land in the same bucket, so intra-bucket row_number
+    * ties can only occur between equal values and cannot perturb the
+    * result. At 100 TB each pass is a full scan but per-task state is
+    * O(1024), never O(group).
     */
-  private[ops] def exactMedianByGroup(vals: DataFrame): DataFrame = {
+  private[ops] def exactPercentileByGroup(vals: DataFrame, p: Double): DataFrame = {
     val nb = 1024
     val stats = vals.groupBy("g")
       .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
-    // Target 1-based ranks: k1 = (n+1) div 2, k2 = (n+2) div 2 (equal when
-    // n is odd). SQL `div`, not Column `/` — the latter is double division.
+      .withColumn("pos0", lit(p) * (col("n") - 1).cast("double"))
+      .withColumn("k1", (floor(col("pos0")) + 1).cast("long"))
+      .withColumn("k2", least((floor(col("pos0")) + 2).cast("long"), col("n")))
+      .withColumn("frac", col("pos0") - floor(col("pos0")))
     val ranks = stats.select(col("g"),
-      explode(array(expr("(n + 1) div 2"), expr("(n + 2) div 2"))).as("k")).distinct()
+      explode(array(col("k1"), col("k2"))).as("k")).distinct()
     // Bucket id: value position on the [lo, hi] grid; the +epsilon width
     // keeps hi (and a degenerate lo == hi group) in the last/first bucket.
     val bucket = least(lit(nb - 1),
@@ -195,11 +201,22 @@ object VectorQueries {
     // Pass 2: rank only the target buckets' rows; global rank k is local
     // rank k - cum_before within its bucket.
     val wb = Window.partitionBy("g", "b").orderBy("v")
-    bucketed.join(broadcast(targets.select("g", "b").distinct()), Seq("g", "b"))
+    val picked = bucketed
+      .join(broadcast(targets.select("g", "b").distinct()), Seq("g", "b"))
       .withColumn("rnb", row_number().over(wb))
       .join(broadcast(targets), Seq("g", "b"))
       .filter(col("rnb") === col("k") - col("cum_before"))
-      .groupBy("g").agg(avg("v").as("median"))
+      .select(col("g"), col("k"), col("v"))
+    // v2 is null when k1 == k2 (single-row group); frac is 0 there, and
+    // coalesce keeps the arithmetic finite.
+    picked.join(broadcast(stats.select("g", "k1", "frac")), Seq("g"))
+      .groupBy(col("g"), col("frac"))
+      .agg(
+        min(when(col("k") === col("k1"), col("v"))).as("v1"),
+        min(when(col("k") =!= col("k1"), col("v"))).as("v2"))
+      .select(col("g"),
+        ((lit(1.0) - col("frac")) * col("v1") +
+          col("frac") * coalesce(col("v2"), col("v1"))).as("pct"))
   }
 
   /** Spherical k-means coarse quantizer (Lloyd's): init = every 50th
