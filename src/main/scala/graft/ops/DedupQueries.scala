@@ -353,12 +353,14 @@ object DedupQueries {
       // Refuse oversized corpora: n rows → n(n-1)/2 exact cosines. The cap
       // (default 20k rows ≈ 2e8 pairs, single-node-feasible) is a session
       // conf so a cluster that really wants the exhaustive answer can opt
-      // in explicitly rather than discover the quadratic by page.
+      // in explicitly rather than discover the quadratic by page. The gate
+      // itself must not pay a full scan at scale: LIMIT cap+1 stops the
+      // count as soon as the cap is provably exceeded.
       val cap = s.conf.get(DedupQueries.ExactCosineCapKey, "20000").toLong
-      val n = e.count()
-      require(n <= cap,
-        s"dedup_near_cosine is the O(n²) exactness baseline: $n embedding rows exceed " +
-          s"the ${DedupQueries.ExactCosineCapKey}=$cap gate (≈${n * (n - 1) / 2} pairs). " +
+      val probed = e.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count()
+      require(probed <= cap,
+        s"dedup_near_cosine is the O(n²) exactness baseline: the corpus exceeds the " +
+          s"${DedupQueries.ExactCosineCapKey}=$cap row gate (> ${cap * (cap - 1) / 2} pairs). " +
           "Use dedup_near_cosine_lsh (same result, banded-LSH candidates) at scale, " +
           "or raise the cap to run the exhaustive baseline deliberately.")
       val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
