@@ -225,10 +225,18 @@ object DedupQueries {
     * checkpointing is the right call for iteration-internal state.)
     */
   private[ops] def connectedComponents(edges0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.checkpointRdd
     val edges = edges0.localCheckpoint()
-    var labels = edges.select(col("u").as("id")).distinct()
+    // `cur` is the checkpoint-rooted DataFrame of the current round (its
+    // plan IS the LogicalRDD), kept separate from the projected `labels`
+    // view so the round's persisted blocks can be released explicitly once
+    // the next round has materialized — localCheckpoint persists at
+    // MEMORY_AND_DISK, and on a long chain waiting for GC + ContextCleaner
+    // would accumulate one round's worth of blocks per iteration.
+    var cur = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
+    var labels = cur
     var converged = false
     while (!converged) {
       val viaNeighbors = edges
@@ -240,11 +248,16 @@ object DedupQueries {
       val next = labels.join(viaNeighbors, "id")
         .select(col("id"), least(col("comp"), col("ncomp")).as("comp"),
           (col("ncomp") < col("comp")).as("chg"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized before the old round is freed
       val changed = next.filter(col("chg")).limit(1).count()
+      checkpointRdd(cur).foreach(_.unpersist(false))
+      cur = next
       labels = next.select("id", "comp")
       converged = changed == 0
     }
+    // The edge checkpoint is loop-internal state; only the final labels
+    // survive into the caller's plan.
+    checkpointRdd(edges).foreach(_.unpersist(false))
     labels
   }
 

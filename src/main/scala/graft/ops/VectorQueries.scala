@@ -229,6 +229,7 @@ object VectorQueries {
     * codebook always broadcasts.
     */
   private def kmeansCentroids(e: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.checkpointRdd
     var cents = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
       .localCheckpoint()
@@ -247,7 +248,7 @@ object VectorQueries {
             .as("c_id"),
           first(col("embedding")).as("embedding"))
         .select(col("c_id"), col("embedding"))
-      cents = assigned
+      val next = assigned
         .select(col("c_id"), posexplode(col("embedding")))
         .groupBy("c_id", "pos").agg(avg(col("col")).as("m"))
         .groupBy("c_id")
@@ -255,7 +256,9 @@ object VectorQueries {
           "transform(sort_array(collect_list(struct(pos, m))), x -> CAST(round(x.m, 4) AS float))")
           .as("ce"))
         .withColumn("cn", l2(col("ce")))
-        .localCheckpoint()
+        .localCheckpoint() // eager — safe to free the previous round's blocks
+      checkpointRdd(cents).foreach(_.unpersist(false))
+      cents = next
     }
     cents
   }
