@@ -182,6 +182,54 @@ object TextQueries {
           aggregate(codes, lit(0L), (h, c) => pmod(h * 31 + c, lit(2147483648L)))
             .as("rhash"))
         .orderBy("doc_id")
+    },
+
+    // DETERMINISTIC stratified sampling — the reproducible-corpus-mixing
+    // primitive every training-data pipeline needs: per-language keep
+    // rates decided by a salted content-hash bucket, NOT rand(), so the
+    // sample is identical across runs, engines, partitionings, and
+    // retries (a rand()-sampled corpus is unreproducible the moment a
+    // task retries). The first md5 hex byte is uniform on [00, ff]; a
+    // lexicographic compare against a per-stratum hex threshold keeps
+    // exactly that fraction in expectation: en 50% (< '80'), fr/de 25%
+    // (< '40'), es/zh 12.5% (< '20'). One narrow scan, no shuffle; the
+    // ORDER BY is only for the oracle protocol.
+    "pipeline_stratified_sample" -> { (s, dir) =>
+      val bucket = substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 2)
+      val thr = when(col("lang") === "en", "80")
+        .when(col("lang").isin("fr", "de"), "40")
+        .otherwise("20")
+      Tables.documents(s, dir)
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < thr)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy("doc_id")
+    },
+
+    // Eval-set CONTAMINATION detection — the decontamination pass run
+    // before training: which corpus documents share word-3-gram shingles
+    // with a held-out probe set (here the deterministic doc_id % 100 == 7
+    // slice standing in for a benchmark's test split)? The probe shingle
+    // set is tiny → broadcast; the corpus side reuses the session's
+    // persisted shingle cache, so the scan + explode is shared with the
+    // whole dedup family. At 100 TB this is exactly an n-gram blocklist
+    // join: broadcast the blocklist, one narrow semi-style join, groupBy
+    // doc. Overlap ratio >= 0.5 flags the doc (the near-dup/verbatim
+    // leak); any overlap >= 1 is reported for audit.
+    "pipeline_contamination" -> { (s, dir) =>
+      val sh = DedupQueries.shingles(s, dir)
+      val probes = sh.filter(col("doc_id") % 100 === 7)
+        .select(col("shingle")).distinct()
+      val corpus = sh.filter(col("doc_id") % 100 =!= 7)
+      val card = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      corpus.join(broadcast(probes), "shingle")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+        .join(card, "doc_id")
+        .select(
+          col("doc_id"), col("n_overlap"), col("n_sh"),
+          round(col("n_overlap").cast("double") / col("n_sh"), 4).as("overlap_ratio"),
+          (col("n_overlap").cast("double") / col("n_sh") >= 0.5).as("contaminated"))
+        .orderBy("doc_id")
     })
 
   private def langScoreSql(lang: String, markers: Seq[String]): String = {
@@ -192,6 +240,42 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "pipeline_stratified_sample" ->
+      """SELECT doc_id, lang,
+        |       substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+        |FROM documents
+        |WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) <
+        |      CASE WHEN lang = 'en' THEN '80'
+        |           WHEN lang IN ('fr', 'de') THEN '40'
+        |           ELSE '20' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(ts) - 1),
+        |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+        |  FROM toks
+        |), probes AS (
+        |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 7
+        |), corpus AS (
+        |  SELECT * FROM sh WHERE doc_id % 100 <> 7
+        |), card AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM corpus GROUP BY 1
+        |), ov AS (
+        |  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM corpus c JOIN probes p ON p.shingle = c.shingle
+        |  GROUP BY 1
+        |)
+        |SELECT ov.doc_id, n_overlap, n_sh,
+        |       round(CAST(n_overlap AS DOUBLE) / n_sh, 4) AS overlap_ratio,
+        |       (CAST(n_overlap AS DOUBLE) / n_sh >= 0.5) AS contaminated
+        |FROM ov JOIN card ON card.doc_id = ov.doc_id
+        |ORDER BY ov.doc_id""".stripMargin,
+
     "text_tokens" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
