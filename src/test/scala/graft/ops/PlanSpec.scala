@@ -59,6 +59,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("max_by"), p)
   }
 
+  test("PQ shortlist is bounded-state aggregation, not a global sort") {
+    // The ADC scan scores n×q rows; the top-20 shortlist must come from
+    // the two-level (per-partition, then merge) aggregation — the only
+    // Window allowed is the final exact re-rank over 20 rows per query.
+    val p = plan("sim_ann_pq")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 1, s"expected exactly 1 Window (final re-rank), got $windows:\n$p")
+    assert(p.contains("pq_adc_dot"), p) // scoring reads the code column
+    assert(p.toLowerCase.contains("spark_partition_id"), p) // local top-k level present
+  }
+
   test("cosine kernel stays inside whole-stage codegen") {
     val df = SparkEntry.queries("dedup_near_cosine")(spark, sfDir)
     df.collect() // finalize the AQE plan
