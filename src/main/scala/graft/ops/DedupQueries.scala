@@ -370,7 +370,8 @@ object DedupQueries {
       // itself must not pay a full scan at scale: LIMIT cap+1 stops the
       // count as soon as the cap is provably exceeded.
       val cap = s.conf.get(DedupQueries.ExactCosineCapKey, "20000").toLong
-      val probed = e.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count()
+      val probed = Tables.embeddings(s, dir).select("vec_id")
+        .limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count()
       require(probed <= cap,
         s"dedup_near_cosine is the O(n²) exactness baseline: the corpus exceeds the " +
           s"${DedupQueries.ExactCosineCapKey}=$cap row gate (> ${cap * (cap - 1) / 2} pairs). " +
