@@ -20,7 +20,8 @@ object Plans {
     val names = if (args.nonEmpty) args.toSeq
     else Seq("q1_agg", "join_inner3", "join_broadcast", "sort_topk",
       "cdc_action_filter", "sim_cosine_topk", "window_tumbling",
-      "join_asof_native")
+      "join_asof_native", "sim_ann_pq", "pipeline_contamination",
+      "agg_percentile")
     names.foreach { n =>
       println(s"\n=== $n ===")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
