@@ -83,7 +83,7 @@ class PushdownSpec extends SparkSuite {
     for (p <- preds) {
       val pushed = readDir(dir).filter(p).collect().map(_.toString).sorted
       // materialize everything first, then filter — no pushdown possible
-      val post = readDir(dir).collect().filter(_ => true).toSeq
+      val post = readDir(dir).collect().toSeq
         .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
       val postFiltered = spark.createDataFrame(post)
         .toDF("line", "pos", "file").filter(p).collect().map(_.toString).sorted
