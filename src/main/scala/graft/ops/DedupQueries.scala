@@ -455,6 +455,44 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // CONTAINMENT near-dup (asymmetric): pairs where doc A's shingle set is
+    // mostly inside doc B's — C(A→B) = |A∩B| / |A| ≥ 0.8. This is the
+    // partial-duplication detector (quotation, excerpting, page-within-page)
+    // that symmetric Jaccard misses: a 50-token doc fully contained in a
+    // 500-token doc has J ≈ 0.1 but C = 1.0. Candidate generation is the
+    // asymmetric prefix filter: the PROBE side A indexes only its first
+    // |A| - ceil(t'·|A|) + 1 rarity-ordered tokens (any pair with overlap
+    // ≥ t'·|A| must collide there — pigeonhole over the shared rarity
+    // order), while the INDEX side B indexes all tokens. t' = 0.7995
+    // (not 0.8) so the filter stays lossless under the output's
+    // round(·, 3) ≥ 0.8 convention. The full-side explode is the heavy
+    // stage, but join keys come only from probe PREFIXES — rare tokens by
+    // construction — so each key touches few index rows; at 100 TB the
+    // index partitions by token hash and the probe side stays ~(1-t)·|A|
+    // per doc. Verification is the same array_intersect fetch-join the
+    // Jaccard family shares.
+    "dedup_containment" -> { (s, dir) =>
+      val tEff = 0.7995
+      val docs = docArrays(s, dir)
+      val probe = docs.select(col("doc_id").as("da"), col("n").as("na"),
+        explode(expr(s"slice(hs, 1, cast(n - ceil(n * $tEff) + 1 AS int))")).as("tok"))
+      val index = docs.select(col("doc_id").as("db"), col("n").as("nb"),
+        explode(col("hs")).as("tok"))
+      val cand = probe.join(index, "tok")
+        .filter(col("da") =!= col("db"))
+        // |A∩B| ≤ |B|, so C(A→B) ≥ t' needs |B| ≥ ceil(t'·|A|)
+        .filter(col("nb") >= ceil(col("na") * tEff))
+        .select("da", "db").distinct()
+      cand
+        .join(docs.select(col("doc_id").as("da"), col("hs").as("ha"), col("n").as("na")), "da")
+        .join(docs.select(col("doc_id").as("db"), col("hs").as("hb")), "db")
+        .withColumn("ni", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+        .select(col("da"), col("db"),
+          round(col("ni").cast("double") / col("na"), 3).as("containment"))
+        .filter(col("containment") >= 0.8)
+        .orderBy("da", "db")
+    },
+
     // SimHash near-dup (no DuckDB oracle — custom Catalyst expression;
     // property-tested in ScalaTest). Bands the 64-bit fingerprint into
     // 4×16-bit keys; docs sharing any band are candidates; Hamming ≤ 12
@@ -614,6 +652,29 @@ object DedupQueries {
         |      SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
         |      FROM documents WHERE doc_id % 50 = 0)
         |GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    // Exhaustive all-ordered-pairs containment — the asymmetric prefix
+    // filter is lossless for round(C, 3) >= 0.8, so the Spark plan must
+    // reproduce exactly this.
+    "dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), tok AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(ts) - 1),
+        |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS tok
+        |  FROM toks
+        |), card AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS ni
+        |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, round(CAST(ni AS DOUBLE) / ca.n, 3) AS containment
+        |FROM inter JOIN card ca ON ca.doc_id = da
+        |WHERE round(CAST(ni AS DOUBLE) / ca.n, 3) >= 0.8
+        |ORDER BY da, db""".stripMargin,
 
     "dedup_near_jaccard" ->
       """WITH toks AS (

@@ -206,6 +206,109 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Intra-document REPETITION detection (the Gopher/MassiveText-style
+    // repetition filters): per doc, the most frequent word 2-gram and the
+    // fraction of all 2-gram slots it occupies, plus the duplicate-bigram
+    // ratio (1 - distinct/total). High values flag boilerplate / generated
+    // spam before it reaches training. Doc-level totals come from pure
+    // array expressions on the base scan (no shuffle); the argmax bigram
+    // needs per-(doc, bigram) counts → one explode + groupBy shuffle keyed
+    // by doc_id, then a per-doc window — the same shape as text_tfidf, so
+    // it scales linearly with corpus size at 100 TB (bigram keys are
+    // doc-local; no global hot key).
+    "text_repetition" -> { (s, dir) =>
+      val bigrams = expr(
+        """transform(sequence(1, size(ts) - 1),
+          |  i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))""".stripMargin)
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), bigrams.as("bg"))
+      val totals = base.select(col("doc_id"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("long").as("n_distinct_bg"))
+      val counts = base.select(col("doc_id"), explode(col("bg")).as("bigram"))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id").orderBy(col("n").desc, col("bigram"))
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(totals, "doc_id")
+        .select(
+          col("doc_id"),
+          col("bigram").as("top_bigram"),
+          col("n").as("top_n"),
+          round(col("n").cast("double") / col("n_bigrams"), 4).as("top_ratio"),
+          round(lit(1) - col("n_distinct_bg").cast("double") / col("n_bigrams"), 4)
+            .as("dup_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // PII detection + redaction — the masking pass a corpus runs before
+    // release. The testdata carries no natural PII, so the profile string
+    // is CONSTRUCTED deterministically from customer columns (same pattern
+    // as dedup_exact's injected replays: the construction is declared, the
+    // operator under test is the detector). Detection and redaction are
+    // single-scan column expressions (regexp_extract_all / regexp_replace,
+    // both codegen'd, Spark-global ≡ DuckDB 'g'): emails, US-style
+    // phones, and standalone long digit runs, masked innermost-first so
+    // the digit-run pass cannot eat the structured matches. No shuffle —
+    // linear at 100 TB.
+    "text_pii_redact" -> { (s, dir) =>
+      val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val phoneRe = "[0-9]{3}-[0-9]{4}"
+      val profile = concat(
+        col("c_name"), lit(" <user"), col("c_custkey"), lit("@example.com> tel 555-"),
+        lpad(pmod(col("c_custkey") * 7919, lit(10000)).cast("string"), 4, "0"),
+        lit(" seg "), col("c_mktsegment"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), profile.as("profile"))
+        .select(
+          col("c_custkey"),
+          size(regexp_extract_all(col("profile"), lit(emailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("profile"), lit(phoneRe), lit(0))).as("n_phones"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("profile"), emailRe, "[EMAIL]"),
+              phoneRe, "[PHONE]"),
+            "[0-9]{5,}", "[NUM]").as("redacted"))
+        .orderBy("c_custkey")
+    },
+
+    // SEQUENCE PACKING (concat-and-chunk) — the pretraining batch-prep
+    // step: documents are concatenated in a deterministic global order
+    // (source, doc_id) and the token stream is cut into fixed 256-token
+    // sequences; each doc reports the sequences it lands in and how many
+    // boundaries it straddles. The global running offset is computed
+    // scale-safely in two levels: per-source token totals (a tiny agg —
+    // one row per source) carry the cross-source offsets, and the
+    // within-source running sum is a window keyed by source. The
+    // single-partition window over the 20-row totals frame is metadata
+    // scale; at 100 TB the same offset trick recurses (range-partition
+    // each source, per-partition totals → broadcast offsets), which is
+    // exactly how this plan is structured to extend.
+    "pipeline_pack_sequences" -> { (s, dir) =>
+      val budget = 256L
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+      val srcTotals = docs.groupBy("source").agg(sum(col("n_toks")).as("src_toks"))
+      val srcOffsets = srcTotals
+        .withColumn("src_offset",
+          coalesce(sum(col("src_toks")).over(
+            Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("source", "src_offset")
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      docs.join(broadcast(srcOffsets), "source")
+        .withColumn("start_pos", col("src_offset") + sum(col("n_toks")).over(w) - col("n_toks"))
+        .select(
+          col("doc_id"), col("source"), col("n_toks"), col("start_pos"),
+          // integer division (`div`), not `/`: double division is only
+          // exact below 2^53 and a 100 TB token stream is past that
+          expr(s"start_pos div $budget").as("seq_first"),
+          expr(s"(start_pos + n_toks - 1) div $budget").as("seq_last"))
+        .withColumn("n_spans", col("seq_last") - col("seq_first") + 1)
+        .orderBy("doc_id")
+    },
+
     // Eval-set CONTAMINATION detection — the decontamination pass run
     // before training: which corpus documents share word-3-gram shingles
     // with a held-out probe set (here the deterministic doc_id % 100 == 7
@@ -240,6 +343,69 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), bg AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) AS bgs
+        |  FROM base
+        |), totals AS (
+        |  SELECT doc_id, CAST(len(bgs) AS BIGINT) AS n_bigrams,
+        |         CAST(len(list_distinct(bgs)) AS BIGINT) AS n_distinct_bg
+        |  FROM bg
+        |), counts AS (
+        |  SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT doc_id, unnest(bgs) AS bigram FROM bg)
+        |  GROUP BY 1, 2
+        |), top AS (
+        |  SELECT doc_id, bigram, n FROM (
+        |    SELECT doc_id, bigram, n,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bigram) AS rn
+        |    FROM counts)
+        |  WHERE rn = 1
+        |)
+        |SELECT t.doc_id, bigram AS top_bigram, n AS top_n,
+        |       round(CAST(n AS DOUBLE) / n_bigrams, 4) AS top_ratio,
+        |       round(1 - CAST(n_distinct_bg AS DOUBLE) / n_bigrams, 4) AS dup_ratio
+        |FROM top t JOIN totals USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_pii_redact" ->
+      """WITH p AS (
+        |  SELECT c_custkey,
+        |         c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@example.com> tel 555-'
+        |           || lpad(CAST((c_custkey * 7919) % 10000 AS VARCHAR), 4, '0')
+        |           || ' seg ' || c_mktsegment AS profile
+        |  FROM customer)
+        |SELECT c_custkey,
+        |       CAST(len(regexp_extract_all(profile, '[a-z0-9]+@[a-z]+\.[a-z]+', 0)) AS INT) AS n_emails,
+        |       CAST(len(regexp_extract_all(profile, '[0-9]{3}-[0-9]{4}', 0)) AS INT) AS n_phones,
+        |       regexp_replace(
+        |         regexp_replace(
+        |           regexp_replace(profile, '[a-z0-9]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g'),
+        |           '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+        |         '[0-9]{5,}', '[NUM]', 'g') AS redacted
+        |FROM p ORDER BY c_custkey""".stripMargin,
+
+    "pipeline_pack_sequences" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, source, n_toks,
+        |         CAST(COALESCE(sum(n_toks) OVER (ORDER BY source, doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+        |  FROM docs)
+        |SELECT doc_id, source, n_toks,
+        |       prev AS start_pos,
+        |       prev // 256 AS seq_first,
+        |       (prev + n_toks - 1) // 256 AS seq_last,
+        |       ((prev + n_toks - 1) // 256) - (prev // 256) + 1 AS n_spans
+        |FROM pos ORDER BY doc_id""".stripMargin,
+
     "pipeline_stratified_sample" ->
       """SELECT doc_id, lang,
         |       substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket

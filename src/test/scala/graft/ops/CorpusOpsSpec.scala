@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSuite, Tables}
+
+/** Semantic properties of the corpus-curation operators added in r5:
+  * intra-doc repetition stats, PII redaction, sequence packing, and
+  * asymmetric containment dedup. The DuckDB oracle proves value equality;
+  * these pin the invariants a refactor could silently break (bounds,
+  * contiguity, soundness against a brute-force recomputation).
+  */
+class CorpusOpsSpec extends SparkSuite {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("text_repetition: one row per eligible doc, ratios in bounds") {
+    val rows = run("text_repetition").collect()
+    val eligible = Tables.documents(spark, sfDir)
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.length.toLong == eligible)
+    rows.foreach { r =>
+      val (topN, topRatio, dupRatio) =
+        (r.getAs[Long]("top_n"), r.getAs[Double]("top_ratio"), r.getAs[Double]("dup_ratio"))
+      assert(topN >= 1)
+      assert(topRatio > 0.0 && topRatio <= 1.0, r.toString)
+      assert(dupRatio >= 0.0 && dupRatio < 1.0, r.toString)
+      // the most frequent bigram repeats iff ANY bigram repeats
+      assert((topN >= 2) == (dupRatio > 0.0), r.toString)
+    }
+  }
+
+  test("text_pii_redact: every digit is masked, one email + one phone per profile") {
+    val rows = run("text_pii_redact").collect()
+    assert(rows.length == Tables.customer(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_emails") == 1, r.toString)
+      assert(r.getAs[Int]("n_phones") == 1, r.toString)
+      val red = r.getAs[String]("redacted")
+      assert(!red.exists(_.isDigit), s"unredacted digits in: $red")
+      assert(red.contains("[EMAIL]") && red.contains("[PHONE]"), red)
+    }
+  }
+
+  test("pipeline_pack_sequences: contiguous concat-and-chunk, spans consistent") {
+    val rows = run("pipeline_pack_sequences")
+      .orderBy("source", "doc_id").collect()
+    var expectedStart = 0L
+    // rows ordered by the declared packing order must tile the token
+    // stream with no gaps or overlaps
+    rows.sortBy(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).foreach { r =>
+      val (start, n) = (r.getAs[Long]("start_pos"), r.getAs[Long]("n_toks"))
+      assert(start == expectedStart, s"gap at ${r.toString}: expected $expectedStart")
+      expectedStart = start + n
+      assert(r.getAs[Long]("seq_first") == start / 256, r.toString)
+      assert(r.getAs[Long]("seq_last") == (start + n - 1) / 256, r.toString)
+      assert(r.getAs[Long]("n_spans") >= 1, r.toString)
+    }
+    assert(expectedStart > 0)
+  }
+
+  test("dedup_containment matches a brute-force recomputation exactly") {
+    val got = run("dedup_containment").collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
+        r.getAs[Double]("containment"))).toSet
+    // brute force over raw string shingle sets (sf0.001 is ~100 docs)
+    val sets = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+      .filter(_._2.length >= 3)
+      .map { case (id, ts) =>
+        id -> ts.sliding(3).map(_.mkString(" ")).toSet
+      }
+    val want = (for {
+      (da, sa) <- sets
+      (db, sb) <- sets
+      if da != db
+      c = BigDecimal((sa & sb).size.toDouble / sa.size)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= 0.8
+    } yield (da, db, c)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+}
