@@ -1,0 +1,204 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MySQL binlog wire-format decoders (binlog format v4 — the public layout
+  * documented in the MySQL internals manual and implemented by every binlog
+  * client, including the canal library the reference tails its stream with,
+  * `/root/reference/main.go:459-485`).
+  *
+  * This closes the wire-level half of the engine's one declared gap (the
+  * live binlog tail): the sandbox has no MySQL server to connect to, but
+  * the byte-level decode a live source would sit on is implemented and
+  * spec-proven here, as codegen'd Catalyst expressions over `binary`
+  * columns:
+  *
+  *   - `binlog_frames(stream)`   — split a raw log (with or without the
+  *     4-byte `\xfe bin` magic) into per-event blobs via the event_size
+  *     field; null on truncated/malformed input.
+  *   - `binlog_header(event)`    — the 19-byte v4 event header: timestamp,
+  *     type code + name, server_id, event_size, log_pos, flags.
+  *   - `binlog_rotate(event)`    — ROTATE payload: next (file, position) —
+  *     exactly the `{name,pos}` offset shape the reference checkpoints
+  *     (`main.go:41-44`) and `CdcLogDirSource` restores.
+  *
+  * Checksum note: when the server writes CRC32 checksums (declared in the
+  * FORMAT_DESCRIPTION event), the last 4 bytes of each event are the
+  * checksum; `binlog_rotate` strips them when the trailing bytes are not
+  * printable filename bytes — the FDE-driven variant belongs in the live
+  * source, not the scalar decode.
+  *
+  * All three run row-local with no shuffle: at 100 TB of archived binlog
+  * the decode parallelizes per file split, and everything downstream is
+  * the already-proven CDC pipeline (routing, normalization, envelope).
+  */
+object BinlogWire {
+
+  val headerType: StructType = StructType(Seq(
+    StructField("ts_sec", LongType, nullable = false),
+    StructField("event_type", IntegerType, nullable = false),
+    StructField("type_name", StringType, nullable = false),
+    StructField("server_id", LongType, nullable = false),
+    StructField("event_size", LongType, nullable = false),
+    StructField("log_pos", LongType, nullable = false),
+    StructField("flags", IntegerType, nullable = false)))
+
+  val rotateType: StructType = StructType(Seq(
+    StructField("position", LongType, nullable = false),
+    StructField("next_log", StringType, nullable = false)))
+
+  val HeaderLen = 19
+  private val Magic = Array[Byte](0xfe.toByte, 'b', 'i', 'n')
+
+  /** Public v4 type codes (MySQL internals manual, "Binlog Event Type"). */
+  val typeNames: Map[Int, String] = Map(
+    2 -> "QUERY_EVENT", 4 -> "ROTATE_EVENT", 15 -> "FORMAT_DESCRIPTION_EVENT",
+    16 -> "XID_EVENT", 19 -> "TABLE_MAP_EVENT", 30 -> "WRITE_ROWS_EVENT",
+    31 -> "UPDATE_ROWS_EVENT", 32 -> "DELETE_ROWS_EVENT", 33 -> "GTID_EVENT",
+    34 -> "ANONYMOUS_GTID_EVENT", 35 -> "PREVIOUS_GTIDS_EVENT")
+
+  private def u32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def u64(b: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (b(off + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  /** Static entry point shared by interpreted eval and generated code.
+    * Null (not an exception) on inputs shorter than a header — malformed
+    * archive bytes must not kill a 100 TB scan.
+    */
+  def decodeHeader(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < HeaderLen) return null
+    val tpe = bytes(4) & 0xff
+    InternalRow(
+      u32(bytes, 0),
+      tpe,
+      UTF8String.fromString(typeNames.getOrElse(tpe, s"UNKNOWN($tpe)")),
+      u32(bytes, 5),
+      u32(bytes, 9),
+      u32(bytes, 13),
+      u16(bytes, 17))
+  }
+
+  /** Split a concatenated event stream into per-event blobs. Accepts an
+    * optional leading `\xfe bin` magic (present at file starts, absent in
+    * mid-file splits). Null when any event_size is inconsistent with the
+    * remaining bytes (truncation ⇒ the caller's split boundaries are wrong,
+    * not silently-dropped tail events).
+    */
+  def frames(bytes: Array[Byte]): ArrayData = {
+    if (bytes == null) return null
+    var off =
+      if (bytes.length >= 4 && bytes(0) == Magic(0) && bytes(1) == Magic(1) &&
+        bytes(2) == Magic(2) && bytes(3) == Magic(3)) 4
+      else 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    while (off < bytes.length) {
+      if (bytes.length - off < HeaderLen) return null
+      val size = u32(bytes, off + 9)
+      if (size < HeaderLen || off + size > bytes.length) return null
+      out += java.util.Arrays.copyOfRange(bytes, off, off + size.toInt)
+      off += size.toInt
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  /** ROTATE_EVENT payload: u64 LE next-position + next-log filename (the
+    * rest of the body; a trailing CRC32 is stripped when its bytes are not
+    * printable). Null unless the event is a well-formed ROTATE.
+    */
+  def decodeRotate(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < HeaderLen + 8) return null
+    if ((bytes(4) & 0xff) != 4) return null
+    val pos = u64(bytes, HeaderLen)
+    var end = bytes.length
+    // strip a CRC32 trailer iff any of its bytes can't be filename text
+    if (end - (HeaderLen + 8) > 4 &&
+      (end - 4 until end).exists(i => bytes(i) < 0x20 || bytes(i) == 0x7f))
+      end -= 4
+    val name = new String(bytes, HeaderLen + 8, end - (HeaderLen + 8),
+      java.nio.charset.StandardCharsets.UTF_8)
+    InternalRow(pos, UTF8String.fromString(name))
+  }
+
+  /** Column-level API. */
+  def binlog_header(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.toColumn(
+      BinlogHeaderDecode(org.apache.spark.sql.GraftColumnBridge.toExpression(c)))
+  def binlog_frames(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.toColumn(
+      BinlogFrames(org.apache.spark.sql.GraftColumnBridge.toExpression(c)))
+  def binlog_rotate(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.toColumn(
+      BinlogRotateDecode(org.apache.spark.sql.GraftColumnBridge.toExpression(c)))
+}
+
+/** Shared shape of the three decoders: binary in, possibly-null decode out,
+  * codegen via the static helpers (same pattern as [[StrictBase64Decode]]).
+  */
+sealed abstract class BinlogDecodeExpression extends UnaryExpression {
+  /** Fully-qualified static method the decode compiles to. */
+  protected def staticCall: String
+  /** Boxed JVM type of the decode result, for the generated local. */
+  protected def javaType: String
+
+  override def nullable: Boolean = true
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |$javaType r = $staticCall($c);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+       """.stripMargin
+    })
+}
+
+/** 19-byte v4 binlog event header → struct (see [[BinlogWire]]). */
+case class BinlogHeaderDecode(child: Expression) extends BinlogDecodeExpression {
+  override def dataType: DataType = BinlogWire.headerType
+  override protected def staticCall: String = "graft.functions.BinlogWire.decodeHeader"
+  override protected def javaType: String = "org.apache.spark.sql.catalyst.InternalRow"
+  override protected def nullSafeEval(input: Any): Any =
+    BinlogWire.decodeHeader(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): BinlogHeaderDecode =
+    copy(child = newChild)
+  override def prettyName: String = "binlog_header"
+}
+
+/** Concatenated binlog stream → array of per-event blobs. */
+case class BinlogFrames(child: Expression) extends BinlogDecodeExpression {
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override protected def staticCall: String = "graft.functions.BinlogWire.frames"
+  override protected def javaType: String = "org.apache.spark.sql.catalyst.util.ArrayData"
+  override protected def nullSafeEval(input: Any): Any =
+    BinlogWire.frames(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): BinlogFrames =
+    copy(child = newChild)
+  override def prettyName: String = "binlog_frames"
+}
+
+/** ROTATE event → struct(position, next_log) — the reference's offset shape. */
+case class BinlogRotateDecode(child: Expression) extends BinlogDecodeExpression {
+  override def dataType: DataType = BinlogWire.rotateType
+  override protected def staticCall: String = "graft.functions.BinlogWire.decodeRotate"
+  override protected def javaType: String = "org.apache.spark.sql.catalyst.InternalRow"
+  override protected def nullSafeEval(input: Any): Any =
+    BinlogWire.decodeRotate(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): BinlogRotateDecode =
+    copy(child = newChild)
+  override def prettyName: String = "binlog_rotate"
+}

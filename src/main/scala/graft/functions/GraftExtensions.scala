@@ -33,6 +33,9 @@ object GraftExtensions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "strict_base64_decode" -> (children => StrictBase64Decode(children.head)),
     "simhash64" -> (children => SimHash64(children.head)),
+    "binlog_header" -> (children => BinlogHeaderDecode(children.head)),
+    "binlog_frames" -> (children => BinlogFrames(children.head)),
+    "binlog_rotate" -> (children => BinlogRotateDecode(children.head)),
     "vector_dot" -> (children => VectorDot(children(0), children(1))),
     "minhash_sig" -> (children => MinHashSig(
       children(0),

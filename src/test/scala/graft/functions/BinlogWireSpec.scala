@@ -1,0 +1,123 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Wire-level proof for the MySQL binlog decoders: synthetic v4 events are
+  * packed byte-for-byte per the public format (LE u32 timestamp, u8 type,
+  * LE u32 server_id, LE u32 event_size, LE u32 log_pos, LE u16 flags),
+  * then decoded back through the Catalyst expressions — both the
+  * interpreted path (direct helper calls) and the codegen path (DataFrame
+  * select over a binary column).
+  */
+class BinlogWireSpec extends SparkSuite {
+
+  /** Pack one v4 event: 19-byte header + body. */
+  private def event(ts: Long, tpe: Int, serverId: Long, logPos: Long,
+      flags: Int, body: Array[Byte]): Array[Byte] = {
+    val size = BinlogWire.HeaderLen + body.length
+    val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(ts.toInt).put(tpe.toByte).putInt(serverId.toInt)
+      .putInt(size).putInt(logPos.toInt).putShort(flags.toShort)
+    b.put(body)
+    b.array()
+  }
+
+  private def rotateBody(pos: Long, name: String): Array[Byte] = {
+    val nm = name.getBytes(StandardCharsets.UTF_8)
+    val b = ByteBuffer.allocate(8 + nm.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.putLong(pos).put(nm)
+    b.array()
+  }
+
+  private val fde = event(1700000000L, 15, 1, 123, 0, Array.fill[Byte](57)(0))
+  private val query = event(1700000001L, 2, 1, 456, 0,
+    "BEGIN".getBytes(StandardCharsets.UTF_8))
+  private val write = event(1700000002L, 30, 1, 789, 1, Array[Byte](1, 2, 3, 4))
+  private val rotate = event(1700000003L, 4, 1, 999, 0x20,
+    rotateBody(4L, "mysql-bin.000042"))
+  private val magic = Array[Byte](0xfe.toByte, 'b', 'i', 'n')
+  private val stream = magic ++ fde ++ query ++ write ++ rotate
+
+  test("header decode round-trips every packed field") {
+    val r = BinlogWire.decodeHeader(write)
+    assert(r.getLong(0) == 1700000002L)           // ts_sec
+    assert(r.getInt(1) == 30)                     // event_type
+    assert(r.getUTF8String(2).toString == "WRITE_ROWS_EVENT")
+    assert(r.getLong(3) == 1L)                    // server_id
+    assert(r.getLong(4) == (19 + 4).toLong)       // event_size
+    assert(r.getLong(5) == 789L)                  // log_pos
+    assert(r.getInt(6) == 1)                      // flags
+    assert(BinlogWire.decodeHeader(Array[Byte](1, 2, 3)) == null) // truncated
+  }
+
+  test("framing splits a magic-prefixed stream and refuses truncation") {
+    val fs = BinlogWire.frames(stream)
+    assert(fs.numElements() == 4)
+    assert(fs.getBinary(0).sameElements(fde))
+    assert(fs.getBinary(3).sameElements(rotate))
+    // mid-file split (no magic) works too
+    assert(BinlogWire.frames(query ++ rotate).numElements() == 2)
+    // a truncated tail poisons the whole split — null, not silent drop
+    assert(BinlogWire.frames(stream.dropRight(1)) == null)
+    assert(BinlogWire.frames(Array[Byte](1, 2)) == null)
+  }
+
+  test("rotate decode yields the reference's {name,pos} offset shape") {
+    val r = BinlogWire.decodeRotate(rotate)
+    assert(r.getLong(0) == 4L)
+    assert(r.getUTF8String(1).toString == "mysql-bin.000042")
+    assert(BinlogWire.decodeRotate(query) == null) // wrong type code
+    // CRC32-suffixed rotate: non-printable trailer is stripped
+    val withCrc = event(1700000003L, 4, 1, 999, 0,
+      rotateBody(4L, "mysql-bin.000043") ++ Array[Byte](0x01, 0x02, 0x03, 0x04))
+    assert(BinlogWire.decodeRotate(withCrc).getUTF8String(1).toString == "mysql-bin.000043")
+  }
+
+  test("codegen path: frames + header + rotate as DataFrame expressions") {
+    import spark.implicits._
+    val df = Seq(stream).toDF("raw")
+      .select(explode(BinlogWire.binlog_frames(col("raw"))).as("ev"))
+      .select(
+        BinlogWire.binlog_header(col("ev")).as("h"),
+        BinlogWire.binlog_rotate(col("ev")).as("rot"))
+    val rows = df.collect()
+    assert(rows.length == 4)
+    val names = rows.map(_.getStruct(0).getAs[String]("type_name")).toSeq
+    assert(names == Seq("FORMAT_DESCRIPTION_EVENT", "QUERY_EVENT",
+      "WRITE_ROWS_EVENT", "ROTATE_EVENT"))
+    // log positions decode in order; rotate struct only on the rotate event
+    assert(rows.map(_.getStruct(0).getAs[Long]("log_pos")).toSeq ==
+      Seq(123L, 456L, 789L, 999L))
+    assert(rows.take(3).forall(_.isNullAt(1)))
+    assert(rows(3).getStruct(1).getAs[String]("next_log") == "mysql-bin.000042")
+    // and the SQL-function surface resolves after registration
+    GraftExtensions.register(spark)
+    Seq(stream).toDF("raw").createOrReplaceTempView("binlog_raw")
+    val viaSql = spark.sql(
+      "SELECT binlog_header(f).type_name AS t FROM " +
+        "(SELECT explode(binlog_frames(raw)) AS f FROM binlog_raw)")
+      .collect().map(_.getString(0)).toSeq
+    assert(viaSql == names)
+  }
+
+  test("randomized header round-trip (packing is the inverse of decode)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val ts = rnd.nextLong() & 0xffffffffL
+      val tpe = rnd.nextInt(256)
+      val sid = rnd.nextLong() & 0xffffffffL
+      val pos = rnd.nextLong() & 0xffffffffL
+      val flags = rnd.nextInt(0x10000)
+      val body = Array.fill[Byte](rnd.nextInt(64))(rnd.nextInt().toByte)
+      val r = BinlogWire.decodeHeader(event(ts, tpe, sid, pos, flags, body))
+      assert(r.getLong(0) == ts && r.getInt(1) == tpe && r.getLong(3) == sid &&
+        r.getLong(4) == BinlogWire.HeaderLen + body.length &&
+        r.getLong(5) == pos && r.getInt(6) == flags)
+    }
+  }
+}
