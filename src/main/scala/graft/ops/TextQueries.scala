@@ -210,33 +210,34 @@ object TextQueries {
     // repetition filters): per doc, the most frequent word 2-gram and the
     // fraction of all 2-gram slots it occupies, plus the duplicate-bigram
     // ratio (1 - distinct/total). High values flag boilerplate / generated
-    // spam before it reaches training. Doc-level totals come from pure
-    // array expressions on the base scan (no shuffle); the argmax bigram
-    // needs per-(doc, bigram) counts → one explode + groupBy shuffle keyed
-    // by doc_id, then a per-doc window — the same shape as text_tfidf, so
-    // it scales linearly with corpus size at 100 TB (bigram keys are
-    // doc-local; no global hot key).
+    // spam before it reaches training. One explode + two stacked hash
+    // aggregates keyed by doc (both with map-side partial combine); the
+    // doc-level totals ride the SAME aggregate as the argmax (sum/count of
+    // the per-bigram counts), so there is no second corpus scan, no join,
+    // and — deliberately — no per-doc window (a row_number sort-shuffle
+    // here is the shape the IVF assignment rewrite removed). Ties break
+    // DETERMINISTICALLY to the lexicographically largest bigram: max(struct)
+    // compares n first, then the bigram — mirrored in the oracle's
+    // ORDER BY n DESC, bigram DESC. Linear at 100 TB; bigram keys are
+    // doc-local so no global hot key.
     "text_repetition" -> { (s, dir) =>
       val bigrams = expr(
         """transform(sequence(1, size(ts) - 1),
           |  i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))""".stripMargin)
-      val base = Tables.documents(s, dir)
+      Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("ts"))
         .filter(size(col("ts")) >= 2)
-        .select(col("doc_id"), bigrams.as("bg"))
-      val totals = base.select(col("doc_id"),
-        size(col("bg")).cast("long").as("n_bigrams"),
-        size(array_distinct(col("bg"))).cast("long").as("n_distinct_bg"))
-      val counts = base.select(col("doc_id"), explode(col("bg")).as("bigram"))
+        .select(col("doc_id"), explode(bigrams).as("bigram"))
         .groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("doc_id").orderBy(col("n").desc, col("bigram"))
-      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .join(totals, "doc_id")
+        .groupBy("doc_id").agg(
+          max(struct(col("n"), col("bigram"))).as("top"),
+          sum(col("n")).as("n_bigrams"),
+          count(lit(1)).as("n_distinct_bg"))
         .select(
           col("doc_id"),
-          col("bigram").as("top_bigram"),
-          col("n").as("top_n"),
-          round(col("n").cast("double") / col("n_bigrams"), 4).as("top_ratio"),
+          col("top.bigram").as("top_bigram"),
+          col("top.n").as("top_n"),
+          round(col("top.n").cast("double") / col("n_bigrams"), 4).as("top_ratio"),
           round(lit(1) - col("n_distinct_bg").cast("double") / col("n_bigrams"), 4)
             .as("dup_ratio"))
         .orderBy("doc_id")
@@ -362,7 +363,7 @@ object TextQueries {
         |), top AS (
         |  SELECT doc_id, bigram, n FROM (
         |    SELECT doc_id, bigram, n,
-        |           row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bigram) AS rn
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bigram DESC) AS rn
         |    FROM counts)
         |  WHERE rn = 1
         |)

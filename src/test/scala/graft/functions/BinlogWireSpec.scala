@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.functions._
@@ -16,23 +15,7 @@ import graft.SparkSuite
   */
 class BinlogWireSpec extends SparkSuite {
 
-  /** Pack one v4 event: 19-byte header + body. */
-  private def event(ts: Long, tpe: Int, serverId: Long, logPos: Long,
-      flags: Int, body: Array[Byte]): Array[Byte] = {
-    val size = BinlogWire.HeaderLen + body.length
-    val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
-    b.putInt(ts.toInt).put(tpe.toByte).putInt(serverId.toInt)
-      .putInt(size).putInt(logPos.toInt).putShort(flags.toShort)
-    b.put(body)
-    b.array()
-  }
-
-  private def rotateBody(pos: Long, name: String): Array[Byte] = {
-    val nm = name.getBytes(StandardCharsets.UTF_8)
-    val b = ByteBuffer.allocate(8 + nm.length).order(ByteOrder.LITTLE_ENDIAN)
-    b.putLong(pos).put(nm)
-    b.array()
-  }
+  import BinlogTestData.{event, rotateBody}
 
   private val fde = event(1700000000L, 15, 1, 123, 0, Array.fill[Byte](57)(0))
   private val query = event(1700000001L, 2, 1, 456, 0,
