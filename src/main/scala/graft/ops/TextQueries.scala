@@ -310,6 +310,59 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Perplexity-proxy quality scoring (the CCNet/Gopher LM-filter shape):
+    // train a unigram LM on the corpus itself (term frequencies / total),
+    // score each doc by its mean token log-probability, and z-score
+    // against the corpus so the "surprisingly improbable" tail can be
+    // filtered. Self-trained ⇒ no OOV ⇒ no smoothing term to disagree
+    // about. Two aggregate shuffles (term stats, per-doc score) plus a
+    // broadcast of the vocabulary — the vocab is orders of magnitude
+    // smaller than the corpus at any scale, and the 1-row total and stats
+    // ride broadcast cross joins, so nothing here is quadratic or
+    // single-partition at 100 TB.
+    "text_unigram_logprob" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = toks.groupBy("term").agg(count(lit(1)).as("n"))
+      val total = tf.agg(sum(col("n")).cast("double").as("total"))
+      val docLp = toks
+        .join(broadcast(tf), "term")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          avg(log(col("n") / col("total"))).as("avg_lp"))
+      val stats = docLp.agg(
+        avg(col("avg_lp")).as("mu"), stddev_samp(col("avg_lp")).as("sd"))
+      docLp.crossJoin(broadcast(stats))
+        .select(
+          col("doc_id"), col("n_toks"),
+          round(col("avg_lp"), 4).as("avg_lp_r"),
+          round((col("avg_lp") - col("mu")) / col("sd"), 4).as("lp_z"))
+        .orderBy("doc_id")
+    },
+
+    // Domain MIXING by token budget — the "take B tokens per source" pass
+    // that rebalances a source-skewed corpus before training: within each
+    // source, docs are ranked by a salted content hash (md5 — the same
+    // deterministic order in any engine, reproducible across runs and
+    // retries, unlike rand()), and a doc is kept while the running token
+    // count stays within the per-source budget. The window is keyed by
+    // source (same two-level scale note as pipeline_pack_sequences: a
+    // 100 TB source sub-partitions with broadcast offsets).
+    "pipeline_mix_budget" -> { (s, dir) =>
+      val budget = 512L
+      val w = Window.partitionBy("source")
+        .orderBy(col("rk"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"),
+          md5(concat(lit("mix:"), col("doc_id").cast("string"))).as("rk"))
+        .withColumn("cum_toks", sum(col("n_toks")).over(w))
+        .filter(col("cum_toks") <= budget)
+        .select("doc_id", "source", "n_toks", "cum_toks")
+        .orderBy("doc_id")
+    },
+
     // Eval-set CONTAMINATION detection — the decontamination pass run
     // before training: which corpus documents share word-3-gram shingles
     // with a held-out probe set (here the deterministic doc_id % 100 == 7
@@ -344,6 +397,41 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS DOUBLE) AS total FROM tf
+        |), doclp AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |         avg(ln(n / total)) AS avg_lp
+        |  FROM toks JOIN tf USING (term) CROSS JOIN tot
+        |  GROUP BY 1
+        |), stats AS (
+        |  SELECT avg(avg_lp) AS mu, stddev_samp(avg_lp) AS sd FROM doclp)
+        |SELECT doc_id, n_toks,
+        |       round(avg_lp, 4) AS avg_lp_r,
+        |       round((avg_lp - mu) / sd, 4) AS lp_z
+        |FROM doclp CROSS JOIN stats ORDER BY doc_id""".stripMargin,
+
+    "pipeline_mix_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |         md5('mix:' || CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_toks,
+        |         CAST(sum(n_toks) OVER (PARTITION BY source
+        |                ORDER BY rk, doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS cum_toks
+        |  FROM d)
+        |SELECT doc_id, source, n_toks, cum_toks
+        |FROM c WHERE cum_toks <= 512 ORDER BY doc_id""".stripMargin,
+
     "text_repetition" ->
       """WITH base AS (
         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents

@@ -70,6 +70,27 @@ class PlanSpec extends SparkSuite {
     assert(p.toLowerCase.contains("spark_partition_id"), p) // local top-k level present
   }
 
+  test("text_repetition argmax is aggregates only — no per-doc window sort") {
+    val p = plan("text_repetition")
+    assert(!p.contains("Window"), s"row_number window crept back in:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_"), p) // map-side combine
+  }
+
+  test("dedup_containment candidates come from an equi-join, never a cartesian") {
+    val df = SparkEntry.queries("dedup_containment")(spark, sfDir)
+    df.collect() // finalize the AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("unigram LM joins broadcast the vocabulary, not the corpus") {
+    val df = SparkEntry.queries("text_unigram_logprob")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
+  }
+
   test("cosine kernel stays inside whole-stage codegen") {
     val df = SparkEntry.queries("dedup_near_cosine")(spark, sfDir)
     df.collect() // finalize the AQE plan
