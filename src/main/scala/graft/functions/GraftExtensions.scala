@@ -37,22 +37,24 @@ object GraftExtensions {
     "binlog_frames" -> (children => BinlogFrames(children.head)),
     "binlog_rotate" -> (children => BinlogRotateDecode(children.head)),
     "vector_dot" -> (children => VectorDot(children(0), children(1))),
-    "minhash_sig" -> (children => MinHashSig(
-      children(0),
-      children(1) match {
-        // Any integral literal: SQL `8` arrives as Int but `8L` / typed
-        // literals are just as valid a k.
-        case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) => k
-        case org.apache.spark.sql.catalyst.expressions.Literal(k: Long, _) =>
-          // Single error surface: out-of-range k is an invalid argument,
-          // not an arithmetic overflow.
-          if (k < Int.MinValue || k > Int.MaxValue)
-            throw new IllegalArgumentException(s"k out of int range: $k")
-          else k.toInt
-        case org.apache.spark.sql.catalyst.expressions.Literal(k: Short, _) => k.toInt
-        case org.apache.spark.sql.catalyst.expressions.Literal(k: Byte, _) => k.toInt
-        case other => throw new IllegalArgumentException(s"k must be an integral literal, got $other")
-      })))
+    "space_saving_topk" -> (children =>
+      SpaceSavingTopK(children(0), intLit(children(1))).toAggregateExpression()),
+    "minhash_sig" -> (children => MinHashSig(children(0), intLit(children(1)))))
+
+  /** Any integral literal argument: SQL `8` arrives as Int but `8L` / typed
+    * literals are just as valid a k. Out-of-range k is an invalid argument
+    * (single error surface), not an arithmetic overflow.
+    */
+  private def intLit(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) => k
+    case org.apache.spark.sql.catalyst.expressions.Literal(k: Long, _) =>
+      if (k < Int.MinValue || k > Int.MaxValue)
+        throw new IllegalArgumentException(s"k out of int range: $k")
+      else k.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(k: Short, _) => k.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(k: Byte, _) => k.toInt
+    case other => throw new IllegalArgumentException(s"k must be an integral literal, got $other")
+  }
 
   /** The engine's optimizer rules (also injected by the extensions path). */
   val rules: Seq[org.apache.spark.sql.catalyst.rules.Rule[

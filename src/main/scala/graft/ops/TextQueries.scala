@@ -310,6 +310,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Heavy hitters via the SpaceSaving sketch (Metwally et al., ICDT 2005
+    // — graft.functions.SpaceSavingTopK): one pass, O(k) state per group
+    // regardless of input size, map-side partial combine. Contrast with
+    // text_top_terms, which shuffles the full term universe: at 100 TB the
+    // sketch is the shape that survives when the universe doesn't fit a
+    // shuffle. k=64 exceeds this corpus's vocabulary (31), which makes the
+    // sketch provably EXACT here (err=0) and therefore oracle-comparable
+    // against plain GROUP BY counts; the approximate regime (k < vocab) is
+    // property-tested in SpaceSavingSpec (overestimate bound, N/k
+    // guarantee).
+    "text_heavy_hitters" -> { (s, dir) =>
+      import graft.functions.SpaceSavingTopK.space_saving_topk
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .agg(space_saving_topk(col("term"), 64).as("summary"))
+        .select(explode(col("summary")).as("e"))
+        .select(col("e.item"), col("e.cnt"), col("e.err"))
+        .orderBy(col("cnt").desc, col("item"))
+    },
+
     // Perplexity-proxy quality scoring (the CCNet/Gopher LM-filter shape):
     // train a unigram LM on the corpus itself (term frequencies / total),
     // score each doc by its mean token log-probability, and z-score
@@ -397,6 +417,14 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Valid because k=64 > |vocab|=31: SpaceSaving with spare counters
+    // never evicts, so the summary IS the exact term-count table.
+    "text_heavy_hitters" ->
+      """SELECT term AS item, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(0 AS BIGINT) AS err
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY cnt DESC, item""".stripMargin,
+
     "text_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
