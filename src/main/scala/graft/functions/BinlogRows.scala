@@ -1,0 +1,228 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MySQL binlog v2 ROWS-event row-image decode — the core of what the
+  * reference's canal dependency does between the wire and the handler
+  * (`/root/reference/main.go:50-113` receives exactly these decoded
+  * images): `binlog_rows_json(rows_event, table_map_event)` pairs a
+  * WRITE/UPDATE/DELETE_ROWS_EVENTv2 with its TABLE_MAP_EVENT and returns
+  * one JSON string per row change, shaped like the handler's input:
+  *
+  *   WRITE  → `{"after":{"c0":…,"c1":…}}`
+  *   DELETE → `{"before":{…}}`
+  *   UPDATE → `{"before":{…},"after":{…}}` (images arrive paired on the
+  *            wire, exactly the pairing R6/R7 consumes downstream)
+  *
+  * Column KEYS are positional (`c0…cN`): the binlog carries no column
+  * names — canal resolves them from `information_schema`, which is part of
+  * the live-connection surface, not the wire format. Supported column
+  * types are the fixed-width core + VARCHAR (TINY, SHORT, INT24, LONG,
+  * LONGLONG, FLOAT, DOUBLE, VARCHAR/VAR_STRING, YEAR), with per-row NULL
+  * bitmaps and the columns-present bitmap honored; an unsupported type or
+  * a table-id mismatch yields NULL for the whole event (wrong pairing must
+  * be loud, not plausible), never a torn decode.
+  *
+  * Row-local, no shuffle: decoding 100 TB of archived ROWS events
+  * parallelizes per split like every other scalar here.
+  */
+object BinlogRows {
+
+  // Column type codes (public protocol constants).
+  private val TINY = 1; private val SHORT = 2; private val LONG = 3
+  private val FLOAT = 4; private val DOUBLE = 5; private val LONGLONG = 8
+  private val INT24 = 9; private val YEAR = 13; private val VARCHAR = 15
+  private val VAR_STRING = 253
+
+  private val WRITE = 30; private val UPDATE = 31; private val DELETE = 32
+  private val TABLE_MAP = 19
+
+  private final class Cursor(val b: Array[Byte], var off: Int) {
+    def u8(): Int = { val v = b(off) & 0xff; off += 1; v }
+    def u16(): Int = u8() | (u8() << 8)
+    def u24(): Int = u8() | (u8() << 8) | (u8() << 16)
+    def u32(): Long = u16().toLong | (u16().toLong << 16)
+    def u48(): Long = u32() | (u16().toLong << 32)
+    def i8(): Int = { val v = b(off).toInt; off += 1; v }
+    def i16(): Int = (u16() << 16) >> 16
+    def i24(): Int = (u24() << 8) >> 8
+    def i32(): Int = u32().toInt
+    def i64(): Long = u32() | (u32() << 32)
+    def lenenc(): Long = u8() match {
+      case 0xfc => u16().toLong
+      case 0xfd => u24().toLong
+      case 0xfe => i64()
+      case v => v.toLong
+    }
+    def bytes(n: Int): Array[Byte] = {
+      val r = java.util.Arrays.copyOfRange(b, off, off + n); off += n; r
+    }
+    def remaining: Int = b.length - off
+  }
+
+  private def bit(bm: Array[Byte], i: Int): Boolean =
+    (bm(i / 8) & (1 << (i % 8))) != 0
+
+  /** Parsed TABLE_MAP: (table_id, column type codes, per-column metadata). */
+  private def parseTableMap(ev: Array[Byte]): Option[(Long, Array[Int], Array[Int])] = {
+    if (ev.length < BinlogWire.HeaderLen + 8 || (ev(4) & 0xff) != TABLE_MAP) return None
+    val c = new Cursor(ev, BinlogWire.HeaderLen)
+    val tableId = c.u48()
+    c.u16() // flags
+    val schemaLen = c.u8(); c.bytes(schemaLen); c.u8() // schema name + NUL
+    val tableLen = c.u8(); c.bytes(tableLen); c.u8()   // table name + NUL
+    val nCols = c.lenenc().toInt
+    val types = Array.fill(nCols)(c.u8())
+    c.lenenc() // metadata block length (sizes are type-determined below)
+    val meta = Array.fill(nCols)(0)
+    var i = 0
+    while (i < nCols) {
+      types(i) match {
+        case FLOAT | DOUBLE => meta(i) = c.u8()
+        case VARCHAR | VAR_STRING => meta(i) = c.u16()
+        case _ => ()
+      }
+      i += 1
+    }
+    Some((tableId, types, meta))
+  }
+
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case ch if ch < ' ' => sb.append(f"\\u${ch.toInt}%04x")
+      case ch => sb.append(ch)
+    }
+    sb.toString()
+  }
+
+  /** One row image as a JSON object; null when a column type is
+    * unsupported (the caller then nulls the whole event).
+    */
+  private def image(c: Cursor, types: Array[Int], meta: Array[Int],
+      present: Array[Byte]): Option[String] = {
+    val presentIdx = types.indices.filter(bit(present, _))
+    val nullBm = c.bytes((presentIdx.size + 7) / 8)
+    val sb = new StringBuilder("{")
+    var first = true
+    var pi = 0
+    presentIdx.foreach { col =>
+      val v: Option[String] =
+        if (bit(nullBm, pi)) Some("null")
+        else types(col) match {
+          case TINY => Some(c.i8().toString)
+          case SHORT => Some(c.i16().toString)
+          case INT24 => Some(c.i24().toString)
+          case LONG => Some(c.i32().toString)
+          case LONGLONG => Some(c.i64().toString)
+          case YEAR => Some((1900 + c.u8()).toString)
+          case FLOAT =>
+            Some(java.lang.Float.intBitsToFloat(c.i32()).toString)
+          case DOUBLE =>
+            Some(java.lang.Double.longBitsToDouble(c.i64()).toString)
+          case VARCHAR | VAR_STRING =>
+            val len = if (meta(col) > 255) c.u16() else c.u8()
+            Some("\"" + jsonEscape(new String(c.bytes(len),
+              java.nio.charset.StandardCharsets.UTF_8)) + "\"")
+          case _ => None
+        }
+      if (v.isEmpty) return None
+      if (!first) sb.append(',')
+      first = false
+      sb.append("\"c").append(col).append("\":").append(v.get)
+      pi += 1
+    }
+    Some(sb.append('}').toString())
+  }
+
+  /** Static entry point shared by interpreted eval and generated code.
+    * `hasCrc` = the server writes CRC32 checksums (declared in its
+    * FORMAT_DESCRIPTION event): the last 4 bytes of each event are then a
+    * trailer, not row data. The flag is EXPLICIT — guessing at trailers is
+    * exactly the plausible-but-wrong decode this function refuses.
+    */
+  def rowsJson(rowsEvent: Array[Byte], tableMapEvent: Array[Byte],
+      hasCrc: Boolean): ArrayData = {
+    if (rowsEvent == null || tableMapEvent == null) return null
+    if (rowsEvent.length < BinlogWire.HeaderLen + 10) return null
+    val tpe = rowsEvent(4) & 0xff
+    if (tpe != WRITE && tpe != UPDATE && tpe != DELETE) return null
+    val tm = parseTableMap(tableMapEvent).orNull
+    if (tm == null) return null
+    val (tableId, types, meta) = tm
+    try {
+      val end = rowsEvent.length - (if (hasCrc) 4 else 0)
+      val c = new Cursor(rowsEvent, BinlogWire.HeaderLen)
+      if (c.u48() != tableId) return null // wrong TABLE_MAP pairing
+      c.u16() // flags
+      val extraLen = c.u16() // v2 extra-data length, INCLUDES these 2 bytes
+      if (extraLen > 2) c.bytes(extraLen - 2)
+      val nCols = c.lenenc().toInt
+      if (nCols != types.length) return null
+      val present = c.bytes((nCols + 7) / 8)
+      val presentAfter = if (tpe == UPDATE) c.bytes((nCols + 7) / 8) else present
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      while (c.off < end) {
+        val j = tpe match {
+          case WRITE =>
+            image(c, types, meta, present).map(a => s"""{"after":$a}""")
+          case DELETE =>
+            image(c, types, meta, present).map(b => s"""{"before":$b}""")
+          case UPDATE =>
+            for {
+              b <- image(c, types, meta, present)
+              a <- image(c, types, meta, presentAfter)
+            } yield s"""{"before":$b,"after":$a}"""
+        }
+        if (j.isEmpty || c.off > end) return null // unsupported type / torn image
+        out += UTF8String.fromString(j.get)
+      }
+      new GenericArrayData(out.toArray)
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => null // truncated/corrupt body
+    }
+  }
+
+  /** Column-level API. */
+  def binlog_rows_json(rows: Column, tableMap: Column, hasCrc: Boolean = false): Column =
+    org.apache.spark.sql.GraftColumnBridge.toColumn(
+      BinlogRowsJson(
+        org.apache.spark.sql.GraftColumnBridge.toExpression(rows),
+        org.apache.spark.sql.GraftColumnBridge.toExpression(tableMap),
+        hasCrc))
+}
+
+/** `binlog_rows_json(rows_event, table_map_event[, has_crc])` → array of
+  * JSON row changes (see [[BinlogRows]]).
+  */
+case class BinlogRowsJson(left: Expression, right: Expression, hasCrc: Boolean = false)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(rows: Any, tm: Any): Any =
+    BinlogRows.rowsJson(rows.asInstanceOf[Array[Byte]], tm.asInstanceOf[Array[Byte]], hasCrc)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, t) => {
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData rj =
+         |  graft.functions.BinlogRows.rowsJson($r, $t, $hasCrc);
+         |if (rj == null) { ${ev.isNull} = true; } else { ${ev.value} = rj; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BinlogRowsJson =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "binlog_rows_json"
+}

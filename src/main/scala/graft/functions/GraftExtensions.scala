@@ -36,6 +36,12 @@ object GraftExtensions {
     "binlog_header" -> (children => BinlogHeaderDecode(children.head)),
     "binlog_frames" -> (children => BinlogFrames(children.head)),
     "binlog_rotate" -> (children => BinlogRotateDecode(children.head)),
+    "binlog_rows_json" -> (children => BinlogRowsJson(children(0), children(1),
+      hasCrc = children.lift(2).exists {
+        case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, _) => b
+        case other => throw new IllegalArgumentException(
+          s"has_crc must be a boolean literal, got $other")
+      })),
     "vector_dot" -> (children => VectorDot(children(0), children(1))),
     "space_saving_topk" -> (children =>
       SpaceSavingTopK(children(0), intLit(children(1))).toAggregateExpression()),
