@@ -68,29 +68,52 @@ object BinlogRows {
   private def bit(bm: Array[Byte], i: Int): Boolean =
     (bm(i / 8) & (1 << (i % 8))) != 0
 
-  /** Parsed TABLE_MAP: (table_id, column type codes, per-column metadata). */
-  private def parseTableMap(ev: Array[Byte]): Option[(Long, Array[Int], Array[Int])] = {
-    if (ev.length < BinlogWire.HeaderLen + 8 || (ev(4) & 0xff) != TABLE_MAP) return None
-    val c = new Cursor(ev, BinlogWire.HeaderLen)
-    val tableId = c.u48()
-    c.u16() // flags
-    val schemaLen = c.u8(); c.bytes(schemaLen); c.u8() // schema name + NUL
-    val tableLen = c.u8(); c.bytes(tableLen); c.u8()   // table name + NUL
-    val nCols = c.lenenc().toInt
-    val types = Array.fill(nCols)(c.u8())
-    c.lenenc() // metadata block length (sizes are type-determined below)
-    val meta = Array.fill(nCols)(0)
-    var i = 0
-    while (i < nCols) {
-      types(i) match {
-        case FLOAT | DOUBLE => meta(i) = c.u8()
-        case VARCHAR | VAR_STRING => meta(i) = c.u16()
-        case _ => ()
+  /** Parsed TABLE_MAP: (table_id, schema, table, column types, metadata). */
+  private def parseTableMap(
+      ev: Array[Byte]): Option[(Long, String, String, Array[Int], Array[Int])] = {
+    if (ev == null || ev.length < BinlogWire.HeaderLen + 8 ||
+      (ev(4) & 0xff) != TABLE_MAP) return None
+    try {
+      val c = new Cursor(ev, BinlogWire.HeaderLen)
+      val tableId = c.u48()
+      c.u16() // flags
+      val schemaLen = c.u8()
+      val schema = new String(c.bytes(schemaLen), java.nio.charset.StandardCharsets.UTF_8)
+      c.u8() // NUL
+      val tableLen = c.u8()
+      val table = new String(c.bytes(tableLen), java.nio.charset.StandardCharsets.UTF_8)
+      c.u8() // NUL
+      val nCols = c.lenenc().toInt
+      val types = Array.fill(nCols)(c.u8())
+      c.lenenc() // metadata block length (sizes are type-determined below)
+      val meta = Array.fill(nCols)(0)
+      var i = 0
+      while (i < nCols) {
+        types(i) match {
+          case FLOAT | DOUBLE => meta(i) = c.u8()
+          case VARCHAR | VAR_STRING => meta(i) = c.u16()
+          case _ => ()
+        }
+        i += 1
       }
-      i += 1
+      Some((tableId, schema, table, types, meta))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
     }
-    Some((tableId, types, meta))
   }
+
+  /** TABLE_MAP identity: struct(table_id, db, tbl, n_cols) — the schema/
+    * table NAMES the binlog does carry (per-event), as opposed to column
+    * names (which it doesn't). Null unless the event is a well-formed
+    * TABLE_MAP.
+    */
+  def tableInfo(ev: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow =
+    parseTableMap(ev) match {
+      case Some((id, schema, table, types, _)) =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          id, UTF8String.fromString(schema), UTF8String.fromString(table), types.length)
+      case None => null
+    }
 
   private def jsonEscape(s: String): String = {
     val sb = new StringBuilder(s.length + 8)
@@ -156,7 +179,7 @@ object BinlogRows {
     if (tpe != WRITE && tpe != UPDATE && tpe != DELETE) return null
     val tm = parseTableMap(tableMapEvent).orNull
     if (tm == null) return null
-    val (tableId, types, meta) = tm
+    val (tableId, _, _, types, meta) = tm
     try {
       val end = rowsEvent.length - (if (hasCrc) 4 else 0)
       val c = new Cursor(rowsEvent, BinlogWire.HeaderLen)
@@ -190,13 +213,76 @@ object BinlogRows {
     }
   }
 
+  /** The table_id (u48 LE at the start of the post-header) of a TABLE_MAP
+    * or ROWS event — the key canal pairs them on. Null for other types.
+    */
+  def tableId(ev: Array[Byte]): Any = {
+    if (ev == null || ev.length < BinlogWire.HeaderLen + 6) return null
+    val tpe = ev(4) & 0xff
+    if (tpe != TABLE_MAP && tpe != WRITE && tpe != UPDATE && tpe != DELETE) return null
+    java.lang.Long.valueOf(new Cursor(ev, BinlogWire.HeaderLen).u48())
+  }
+
   /** Column-level API. */
+  def binlog_table_id(ev: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.toColumn(
+      BinlogTableIdDecode(org.apache.spark.sql.GraftColumnBridge.toExpression(ev)))
+
   def binlog_rows_json(rows: Column, tableMap: Column, hasCrc: Boolean = false): Column =
     org.apache.spark.sql.GraftColumnBridge.toColumn(
       BinlogRowsJson(
         org.apache.spark.sql.GraftColumnBridge.toExpression(rows),
         org.apache.spark.sql.GraftColumnBridge.toExpression(tableMap),
         hasCrc))
+
+  def binlog_table(tableMap: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.toColumn(
+      BinlogTableDecode(org.apache.spark.sql.GraftColumnBridge.toExpression(tableMap)))
+}
+
+/** `binlog_table_id(event)` → the u48 table_id of a TABLE_MAP/ROWS event.
+  * Own doGenCode: the result is a PRIMITIVE long slot, so the boxed null
+  * check must unbox explicitly (the base class's Object assignment only
+  * fits struct/array decoders).
+  */
+case class BinlogTableIdDecode(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    BinlogRows.tableId(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |Object r = graft.functions.BinlogRows.tableId($c);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Long) r).longValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): BinlogTableIdDecode =
+    copy(child = newChild)
+  override def prettyName: String = "binlog_table_id"
+}
+
+/** `binlog_table(table_map_event)` → struct(table_id, db, tbl, n_cols). */
+case class BinlogTableDecode(child: Expression) extends BinlogDecodeExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("table_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("db", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("tbl", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_cols",
+      org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override protected def staticCall: String = "graft.functions.BinlogRows.tableInfo"
+  override protected def javaType: String = "org.apache.spark.sql.catalyst.InternalRow"
+  override protected def nullSafeEval(input: Any): Any =
+    BinlogRows.tableInfo(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): BinlogTableDecode =
+    copy(child = newChild)
+  override def prettyName: String = "binlog_table"
 }
 
 /** `binlog_rows_json(rows_event, table_map_event[, has_crc])` → array of

@@ -147,10 +147,11 @@ object BinlogWire {
       BinlogRotateDecode(org.apache.spark.sql.GraftColumnBridge.toExpression(c)))
 }
 
-/** Shared shape of the three decoders: binary in, possibly-null decode out,
-  * codegen via the static helpers (same pattern as [[StrictBase64Decode]]).
+/** Shared shape of the binlog decoders (here and in [[BinlogRows]]):
+  * binary in, possibly-null decode out, codegen via the static helpers
+  * (same pattern as [[StrictBase64Decode]]).
   */
-sealed abstract class BinlogDecodeExpression extends UnaryExpression {
+abstract class BinlogDecodeExpression extends UnaryExpression {
   /** Fully-qualified static method the decode compiles to. */
   protected def staticCall: String
   /** Boxed JVM type of the decode result, for the generated local. */

@@ -36,6 +36,8 @@ object GraftExtensions {
     "binlog_header" -> (children => BinlogHeaderDecode(children.head)),
     "binlog_frames" -> (children => BinlogFrames(children.head)),
     "binlog_rotate" -> (children => BinlogRotateDecode(children.head)),
+    "binlog_table" -> (children => BinlogTableDecode(children.head)),
+    "binlog_table_id" -> (children => BinlogTableIdDecode(children.head)),
     "binlog_rows_json" -> (children => BinlogRowsJson(children(0), children(1),
       hasCrc = children.lift(2).exists {
         case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, _) => b
