@@ -124,6 +124,56 @@ object Demo {
         CdcPipeline.transformPrefiltered(dirSrc, cfg), sink.url, ckpt4))
       println(s"rotating-set delivered total=${sink.captured.size}")
 
+      // RAW WIRE BYTES (the reference's actual input): a binlog-format file
+      // — magic, TABLE_MAP, WRITE_ROWS packed per the public v4 layout —
+      // streamed by CdcBinlogFileSource, row images decoded and paired with
+      // their TABLE_MAP, then the UNCHANGED transform + delivery
+      {
+        import org.apache.spark.sql.functions.{broadcast, col, explode, from_json, get_json_object, lit, timestamp_seconds}
+        import graft.functions.{BinlogRows, BinlogWire}
+        def le(n: Int, v: Long): Array[Byte] =
+          (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+        def ev(tpe: Int, body: Array[Byte]): Array[Byte] =
+          le(4, 1700000000L) ++ Array(tpe.toByte) ++ le(4, 1L) ++
+            le(4, 19L + body.length) ++ le(4, 0L) ++ le(2, 0L) ++ body
+        val tm = ev(19, le(6, 42L) ++ le(2, 1L) ++
+          (Array(2.toByte) ++ "db".getBytes ++ Array(0.toByte)) ++
+          (Array(6.toByte) ++ "orders".getBytes ++ Array(0.toByte)) ++
+          Array(1.toByte, 3.toByte) ++ Array(0.toByte, 0.toByte)) // 1 LONG col
+        val wr = ev(30, le(6, 42L) ++ le(2, 0L) ++ le(2, 2L) ++
+          Array(1.toByte, 1.toByte) ++ // 1 col, present bitmap
+          Array(0.toByte) ++ le(4, 30L)) // null bitmap + id=30
+        val binlog = Files.createTempFile("demo_binlog", ".bin")
+        Files.write(binlog, Array[Byte](0xfe.toByte, 'b', 'i', 'n') ++ tm ++ wr)
+        val braw = spark.readStream
+          .format(classOf[graft.sources.CdcBinlogFileSource].getName)
+          .option("path", binlog.toString).load()
+        val tms = spark.read
+          .format(classOf[graft.sources.CdcBinlogFileSource].getName)
+          .option("path", binlog.toString).load()
+          .select(BinlogRows.binlog_table_id(col("event")).as("table_id"),
+            BinlogRows.binlog_table(col("event")).getField("tbl").as("table"),
+            col("event").as("tm"))
+          .filter(BinlogWire.binlog_header(col("event")).getField("event_type") === 19)
+        val mapT = org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)
+        val changes = braw
+          .filter(BinlogWire.binlog_header(col("event")).getField("event_type") === 30)
+          .withColumn("table_id", BinlogRows.binlog_table_id(col("event")))
+          .join(broadcast(tms), "table_id")
+          .select(col("table"), lit("insert").as("op"),
+            explode(BinlogRows.binlog_rows_json(col("event"), col("tm"))).as("chg"),
+            timestamp_seconds(
+              BinlogWire.binlog_header(col("event")).getField("ts_sec")).as("ts"))
+          .select(col("table"), col("op"),
+            from_json(get_json_object(col("chg"), "$.before"), mapT).as("before"),
+            from_json(get_json_object(col("chg"), "$.after"), mapT).as("after"), col("ts"))
+        val ckpt5 = Files.createTempDirectory("graft_demo_binlog_ckpt").toString
+        Sinks.runToCompletion(Sinks.dualSink(
+          CdcPipeline.transform(changes, cfg), sink.url, ckpt5))
+        println(s"binlog-wire delivered total=${sink.captured.size}")
+      }
+
       // custom keyed state: flatMapGroupsWithState sessionization
       val sess = MemoryStream[Sessionize.Event]
       sess.addData(
