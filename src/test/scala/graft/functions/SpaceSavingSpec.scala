@@ -59,6 +59,28 @@ class SpaceSavingSpec extends SparkSuite {
     }
   }
 
+  test("streaming: windowed heavy hitters over a MemoryStream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String)]
+    def t(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    mem.addData((t(0), "a"), (t(1), "a"), (t(2), "b"),
+      (t(70), "c"), (t(71), "c"), (t(72), "c"))
+    val q = mem.toDF().toDF("ts", "term")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(space_saving_topk(col("term"), 4).as("hh"))
+      .select(col("window.start").as("w"), col("hh"))
+      .writeStream.format("memory").queryName("ss_stream")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val byWindow = spark.table("ss_stream").collect()
+      .sortBy(_.getTimestamp(0).getTime)
+      .map(_.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getString(0), e.getLong(1))))
+      .toSeq
+    assert(byWindow == Seq(Seq(("a", 2L), ("b", 1L)), Seq(("c", 3L))), byWindow.toString)
+  }
+
   test("SQL surface: space_saving_topk resolves after registration") {
     GraftExtensions.register(spark)
     Tables.documents(spark, sfDir).createOrReplaceTempView("docs_ss")
