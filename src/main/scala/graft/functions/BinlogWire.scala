@@ -117,6 +117,37 @@ object BinlogWire {
     new GenericArrayData(out.toArray[Any])
   }
 
+  /** GTID_EVENT payload (type 33): u8 commit flag, 16-byte SID (the server
+    * UUID, big-endian as UUIDs format), u64 LE GNO — together the
+    * `uuid:gno` transaction identity that modern MySQL replication uses as
+    * its position instead of `{name, pos}`. Null unless the event is a
+    * well-formed GTID.
+    */
+  def decodeGtid(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < HeaderLen + 25) return null
+    if ((bytes(4) & 0xff) != 33) return null
+    val sid = new StringBuilder(36)
+    var i = 0
+    while (i < 16) {
+      if (i == 4 || i == 6 || i == 8 || i == 10) sid.append('-')
+      sid.append(f"${bytes(HeaderLen + 1 + i) & 0xff}%02x")
+      i += 1
+    }
+    val gno = {
+      var v = 0L
+      var j = 7
+      while (j >= 0) { v = (v << 8) | (bytes(HeaderLen + 17 + j) & 0xffL); j -= 1 }
+      v
+    }
+    InternalRow(UTF8String.fromString(sid.toString), gno,
+      (bytes(HeaderLen) & 0xff) == 1)
+  }
+
+  val gtidType: StructType = StructType(Seq(
+    StructField("uuid", StringType, nullable = false),
+    StructField("gno", LongType, nullable = false),
+    StructField("commit_flag", BooleanType, nullable = false)))
+
   /** ROTATE_EVENT payload: u64 LE next-position + next-log filename (the
     * rest of the body; a trailing CRC32 is stripped when its bytes are not
     * printable). Null unless the event is a well-formed ROTATE.
@@ -145,6 +176,9 @@ object BinlogWire {
   def binlog_rotate(c: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.toColumn(
       BinlogRotateDecode(org.apache.spark.sql.GraftColumnBridge.toExpression(c)))
+  def binlog_gtid(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.toColumn(
+      BinlogGtidDecode(org.apache.spark.sql.GraftColumnBridge.toExpression(c)))
 }
 
 /** Shared shape of the binlog decoders (here and in [[BinlogRows]]):
@@ -190,6 +224,18 @@ case class BinlogFrames(child: Expression) extends BinlogDecodeExpression {
   override protected def withNewChildInternal(newChild: Expression): BinlogFrames =
     copy(child = newChild)
   override def prettyName: String = "binlog_frames"
+}
+
+/** GTID event → struct(uuid, gno, commit_flag) — the modern position unit. */
+case class BinlogGtidDecode(child: Expression) extends BinlogDecodeExpression {
+  override def dataType: DataType = BinlogWire.gtidType
+  override protected def staticCall: String = "graft.functions.BinlogWire.decodeGtid"
+  override protected def javaType: String = "org.apache.spark.sql.catalyst.InternalRow"
+  override protected def nullSafeEval(input: Any): Any =
+    BinlogWire.decodeGtid(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): BinlogGtidDecode =
+    copy(child = newChild)
+  override def prettyName: String = "binlog_gtid"
 }
 
 /** ROTATE event → struct(position, next_log) — the reference's offset shape. */

@@ -36,6 +36,7 @@ object GraftExtensions {
     "binlog_header" -> (children => BinlogHeaderDecode(children.head)),
     "binlog_frames" -> (children => BinlogFrames(children.head)),
     "binlog_rotate" -> (children => BinlogRotateDecode(children.head)),
+    "binlog_gtid" -> (children => BinlogGtidDecode(children.head)),
     "binlog_table" -> (children => BinlogTableDecode(children.head)),
     "binlog_table_id" -> (children => BinlogTableIdDecode(children.head)),
     "binlog_rows_json" -> (children => BinlogRowsJson(children(0), children(1),

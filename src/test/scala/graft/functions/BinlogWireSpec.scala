@@ -61,6 +61,19 @@ class BinlogWireSpec extends SparkSuite {
     assert(BinlogWire.decodeRotate(withCrc).getUTF8String(1).toString == "mysql-bin.000043")
   }
 
+  test("gtid decode yields uuid:gno (the modern replication position)") {
+    val sid = Array.tabulate[Byte](16)(i => (i * 16 + i).toByte) // 00112233-...
+    val body = Array[Byte](1) ++ sid ++
+      Array[Byte](0x39, 0x30, 0, 0, 0, 0, 0, 0) // gno = 12345 LE
+    val ev = event(1700000004L, 33, 1, 1234, 0, body)
+    val r = BinlogWire.decodeGtid(ev)
+    assert(r.getUTF8String(0).toString == "00112233-4455-6677-8899-aabbccddeeff")
+    assert(r.getLong(1) == 12345L)
+    assert(r.getBoolean(2))
+    assert(BinlogWire.decodeGtid(query) == null)     // wrong type
+    assert(BinlogWire.decodeGtid(ev.take(30)) == null) // truncated
+  }
+
   test("codegen path: frames + header + rotate as DataFrame expressions") {
     import spark.implicits._
     val df = Seq(stream).toDF("raw")
