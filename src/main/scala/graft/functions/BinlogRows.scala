@@ -256,10 +256,11 @@ case class BinlogTableIdDecode(child: Expression)
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("tid")
       s"""
-         |Object r = graft.functions.BinlogRows.tableId($c);
-         |if (r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ((java.lang.Long) r).longValue(); }
+         |Object $r = graft.functions.BinlogRows.tableId($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Long) $r).longValue(); }
        """.stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): BinlogTableIdDecode =
@@ -299,10 +300,11 @@ case class BinlogRowsJson(left: Expression, right: Expression, hasCrc: Boolean =
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (r, t) => {
+      val rj = ctx.freshName("rowsJson")
       s"""
-         |org.apache.spark.sql.catalyst.util.ArrayData rj =
+         |org.apache.spark.sql.catalyst.util.ArrayData $rj =
          |  graft.functions.BinlogRows.rowsJson($r, $t, $hasCrc);
-         |if (rj == null) { ${ev.isNull} = true; } else { ${ev.value} = rj; }
+         |if ($rj == null) { ${ev.isNull} = true; } else { ${ev.value} = $rj; }
        """.stripMargin
     })
 

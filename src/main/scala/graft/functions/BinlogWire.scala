@@ -195,9 +195,12 @@ abstract class BinlogDecodeExpression extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      // fresh local: two decoders in one codegen function (e.g. the same
+      // expression projected twice) must not redefine each other's temps
+      val r = ctx.freshName("decoded")
       s"""
-         |$javaType r = $staticCall($c);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+         |$javaType $r = $staticCall($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
        """.stripMargin
     })
 }
