@@ -493,6 +493,42 @@ object DedupQueries {
         .orderBy("da", "db")
     },
 
+    // The dedup END STAGE: collapse each near-dup cluster to its best
+    // representative — detect (prefix-filtered Jaccard pairs) → cluster
+    // (connected components) → SELECT (argmax quality per component, ties
+    // to the lowest doc_id; singletons keep themselves). This is the query
+    // that actually shrinks the corpus; everything upstream only finds the
+    // structure. The component argmax is one aggregate (max(struct) with
+    // map-side combine — no per-component window sort), quality is the
+    // same log(n_toks)·TTR score text_quality/pipeline_corpus_select use,
+    // rounded to 6 so the float compare is engine-stable.
+    "pipeline_dedup_select" -> { (s, dir) =>
+      val toksCol = split(col("text"), " ")
+      val quality = round(log(lit(1) + size(toksCol))
+        * (size(array_distinct(toksCol)).cast("double") / size(toksCol)), 6)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), quality.as("q"))
+      val pairs = jaccardPairsPrefix(s, dir, 0.5).select("da", "db")
+      val edges = pairs.select(col("da").as("u"), col("db").as("v"))
+        .unionAll(pairs.select(col("db").as("u"), col("da").as("v")))
+      val comp = connectedComponents(edges)
+        .select(col("id").as("doc_id"), col("comp"))
+      // docs outside any near-dup cluster are their own component
+      val labeled = docs.join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("q"),
+          coalesce(col("comp"), col("doc_id")).as("component"))
+      labeled.groupBy("component")
+        .agg(
+          max(struct(col("q"), (-col("doc_id")).as("negid"))).as("best"),
+          count(lit(1)).as("n_members"))
+        .select(
+          col("component"),
+          (-col("best.negid")).as("keep_id"),
+          round(col("best.q"), 6).as("keep_quality"),
+          col("n_members"))
+        .orderBy("component")
+    },
+
     // SimHash near-dup (no DuckDB oracle — custom Catalyst expression;
     // property-tested in ScalaTest). Bands the 64-bit fingerprint into
     // 4×16-bit keys; docs sharing any band are candidates; Hamming ≤ 12
@@ -652,6 +688,52 @@ object DedupQueries {
         |      SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
         |      FROM documents WHERE doc_id % 50 = 0)
         |GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    // Same component structure as dedup_components (recursive CTE), plus
+    // the per-component quality argmax and singleton self-components.
+    "pipeline_dedup_select" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(ts) - 1),
+        |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+        |  FROM toks
+        |), card AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nc FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT x.doc_id AS da, y.doc_id AS db, CAST(count(*) AS BIGINT) AS ni
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT da, db FROM inter
+        |  JOIN card ca ON ca.doc_id = da JOIN card cb ON cb.doc_id = db
+        |  WHERE round(CAST(ni AS DOUBLE) / (ca.nc + cb.nc - ni), 3) >= 0.5
+        |), edges AS (
+        |  SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs
+        |), reach(u, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+        |), comp AS (
+        |  SELECT u AS doc_id, min(r) AS comp FROM reach GROUP BY 1
+        |), scored AS (
+        |  SELECT d.doc_id,
+        |         round(ln(1 + len(string_split(text, ' ')))
+        |               * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |                  / len(string_split(text, ' '))), 6) AS q,
+        |         COALESCE(comp.comp, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+        |), ranked AS (
+        |  SELECT component, doc_id, q,
+        |         row_number() OVER (PARTITION BY component
+        |                            ORDER BY q DESC, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY component) AS n_members
+        |  FROM scored)
+        |SELECT component, doc_id AS keep_id, round(q, 6) AS keep_quality,
+        |       CAST(n_members AS BIGINT) AS n_members
+        |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin,
 
     // Exhaustive all-ordered-pairs containment — the asymmetric prefix
     // filter is lossless for round(C, 3) >= 0.8, so the Spark plan must
