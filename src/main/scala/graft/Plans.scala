@@ -21,7 +21,8 @@ object Plans {
     else Seq("q1_agg", "join_inner3", "join_broadcast", "sort_topk",
       "cdc_action_filter", "sim_cosine_topk", "window_tumbling",
       "join_asof_native", "sim_ann_pq", "pipeline_contamination",
-      "agg_percentile")
+      "agg_percentile", "dedup_containment", "text_repetition",
+      "text_unigram_logprob", "pipeline_dedup_select", "text_heavy_hitters")
     names.foreach { n =>
       println(s"\n=== $n ===")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

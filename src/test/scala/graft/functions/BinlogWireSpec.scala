@@ -101,6 +101,24 @@ class BinlogWireSpec extends SparkSuite {
     assert(viaSql == names)
   }
 
+  test("randomized framing round-trip: any event sequence splits back exactly") {
+    val rnd = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val events = (1 to rnd.nextInt(8)).map { i =>
+        event(rnd.nextLong() & 0xffffffffL, rnd.nextInt(256), 1, i, 0,
+          Array.fill[Byte](rnd.nextInt(100))(rnd.nextInt().toByte))
+      }
+      val withMagic = rnd.nextBoolean()
+      val stream = (if (withMagic) magic else Array.empty[Byte]) ++
+        events.foldLeft(Array.empty[Byte])(_ ++ _)
+      val fs = BinlogWire.frames(stream)
+      assert(fs.numElements() == events.size)
+      events.zipWithIndex.foreach { case (e, i) =>
+        assert(fs.getBinary(i).sameElements(e))
+      }
+    }
+  }
+
   test("randomized header round-trip (packing is the inverse of decode)") {
     val rnd = new scala.util.Random(42)
     (1 to 200).foreach { _ =>
