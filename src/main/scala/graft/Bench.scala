@@ -24,7 +24,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    // 5 reps, not 3: under a long-lived heap the dedup family's in-suite
+    // medians of 3 can drift 2-3× from their standalone times (GC context
+    // from neighboring queries) — a phantom "regression" a median of 5
+    // absorbs. Costs ~2 min at sf0.1; correctness of deltas depends on it.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
