@@ -70,7 +70,10 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     if (selected.isEmpty && only.isDefined)
       sys.error(s"SPARK_GRAFT_ONLY selected no queries: ${only.get.mkString(",")}")
-    val prev = readPrev()
+    // Deltas only against a previous run with the SAME rep count — medians
+    // of different rep counts differ by measurement (see the 3→5 change),
+    // and a methodology delta dressed as a plan delta is worse than none.
+    val prev = readPrev().filter(_._3 == reps).map(p => (p._1, p._2))
     // noop sink forces full evaluation of every column (count() lets Spark
     // skip projections); -1 marks a failed query (median of reps otherwise).
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -135,7 +138,7 @@ object Bench {
     * read BEFORE this run overwrites it. Any parse problem degrades to "no
     * previous run", never to a failed bench.
     */
-  private def readPrev(): Option[(String, Map[String, Double])] = try {
+  private def readPrev(): Option[(String, Map[String, Double], Int)] = try {
     val p = Paths.get("bench_full.json")
     if (!Files.exists(p)) None
     else {
@@ -145,7 +148,7 @@ object Bench {
       for {
         sf <- (j \ "sf").extractOpt[String]
         qs <- (j \ "queries").extractOpt[Map[String, Double]]
-      } yield (sf, qs)
+      } yield (sf, qs, (j \ "reps").extractOpt[Int].getOrElse(0))
     }
   } catch { case _: Throwable => None }
 }
