@@ -1,0 +1,115 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, StandardOpenOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSuite
+import graft.functions.{BinlogTestData, BinlogWire}
+
+/** The rotating raw-binlog directory source: `{name, pos}` byte offsets
+  * across `mysql-bin.000001`, `000002`, … — rotation mid-stream, restart
+  * resume across rotation, writer-crash partial trailing events ignored in
+  * sealed files, bounded backlog drain across file boundaries, batch reads.
+  */
+class CdcBinlogDirSourceSpec extends SparkSuite {
+
+  import BinlogTestData.{event, magic}
+
+  private def ev(i: Int): Array[Byte] =
+    event(1700000000L + i, 30, 1, 100 + i, 0, Array.fill[Byte](8 + i)(i.toByte))
+
+  private def write(dir: Path, name: String, bytes: Array[Byte]): Unit =
+    Files.write(dir.resolve(name), bytes,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
+  private def readOnce(dir: Path, ckpt: String,
+      opts: Map[String, String] = Map.empty): Seq[(Int, String, Long)] = {
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long)]()
+    val src = opts.foldLeft(
+      spark.readStream.format(classOf[CdcBinlogDirSource].getName)
+        .option("path", dir.toString)) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+    val q = src
+      .select(BinlogWire.binlog_header(col("event")).getField("ts_sec").as("ts"),
+        col("file"), col("pos"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r =>
+          got.add(((r.getLong(0) - 1700000000L).toInt, r.getString(1), r.getLong(2))))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    got.asScala.toSeq.sorted
+  }
+
+  test("rotation: offsets walk {name, pos}; restart resumes in the next file") {
+    val dir = Files.createTempDirectory("binlogdir")
+    val ckpt = Files.createTempDirectory("binlogdir_ckpt").toString
+    write(dir, "bin.000001", magic ++ ev(1) ++ ev(2))
+
+    assert(readOnce(dir, ckpt).map(x => (x._1, x._2)) ==
+      Seq((1, "bin.000001"), (2, "bin.000001")))
+
+    // rotate: a new greatest file appears, old one sealed (+ writer-crash
+    // partial trailing event on the sealed file — must be ignored)
+    write(dir, "bin.000001", ev(9).take(10))
+    write(dir, "bin.000002", magic ++ ev(3))
+    val second = readOnce(dir, ckpt)
+    assert(second.map(x => (x._1, x._2)) == Seq((3, "bin.000002")), second.toString)
+    assert(second.head._3 == 4L) // byte pos past the magic
+
+    // append to the current file only
+    write(dir, "bin.000002", ev(4))
+    assert(readOnce(dir, ckpt).map(x => (x._1, x._2)) == Seq((4, "bin.000002")))
+  }
+
+  test("bounded drain walks file boundaries") {
+    val dir = Files.createTempDirectory("binlogdir_cap")
+    val ckpt = Files.createTempDirectory("binlogdir_cap_ckpt").toString
+    write(dir, "b.000001", magic ++ (1 to 3).map(ev).reduce(_ ++ _))
+    write(dir, "b.000002", magic ++ (4 to 7).map(ev).reduce(_ ++ _))
+
+    val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val q = spark.readStream.format(classOf[CdcBinlogDirSource].getName)
+      .option("path", dir.toString).option("maxEventsPerBatch", "2").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes.add(b.count().toInt); ()
+      }.start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val s = sizes.asScala.toSeq.filter(_ > 0)
+    assert(s.sum == 7 && s.forall(_ <= 2), s.toString)
+  }
+
+  test("batch read: every complete event of every file, sealed ends honored") {
+    val dir = Files.createTempDirectory("binlogdir_batch")
+    write(dir, "c.000001", magic ++ ev(1) ++ ev(2) ++ ev(9).take(7)) // crash tail
+    write(dir, "c.000002", magic ++ ev(3))
+    val rows = spark.read.format(classOf[CdcBinlogDirSource].getName)
+      .option("path", dir.toString).load()
+      .select(col("file"),
+        BinlogWire.binlog_header(col("event")).getField("ts_sec").as("ts"))
+      .orderBy("file", "ts")
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1) - 1700000000L).toInt))
+    assert(rows.toSeq == Seq(("c.000001", 1), ("c.000001", 2), ("c.000002", 3)))
+  }
+
+  test("unchanged directory polls scan nothing") {
+    val dir = Files.createTempDirectory("binlogdir_idle")
+    write(dir, "d.000001", magic ++ ev(1))
+    val stream = new CdcBinlogDirMicroBatchStream(dir.toString)
+    stream.latestOffset()
+    val scanned = stream.bytesScanned
+    (1 to 5).foreach(_ => stream.latestOffset())
+    assert(stream.bytesScanned == scanned, "idle polls re-scanned data")
+  }
+}
