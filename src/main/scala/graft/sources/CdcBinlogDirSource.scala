@@ -5,9 +5,10 @@ import java.util
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -60,23 +61,37 @@ class CdcBinlogDirTable(dir: String) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownFilters {
       private val maxEvents = Option(options.get("maxEventsPerBatch")).map(_.toLong)
       private val positionDir = Option(options.get("positionDir"))
+      private var pushed: Array[Filter] = Array.empty
+      // pos-range + file predicates, everything reported residual; a
+      // file-only conjunct prunes WHOLE binlog files from the plan —
+      // skipping even their one-time end-of-complete-events walk.
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters.filter(LineFilters.supported(_, Set("pos", "file")))
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = pushed
       override def build(): Scan = new Scan {
+        private val fs = pushed.toSeq
+        private val (fileFs, _) = LineFilters.fileOnly(fs)
         override def readSchema(): StructType = CdcBinlogDirSource.schema
-        override def description(): String = s"cdc-binlogdir($dir)"
+        override def description(): String =
+          s"cdc-binlogdir($dir), PushedFilters: ${pushed.mkString("[", ", ", "]")}"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new CdcBinlogDirMicroBatchStream(dir, maxEvents, positionDir)
+          new CdcBinlogDirMicroBatchStream(dir, maxEvents, positionDir, fs)
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] =
-            CdcLogDirSource.listLogs(dir).flatMap { f =>
-              val path = s"$dir/$f"
-              val start = CdcBinlogFileSource.dataStart(path)
-              val (_, end) = CdcBinlogFileSource.walkEvents(path, start)
-              if (end <= start) None
-              else Some(CdcBinlogDirRangePartition(dir, f, start, end): InputPartition)
-            }.toArray
+            CdcLogDirSource.listLogs(dir)
+              .filterNot(LineFilters.prunesFile(fileFs, _))
+              .flatMap { f =>
+                val path = s"$dir/$f"
+                val start = CdcBinlogFileSource.dataStart(path)
+                val (_, end) = CdcBinlogFileSource.walkEvents(path, start)
+                if (end <= start) None
+                else Some(CdcBinlogDirRangePartition(dir, f, start, end, fs): InputPartition)
+              }.toArray
           override def createReaderFactory(): PartitionReaderFactory =
             CdcBinlogDirReaderFactory
         }
@@ -88,8 +103,12 @@ class CdcBinlogDirTable(dir: String) extends Table with SupportsRead {
   * parallel, each a seek + sequential event scan.
   */
 class CdcBinlogDirMicroBatchStream(dir: String, maxEventsPerBatch: Option[Long] = None,
-    positionDir: Option[String] = None)
+    positionDir: Option[String] = None, filters: Seq[Filter] = Nil)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // File-only conjuncts prune whole files from streaming plans below;
+  // offset bookkeeping stays on the UNFILTERED stream.
+  private val fileOnlyFilters = LineFilters.fileOnly(filters)._1
 
   private val positions: Option[DualPositionStore] = positionDir.map { d =>
     val base = Paths.get(d)
@@ -196,11 +215,12 @@ class CdcBinlogDirMicroBatchStream(dir: String, maxEventsPerBatch: Option[Long] 
     if (e.name.isEmpty || !s.isBefore(e)) return Array.empty
     val files = CdcLogDirSource.listLogs(dir)
       .filter(f => (s.name.isEmpty || f >= s.name) && f <= e.name)
+      .filterNot(LineFilters.prunesFile(fileOnlyFilters, _))
     files.flatMap { f =>
       val from = if (f == s.name) s.pos else fileStart(f)
       val until = if (f == e.name) e.pos else sealedEnd(f)
       if (until <= from) None
-      else Some(CdcBinlogDirRangePartition(dir, f, from, until): InputPartition)
+      else Some(CdcBinlogDirRangePartition(dir, f, from, until, filters): InputPartition)
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = CdcBinlogDirReaderFactory
@@ -213,7 +233,7 @@ class CdcBinlogDirMicroBatchStream(dir: String, maxEventsPerBatch: Option[Long] 
 }
 
 final case class CdcBinlogDirRangePartition(dir: String, file: String,
-    fromByte: Long, untilByte: Long) extends InputPartition
+    fromByte: Long, untilByte: Long, filters: Seq[Filter] = Nil) extends InputPartition
 
 object CdcBinlogDirReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -224,7 +244,16 @@ object CdcBinlogDirReaderFactory extends PartitionReaderFactory {
         s"${p.dir}/${p.file}", p.fromByte, p.untilByte)
       private val it = range.iterator
       private var cur: (Array[Byte], Long) = _
-      override def next(): Boolean = { val has = it.hasNext; if (has) cur = it.next(); has }
+      override def next(): Boolean = {
+        while (it.hasNext) {
+          val c = it.next()
+          if (p.filters.isEmpty || LineFilters.evalAll(p.filters, "", c._2, p.file)) {
+            cur = c
+            return true
+          }
+        }
+        false
+      }
       override def get(): InternalRow = InternalRow(cur._1, cur._2, fileName)
       override def close(): Unit = range.close()
     }

@@ -6,9 +6,10 @@ import java.util
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -196,19 +197,32 @@ class CdcBinlogFileTable(path: String) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownFilters {
       private val maxEvents = Option(options.get("maxEventsPerBatch")).map(_.toLong)
       private val positionDir = Option(options.get("positionDir"))
+      private var pushed: Array[Filter] = Array.empty
+      // Same contract as the line sources: accept pos-range predicates for
+      // source-side event skipping (an archived-binlog "resume from
+      // position" scan), report everything residual — pushdown only drops
+      // events the query would drop anyway. `line` isn't a raw column here
+      // (the payload is binary), so only pos predicates qualify.
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters.filter(LineFilters.supported(_, Set("pos")))
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = pushed
       override def build(): Scan = new Scan {
+        private val fs = pushed.toSeq
         override def readSchema(): StructType = CdcBinlogFileSource.schema
-        override def description(): String = s"cdc-binlog($path)"
+        override def description(): String =
+          s"cdc-binlog($path), PushedFilters: ${pushed.mkString("[", ", ", "]")}"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new CdcBinlogMicroBatchStream(path, maxEvents, positionDir)
+          new CdcBinlogMicroBatchStream(path, maxEvents, positionDir, fs)
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] = {
             val start = CdcBinlogFileSource.dataStart(path)
             val (_, end) = CdcBinlogFileSource.walkEvents(path, start)
-            Array(CdcBinlogRangePartition(path, start, end))
+            Array(CdcBinlogRangePartition(path, start, end, fs))
           }
           override def createReaderFactory(): PartitionReaderFactory =
             CdcBinlogReaderFactory
@@ -222,7 +236,7 @@ class CdcBinlogFileTable(path: String) extends Table with SupportsRead {
   * serial per server; parallelism comes from the downstream shuffle.
   */
 class CdcBinlogMicroBatchStream(path: String, maxEventsPerBatch: Option[Long] = None,
-    positionDir: Option[String] = None)
+    positionDir: Option[String] = None, filters: Seq[Filter] = Nil)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val positions: Option[DualPositionStore] = positionDir.map { d =>
@@ -272,7 +286,9 @@ class CdcBinlogMicroBatchStream(path: String, maxEventsPerBatch: Option[Long] = 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[CdcOffset], end.asInstanceOf[CdcOffset])
     if (e.pos <= s.pos) Array.empty
-    else Array(CdcBinlogRangePartition(path, s.pos, e.pos))
+    // Offsets always cover the UNFILTERED byte range (positions must stay
+    // stable under any filter set); only row emission is filtered.
+    else Array(CdcBinlogRangePartition(path, s.pos, e.pos, filters))
   }
   override def createReaderFactory(): PartitionReaderFactory = CdcBinlogReaderFactory
   override def commit(end: Offset): Unit =
@@ -280,8 +296,8 @@ class CdcBinlogMicroBatchStream(path: String, maxEventsPerBatch: Option[Long] = 
   override def stop(): Unit = ()
 }
 
-final case class CdcBinlogRangePartition(path: String, fromByte: Long, untilByte: Long)
-    extends InputPartition
+final case class CdcBinlogRangePartition(path: String, fromByte: Long, untilByte: Long,
+    filters: Seq[Filter] = Nil) extends InputPartition
 
 object CdcBinlogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -291,7 +307,16 @@ object CdcBinlogReaderFactory extends PartitionReaderFactory {
         new CdcBinlogFileSource.EventRange(p.path, p.fromByte, p.untilByte)
       private val it = range.iterator
       private var cur: (Array[Byte], Long) = _
-      override def next(): Boolean = { val has = it.hasNext; if (has) cur = it.next(); has }
+      override def next(): Boolean = {
+        while (it.hasNext) {
+          val c = it.next()
+          if (p.filters.isEmpty || LineFilters.evalAll(p.filters, "", c._2, "")) {
+            cur = c
+            return true
+          }
+        }
+        false
+      }
       override def get(): InternalRow = InternalRow(cur._1, cur._2)
       override def close(): Unit = range.close()
     }

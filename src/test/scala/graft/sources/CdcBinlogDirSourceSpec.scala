@@ -103,6 +103,26 @@ class CdcBinlogDirSourceSpec extends SparkSuite {
     assert(rows.toSeq == Seq(("c.000001", 1), ("c.000001", 2), ("c.000002", 3)))
   }
 
+  test("pushdown: pos range skips events at source, file conjunct prunes whole files") {
+    val dir = Files.createTempDirectory("binlogdir_push")
+    write(dir, "e.000001", magic ++ ev(1) ++ ev(2))
+    write(dir, "e.000002", magic ++ ev(3))
+    val df = spark.read.format(classOf[CdcBinlogDirSource].getName)
+      .option("path", dir.toString).load()
+      .filter(col("file") === "e.000001" && col("pos") > 4)
+      .select(BinlogWire.binlog_header(col("event")).getField("ts_sec").as("ts"))
+    // results: only event 2 (file pinned, first event's pos == 4 excluded)
+    assert(df.collect().map(_.getLong(0) - 1700000000L).toSeq == Seq(2L))
+    // the scan itself carries the predicates...
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.scan.description().contains("PushedFilters: ["), scan.scan.description())
+    assert(scan.scan.description().contains("file"), scan.scan.description())
+    // ...and the pruned file contributes no partition at all
+    assert(scan.inputRDD.partitions.length == 1, s"${scan.inputRDD.partitions.length}")
+  }
+
   test("unchanged directory polls scan nothing") {
     val dir = Files.createTempDirectory("binlogdir_idle")
     write(dir, "d.000001", magic ++ ev(1))
