@@ -30,9 +30,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Checksum note: when the server writes CRC32 checksums (declared in the
   * FORMAT_DESCRIPTION event), the last 4 bytes of each event are the
-  * checksum; `binlog_rotate` strips them when the trailing bytes are not
-  * printable filename bytes — the FDE-driven variant belongs in the live
-  * source, not the scalar decode.
+  * checksum; `binlog_rotate(event, has_crc)` takes that fact as an explicit
+  * flag (like `binlog_rows_json`) — a live source derives it from the FDE
+  * once per file; sniffing trailer bytes would mis-split ~2 % of CRCs.
   *
   * All three run row-local with no shuffle: at 100 TB of archived binlog
   * the decode parallelizes per file split, and everything downstream is
@@ -149,18 +149,20 @@ object BinlogWire {
     StructField("commit_flag", BooleanType, nullable = false)))
 
   /** ROTATE_EVENT payload: u64 LE next-position + next-log filename (the
-    * rest of the body; a trailing CRC32 is stripped when its bytes are not
-    * printable). Null unless the event is a well-formed ROTATE.
+    * rest of the body). `hasCrc` = the server writes CRC32 checksums
+    * (declared in its FORMAT_DESCRIPTION event) — the trailing 4 bytes are
+    * then checksum, not filename. An explicit flag, not a byte-sniffing
+    * heuristic: ~2 % of random CRC32 values are four printable bytes, and
+    * names ≤4 chars would never trip a printability test, so guessing
+    * corrupts `next_log` silently. Null unless the event is a well-formed
+    * ROTATE (with room for the declared trailer).
     */
-  def decodeRotate(bytes: Array[Byte]): InternalRow = {
-    if (bytes == null || bytes.length < HeaderLen + 8) return null
+  def decodeRotate(bytes: Array[Byte], hasCrc: Boolean): InternalRow = {
+    if (bytes == null || bytes.length < HeaderLen + 8 + (if (hasCrc) 4 else 0))
+      return null
     if ((bytes(4) & 0xff) != 4) return null
     val pos = u64(bytes, HeaderLen)
-    var end = bytes.length
-    // strip a CRC32 trailer iff any of its bytes can't be filename text
-    if (end - (HeaderLen + 8) > 4 &&
-      (end - 4 until end).exists(i => bytes(i) < 0x20 || bytes(i) == 0x7f))
-      end -= 4
+    val end = bytes.length - (if (hasCrc) 4 else 0)
     val name = new String(bytes, HeaderLen + 8, end - (HeaderLen + 8),
       java.nio.charset.StandardCharsets.UTF_8)
     InternalRow(pos, UTF8String.fromString(name))
@@ -173,9 +175,9 @@ object BinlogWire {
   def binlog_frames(c: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.toColumn(
       BinlogFrames(org.apache.spark.sql.GraftColumnBridge.toExpression(c)))
-  def binlog_rotate(c: Column): Column =
+  def binlog_rotate(c: Column, hasCrc: Boolean = false): Column =
     org.apache.spark.sql.GraftColumnBridge.toColumn(
-      BinlogRotateDecode(org.apache.spark.sql.GraftColumnBridge.toExpression(c)))
+      BinlogRotateDecode(org.apache.spark.sql.GraftColumnBridge.toExpression(c), hasCrc))
   def binlog_gtid(c: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.toColumn(
       BinlogGtidDecode(org.apache.spark.sql.GraftColumnBridge.toExpression(c)))
@@ -190,6 +192,8 @@ abstract class BinlogDecodeExpression extends UnaryExpression {
   protected def staticCall: String
   /** Boxed JVM type of the decode result, for the generated local. */
   protected def javaType: String
+  /** Extra literal arguments appended to the static call (", x" or ""). */
+  protected def extraArgs: String = ""
 
   override def nullable: Boolean = true
 
@@ -199,7 +203,7 @@ abstract class BinlogDecodeExpression extends UnaryExpression {
       // expression projected twice) must not redefine each other's temps
       val r = ctx.freshName("decoded")
       s"""
-         |$javaType $r = $staticCall($c);
+         |$javaType $r = $staticCall($c$extraArgs);
          |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
        """.stripMargin
     })
@@ -241,13 +245,18 @@ case class BinlogGtidDecode(child: Expression) extends BinlogDecodeExpression {
   override def prettyName: String = "binlog_gtid"
 }
 
-/** ROTATE event → struct(position, next_log) — the reference's offset shape. */
-case class BinlogRotateDecode(child: Expression) extends BinlogDecodeExpression {
+/** ROTATE event → struct(position, next_log) — the reference's offset shape.
+  * `hasCrc` comes from the caller (FDE-driven in a live source), never from
+  * sniffing the trailer bytes.
+  */
+case class BinlogRotateDecode(child: Expression, hasCrc: Boolean = false)
+    extends BinlogDecodeExpression {
   override def dataType: DataType = BinlogWire.rotateType
   override protected def staticCall: String = "graft.functions.BinlogWire.decodeRotate"
   override protected def javaType: String = "org.apache.spark.sql.catalyst.InternalRow"
+  override protected def extraArgs: String = s", $hasCrc"
   override protected def nullSafeEval(input: Any): Any =
-    BinlogWire.decodeRotate(input.asInstanceOf[Array[Byte]])
+    BinlogWire.decodeRotate(input.asInstanceOf[Array[Byte]], hasCrc)
   override protected def withNewChildInternal(newChild: Expression): BinlogRotateDecode =
     copy(child = newChild)
   override def prettyName: String = "binlog_rotate"

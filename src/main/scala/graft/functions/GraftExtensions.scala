@@ -35,7 +35,12 @@ object GraftExtensions {
     "simhash64" -> (children => SimHash64(children.head)),
     "binlog_header" -> (children => BinlogHeaderDecode(children.head)),
     "binlog_frames" -> (children => BinlogFrames(children.head)),
-    "binlog_rotate" -> (children => BinlogRotateDecode(children.head)),
+    "binlog_rotate" -> (children => BinlogRotateDecode(children.head,
+      hasCrc = children.lift(1).exists {
+        case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, _) => b
+        case other => throw new IllegalArgumentException(
+          s"has_crc must be a boolean literal, got $other")
+      })),
     "binlog_gtid" -> (children => BinlogGtidDecode(children.head)),
     "binlog_table" -> (children => BinlogTableDecode(children.head)),
     "binlog_table_id" -> (children => BinlogTableIdDecode(children.head)),

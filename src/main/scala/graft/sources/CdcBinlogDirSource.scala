@@ -226,8 +226,10 @@ class CdcBinlogDirMicroBatchStream(dir: String, maxEventsPerBatch: Option[Long] 
   override def createReaderFactory(): PartitionReaderFactory = CdcBinlogDirReaderFactory
   override def commit(end: Offset): Unit =
     positions.foreach { p =>
-      val e = end.asInstanceOf[CdcDirOffset]
-      p.save(CdcOffset(e.pos, e.pos)) // {pos} mirror; name rides the engine offset
+      // Full {name, pos} — byte positions reset per file, so the name is
+      // load-bearing after a rotation (reference checkpoints both,
+      // main.go:41-44); loadDir restores by (name, pos) rotation order.
+      p.saveDir(end.asInstanceOf[CdcDirOffset])
     }
   override def stop(): Unit = ()
 }

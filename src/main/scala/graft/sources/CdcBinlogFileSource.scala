@@ -146,9 +146,19 @@ object CdcBinlogFileSource {
       private var off = fromByte
       override def hasNext: Boolean = seeked && off < untilByte
       override def next(): (Array[Byte], Long) = {
+        // Offset discovery proved these bytes existed, but the file can
+        // shrink (truncation, rotation mishap) between planning and read —
+        // fail with the file and byte range, not an NPE from readFully.
+        def torn(what: String): Nothing = throw new java.io.IOException(
+          s"$path: $what at byte $off (expected events through byte $untilByte); " +
+            "file truncated since offsets were planned?")
         val header = readFully(in, BinlogWire.HeaderLen)
+        if (header == null) torn("truncated event header")
         val es = eventSize(header).toInt
+        if (es < BinlogWire.HeaderLen || off + es > untilByte)
+          torn(s"corrupt event_size $es")
         val body = readFully(in, es - BinlogWire.HeaderLen)
+        if (body == null) torn(s"truncated event body ($es-byte event)")
         val ev = new Array[Byte](es)
         System.arraycopy(header, 0, ev, 0, BinlogWire.HeaderLen)
         System.arraycopy(body, 0, ev, BinlogWire.HeaderLen, es - BinlogWire.HeaderLen)

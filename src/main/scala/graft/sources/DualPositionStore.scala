@@ -61,4 +61,31 @@ final class DualPositionStore(primary: Path, secondary: Path) {
     val copies = Seq(primary, secondary).flatMap(readOne)
     if (copies.isEmpty) None else Some(copies.maxBy(_.pos))
   }
+
+  /** Rotating-file variant: persist the FULL `{name, pos}` the reference
+    * checkpoints (`main.go:41-44`). Byte positions reset per binlog file, so
+    * a pos-only mirror is ambiguous across rotations — a stale copy from an
+    * older, longer file would win `maxBy(pos)` and restore into the wrong
+    * file. Freshness here is rotation order: (name, pos) lexicographic,
+    * matching [[CdcDirOffset.isBefore]].
+    */
+  def saveDir(off: CdcDirOffset): Int = {
+    val json = off.json()
+    Seq(primary, secondary).count(writeOne(_, json))
+  }
+
+  private def readDirOne(target: Path): Option[CdcDirOffset] =
+    try {
+      if (!Files.exists(target)) None
+      else CdcDirOffset.parse(
+        new String(Files.readAllBytes(target), StandardCharsets.UTF_8))
+    } catch { case _: Exception => None }
+
+  /** Freshest readable `{name, pos}` position by rotation order; a pos-only
+    * legacy copy fails [[CdcDirOffset.parse]] and is treated as corrupt.
+    */
+  def loadDir(): Option[CdcDirOffset] = {
+    val copies = Seq(primary, secondary).flatMap(readDirOne)
+    if (copies.isEmpty) None else Some(copies.maxBy(o => (o.name, o.pos)))
+  }
 }

@@ -51,14 +51,27 @@ class BinlogWireSpec extends SparkSuite {
   }
 
   test("rotate decode yields the reference's {name,pos} offset shape") {
-    val r = BinlogWire.decodeRotate(rotate)
+    val r = BinlogWire.decodeRotate(rotate, hasCrc = false)
     assert(r.getLong(0) == 4L)
     assert(r.getUTF8String(1).toString == "mysql-bin.000042")
-    assert(BinlogWire.decodeRotate(query) == null) // wrong type code
-    // CRC32-suffixed rotate: non-printable trailer is stripped
+    assert(BinlogWire.decodeRotate(query, hasCrc = false) == null) // wrong type code
+    // has_crc is an EXPLICIT flag (FDE-driven in a source), not a trailer
+    // sniff — a CRC whose four bytes happen to be printable ("GOOD") must
+    // still be stripped when declared, and kept when not.
+    val printableCrc = "GOOD".getBytes(StandardCharsets.UTF_8)
     val withCrc = event(1700000003L, 4, 1, 999, 0,
-      rotateBody(4L, "mysql-bin.000043") ++ Array[Byte](0x01, 0x02, 0x03, 0x04))
-    assert(BinlogWire.decodeRotate(withCrc).getUTF8String(1).toString == "mysql-bin.000043")
+      rotateBody(4L, "mysql-bin.000043") ++ printableCrc)
+    assert(BinlogWire.decodeRotate(withCrc, hasCrc = true)
+      .getUTF8String(1).toString == "mysql-bin.000043")
+    assert(BinlogWire.decodeRotate(withCrc, hasCrc = false)
+      .getUTF8String(1).toString == "mysql-bin.000043GOOD")
+    // short names (≤4 chars) survive: nothing is guessed away
+    val shortName = event(1700000003L, 4, 1, 999, 0, rotateBody(4L, "a.1"))
+    assert(BinlogWire.decodeRotate(shortName, hasCrc = false)
+      .getUTF8String(1).toString == "a.1")
+    // declared CRC with no room for one = malformed, not a negative-length name
+    val tooShort = event(1700000003L, 4, 1, 999, 0, rotateBody(4L, "ab"))
+    assert(BinlogWire.decodeRotate(tooShort, hasCrc = true) == null)
   }
 
   test("gtid decode yields uuid:gno (the modern replication position)") {
@@ -99,6 +112,13 @@ class BinlogWireSpec extends SparkSuite {
         "(SELECT explode(binlog_frames(raw)) AS f FROM binlog_raw)")
       .collect().map(_.getString(0)).toSeq
     assert(viaSql == names)
+    // SQL binlog_rotate takes the optional has_crc literal like binlog_rows_json
+    val crcStripped = spark.sql(
+      "SELECT binlog_rotate(f, true).next_log AS n FROM " +
+        "(SELECT explode(binlog_frames(raw)) AS f FROM binlog_raw) WHERE " +
+        "binlog_rotate(f, true) IS NOT NULL")
+      .collect().map(_.getString(0)).toSeq
+    assert(crcStripped == Seq("mysql-bin.00")) // 4 declared-CRC bytes dropped
   }
 
   test("randomized framing round-trip: any event sequence splits back exactly") {

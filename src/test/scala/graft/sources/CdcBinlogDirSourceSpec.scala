@@ -132,4 +132,44 @@ class CdcBinlogDirSourceSpec extends SparkSuite {
     (1 to 5).foreach(_ => stream.latestOffset())
     assert(stream.bytesScanned == scanned, "idle polls re-scanned data")
   }
+
+  test("position mirror persists the FULL {name, pos} across rotation") {
+    // Byte positions reset per file: after rotating to f.000002 the live
+    // position (f.000002, small pos) must beat a stale mirror copy from the
+    // older-but-longer f.000001 — a pos-only mirror gets this backwards.
+    val dir = Files.createTempDirectory("binlogdir_mirror")
+    val ckpt = Files.createTempDirectory("binlogdir_mirror_ckpt").toString
+    val posDir = Files.createTempDirectory("binlogdir_mirror_pos")
+    write(dir, "f.000001", magic ++ ev(1) ++ ev(2) ++ ev(3))
+    readOnce(dir, ckpt, Map("positionDir" -> posDir.toString))
+    // rotate, then trigger twice more (commit(end) fires at next-batch
+    // start, so each run mirrors the PREVIOUS run's end position)
+    write(dir, "f.000002", magic ++ ev(4))
+    readOnce(dir, ckpt, Map("positionDir" -> posDir.toString))
+    write(dir, "f.000002", ev(5))
+    readOnce(dir, ckpt, Map("positionDir" -> posDir.toString))
+    val store = new DualPositionStore(
+      posDir.resolve("position.json"), posDir.resolve("position.backup.json"))
+    val restored = store.loadDir()
+    assert(restored.exists(_.name == "f.000002"), s"restored $restored")
+    assert(restored.exists(_.pos >= 4L + ev(4).length), s"restored $restored")
+  }
+
+  test("loadDir restores by rotation order, not raw pos; survives one corrupt copy") {
+    val posDir = Files.createTempDirectory("dirpos_order")
+    val primary = posDir.resolve("position.json")
+    val secondary = posDir.resolve("position.backup.json")
+    val store = new DualPositionStore(primary, secondary)
+    // stale copy: older file, LARGER byte pos (longer file) — must lose
+    Files.writeString(primary, CdcDirOffset("f.000001", 50000L).json())
+    Files.writeString(secondary, CdcDirOffset("f.000002", 100L).json())
+    assert(store.loadDir().contains(CdcDirOffset("f.000002", 100L)))
+    // corrupt the fresh copy: the surviving (stale) copy is still a restore
+    Files.writeString(secondary, "{not json")
+    assert(store.loadDir().contains(CdcDirOffset("f.000001", 50000L)))
+    // legacy pos-only JSON (the old mirror format) reads as corrupt, not as
+    // a nameless offset that could outrank a real one
+    Files.writeString(secondary, """{"pos":999999}""")
+    assert(store.loadDir().contains(CdcDirOffset("f.000001", 50000L)))
+  }
 }

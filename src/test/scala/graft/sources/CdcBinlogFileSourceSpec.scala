@@ -138,4 +138,21 @@ class CdcBinlogFileSourceSpec extends SparkSuite {
     val saved = CdcOffset.parse(Files.readString(mirror))
     assert(saved.exists(_.pos >= 4L + ev(1).length), saved.toString)
   }
+
+  test("file shrunk between planning and read: clean IOException, not an NPE") {
+    // Offsets are planned against bytes that existed; if the file is
+    // truncated before the partition reader runs, the reader must name the
+    // file and byte range — a null from readFully would NPE in eventSize.
+    val log = Files.createTempFile("binlog_shrink", ".bin")
+    val events = magic ++ ev(1) ++ ev(2) ++ ev(3)
+    append(log, events)
+    val plannedEnd = events.length.toLong
+    Files.write(log, events.dropRight(ev(3).length + 5)) // shrink mid-event
+    val range = new CdcBinlogFileSource.EventRange(log.toString, 4L, plannedEnd)
+    try {
+      val err = intercept[java.io.IOException] { range.iterator.toVector }
+      assert(err.getMessage.contains(log.toString), err.getMessage)
+      assert(err.getMessage.contains("truncated"), err.getMessage)
+    } finally range.close()
+  }
 }
