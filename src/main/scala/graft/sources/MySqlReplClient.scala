@@ -1,0 +1,391 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, IOException, InputStream, OutputStream}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.ByteBuffer
+import java.nio.ByteOrder.LITTLE_ENDIAN
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, StandardOpenOption}
+import java.security.MessageDigest
+
+import graft.functions.BinlogWire
+
+/** Live MySQL binlog tail — the replication-protocol client that closes the
+  * engine's last declared gap (the reference tails a live server via the
+  * canal library, `/root/reference/main.go:459-485`; its config surface is
+  * addr/user/password/server-id, `main.go:460-465`, and it resumes from a
+  * checkpointed `{name, pos}` defaulting to `{"", 4}`, `main.go:476-479`).
+  *
+  * Everything here is the PUBLIC MySQL client/server protocol (documented in
+  * the MySQL Internals manual and implemented by every connector): the
+  * 4-byte packet framing, the protocol-v10 handshake, the
+  * `mysql_native_password` challenge scramble, `COM_REGISTER_SLAVE` /
+  * `COM_BINLOG_DUMP`, and the event-stream packets (0x00-prefixed event
+  * bytes, 0xFE EOF, 0xFF ERR).
+  *
+  * Architecture — the client is a SPOOLER, not a Spark source: it appends
+  * each complete event verbatim to a rotating raw-binlog directory (one
+  * file per master binlog file, magic-prefixed, switching on ROTATE
+  * events), and [[CdcBinlogDirSource]] — already spec-proven for offsets,
+  * restart-resume, pushdown, and torn tails — serves that spool to Spark
+  * with the reference's `{name, pos}` offset shape. The split matters at
+  * scale: a TCP stream is not replayable, so micro-batch determinism has to
+  * come from durable bytes; spool-then-read gives exactly-once delivery to
+  * Spark for free (the spool is the write-ahead log), keeps the socket off
+  * the driver's hot path, and means a driver restart resumes from the spool
+  * end — the same O(new bytes) walk the dir source already does — rather
+  * than re-pulling from the master.
+  *
+  * The sandbox has no MySQL server, so the protocol conversation is proven
+  * against an in-process fake server speaking the same bytes
+  * (`MySqlReplClientSpec`); against a real server the ONLY untested layer
+  * is the server's side of the handshake.
+  */
+object MySqlRepl {
+
+  // ---- capability flags (protocol constants, MySQL Internals manual) ----
+  val ClientLongPassword = 0x00000001L
+  val ClientProtocol41 = 0x00000200L
+  val ClientSecureConnection = 0x00008000L
+  val ClientPluginAuth = 0x00080000L
+
+  val NativePasswordPlugin = "mysql_native_password"
+
+  /** 4-byte framed packet IO: 3-byte LE payload length + 1-byte sequence.
+    * Payloads of 0xffffff continue in the next packet (large-packet rule).
+    */
+  final class PacketIO(rawIn: InputStream, rawOut: OutputStream) {
+    private val in = new BufferedInputStream(rawIn)
+    private val out = new BufferedOutputStream(rawOut)
+
+    private def readFully(n: Int): Array[Byte] = {
+      val buf = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val r = in.read(buf, off, n - off)
+        if (r < 0) throw new EOFException(s"connection closed mid-packet ($off/$n bytes)")
+        off += r
+      }
+      buf
+    }
+
+    /** Next packet: (sequence, payload), re-joining 0xffffff continuations. */
+    def read(): (Int, Array[Byte]) = {
+      var head = readFully(4)
+      var len = (head(0) & 0xff) | ((head(1) & 0xff) << 8) | ((head(2) & 0xff) << 16)
+      val seq = head(3) & 0xff
+      var payload = readFully(len)
+      while (len == 0xffffff) {
+        head = readFully(4)
+        len = (head(0) & 0xff) | ((head(1) & 0xff) << 8) | ((head(2) & 0xff) << 16)
+        payload = payload ++ readFully(len)
+      }
+      (seq, payload)
+    }
+
+    def write(seq: Int, payload: Array[Byte]): Unit = {
+      require(payload.length < 0xffffff, "oversized command packet")
+      out.write(Array[Byte](
+        (payload.length & 0xff).toByte,
+        ((payload.length >> 8) & 0xff).toByte,
+        ((payload.length >> 16) & 0xff).toByte,
+        (seq & 0xff).toByte))
+      out.write(payload)
+      out.flush()
+    }
+  }
+
+  /** The fields of the protocol-v10 initial handshake the client needs. */
+  final case class Handshake(serverVersion: String, threadId: Long,
+      seed: Array[Byte], capabilities: Long, authPlugin: String)
+
+  /** Decode the v10 handshake: version byte, NUL-terminated server version,
+    * thread id, 8-byte scramble part 1, capability halves, and (with
+    * CLIENT_SECURE_CONNECTION) scramble part 2 + plugin name.
+    */
+  def decodeHandshake(p: Array[Byte]): Handshake = {
+    if (p.isEmpty || (p(0) & 0xff) == 0xff)
+      throw new IOException("server refused connection: " + errMessage(p))
+    require((p(0) & 0xff) == 10, s"unsupported handshake protocol ${p(0)}")
+    var i = 1
+    val verEnd = p.indexOf(0.toByte, i)
+    val version = new String(p, i, verEnd - i, UTF_8)
+    i = verEnd + 1
+    val threadId = u32(p, i); i += 4
+    val seed1 = java.util.Arrays.copyOfRange(p, i, i + 8); i += 8 + 1 // + filler
+    val capLow = u16(p, i).toLong; i += 2
+    var caps = capLow
+    var seed2 = Array.empty[Byte]
+    var plugin = NativePasswordPlugin
+    if (i < p.length) {
+      i += 1 // charset
+      i += 2 // status flags
+      caps |= u16(p, i).toLong << 16; i += 2
+      val authLen = p(i) & 0xff; i += 1
+      i += 10 // reserved
+      if ((caps & ClientSecureConnection) != 0) {
+        val n = math.max(13, authLen - 8)
+        seed2 = java.util.Arrays.copyOfRange(p, i, i + n).takeWhile(_ != 0)
+        i += n
+      }
+      if ((caps & ClientPluginAuth) != 0 && i < p.length) {
+        val end = { val e = p.indexOf(0.toByte, i); if (e < 0) p.length else e }
+        plugin = new String(p, i, end - i, UTF_8)
+      }
+    }
+    Handshake(version, threadId, seed1 ++ seed2, caps, plugin)
+  }
+
+  /** `mysql_native_password` challenge response:
+    * `SHA1(password) XOR SHA1(seed ++ SHA1(SHA1(password)))` — empty for an
+    * empty password (the reference's default, `main.go:462`).
+    */
+  def nativePasswordScramble(password: String, seed: Array[Byte]): Array[Byte] = {
+    if (password.isEmpty) return Array.empty
+    val sha1 = MessageDigest.getInstance("SHA-1")
+    val p1 = sha1.digest(password.getBytes(UTF_8))
+    sha1.reset()
+    val p2 = sha1.digest(p1)
+    sha1.reset()
+    sha1.update(seed)
+    sha1.update(p2)
+    val mask = sha1.digest()
+    val out = new Array[Byte](p1.length)
+    var i = 0
+    while (i < out.length) { out(i) = (p1(i) ^ mask(i)).toByte; i += 1 }
+    out
+  }
+
+  /** HandshakeResponse41 payload for a native-password login. */
+  def handshakeResponse(user: String, password: String, seed: Array[Byte]): Array[Byte] = {
+    val caps = ClientLongPassword | ClientProtocol41 | ClientSecureConnection |
+      ClientPluginAuth
+    val token = nativePasswordScramble(password, seed)
+    val b = ByteBuffer.allocate(4 + 4 + 1 + 23 + user.length + 1 + 1 +
+      token.length + NativePasswordPlugin.length + 1).order(LITTLE_ENDIAN)
+    b.putInt(caps.toInt)
+    b.putInt(1 << 24)          // max packet size
+    b.put(33.toByte)           // utf8 charset
+    b.put(new Array[Byte](23)) // reserved
+    b.put(user.getBytes(UTF_8)).put(0.toByte)
+    b.put(token.length.toByte).put(token)
+    b.put(NativePasswordPlugin.getBytes(UTF_8)).put(0.toByte)
+    b.array()
+  }
+
+  // ---- commands ----
+  def comQuery(sql: String): Array[Byte] = 0x03.toByte +: sql.getBytes(UTF_8)
+
+  /** COM_REGISTER_SLAVE: announce ourselves as a replica (report fields
+    * empty — the master only requires the server id).
+    */
+  def comRegisterSlave(serverId: Long): Array[Byte] = {
+    val b = ByteBuffer.allocate(1 + 4 + 1 + 1 + 1 + 2 + 4 + 4).order(LITTLE_ENDIAN)
+    b.put(0x15.toByte).putInt(serverId.toInt)
+    b.put(0.toByte).put(0.toByte).put(0.toByte) // hostname/user/password (empty)
+    b.putShort(0).putInt(0).putInt(0)           // port, rank, master id
+    b.array()
+  }
+
+  /** COM_BINLOG_DUMP: stream `name` from byte `pos` (u32 — the binlog-file
+    * position unit) to replica `serverId`.
+    */
+  def comBinlogDump(name: String, pos: Long, serverId: Long): Array[Byte] = {
+    val nm = name.getBytes(UTF_8)
+    val b = ByteBuffer.allocate(1 + 4 + 2 + 4 + nm.length).order(LITTLE_ENDIAN)
+    b.put(0x12.toByte).putInt(pos.toInt).putShort(0).putInt(serverId.toInt).put(nm)
+    b.array()
+  }
+
+  def isOk(p: Array[Byte]): Boolean = p.nonEmpty && (p(0) & 0xff) == 0x00
+  def isEof(p: Array[Byte]): Boolean = p.nonEmpty && (p(0) & 0xff) == 0xfe && p.length < 9
+  def isErr(p: Array[Byte]): Boolean = p.nonEmpty && (p(0) & 0xff) == 0xff
+
+  /** Human-readable ERR packet: error code + message (skipping the
+    * `#sqlstate` marker when present).
+    */
+  def errMessage(p: Array[Byte]): String = {
+    if (!isErr(p)) return "not an ERR packet"
+    val code = u16(p, 1)
+    var i = 3
+    if (i < p.length && p(i) == '#') i += 6
+    s"error $code: ${new String(p, i, p.length - i, UTF_8)}"
+  }
+
+  /** Checksum algorithm a FORMAT_DESCRIPTION event declares: byte at
+    * `length - 5` (0 = none, 1 = CRC32) — the FDE is the protocol's one
+    * authoritative word on whether events carry 4 trailing checksum bytes
+    * (this is what feeds `binlog_rotate(ev, has_crc)`; never sniffed).
+    */
+  def fdeChecksumAlg(event: Array[Byte]): Int = {
+    if (event == null || event.length < BinlogWire.HeaderLen + 5) return 0
+    if ((event(4) & 0xff) != 15) return 0
+    val alg = event(event.length - 5) & 0xff
+    if (alg == 1) 1 else 0
+  }
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+}
+
+/** Connection/identity config — the reference's surface verbatim
+  * (`main.go:460-465`): address, user, password, replica server id.
+  */
+final case class ReplConfig(host: String, port: Int, user: String,
+    password: String = "", serverId: Long = 1001L,
+    connectTimeoutMs: Int = 10000)
+
+/** The spooling tail: authenticate, `COM_BINLOG_DUMP` from the spool's own
+  * end position, and append each streamed event verbatim to
+  * `spoolDir/<binlog file>`. Rotation follows the master's ROTATE events;
+  * resume needs no external checkpoint because the spool IS the position
+  * (`resumePosition()` = newest file + byte past its last complete event —
+  * `{"", 4}` on an empty spool, exactly the reference's fresh-start
+  * default, `main.go:478`).
+  */
+final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoCloseable {
+
+  import MySqlRepl._
+
+  @volatile private var socket: Socket = _
+  @volatile private var stopped = false
+
+  /** `{name, pos}` to dump from: the spool's newest file and the byte past
+    * its last complete event (a torn trailing append is re-fetched, never
+    * trusted). Empty spool → `("", 4)`.
+    */
+  def resumePosition(): (String, Long) = {
+    val files = CdcLogDirSource.listLogs(spoolDir.toString)
+    files.lastOption match {
+      case None => ("", 4L)
+      case Some(name) =>
+        val path = spoolDir.resolve(name).toString
+        val start = CdcBinlogFileSource.dataStart(path)
+        val (_, end) = CdcBinlogFileSource.walkEvents(path, start)
+        (name, end)
+    }
+  }
+
+  /** Connect, authenticate, dump, spool. Blocks until `maxEvents` events
+    * have been spooled, the server ends the stream (EOF), or [[close]];
+    * returns the number of events appended. Throws [[IOException]] on
+    * protocol errors (auth failure, ERR packets, torn packets).
+    */
+  def run(maxEvents: Long = Long.MaxValue): Long = {
+    val sock = new Socket()
+    socket = sock
+    sock.setTcpNoDelay(true)
+    sock.connect(new InetSocketAddress(cfg.host, cfg.port), cfg.connectTimeoutMs)
+    try {
+      val io = new PacketIO(sock.getInputStream, sock.getOutputStream)
+      // handshake + auth
+      val (seq0, hs) = io.read()
+      val handshake = decodeHandshake(hs)
+      if (handshake.authPlugin != NativePasswordPlugin)
+        throw new IOException(s"unsupported auth plugin ${handshake.authPlugin}")
+      io.write(seq0 + 1, handshakeResponse(cfg.user, cfg.password, handshake.seed))
+      val (_, authReply) = io.read()
+      if (isErr(authReply)) throw new IOException("auth failed: " + errMessage(authReply))
+      if (!isOk(authReply)) throw new IOException("unexpected auth reply")
+      // a checksum-writing master refuses to dump until the replica declares
+      // it can cope — the standard replica session variable
+      command(io, comQuery("SET @master_binlog_checksum= @@global.binlog_checksum"))
+      command(io, comRegisterSlave(cfg.serverId))
+      val (name, pos) = resumePosition()
+      io.write(0, comBinlogDump(name, pos, cfg.serverId))
+      spoolStream(io, name, maxEvents)
+    } finally {
+      try sock.close() catch { case _: Exception => () }
+      socket = null
+    }
+  }
+
+  private def command(io: PacketIO, payload: Array[Byte]): Unit = {
+    io.write(0, payload)
+    val (_, reply) = io.read()
+    if (isErr(reply)) throw new IOException(errMessage(reply))
+  }
+
+  /** The event stream: each packet is 0x00 + raw event bytes. A ROTATE with
+    * timestamp 0 is the master's synthetic position marker (not part of any
+    * file — never spooled); a real ROTATE is the file's last event (spooled,
+    * then the spool switches files). A re-sent FORMAT_DESCRIPTION on a
+    * mid-file resume (log_pos 0) is descriptive, not positional — skipped.
+    */
+  private def spoolStream(io: PacketIO, startFile: String, maxEvents: Long): Long = {
+    var current = startFile
+    var hasCrc = false
+    var spooled = 0L
+    while (!stopped && spooled < maxEvents) {
+      val packet =
+        try io.read()
+        catch { case _: EOFException if stopped => return spooled }
+      val p = packet._2
+      if (isErr(p)) throw new IOException("dump failed: " + errMessage(p))
+      if (isEof(p)) return spooled
+      if (!isOk(p)) throw new IOException("unexpected packet in event stream")
+      val ev = java.util.Arrays.copyOfRange(p, 1, p.length)
+      val header = BinlogWire.decodeHeader(ev)
+      if (header == null) throw new IOException("malformed event in stream")
+      val tpe = header.getInt(1)
+      val ts = header.getLong(0)
+      if (tpe == 15) { // FORMAT_DESCRIPTION: learn the checksum mode
+        hasCrc = fdeChecksumAlg(ev) == 1
+        if (current.isEmpty)
+          throw new IOException("event before the master named its binlog file")
+        if (header.getLong(5) != 0L || spoolEnd(current) <= 4L) {
+          append(current, ev); spooled += 1
+        }
+      } else if (tpe == 4) { // ROTATE
+        val rot = BinlogWire.decodeRotate(ev, if (ts == 0L) false else hasCrc)
+        if (rot == null) throw new IOException("malformed ROTATE event")
+        val next = rot.getUTF8String(1).toString
+        if (ts == 0L) {
+          // synthetic marker (no checksum — the master builds it fresh):
+          // sent for EVERY file the dump opens, naming the file the
+          // following events belong to. Positional metadata, never spooled.
+          current = next
+        } else {
+          // a real ROTATE is the file's last event: spool it, then switch
+          append(current, ev)
+          spooled += 1
+          current = next
+        }
+      } else {
+        if (current.isEmpty)
+          throw new IOException("event before the master named its binlog file")
+        append(current, ev)
+        spooled += 1
+      }
+    }
+    spooled
+  }
+
+  private def spoolEnd(name: String): Long = {
+    if (name.isEmpty) return 0L
+    val p = spoolDir.resolve(name)
+    if (Files.exists(p)) Files.size(p) else 0L
+  }
+
+  /** Append one complete event; a fresh spool file starts with the binlog
+    * magic so it is byte-compatible with an archived `mysql-bin.NNNNNN`.
+    */
+  private def append(name: String, event: Array[Byte]): Unit = {
+    Files.createDirectories(spoolDir)
+    val p = spoolDir.resolve(name)
+    if (!Files.exists(p))
+      Files.write(p, Array[Byte](0xfe.toByte, 'b', 'i', 'n'),
+        StandardOpenOption.CREATE_NEW)
+    Files.write(p, event, StandardOpenOption.APPEND)
+  }
+
+  /** Stop the tail: further spooling ceases and [[run]] returns. */
+  override def close(): Unit = {
+    stopped = true
+    val s = socket
+    if (s != null) { try s.close() catch { case _: Exception => () } }
+  }
+}
