@@ -168,6 +168,20 @@ object BinlogWire {
     InternalRow(pos, UTF8String.fromString(name))
   }
 
+  /** CRC32 trailer check: true iff the last 4 bytes equal the CRC32 of
+    * everything before them (the layout a checksumming server writes —
+    * `event_size` covers the trailer). Null on inputs too short to carry
+    * one. The integrity scan for archived binlogs: at 100 TB a silent
+    * bit-flip in cold storage is a certainty, and this runs row-local in
+    * codegen with no shuffle.
+    */
+  def crc32Ok(bytes: Array[Byte]): java.lang.Boolean = {
+    if (bytes == null || bytes.length < HeaderLen + 4) return null
+    val crc = new java.util.zip.CRC32
+    crc.update(bytes, 0, bytes.length - 4)
+    java.lang.Boolean.valueOf((crc.getValue & 0xffffffffL) == u32(bytes, bytes.length - 4))
+  }
+
   /** Column-level API. */
   def binlog_header(c: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.toColumn(
@@ -181,6 +195,9 @@ object BinlogWire {
   def binlog_gtid(c: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.toColumn(
       BinlogGtidDecode(org.apache.spark.sql.GraftColumnBridge.toExpression(c)))
+  def binlog_crc32_ok(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.toColumn(
+      BinlogCrc32Ok(org.apache.spark.sql.GraftColumnBridge.toExpression(c)))
 }
 
 /** Shared shape of the binlog decoders (here and in [[BinlogRows]]):
@@ -243,6 +260,28 @@ case class BinlogGtidDecode(child: Expression) extends BinlogDecodeExpression {
   override protected def withNewChildInternal(newChild: Expression): BinlogGtidDecode =
     copy(child = newChild)
   override def prettyName: String = "binlog_gtid"
+}
+
+/** Event integrity: CRC32 trailer matches the bytes it covers. */
+case class BinlogCrc32Ok(child: Expression) extends BinlogDecodeExpression {
+  override def dataType: DataType = BooleanType
+  override protected def staticCall: String = "graft.functions.BinlogWire.crc32Ok"
+  override protected def javaType: String = "java.lang.Boolean"
+  override protected def nullSafeEval(input: Any): Any =
+    BinlogWire.crc32Ok(input.asInstanceOf[Array[Byte]])
+  // explicit unbox: the Boolean slot is a PRIMITIVE in generated code, and a
+  // boxed assignment Janino can't unbox would silently drop to interpreted
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("crcOk")
+      s"""
+         |java.lang.Boolean $r = $staticCall($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.booleanValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): BinlogCrc32Ok =
+    copy(child = newChild)
+  override def prettyName: String = "binlog_crc32_ok"
 }
 
 /** ROTATE event → struct(position, next_log) — the reference's offset shape.

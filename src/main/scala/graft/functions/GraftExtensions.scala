@@ -42,6 +42,7 @@ object GraftExtensions {
           s"has_crc must be a boolean literal, got $other")
       })),
     "binlog_gtid" -> (children => BinlogGtidDecode(children.head)),
+    "binlog_crc32_ok" -> (children => BinlogCrc32Ok(children.head)),
     "binlog_table" -> (children => BinlogTableDecode(children.head)),
     "binlog_table_id" -> (children => BinlogTableIdDecode(children.head)),
     "binlog_rows_json" -> (children => BinlogRowsJson(children(0), children(1),
@@ -51,6 +52,9 @@ object GraftExtensions {
           s"has_crc must be a boolean literal, got $other")
       })),
     "vector_dot" -> (children => VectorDot(children(0), children(1))),
+    "bloom_agg" -> (children => BloomFilterAgg(children(0),
+      intLit(children(1)), intLit(children(2))).toAggregateExpression()),
+    "bloom_might_contain" -> (children => BloomMightContain(children(0), children(1))),
     "space_saving_topk" -> (children =>
       SpaceSavingTopK(children(0), intLit(children(1))).toAggregateExpression()),
     "minhash_sig" -> (children => MinHashSig(children(0), intLit(children(1)))))

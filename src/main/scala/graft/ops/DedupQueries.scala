@@ -273,6 +273,35 @@ object DedupQueries {
         .orderBy("keep_id")
     },
 
+    // INCREMENTAL exact dedup: a new batch (doc_id % 10 == 0) against an
+    // existing corpus (doc_id % 10 != 0, plus a re-ingested slice of the
+    // batch so genuine cross-set duplicates exist). Membership sketch:
+    // bloom_agg over corpus content hashes → one driver-held blob (an index
+    // artifact, like the IVF codebook); the batch probes it ROW-LOCALLY in
+    // codegen, and only bloom hits (≈ fpp·|batch| + true dups) pay the
+    // exact anti-join against the corpus — a bloom miss is a PROOF of
+    // novelty, so most of the batch never shuffles. Result is exact (the
+    // verify join is on the text itself), hence DuckDB-oracle-eligible.
+    "dedup_incremental_bloom" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val corpus = d.filter(col("doc_id") % 10 =!= 0).select("text")
+        .unionByName(d.filter(col("doc_id") % 20 === 0).select("text"))
+      val batch = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      // ~10 bits/element at shipped SFs (sf0.1 corpus ≈ 10^5 docs) → fpp ≈ 1%
+      val blob = corpus
+        .agg(graft.functions.BloomFilterAgg.bloom_agg(xxhash64(col("text")), 1 << 21, 5))
+        .head.getAs[Array[Byte]](0)
+      val hit = graft.functions.BloomFilterAgg.bloom_might_contain(
+        lit(blob), xxhash64(col("text")))
+      val novel = batch.filter(!hit)                       // proof — no join
+      val verified = batch.filter(hit)                     // candidates only
+        .join(corpus, Seq("text"), "left_anti")            // false positives
+      novel.unionByName(verified)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // MinHash+LSH near-dup: 2-hash band bucketing (md5-order MinHash — the
     // same total order in any engine), then exact shingle-Jaccard ≥ 0.5 on
     // candidates only, verified via the shared array_intersect fetch-join.
@@ -612,6 +641,18 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash_banded" -> minhashBandedSql,
+
+    "dedup_incremental_bloom" ->
+      """SELECT doc_id, n_chars
+        |FROM documents b
+        |WHERE b.doc_id % 10 = 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM (
+        |      SELECT text FROM documents WHERE doc_id % 10 <> 0
+        |      UNION ALL
+        |      SELECT text FROM documents WHERE doc_id % 20 = 0) c
+        |    WHERE c.text = b.text)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_components" ->
       """WITH RECURSIVE toks AS (

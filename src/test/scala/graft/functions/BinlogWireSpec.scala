@@ -121,6 +121,39 @@ class BinlogWireSpec extends SparkSuite {
     assert(crcStripped == Seq("mysql-bin.00")) // 4 declared-CRC bytes dropped
   }
 
+  test("crc32 integrity check accepts real trailers and catches any bit flip") {
+    def withCrc(body: Array[Byte]): Array[Byte] = {
+      val payload = event(1700000010L, 30, 1, 555, 0, body ++ Array[Byte](0, 0, 0, 0))
+        .dropRight(4)
+      val c = new java.util.zip.CRC32
+      c.update(payload)
+      val t = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(c.getValue.toInt).array()
+      payload ++ t
+    }
+    val rnd = new scala.util.Random(11)
+    (1 to 50).foreach { _ =>
+      val ev = withCrc(Array.fill[Byte](rnd.nextInt(64))(rnd.nextInt().toByte))
+      assert(BinlogWire.crc32Ok(ev) == java.lang.Boolean.TRUE)
+      // flip one random bit anywhere (header, body, or trailer): must fail
+      val flipped = ev.clone()
+      val bit = rnd.nextInt(ev.length * 8)
+      flipped(bit / 8) = (flipped(bit / 8) ^ (1 << (bit % 8))).toByte
+      assert(BinlogWire.crc32Ok(flipped) == java.lang.Boolean.FALSE)
+    }
+    assert(BinlogWire.crc32Ok(Array[Byte](1, 2, 3)) == null) // too short
+    // codegen path over a DataFrame (and null for the unchecksummed event)
+    import spark.implicits._
+    val good = withCrc(Array[Byte](9, 9, 9))
+    val rows = Seq(("good", good), ("bad", good.map(b => (b ^ 1).toByte)),
+      ("short", Array[Byte](1)))
+      .toDF("k", "ev")
+      .select(col("k"), BinlogWire.binlog_crc32_ok(col("ev")).as("ok"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getBoolean(1)))
+      .toMap
+    assert(rows("good") == true && rows("bad") == false && rows("short") == null)
+  }
+
   test("randomized framing round-trip: any event sequence splits back exactly") {
     val rnd = new scala.util.Random(7)
     (1 to 50).foreach { _ =>
