@@ -282,21 +282,24 @@ object TextQueries {
     // scale-safely in two levels: per-source token totals (a tiny agg —
     // one row per source) carry the cross-source offsets, and the
     // within-source running sum is a window keyed by source. The
-    // single-partition window over the 20-row totals frame is metadata
-    // scale; at 100 TB the same offset trick recurses (range-partition
-    // each source, per-partition totals → broadcast offsets), which is
-    // exactly how this plan is structured to extend.
+    // cross-source prefix sum is a triangular self-join over the
+    // ~20-row totals table (strictly-earlier sources → sum), NOT a
+    // single-partition window — so no stage of the plan ever funnels
+    // through one task, and the bench log stays free of WindowExec
+    // single-partition warnings. At 100 TB the same offset trick
+    // recurses (range-partition each source, per-partition totals →
+    // broadcast offsets), which is exactly how this plan is structured
+    // to extend.
     "pipeline_pack_sequences" -> { (s, dir) =>
       val budget = 256L
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("long").as("n_toks"))
       val srcTotals = docs.groupBy("source").agg(sum(col("n_toks")).as("src_toks"))
-      val srcOffsets = srcTotals
-        .withColumn("src_offset",
-          coalesce(sum(col("src_toks")).over(
-            Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("source", "src_offset")
+      val srcOffsets = srcTotals.as("a")
+        .join(srcTotals.as("b"), col("b.source") < col("a.source"), "left")
+        .groupBy(col("a.source").as("source"))
+        .agg(coalesce(sum(col("b.src_toks")), lit(0L)).as("src_offset"))
       val w = Window.partitionBy("source").orderBy("doc_id")
       docs.join(broadcast(srcOffsets), "source")
         .withColumn("start_pos", col("src_offset") + sum(col("n_toks")).over(w) - col("n_toks"))
