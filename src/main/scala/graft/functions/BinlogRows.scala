@@ -22,11 +22,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * Column KEYS are positional (`c0…cN`): the binlog carries no column
   * names — canal resolves them from `information_schema`, which is part of
   * the live-connection surface, not the wire format. Supported column
-  * types are the fixed-width core + VARCHAR (TINY, SHORT, INT24, LONG,
-  * LONGLONG, FLOAT, DOUBLE, VARCHAR/VAR_STRING, YEAR), with per-row NULL
-  * bitmaps and the columns-present bitmap honored; an unsupported type or
-  * a table-id mismatch yields NULL for the whole event (wrong pairing must
-  * be loud, not plausible), never a torn decode.
+  * types cover the practical MySQL surface: the fixed-width core (TINY,
+  * SHORT, INT24, LONG, LONGLONG, FLOAT, DOUBLE, YEAR), VARCHAR/
+  * VAR_STRING, CHAR (STRING with the high-bit length packing), ENUM/SET
+  * (emitted as their wire ordinal/bitmask — the label list lives in
+  * `information_schema`, not the binlog), BLOB/TEXT of every width
+  * (1–4 length bytes), BIT (≤63 bits, else refused), NEWDECIMAL (the
+  * packed base-10^9 format, emitted at exact declared scale), DATE, and
+  * both temporal generations: the pre-5.6.4 TIME/DATETIME/TIMESTAMP and
+  * the fractional-second TIME2/DATETIME2/TIMESTAMP2. DATETIME renders
+  * zoneless `YYYY-MM-DDTHH:MM:SS[.f]`, TIMESTAMP renders RFC3339 UTC
+  * (the wire value IS UTC seconds; the reference normalizes timestamps
+  * the same way, `main.go:147-154`), TIME renders `[-]HH:MM:SS[.f]`,
+  * each with exactly the declared fsp digits. Per-row NULL bitmaps and
+  * the columns-present bitmap are honored; an unsupported type (JSON,
+  * GEOMETRY) or a table-id mismatch yields NULL for the whole event
+  * (wrong pairing must be loud, not plausible), never a torn decode.
   *
   * Row-local, no shuffle: decoding 100 TB of archived ROWS events
   * parallelizes per split like every other scalar here.
@@ -35,9 +46,15 @@ object BinlogRows {
 
   // Column type codes (public protocol constants).
   private val TINY = 1; private val SHORT = 2; private val LONG = 3
-  private val FLOAT = 4; private val DOUBLE = 5; private val LONGLONG = 8
-  private val INT24 = 9; private val YEAR = 13; private val VARCHAR = 15
-  private val VAR_STRING = 253
+  private val FLOAT = 4; private val DOUBLE = 5; private val TIMESTAMP = 7
+  private val LONGLONG = 8; private val INT24 = 9; private val DATE = 10
+  private val TIME = 11; private val DATETIME = 12; private val YEAR = 13
+  private val NEWDATE = 14; private val VARCHAR = 15; private val BIT = 16
+  private val TIMESTAMP2 = 17; private val DATETIME2 = 18; private val TIME2 = 19
+  private val NEWDECIMAL = 246; private val ENUM = 247; private val SET = 248
+  private val TINY_BLOB = 249; private val MEDIUM_BLOB = 250
+  private val LONG_BLOB = 251; private val BLOB = 252
+  private val VAR_STRING = 253; private val STRING = 254
 
   private val WRITE = 30; private val UPDATE = 31; private val DELETE = 32
   private val TABLE_MAP = 19
@@ -61,6 +78,15 @@ object BinlogRows {
     }
     def bytes(n: Int): Array[Byte] = {
       val r = java.util.Arrays.copyOfRange(b, off, off + n); off += n; r
+    }
+    /** Big-endian unsigned read — MySQL's "new" temporal/decimal formats
+      * are the one place the protocol flips byte order (so the packed
+      * values sort correctly as memcmp keys in InnoDB).
+      */
+    def be(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 8) | (b(off + i) & 0xff); i += 1 }
+      off += n; v
     }
     def remaining: Int = b.length - off
   }
@@ -92,6 +118,12 @@ object BinlogRows {
         types(i) match {
           case FLOAT | DOUBLE => meta(i) = c.u8()
           case VARCHAR | VAR_STRING => meta(i) = c.u16()
+          case TIMESTAMP2 | DATETIME2 | TIME2 => meta(i) = c.u8() // fsp
+          // wire order (precision, scale) / (real-type-or-upper-bits, length)
+          case NEWDECIMAL | STRING | ENUM | SET => meta(i) = (c.u8() << 8) | c.u8()
+          case BLOB | TINY_BLOB | MEDIUM_BLOB | LONG_BLOB => meta(i) = c.u8()
+          case BIT => // wire order (bits % 8, bytes)
+            val m0 = c.u8(); meta(i) = (c.u8() << 8) | m0
           case _ => ()
         }
         i += 1
@@ -126,6 +158,70 @@ object BinlogRows {
     sb.toString()
   }
 
+  private val Pow10 = Array(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L)
+
+  /** Fractional seconds per the packed-temporal convention: (fsp+1)/2
+    * big-endian bytes holding the fraction scaled to 2·bytes digits;
+    * returned in microseconds.
+    */
+  private def fracMicros(c: Cursor, fsp: Int): Long = {
+    val nb = (fsp + 1) / 2
+    if (nb == 0) 0L else c.be(nb) * Pow10(6 - 2 * nb)
+  }
+
+  /** Exactly `fsp` fraction digits — the declared column precision, which
+    * is what mysql's own text rendering emits.
+    */
+  private def fracSuffix(micros: Long, fsp: Int): String =
+    if (fsp == 0) "" else "." + f"$micros%06d".substring(0, fsp)
+
+  private def fmtDateTime(y: Int, mo: Int, d: Int, h: Int, mi: Int, s: Int): String =
+    f"$y%04d-$mo%02d-$d%02dT$h%02d:$mi%02d:$s%02d"
+
+  /** TIMESTAMP's wire value is UTC epoch seconds — RFC3339 UTC is the
+    * faithful (and zone-independent, hence deterministic) rendering.
+    */
+  private def utcString(sec: Long, micros: Long, fsp: Int): String = {
+    val t = java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+    fmtDateTime(t.getYear, t.getMonthValue, t.getDayOfMonth,
+      t.getHour, t.getMinute, t.getSecond) + fracSuffix(micros, fsp) + "Z"
+  }
+
+  /** NEWDECIMAL: sign-flipped packed base-10^9 (9 digits per 4 bytes,
+    * partial groups in 1–4 bytes, big-endian; negative = bitwise
+    * complement of the whole buffer; MSB of byte 0 = positive). Rendered
+    * at exactly the declared scale; `-0.00` canonicalizes to `0.00`.
+    */
+  private def decodeNewDecimal(c: Cursor, precision: Int, scale: Int): String = {
+    val dig2bytes = Array(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
+    val intDigits = precision - scale
+    val intFull = intDigits / 9; val intRem = intDigits % 9
+    val fracFull = scale / 9; val fracRem = scale % 9
+    val size = intFull * 4 + dig2bytes(intRem) + fracFull * 4 + dig2bytes(fracRem)
+    val raw = c.bytes(size)
+    val negative = (raw(0) & 0x80) == 0
+    if (negative) { var i = 0; while (i < size) { raw(i) = (~raw(i)).toByte; i += 1 } }
+    raw(0) = (raw(0) ^ 0x80).toByte
+    var p = 0
+    def group(nb: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < nb) { v = (v << 8) | (raw(p) & 0xff); p += 1; i += 1 }
+      v
+    }
+    val ib = new StringBuilder
+    if (intRem > 0) ib.append(("%0" + intRem + "d").format(group(dig2bytes(intRem))))
+    var i = 0
+    while (i < intFull) { ib.append(f"${group(4)}%09d"); i += 1 }
+    val intStr = { val t = ib.dropWhile(_ == '0'); if (t.isEmpty) "0" else t.toString }
+    val fb = new StringBuilder
+    i = 0
+    while (i < fracFull) { fb.append(f"${group(4)}%09d"); i += 1 }
+    if (fracRem > 0) fb.append(("%0" + fracRem + "d").format(group(dig2bytes(fracRem))))
+    val zero = intStr == "0" && fb.forall(_ == '0')
+    (if (negative && !zero) "-" else "") + intStr +
+      (if (scale > 0) "." + fb else "")
+  }
+
   /** One row image as a JSON object; null when a column type is
     * unsupported (the caller then nulls the whole event).
     */
@@ -154,6 +250,88 @@ object BinlogRows {
             val len = if (meta(col) > 255) c.u16() else c.u8()
             Some("\"" + jsonEscape(new String(c.bytes(len),
               java.nio.charset.StandardCharsets.UTF_8)) + "\"")
+          case DATE | NEWDATE => // 3 bytes LE: day 5 bits, month 4, year 15
+            val v = c.u24()
+            Some(f""""${v >> 9}%04d-${(v >> 5) & 15}%02d-${v & 31}%02d"""")
+          case TIMESTAMP => // pre-5.6.4: 4-byte LE UTC seconds
+            Some("\"" + utcString(c.u32(), 0L, 0) + "\"")
+          case TIMESTAMP2 => // 4-byte BE UTC seconds + packed fraction
+            val sec = c.be(4); val fsp = meta(col)
+            Some("\"" + utcString(sec, fracMicros(c, fsp), fsp) + "\"")
+          case DATETIME => // pre-5.6.4: u64 LE literal YYYYMMDDHHMMSS
+            val v = c.i64()
+            val date = v / 1000000L; val time = v % 1000000L
+            Some("\"" + fmtDateTime((date / 10000L).toInt,
+              (date / 100L % 100L).toInt, (date % 100L).toInt,
+              (time / 10000L).toInt, (time / 100L % 100L).toInt,
+              (time % 100L).toInt) + "\"")
+          case DATETIME2 => // 5-byte BE offset-binary packed + fraction
+            val fsp = meta(col)
+            val packed = c.be(5) - 0x8000000000L
+            val micros = fracMicros(c, fsp)
+            val ym = ((packed >> 22) & 0x1ffff).toInt
+            Some("\"" + fmtDateTime(ym / 13, ym % 13,
+              ((packed >> 17) & 0x1f).toInt, ((packed >> 12) & 0x1f).toInt,
+              ((packed >> 6) & 0x3f).toInt, (packed & 0x3f).toInt) +
+              fracSuffix(micros, fsp) + "\"")
+          case TIME => // pre-5.6.4: 3-byte LE signed literal HHMMSS
+            val v = c.i24(); val a = math.abs(v)
+            Some(f""""${if (v < 0) "-" else ""}${a / 10000}%02d:${a / 100 % 100}%02d:${a % 100}%02d"""")
+          case TIME2 =>
+            // One offset-binary big-endian number over (3 + fracbytes)
+            // bytes: borrow propagates in base 256, so |value| splits
+            // cleanly back into int part and stored fraction even for
+            // negative times with fractional seconds.
+            val fsp = meta(col); val nb = (fsp + 1) / 2
+            val signed = c.be(3 + nb) - (0x800000L << (8 * nb))
+            val abs = math.abs(signed)
+            val stored = if (nb == 0) 0L else abs & ((1L << (8 * nb)) - 1)
+            val intp = abs >> (8 * nb)
+            Some(f""""${if (signed < 0) "-" else ""}${(intp >> 12) & 0x3ff}%02d:${(intp >> 6) & 0x3f}%02d:${intp & 0x3f}%02d${fracSuffix(stored * Pow10(6 - 2 * nb), fsp)}"""")
+          case NEWDECIMAL => // a JSON number at exact declared scale
+            Some(decodeNewDecimal(c, meta(col) >> 8, meta(col) & 0xff))
+          case BIT => // big-endian, (bytes*8 + bits%8) wide; >63 bits refused
+            val nbits = (meta(col) >> 8) * 8 + (meta(col) & 0xff)
+            if (nbits > 63 || nbits <= 0) None
+            else Some(c.be((nbits + 7) / 8).toString)
+          case BLOB | TINY_BLOB | MEDIUM_BLOB | LONG_BLOB =>
+            // metadata = length-prefix width; TEXT shares this type code
+            // (charset lives in information_schema), so bytes render as
+            // UTF-8 — deterministic either way.
+            val len = meta(col) match {
+              case 1 => c.u8().toLong
+              case 2 => c.u16().toLong
+              case 3 => c.u24().toLong
+              case 4 => c.u32()
+              case _ => -1L
+            }
+            if (len < 0) None
+            else Some("\"" + jsonEscape(new String(c.bytes(len.toInt),
+              java.nio.charset.StandardCharsets.UTF_8)) + "\"")
+          case STRING | ENUM | SET =>
+            // CHAR/ENUM/SET share TABLE_MAP type 254: metadata byte 0
+            // carries the real type (with two length bits folded into
+            // ~0x30 when the byte length exceeds 255).
+            val m0 = meta(col) >> 8; val m1 = meta(col) & 0xff
+            var real = if (types(col) == STRING) m0 else types(col)
+            var maxLen = m1
+            if (types(col) == STRING && (m0 & 0x30) != 0x30) {
+              maxLen = m1 | (((m0 & 0x30) ^ 0x30) << 4)
+              real = m0 | 0x30
+            }
+            real match {
+              case ENUM => // ordinal; labels aren't on the wire
+                Some((if (maxLen == 1) c.u8() else c.u16()).toString)
+              case SET => // member bitmask, LE, pack-length bytes
+                var v = 0L; var i = 0
+                while (i < maxLen) { v |= (c.u8().toLong << (8 * i)); i += 1 }
+                Some(v.toString)
+              case STRING | VAR_STRING =>
+                val len = if (maxLen > 255) c.u16() else c.u8()
+                Some("\"" + jsonEscape(new String(c.bytes(len),
+                  java.nio.charset.StandardCharsets.UTF_8)) + "\"")
+              case _ => None
+            }
           case _ => None
         }
       if (v.isEmpty) return None

@@ -48,6 +48,11 @@ class BinlogRowsSpec extends SparkSuite {
     types.zip(metas).foreach {
       case (5, m) => meta.u8(m)            // DOUBLE: 1-byte size
       case (15, m) => meta.u16(m)          // VARCHAR: 2-byte max length
+      case (17 | 18 | 19, m) => meta.u8(m) // TIMESTAMP2/DATETIME2/TIME2: fsp
+      case (246, m) => meta.u8(m >> 8).u8(m & 0xff) // NEWDECIMAL: precision, scale
+      case (252, m) => meta.u8(m)          // BLOB: length-prefix width
+      case (254 | 247 | 248, m) => meta.u8(m >> 8).u8(m & 0xff) // STRING/ENUM/SET
+      case (16, m) => meta.u8(m & 0xff).u8(m >> 8) // BIT: bits%8, bytes
       case _ => ()
     }
     b.u8(meta.bytes.length).raw(meta.bytes)
@@ -138,10 +143,106 @@ class BinlogRowsSpec extends SparkSuite {
       decode(ev2, raw)
     }
     assert(otherTm == null)
-    // unsupported column type (NEWDECIMAL=246)
-    assert(decode(ev, tableMap(types = Seq(246, 15, 5, 8, 1, 15))) == null)
+    // unsupported column type (GEOMETRY=255)
+    assert(decode(ev, tableMap(types = Seq(255, 15, 5, 8, 1, 15))) == null)
     // truncated body
     assert(decode(ev.dropRight(3), tableMap()) == null)
+  }
+
+  // --- extended type set: hand-packed wire values, expected text pinned ---
+
+  /** Generic one-row WRITE_ROWS with `n` columns, all present and non-NULL
+    * (the all-zero per-row null bitmap is written here; `fill` writes just
+    * the column values), no CRC.
+    */
+  private def writeRows(n: Int)(fill: Buf => Unit): Array[Byte] = {
+    val b = new Buf
+    b.u48(TableId).u16(0).u16(2).u8(n)
+    val nBytes = (n + 7) / 8
+    (0 until nBytes).foreach { byteIdx =>
+      val bits = (0 until 8).filter(i => byteIdx * 8 + i < n).map(1 << _).sum
+      b.u8(bits)                      // columns-present bitmap
+    }
+    (0 until nBytes).foreach(_ => b.u8(0)) // null bitmap: nothing NULL
+    fill(b)
+    event(1700000300L, 30, 1, 0, 0, b.bytes)
+  }
+
+  private def be(b: Buf, v: Long, n: Int): Unit =
+    (n - 1 to 0 by -1).foreach(i => b.u8(((v >> (8 * i)) & 0xff).toInt))
+
+  test("new-generation temporals: DATE, DATETIME2, TIMESTAMP2, TIME2 (incl. negative+frac)") {
+    val types = Seq(10, 18, 17, 19, 19, 17)
+    val metas = Seq(0, 3, 0, 2, 0, 6)
+    val ev = writeRows(6) { b =>
+      b.u24(2026 << 9 | 8 << 5 | 13)                       // DATE 2026-08-13
+      val ymdhms = (1L << 39) | ((2023L * 13 + 1) << 22) | (31L << 17) |
+        (12L << 12) | (34L << 6) | 56L
+      be(b, ymdhms, 5); be(b, 1230L, 2)                    // DATETIME2(3) .123
+      be(b, 1700000000L, 4)                                // TIMESTAMP2(0)
+      be(b, 0x80000000L - ((4L << 8) | 30L), 4)            // TIME2(2) -00:00:04.30
+      be(b, 0x800000L + ((12L << 12) | (34L << 6) | 56L), 3) // TIME2(0) 12:34:56
+      be(b, 1700000000L, 4); be(b, 123456L, 3)             // TIMESTAMP2(6)
+    }
+    assert(decode(ev, tableMap(types, metas)) == Seq(
+      """{"after":{"c0":"2026-08-13","c1":"2023-01-31T12:34:56.123",""" +
+        """"c2":"2023-11-14T22:13:20Z","c3":"-00:00:04.30","c4":"12:34:56",""" +
+        """"c5":"2023-11-14T22:13:20.123456Z"}}"""))
+  }
+
+  test("old-generation temporals: TIMESTAMP, DATETIME, TIME") {
+    val ev = writeRows(3) { b =>
+      b.u32(1700000000L)        // TIMESTAMP: LE UTC seconds
+      b.u64(20260813123456L)    // DATETIME: literal YYYYMMDDHHMMSS
+      b.u24(-4 & 0xffffff)      // TIME: signed literal HHMMSS
+    }
+    assert(decode(ev, tableMap(Seq(7, 12, 11), Seq(0, 0, 0))) == Seq(
+      """{"after":{"c0":"2023-11-14T22:13:20Z","c1":"2026-08-13T12:34:56","c2":"-00:00:04"}}"""))
+  }
+
+  test("NEWDECIMAL: negative scaled, multi-group, and -0 canonicalization") {
+    // DECIMAL(10,2) = -1234567.89; DECIMAL(20,0) spanning a partial + two
+    // full base-10^9 groups; DECIMAL(10,2) negative zero -> "0.00"
+    val types = Seq(246, 246, 246)
+    val metas = Seq((10 << 8) | 2, (20 << 8) | 0, (10 << 8) | 2)
+    val ev = writeRows(3) { b =>
+      def flipped(bytes: Seq[Int]): Unit = bytes.foreach(v => b.u8(~v & 0xff))
+      // +1234567.89 packs as [0x80|int4][frac1]; negative = complement
+      val pos1 = { val x = new Buf; be(x, 1234567L, 4); x.bytes.toSeq.map(_ & 0xff) }
+      flipped((pos1.head | 0x80) +: pos1.tail :+ 89)
+      // 12345678901234567890 = rem-group 12 (1 byte) + 345678901 + 234567890
+      val x2 = new Buf
+      x2.u8(12 | 0x80); be(x2, 345678901L, 4); be(x2, 234567890L, 4)
+      x2.bytes.foreach(v => b.u8(v & 0xff))
+      // negative zero: complement of [0x80,0,0,0][0]
+      flipped(Seq(0x80, 0, 0, 0, 0))
+    }
+    assert(decode(ev, tableMap(types, metas)) == Seq(
+      """{"after":{"c0":-1234567.89,"c1":12345678901234567890,"c2":0.00}}"""))
+  }
+
+  test("BIT, BLOB/TEXT widths, CHAR, ENUM ordinal, SET bitmask, wide CHAR") {
+    val types = Seq(16, 252, 254, 254, 254, 254)
+    val metas = Seq(
+      (1 << 8) | 4,      // BIT(12): 1 byte + 4 bits
+      2,                 // BLOB with 2-byte length prefix (a TEXT column)
+      (254 << 8) | 10,   // CHAR, max 10 bytes
+      (247 << 8) | 1,    // ENUM, 1-byte ordinal
+      (248 << 8) | 2,    // SET, 2-byte bitmask
+      (0xee << 8) | 0x2c // CHAR(300 bytes): munged high-length metadata
+    )
+    val wide = "y" * 260
+    val ev = writeRows(6) { b =>
+      be(b, 2748L, 2)                                   // BIT 0x0ABC
+      val blob = "héllo".getBytes(StandardCharsets.UTF_8)
+      b.u16(blob.length).raw(blob)
+      b.u8(3).str("abc")
+      b.u8(2)
+      b.u16(5)
+      b.u16(wide.length).str(wide)
+    }
+    assert(decode(ev, tableMap(types, metas)) == Seq(
+      s"""{"after":{"c0":2748,"c1":"héllo","c2":"abc","c3":2,"c4":5,"c5":"$wide"}}"""))
   }
 
   test("codegen path + SQL surface over a framed stream") {
