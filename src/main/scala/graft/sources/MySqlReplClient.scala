@@ -197,6 +197,28 @@ object MySqlRepl {
     b.array()
   }
 
+  /** COM_BINLOG_DUMP_GTID: stream everything NOT in `gtids` — the modern
+    * resume, where the replica names the transactions it has instead of a
+    * byte cursor. Flags = 0x04 (BINLOG_THROUGH_GTID); the `{name, pos}`
+    * fields are advisory under GTID (the master locates the first file
+    * with missing transactions itself), so the fresh-start `{"", 4}` is
+    * what every connector sends.
+    */
+  def comBinlogDumpGtid(serverId: Long, gtids: GtidSet,
+      name: String = "", pos: Long = 4L): Array[Byte] = {
+    val nm = name.getBytes(UTF_8)
+    val data = gtids.encode
+    val b = ByteBuffer.allocate(1 + 2 + 4 + 4 + nm.length + 8 + 4 + data.length)
+      .order(LITTLE_ENDIAN)
+    b.put(0x1e.toByte)
+    b.putShort(4.toShort) // BINLOG_THROUGH_GTID
+    b.putInt(serverId.toInt)
+    b.putInt(nm.length).put(nm)
+    b.putLong(pos)
+    b.putInt(data.length).put(data)
+    b.array()
+  }
+
   def isOk(p: Array[Byte]): Boolean = p.nonEmpty && (p(0) & 0xff) == 0x00
   def isEof(p: Array[Byte]): Boolean = p.nonEmpty && (p(0) & 0xff) == 0xfe && p.length < 9
   def isErr(p: Array[Byte]): Boolean = p.nonEmpty && (p(0) & 0xff) == 0xff
@@ -233,10 +255,12 @@ object MySqlRepl {
 
 /** Connection/identity config — the reference's surface verbatim
   * (`main.go:460-465`): address, user, password, replica server id.
+  * `useGtid` switches the resume unit from `{name, pos}` to the GTID set
+  * derived from the spool (canal exposes the same dual).
   */
 final case class ReplConfig(host: String, port: Int, user: String,
     password: String = "", serverId: Long = 1001L,
-    connectTimeoutMs: Int = 10000)
+    connectTimeoutMs: Int = 10000, useGtid: Boolean = false)
 
 /** The spooling tail: authenticate, `COM_BINLOG_DUMP` from the spool's own
   * end position, and append each streamed event verbatim to
@@ -269,6 +293,30 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
     }
   }
 
+  /** The GTID set the spool already holds — the spool-IS-the-position
+    * principle carried to GTID mode: scan every complete event, collect
+    * `uuid:gno` from GTID events. A one-time O(spool bytes) walk at
+    * connect, the GTID analog of `resumePosition()`'s tail walk (a spool
+    * large enough for this to hurt should have been compacted into the
+    * archive anyway — the spool is a hand-off buffer, not the archive).
+    */
+  def resumeGtidSet(): GtidSet = {
+    val files = CdcLogDirSource.listLogs(spoolDir.toString)
+    files.foldLeft(GtidSet.Empty) { (set, name) =>
+      val path = spoolDir.resolve(name)
+      val start = CdcBinlogFileSource.dataStart(path.toString)
+      val (_, end) = CdcBinlogFileSource.walkEvents(path.toString, start)
+      val bytes = Files.readAllBytes(path)
+      val evs = BinlogWire.frames(
+        java.util.Arrays.copyOfRange(bytes, start.toInt, end.toInt))
+      if (evs == null) set
+      else (0 until evs.numElements()).foldLeft(set) { (s, i) =>
+        val gt = BinlogWire.decodeGtid(evs.getBinary(i))
+        if (gt == null) s else s.add(gt.getUTF8String(0).toString, gt.getLong(1))
+      }
+    }
+  }
+
   /** Connect, authenticate, dump, spool. Blocks until `maxEvents` events
     * have been spooled, the server ends the stream (EOF), or [[close]];
     * returns the number of events appended. Throws [[IOException]] on
@@ -294,9 +342,15 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
       // it can cope — the standard replica session variable
       command(io, comQuery("SET @master_binlog_checksum= @@global.binlog_checksum"))
       command(io, comRegisterSlave(cfg.serverId))
-      val (name, pos) = resumePosition()
-      io.write(0, comBinlogDump(name, pos, cfg.serverId))
-      spoolStream(io, name, maxEvents)
+      if (cfg.useGtid) {
+        val have = resumeGtidSet()
+        io.write(0, comBinlogDumpGtid(cfg.serverId, have))
+        spoolStream(io, "", maxEvents, Some(have))
+      } else {
+        val (name, pos) = resumePosition()
+        io.write(0, comBinlogDump(name, pos, cfg.serverId))
+        spoolStream(io, name, maxEvents, None)
+      }
     } finally {
       try sock.close() catch { case _: Exception => () }
       socket = null
@@ -314,11 +368,21 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
     * file — never spooled); a real ROTATE is the file's last event (spooled,
     * then the spool switches files). A re-sent FORMAT_DESCRIPTION on a
     * mid-file resume (log_pos 0) is descriptive, not positional — skipped.
+    *
+    * GTID mode (`have` defined): the master streams from the START of the
+    * first file with missing transactions, skipping transaction groups the
+    * replica's set contains — so a partially-spooled file's FDE arrives
+    * again at its real position (appended only to a FRESH spool file), and
+    * the client additionally drops any group whose GTID it already holds
+    * (belt and braces over the master-side filter; a group runs from its
+    * GTID event to the next GTID/ROTATE).
     */
-  private def spoolStream(io: PacketIO, startFile: String, maxEvents: Long): Long = {
+  private def spoolStream(io: PacketIO, startFile: String, maxEvents: Long,
+      have: Option[GtidSet]): Long = {
     var current = startFile
     var hasCrc = false
     var spooled = 0L
+    var skipGroup = false
     while (!stopped && spooled < maxEvents) {
       val packet =
         try io.read()
@@ -336,9 +400,11 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
         hasCrc = fdeChecksumAlg(ev) == 1
         if (current.isEmpty)
           throw new IOException("event before the master named its binlog file")
-        if (header.getLong(5) != 0L || spoolEnd(current) <= 4L) {
-          append(current, ev); spooled += 1
-        }
+        val fresh = spoolEnd(current) <= 4L
+        val keep =
+          if (have.isDefined) fresh // GTID resume re-opens a spooled file
+          else header.getLong(5) != 0L || fresh
+        if (keep) { append(current, ev); spooled += 1 }
       } else if (tpe == 4) { // ROTATE
         val rot = BinlogWire.decodeRotate(ev, if (ts == 0L) false else hasCrc)
         if (rot == null) throw new IOException("malformed ROTATE event")
@@ -354,11 +420,20 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
           spooled += 1
           current = next
         }
+        skipGroup = false // a group never crosses a file boundary
       } else {
         if (current.isEmpty)
           throw new IOException("event before the master named its binlog file")
-        append(current, ev)
-        spooled += 1
+        if (tpe == 33) { // GTID: a new transaction group begins
+          val gt = BinlogWire.decodeGtid(ev)
+          if (gt == null) throw new IOException("malformed GTID event")
+          skipGroup = have.exists(
+            _.contains(gt.getUTF8String(0).toString, gt.getLong(1)))
+        }
+        if (!skipGroup) {
+          append(current, ev)
+          spooled += 1
+        }
       }
     }
     spooled

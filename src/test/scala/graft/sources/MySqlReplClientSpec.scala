@@ -35,6 +35,8 @@ class MySqlReplClientSpec extends SparkSuite {
   // ---- a minimal master ----
 
   private case class DumpRequest(name: String, pos: Long, serverId: Long)
+  private case class GtidDumpRequest(flags: Int, serverId: Long, name: String,
+      pos: Long, gtids: String)
 
   /** One-connection-at-a-time fake master. `files` maps binlog name →
     * events (FDE first, ROTATE last where applicable); the dump streams
@@ -46,6 +48,7 @@ class MySqlReplClientSpec extends SparkSuite {
     private val server = new ServerSocket(0)
     val port: Int = server.getLocalPort
     val dumps = new ConcurrentLinkedQueue[DumpRequest]()
+    val gtidDumps = new ConcurrentLinkedQueue[GtidDumpRequest]()
     val ready = new CountDownLatch(1)
     @volatile var authFailure: String = _
 
@@ -126,6 +129,20 @@ class MySqlReplClientSpec extends SparkSuite {
                       ByteBuffer.wrap(cmd, 7, 4).order(LITTLE_ENDIAN).getInt)))
                     streamDump(io, name, pos)
                     dumping = false
+                  case 0x1e => // COM_BINLOG_DUMP_GTID
+                    val b = ByteBuffer.wrap(cmd, 1, cmd.length - 1).order(LITTLE_ENDIAN)
+                    val flags = b.getShort & 0xffff
+                    val sid = java.lang.Integer.toUnsignedLong(b.getInt)
+                    val nameLen = b.getInt
+                    val nameBytes = new Array[Byte](nameLen); b.get(nameBytes)
+                    val reqPos = b.getLong
+                    val dataLen = b.getInt
+                    val data = new Array[Byte](dataLen); b.get(data)
+                    val have = GtidSet.decode(data)
+                    gtidDumps.add(GtidDumpRequest(flags, sid,
+                      new String(nameBytes, UTF_8), reqPos, have.text))
+                    streamGtidDump(io, have)
+                    dumping = false
                   case other =>
                     io.write(1, Array[Byte](0xff.toByte, 0x47, 0x04) ++
                       s"#42000unknown command $other".getBytes(UTF_8))
@@ -161,6 +178,34 @@ class MySqlReplClientSpec extends SparkSuite {
             send(fde)
           }
           byte += ev.length
+        }
+      }
+      io.write(seq, Array[Byte](0xfe.toByte, 0, 0))
+    }
+
+    /** mysqld's GTID dump shape: start at the first FILE containing a
+      * transaction the replica is missing; within a file, stream
+      * everything EXCEPT transaction groups the replica's set contains
+      * (a group = its GTID event through the next GTID/ROTATE); FDE and
+      * ROTATE always stream.
+      */
+    private def streamGtidDump(io: PacketIO, have: GtidSet): Unit = {
+      var seq = 1
+      def send(ev: Array[Byte]): Unit = { io.write(seq, 0x00.toByte +: ev); seq += 1 }
+      def missing(evs: Seq[Array[Byte]]): Boolean = evs.exists { ev =>
+        val g = BinlogWire.decodeGtid(ev)
+        g != null && !have.contains(g.getUTF8String(0).toString, g.getLong(1))
+      }
+      val startIdx = math.max(0, files.indexWhere(f => missing(f._2)))
+      files.drop(startIdx).foreach { case (name, evs) =>
+        send(event(0L, 4, 1, 0, 0x20, rotateBody(4L, name)))
+        var skip = false
+        evs.foreach { ev =>
+          val tpe = BinlogWire.decodeHeader(ev).getInt(1)
+          val g = if (tpe == 33) BinlogWire.decodeGtid(ev) else null
+          if (g != null) skip = have.contains(g.getUTF8String(0).toString, g.getLong(1))
+          else if (tpe == 4 || tpe == 15) skip = false
+          if (!skip) send(ev)
         }
       }
       io.write(seq, Array[Byte](0xfe.toByte, 0, 0))
@@ -206,6 +251,34 @@ class MySqlReplClientSpec extends SparkSuite {
 
   private def tsOf(ev: Array[Byte]): Int =
     (BinlogWire.decodeHeader(ev).getLong(0) - 1700000000L).toInt
+
+  // ---- GTID-transactional chain: every write is its own group ----
+
+  private val SidText = "00010203-0405-0607-0809-0a0b0c0d0e0f"
+
+  /** GTID event: commit flag + 16-byte SID + u64 LE GNO (checksummed). */
+  private def gev(ts: Long, logPos: Long, gno: Long): Array[Byte] = {
+    val body = ByteBuffer.allocate(1 + 16 + 8).order(LITTLE_ENDIAN)
+    body.put(1.toByte).put(GtidSet.uuidBytes(SidText)).putLong(gno)
+    cev(ts, 33, logPos, body.array())
+  }
+
+  private val g1 = {
+    val fde = fdeEvent(120)
+    val evs = Seq(fde,
+      gev(1700000001L, 0, 1L), cev(1700000001L, 30, 0, Array[Byte](1, 1)),
+      gev(1700000002L, 0, 2L), cev(1700000002L, 30, 0, Array[Byte](2, 2)),
+      cev(1700000003L, 4, 0, rotateBody(4L, "fake-bin.000002")))
+    "fake-bin.000001" -> evs
+  }
+  private val g2 = {
+    val fde = fdeEvent(120)
+    "fake-bin.000002" -> Seq(fde,
+      gev(1700000004L, 0, 3L), cev(1700000004L, 30, 0, Array[Byte](3, 3)))
+  }
+  /** g2 after the master moved on: one more transaction appended. */
+  private val g2grown = g2._1 -> (g2._2 ++ Seq(
+    gev(1700000005L, 0, 4L), cev(1700000005L, 30, 0, Array[Byte](4, 4))))
 
   test("scramble round-trip: the server's own check accepts the client token") {
     val seed = Array.tabulate[Byte](20)(i => (i * 31 + 1).toByte)
@@ -322,6 +395,70 @@ class MySqlReplClientSpec extends SparkSuite {
         (0, "fake-bin.000001"), (1, "fake-bin.000001"), (2, "fake-bin.000001"),
         (3, "fake-bin.000001"), (0, "fake-bin.000002"), (4, "fake-bin.000002")).sorted)
     } finally m.close()
+  }
+
+  test("GtidSet: parse/text round-trip, interval coalescing, wire encoding") {
+    val s = GtidSet.parse(s"$SidText:1-5:7,AABBCCDD-0000-0000-0000-000000000001:3")
+    assert(s.text ==
+      s"$SidText:1-5:7,aabbccdd-0000-0000-0000-000000000001:3")
+    assert(s.contains(SidText, 3) && s.contains(SidText, 7))
+    assert(!s.contains(SidText, 6) && !s.contains(SidText, 8))
+    // adding the gap coalesces 1-5:7 into 1-7; adjacency merges too
+    assert(s.add(SidText, 6).sids(SidText) == Vector((1L, 7L)))
+    assert(GtidSet.Empty.add(SidText, 2).add(SidText, 1).add(SidText, 2).text ==
+      s"$SidText:1-2")
+    // binary round-trip (inclusive text ends ↔ exclusive wire ends)
+    assert(GtidSet.decode(s.encode).text == s.text)
+    assert(GtidSet.parse("").isEmpty && GtidSet.decode(GtidSet.Empty.encode).isEmpty)
+  }
+
+  test("gtid dump from an empty spool: empty set on the wire, full chain spooled") {
+    val m = new FakeMaster("repl", "", Seq(g1, g2))
+    val spool = Files.createTempDirectory("repl_gtid_full")
+    try {
+      val c = new BinlogSpoolClient(
+        ReplConfig("127.0.0.1", m.port, "repl", serverId = 77L, useGtid = true), spool)
+      val n = try c.run() finally c.close()
+      val req = m.gtidDumps.poll()
+      assert(req != null, "master never saw COM_BINLOG_DUMP_GTID")
+      assert(req.flags == 4 && req.serverId == 77L && req.name == "" &&
+        req.pos == 4L && req.gtids == "", req.toString)
+      assert(n == 9, s"spooled $n events") // 6 in g1 + 3 in g2
+      assert(Files.readAllBytes(spool.resolve("fake-bin.000001")).sameElements(
+        BinlogTestData.magic ++ g1._2.reduce(_ ++ _)))
+      assert(Files.readAllBytes(spool.resolve("fake-bin.000002")).sameElements(
+        BinlogTestData.magic ++ g2._2.reduce(_ ++ _)))
+    } finally m.close()
+  }
+
+  test("gtid resume: spool-derived set on the wire, only missing groups arrive") {
+    val spool = Files.createTempDirectory("repl_gtid_resume")
+    val m1 = new FakeMaster("repl", "", Seq(g1, g2))
+    try {
+      val c1 = new BinlogSpoolClient(
+        ReplConfig("127.0.0.1", m1.port, "repl", useGtid = true), spool)
+      try c1.run() finally c1.close()
+    } finally m1.close()
+    // the spool names its own position in GTID terms
+    val c2 = new BinlogSpoolClient(
+      ReplConfig("127.0.0.1", 1, "repl", useGtid = true), spool)
+    assert(c2.resumeGtidSet().text == s"$SidText:1-3")
+    // master moved on: transaction 4 exists; resume must fetch exactly it
+    val m2 = new FakeMaster("repl", "", Seq(g1, g2grown))
+    try {
+      val c3 = new BinlogSpoolClient(
+        ReplConfig("127.0.0.1", m2.port, "repl", useGtid = true), spool)
+      val n = try c3.run() finally c3.close()
+      val req = m2.gtidDumps.poll()
+      assert(req.gtids == s"$SidText:1-3", req.toString)
+      assert(n == 2, s"delta was $n events") // GTID(4) + its write
+      // the spool converges byte-identically to the master's grown file
+      assert(Files.readAllBytes(spool.resolve("fake-bin.000002")).sameElements(
+        BinlogTestData.magic ++ g2grown._2.reduce(_ ++ _)))
+      // file 1 untouched by the resume
+      assert(Files.readAllBytes(spool.resolve("fake-bin.000001")).sameElements(
+        BinlogTestData.magic ++ g1._2.reduce(_ ++ _)))
+    } finally m2.close()
   }
 
   test("fde declares the checksum mode the rotate decode uses") {
