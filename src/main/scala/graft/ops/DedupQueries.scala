@@ -432,35 +432,44 @@ object DedupQueries {
     // ~0.9%/band of random pairs while keeping multi-band recall — the
     // banding shuffle prunes instead of merely reshaping.
     "dedup_near_cosine_lsh" -> { (s, dir) =>
-      import graft.functions.VectorOps
-      val bits = 3
-      val nBands = 21 // 64-dim embeddings → 21 whole 3-bit bands (dim 64 unused)
-      def signKey(b: Int): Column =
-        (0 until bits).map { j =>
-          when(element_at(col("embedding"), b * bits + j + 1) > 0f, lit(1L << j))
-            .otherwise(lit(0L))
-        }.reduce(_ + _)
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          VectorOps.norm(col("embedding")).as("nrm"))
-      // The banding shuffle carries only (vec_id, band, key) — vectors are
-      // fetched back per UNIQUE candidate pair, not per band collision.
-      val banded = e.select(col("vec_id"),
-        explode(array((0 until nBands).map(b =>
-          struct(lit(b).as("band"), signKey(b).as("key"))): _*)).as("bk"))
-        .select(col("vec_id"), col("bk.band"), col("bk.key"))
-      val cand = banded.select(col("vec_id").as("va"), col("band"), col("key"))
-        .join(banded.select(col("vec_id").as("vb"), col("band"), col("key")),
-          Seq("band", "key"))
-        .filter(col("va") < col("vb"))
-        .select("va", "vb").distinct()
-      val ax = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
-      val bx = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
-      cand.join(ax, "va").join(bx, "vb")
-        .withColumn("cos", VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-        .filter(col("cos") >= 0.45)
+      cosinePairsLsh(s, dir, 0.45)
         .select(col("va"), col("vb"), round(col("cos"), 4).as("cos_r"))
         .orderBy("va", "vb")
+    },
+
+    // SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023): collapse
+    // embedding-space near-duplicate CLUSTERS, not just pairs — the pass a
+    // training pipeline runs over model embeddings where MinHash sees
+    // nothing (paraphrases, translations, re-renders share no shingles).
+    // Composition of two already-proven stages: the sign-LSH banded
+    // candidate pipeline (sub-quadratic, nested-loop-free) feeds cosine
+    // edges, connected components clusters them (localCheckpoint-bounded
+    // iteration), and one max(struct) aggregate per cluster keeps the
+    // highest-norm member (ties to the lowest vec_id) — norm as the
+    // centrality proxy keeps the whole query expressible to the DuckDB
+    // oracle, which recomputes it from exhaustive exact pairs + a
+    // recursive CTE. Only clustered vectors appear: the query answers
+    // "what do I drop, what do I keep", and singletons drop nothing.
+    "dedup_semantic" -> { (s, dir) =>
+      import graft.functions.VectorOps
+      val pairs = cosinePairsLsh(s, dir, 0.45).select("va", "vb")
+      val edges = pairs.select(col("va").as("u"), col("vb").as("v"))
+        .unionAll(pairs.select(col("vb").as("u"), col("va").as("v")))
+      val comp = connectedComponents(edges)
+        .select(col("id").as("vec_id"), col("comp").as("component"))
+      val norms = Tables.embeddings(s, dir)
+        .select(col("vec_id"), round(VectorOps.norm(col("embedding")), 4).as("nrm"))
+      comp.join(norms, "vec_id")
+        .groupBy("component")
+        .agg(
+          max(struct(col("nrm"), (-col("vec_id")).as("negid"))).as("best"),
+          count(lit(1)).as("n_members"))
+        .select(
+          col("component"),
+          (-col("best.negid")).as("keep_id"),
+          col("best.nrm").as("keep_norm"),
+          col("n_members"))
+        .orderBy("component")
     },
 
     // Dedup clustering: connected components over the verified near-dup
@@ -589,6 +598,43 @@ object DedupQueries {
         .filter(col("hd") <= 12)
         .orderBy("da", "db")
     })
+
+  /** Sign-LSH banded cosine pairs — the sub-quadratic candidate pipeline
+    * behind `dedup_near_cosine_lsh` and `dedup_semantic`: 21 bands × 3
+    * sign bits over the 64 dims generate candidates through an equi-join
+    * (no nested-loop anywhere — PlanSpec-asserted), exact cosine verifies
+    * survivors. The banding shuffle carries only (vec_id, band, key);
+    * vectors are fetched back per UNIQUE candidate pair, not per band
+    * collision. Returns (va, vb, cos) for all pairs with cos ≥ `t`.
+    */
+  private def cosinePairsLsh(s: SparkSession, dir: String, t: Double): DataFrame = {
+    import graft.functions.VectorOps
+    val bits = 3
+    val nBands = 21 // 64-dim embeddings → 21 whole 3-bit bands (dim 64 unused)
+    def signKey(b: Int): Column =
+      (0 until bits).map { j =>
+        when(element_at(col("embedding"), b * bits + j + 1) > 0f, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+    val banded = e.select(col("vec_id"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"), signKey(b).as("key"))): _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band"), col("bk.key"))
+    val cand = banded.select(col("vec_id").as("va"), col("band"), col("key"))
+      .join(banded.select(col("vec_id").as("vb"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("va") < col("vb"))
+      .select("va", "vb").distinct()
+    val ax = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
+    val bx = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
+    cand.join(ax, "va").join(bx, "vb")
+      .withColumn("cos", VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= t)
+      .select("va", "vb", "cos")
+  }
 
   private val cosSql =
     """list_reduce(list_transform(range(1, len(a.embedding) + 1),
@@ -720,6 +766,39 @@ object DedupQueries {
          |  SELECT a.vec_id AS va, b.vec_id AS vb, $cosSql AS cos
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          |WHERE cos >= 0.45 ORDER BY va, vb""".stripMargin,
+
+    // Exhaustive exact pairs + recursive-CTE components + windowed argmax —
+    // the banded-LSH + label-propagation + max(struct) plan must reproduce
+    // exactly this.
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT va, vb FROM (
+         |    SELECT a.vec_id AS va, b.vec_id AS vb, $cosSql AS cos
+         |    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |  WHERE cos >= 0.45
+         |), edges AS (
+         |  SELECT va AS u, vb AS v FROM pairs UNION SELECT vb, va FROM pairs
+         |), reach(u, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+         |), comp AS (
+         |  SELECT u AS vec_id, min(r) AS component FROM reach GROUP BY 1
+         |), nrm AS (
+         |  SELECT vec_id,
+         |         round(sqrt(list_reduce(list_transform(embedding,
+         |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+         |               (x, y) -> x + y)), 4) AS nrm
+         |  FROM embeddings
+         |), ranked AS (
+         |  SELECT component, c.vec_id, nrm.nrm,
+         |         row_number() OVER (PARTITION BY component
+         |                            ORDER BY nrm.nrm DESC, c.vec_id) AS rn,
+         |         count(*) OVER (PARTITION BY component) AS n_members
+         |  FROM comp c JOIN nrm ON nrm.vec_id = c.vec_id)
+         |SELECT component, vec_id AS keep_id, nrm AS keep_norm,
+         |       CAST(n_members AS BIGINT) AS n_members
+         |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin,
 
     "dedup_exact" ->
       """SELECT sha256(text) AS h, min(doc_id) AS keep_id,
