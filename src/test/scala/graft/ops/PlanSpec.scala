@@ -39,13 +39,24 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("HashAggregate") && p.contains("partial_"), p)
   }
 
-  test("dedup_near_cosine_lsh plan has no nested-loop or cartesian join") {
-    val df = SparkEntry.queries("dedup_near_cosine_lsh")(spark, sfDir)
+  test("cosine-LSH pair construction has no nested-loop or cartesian join") {
+    // The queries read the session-cached checkpoint of this construction
+    // (dedup_near_cosine_lsh, dedup_semantic), so the shape assertion
+    // targets the construction plan itself.
+    val df = DedupQueries.cosinePairsLshPlan(spark, sfDir, 0.45)
     df.collect() // finalize the AQE plan
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
     // candidates must come from the banded equi-join, then exact verify
     assert(p.contains("vector_dot"), p)
+  }
+
+  test("prefix-Jaccard pair construction is equi-join + positional filter, no cartesian") {
+    val df = DedupQueries.jaccardPairsPrefixPlan(spark, sfDir, 0.5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("array_intersect"), p) // the shared verify stage
   }
 
   test("IVF cell assignment is an aggregate, not a window sort") {
