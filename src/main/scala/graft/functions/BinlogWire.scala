@@ -168,6 +168,54 @@ object BinlogWire {
     InternalRow(pos, UTF8String.fromString(name))
   }
 
+  /** XID_EVENT payload (type 16): u64 LE transaction id — the COMMIT
+    * marker of a row-transaction group. With GTID (start marker) this
+    * brackets every transaction on the wire; the pair is what lets an
+    * archive scan re-assemble atomic transactions from a flat event
+    * stream. Null unless the event is a well-formed XID.
+    */
+  def decodeXid(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null || bytes.length < HeaderLen + 8) return null
+    if ((bytes(4) & 0xff) != 16) return null
+    java.lang.Long.valueOf(u64(bytes, HeaderLen))
+  }
+
+  /** QUERY_EVENT (type 2) — statement-based entries: `BEGIN` markers,
+    * DDL, and anything not row-logged. Post-header: thread_id u32,
+    * exec_time u32, schema_len u8, error_code u16, status_vars_len u16;
+    * body: status vars (skipped — session state, not identity), schema
+    * name, NUL, query text to the end (minus the declared CRC trailer).
+    * The reference drops DDL on the floor (DummyEventHandler,
+    * `main.go:46-48`); decoding it is how an archive scan can do better.
+    */
+  def decodeQuery(bytes: Array[Byte], hasCrc: Boolean): InternalRow = {
+    if (bytes == null || bytes.length < HeaderLen + 13 + (if (hasCrc) 4 else 0))
+      return null
+    if ((bytes(4) & 0xff) != 2) return null
+    val threadId = u32(bytes, HeaderLen)
+    val execTime = u32(bytes, HeaderLen + 4)
+    val schemaLen = bytes(HeaderLen + 8) & 0xff
+    val errorCode = u16(bytes, HeaderLen + 9)
+    val statusLen = u16(bytes, HeaderLen + 11)
+    val schemaOff = HeaderLen + 13 + statusLen
+    val queryOff = schemaOff + schemaLen + 1 // NUL after the schema name
+    val end = bytes.length - (if (hasCrc) 4 else 0)
+    if (queryOff > end) return null
+    val schema = new String(bytes, schemaOff, schemaLen,
+      java.nio.charset.StandardCharsets.UTF_8)
+    val query = new String(bytes, queryOff, end - queryOff,
+      java.nio.charset.StandardCharsets.UTF_8)
+    InternalRow(threadId, execTime, errorCode,
+      UTF8String.fromString(schema), UTF8String.fromString(query))
+  }
+
+  val queryType: StructType = StructType(Seq(
+    StructField("thread_id", LongType, nullable = false),
+    StructField("exec_time", LongType, nullable = false),
+    StructField("error_code", IntegerType, nullable = false),
+    StructField("schema", StringType, nullable = false),
+    StructField("query", StringType, nullable = false)))
+
   /** CRC32 trailer check: true iff the last 4 bytes equal the CRC32 of
     * everything before them (the layout a checksumming server writes —
     * `event_size` covers the trailer). Null on inputs too short to carry
@@ -198,6 +246,12 @@ object BinlogWire {
   def binlog_crc32_ok(c: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.toColumn(
       BinlogCrc32Ok(org.apache.spark.sql.GraftColumnBridge.toExpression(c)))
+  def binlog_xid(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.toColumn(
+      BinlogXidDecode(org.apache.spark.sql.GraftColumnBridge.toExpression(c)))
+  def binlog_query(c: Column, hasCrc: Boolean = false): Column =
+    org.apache.spark.sql.GraftColumnBridge.toColumn(
+      BinlogQueryDecode(org.apache.spark.sql.GraftColumnBridge.toExpression(c), hasCrc))
 }
 
 /** Shared shape of the binlog decoders (here and in [[BinlogRows]]):
@@ -299,4 +353,44 @@ case class BinlogRotateDecode(child: Expression, hasCrc: Boolean = false)
   override protected def withNewChildInternal(newChild: Expression): BinlogRotateDecode =
     copy(child = newChild)
   override def prettyName: String = "binlog_rotate"
+}
+
+/** XID event → the u64 transaction id (COMMIT marker). Own doGenCode: the
+  * result is a PRIMITIVE long slot, so the boxed null check must unbox
+  * explicitly (same situation as `binlog_table_id`).
+  */
+case class BinlogXidDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    BinlogWire.decodeXid(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("xid")
+      s"""
+         |java.lang.Long $r = graft.functions.BinlogWire.decodeXid($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): BinlogXidDecode =
+    copy(child = newChild)
+  override def prettyName: String = "binlog_xid"
+}
+
+/** QUERY event → struct(thread_id, exec_time, error_code, schema, query) —
+  * BEGIN markers and DDL. `hasCrc` FDE-driven like the other trailered
+  * decoders.
+  */
+case class BinlogQueryDecode(child: Expression, hasCrc: Boolean = false)
+    extends BinlogDecodeExpression {
+  override def dataType: DataType = BinlogWire.queryType
+  override protected def staticCall: String = "graft.functions.BinlogWire.decodeQuery"
+  override protected def javaType: String = "org.apache.spark.sql.catalyst.InternalRow"
+  override protected def extraArgs: String = s", $hasCrc"
+  override protected def nullSafeEval(input: Any): Any =
+    BinlogWire.decodeQuery(input.asInstanceOf[Array[Byte]], hasCrc)
+  override protected def withNewChildInternal(newChild: Expression): BinlogQueryDecode =
+    copy(child = newChild)
+  override def prettyName: String = "binlog_query"
 }

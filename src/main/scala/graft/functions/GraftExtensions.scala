@@ -42,6 +42,13 @@ object GraftExtensions {
           s"has_crc must be a boolean literal, got $other")
       })),
     "binlog_gtid" -> (children => BinlogGtidDecode(children.head)),
+    "binlog_xid" -> (children => BinlogXidDecode(children.head)),
+    "binlog_query" -> (children => BinlogQueryDecode(children.head,
+      hasCrc = children.lift(1).exists {
+        case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, _) => b
+        case other => throw new IllegalArgumentException(
+          s"has_crc must be a boolean literal, got $other")
+      })),
     "binlog_crc32_ok" -> (children => BinlogCrc32Ok(children.head)),
     "binlog_table" -> (children => BinlogTableDecode(children.head)),
     "binlog_table_id" -> (children => BinlogTableIdDecode(children.head)),

@@ -87,6 +87,38 @@ class BinlogWireSpec extends SparkSuite {
     assert(BinlogWire.decodeGtid(ev.take(30)) == null) // truncated
   }
 
+  test("xid decode yields the u64 transaction id; query decode the BEGIN/DDL text") {
+    // XID: u64 LE 0x0102030405060708
+    val xidEv = event(1700000005L, 16, 1, 2000, 0,
+      Array[Byte](8, 7, 6, 5, 4, 3, 2, 1))
+    assert(BinlogWire.decodeXid(xidEv) == 0x0102030405060708L)
+    assert(BinlogWire.decodeXid(write) == null)          // wrong type
+    assert(BinlogWire.decodeXid(xidEv.take(22)) == null) // truncated
+
+    // QUERY: thread 7, exec 3s, schema "shop", 2 status-var bytes, DDL text
+    def queryBody(sql: String): Array[Byte] = {
+      val schema = "shop".getBytes(StandardCharsets.UTF_8)
+      Array[Byte](7, 0, 0, 0) ++ Array[Byte](3, 0, 0, 0) ++
+        Array[Byte](schema.length.toByte) ++ Array[Byte](0, 0) ++
+        Array[Byte](2, 0) ++ Array[Byte](0x51, 0x52) ++ // status vars (skipped)
+        schema ++ Array[Byte](0) ++ sql.getBytes(StandardCharsets.UTF_8)
+    }
+    val q = event(1700000006L, 2, 1, 2100, 0, queryBody("ALTER TABLE orders ADD c INT"))
+    val r = BinlogWire.decodeQuery(q, hasCrc = false)
+    assert(r.getLong(0) == 7L && r.getLong(1) == 3L && r.getInt(2) == 0)
+    assert(r.getUTF8String(3).toString == "shop")
+    assert(r.getUTF8String(4).toString == "ALTER TABLE orders ADD c INT")
+    // with a CRC trailer, the declared flag excludes exactly those 4 bytes
+    val qCrc = event(1700000006L, 2, 1, 2100, 0,
+      queryBody("BEGIN") ++ Array[Byte](1, 2, 3, 4))
+    assert(BinlogWire.decodeQuery(qCrc, hasCrc = true)
+      .getUTF8String(4).toString == "BEGIN")
+    assert(BinlogWire.decodeQuery(qCrc, hasCrc = false)
+      .getUTF8String(4).toString != "BEGIN") // trailer bleeds in when undeclared
+    assert(BinlogWire.decodeQuery(write, hasCrc = false) == null) // wrong type
+    assert(BinlogWire.decodeQuery(q.take(25), hasCrc = false) == null) // truncated
+  }
+
   test("codegen path: frames + header + rotate as DataFrame expressions") {
     import spark.implicits._
     val df = Seq(stream).toDF("raw")
