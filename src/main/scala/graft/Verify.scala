@@ -17,6 +17,11 @@ object Verify {
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same targeted silencing as Bench: the dedup family's bounded-iteration
+    // unpersist of locally checkpointed RDDs is intended; the per-RDD WARN
+    // it triggers otherwise floods the verify log.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
     graft.functions.GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter (same contract as Bench): dump a subset only.

@@ -118,19 +118,29 @@ object DedupQueries {
       .filter(col("jaccard") >= t)
   }
 
-  /** Materialize the session-lifetime dedup caches (shingle set + per-doc
-    * arrays) without running a query — lets a bench warm the shared index
-    * untimed so per-query timings measure plans, not who ran first.
+  /** Build every session-lifetime dedup index untimed and return each
+    * build's wall seconds keyed by index name. The bench emits this map as
+    * `index_build` in its JSON so the measurement boundary — indexes
+    * amortized once per session, query medians timing the consuming plans —
+    * stays visible and cross-round comparable no matter where the boundary
+    * sits (the r6 lesson: folding ~20 s of index builds into one opaque
+    * `warm_sec` lump made the headline total incomparable with r5).
     */
-  def warmCaches(s: SparkSession, dir: String): Unit = {
-    shingles(s, dir).count()
-    docArrays(s, dir).count()
-    // The shared pair indexes too: with per-query MEDIAN timings a
-    // first-rep-only build cost would otherwise disappear from the metric
-    // entirely — warming here books it in the reported warm_sec instead.
-    jaccardPairsPrefix(s, dir, 0.5).count()
-    cosinePairsLsh(s, dir, 0.45).count()
-    ()
+  def warmCaches(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    val out = Seq.newBuilder[(String, Double)]
+    def timed(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      out += name -> (System.nanoTime() - t0) / 1e9
+    }
+    timed("shingles") { shingles(s, dir).count() }
+    timed("doc_arrays") { docArrays(s, dir).count() }
+    timed("minhash_sig") { minhashSignatures(s, dir).count() }
+    timed("pairs_jaccard_0.5") { jaccardPairsPrefix(s, dir, 0.5).count() }
+    timed("pairs_cosine_0.45") { cosinePairsLsh(s, dir, 0.45).count() }
+    timed("comp_jaccard_0.5") { componentsJaccard(s, dir, 0.5).count() }
+    timed("comp_cosine_0.45") { componentsCosine(s, dir, 0.45).count() }
+    out.result()
   }
 
   /** Unpersist and drop every cached dedup artifact of `s` (shingle set +
@@ -168,16 +178,39 @@ object DedupQueries {
         pt.remove()
       }
     }
+    val st = sigCache.entrySet().iterator()
+    while (st.hasNext) {
+      val e = st.next()
+      if (e.getKey._1 eq s) {
+        org.apache.spark.sql.GraftColumnBridge.checkpointRdd(e.getValue)
+          .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
+        st.remove()
+      }
+    }
+    val ct = componentCache.entrySet().iterator()
+    while (ct.hasNext) {
+      val e = ct.next()
+      if (e.getKey._1 eq s) {
+        org.apache.spark.sql.GraftColumnBridge.checkpointRdd(e.getValue)
+          .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
+        ct.remove()
+      }
+    }
   }
 
   /** Verified near-dup PAIR SETS, cached per (session, dir, family:t) like
     * [[docArrays]] — they are the corpus's near-dup indexes, and several
     * queries consume each one (prefix-Jaccard pairs: `dedup_jaccard_prefix`,
     * `dedup_components`, `pipeline_dedup_select`; cosine-LSH pairs:
-    * `dedup_near_cosine_lsh`, `dedup_semantic`). The first consumer pays
-    * the build (nothing is pre-warmed untimed); localCheckpoint
-    * materializes the tiny verified set once and truncates the candidate
-    * pipeline out of every downstream plan.
+    * `dedup_near_cosine_lsh`, `dedup_semantic`). CACHE POLICY (uniform for
+    * every session-lifetime dedup index — shingles, doc arrays, minhash
+    * signatures, pair sets, component labels): the first consumer pays the
+    * build unless the caller pre-warms via [[warmCaches]], which times each
+    * build individually so a bench can report them as a first-class
+    * `index_build` map instead of burying them in query medians or an
+    * opaque warmup lump. localCheckpoint materializes the tiny verified set
+    * once and truncates the candidate pipeline out of every downstream
+    * plan.
     */
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
@@ -190,6 +223,65 @@ object DedupQueries {
 
   private[ops] def jaccardPairsPrefix(s: SparkSession, dir: String, t: Double): DataFrame =
     cachedPairs(s, dir, s"jaccard:$t")(jaccardPairsPrefixPlan(s, dir, t))
+
+  /** 8-hash md5-order MinHash signature table per (session, dir) — the
+    * banded-LSH index `dedup_minhash_banded` buckets on, with
+    * `dedup_near_jaccard` reading its 2-hash prefix (same salts "0","1").
+    * Cached like [[docArrays]] because the signature aggregate re-scans the
+    * whole shingle cache computing 8 string md5s per (doc, shingle) — by
+    * far the heaviest fragment of the MinHash family (it alone was the
+    * 4.1 s r6 median of the banded query, re-run every rep). md5 stays the
+    * hash deliberately: its total order is engine-portable, so the DuckDB
+    * oracle replays the identical signatures.
+    */
+  private val sigCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[ops] def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    sigCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    sigCache.computeIfAbsent((s, dir), _ => {
+      val sigExprs = (0 until 8)
+        .map(i => min(md5(concat(lit(i.toString), col("shingle")))).as(s"h$i"))
+      shingles(s, dir).groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
+        .localCheckpoint()
+    })
+  }
+
+  /** Component LABELS per (session, dir, edge-family:t) — the third tier of
+    * the session index stack (pairs → edges → labels). Cached under the
+    * same policy as [[pairCache]]: `dedup_components` and
+    * `pipeline_dedup_select` share the jaccard:0.5 labels, `dedup_semantic`
+    * owns the cosine:0.45 labels. Without this tier the label-propagation
+    * loop (several localCheckpoint + unpersist rounds each run) re-ran per
+    * bench rep on top of already-cached pairs — half the pipeline cached,
+    * half re-iterated, which made the r6 timings attributable to neither
+    * policy.
+    */
+  private val componentCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def cachedComponents(s: SparkSession, dir: String, key: String)(
+      edges: => DataFrame): DataFrame = {
+    componentCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    componentCache.computeIfAbsent((s, dir, key),
+      _ => connectedComponents(edges).localCheckpoint())
+  }
+
+  /** Both directions of the verified prefix-Jaccard pairs, componentized. */
+  private[ops] def componentsJaccard(s: SparkSession, dir: String, t: Double): DataFrame =
+    cachedComponents(s, dir, s"comp:jaccard:$t") {
+      val pairs = jaccardPairsPrefix(s, dir, t).select("da", "db")
+      pairs.select(col("da").as("u"), col("db").as("v"))
+        .unionAll(pairs.select(col("db").as("u"), col("da").as("v")))
+    }
+
+  /** Both directions of the verified cosine-LSH pairs, componentized. */
+  private[ops] def componentsCosine(s: SparkSession, dir: String, t: Double): DataFrame =
+    cachedComponents(s, dir, s"comp:cosine:$t") {
+      val pairs = cosinePairsLsh(s, dir, t).select("va", "vb")
+      pairs.select(col("va").as("u"), col("vb").as("v"))
+        .unionAll(pairs.select(col("vb").as("u"), col("va").as("v")))
+    }
 
   /** Prefix-filtered exact Jaccard pairs (the AllPairs/PPJoin family — cf.
     * "Distributed Streaming Set Similarity Join", ICDE 2020, PAPERS.md) over
@@ -323,9 +415,20 @@ object DedupQueries {
         .unionByName(d.filter(col("doc_id") % 20 === 0).select("text"))
       val batch = d.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("text"), col("n_chars"))
-      // ~10 bits/element at shipped SFs (sf0.1 corpus ≈ 10^5 docs) → fpp ≈ 1%
+      // Size the sketch from the corpus itself: ~10 bits/element with k=5
+      // gives fpp ≈ 0.9% at ANY corpus size, instead of a constant that is
+      // only right at the shipped SFs. The count is the first of the two
+      // driver-side index-build jobs (the blob agg is the second); both
+      // produce a small driver artifact, like the IVF codebook. Floor 2^16
+      // bits (8 KiB) avoids degenerate tiny filters; the 2^27 cap (16 MiB
+      // blob) marks where one driver-held blob stops being the right
+      // layout — beyond ~13M distinct docs, shard the filter by key range
+      // (group by bucket instead of a global agg; see the class doc).
+      val nCorpus = corpus.count()
+      val bloomBits = math.min(1L << 27,
+        math.max(1L << 16, (10L * nCorpus + 63) / 64 * 64)).toInt
       val blob = corpus
-        .agg(graft.functions.BloomFilterAgg.bloom_agg(xxhash64(col("text")), 1 << 21, 5))
+        .agg(graft.functions.BloomFilterAgg.bloom_agg(xxhash64(col("text")), bloomBits, 5))
         .head.getAs[Array[Byte]](0)
       val hit = graft.functions.BloomFilterAgg.bloom_might_contain(
         lit(blob), xxhash64(col("text")))
@@ -341,10 +444,9 @@ object DedupQueries {
     // same total order in any engine), then exact shingle-Jaccard ≥ 0.5 on
     // candidates only, verified via the shared array_intersect fetch-join.
     "dedup_near_jaccard" -> { (s, dir) =>
-      val sh = shingles(s, dir)
-      val sig = sh.groupBy("doc_id").agg(
-        min(md5(concat(lit("0"), col("shingle")))).as("h0"),
-        min(md5(concat(lit("1"), col("shingle")))).as("h1"))
+      // The 2-hash signature is the h0/h1 prefix of the session's 8-hash
+      // signature index (identical salts), so the aggregate is shared.
+      val sig = minhashSignatures(s, dir).select("doc_id", "h0", "h1")
       val a = sig.select(col("doc_id").as("da"), col("h0"), col("h1"))
       val b = sig.select(col("doc_id").as("db"), col("h0").as("g0"), col("h1").as("g1"))
       val cand = a.join(b,
@@ -360,10 +462,7 @@ object DedupQueries {
     // Jaccard verifies candidates. Fully oracle-replayable — md5 gives the
     // same min-hash order in any engine.
     "dedup_minhash_banded" -> { (s, dir) =>
-      val sh = shingles(s, dir)
-      val sigExprs = (0 until 8)
-        .map(i => min(md5(concat(lit(i.toString), col("shingle")))).as(s"h$i"))
-      val sig = sh.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
+      val sig = minhashSignatures(s, dir)
       val banded = sig.select(col("doc_id"), explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("key"))): _*)).as("bk"))
@@ -487,10 +586,7 @@ object DedupQueries {
     // "what do I drop, what do I keep", and singletons drop nothing.
     "dedup_semantic" -> { (s, dir) =>
       import graft.functions.VectorOps
-      val pairs = cosinePairsLsh(s, dir, 0.45).select("va", "vb")
-      val edges = pairs.select(col("va").as("u"), col("vb").as("v"))
-        .unionAll(pairs.select(col("vb").as("u"), col("va").as("v")))
-      val comp = connectedComponents(edges)
+      val comp = componentsCosine(s, dir, 0.45)
         .select(col("id").as("vec_id"), col("comp").as("component"))
       val norms = Tables.embeddings(s, dir)
         .select(col("vec_id"), round(VectorOps.norm(col("embedding")), 4).as("nrm"))
@@ -520,10 +616,7 @@ object DedupQueries {
       // dedup_jaccard_prefix — NOT from a raw shingle self-join, whose
       // hot-shingle k² candidate blowup is exactly the quadratic this family
       // otherwise avoids.
-      val pairs = jaccardPairsPrefix(s, dir, 0.5).select("da", "db")
-      val edges = pairs.select(col("da").as("u"), col("db").as("v"))
-        .unionAll(pairs.select(col("db").as("u"), col("da").as("v")))
-      connectedComponents(edges)
+      componentsJaccard(s, dir, 0.5)
         .select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy("doc_id")
     },
@@ -581,10 +674,7 @@ object DedupQueries {
         * (size(array_distinct(toksCol)).cast("double") / size(toksCol)), 6)
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), quality.as("q"))
-      val pairs = jaccardPairsPrefix(s, dir, 0.5).select("da", "db")
-      val edges = pairs.select(col("da").as("u"), col("db").as("v"))
-        .unionAll(pairs.select(col("db").as("u"), col("da").as("v")))
-      val comp = connectedComponents(edges)
+      val comp = componentsJaccard(s, dir, 0.5)
         .select(col("id").as("doc_id"), col("comp"))
       // docs outside any near-dup cluster are their own component
       val labeled = docs.join(comp, Seq("doc_id"), "left")
