@@ -294,27 +294,125 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
   }
 
   /** The GTID set the spool already holds — the spool-IS-the-position
-    * principle carried to GTID mode: scan every complete event, collect
-    * `uuid:gno` from GTID events. A one-time O(spool bytes) walk at
-    * connect, the GTID analog of `resumePosition()`'s tail walk (a spool
-    * large enough for this to hurt should have been compacted into the
-    * archive anyway — the spool is a hand-off buffer, not the archive).
+    * principle carried to GTID mode: walk every complete event and collect
+    * `uuid:gno` from GTID events, counting a transaction only when its
+    * group provably COMMITTED inside the spool (see [[scanGtids]] — real
+    * replicas count a GTID as executed at commit for the same reason). A
+    * one-time O(spool headers + control events) walk at connect, the GTID
+    * analog of `resumePosition()`'s tail walk (a spool large enough for
+    * this to hurt should have been compacted into the archive anyway —
+    * the spool is a hand-off buffer, not the archive).
     */
-  def resumeGtidSet(): GtidSet = {
+  def resumeGtidSet(): GtidSet = gtidSpoolState()._1
+
+  /** The held set plus, per file, the byte offset where a torn tail must
+    * be truncated before the next dump appends (an unterminated trailing
+    * transaction group, or trailing bytes that are a torn event frame).
+    */
+  private[sources] def gtidSpoolState(): (GtidSet, Seq[(Path, Long)]) = {
     val files = CdcLogDirSource.listLogs(spoolDir.toString)
-    files.foldLeft(GtidSet.Empty) { (set, name) =>
-      val path = spoolDir.resolve(name)
-      val start = CdcBinlogFileSource.dataStart(path.toString)
-      val (_, end) = CdcBinlogFileSource.walkEvents(path.toString, start)
-      val bytes = Files.readAllBytes(path)
-      val evs = BinlogWire.frames(
-        java.util.Arrays.copyOfRange(bytes, start.toInt, end.toInt))
-      if (evs == null) set
-      else (0 until evs.numElements()).foldLeft(set) { (s, i) =>
-        val gt = BinlogWire.decodeGtid(evs.getBinary(i))
-        if (gt == null) s else s.add(gt.getUTF8String(0).toString, gt.getLong(1))
-      }
+    files.foldLeft((GtidSet.Empty, Seq.empty[(Path, Long)])) {
+      case ((set, torn), name) =>
+        val path = spoolDir.resolve(name)
+        val (grown, cut) = scanGtids(path, set)
+        (grown, torn ++ cut.map(path -> _))
     }
+  }
+
+  /** Streaming per-file GTID scan. A GTID is HELD only when its group
+    * provably ended inside the spool: an XID or a non-BEGIN query event
+    * (COMMIT/ROLLBACK/DDL) terminates it, and so does the next group's
+    * GTID event or a ROTATE — group events are contiguous, so a successor
+    * group proves the predecessor arrived whole. The stream can die
+    * mid-group (network error, [[close]], `maxEvents`); counting that torn
+    * group as held would make both the master-side filter and the
+    * client-side skip drop the missing tail forever — a silently and
+    * permanently torn transaction in the archive.
+    *
+    * Returns the grown set plus the truncation offset for a torn tail:
+    * the unterminated group's GTID event start (the master re-sends the
+    * whole group, which must append after a clean tail), or the end of the
+    * last complete event when the trailing bytes are a torn frame. Reads
+    * headers and small control events only, skipping row payloads — no
+    * `readAllBytes`, no Int-truncated offsets, so a ≥2 GiB spool file
+    * walks fine.
+    */
+  private def scanGtids(path: Path, set0: GtidSet): (GtidSet, Option[Long]) = {
+    val start = CdcBinlogFileSource.dataStart(path.toString)
+    val size = Files.size(path)
+    var set = set0
+    var hasCrc = false
+    // (uuid, gno, byte offset of the group's GTID event)
+    var pending: Option[(String, Long, Long)] = None
+    def sealPending(): Unit = {
+      pending.foreach { case (u, g, _) => set = set.add(u, g) }
+      pending = None
+    }
+    val in = new BufferedInputStream(Files.newInputStream(path))
+    try {
+      var skipped = 0L
+      while (skipped < start) {
+        val s = in.skip(start - skipped)
+        if (s <= 0L) return (set, None)
+        skipped += s
+      }
+      var off = start
+      var done = false
+      while (!done) {
+        if (size - off < BinlogWire.HeaderLen) done = true
+        else {
+          val header = new Array[Byte](BinlogWire.HeaderLen)
+          var got = 0
+          while (got < header.length && !done) {
+            val r = in.read(header, got, header.length - got)
+            if (r < 0) done = true else got += r
+          }
+          if (!done) {
+            val es = (header(9) & 0xffL) | ((header(10) & 0xffL) << 8) |
+              ((header(11) & 0xffL) << 16) | ((header(12) & 0xffL) << 24)
+            val tpe = header(4) & 0xff
+            if (es < BinlogWire.HeaderLen || off + es > size) done = true
+            else {
+              val bodyLen = (es - BinlogWire.HeaderLen).toInt
+              tpe match {
+                case 15 | 33 | 16 | 2 | 4 => // control events: decode in full
+                  val ev = new Array[Byte](es.toInt)
+                  System.arraycopy(header, 0, ev, 0, header.length)
+                  var g2 = 0
+                  while (g2 < bodyLen && !done) {
+                    val r = in.read(ev, BinlogWire.HeaderLen + g2, bodyLen - g2)
+                    if (r < 0) done = true else g2 += r
+                  }
+                  if (!done) tpe match {
+                    case 15 => hasCrc = MySqlRepl.fdeChecksumAlg(ev) == 1
+                    case 33 =>
+                      sealPending()
+                      val gt = BinlogWire.decodeGtid(ev)
+                      if (gt != null)
+                        pending = Some((gt.getUTF8String(0).toString, gt.getLong(1), off))
+                    case 16 => sealPending()
+                    case 2 =>
+                      val q = BinlogWire.decodeQuery(ev, hasCrc)
+                      val sql = if (q == null) "" else q.getUTF8String(4).toString
+                      if (!sql.trim.equalsIgnoreCase("BEGIN")) sealPending()
+                    case 4 => sealPending()
+                    case _ => ()
+                  }
+                case _ => // row payloads etc.: skip, never materialize
+                  var sk = 0L
+                  while (sk < bodyLen && !done) {
+                    val r = in.skip(bodyLen - sk)
+                    if (r <= 0L) done = true else sk += r
+                  }
+              }
+              if (!done) off += es
+            }
+          }
+        }
+      }
+      val truncateAt = pending.map(_._3).orElse(if (off < size) Some(off) else None)
+      (set, truncateAt)
+    } finally in.close()
   }
 
   /** Connect, authenticate, dump, spool. Blocks until `maxEvents` events
@@ -343,11 +441,25 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
       command(io, comQuery("SET @master_binlog_checksum= @@global.binlog_checksum"))
       command(io, comRegisterSlave(cfg.serverId))
       if (cfg.useGtid) {
-        val have = resumeGtidSet()
+        val (have, torn) = gtidSpoolState()
+        // Truncate torn tails (an unterminated trailing transaction group,
+        // or a torn event frame) BEFORE the dump: the torn group's GTID is
+        // not in `have`, so the master re-sends the whole group, and the
+        // re-send must append after a clean tail — appending past the
+        // partial bytes would duplicate them and break the byte-exact
+        // spool invariant.
+        torn.foreach { case (p, off) => truncateSpool(p, off) }
         io.write(0, comBinlogDumpGtid(cfg.serverId, have))
         spoolStream(io, "", maxEvents, Some(have))
       } else {
         val (name, pos) = resumePosition()
+        // Same clean-tail invariant in position mode: the dump resumes at
+        // the byte past the last COMPLETE event, so a torn trailing frame
+        // would sit between the resume point and the appended re-send.
+        if (name.nonEmpty) {
+          val p = spoolDir.resolve(name)
+          if (Files.exists(p) && Files.size(p) > pos) truncateSpool(p, pos)
+        }
         io.write(0, comBinlogDump(name, pos, cfg.serverId))
         spoolStream(io, name, maxEvents, None)
       }
@@ -355,6 +467,11 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
       try sock.close() catch { case _: Exception => () }
       socket = null
     }
+  }
+
+  private def truncateSpool(p: Path, off: Long): Unit = {
+    val ch = java.nio.channels.FileChannel.open(p, StandardOpenOption.WRITE)
+    try ch.truncate(off) finally ch.close()
   }
 
   private def command(io: PacketIO, payload: Array[Byte]): Unit = {
@@ -371,11 +488,15 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
     *
     * GTID mode (`have` defined): the master streams from the START of the
     * first file with missing transactions, skipping transaction groups the
-    * replica's set contains — so a partially-spooled file's FDE arrives
-    * again at its real position (appended only to a FRESH spool file), and
-    * the client additionally drops any group whose GTID it already holds
-    * (belt and braces over the master-side filter; a group runs from its
-    * GTID event to the next GTID/ROTATE).
+    * replica's set contains, and the client additionally drops any group
+    * whose GTID it already holds (belt and braces over the master-side
+    * filter; a group runs from its GTID event to the next GTID/ROTATE).
+    * On a RE-OPENED spool file (non-fresh at open) everything before the
+    * first not-held group is suppressed: the preamble — FDE,
+    * PREVIOUS_GTIDS, any other positionless event preceding the first
+    * GTID — is already in the spool, and appending it again at the tail
+    * would break the byte-exact invariant. Fresh files keep their
+    * preamble.
     */
   private def spoolStream(io: PacketIO, startFile: String, maxEvents: Long,
       have: Option[GtidSet]): Long = {
@@ -383,6 +504,13 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
     var hasCrc = false
     var spooled = 0L
     var skipGroup = false
+    var suppressPreamble = false
+    // every file open (synthetic or real ROTATE) re-evaluates suppression
+    def openFile(name: String): Unit = {
+      current = name
+      suppressPreamble = have.isDefined && spoolEnd(name) > 4L
+      skipGroup = false // a group never crosses a file boundary
+    }
     while (!stopped && spooled < maxEvents) {
       val packet =
         try io.read()
@@ -400,10 +528,9 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
         hasCrc = fdeChecksumAlg(ev) == 1
         if (current.isEmpty)
           throw new IOException("event before the master named its binlog file")
-        val fresh = spoolEnd(current) <= 4L
         val keep =
-          if (have.isDefined) fresh // GTID resume re-opens a spooled file
-          else header.getLong(5) != 0L || fresh
+          if (have.isDefined) !suppressPreamble // re-opened file keeps nothing
+          else header.getLong(5) != 0L || spoolEnd(current) <= 4L
         if (keep) { append(current, ev); spooled += 1 }
       } else if (tpe == 4) { // ROTATE
         val rot = BinlogWire.decodeRotate(ev, if (ts == 0L) false else hasCrc)
@@ -413,14 +540,15 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
           // synthetic marker (no checksum — the master builds it fresh):
           // sent for EVERY file the dump opens, naming the file the
           // following events belong to. Positional metadata, never spooled.
-          current = next
+          openFile(next)
         } else {
-          // a real ROTATE is the file's last event: spool it, then switch
-          append(current, ev)
-          spooled += 1
-          current = next
+          // a real ROTATE is the file's last event: spool it, then switch.
+          // Still-suppressed means the master re-streamed a file whose
+          // every group we hold — its bytes (rotate included, when the
+          // spool has one) are already there; appending would duplicate.
+          if (!suppressPreamble) { append(current, ev); spooled += 1 }
+          openFile(next)
         }
-        skipGroup = false // a group never crosses a file boundary
       } else {
         if (current.isEmpty)
           throw new IOException("event before the master named its binlog file")
@@ -429,8 +557,10 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
           if (gt == null) throw new IOException("malformed GTID event")
           skipGroup = have.exists(
             _.contains(gt.getUTF8String(0).toString, gt.getLong(1)))
+          // a not-held group is where a re-opened file's append resumes
+          if (!skipGroup) suppressPreamble = false
         }
-        if (!skipGroup) {
+        if (!skipGroup && !suppressPreamble) {
           append(current, ev)
           spooled += 1
         }

@@ -252,7 +252,12 @@ class MySqlReplClientSpec extends SparkSuite {
   private def tsOf(ev: Array[Byte]): Int =
     (BinlogWire.decodeHeader(ev).getLong(0) - 1700000000L).toInt
 
-  // ---- GTID-transactional chain: every write is its own group ----
+  // ---- GTID-transactional chain: every write is its own group, each
+  // group COMMIT-terminated by an XID event (as InnoDB row transactions
+  // are), and every file carries the PREVIOUS_GTIDS preamble event
+  // (type 35) a real 5.6+ binlog starts with — the resume logic must
+  // neither count an unterminated group as held nor re-append preamble
+  // events when the master re-streams a partially-spooled file. ----
 
   private val SidText = "00010203-0405-0607-0809-0a0b0c0d0e0f"
 
@@ -263,21 +268,36 @@ class MySqlReplClientSpec extends SparkSuite {
     cev(ts, 33, logPos, body.array())
   }
 
+  /** XID event (type 16): the u64 transaction id that commits a group. */
+  private def xev(ts: Long, xid: Long): Array[Byte] =
+    cev(ts, 16, 0, ByteBuffer.allocate(8).order(LITTLE_ENDIAN).putLong(xid).array())
+
+  /** PREVIOUS_GTIDS event (type 35): the gtid-set payload after the FDE. */
+  private def pgev(ts: Long, prior: GtidSet): Array[Byte] =
+    cev(ts, 35, 0, prior.encode)
+
   private val g1 = {
     val fde = fdeEvent(120)
-    val evs = Seq(fde,
+    val evs = Seq(fde, pgev(1700000000L, GtidSet.Empty),
       gev(1700000001L, 0, 1L), cev(1700000001L, 30, 0, Array[Byte](1, 1)),
+      xev(1700000001L, 11L),
       gev(1700000002L, 0, 2L), cev(1700000002L, 30, 0, Array[Byte](2, 2)),
+      xev(1700000002L, 12L),
       cev(1700000003L, 4, 0, rotateBody(4L, "fake-bin.000002")))
     "fake-bin.000001" -> evs
   }
   private val g2 = {
     val fde = fdeEvent(120)
-    "fake-bin.000002" -> Seq(fde,
-      gev(1700000004L, 0, 3L), cev(1700000004L, 30, 0, Array[Byte](3, 3)))
+    "fake-bin.000002" -> Seq(fde, pgev(1700000003L, GtidSet.parse(s"$SidText:1-2")),
+      gev(1700000004L, 0, 3L), cev(1700000004L, 30, 0, Array[Byte](3, 3)),
+      xev(1700000004L, 13L))
   }
   /** g2 after the master moved on: one more transaction appended. */
   private val g2grown = g2._1 -> (g2._2 ++ Seq(
+    gev(1700000005L, 0, 4L), cev(1700000005L, 30, 0, Array[Byte](4, 4)),
+    xev(1700000005L, 14L)))
+  /** g2grown with the stream dead mid-group: transaction 4 never commits. */
+  private val g2torn = g2._1 -> (g2._2 ++ Seq(
     gev(1700000005L, 0, 4L), cev(1700000005L, 30, 0, Array[Byte](4, 4))))
 
   test("scramble round-trip: the server's own check accepts the client token") {
@@ -423,7 +443,7 @@ class MySqlReplClientSpec extends SparkSuite {
       assert(req != null, "master never saw COM_BINLOG_DUMP_GTID")
       assert(req.flags == 4 && req.serverId == 77L && req.name == "" &&
         req.pos == 4L && req.gtids == "", req.toString)
-      assert(n == 9, s"spooled $n events") // 6 in g1 + 3 in g2
+      assert(n == 14, s"spooled $n events") // 9 in g1 + 5 in g2
       assert(Files.readAllBytes(spool.resolve("fake-bin.000001")).sameElements(
         BinlogTestData.magic ++ g1._2.reduce(_ ++ _)))
       assert(Files.readAllBytes(spool.resolve("fake-bin.000002")).sameElements(
@@ -451,13 +471,81 @@ class MySqlReplClientSpec extends SparkSuite {
       val n = try c3.run() finally c3.close()
       val req = m2.gtidDumps.poll()
       assert(req.gtids == s"$SidText:1-3", req.toString)
-      assert(n == 2, s"delta was $n events") // GTID(4) + its write
+      assert(n == 3, s"delta was $n events") // GTID(4) + its write + XID
       // the spool converges byte-identically to the master's grown file
       assert(Files.readAllBytes(spool.resolve("fake-bin.000002")).sameElements(
         BinlogTestData.magic ++ g2grown._2.reduce(_ ++ _)))
       // file 1 untouched by the resume
       assert(Files.readAllBytes(spool.resolve("fake-bin.000001")).sameElements(
         BinlogTestData.magic ++ g1._2.reduce(_ ++ _)))
+    } finally m2.close()
+  }
+
+  test("gtid resume after a mid-group death: torn transaction is re-fetched whole") {
+    // session 1 dies between transaction 4's row event and its XID — the
+    // spool holds a PARTIAL group. The resume must (a) not claim gno 4 in
+    // its set (a GTID counts only at commit), (b) truncate the partial
+    // group so the master's re-send appends after a clean tail, and
+    // (c) converge byte-identically to the master's file — the failure
+    // mode this guards against is a silently, permanently torn transaction
+    // in the archive.
+    val spool = Files.createTempDirectory("repl_gtid_torn")
+    val m1 = new FakeMaster("repl", "", Seq(g1, g2torn))
+    try {
+      val c1 = new BinlogSpoolClient(
+        ReplConfig("127.0.0.1", m1.port, "repl", useGtid = true), spool)
+      try c1.run() finally c1.close()
+    } finally m1.close()
+    // the spool ends mid-group: GTID(4) + write, no XID
+    val tornBytes = Files.readAllBytes(spool.resolve("fake-bin.000002"))
+    assert(tornBytes.sameElements(BinlogTestData.magic ++ g2torn._2.reduce(_ ++ _)))
+    // held set stops at the last COMMITTED transaction
+    val probe = new BinlogSpoolClient(
+      ReplConfig("127.0.0.1", 1, "repl", useGtid = true), spool)
+    assert(probe.resumeGtidSet().text == s"$SidText:1-3")
+    // resume against the healthy master: exactly the whole group arrives
+    val m2 = new FakeMaster("repl", "", Seq(g1, g2grown))
+    try {
+      val c2 = new BinlogSpoolClient(
+        ReplConfig("127.0.0.1", m2.port, "repl", useGtid = true), spool)
+      val n = try c2.run() finally c2.close()
+      val req = m2.gtidDumps.poll()
+      assert(req.gtids == s"$SidText:1-3", req.toString)
+      assert(n == 3, s"delta was $n events") // GTID(4) + write + XID, re-sent whole
+      assert(Files.readAllBytes(spool.resolve("fake-bin.000002")).sameElements(
+        BinlogTestData.magic ++ g2grown._2.reduce(_ ++ _)))
+      assert(Files.readAllBytes(spool.resolve("fake-bin.000001")).sameElements(
+        BinlogTestData.magic ++ g1._2.reduce(_ ++ _)))
+    } finally m2.close()
+  }
+
+  test("position resume truncates a torn trailing frame before appending") {
+    // a crash mid-append leaves half an event frame at the spool tail; the
+    // resume dumps from the last COMPLETE event, so the re-sent bytes must
+    // land where the torn frame was, not after it
+    val spool = Files.createTempDirectory("repl_torn_frame")
+    val m1 = new FakeMaster("repl", "", Seq(f1))
+    try {
+      val c1 = new BinlogSpoolClient(ReplConfig("127.0.0.1", m1.port, "repl"), spool)
+      try c1.run() finally c1.close()
+    } finally m1.close()
+    // f1 fully spooled (rotate included): chop the rotate in half to forge
+    // the torn tail, so the resume re-fetches it
+    val p = spool.resolve("fake-bin.000001")
+    val whole = Files.readAllBytes(p)
+    val rotLen = f1._2.last.length
+    Files.write(p, java.util.Arrays.copyOfRange(whole, 0, whole.length - rotLen / 2))
+    val m2 = new FakeMaster("repl", "", Seq(f1, f2))
+    try {
+      val c2 = new BinlogSpoolClient(ReplConfig("127.0.0.1", m2.port, "repl"), spool)
+      val n = try c2.run() finally c2.close()
+      val dump = m2.dumps.poll()
+      assert(dump.pos == 4L + f1._2.dropRight(1).map(_.length).sum, dump.toString)
+      assert(n == 3, s"delta was $n events") // re-sent rotate + f2's FDE + w3
+      assert(Files.readAllBytes(p).sameElements(
+        BinlogTestData.magic ++ f1._2.reduce(_ ++ _)))
+      assert(Files.readAllBytes(spool.resolve("fake-bin.000002")).sameElements(
+        BinlogTestData.magic ++ f2._2.reduce(_ ++ _)))
     } finally m2.close()
   }
 
