@@ -19,9 +19,11 @@ import graft.functions.BinlogWire
   * Everything here is the PUBLIC MySQL client/server protocol (documented in
   * the MySQL Internals manual and implemented by every connector): the
   * 4-byte packet framing, the protocol-v10 handshake, the
-  * `mysql_native_password` challenge scramble, `COM_REGISTER_SLAVE` /
-  * `COM_BINLOG_DUMP`, and the event-stream packets (0x00-prefixed event
-  * bytes, 0xFE EOF, 0xFF ERR).
+  * `mysql_native_password` scramble and the MySQL 8.0-default
+  * `caching_sha2_password` exchange (fast auth, auth-switch, and the
+  * RSA-encrypted full-auth fallback a plain connection uses),
+  * `COM_REGISTER_SLAVE` / `COM_BINLOG_DUMP`, and the event-stream packets
+  * (0x00-prefixed event bytes, 0xFE EOF, 0xFF ERR).
   *
   * Architecture — the client is a SPOOLER, not a Spark source: it appends
   * each complete event verbatim to a rotating raw-binlog directory (one
@@ -50,6 +52,7 @@ object MySqlRepl {
   val ClientPluginAuth = 0x00080000L
 
   val NativePasswordPlugin = "mysql_native_password"
+  val CachingSha2Plugin = "caching_sha2_password"
 
   /** 4-byte framed packet IO: 3-byte LE payload length + 1-byte sequence.
     * Payloads of 0xffffff continue in the next packet (large-packet rule).
@@ -156,20 +159,73 @@ object MySqlRepl {
     out
   }
 
-  /** HandshakeResponse41 payload for a native-password login. */
-  def handshakeResponse(user: String, password: String, seed: Array[Byte]): Array[Byte] = {
+  /** `caching_sha2_password` challenge response (the MySQL 8.0 DEFAULT
+    * plugin — the first thing a real modern server asks for):
+    * `SHA256(password) XOR SHA256(SHA256(SHA256(password)) ++ seed)`.
+    * Empty for an empty password. On a cache hit the server accepts this
+    * alone (fast auth); on a miss it demands full authentication
+    * (see [[rsaEncryptPassword]]).
+    */
+  def sha2Scramble(password: String, seed: Array[Byte]): Array[Byte] = {
+    if (password.isEmpty) return Array.empty
+    val md = MessageDigest.getInstance("SHA-256")
+    val p1 = md.digest(password.getBytes(UTF_8))
+    md.reset()
+    val p2 = md.digest(p1)
+    md.reset()
+    md.update(p2)
+    md.update(seed)
+    val mask = md.digest()
+    val out = new Array[Byte](p1.length)
+    var i = 0
+    while (i < out.length) { out(i) = (p1(i) ^ mask(i)).toByte; i += 1 }
+    out
+  }
+
+  /** The scramble matching whichever plugin the server asked for. */
+  def scrambleFor(plugin: String, password: String, seed: Array[Byte]): Array[Byte] =
+    plugin match {
+      case NativePasswordPlugin => nativePasswordScramble(password, seed)
+      case CachingSha2Plugin => sha2Scramble(password, seed)
+      case other => throw new IOException(s"unsupported auth plugin $other")
+    }
+
+  /** Full-auth credential for `caching_sha2_password` over a plain
+    * connection (the path every connector implements when TLS is off):
+    * the NUL-terminated password XOR'd with the repeating nonce, RSA-OAEP
+    * encrypted with the public key the server just sent as PEM.
+    */
+  def rsaEncryptPassword(password: String, seed: Array[Byte], pemKey: String): Array[Byte] = {
+    val der = java.util.Base64.getDecoder.decode(
+      pemKey.replace("-----BEGIN PUBLIC KEY-----", "")
+        .replace("-----END PUBLIC KEY-----", "")
+        .replaceAll("\\s", ""))
+    val key = java.security.KeyFactory.getInstance("RSA")
+      .generatePublic(new java.security.spec.X509EncodedKeySpec(der))
+    val pwd = password.getBytes(UTF_8) :+ 0.toByte
+    val xored = new Array[Byte](pwd.length)
+    var i = 0
+    while (i < pwd.length) { xored(i) = (pwd(i) ^ seed(i % seed.length)).toByte; i += 1 }
+    val c = javax.crypto.Cipher.getInstance("RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE, key)
+    c.doFinal(xored)
+  }
+
+  /** HandshakeResponse41 payload, answering with the server's plugin. */
+  def handshakeResponse(user: String, password: String, seed: Array[Byte],
+      plugin: String = NativePasswordPlugin): Array[Byte] = {
     val caps = ClientLongPassword | ClientProtocol41 | ClientSecureConnection |
       ClientPluginAuth
-    val token = nativePasswordScramble(password, seed)
+    val token = scrambleFor(plugin, password, seed)
     val b = ByteBuffer.allocate(4 + 4 + 1 + 23 + user.length + 1 + 1 +
-      token.length + NativePasswordPlugin.length + 1).order(LITTLE_ENDIAN)
+      token.length + plugin.length + 1).order(LITTLE_ENDIAN)
     b.putInt(caps.toInt)
     b.putInt(1 << 24)          // max packet size
     b.put(33.toByte)           // utf8 charset
     b.put(new Array[Byte](23)) // reserved
     b.put(user.getBytes(UTF_8)).put(0.toByte)
     b.put(token.length.toByte).put(token)
-    b.put(NativePasswordPlugin.getBytes(UTF_8)).put(0.toByte)
+    b.put(plugin.getBytes(UTF_8)).put(0.toByte)
     b.array()
   }
 
@@ -430,12 +486,9 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
       // handshake + auth
       val (seq0, hs) = io.read()
       val handshake = decodeHandshake(hs)
-      if (handshake.authPlugin != NativePasswordPlugin)
-        throw new IOException(s"unsupported auth plugin ${handshake.authPlugin}")
-      io.write(seq0 + 1, handshakeResponse(cfg.user, cfg.password, handshake.seed))
-      val (_, authReply) = io.read()
-      if (isErr(authReply)) throw new IOException("auth failed: " + errMessage(authReply))
-      if (!isOk(authReply)) throw new IOException("unexpected auth reply")
+      io.write(seq0 + 1,
+        handshakeResponse(cfg.user, cfg.password, handshake.seed, handshake.authPlugin))
+      authenticate(io, handshake.seed)
       // a checksum-writing master refuses to dump until the replica declares
       // it can cope — the standard replica session variable
       command(io, comQuery("SET @master_binlog_checksum= @@global.binlog_checksum"))
@@ -466,6 +519,41 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
     } finally {
       try sock.close() catch { case _: Exception => () }
       socket = null
+    }
+  }
+
+  /** Drive the post-HandshakeResponse auth conversation to OK or throw.
+    * Handles every reply a modern server can send: OK / ERR,
+    * AuthSwitchRequest (0xFE + plugin + fresh nonce — re-scramble and
+    * answer), and `caching_sha2_password`'s AuthMoreData sequence —
+    * `0x03` fast-auth success (OK follows), `0x04` perform-full-auth
+    * (request the server's RSA key with `0x02`, then send the
+    * [[MySqlRepl.rsaEncryptPassword]] blob — the plain-connection path;
+    * a TLS channel would send the bare password instead).
+    */
+  private def authenticate(io: PacketIO, seed0: Array[Byte]): Unit = {
+    var seed = seed0
+    var done = false
+    while (!done) {
+      val (seq, p) = io.read()
+      if (isErr(p)) throw new IOException("auth failed: " + errMessage(p))
+      else if (isOk(p)) done = true
+      else if (p.nonEmpty && (p(0) & 0xff) == 0xfe) {
+        // AuthSwitchRequest: plugin name NUL, fresh seed
+        val nameEnd = p.indexOf(0.toByte, 1)
+        if (nameEnd < 0) throw new IOException("malformed AuthSwitchRequest")
+        val plugin = new String(p, 1, nameEnd - 1, UTF_8)
+        seed = java.util.Arrays.copyOfRange(p, nameEnd + 1, p.length).takeWhile(_ != 0)
+        io.write(seq + 1, scrambleFor(plugin, cfg.password, seed))
+      } else if (p.nonEmpty && (p(0) & 0xff) == 0x01) { // AuthMoreData
+        if (p.length == 2 && p(1) == 0x03) () // fast-auth success; OK follows
+        else if (p.length == 2 && p(1) == 0x04)
+          io.write(seq + 1, Array[Byte](0x02)) // request the RSA public key
+        else {
+          val pem = new String(p, 1, p.length - 1, UTF_8)
+          io.write(seq + 1, rsaEncryptPassword(cfg.password, seed, pem))
+        }
+      } else throw new IOException("unexpected packet during authentication")
     }
   }
 

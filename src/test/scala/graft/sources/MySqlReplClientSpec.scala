@@ -43,7 +43,9 @@ class MySqlReplClientSpec extends SparkSuite {
     * from the requested position through the end of the chain, then EOF.
     */
   private final class FakeMaster(user: String, password: String,
-      files: Seq[(String, Seq[Array[Byte]])]) extends AutoCloseable {
+      files: Seq[(String, Seq[Array[Byte]])],
+      authPlugin: String = NativePasswordPlugin,
+      sha2Cached: Boolean = true) extends AutoCloseable {
 
     private val server = new ServerSocket(0)
     val port: Int = server.getLocalPort
@@ -51,9 +53,23 @@ class MySqlReplClientSpec extends SparkSuite {
     val gtidDumps = new ConcurrentLinkedQueue[GtidDumpRequest]()
     val ready = new CountDownLatch(1)
     @volatile var authFailure: String = _
+    @volatile var sawFullAuth = false
 
     private val seed: Array[Byte] =
       Array.tabulate[Byte](20)(i => (i * 7 + 3).toByte)
+
+    // the full-auth path's server keypair (only generated when exercised)
+    private lazy val rsaKeys: java.security.KeyPair = {
+      val gen = java.security.KeyPairGenerator.getInstance("RSA")
+      gen.initialize(2048)
+      gen.generateKeyPair()
+    }
+
+    private def pemPublicKey: String =
+      "-----BEGIN PUBLIC KEY-----\n" +
+        java.util.Base64.getMimeEncoder(64, "\n".getBytes(UTF_8))
+          .encodeToString(rsaKeys.getPublic.getEncoded) +
+        "\n-----END PUBLIC KEY-----\n"
 
     private def sha1(bs: Array[Byte]*): Array[Byte] = {
       val d = MessageDigest.getInstance("SHA-1")
@@ -61,9 +77,15 @@ class MySqlReplClientSpec extends SparkSuite {
       d.digest()
     }
 
+    private def sha256(bs: Array[Byte]*): Array[Byte] = {
+      val d = MessageDigest.getInstance("SHA-256")
+      bs.foreach(d.update)
+      d.digest()
+    }
+
     private def handshakePayload: Array[Byte] = {
       val version = "8.0.99-fake".getBytes(UTF_8)
-      val plugin = NativePasswordPlugin.getBytes(UTF_8)
+      val plugin = authPlugin.getBytes(UTF_8)
       val b = ByteBuffer.allocate(1 + version.length + 1 + 4 + 8 + 1 + 2 +
         1 + 2 + 2 + 1 + 10 + 13 + plugin.length + 1).order(LITTLE_ENDIAN)
       b.put(10.toByte).put(version).put(0.toByte)
@@ -99,6 +121,86 @@ class MySqlReplClientSpec extends SparkSuite {
       (u, java.util.Arrays.copyOfRange(p, i + 1, i + 1 + n))
     }
 
+    private val okPacket = Array[Byte](0x00, 0, 0, 0, 0)
+    private def errPacket: Array[Byte] =
+      Array[Byte](0xff.toByte, 0x15, 0x04) ++ "#28000Access denied".getBytes(UTF_8)
+
+    /** The server's own caching_sha2 fast check — `stored =
+      * SHA256(SHA256(password))` is what the server caches; recover
+      * SHA256(password) from the token via the mask and re-hash it. An
+      * independent derivation, so a broken client scramble cannot pass.
+      */
+    private def verifySha2Fast(response: Array[Byte]): Boolean = {
+      if (password.isEmpty) return response.isEmpty
+      if (response.length != 32) return false
+      val stored = sha256(sha256(password.getBytes(UTF_8)))
+      val mask = sha256(stored, seed)
+      val recovered = response.zip(mask).map { case (a, b) => (a ^ b).toByte }
+      sha256(recovered).sameElements(stored)
+    }
+
+    /** Post-HandshakeResponse auth: native verify, sha2 fast-auth, or the
+      * sha2 full-auth conversation (0x04, RSA key request/served PEM,
+      * decrypt + XOR-unmask, compare). True on OK sent.
+      */
+    private def authenticateClient(io: PacketIO): Boolean = {
+      val (_, login) = io.read()
+      val (u, token) = parseLogin(login)
+      if (u != user) {
+        authFailure = s"user=$u"
+        io.write(2, errPacket)
+        return false
+      }
+      authPlugin match {
+        case NativePasswordPlugin =>
+          if (verifyScramble(token)) { io.write(2, okPacket); true }
+          else {
+            authFailure = s"native tokenLen=${token.length}"
+            io.write(2, errPacket); false
+          }
+        case CachingSha2Plugin if sha2Cached =>
+          if (verifySha2Fast(token)) {
+            io.write(2, Array[Byte](0x01, 0x03)) // fast_auth_success
+            io.write(3, okPacket)
+            true
+          } else {
+            authFailure = s"sha2 tokenLen=${token.length}"
+            io.write(2, errPacket); false
+          }
+        case CachingSha2Plugin =>
+          sawFullAuth = true
+          io.write(2, Array[Byte](0x01, 0x04)) // perform_full_authentication
+          val (_, req) = io.read()
+          if (!(req.length == 1 && req(0) == 0x02)) {
+            authFailure = "expected RSA public key request"
+            io.write(4, errPacket)
+            return false
+          }
+          io.write(4, 0x01.toByte +: pemPublicKey.getBytes(UTF_8))
+          val (_, enc) = io.read()
+          val plain =
+            try {
+              val c = javax.crypto.Cipher.getInstance(
+                "RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+              c.init(javax.crypto.Cipher.DECRYPT_MODE, rsaKeys.getPrivate)
+              val xored = c.doFinal(enc)
+              xored.zipWithIndex.map { case (b, i) => (b ^ seed(i % seed.length)).toByte }
+            } catch { case _: Exception => Array.empty[Byte] }
+          if (plain.sameElements(password.getBytes(UTF_8) :+ 0.toByte)) {
+            io.write(6, okPacket)
+            true
+          } else {
+            authFailure = "full-auth password mismatch"
+            io.write(6, errPacket)
+            false
+          }
+        case other =>
+          authFailure = s"fake master cannot speak $other"
+          io.write(2, errPacket)
+          false
+      }
+    }
+
     private val thread = new Thread(() => {
       try {
         while (!server.isClosed) {
@@ -107,14 +209,7 @@ class MySqlReplClientSpec extends SparkSuite {
             sock.setTcpNoDelay(true)
             val io = new PacketIO(sock.getInputStream, sock.getOutputStream)
             io.write(0, handshakePayload)
-            val (_, login) = io.read()
-            val (u, token) = parseLogin(login)
-            if (u != user || !verifyScramble(token)) {
-              authFailure = s"user=$u tokenLen=${token.length}"
-              io.write(2, Array[Byte](0xff.toByte, 0x15, 0x04) ++
-                "#28000Access denied".getBytes(UTF_8))
-            } else {
-              io.write(2, Array[Byte](0x00, 0, 0, 0, 0))
+            if (authenticateClient(io)) {
               var dumping = true
               while (dumping) {
                 val (_, cmd) = io.read()
@@ -386,6 +481,68 @@ class MySqlReplClientSpec extends SparkSuite {
       assert(err.getMessage.contains("Access denied"), err.getMessage)
       assert(CdcLogDirSource.listLogs(spool.toString).isEmpty)
     } finally m.close()
+  }
+
+  test("caching_sha2_password fast auth: scramble accepted, dump proceeds") {
+    // MySQL 8.0's default plugin — the first thing a real modern server
+    // asks for. The fake's check recovers SHA256(password) from the token
+    // (an independent derivation), replies 0x01 0x03 fast-auth-success,
+    // then OK; the stream must proceed as with native auth.
+    val m = new FakeMaster("repl", "hunter2", Seq(f1, f2),
+      authPlugin = CachingSha2Plugin)
+    val spool = Files.createTempDirectory("repl_sha2_fast")
+    try {
+      val client = new BinlogSpoolClient(
+        ReplConfig("127.0.0.1", m.port, "repl", "hunter2"), spool)
+      val n = try client.run() finally client.close()
+      assert(m.authFailure == null, s"auth rejected: ${m.authFailure}")
+      assert(!m.sawFullAuth, "fast auth must not fall back to full auth")
+      assert(n == 6, s"spooled $n events")
+      assert(Files.readAllBytes(spool.resolve("fake-bin.000002")).sameElements(
+        BinlogTestData.magic ++ f2._2.reduce(_ ++ _)))
+    } finally m.close()
+  }
+
+  test("caching_sha2_password full auth: RSA key exchange over a plain socket") {
+    // cache miss: the server demands full authentication (0x01 0x04); the
+    // client requests the RSA public key (0x02), receives the PEM, and
+    // sends XOR(password||NUL, nonce) under RSA-OAEP. The fake decrypts
+    // with its private key and compares — the whole non-TLS fallback path.
+    val m = new FakeMaster("repl", "s3cret!", Seq(f1),
+      authPlugin = CachingSha2Plugin, sha2Cached = false)
+    val spool = Files.createTempDirectory("repl_sha2_full")
+    try {
+      val client = new BinlogSpoolClient(
+        ReplConfig("127.0.0.1", m.port, "repl", "s3cret!"), spool)
+      val n = try client.run() finally client.close()
+      assert(m.authFailure == null, s"auth rejected: ${m.authFailure}")
+      assert(m.sawFullAuth, "server never entered full auth")
+      assert(n == 4, s"spooled $n events")
+      assert(Files.readAllBytes(spool.resolve("fake-bin.000001")).sameElements(
+        BinlogTestData.magic ++ f1._2.reduce(_ ++ _)))
+    } finally m.close()
+  }
+
+  test("caching_sha2_password rejects a wrong password on both paths") {
+    val fast = new FakeMaster("repl", "right", Seq(f1),
+      authPlugin = CachingSha2Plugin)
+    try {
+      val spool = Files.createTempDirectory("repl_sha2_badfast")
+      val c = new BinlogSpoolClient(
+        ReplConfig("127.0.0.1", fast.port, "repl", "wrong"), spool)
+      val err = intercept[IOException] { try c.run() finally c.close() }
+      assert(err.getMessage.contains("Access denied"), err.getMessage)
+    } finally fast.close()
+    val full = new FakeMaster("repl", "right", Seq(f1),
+      authPlugin = CachingSha2Plugin, sha2Cached = false)
+    try {
+      val spool = Files.createTempDirectory("repl_sha2_badfull")
+      val c = new BinlogSpoolClient(
+        ReplConfig("127.0.0.1", full.port, "repl", "wrong"), spool)
+      val err = intercept[IOException] { try c.run() finally c.close() }
+      assert(err.getMessage.contains("Access denied"), err.getMessage)
+      assert(full.sawFullAuth)
+    } finally full.close()
   }
 
   test("end-to-end: fake master → spool → CdcBinlogDirSource → decoded events") {
