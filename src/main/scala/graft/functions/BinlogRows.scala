@@ -34,9 +34,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * zoneless `YYYY-MM-DDTHH:MM:SS[.f]`, TIMESTAMP renders RFC3339 UTC
   * (the wire value IS UTC seconds; the reference normalizes timestamps
   * the same way, `main.go:147-154`), TIME renders `[-]HH:MM:SS[.f]`,
-  * each with exactly the declared fsp digits. Per-row NULL bitmaps and
-  * the columns-present bitmap are honored; an unsupported type (JSON,
-  * GEOMETRY) or a table-id mismatch yields NULL for the whole event
+  * each with exactly the declared fsp digits, and JSON (the binary
+  * `json_binary` document format rendered back to JSON text — objects,
+  * arrays, strings, every int width, double, and the three literals;
+  * opaque custom subtypes like packed decimal/temporal-in-JSON are
+  * refused, not guessed). Per-row NULL bitmaps and the columns-present
+  * bitmap are honored; an unsupported type (GEOMETRY, opaque JSON
+  * subtypes) or a table-id mismatch yields NULL for the whole event
   * (wrong pairing must be loud, not plausible), never a torn decode.
   *
   * Row-local, no shuffle: decoding 100 TB of archived ROWS events
@@ -51,6 +55,7 @@ object BinlogRows {
   private val TIME = 11; private val DATETIME = 12; private val YEAR = 13
   private val NEWDATE = 14; private val VARCHAR = 15; private val BIT = 16
   private val TIMESTAMP2 = 17; private val DATETIME2 = 18; private val TIME2 = 19
+  private val JSONB = 245
   private val NEWDECIMAL = 246; private val ENUM = 247; private val SET = 248
   private val TINY_BLOB = 249; private val MEDIUM_BLOB = 250
   private val LONG_BLOB = 251; private val BLOB = 252
@@ -121,7 +126,7 @@ object BinlogRows {
           case TIMESTAMP2 | DATETIME2 | TIME2 => meta(i) = c.u8() // fsp
           // wire order (precision, scale) / (real-type-or-upper-bits, length)
           case NEWDECIMAL | STRING | ENUM | SET => meta(i) = (c.u8() << 8) | c.u8()
-          case BLOB | TINY_BLOB | MEDIUM_BLOB | LONG_BLOB => meta(i) = c.u8()
+          case BLOB | TINY_BLOB | MEDIUM_BLOB | LONG_BLOB | JSONB => meta(i) = c.u8()
           case BIT => // wire order (bits % 8, bytes)
             val m0 = c.u8(); meta(i) = (c.u8() << 8) | m0
           case _ => ()
@@ -222,6 +227,116 @@ object BinlogRows {
       (if (scale > 0) "." + fb else "")
   }
 
+  // ---- MYSQL_TYPE_JSON: the json_binary document format (public layout,
+  // mysql-server sql/json_binary.h) rendered back to JSON text ----
+
+  private def jU16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def jI32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def jI64(b: Array[Byte], off: Int): Long =
+    (jI32(b, off) & 0xffffffffL) | (jI32(b, off + 4).toLong << 32)
+
+  /** String lengths are a 7-bits-per-byte varint, low group first. */
+  private def jVarlen(b: Array[Byte], off: Int): (Int, Int) = {
+    var len = 0
+    var i = 0
+    var cont = true
+    while (cont) {
+      val v = b(off + i) & 0xff
+      len |= (v & 0x7f) << (7 * i)
+      cont = (v & 0x80) != 0
+      i += 1
+    }
+    (len, off + i)
+  }
+
+  /** One json_binary value of type byte `tpe` whose data starts at `off`.
+    * None on an opaque custom subtype (0x0f carries a packed server type —
+    * decimal, date/time — whose rendering needs server context; refused,
+    * not guessed) or a malformed type byte.
+    */
+  private def jsonValue(b: Array[Byte], tpe: Int, off: Int): Option[String] = tpe match {
+    case 0x00 => jsonContainer(b, off, obj = true, large = false)
+    case 0x01 => jsonContainer(b, off, obj = true, large = true)
+    case 0x02 => jsonContainer(b, off, obj = false, large = false)
+    case 0x03 => jsonContainer(b, off, obj = false, large = true)
+    case 0x04 => (b(off) & 0xff) match {
+      case 0 => Some("null")
+      case 1 => Some("true")
+      case 2 => Some("false")
+      case _ => None
+    }
+    case 0x05 => Some(jU16(b, off).toShort.toString)
+    case 0x06 => Some(jU16(b, off).toString)
+    case 0x07 => Some(jI32(b, off).toString)
+    case 0x08 => Some((jI32(b, off) & 0xffffffffL).toString)
+    case 0x09 => Some(jI64(b, off).toString)
+    case 0x0a => Some(java.lang.Long.toUnsignedString(jI64(b, off)))
+    case 0x0b => Some(java.lang.Double.longBitsToDouble(jI64(b, off)).toString)
+    case 0x0c =>
+      val (len, dataOff) = jVarlen(b, off)
+      Some("\"" + jsonEscape(new String(b, dataOff, len,
+        java.nio.charset.StandardCharsets.UTF_8)) + "\"")
+    case _ => None
+  }
+
+  /** Object/array container: element count and byte size in 2-byte (small)
+    * or 4-byte (large) words, then key entries (objects: offset + u16
+    * length), then value entries (type byte + offset word — or the value
+    * itself INLINED for literals/int16/uint16, plus int32/uint32 in the
+    * large format), then keys, then values. All offsets are relative to
+    * the container start.
+    */
+  private def jsonContainer(b: Array[Byte], off: Int, obj: Boolean,
+      large: Boolean): Option[String] = {
+    val w = if (large) 4 else 2
+    def word(o: Int): Int = if (large) jI32(b, o) else jU16(b, o)
+    val count = word(off)
+    val keyEntries = off + 2 * w
+    val valEntries = keyEntries + (if (obj) count * (w + 2) else 0)
+    val sb = new StringBuilder(if (obj) "{" else "[")
+    var i = 0
+    while (i < count) {
+      if (i > 0) sb.append(',')
+      if (obj) {
+        val ke = keyEntries + i * (w + 2)
+        val ko = word(ke)
+        val kl = jU16(b, ke + w)
+        sb.append('"')
+          .append(jsonEscape(new String(b, off + ko, kl,
+            java.nio.charset.StandardCharsets.UTF_8)))
+          .append("\":")
+      }
+      val ve = valEntries + i * (w + 1)
+      val vt = b(ve) & 0xff
+      val inlined: Option[String] = vt match {
+        case 0x04 => (b(ve + 1) & 0xff) match {
+          case 0 => Some("null")
+          case 1 => Some("true")
+          case 2 => Some("false")
+          case _ => return None
+        }
+        case 0x05 => Some(jU16(b, ve + 1).toShort.toString)
+        case 0x06 => Some(jU16(b, ve + 1).toString)
+        case 0x07 if large => Some(jI32(b, ve + 1).toString)
+        case 0x08 if large => Some((jI32(b, ve + 1) & 0xffffffffL).toString)
+        case _ => None
+      }
+      inlined match {
+        case Some(s) => sb.append(s)
+        case None =>
+          jsonValue(b, vt, off + word(ve + 1)) match {
+            case Some(s) => sb.append(s)
+            case None => return None
+          }
+      }
+      i += 1
+    }
+    Some(sb.append(if (obj) '}' else ']').toString())
+  }
+
   /** One row image as a JSON object; null when a column type is
     * unsupported (the caller then nulls the whole event).
     */
@@ -308,6 +423,22 @@ object BinlogRows {
             if (len < 0) None
             else Some("\"" + jsonEscape(new String(c.bytes(len.toInt),
               java.nio.charset.StandardCharsets.UTF_8)) + "\"")
+          case JSONB =>
+            // length-prefixed (metadata = prefix width, like BLOB) binary
+            // JSON document; an empty document is SQL-side JSON null
+            val len = meta(col) match {
+              case 1 => c.u8().toLong
+              case 2 => c.u16().toLong
+              case 3 => c.u24().toLong
+              case 4 => c.u32()
+              case _ => -1L
+            }
+            if (len < 0) None
+            else if (len == 0) Some("null")
+            else {
+              val doc = c.bytes(len.toInt)
+              jsonValue(doc, doc(0) & 0xff, 1)
+            }
           case STRING | ENUM | SET =>
             // CHAR/ENUM/SET share TABLE_MAP type 254: metadata byte 0
             // carries the real type (with two length bits folded into

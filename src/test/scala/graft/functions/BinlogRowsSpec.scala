@@ -51,6 +51,7 @@ class BinlogRowsSpec extends SparkSuite {
       case (17 | 18 | 19, m) => meta.u8(m) // TIMESTAMP2/DATETIME2/TIME2: fsp
       case (246, m) => meta.u8(m >> 8).u8(m & 0xff) // NEWDECIMAL: precision, scale
       case (252, m) => meta.u8(m)          // BLOB: length-prefix width
+      case (245, m) => meta.u8(m)          // JSON: length-prefix width
       case (254 | 247 | 248, m) => meta.u8(m >> 8).u8(m & 0xff) // STRING/ENUM/SET
       case (16, m) => meta.u8(m & 0xff).u8(m >> 8) // BIT: bits%8, bytes
       case _ => ()
@@ -243,6 +244,75 @@ class BinlogRowsSpec extends SparkSuite {
     }
     assert(decode(ev, tableMap(types, metas)) == Seq(
       s"""{"after":{"c0":2748,"c1":"héllo","c2":"abc","c3":2,"c4":5,"c5":"$wide"}}"""))
+  }
+
+  test("JSON column: json_binary documents render back to JSON text") {
+    // one JSON column, 4-byte length prefix (what mysqld writes)
+    val tm = tableMap(Seq(245), Seq(4))
+    def jsonWrite(doc: Array[Byte]): Array[Byte] =
+      writeRows(1) { b => b.u32(doc.length.toLong); b.raw(doc) }
+
+    // small object {"a":17,"b":"hi","c":[true,null,-2,300000]} — inline
+    // int16, offset string, nested small array with an offset int32.
+    // Every offset below is hand-computed against the documented layout.
+    val obj = {
+      val b = new Buf
+      b.u8(0x00)          // type: small object (container bytes follow)
+      b.u16(3).u16(51)    // count, total size
+      b.u16(25).u16(1)    // key "a" @25
+      b.u16(26).u16(1)    // key "b" @26
+      b.u16(27).u16(1)    // key "c" @27
+      b.u8(0x05).u16(17)          // "a": inline int16
+      b.u8(0x0c).u16(28)          // "b": string @28
+      b.u8(0x02).u16(31)          // "c": small array @31
+      b.str("abc")                // the three 1-byte keys
+      b.u8(2).str("hi")           // string: varlen + bytes
+      b.u16(4).u16(20)            // array: count, size
+      b.u8(0x04).u16(1)           // true (inline literal)
+      b.u8(0x04).u16(0)           // null
+      b.u8(0x05).u16(0xfffe)      // -2 (inline int16)
+      b.u8(0x07).u16(16)          // int32 @16 (relative to array start)
+      b.u32(300000L)              // the int32
+      b.bytes
+    }
+    assert(decode(jsonWrite(obj), tm) ==
+      Seq("""{"after":{"c0":{"a":17,"b":"hi","c":[true,null,-2,300000]}}}"""))
+
+    // large object {"k":70000}: 4-byte words, inline int32 value entry
+    val largeObj = {
+      val b = new Buf
+      b.u8(0x01)
+      b.u32(1L).u32(20L)   // count, size
+      b.u32(19L).u16(1)    // key "k" @19
+      b.u8(0x07).u32(70000L) // inline int32 (large format only)
+      b.str("k")
+      b.bytes
+    }
+    assert(decode(jsonWrite(largeObj), tm) ==
+      Seq("""{"after":{"c0":{"k":70000}}}"""))
+
+    // top-level scalars: escaped string, literal, int64, uint64, double
+    def doc(bs: Buf => Unit): Array[Byte] = { val b = new Buf; bs(b); b.bytes }
+    assert(decode(jsonWrite(doc { b =>
+      b.u8(0x0c).u8(6).str("say\"hi") }), tm) ==
+      Seq("""{"after":{"c0":"say\"hi"}}"""))
+    assert(decode(jsonWrite(doc(_.u8(0x04).u8(2))), tm) ==
+      Seq("""{"after":{"c0":false}}"""))
+    assert(decode(jsonWrite(doc(_.u8(0x09).u64(-5000000000000000000L))), tm) ==
+      Seq("""{"after":{"c0":-5000000000000000000}}"""))
+    assert(decode(jsonWrite(doc(_.u8(0x0a).u64(-1L))), tm) ==
+      Seq("""{"after":{"c0":18446744073709551615}}"""))
+    assert(decode(jsonWrite(doc(_.u8(0x0b)
+      .u64(java.lang.Double.doubleToLongBits(2.5)))), tm) ==
+      Seq("""{"after":{"c0":2.5}}"""))
+
+    // empty document is SQL JSON null
+    assert(decode(jsonWrite(Array.empty[Byte]), tm) ==
+      Seq("""{"after":{"c0":null}}"""))
+
+    // an opaque custom subtype (0x0f: packed decimal/temporal) is REFUSED —
+    // whole event nulls, never a guessed rendering
+    assert(decode(jsonWrite(doc(_.u8(0x0f).u8(246).u8(2).u16(0))), tm) == null)
   }
 
   test("codegen path + SQL surface over a framed stream") {
