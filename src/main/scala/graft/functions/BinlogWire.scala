@@ -61,7 +61,9 @@ object BinlogWire {
     2 -> "QUERY_EVENT", 4 -> "ROTATE_EVENT", 15 -> "FORMAT_DESCRIPTION_EVENT",
     16 -> "XID_EVENT", 19 -> "TABLE_MAP_EVENT", 30 -> "WRITE_ROWS_EVENT",
     31 -> "UPDATE_ROWS_EVENT", 32 -> "DELETE_ROWS_EVENT", 33 -> "GTID_EVENT",
-    34 -> "ANONYMOUS_GTID_EVENT", 35 -> "PREVIOUS_GTIDS_EVENT")
+    34 -> "ANONYMOUS_GTID_EVENT", 35 -> "PREVIOUS_GTIDS_EVENT",
+    160 -> "ANNOTATE_ROWS_EVENT", 161 -> "BINLOG_CHECKPOINT_EVENT",
+    162 -> "MARIA_GTID_EVENT", 163 -> "MARIA_GTID_LIST_EVENT")
 
   private def u32(b: Array[Byte], off: Int): Long =
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
@@ -147,6 +149,29 @@ object BinlogWire {
     StructField("uuid", StringType, nullable = false),
     StructField("gno", LongType, nullable = false),
     StructField("commit_flag", BooleanType, nullable = false)))
+
+  /** MariaDB GTID_EVENT payload (type 162 — MariaDB numbers its own GTID
+    * events; the identity is `domain-server-seq`, not `uuid:gno`): u64 LE
+    * sequence, u32 LE domain id, u8 flags (bit 0 = FL_STANDALONE: a
+    * DDL-style group with no terminating commit). The server id rides the
+    * common event header. Null unless the event is a well-formed MariaDB
+    * GTID.
+    */
+  def decodeMariaGtid(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < HeaderLen + 13) return null
+    if ((bytes(4) & 0xff) != 162) return null
+    InternalRow(
+      u32(bytes, HeaderLen + 8),            // domain_id
+      u32(bytes, 5),                        // server_id (header)
+      u64(bytes, HeaderLen),                // seq
+      (bytes(HeaderLen + 12) & 0x01) != 0)  // standalone
+  }
+
+  val mariaGtidType: StructType = StructType(Seq(
+    StructField("domain", LongType, nullable = false),
+    StructField("server_id", LongType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("standalone", BooleanType, nullable = false)))
 
   /** ROTATE_EVENT payload: u64 LE next-position + next-log filename (the
     * rest of the body). `hasCrc` = the server writes CRC32 checksums
@@ -243,6 +268,9 @@ object BinlogWire {
   def binlog_gtid(c: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.toColumn(
       BinlogGtidDecode(org.apache.spark.sql.GraftColumnBridge.toExpression(c)))
+  def binlog_gtid_maria(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.toColumn(
+      BinlogMariaGtidDecode(org.apache.spark.sql.GraftColumnBridge.toExpression(c)))
   def binlog_crc32_ok(c: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.toColumn(
       BinlogCrc32Ok(org.apache.spark.sql.GraftColumnBridge.toExpression(c)))
@@ -314,6 +342,18 @@ case class BinlogGtidDecode(child: Expression) extends BinlogDecodeExpression {
   override protected def withNewChildInternal(newChild: Expression): BinlogGtidDecode =
     copy(child = newChild)
   override def prettyName: String = "binlog_gtid"
+}
+
+/** MariaDB GTID_EVENT (type 162) → struct (see [[BinlogWire]]). */
+case class BinlogMariaGtidDecode(child: Expression) extends BinlogDecodeExpression {
+  override def dataType: DataType = BinlogWire.mariaGtidType
+  override protected def staticCall: String = "graft.functions.BinlogWire.decodeMariaGtid"
+  override protected def javaType: String = "org.apache.spark.sql.catalyst.InternalRow"
+  override protected def nullSafeEval(input: Any): Any =
+    BinlogWire.decodeMariaGtid(input.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(newChild: Expression): BinlogMariaGtidDecode =
+    copy(child = newChild)
+  override def prettyName: String = "binlog_gtid_maria"
 }
 
 /** Event integrity: CRC32 trailer matches the bytes it covers. */

@@ -125,3 +125,50 @@ object GtidSet {
     sb.toString
   }
 }
+
+/** A MariaDB GTID position — `domain-server-seq`, comma-separated with at
+  * most one entry per replication domain (`@@gtid_slave_pos` form): unlike
+  * MySQL's interval sets, MariaDB's position IS the latest sequence per
+  * domain, so the set is a map and `contains` is a ≤ check. This is the
+  * other half of the reference's `DB_FLAVOR=mysql|mariadb` surface
+  * (`/root/reference/main.go:463`): the resume state a MariaDB replica
+  * hands the master via `SET @slave_connect_state='…'` before
+  * `COM_BINLOG_DUMP` (MariaDB has no separate GTID dump command).
+  */
+final case class MariaGtidSet(domains: Map[Long, (Long, Long)]) {
+
+  def isEmpty: Boolean = domains.isEmpty
+
+  /** Held iff the domain's recorded sequence has reached `seq` — MariaDB
+    * sequences are monotone per domain, so the position subsumes every
+    * earlier transaction of that domain.
+    */
+  def contains(domain: Long, seq: Long): Boolean =
+    domains.get(domain).exists(_._2 >= seq)
+
+  /** Advance a domain to (server, seq) if it moves forward. */
+  def add(domain: Long, server: Long, seq: Long): MariaGtidSet =
+    if (contains(domain, seq)) this
+    else MariaGtidSet(domains.updated(domain, (server, seq)))
+
+  /** `@@gtid_slave_pos` text; domains sorted so the rendering is stable. */
+  def text: String =
+    domains.toSeq.sortBy(_._1)
+      .map { case (d, (s, q)) => s"$d-$s-$q" }.mkString(",")
+}
+
+object MariaGtidSet {
+
+  val Empty: MariaGtidSet = MariaGtidSet(Map.empty)
+
+  /** Parse the text form (empty string → empty set). */
+  def parse(s: String): MariaGtidSet = {
+    if (s == null || s.trim.isEmpty) return Empty
+    MariaGtidSet(s.split(',').map(_.trim).filter(_.nonEmpty).map { part =>
+      part.split('-') match {
+        case Array(d, srv, seq) => d.toLong -> (srv.toLong, seq.toLong)
+        case _ => throw new IllegalArgumentException(s"malformed MariaDB GTID '$part'")
+      }
+    }.toMap)
+  }
+}

@@ -310,13 +310,21 @@ object MySqlRepl {
 }
 
 /** Connection/identity config — the reference's surface verbatim
-  * (`main.go:460-465`): address, user, password, replica server id.
-  * `useGtid` switches the resume unit from `{name, pos}` to the GTID set
-  * derived from the spool (canal exposes the same dual).
+  * (`main.go:460-465`): address, user, password, replica server id, and
+  * the flavor switch (`DB_FLAVOR=mysql|mariadb`, `main.go:463`).
+  * `useGtid` switches the resume unit from `{name, pos}` to the GTID
+  * state derived from the spool (canal exposes the same dual); under
+  * `flavor = "mariadb"` that state is the `domain-server-seq` position
+  * handed over via `SET @slave_connect_state` (MariaDB has no separate
+  * GTID dump command), and transaction groups are keyed by MariaDB's own
+  * GTID event (type 162).
   */
 final case class ReplConfig(host: String, port: Int, user: String,
     password: String = "", serverId: Long = 1001L,
-    connectTimeoutMs: Int = 10000, useGtid: Boolean = false)
+    connectTimeoutMs: Int = 10000, useGtid: Boolean = false,
+    flavor: String = "mysql") {
+  require(flavor == "mysql" || flavor == "mariadb", s"unknown flavor '$flavor'")
+}
 
 /** The spooling tail: authenticate, `COM_BINLOG_DUMP` from the spool's own
   * end position, and append each streamed event verbatim to
@@ -361,17 +369,23 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
     */
   def resumeGtidSet(): GtidSet = gtidSpoolState()._1
 
-  /** The held set plus, per file, the byte offset where a torn tail must
-    * be truncated before the next dump appends (an unterminated trailing
-    * transaction group, or trailing bytes that are a torn event frame).
+  /** The MariaDB flavor's held position — same commit discipline, keyed by
+    * MariaDB GTID events (type 162) instead of MySQL's type 33.
     */
-  private[sources] def gtidSpoolState(): (GtidSet, Seq[(Path, Long)]) = {
+  def resumeMariaGtidSet(): MariaGtidSet = gtidSpoolState()._2
+
+  /** Both flavors' held sets plus, per file, the byte offset where a torn
+    * tail must be truncated before the next dump appends (an unterminated
+    * trailing transaction group, or trailing bytes that are a torn event
+    * frame).
+    */
+  private[sources] def gtidSpoolState(): (GtidSet, MariaGtidSet, Seq[(Path, Long)]) = {
     val files = CdcLogDirSource.listLogs(spoolDir.toString)
-    files.foldLeft((GtidSet.Empty, Seq.empty[(Path, Long)])) {
-      case ((set, torn), name) =>
+    files.foldLeft((GtidSet.Empty, MariaGtidSet.Empty, Seq.empty[(Path, Long)])) {
+      case ((my, ma, torn), name) =>
         val path = spoolDir.resolve(name)
-        val (grown, cut) = scanGtids(path, set)
-        (grown, torn ++ cut.map(path -> _))
+        val (my2, ma2, cut) = scanGtids(path, my, ma)
+        (my2, ma2, torn ++ cut.map(path -> _))
     }
   }
 
@@ -393,15 +407,17 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
     * `readAllBytes`, no Int-truncated offsets, so a ≥2 GiB spool file
     * walks fine.
     */
-  private def scanGtids(path: Path, set0: GtidSet): (GtidSet, Option[Long]) = {
+  private def scanGtids(path: Path, my0: GtidSet,
+      ma0: MariaGtidSet): (GtidSet, MariaGtidSet, Option[Long]) = {
     val start = CdcBinlogFileSource.dataStart(path.toString)
     val size = Files.size(path)
-    var set = set0
+    var my = my0
+    var ma = ma0
     var hasCrc = false
-    // (uuid, gno, byte offset of the group's GTID event)
-    var pending: Option[(String, Long, Long)] = None
+    // (seal action, byte offset of the group's GTID event)
+    var pending: Option[(() => Unit, Long)] = None
     def sealPending(): Unit = {
-      pending.foreach { case (u, g, _) => set = set.add(u, g) }
+      pending.foreach { case (seal, _) => seal() }
       pending = None
     }
     val in = new BufferedInputStream(Files.newInputStream(path))
@@ -409,7 +425,7 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
       var skipped = 0L
       while (skipped < start) {
         val s = in.skip(start - skipped)
-        if (s <= 0L) return (set, None)
+        if (s <= 0L) return (my, ma, None)
         skipped += s
       }
       var off = start
@@ -431,7 +447,7 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
             else {
               val bodyLen = (es - BinlogWire.HeaderLen).toInt
               tpe match {
-                case 15 | 33 | 16 | 2 | 4 => // control events: decode in full
+                case 15 | 33 | 16 | 2 | 4 | 162 => // control events: decode in full
                   val ev = new Array[Byte](es.toInt)
                   System.arraycopy(header, 0, ev, 0, header.length)
                   var g2 = 0
@@ -444,8 +460,19 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
                     case 33 =>
                       sealPending()
                       val gt = BinlogWire.decodeGtid(ev)
-                      if (gt != null)
-                        pending = Some((gt.getUTF8String(0).toString, gt.getLong(1), off))
+                      if (gt != null) {
+                        val uuid = gt.getUTF8String(0).toString
+                        val gno = gt.getLong(1)
+                        pending = Some((() => my = my.add(uuid, gno), off))
+                      }
+                    case 162 =>
+                      sealPending()
+                      val gt = BinlogWire.decodeMariaGtid(ev)
+                      if (gt != null) {
+                        val dom = gt.getLong(0); val srv = gt.getLong(1)
+                        val seq = gt.getLong(2)
+                        pending = Some((() => ma = ma.add(dom, srv, seq), off))
+                      }
                     case 16 => sealPending()
                     case 2 =>
                       val q = BinlogWire.decodeQuery(ev, hasCrc)
@@ -466,8 +493,8 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
           }
         }
       }
-      val truncateAt = pending.map(_._3).orElse(if (off < size) Some(off) else None)
-      (set, truncateAt)
+      val truncateAt = pending.map(_._2).orElse(if (off < size) Some(off) else None)
+      (my, ma, truncateAt)
     } finally in.close()
   }
 
@@ -494,16 +521,28 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
       command(io, comQuery("SET @master_binlog_checksum= @@global.binlog_checksum"))
       command(io, comRegisterSlave(cfg.serverId))
       if (cfg.useGtid) {
-        val (have, torn) = gtidSpoolState()
+        val (haveMy, haveMa, torn) = gtidSpoolState()
         // Truncate torn tails (an unterminated trailing transaction group,
         // or a torn event frame) BEFORE the dump: the torn group's GTID is
-        // not in `have`, so the master re-sends the whole group, and the
-        // re-send must append after a clean tail — appending past the
-        // partial bytes would duplicate them and break the byte-exact
+        // not in the held state, so the master re-sends the whole group,
+        // and the re-send must append after a clean tail — appending past
+        // the partial bytes would duplicate them and break the byte-exact
         // spool invariant.
         torn.foreach { case (p, off) => truncateSpool(p, off) }
-        io.write(0, comBinlogDumpGtid(cfg.serverId, have))
-        spoolStream(io, "", maxEvents, Some(have))
+        if (cfg.flavor == "mariadb") {
+          // MariaDB resumes through session state, not a dump command: the
+          // replica declares its capability and GTID position, then issues
+          // the ordinary COM_BINLOG_DUMP from {"", 4} and the master seeks
+          // to the position itself.
+          command(io, comQuery("SET @mariadb_slave_capability=4"))
+          command(io, comQuery(s"SET @slave_connect_state='${haveMa.text}'"))
+          command(io, comQuery("SET @slave_gtid_strict_mode=0"))
+          io.write(0, comBinlogDump("", 4L, cfg.serverId))
+          spoolStream(io, "", maxEvents, Some(new MariaGroupFilter(haveMa)))
+        } else {
+          io.write(0, comBinlogDumpGtid(cfg.serverId, haveMy))
+          spoolStream(io, "", maxEvents, Some(new MySqlGroupFilter(haveMy)))
+        }
       } else {
         val (name, pos) = resumePosition()
         // Same clean-tail invariant in position mode: the dump resumes at
@@ -562,6 +601,35 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
     try ch.truncate(off) finally ch.close()
   }
 
+  /** Flavor-specific transaction-group detection for the event stream: a
+    * group runs from its flavor's GTID event to the next group start, and
+    * a held group is dropped client-side (belt and braces over the
+    * master-side filtering).
+    */
+  private sealed trait GroupFilter {
+    def isGroupStart(tpe: Int): Boolean
+    /** Whether the spool already holds this group; throws on malformed. */
+    def held(ev: Array[Byte]): Boolean
+  }
+
+  private final class MySqlGroupFilter(have: GtidSet) extends GroupFilter {
+    override def isGroupStart(tpe: Int): Boolean = tpe == 33
+    override def held(ev: Array[Byte]): Boolean = {
+      val gt = BinlogWire.decodeGtid(ev)
+      if (gt == null) throw new IOException("malformed GTID event")
+      have.contains(gt.getUTF8String(0).toString, gt.getLong(1))
+    }
+  }
+
+  private final class MariaGroupFilter(have: MariaGtidSet) extends GroupFilter {
+    override def isGroupStart(tpe: Int): Boolean = tpe == 162
+    override def held(ev: Array[Byte]): Boolean = {
+      val gt = BinlogWire.decodeMariaGtid(ev)
+      if (gt == null) throw new IOException("malformed MariaDB GTID event")
+      have.contains(gt.getLong(0), gt.getLong(2))
+    }
+  }
+
   private def command(io: PacketIO, payload: Array[Byte]): Unit = {
     io.write(0, payload)
     val (_, reply) = io.read()
@@ -587,7 +655,7 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
     * preamble.
     */
   private def spoolStream(io: PacketIO, startFile: String, maxEvents: Long,
-      have: Option[GtidSet]): Long = {
+      have: Option[GroupFilter]): Long = {
     var current = startFile
     var hasCrc = false
     var spooled = 0L
@@ -640,11 +708,8 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
       } else {
         if (current.isEmpty)
           throw new IOException("event before the master named its binlog file")
-        if (tpe == 33) { // GTID: a new transaction group begins
-          val gt = BinlogWire.decodeGtid(ev)
-          if (gt == null) throw new IOException("malformed GTID event")
-          skipGroup = have.exists(
-            _.contains(gt.getUTF8String(0).toString, gt.getLong(1)))
+        if (have.exists(_.isGroupStart(tpe))) { // a new transaction group
+          skipGroup = have.get.held(ev)
           // a not-held group is where a re-opened file's append resumes
           if (!skipGroup) suppressPreamble = false
         }

@@ -45,7 +45,8 @@ class MySqlReplClientSpec extends SparkSuite {
   private final class FakeMaster(user: String, password: String,
       files: Seq[(String, Seq[Array[Byte]])],
       authPlugin: String = NativePasswordPlugin,
-      sha2Cached: Boolean = true) extends AutoCloseable {
+      sha2Cached: Boolean = true,
+      mariadb: Boolean = false) extends AutoCloseable {
 
     private val server = new ServerSocket(0)
     val port: Int = server.getLocalPort
@@ -54,6 +55,7 @@ class MySqlReplClientSpec extends SparkSuite {
     val ready = new CountDownLatch(1)
     @volatile var authFailure: String = _
     @volatile var sawFullAuth = false
+    @volatile var connectState: String = _ // MariaDB @slave_connect_state
 
     private val seed: Array[Byte] =
       Array.tabulate[Byte](20)(i => (i * 7 + 3).toByte)
@@ -84,7 +86,8 @@ class MySqlReplClientSpec extends SparkSuite {
     }
 
     private def handshakePayload: Array[Byte] = {
-      val version = "8.0.99-fake".getBytes(UTF_8)
+      val version = (if (mariadb) "5.5.5-10.6.99-MariaDB-fake" else "8.0.99-fake")
+        .getBytes(UTF_8)
       val plugin = authPlugin.getBytes(UTF_8)
       val b = ByteBuffer.allocate(1 + version.length + 1 + 4 + 8 + 1 + 2 +
         1 + 2 + 2 + 1 + 10 + 13 + plugin.length + 1).order(LITTLE_ENDIAN)
@@ -214,7 +217,13 @@ class MySqlReplClientSpec extends SparkSuite {
               while (dumping) {
                 val (_, cmd) = io.read()
                 (cmd(0) & 0xff) match {
-                  case 0x03 | 0x15 => // COM_QUERY / COM_REGISTER_SLAVE
+                  case 0x03 => // COM_QUERY: capture MariaDB resume state
+                    val sql = new String(cmd, 1, cmd.length - 1, UTF_8)
+                    val statePrefix = "SET @slave_connect_state='"
+                    if (sql.startsWith(statePrefix))
+                      connectState = sql.stripPrefix(statePrefix).stripSuffix("'")
+                    io.write(1, Array[Byte](0x00, 0, 0, 0, 0))
+                  case 0x15 => // COM_REGISTER_SLAVE
                     io.write(1, Array[Byte](0x00, 0, 0, 0, 0))
                   case 0x12 =>
                     val pos = java.lang.Integer.toUnsignedLong(
@@ -222,7 +231,9 @@ class MySqlReplClientSpec extends SparkSuite {
                     val name = new String(cmd, 11, cmd.length - 11, UTF_8)
                     dumps.add(DumpRequest(name, pos, java.lang.Integer.toUnsignedLong(
                       ByteBuffer.wrap(cmd, 7, 4).order(LITTLE_ENDIAN).getInt)))
-                    streamDump(io, name, pos)
+                    if (mariadb && connectState != null)
+                      streamMariaDump(io, MariaGtidSet.parse(connectState))
+                    else streamDump(io, name, pos)
                     dumping = false
                   case 0x1e => // COM_BINLOG_DUMP_GTID
                     val b = ByteBuffer.wrap(cmd, 1, cmd.length - 1).order(LITTLE_ENDIAN)
@@ -302,6 +313,41 @@ class MySqlReplClientSpec extends SparkSuite {
           else if (tpe == 4 || tpe == 15) skip = false
           if (!skip) send(ev)
         }
+      }
+      io.write(seq, Array[Byte](0xfe.toByte, 0, 0))
+    }
+
+    /** MariaDB's GTID-state dump shape: the master SEEKS to the position
+      * itself — it finds the first event whose MariaDB GTID (type 162) the
+      * replica's `@slave_connect_state` does not cover, then streams a
+      * synthetic ROTATE naming that file, the file's FDE re-sent as
+      * descriptive (log_pos 0), and every event from that GTID onward;
+      * later files stream whole. No per-group filtering — position-based,
+      * unlike MySQL's set-complement dump.
+      */
+    private def streamMariaDump(io: PacketIO, have: MariaGtidSet): Unit = {
+      var seq = 1
+      def send(ev: Array[Byte]): Unit = { io.write(seq, 0x00.toByte +: ev); seq += 1 }
+      def firstMissing(evs: Seq[Array[Byte]]): Int = evs.indexWhere { ev =>
+        val g = BinlogWire.decodeMariaGtid(ev)
+        g != null && !have.contains(g.getLong(0), g.getLong(2))
+      }
+      val startIdx = files.indexWhere(f => firstMissing(f._2) >= 0)
+      if (startIdx < 0) { io.write(seq, Array[Byte](0xfe.toByte, 0, 0)); return }
+      files.drop(startIdx).zipWithIndex.foreach { case ((name, evs), k) =>
+        // seek to the missing GTID — but when it is the file's FIRST GTID,
+        // the position is the file start and the preamble streams too
+        val miss = if (k == 0) firstMissing(evs) else 0
+        val firstGtid = evs.indexWhere(BinlogWire.decodeMariaGtid(_) != null)
+        val from = if (miss <= firstGtid) 0 else miss
+        val pos = 4L + evs.take(from).map(_.length).sum
+        send(event(0L, 4, 1, 0, 0x20, rotateBody(pos, name)))
+        if (from > 0) { // mid-file seek: FDE re-sent as descriptive
+          val fde = evs.head.clone()
+          ByteBuffer.wrap(fde).order(LITTLE_ENDIAN).putInt(13, 0)
+          send(fde)
+        }
+        evs.drop(from).foreach(send)
       }
       io.write(seq, Array[Byte](0xfe.toByte, 0, 0))
     }
@@ -394,6 +440,46 @@ class MySqlReplClientSpec extends SparkSuite {
   /** g2grown with the stream dead mid-group: transaction 4 never commits. */
   private val g2torn = g2._1 -> (g2._2 ++ Seq(
     gev(1700000005L, 0, 4L), cev(1700000005L, 30, 0, Array[Byte](4, 4))))
+
+  // ---- MariaDB GTID chain: domain-server-seq identities, GTID_LIST
+  // preambles, XID-committed groups ----
+
+  /** MariaDB GTID event (type 162): u64 LE seq, u32 LE domain, u8 flags. */
+  private def mgev(ts: Long, domain: Long, seqNo: Long): Array[Byte] = {
+    val body = ByteBuffer.allocate(8 + 4 + 1).order(LITTLE_ENDIAN)
+    body.putLong(seqNo).putInt(domain.toInt).put(0.toByte)
+    cev(ts, 162, 0, body.array())
+  }
+
+  /** MariaDB GTID_LIST event (type 163): u32 count + (domain, server, seq)
+    * triples — the file preamble naming the state at rotation.
+    */
+  private def mglev(ts: Long, entries: Seq[(Long, Long, Long)]): Array[Byte] = {
+    val body = ByteBuffer.allocate(4 + entries.size * 16).order(LITTLE_ENDIAN)
+    body.putInt(entries.size)
+    entries.foreach { case (d, s, q) =>
+      body.putInt(d.toInt).putInt(s.toInt).putLong(q)
+    }
+    cev(ts, 163, 0, body.array())
+  }
+
+  private val h1 = {
+    val evs = Seq(fdeEvent(120), mglev(1700000000L, Seq.empty),
+      mgev(1700000001L, 0L, 1L), cev(1700000001L, 30, 0, Array[Byte](1, 1)),
+      xev(1700000001L, 21L),
+      mgev(1700000002L, 0L, 2L), cev(1700000002L, 30, 0, Array[Byte](2, 2)),
+      xev(1700000002L, 22L),
+      cev(1700000003L, 4, 0, rotateBody(4L, "maria-bin.000002")))
+    "maria-bin.000001" -> evs
+  }
+  private val h2 = {
+    "maria-bin.000002" -> Seq(fdeEvent(120), mglev(1700000003L, Seq((0L, 1L, 2L))),
+      mgev(1700000004L, 0L, 3L), cev(1700000004L, 30, 0, Array[Byte](3, 3)),
+      xev(1700000004L, 23L))
+  }
+  private val h2grown = h2._1 -> (h2._2 ++ Seq(
+    mgev(1700000005L, 0L, 4L), cev(1700000005L, 30, 0, Array[Byte](4, 4)),
+    xev(1700000005L, 24L)))
 
   test("scramble round-trip: the server's own check accepts the client token") {
     val seed = Array.tabulate[Byte](20)(i => (i * 31 + 1).toByte)
@@ -635,6 +721,73 @@ class MySqlReplClientSpec extends SparkSuite {
       // file 1 untouched by the resume
       assert(Files.readAllBytes(spool.resolve("fake-bin.000001")).sameElements(
         BinlogTestData.magic ++ g1._2.reduce(_ ++ _)))
+    } finally m2.close()
+  }
+
+  test("mariadb flavor: fresh dump, position via @slave_connect_state, delta resume") {
+    // fresh spool: empty connect state, the whole chain arrives
+    val spool = Files.createTempDirectory("repl_maria")
+    val m1 = new FakeMaster("repl", "", Seq(h1, h2), mariadb = true)
+    try {
+      val c1 = new BinlogSpoolClient(
+        ReplConfig("127.0.0.1", m1.port, "repl", useGtid = true,
+          flavor = "mariadb"), spool)
+      val n = try c1.run() finally c1.close()
+      assert(m1.connectState == "", s"connect state was '${m1.connectState}'")
+      assert(n == 14, s"spooled $n events") // 9 in h1 + 5 in h2
+      assert(Files.readAllBytes(spool.resolve("maria-bin.000001")).sameElements(
+        BinlogTestData.magic ++ h1._2.reduce(_ ++ _)))
+      assert(Files.readAllBytes(spool.resolve("maria-bin.000002")).sameElements(
+        BinlogTestData.magic ++ h2._2.reduce(_ ++ _)))
+    } finally m1.close()
+    // the spool names its own position in MariaDB GTID terms
+    val probe = new BinlogSpoolClient(
+      ReplConfig("127.0.0.1", 1, "repl", useGtid = true, flavor = "mariadb"), spool)
+    assert(probe.resumeMariaGtidSet().text == "0-1-3")
+    // master moved on: seq 4 exists; the resume must fetch exactly it,
+    // with no duplicated FDE/GTID_LIST preamble on the re-opened file
+    val m2 = new FakeMaster("repl", "", Seq(h1, h2grown), mariadb = true)
+    try {
+      val c2 = new BinlogSpoolClient(
+        ReplConfig("127.0.0.1", m2.port, "repl", useGtid = true,
+          flavor = "mariadb"), spool)
+      val n = try c2.run() finally c2.close()
+      assert(m2.connectState == "0-1-3", s"connect state was '${m2.connectState}'")
+      assert(n == 3, s"delta was $n events") // GTID(0-1-4) + write + XID
+      assert(Files.readAllBytes(spool.resolve("maria-bin.000002")).sameElements(
+        BinlogTestData.magic ++ h2grown._2.reduce(_ ++ _)))
+      assert(Files.readAllBytes(spool.resolve("maria-bin.000001")).sameElements(
+        BinlogTestData.magic ++ h1._2.reduce(_ ++ _)))
+    } finally m2.close()
+  }
+
+  test("mariadb torn group: an uncommitted trailing transaction is not held") {
+    // same commit discipline as the MySQL flavor, exercised through the
+    // MariaDB scan: a spool ending GTID+write (no XID) must resume at the
+    // previous committed position and converge after truncation
+    val spool = Files.createTempDirectory("repl_maria_torn")
+    val h2torn = h2._1 -> (h2._2 ++ Seq(
+      mgev(1700000005L, 0L, 4L), cev(1700000005L, 30, 0, Array[Byte](4, 4))))
+    val m1 = new FakeMaster("repl", "", Seq(h1, h2torn), mariadb = true)
+    try {
+      val c1 = new BinlogSpoolClient(
+        ReplConfig("127.0.0.1", m1.port, "repl", useGtid = true,
+          flavor = "mariadb"), spool)
+      try c1.run() finally c1.close()
+    } finally m1.close()
+    val probe = new BinlogSpoolClient(
+      ReplConfig("127.0.0.1", 1, "repl", useGtid = true, flavor = "mariadb"), spool)
+    assert(probe.resumeMariaGtidSet().text == "0-1-3")
+    val m2 = new FakeMaster("repl", "", Seq(h1, h2grown), mariadb = true)
+    try {
+      val c2 = new BinlogSpoolClient(
+        ReplConfig("127.0.0.1", m2.port, "repl", useGtid = true,
+          flavor = "mariadb"), spool)
+      val n = try c2.run() finally c2.close()
+      assert(m2.connectState == "0-1-3")
+      assert(n == 3, s"delta was $n events")
+      assert(Files.readAllBytes(spool.resolve("maria-bin.000002")).sameElements(
+        BinlogTestData.magic ++ h2grown._2.reduce(_ ++ _)))
     } finally m2.close()
   }
 
