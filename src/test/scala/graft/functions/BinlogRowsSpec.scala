@@ -315,6 +315,142 @@ class BinlogRowsSpec extends SparkSuite {
     assert(decode(jsonWrite(doc(_.u8(0x0f).u8(246).u8(2).u16(0))), tm) == null)
   }
 
+  test("JSON column: randomized document round-trip against an independent encoder") {
+    // a test-side json_binary ENCODER (written from the format spec, not
+    // from the decoder) generates random documents; the decoder must
+    // render exactly the expected JSON text. Fixed seed — deterministic.
+    val rnd = new scala.util.Random(42)
+
+    sealed trait J
+    case object JNull extends J
+    case class JBool(b: Boolean) extends J
+    case class JInt(v: Long, kind: Int) extends J // kind = wire type byte
+    case class JDouble(v: Double) extends J
+    case class JStr(s: String) extends J
+    case class JArr(items: Seq[J], large: Boolean) extends J
+    case class JObj(fields: Seq[(String, J)], large: Boolean) extends J
+
+    def randScalar(): J = rnd.nextInt(9) match {
+      case 0 => JNull
+      case 1 => JBool(rnd.nextBoolean())
+      case 2 => JInt(rnd.nextInt(65536) - 32768, 0x05)
+      case 3 => JInt(rnd.nextInt(65536), 0x06)
+      case 4 => JInt(rnd.nextInt(), 0x07)
+      case 5 => JInt(rnd.nextInt().toLong & 0xffffffffL, 0x08)
+      case 6 => JInt(rnd.nextLong(), if (rnd.nextBoolean()) 0x09 else 0x0a)
+      case 7 => JDouble(rnd.nextInt(1000) / 8.0) // dyadic: stable toString
+      case 8 =>
+        val alphabet = "abcXYZ09 _\"\\"
+        JStr((0 until rnd.nextInt(12)).map(_ =>
+          alphabet.charAt(rnd.nextInt(alphabet.length))).mkString)
+    }
+    def randJ(depth: Int): J =
+      if (depth == 0 || rnd.nextInt(3) == 0) randScalar()
+      else if (rnd.nextBoolean())
+        JArr(Seq.fill(rnd.nextInt(4))(randJ(depth - 1)), rnd.nextBoolean())
+      else
+        JObj(Seq.tabulate(rnd.nextInt(4))(i =>
+          s"k$i${if (rnd.nextBoolean()) "\"q" else ""}" -> randJ(depth - 1)),
+          rnd.nextBoolean())
+
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def expected(j: J): String = j match {
+      case JNull => "null"
+      case JBool(b) => b.toString
+      case JInt(v, 0x0a) => java.lang.Long.toUnsignedString(v)
+      case JInt(v, _) => v.toString
+      case JDouble(v) => v.toString
+      case JStr(s) => "\"" + esc(s) + "\""
+      case JArr(items, _) => items.map(expected).mkString("[", ",", "]")
+      case JObj(fields, _) =>
+        fields.map { case (k, v) => "\"" + esc(k) + "\":" + expected(v) }
+          .mkString("{", ",", "}")
+    }
+
+    def le(v: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
+    def varlen(n: Int): Array[Byte] = {
+      var v = n
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      var cont = true
+      while (cont) {
+        val b = v & 0x7f
+        v >>= 7
+        cont = v != 0
+        out += (b | (if (cont) 0x80 else 0)).toByte
+      }
+      out.toArray
+    }
+    /** (wire type byte, data bytes) — containers laid out per the spec. */
+    def encode(j: J): (Int, Array[Byte]) = j match {
+      case JNull => (0x04, Array(0.toByte))
+      case JBool(b) => (0x04, Array(if (b) 1.toByte else 2.toByte))
+      case JInt(v, k) =>
+        val n = k match { case 0x05 | 0x06 => 2; case 0x07 | 0x08 => 4; case _ => 8 }
+        (k, le(v, n))
+      case JDouble(v) => (0x0b, le(java.lang.Double.doubleToLongBits(v), 8))
+      case JStr(s) =>
+        val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (0x0c, varlen(bytes.length) ++ bytes)
+      case JArr(items, large) => (if (large) 0x03 else 0x02,
+        container(items.map(encode), Seq.empty, large))
+      case JObj(fields, large) => (if (large) 0x01 else 0x00,
+        container(fields.map(f => encode(f._2)),
+          fields.map(_._1.getBytes(java.nio.charset.StandardCharsets.UTF_8)), large))
+    }
+    /** Build the container bytes: counts, key entries, value entries (with
+      * inlining rules), keys, spilled values.
+      */
+    def container(vals: Seq[(Int, Array[Byte])], keys: Seq[Array[Byte]],
+        large: Boolean): Array[Byte] = {
+      val w = if (large) 4 else 2
+      def word(v: Int): Array[Byte] = le(v.toLong, w)
+      val n = vals.size
+      val headerLen = 2 * w + (if (keys.nonEmpty) n * (w + 2) else 0) + n * (w + 1)
+      var dataOff = headerLen + keys.map(_.length).sum
+      val keyEntries = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      var keyOff = headerLen
+      keys.foreach { k =>
+        keyEntries ++= word(keyOff) ++= le(k.length.toLong, 2)
+        keyOff += k.length
+      }
+      val valEntries = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      val spill = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      vals.foreach { case (t, data) =>
+        val inline = t == 0x04 || t == 0x05 || t == 0x06 ||
+          (large && (t == 0x07 || t == 0x08))
+        if (inline) {
+          valEntries += t.toByte
+          valEntries ++= data.padTo(w, 0.toByte)
+        } else {
+          valEntries += t.toByte
+          valEntries ++= word(dataOff)
+          spill ++= data
+          dataOff += data.length
+        }
+      }
+      val total = headerLen + keys.map(_.length).sum + spill.length
+      word(n) ++ word(total) ++ keyEntries ++ valEntries ++
+        keys.flatten.toArray ++ spill
+    }
+
+    val tm = tableMap(Seq(245), Seq(4))
+    (1 to 200).foreach { i =>
+      val j = randJ(3)
+      val (t, data) = encode(j)
+      val doc = t.toByte +: data
+      val ev = writeRows(1) { b => b.u32(doc.length.toLong); b.raw(doc) }
+      val got = decode(ev, tm)
+      assert(got == Seq(s"""{"after":{"c0":${expected(j)}}}"""),
+        s"doc #$i: AST $j\nexpected ${expected(j)}\ngot $got")
+    }
+  }
+
   test("codegen path + SQL surface over a framed stream") {
     import spark.implicits._
     val tm = tableMap()

@@ -204,6 +204,31 @@ class MySqlReplClientSpec extends SparkSuite {
       }
     }
 
+    /** AuthSwitchRequest path: the advertised plugin differs from the
+      * account's — the server answers the HandshakeResponse with 0xFE +
+      * plugin + a FRESH nonce, and the client must re-scramble against
+      * that nonce, not the handshake seed.
+      */
+    @volatile var switchToNative = false
+    private val switchSeed: Array[Byte] =
+      Array.tabulate[Byte](20)(i => (i * 13 + 5).toByte)
+
+    private def authViaSwitch(io: PacketIO): Boolean = {
+      io.read() // the original HandshakeResponse (scrambled for sha2)
+      io.write(2, Array[Byte](0xfe.toByte) ++
+        NativePasswordPlugin.getBytes(UTF_8) ++ Array[Byte](0) ++
+        switchSeed ++ Array[Byte](0))
+      val (_, token) = io.read()
+      val stored = sha1(sha1(password.getBytes(UTF_8)))
+      val ok = token.length == 20 && {
+        val mask = sha1(switchSeed, stored)
+        val recovered = token.zip(mask).map { case (a, b) => (a ^ b).toByte }
+        sha1(recovered).sameElements(stored)
+      }
+      if (ok) { io.write(4, okPacket); true }
+      else { authFailure = "switch scramble rejected"; io.write(4, errPacket); false }
+    }
+
     private val thread = new Thread(() => {
       try {
         while (!server.isClosed) {
@@ -212,7 +237,7 @@ class MySqlReplClientSpec extends SparkSuite {
             sock.setTcpNoDelay(true)
             val io = new PacketIO(sock.getInputStream, sock.getOutputStream)
             io.write(0, handshakePayload)
-            if (authenticateClient(io)) {
+            if (if (switchToNative) authViaSwitch(io) else authenticateClient(io)) {
               var dumping = true
               while (dumping) {
                 val (_, cmd) = io.read()
@@ -606,6 +631,22 @@ class MySqlReplClientSpec extends SparkSuite {
       assert(n == 4, s"spooled $n events")
       assert(Files.readAllBytes(spool.resolve("fake-bin.000001")).sameElements(
         BinlogTestData.magic ++ f1._2.reduce(_ ++ _)))
+    } finally m.close()
+  }
+
+  test("auth switch: server demands a different plugin with a fresh nonce") {
+    // the account's plugin differs from the advertised one: the server
+    // replies 0xFE + mysql_native_password + a NEW 20-byte nonce; the
+    // client must answer with a native scramble over THAT nonce
+    val m = new FakeMaster("repl", "pw!", Seq(f1), authPlugin = CachingSha2Plugin)
+    m.switchToNative = true
+    val spool = Files.createTempDirectory("repl_switch")
+    try {
+      val client = new BinlogSpoolClient(
+        ReplConfig("127.0.0.1", m.port, "repl", "pw!"), spool)
+      val n = try client.run() finally client.close()
+      assert(m.authFailure == null, s"auth rejected: ${m.authFailure}")
+      assert(n == 4, s"spooled $n events")
     } finally m.close()
   }
 
