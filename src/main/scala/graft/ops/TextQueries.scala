@@ -122,6 +122,64 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Filter-chain ATTRITION FUNNEL: the per-stage drop report every
+    // corpus-curation pipeline publishes (how many documents each filter
+    // killed, in order) — the observability half of corpus selection,
+    // where pipeline_corpus_select is the selection half. Sequential
+    // semantics: a doc reaches stage i only if it survived stages < i.
+    // ONE corpus scan: a single aggregate computes the cumulative
+    // survivor counts, then stack() pivots the 1-row result into the
+    // 4-row funnel — no per-stage rescans, no shuffle beyond the one agg.
+    // Every predicate is exact integer/string arithmetic (token counts,
+    // scaled ratios) so the funnel is bit-identical in any engine.
+    "pipeline_filter_funnel" -> { (s, dir) =>
+      val toksCol = split(col("text"), " ")
+      val d = Tables.documents(s, dir)
+        .withColumn("nt", size(toksCol).cast("long"))
+        .withColumn("nd", size(array_distinct(toksCol)).cast("long"))
+      val f1 = col("nt") >= 20                      // min length
+      val f2 = col("lang") === "en"                 // language
+      val f3 = col("nd") * 100 >= col("nt") * 55    // TTR >= 0.55, exact
+      val f4 = col("n_chars") <= 400                // max length
+      val cum = d.agg(
+        count(lit(1)).as("c0"),
+        sum(when(f1, 1L).otherwise(0L)).as("k1"),
+        sum(when(f1 && f2, 1L).otherwise(0L)).as("k2"),
+        sum(when(f1 && f2 && f3, 1L).otherwise(0L)).as("k3"),
+        sum(when(f1 && f2 && f3 && f4, 1L).otherwise(0L)).as("k4"))
+      cum.selectExpr(
+        """stack(4,
+          |  1, 'min_tokens',  c0, k1,
+          |  2, 'lang_en',     k1, k2,
+          |  3, 'ttr',         k2, k3,
+          |  4, 'max_chars',   k3, k4
+          |) AS (stage_no, stage, n_in, n_kept)""".stripMargin)
+        .withColumn("n_dropped", col("n_in") - col("n_kept"))
+        .orderBy("stage_no")
+    },
+
+    // N-gram COVERAGE/diversity per source: distinct vs total word
+    // 2-grams — the corpus-diversity diagnostic (a crawl slice whose
+    // distinct-share collapses is boilerplate/template spam). One explode
+    // + one two-phase aggregate (partial distinct per partition);
+    // diversity reported in exact basis points via integer division so
+    // the number is engine-portable.
+    "text_ngram_coverage" -> { (s, dir) =>
+      val grams = Tables.documents(s, dir)
+        .select(col("source"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("source"), explode(expr(
+          """transform(sequence(1, size(ts) - 1),
+            |  i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"""
+            .stripMargin)).as("gram"))
+      grams.groupBy("source")
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("gram")).as("n_distinct"))
+        .withColumn("diversity_bp",
+          expr("10000L * n_distinct div n_grams"))
+        .orderBy("source")
+    },
+
     // The composed training-data pipeline: exact-dedup by content hash,
     // quality scoring, language + length filters, corpus-level z-score —
     // the end-to-end "select the training corpus" query every stage above
@@ -420,6 +478,51 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "pipeline_filter_funnel" ->
+      """WITH flags AS (
+        |  SELECT len(string_split(text, ' ')) AS nt,
+        |         len(list_distinct(string_split(text, ' '))) AS nd,
+        |         lang, n_chars
+        |  FROM documents
+        |), cum AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS c0,
+        |         CAST(sum(CASE WHEN nt >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+        |         CAST(sum(CASE WHEN nt >= 20 AND lang = 'en'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+        |         CAST(sum(CASE WHEN nt >= 20 AND lang = 'en'
+        |                        AND nd * 100 >= nt * 55
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+        |         CAST(sum(CASE WHEN nt >= 20 AND lang = 'en'
+        |                        AND nd * 100 >= nt * 55 AND n_chars <= 400
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS k4
+        |  FROM flags)
+        |SELECT stage_no, stage, n_in, n_kept, n_in - n_kept AS n_dropped
+        |FROM (
+        |  SELECT 1 AS stage_no, 'min_tokens' AS stage, c0 AS n_in, k1 AS n_kept FROM cum
+        |  UNION ALL
+        |  SELECT 2, 'lang_en', k1, k2 FROM cum
+        |  UNION ALL
+        |  SELECT 3, 'ttr', k2, k3 FROM cum
+        |  UNION ALL
+        |  SELECT 4, 'max_chars', k3, k4 FROM cum)
+        |ORDER BY stage_no""".stripMargin,
+
+    "text_ngram_coverage" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), grams AS (
+        |  SELECT source,
+        |         unnest(list_transform(range(1, len(ts)),
+        |                i -> ts[i] || ' ' || ts[i+1])) AS gram
+        |  FROM toks)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+        |       (10000 * CAST(count(DISTINCT gram) AS BIGINT))
+        |         // CAST(count(*) AS BIGINT) AS diversity_bp
+        |FROM grams GROUP BY source ORDER BY source""".stripMargin,
+
     // Valid because k=64 > |vocab|=31: SpaceSaving with spare counters
     // never evicts, so the summary IS the exact term-count table.
     "text_heavy_hitters" ->
