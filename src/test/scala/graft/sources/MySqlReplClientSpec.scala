@@ -311,7 +311,8 @@ class MySqlReplClientSpec extends SparkSuite {
           byte += ev.length
         }
       }
-      io.write(seq, Array[Byte](0xfe.toByte, 0, 0))
+      if (liveMode) streamLive(io, seq)
+      else io.write(seq, Array[Byte](0xfe.toByte, 0, 0))
     }
 
     /** mysqld's GTID dump shape: start at the first FILE containing a
@@ -340,6 +341,23 @@ class MySqlReplClientSpec extends SparkSuite {
         }
       }
       io.write(seq, Array[Byte](0xfe.toByte, 0, 0))
+    }
+
+    /** Live mode: after the initial chain, hold the dump open and trickle
+      * whatever the test pushes — the shape of a real master that stays
+      * connected and streams commits as they happen.
+      */
+    val live = new java.util.concurrent.LinkedBlockingQueue[Array[Byte]]()
+    @volatile var liveMode = false
+
+    private def streamLive(io: PacketIO, seq0: Int): Unit = {
+      var seq = seq0
+      try {
+        while (!server.isClosed) {
+          val ev = live.poll(200, java.util.concurrent.TimeUnit.MILLISECONDS)
+          if (ev != null) { io.write(seq, 0x00.toByte +: ev); seq += 1 }
+        }
+      } catch { case _: Exception => () } // client went away
     }
 
     /** MariaDB's GTID-state dump shape: the master SEEKS to the position
@@ -699,6 +717,59 @@ class MySqlReplClientSpec extends SparkSuite {
         (0, "fake-bin.000001"), (1, "fake-bin.000001"), (2, "fake-bin.000001"),
         (3, "fake-bin.000001"), (0, "fake-bin.000002"), (4, "fake-bin.000002")).sorted)
     } finally m.close()
+  }
+
+  test("LIVE tail: commits stream into a running query while the dump stays open") {
+    // the full reference topology CONCURRENTLY, not sequentially: the
+    // client holds the dump connection open and spools as the master
+    // commits, while a Structured Streaming query consumes the growing
+    // spool — proving the spool-is-WAL design delivers live events, not
+    // just replayed history
+    val m = new FakeMaster("repl", "", Seq(f1, f2))
+    m.liveMode = true
+    val spool = Files.createTempDirectory("repl_live")
+    val ckpt = Files.createTempDirectory("repl_live_ckpt").toString
+    val client = new BinlogSpoolClient(ReplConfig("127.0.0.1", m.port, "repl"), spool)
+    val runner = new Thread(() => { try client.run() catch { case _: Exception => () } })
+    runner.setDaemon(true)
+    def waitFor(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!cond) {
+        assert(System.currentTimeMillis() < deadline, s"timed out waiting for $what")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      runner.start()
+      val got = new ConcurrentLinkedQueue[Int]()
+      val q = spark.readStream.format(classOf[CdcBinlogDirSource].getName)
+        .option("path", spool.toString).load()
+        .select(BinlogWire.binlog_header(col("event")).getField("ts_sec").as("ts"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => got.add((r.getLong(0) - 1700000000L).toInt))
+          ()
+        }
+        .start()
+      try {
+        // history flows while the connection stays open (no EOF)
+        waitFor("initial chain")(got.size == 6)
+        // the master commits two more events — they must reach the query
+        // through the live socket + spool + micro-batch pipeline
+        m.live.put(cev(1700000007L, 30, 0, Array[Byte](7)))
+        m.live.put(cev(1700000008L, 30, 0, Array[Byte](8, 8)))
+        waitFor("live delta") {
+          import scala.jdk.CollectionConverters._
+          got.asScala.toSet.contains(7) && got.asScala.toSet.contains(8)
+        }
+        assert(got.size == 8, s"saw ${got.size} events")
+      } finally q.stop()
+    } finally {
+      client.close()
+      m.close()
+      runner.join(5000)
+    }
   }
 
   test("GtidSet: parse/text round-trip, interval coalescing, wire encoding") {
