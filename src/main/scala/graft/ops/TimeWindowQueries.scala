@@ -46,6 +46,45 @@ object TimeWindowQueries {
     // Session windows per user, 5-minute gap. Spark semantics: an event
     // extends the session iff ts < previous ts + gap; session end = last
     // event + gap. The oracle reproduces this with gaps-and-islands SQL.
+    // Conversion FUNNEL (the ClickHouse windowFunnel shape): per user, the
+    // deepest prefix of view → click → purchase completed by a strictly
+    // time-ordered event chain whose total span fits in 30 minutes —
+    // "reached step k" = such a chain of length k exists. NOT a self-join:
+    // two stacked running-max window columns over ONE (user, ts) sort
+    // carry the best chain-start forward (`best_v` = latest view before
+    // this row; `best_cv` = best view reachable through any earlier
+    // click), so each row decides its level locally and one aggregate
+    // folds users into the 3-row report. One shuffle at 100 TB; the
+    // exhaustive-∃-chain oracle proves the running-max recurrence is the
+    // same predicate.
+    "window_funnel" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val W = 1800000000L // 30 min in µs
+      val wPrev = Window.partitionBy("user_id").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts)").as("t"), col("event_type"))
+        .withColumn("best_v",
+          max(when(col("event_type") === "view", col("t"))).over(wPrev))
+        .withColumn("best_cv",
+          max(when(col("event_type") === "click", col("best_v"))).over(wPrev))
+      val levels = e.groupBy("user_id").agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("l1"),
+        max(when(col("event_type") === "click" &&
+          col("best_v") >= col("t") - W, 1).otherwise(0)).as("l2"),
+        max(when(col("event_type") === "purchase" &&
+          col("best_cv") >= col("t") - W, 1).otherwise(0)).as("l3"))
+      levels.agg(
+          sum(col("l1")).as("n1"), sum(col("l2")).as("n2"), sum(col("l3")).as("n3"))
+        .selectExpr(
+          """stack(3,
+            |  1, 'view',                n1,
+            |  2, 'view>click',          n2,
+            |  3, 'view>click>purchase', n3
+            |) AS (step_no, step, n_users)""".stripMargin)
+        .orderBy("step_no")
+    },
+
     "window_session" -> { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
@@ -59,6 +98,38 @@ object TimeWindowQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "window_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+        |), lv AS (
+        |  SELECT u.user_id,
+        |    CAST(EXISTS (SELECT 1 FROM e v
+        |                 WHERE v.user_id = u.user_id
+        |                   AND v.event_type = 'view') AS INT) AS l1,
+        |    CAST(EXISTS (SELECT 1 FROM e v JOIN e c
+        |                   ON c.user_id = v.user_id
+        |                  AND v.event_type = 'view' AND c.event_type = 'click'
+        |                  AND v.t < c.t AND c.t - v.t <= 1800000000
+        |                 WHERE v.user_id = u.user_id) AS INT) AS l2,
+        |    CAST(EXISTS (SELECT 1 FROM e v JOIN e c
+        |                   ON c.user_id = v.user_id
+        |                  AND v.event_type = 'view' AND c.event_type = 'click'
+        |                  AND v.t < c.t
+        |                 JOIN e p
+        |                   ON p.user_id = v.user_id
+        |                  AND p.event_type = 'purchase'
+        |                  AND c.t < p.t AND p.t - v.t <= 1800000000
+        |                 WHERE v.user_id = u.user_id) AS INT) AS l3
+        |  FROM (SELECT DISTINCT user_id FROM e) u)
+        |SELECT step_no, step, n_users FROM (
+        |  SELECT 1 AS step_no, 'view' AS step,
+        |         CAST(sum(l1) AS BIGINT) AS n_users FROM lv
+        |  UNION ALL
+        |  SELECT 2, 'view>click', CAST(sum(l2) AS BIGINT) FROM lv
+        |  UNION ALL
+        |  SELECT 3, 'view>click>purchase', CAST(sum(l3) AS BIGINT) FROM lv)
+        |ORDER BY step_no""".stripMargin,
+
     "window_tumbling" ->
       """SELECT strftime(to_timestamp(floor(epoch(ts) / 600) * 600), '%Y-%m-%d %H:%M:%S') AS w_start,
         |       event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_v
