@@ -46,6 +46,27 @@ object TimeWindowQueries {
     // Session windows per user, 5-minute gap. Spark semantics: an event
     // extends the session iff ts < previous ts + gap; session end = last
     // event + gap. The oracle reproduces this with gaps-and-islands SQL.
+    // Cohort RETENTION: users grouped by first-activity day, counted at
+    // each later active day offset (0..7) — the other canonical event
+    // analytics report next to the funnel. Shape: distinct (user, day)
+    // projection, per-user min-day aggregate, shuffle join back on
+    // user_id, final (cohort, offset) aggregate — every stage keyed and
+    // partial-aggregated, nothing driver-side. Counts are exact integers;
+    // offsets cast to long on both sides so schemas agree.
+    "events_retention" -> { (s, dir) =>
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      days.join(cohort, "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+        .filter(col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
     // Conversion FUNNEL (the ClickHouse windowFunnel shape): per user, the
     // deepest prefix of view → click → purchase completed by a strictly
     // time-ordered event chain whose total span fits in 30 minutes —
@@ -98,6 +119,19 @@ object TimeWindowQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "events_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1
+        |)
+        |SELECT c.cohort_day,
+        |       CAST(d.day - c.cohort_day AS BIGINT) AS day_offset,
+        |       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        |FROM days d JOIN cohort c USING (user_id)
+        |WHERE d.day - c.cohort_day <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "window_funnel" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS t, event_type FROM events
