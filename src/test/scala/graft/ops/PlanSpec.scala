@@ -59,6 +59,24 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("array_intersect"), p) // the shared verify stage
   }
 
+  test("window_funnel is two shuffles: one user sort feeds both windows AND the group-by") {
+    // the funnel's running-max recurrence must NOT become a self-join, and
+    // the per-user aggregate must reuse the window's hash partitioning —
+    // exactly two exchanges: the user-key shuffle and the global fold
+    val p = plan("window_funnel")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"), p)
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+    assert(shuffles == 2, s"expected 2 shuffles, saw $shuffles:\n$p")
+    assert("Window".r.findAllIn(p).size >= 2, p) // both running-max columns
+  }
+
+  test("pipeline_filter_funnel is one corpus scan (cumulative counts, not per-stage rescans)") {
+    val p = plan("pipeline_filter_funnel")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan, saw $scans:\n$p")
+  }
+
   test("IVF cell assignment is an aggregate, not a window sort") {
     // The only Window allowed in the ANN plan is the final per-query
     // ranking; nearest-cell assignment (full-corpus n×k candidates) must be
