@@ -48,17 +48,20 @@ object TimeWindowQueries {
     // event + gap. The oracle reproduces this with gaps-and-islands SQL.
     // Cohort RETENTION: users grouped by first-activity day, counted at
     // each later active day offset (0..7) — the other canonical event
-    // analytics report next to the funnel. Shape: distinct (user, day)
-    // projection, per-user min-day aggregate, shuffle join back on
-    // user_id, final (cohort, offset) aggregate — every stage keyed and
-    // partial-aggregated, nothing driver-side. Counts are exact integers;
-    // offsets cast to long on both sides so schemas agree.
+    // analytics report next to the funnel. The cohort day is a
+    // whole-partition window min over the distinct (user, day) set, NOT a
+    // separate aggregate joined back — that join shape scans the events
+    // twice and shuffles four times; the window form is one scan and two
+    // keyed shuffles (user-partition window, then the (cohort, offset)
+    // aggregate). Counts are exact integers; offsets cast to long on both
+    // sides so schemas agree.
     "events_retention" -> { (s, dir) =>
-      val days = Tables.events(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id")
+      Tables.events(s, dir)
         .select(col("user_id"), to_date(col("ts")).as("day"))
         .distinct()
-      val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
-      days.join(cohort, "user_id")
+        .withColumn("cohort_day", min(col("day")).over(byUser))
         .select(col("user_id"), col("cohort_day"),
           datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
         .filter(col("day_offset") <= 7)

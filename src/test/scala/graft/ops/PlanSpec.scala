@@ -77,6 +77,13 @@ class PlanSpec extends SparkSuite {
     assert(scans == 1, s"expected 1 scan, saw $scans:\n$p")
   }
 
+  test("events_retention derives cohorts via window-min: one scan, no self-join") {
+    val p = plan("events_retention")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 scan, saw $scans:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
   test("IVF cell assignment is an aggregate, not a window sort") {
     // The only Window allowed in the ANN plan is the final per-query
     // ranking; nearest-cell assignment (full-corpus n×k candidates) must be
