@@ -1,0 +1,93 @@
+package graft.cdc
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.sources.ReplConfig
+import graft.streaming.{CdcConfig, RedisPositionStore, RedisQueue}
+
+/** The reference's ENTIRE configuration surface, env var for env var with
+  * the same names and defaults (`/root/reference/main.go:340-348,460-465`)
+  * — the last piece of the drop-in story: a user points the deployment's
+  * existing environment at this engine and gets the same topology, typed.
+  *
+  *   DB_ADDR / DB_USER / DB_PASSWORD / DB_FLAVOR / SERVER_ID → [[ReplConfig]]
+  *   TABLE_GROUPS_FILE (YAML group→tables)                   → [[CdcConfig]]
+  *   POST_URL                                                → HTTP sink base
+  *   REDIS_ADDR / REDIS_PASSWORD                             → [[RedisQueue]] +
+  *                                                             [[RedisPositionStore]]
+  *   POSITION_FILE                                           → file half of the
+  *                                                             position dual-write
+  *   LOG_LEVEL                                               → carried verbatim
+  *
+  * Auth note: the RESP client speaks the protocol unauthenticated (the
+  * reference's default — `REDIS_PASSWORD` defaults to empty); a non-empty
+  * password is carried so a caller can issue `AUTH` itself.
+  */
+final case class ReferenceEnv(
+    dbAddr: String,
+    dbUser: String,
+    dbPassword: String,
+    dbFlavor: String,
+    serverId: Long,
+    postUrl: String,
+    positionFile: String,
+    tableGroupsFile: String,
+    redisAddr: String,
+    redisPassword: String,
+    logLevel: String) {
+
+  /** Replication client identity/connection (the canal config analog). */
+  def replConfig(useGtid: Boolean = false): ReplConfig = {
+    val (host, port) = ReferenceEnv.splitAddr(dbAddr, 3306)
+    ReplConfig(host, port, dbUser, password = dbPassword, serverId = serverId,
+      useGtid = useGtid, flavor = dbFlavor)
+  }
+
+  /** The routing config, inverted from the same YAML file the reference
+    * reads (`main.go:313-332`).
+    */
+  def cdcConfig(keepDeletes: Boolean = false): CdcConfig = {
+    val yaml = new String(Files.readAllBytes(Paths.get(tableGroupsFile)),
+      StandardCharsets.UTF_8)
+    CdcConfig(Routing.invert(Routing.parseTableGroups(yaml)),
+      keepDeletes = keepDeletes)
+  }
+
+  def redisQueue: RedisQueue = {
+    val (host, port) = ReferenceEnv.splitAddr(redisAddr, 6379)
+    RedisQueue(host, port) // the reference's cdc_events list key
+  }
+
+  def redisPositionStore: RedisPositionStore = {
+    val (host, port) = ReferenceEnv.splitAddr(redisAddr, 6379)
+    RedisPositionStore(host, port) // the reference's binlog_position key
+  }
+}
+
+object ReferenceEnv {
+
+  /** Build from an environment map — `sys.env` in production, any map in
+    * tests. Defaults are the reference's own, verbatim.
+    */
+  def fromEnv(env: Map[String, String] = sys.env): ReferenceEnv = ReferenceEnv(
+    dbAddr = env.getOrElse("DB_ADDR", "127.0.0.1:3306"),
+    dbUser = env.getOrElse("DB_USER", "root"),
+    dbPassword = env.getOrElse("DB_PASSWORD", ""),
+    dbFlavor = env.getOrElse("DB_FLAVOR", "mysql"),
+    serverId = env.get("SERVER_ID").flatMap(_.toLongOption).getOrElse(1001L),
+    postUrl = env.getOrElse("POST_URL", "http://localhost:8080"),
+    positionFile = env.getOrElse("POSITION_FILE", "./storage/binlog_position.json"),
+    tableGroupsFile = env.getOrElse("TABLE_GROUPS_FILE", "./config/table_groups.yaml"),
+    redisAddr = env.getOrElse("REDIS_ADDR", "localhost:6379"),
+    redisPassword = env.getOrElse("REDIS_PASSWORD", ""),
+    logLevel = env.getOrElse("LOG_LEVEL", "info"))
+
+  private[cdc] def splitAddr(addr: String, defaultPort: Int): (String, Int) =
+    addr.lastIndexOf(':') match {
+      case -1 => (addr, defaultPort)
+      case i =>
+        val port = addr.substring(i + 1).toIntOption
+        if (port.isEmpty) (addr, defaultPort) else (addr.substring(0, i), port.get)
+    }
+}
