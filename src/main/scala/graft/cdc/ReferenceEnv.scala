@@ -20,9 +20,9 @@ import graft.streaming.{CdcConfig, RedisPositionStore, RedisQueue}
   *                                                             position dual-write
   *   LOG_LEVEL                                               → carried verbatim
   *
-  * Auth note: the RESP client speaks the protocol unauthenticated (the
-  * reference's default — `REDIS_PASSWORD` defaults to empty); a non-empty
-  * password is carried so a caller can issue `AUTH` itself.
+  * A non-empty `REDIS_PASSWORD` makes every RESP connection authenticate
+  * with `AUTH` first (the reference authenticates through its client
+  * options, `main.go:347-352`); empty = the unauthenticated default.
   */
 final case class ReferenceEnv(
     dbAddr: String,
@@ -56,12 +56,12 @@ final case class ReferenceEnv(
 
   def redisQueue: RedisQueue = {
     val (host, port) = ReferenceEnv.splitAddr(redisAddr, 6379)
-    RedisQueue(host, port) // the reference's cdc_events list key
+    RedisQueue(host, port, password = redisPassword) // the cdc_events list
   }
 
   def redisPositionStore: RedisPositionStore = {
     val (host, port) = ReferenceEnv.splitAddr(redisAddr, 6379)
-    RedisPositionStore(host, port) // the reference's binlog_position key
+    RedisPositionStore(host, port, password = redisPassword) // binlog_position
   }
 }
 

@@ -140,6 +140,7 @@ object DedupQueries {
     timed("pairs_cosine_0.45") { cosinePairsLsh(s, dir, 0.45).count() }
     timed("comp_jaccard_0.5") { componentsJaccard(s, dir, 0.5).count() }
     timed("comp_cosine_0.45") { componentsCosine(s, dir, 0.45).count() }
+    timed("bloom_sketch") { bloomSketch(s, dir) }
     out.result()
   }
 
@@ -196,6 +197,7 @@ object DedupQueries {
         ct.remove()
       }
     }
+    bloomCache.keySet.removeIf(_._1 eq s) // plain driver bytes, no blocks
   }
 
   /** Verified near-dup PAIR SETS, cached per (session, dir, family:t) like
@@ -282,6 +284,43 @@ object DedupQueries {
       pairs.select(col("va").as("u"), col("vb").as("v"))
         .unionAll(pairs.select(col("vb").as("u"), col("va").as("v")))
     }
+
+  /** The incremental-dedup "existing corpus" slice (everything not in the
+    * batch, plus a re-ingested batch slice so genuine cross-set duplicates
+    * exist).
+    */
+  private def incrementalCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.filter(col("doc_id") % 10 =!= 0).select("text")
+      .unionByName(d.filter(col("doc_id") % 20 === 0).select("text"))
+  }
+
+  /** The corpus membership Bloom sketch, cached per (session, dir) like
+    * every other session index tier — it IS an index artifact (a
+    * 10-bits/element driver blob, like the IVF codebook), and without the
+    * cache each bench rep re-ran its two driver-side build jobs (count +
+    * blob aggregate). Sizing: ~10 bits/element with k=5 gives fpp ≈ 0.9 %
+    * at ANY corpus size instead of a constant only right at the shipped
+    * SFs; floor 2^16 bits avoids degenerate tiny filters, and the 2^27 cap
+    * (16 MiB blob) marks where one driver-held blob stops being the right
+    * layout — beyond ~13M distinct docs, shard the filter by key range
+    * (group by bucket instead of a global agg; see [[graft.functions.BloomFilterAgg]]).
+    */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Byte]]()
+
+  private[ops] def bloomSketch(s: SparkSession, dir: String): Array[Byte] = {
+    bloomCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    bloomCache.computeIfAbsent((s, dir), _ => {
+      val corpus = incrementalCorpus(s, dir)
+      val nCorpus = corpus.count()
+      val bloomBits = math.min(1L << 27,
+        math.max(1L << 16, (10L * nCorpus + 63) / 64 * 64)).toInt
+      corpus
+        .agg(graft.functions.BloomFilterAgg.bloom_agg(xxhash64(col("text")), bloomBits, 5))
+        .head.getAs[Array[Byte]](0)
+    })
+  }
 
   /** Prefix-filtered exact Jaccard pairs (the AllPairs/PPJoin family — cf.
     * "Distributed Streaming Set Similarity Join", ICDE 2020, PAPERS.md) over
@@ -411,25 +450,10 @@ object DedupQueries {
     // verify join is on the text itself), hence DuckDB-oracle-eligible.
     "dedup_incremental_bloom" -> { (s, dir) =>
       val d = Tables.documents(s, dir)
-      val corpus = d.filter(col("doc_id") % 10 =!= 0).select("text")
-        .unionByName(d.filter(col("doc_id") % 20 === 0).select("text"))
+      val corpus = incrementalCorpus(s, dir)
       val batch = d.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("text"), col("n_chars"))
-      // Size the sketch from the corpus itself: ~10 bits/element with k=5
-      // gives fpp ≈ 0.9% at ANY corpus size, instead of a constant that is
-      // only right at the shipped SFs. The count is the first of the two
-      // driver-side index-build jobs (the blob agg is the second); both
-      // produce a small driver artifact, like the IVF codebook. Floor 2^16
-      // bits (8 KiB) avoids degenerate tiny filters; the 2^27 cap (16 MiB
-      // blob) marks where one driver-held blob stops being the right
-      // layout — beyond ~13M distinct docs, shard the filter by key range
-      // (group by bucket instead of a global agg; see the class doc).
-      val nCorpus = corpus.count()
-      val bloomBits = math.min(1L << 27,
-        math.max(1L << 16, (10L * nCorpus + 63) / 64 * 64)).toInt
-      val blob = corpus
-        .agg(graft.functions.BloomFilterAgg.bloom_agg(xxhash64(col("text")), bloomBits, 5))
-        .head.getAs[Array[Byte]](0)
+      val blob = bloomSketch(s, dir)
       val hit = graft.functions.BloomFilterAgg.bloom_might_contain(
         lit(blob), xxhash64(col("text")))
       val novel = batch.filter(!hit)                       // proof — no join

@@ -112,12 +112,20 @@ final case class RespArr(items: Vector[RespReply]) extends RespReply
   * a mid-batch crash.
   */
 final case class RedisQueue(host: String, port: Int,
-    key: String = "cdc_events") extends DurableQueue {
+    key: String = "cdc_events", password: String = "") extends DurableQueue {
+
+  private def connect(): RespClient = {
+    val conn = new RespClient(host, port)
+    // the reference authenticates through its client options
+    // (`main.go:347-352`); empty password = the unauthenticated default
+    if (password.nonEmpty) conn.command("AUTH", password)
+    conn
+  }
 
   override def client(): QueueClient = new QueueClient {
     private var conn: RespClient = _
     override def enqueue(group: String, payload: String): Unit = {
-      if (conn == null) conn = new RespClient(host, port)
+      if (conn == null) conn = connect()
       conn.command("RPUSH", key, group + "\t" + payload)
       ()
     }
@@ -126,7 +134,7 @@ final case class RedisQueue(host: String, port: Int,
   }
 
   override def drain(handle: (String, String) => Unit): Long = {
-    val conn = new RespClient(host, port)
+    val conn = connect()
     try {
       var n = 0L
       var done = false
@@ -143,7 +151,7 @@ final case class RedisQueue(host: String, port: Int,
   }
 
   override def pending: Long = {
-    val conn = new RespClient(host, port)
+    val conn = connect()
     try conn.command("LLEN", key) match {
       case RespInt(n) => n
       case _ => 0L
@@ -159,17 +167,23 @@ final case class RedisQueue(host: String, port: Int,
   * is down, `main.go:354-360`).
   */
 final case class RedisPositionStore(host: String, port: Int,
-    key: String = "binlog_position") {
+    key: String = "binlog_position", password: String = "") {
+
+  private def connect(): RespClient = {
+    val conn = new RespClient(host, port)
+    if (password.nonEmpty) conn.command("AUTH", password)
+    conn
+  }
 
   def save(json: String): Boolean =
     try {
-      val conn = new RespClient(host, port)
+      val conn = connect()
       try { conn.command("SET", key, json); true } finally conn.close()
     } catch { case _: java.io.IOException => false }
 
   def load(): Option[String] =
     try {
-      val conn = new RespClient(host, port)
+      val conn = connect()
       try conn.command("GET", key) match {
         case RespStr(v) => Some(v)
         case _ => None

@@ -25,7 +25,7 @@ class RedisQueueSpec extends SparkSuite {
     * thread per connection — RPUSH from parallel partition tasks must
     * interleave safely, like a real server.
     */
-  private final class FakeRedis extends AutoCloseable {
+  private final class FakeRedis(requirePass: String = "") extends AutoCloseable {
     private val server = new ServerSocket(0)
     val port: Int = server.getLocalPort
     val lists = new ConcurrentHashMap[String, ConcurrentLinkedQueue[String]]()
@@ -52,6 +52,7 @@ class RedisQueueSpec extends SparkSuite {
                 sb.toString()
               }
               def reply(s: String): Unit = { out.write(s.getBytes(UTF_8)); out.flush() }
+              var authed = requirePass.isEmpty
               while (true) {
                 val head = line()
                 assert(head.startsWith("*"), s"expected array, got $head")
@@ -71,6 +72,11 @@ class RedisQueueSpec extends SparkSuite {
                   new String(buf, UTF_8)
                 }
                 args.head.toUpperCase match {
+                  case "AUTH" =>
+                    if (args(1) == requirePass) { authed = true; reply("+OK\r\n") }
+                    else reply("-WRONGPASS invalid password\r\n")
+                  case _ if !authed =>
+                    reply("-NOAUTH Authentication required.\r\n")
                   case "SET" =>
                     strings.put(args(1), args(2))
                     reply("+OK\r\n")
@@ -131,6 +137,25 @@ class RedisQueueSpec extends SparkSuite {
         assert(c.command("LPOP", "k") == RespNil)
         intercept[java.io.IOException] { c.command("BOGUS") }
       } finally c.close()
+    } finally redis.close()
+  }
+
+  test("AUTH: a password-protected server accepts the right password only") {
+    val redis = new FakeRedis(requirePass = "hunter2")
+    try {
+      val q = RedisQueue("127.0.0.1", redis.port, password = "hunter2")
+      val c = q.client()
+      c.enqueue("g", "payload")
+      c.close()
+      assert(q.pending == 1)
+      assert(q.drain((_, _) => ()) == 1)
+      // wrong password surfaces the server's error, unauthenticated is refused
+      intercept[java.io.IOException] {
+        RedisQueue("127.0.0.1", redis.port, password = "wrong").pending
+      }
+      intercept[java.io.IOException] {
+        RedisQueue("127.0.0.1", redis.port).pending
+      }
     } finally redis.close()
   }
 
