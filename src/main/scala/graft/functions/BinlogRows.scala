@@ -518,7 +518,12 @@ object BinlogRows {
       }
       new GenericArrayData(out.toArray)
     } catch {
-      case _: ArrayIndexOutOfBoundsException => null // truncated/corrupt body
+      // Truncated or corrupt bytes must NULL the event, never kill the
+      // scan: beyond the walk's AIOOBE, a crafted json_binary document can
+      // produce negative lengths/offsets (NegativeArraySize,
+      // StringIndexOutOfBounds) — at 100 TB of archived binlog a poisoned
+      // event WILL exist, and refuse-don't-guess has to hold for it too.
+      case scala.util.control.NonFatal(_) => null
     }
   }
 

@@ -451,6 +451,32 @@ class BinlogRowsSpec extends SparkSuite {
     }
   }
 
+  test("JSON column: arbitrary garbage documents null the event, never throw") {
+    // at archive scale a poisoned event WILL exist; every outcome must be
+    // decode-or-null — no exception may escape into the scan
+    val rnd = new scala.util.Random(7)
+    val tm = tableMap(Seq(245), Seq(4))
+    (1 to 300).foreach { i =>
+      val doc = new Array[Byte](rnd.nextInt(40))
+      rnd.nextBytes(doc)
+      val ev = writeRows(1) { b => b.u32(doc.length.toLong); b.raw(doc) }
+      val got = decode(ev, tm) // must not throw
+      assert(got == null || got.size == 1, s"garbage doc #$i: $got")
+    }
+    // adversarial shapes: truncated container headers, negative-ish string
+    // lengths (huge varints), offsets past the end
+    val crafted = Seq(
+      Array[Byte](0x00),                               // object, no header
+      Array[Byte](0x02, 0x10, 0x00),                   // array count 16, no entries
+      Array[Byte](0x0c, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0x7f), // 268M-char string
+      Array[Byte](0x00, 0x01, 0x00, 0xff.toByte, 0x7f, 0x02, 0x00, 0x0c, 0x50),
+      Array[Byte](0x09, 1, 2))                         // int64 with 3 bytes
+    crafted.zipWithIndex.foreach { case (doc, i) =>
+      val ev = writeRows(1) { b => b.u32(doc.length.toLong); b.raw(doc) }
+      assert(decode(ev, tm) == null, s"crafted doc #$i should refuse")
+    }
+  }
+
   test("codegen path + SQL surface over a framed stream") {
     import spark.implicits._
     val tm = tableMap()
