@@ -110,6 +110,79 @@ object VectorQueries {
 
     "sim_ann_pq" -> { (s, dir) => pqQuery(s, dir) },
 
+    // k-NN JOIN, exact variant (oracle yes): EVERY vector's top-3 cosine
+    // neighbors — the batch primitive behind embedding dedup and
+    // retrieval-index bootstrapping (sim_cosine_topk answers 10 queries;
+    // this answers all n). Deliberately O(n²): the exactness yardstick the
+    // sub-quadratic sim_ann_knn is recall-measured against, size-gated
+    // behind the same session conf as dedup_near_cosine so the cartesian
+    // can never run silently at cluster-killing scale.
+    "sim_knn_join" -> { (s, dir) =>
+      val cap = s.conf.get(DedupQueries.ExactCosineCapKey, "20000").toLong
+      val probed = Tables.embeddings(s, dir).select("vec_id")
+        .limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count()
+      require(probed <= cap,
+        s"sim_knn_join is the O(n²) exactness baseline: the corpus exceeds the " +
+          s"${DedupQueries.ExactCosineCapKey}=$cap row gate. Use sim_ann_knn " +
+          "(IVF-probed, sub-quadratic) at scale, or raise the cap deliberately.")
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+      val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
+      val w = Window.partitionBy("va").orderBy(round(col("cos"), 6).desc, col("vb"))
+      a.join(b, col("va") =!= col("vb"))
+        .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("va"), col("rn"), col("vb"), round(col("cos"), 4).as("cos_r"))
+        .orderBy("va", "rn")
+    },
+
+    // The sub-quadratic k-NN join (no DuckDB oracle — recall
+    // property-tested against sim_knn_join): every vector probes its
+    // nProbe=4 nearest IVF cells and ranks only the vectors ASSIGNED to
+    // those cells. Candidates per query ≈ (nProbe/k)·n here; with the
+    // standard k ≈ √n sizing that is nProbe·√n per query — n^1.5 total
+    // instead of n², and each stage is a keyed equi-join/aggregate (cell
+    // assignment reuses the max_by no-window shape; the per-query top-3 is
+    // a window over the candidate set only, never all pairs).
+    "sim_ann_knn" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+      val cents = codebook(s, dir, e)
+      val sim = dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))
+      val assignOrd = struct(round(sim, 6).as("s"), (-col("c_id")).as("nc"))
+      val cells = e.crossJoin(broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+          max_by(col("c_id"), assignOrd).as("cell"),
+          first(col("embedding")).as("te"),
+          first(col("nrm")).as("tn"))
+        .select(col("vec_id").as("t_id"), col("te"), col("tn"), col("cell"))
+      val probes = e.crossJoin(broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+          slice(sort_array(collect_list(struct(
+            round(sim, 6).as("s"), (-col("c_id")).as("nc"), col("c_id"))),
+            asc = false), 1, 4).as("cs"),
+          first(col("embedding")).as("qe"),
+          first(col("nrm")).as("qn"))
+        .select(col("vec_id").as("va"), col("qe"), col("qn"),
+          explode(col("cs.c_id")).as("cell"))
+      val cos = dot(col("qe"), col("te")) / (col("qn") * col("tn"))
+      val w = Window.partitionBy("va").orderBy(round(col("cos"), 6).desc, col("vb"))
+      probes.join(cells, Seq("cell"))
+        .filter(col("va") =!= col("t_id"))
+        .select(col("va"), col("t_id").as("vb"), col("qe"), col("te"),
+          col("qn"), col("tn"))
+        .dropDuplicates("va", "vb")
+        .withColumn("cos", cos)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("va"), col("rn"), col("vb"), round(col("cos"), 4).as("cos_r"))
+        .orderBy("va", "rn")
+    },
+
     // Symmetric int8 quantization of the embedding column (the 4× storage
     // cut for vector stores): per-vector scale = max|x|, q = round(x/s*127)
     // via the engine-portable floor(y+0.5) formulation, plus the max
@@ -479,6 +552,22 @@ object VectorQueries {
         |               i -> abs(xs[i] - CAST(q[i] AS DOUBLE) * s / 127))),
         |             (a, b) -> greatest(a, b)), 5) AS max_err
         |FROM qq ORDER BY vec_id""".stripMargin,
+
+    "sim_knn_join" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings),
+         |t AS (SELECT vec_id AS t_id, embedding AS te FROM embeddings),
+         |scored AS (
+         |  SELECT q_id, t_id,
+         |         $dotSql / (${normSql("qe")} * ${normSql("te")}) AS cos
+         |  FROM q JOIN t ON q_id <> t_id
+         |), ranked AS (
+         |  SELECT q_id, t_id, cos,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY round(cos, 6) DESC, t_id) AS rn
+         |  FROM scored)
+         |SELECT q_id AS va, CAST(rn AS INT) AS rn, t_id AS vb,
+         |       round(cos, 4) AS cos_r
+         |FROM ranked WHERE rn <= 3 ORDER BY va, rn""".stripMargin,
 
     "sim_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),

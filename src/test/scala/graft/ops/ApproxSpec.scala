@@ -46,6 +46,29 @@ class ApproxSpec extends SparkSuite {
     assert(recall >= 0.4, s"recall=$recall (${(exactTop & ivfPairs).size}/${exactTop.size})")
   }
 
+  test("IVF k-NN JOIN recall vs the exact all-vectors baseline") {
+    // the all-n variant: every vector's streamed-from-cells top-3 against
+    // sim_knn_join's exhaustive answer. Same IVF geometry as the
+    // single-query test (nProbe=4 of k=16 cells), so recall lands in the
+    // same band — far above the ~nProbe/k ≈ 0.25 a random-cell assignment
+    // would give.
+    val exact = SparkEntryQueries.run("sim_knn_join")
+    val ann = SparkEntryQueries.run("sim_ann_knn")
+    val exactTop = exact.select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annPairs = ann.select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exactTop & annPairs).size.toDouble / exactTop.size
+    assert(recall >= 0.4, s"recall=$recall (${(exactTop & annPairs).size}/${exactTop.size})")
+    // structural sanity: every vector reports ranks 1..k with k <= 3
+    val badRanks = ann.groupBy("va").agg(collect_list("rn").as("rns"))
+      .collect().filterNot { r =>
+        val rns = r.getSeq[Int](1).sorted
+        rns == (1 to rns.size)
+      }
+    assert(badRanks.isEmpty, badRanks.take(3).mkString("\n"))
+  }
+
   test("PQ ANN recall vs brute-force cosine top-k baseline") {
     // 16×16 product quantization + ADC shortlist + exact re-rank: recall
     // lands 0.75-0.9 on these embeddings at every shipped SF (random
