@@ -19,9 +19,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *   UPDATE → `{"before":{…},"after":{…}}` (images arrive paired on the
   *            wire, exactly the pairing R6/R7 consumes downstream)
   *
-  * Column KEYS are positional (`c0…cN`): the binlog carries no column
-  * names — canal resolves them from `information_schema`, which is part of
-  * the live-connection surface, not the wire format. Supported column
+  * Column KEYS are the REAL column names whenever the TABLE_MAP carries
+  * them — a MySQL 8.0.1+ server with `binlog_row_metadata=FULL` embeds
+  * names, numeric signedness, and ENUM/SET label lists as optional
+  * metadata TLVs, all honored here (names as keys, unsigned ints rendered
+  * full-range, enum ordinals/set bitmasks rendered as their labels).
+  * Without that metadata, keys fall back to positional `c0…cN`: the
+  * classic binlog carries no names — canal resolves them from
+  * `information_schema`, which is part of the live-connection surface,
+  * not the wire format. Supported column
   * types cover the practical MySQL surface: the fixed-width core (TINY,
   * SHORT, INT24, LONG, LONGLONG, FLOAT, DOUBLE, YEAR), VARCHAR/
   * VAR_STRING, CHAR (STRING with the high-bit length packing), ENUM/SET
@@ -99,12 +105,35 @@ object BinlogRows {
   private def bit(bm: Array[Byte], i: Int): Boolean =
     (bm(i / 8) & (1 << (i % 8))) != 0
 
-  /** Parsed TABLE_MAP: (table_id, schema, table, column types, metadata). */
-  private def parseTableMap(
-      ev: Array[Byte]): Option[(Long, String, String, Array[Int], Array[Int])] = {
+  /** Parsed TABLE_MAP, including the OPTIONAL metadata a MySQL 8.0.1+
+    * server writes under `binlog_row_metadata=FULL` (public TLV layout,
+    * mysql-server sql/log_event.cc): real column names, numeric
+    * signedness, and ENUM/SET label lists — the parts of the schema the
+    * positional fallback (`c0…cN`, signed ints, wire ordinals) exists to
+    * work around. Absent metadata leaves every fallback in place.
+    */
+  private final case class TableMapInfo(
+      tableId: Long, schema: String, table: String,
+      types: Array[Int], meta: Array[Int],
+      names: Array[String],                     // empty when absent
+      unsigned: Array[Boolean],                 // per column, false default
+      enumLabels: Map[Int, Array[String]],      // col idx → labels
+      setLabels: Map[Int, Array[String]])
+
+  /** Numeric columns in TABLE_MAP order — the SIGNEDNESS bitmap covers
+    * exactly these, one bit each, MSB-first per byte.
+    */
+  private def isNumeric(t: Int): Boolean = t match {
+    case TINY | SHORT | INT24 | LONG | LONGLONG | FLOAT | DOUBLE | YEAR |
+        NEWDECIMAL => true
+    case _ => false
+  }
+
+  private def parseTableMap(ev: Array[Byte], hasCrc: Boolean): Option[TableMapInfo] = {
     if (ev == null || ev.length < BinlogWire.HeaderLen + 8 ||
       (ev(4) & 0xff) != TABLE_MAP) return None
     try {
+      val end = ev.length - (if (hasCrc) 4 else 0)
       val c = new Cursor(ev, BinlogWire.HeaderLen)
       val tableId = c.u48()
       c.u16() // flags
@@ -133,7 +162,74 @@ object BinlogRows {
         }
         i += 1
       }
-      Some((tableId, schema, table, types, meta))
+      var names = Array.empty[String]
+      val unsigned = Array.fill(nCols)(false)
+      var enumLabels = Map.empty[Int, Array[String]]
+      var setLabels = Map.empty[Int, Array[String]]
+      // Optional metadata TLVs follow the null-allowed bitmap; any parse
+      // problem abandons the OPTIONAL part only — the fallbacks are
+      // exactly what decoding looked like before the field existed.
+      try {
+        c.bytes((nCols + 7) / 8) // null-allowed bitmap
+        while (c.off + 2 <= end) {
+          val tlvType = c.u8()
+          val tlvLen = c.lenenc().toInt
+          val tlvEnd = c.off + tlvLen
+          if (tlvLen < 0 || tlvEnd > end) throw new ArrayIndexOutOfBoundsException()
+          tlvType match {
+            case 1 => // SIGNEDNESS: one bit per numeric column, MSB first
+              val bits = c.bytes(tlvLen)
+              var k = 0
+              var col = 0
+              while (col < nCols) {
+                if (isNumeric(types(col))) {
+                  if ((bits(k / 8) & (0x80 >>> (k % 8))) != 0) unsigned(col) = true
+                  k += 1
+                }
+                col += 1
+              }
+            case 4 => // COLUMN_NAME: per column, lenenc length + bytes
+              val ns = Array.newBuilder[String]
+              while (c.off < tlvEnd) {
+                val n = c.lenenc().toInt
+                ns += new String(c.bytes(n), java.nio.charset.StandardCharsets.UTF_8)
+              }
+              val arr = ns.result()
+              if (arr.length == nCols) names = arr
+            case 5 | 6 => // SET_STR_VALUE / ENUM_STR_VALUE: per enum/set
+              // column, lenenc count then count × (lenenc len + bytes)
+              val isSet = tlvType == 5
+              val target = if (isSet) SET else ENUM
+              var col = 0
+              while (col < nCols && c.off < tlvEnd) {
+                val real =
+                  if (types(col) == STRING) (meta(col) >> 8) | 0x30 else types(col)
+                if (real == target ||
+                  (types(col) == STRING && (meta(col) >> 8) == target)) {
+                  val n = c.lenenc().toInt
+                  val labels = Array.fill(n) {
+                    val len = c.lenenc().toInt
+                    new String(c.bytes(len), java.nio.charset.StandardCharsets.UTF_8)
+                  }
+                  if (isSet) setLabels += col -> labels
+                  else enumLabels += col -> labels
+                }
+                col += 1
+              }
+              c.off = tlvEnd
+            case _ => c.off = tlvEnd // charsets, PK, geometry types: skip
+          }
+          if (c.off != tlvEnd) c.off = tlvEnd
+        }
+      } catch {
+        case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException =>
+          // keep identity + fallbacks; drop the partial optional metadata
+          names = Array.empty
+          enumLabels = Map.empty
+          setLabels = Map.empty
+      }
+      Some(TableMapInfo(tableId, schema, table, types, meta,
+        names, unsigned, enumLabels, setLabels))
     } catch {
       case _: ArrayIndexOutOfBoundsException => None
     }
@@ -145,10 +241,11 @@ object BinlogRows {
     * TABLE_MAP.
     */
   def tableInfo(ev: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow =
-    parseTableMap(ev) match {
-      case Some((id, schema, table, types, _)) =>
+    parseTableMap(ev, hasCrc = false) match {
+      case Some(tm) =>
         org.apache.spark.sql.catalyst.InternalRow(
-          id, UTF8String.fromString(schema), UTF8String.fromString(table), types.length)
+          tm.tableId, UTF8String.fromString(tm.schema),
+          UTF8String.fromString(tm.table), tm.types.length)
       case None => null
     }
 
@@ -338,10 +435,15 @@ object BinlogRows {
   }
 
   /** One row image as a JSON object; null when a column type is
-    * unsupported (the caller then nulls the whole event).
+    * unsupported (the caller then nulls the whole event). Keys are the
+    * real column names when the TABLE_MAP carried them (FULL row
+    * metadata), positional `c0…cN` otherwise; ints honor SIGNEDNESS;
+    * ENUM/SET render their labels when the label lists are on the wire.
     */
-  private def image(c: Cursor, types: Array[Int], meta: Array[Int],
+  private def image(c: Cursor, tm: TableMapInfo,
       present: Array[Byte]): Option[String] = {
+    val types = tm.types
+    val meta = tm.meta
     val presentIdx = types.indices.filter(bit(present, _))
     val nullBm = c.bytes((presentIdx.size + 7) / 8)
     val sb = new StringBuilder("{")
@@ -351,11 +453,17 @@ object BinlogRows {
       val v: Option[String] =
         if (bit(nullBm, pi)) Some("null")
         else types(col) match {
-          case TINY => Some(c.i8().toString)
-          case SHORT => Some(c.i16().toString)
-          case INT24 => Some(c.i24().toString)
-          case LONG => Some(c.i32().toString)
-          case LONGLONG => Some(c.i64().toString)
+          case TINY =>
+            Some(if (tm.unsigned(col)) c.u8().toString else c.i8().toString)
+          case SHORT =>
+            Some(if (tm.unsigned(col)) c.u16().toString else c.i16().toString)
+          case INT24 =>
+            Some(if (tm.unsigned(col)) c.u24().toString else c.i24().toString)
+          case LONG =>
+            Some(if (tm.unsigned(col)) c.u32().toString else c.i32().toString)
+          case LONGLONG =>
+            Some(if (tm.unsigned(col)) java.lang.Long.toUnsignedString(c.i64())
+            else c.i64().toString)
           case YEAR => Some((1900 + c.u8()).toString)
           case FLOAT =>
             Some(java.lang.Float.intBitsToFloat(c.i32()).toString)
@@ -451,12 +559,24 @@ object BinlogRows {
               real = m0 | 0x30
             }
             real match {
-              case ENUM => // ordinal; labels aren't on the wire
-                Some((if (maxLen == 1) c.u8() else c.u16()).toString)
-              case SET => // member bitmask, LE, pack-length bytes
+              case ENUM => // label when FULL metadata carries it; else ordinal
+                val ord = if (maxLen == 1) c.u8() else c.u16()
+                tm.enumLabels.get(col) match {
+                  case Some(labels) if ord >= 1 && ord <= labels.length =>
+                    Some("\"" + jsonEscape(labels(ord - 1)) + "\"")
+                  case Some(_) if ord == 0 => Some("\"\"") // invalid/empty enum
+                  case _ => Some(ord.toString)
+                }
+              case SET => // member labels when on the wire; else the bitmask
                 var v = 0L; var i = 0
                 while (i < maxLen) { v |= (c.u8().toLong << (8 * i)); i += 1 }
-                Some(v.toString)
+                tm.setLabels.get(col) match {
+                  case Some(labels) if v >>> labels.length == 0 =>
+                    val members = (0 until labels.length)
+                      .filter(b => (v & (1L << b)) != 0).map(labels)
+                    Some("\"" + jsonEscape(members.mkString(",")) + "\"")
+                  case _ => Some(v.toString)
+                }
               case STRING | VAR_STRING =>
                 val len = if (maxLen > 255) c.u16() else c.u8()
                 Some("\"" + jsonEscape(new String(c.bytes(len),
@@ -468,7 +588,8 @@ object BinlogRows {
       if (v.isEmpty) return None
       if (!first) sb.append(',')
       first = false
-      sb.append("\"c").append(col).append("\":").append(v.get)
+      val key = if (tm.names.nonEmpty) jsonEscape(tm.names(col)) else s"c$col"
+      sb.append('"').append(key).append("\":").append(v.get)
       pi += 1
     }
     Some(sb.append('}').toString())
@@ -486,31 +607,30 @@ object BinlogRows {
     if (rowsEvent.length < BinlogWire.HeaderLen + 10) return null
     val tpe = rowsEvent(4) & 0xff
     if (tpe != WRITE && tpe != UPDATE && tpe != DELETE) return null
-    val tm = parseTableMap(tableMapEvent).orNull
+    val tm = parseTableMap(tableMapEvent, hasCrc).orNull
     if (tm == null) return null
-    val (tableId, _, _, types, meta) = tm
     try {
       val end = rowsEvent.length - (if (hasCrc) 4 else 0)
       val c = new Cursor(rowsEvent, BinlogWire.HeaderLen)
-      if (c.u48() != tableId) return null // wrong TABLE_MAP pairing
+      if (c.u48() != tm.tableId) return null // wrong TABLE_MAP pairing
       c.u16() // flags
       val extraLen = c.u16() // v2 extra-data length, INCLUDES these 2 bytes
       if (extraLen > 2) c.bytes(extraLen - 2)
       val nCols = c.lenenc().toInt
-      if (nCols != types.length) return null
+      if (nCols != tm.types.length) return null
       val present = c.bytes((nCols + 7) / 8)
       val presentAfter = if (tpe == UPDATE) c.bytes((nCols + 7) / 8) else present
       val out = scala.collection.mutable.ArrayBuffer.empty[Any]
       while (c.off < end) {
         val j = tpe match {
           case WRITE =>
-            image(c, types, meta, present).map(a => s"""{"after":$a}""")
+            image(c, tm, present).map(a => s"""{"after":$a}""")
           case DELETE =>
-            image(c, types, meta, present).map(b => s"""{"before":$b}""")
+            image(c, tm, present).map(b => s"""{"before":$b}""")
           case UPDATE =>
             for {
-              b <- image(c, types, meta, present)
-              a <- image(c, types, meta, presentAfter)
+              b <- image(c, tm, present)
+              a <- image(c, tm, presentAfter)
             } yield s"""{"before":$b,"after":$a}"""
         }
         if (j.isEmpty || c.off > end) return null // unsupported type / torn image

@@ -129,13 +129,14 @@ object VectorQueries {
         .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
       val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
-      val w = Window.partitionBy("va").orderBy(round(col("cos"), 6).desc, col("vb"))
-      a.join(b, col("va") =!= col("vb"))
+      // Even the yardstick ranks with the bounded-state two-level top-k
+      // (per-partition top-3, then a (#partitions × 3)-row merge per va)
+      // rather than a row_number window — sorting all n² candidate rows is
+      // a second scale-killer on top of the deliberate cartesian. Ordering
+      // struct (round(cos,6) desc, vb asc) matches the oracle's tie-break.
+      val scored = a.join(b, col("va") =!= col("vb"))
         .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("va"), col("rn"), col("vb"), round(col("cos"), 4).as("cos_r"))
-        .orderBy("va", "rn")
+      knnTop3(scored)
     },
 
     // The sub-quadratic k-NN join (no DuckDB oracle — recall
@@ -170,17 +171,13 @@ object VectorQueries {
         .select(col("vec_id").as("va"), col("qe"), col("qn"),
           explode(col("cs.c_id")).as("cell"))
       val cos = dot(col("qe"), col("te")) / (col("qn") * col("tn"))
-      val w = Window.partitionBy("va").orderBy(round(col("cos"), 6).desc, col("vb"))
-      probes.join(cells, Seq("cell"))
+      val scored = probes.join(cells, Seq("cell"))
         .filter(col("va") =!= col("t_id"))
         .select(col("va"), col("t_id").as("vb"), col("qe"), col("te"),
           col("qn"), col("tn"))
         .dropDuplicates("va", "vb")
         .withColumn("cos", cos)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("va"), col("rn"), col("vb"), round(col("cos"), 4).as("cos_r"))
-        .orderBy("va", "rn")
+      knnTop3(scored)
     },
 
     // Symmetric int8 quantization of the embedding column (the 4× storage
@@ -462,6 +459,29 @@ object VectorQueries {
       .filter(col("rn") <= 3)
       .select(col("q_id"), col("t_id"), round(col("cos"), 4).as("cos_r"), col("rn"))
       .orderBy("q_id", "rn")
+  }
+
+  /** Per-va top-3 of a scored (va, vb, cos) candidate set via the
+    * bounded-state two-level aggregation (the PQ shortlist shape): each
+    * task keeps its local top-3 per va, the merge ranks only
+    * (#partitions × 3) rows per va, and posexplode assigns ranks — no
+    * row_number window, so no global sort of the candidate set. Ordering
+    * is (round(cos, 6) desc, vb asc), identical to the oracle's.
+    */
+  private def knnTop3(scored: DataFrame): DataFrame = {
+    val cand = struct(round(col("cos"), 6).as("s"), (-col("vb")).as("nv"),
+      col("vb"), col("cos"))
+    scored
+      .select(col("va"), cand.as("c"), spark_partition_id().as("part"))
+      .groupBy("va", "part")
+      .agg(slice(sort_array(collect_list(col("c")), asc = false), 1, 3).as("cs"))
+      .select(col("va"), explode(col("cs")).as("c"))
+      .groupBy("va")
+      .agg(slice(sort_array(collect_list(col("c")), asc = false), 1, 3).as("cs"))
+      .select(col("va"), posexplode(col("cs")))
+      .select(col("va"), (col("pos") + 1).as("rn"), col("col.vb").as("vb"),
+        round(col("col.cos"), 4).as("cos_r"))
+      .orderBy("va", "rn")
   }
 
   private def ivfQuery(s: SparkSession, dir: String): DataFrame = {

@@ -37,7 +37,8 @@ class BinlogRowsSpec extends SparkSuite {
     * VARCHAR(300)).
     */
   private def tableMap(types: Seq[Int] = Seq(3, 15, 5, 8, 1, 15),
-      metas: Seq[Int] = Seq(0, 20, 8, 0, 0, 300)): Array[Byte] = {
+      metas: Seq[Int] = Seq(0, 20, 8, 0, 0, 300),
+      optMeta: Array[Byte] = Array.empty): Array[Byte] = {
     val b = new Buf
     b.u48(TableId).u16(1)
     b.u8(3).str("db!").u8(0)   // schema name + NUL
@@ -57,7 +58,8 @@ class BinlogRowsSpec extends SparkSuite {
       case _ => ()
     }
     b.u8(meta.bytes.length).raw(meta.bytes)
-    b.u8(0) // null-allowed bitmap (unused by the decoder)
+    b.u8(0)        // null-allowed bitmap (unused by the decoder)
+    b.raw(optMeta) // optional metadata TLVs (binlog_row_metadata=FULL)
     event(1700000100L, 19, 1, 0, 0, b.bytes)
   }
 
@@ -244,6 +246,65 @@ class BinlogRowsSpec extends SparkSuite {
     }
     assert(decode(ev, tableMap(types, metas)) == Seq(
       s"""{"after":{"c0":2748,"c1":"héllo","c2":"abc","c3":2,"c4":5,"c5":"$wide"}}"""))
+  }
+
+  test("FULL row metadata: real column names, signedness, enum/set labels") {
+    def tlv(tpe: Int)(fill: Buf => Unit): Array[Byte] = {
+      val body = new Buf; fill(body)
+      val b = new Buf
+      b.u8(tpe).u8(body.bytes.length) // lenenc length < 251 = one byte
+      b.raw(body.bytes).bytes
+    }
+    def named(ns: String*): Array[Byte] = tlv(4) { b =>
+      ns.foreach { n => b.u8(n.length).str(n) }
+    }
+
+    // column names become the JSON keys (instead of positional c0..cN)
+    val tmNames = tableMap(Seq(3, 15), Seq(0, 20), optMeta = named("id", "name"))
+    val ev1 = writeRows(2) { b =>
+      b.u32(7L)
+      b.u8(3).str("abc")
+    }
+    assert(decode(ev1, tmNames) == Seq("""{"after":{"id":7,"name":"abc"}}"""))
+
+    // SIGNEDNESS: MSB-first bits over numeric columns — unsigned TINY and
+    // BIGINT render their full unsigned range instead of going negative
+    val signed = tlv(1)(_.u8(0xC0)) // both numeric cols unsigned
+    val tmU = tableMap(Seq(1, 8), Seq(0, 0), optMeta = signed ++ named("flags", "big"))
+    val ev2 = writeRows(2) { b =>
+      b.u8(0xFF)
+      b.u64(-1L)
+    }
+    assert(decode(ev2, tmU) ==
+      Seq("""{"after":{"flags":255,"big":18446744073709551615}}"""))
+    // without the metadata the same bytes decode signed (the old fallback)
+    assert(decode(ev2, tableMap(Seq(1, 8), Seq(0, 0))) ==
+      Seq("""{"after":{"c0":-1,"c1":-1}}"""))
+
+    // ENUM/SET labels from the wire: ordinals/bitmasks render as text
+    val enumLabels = tlv(6) { b =>
+      b.u8(3) // 3 labels for the one enum column
+      Seq("red", "green", "blue").foreach(l => b.u8(l.length).str(l))
+    }
+    val setLabels = tlv(5) { b =>
+      b.u8(3)
+      Seq("a", "b", "c").foreach(l => b.u8(l.length).str(l))
+    }
+    val tmES = tableMap(Seq(254, 254), Seq((247 << 8) | 1, (248 << 8) | 1),
+      optMeta = enumLabels ++ setLabels)
+    val ev3 = writeRows(2) { b =>
+      b.u8(2)    // enum ordinal 2 -> green
+      b.u8(0x5)  // set bitmask 101 -> a,c
+    }
+    assert(decode(ev3, tmES) == Seq("""{"after":{"c0":"green","c1":"a,c"}}"""))
+    // without labels: the wire ordinal/bitmask fallback
+    assert(decode(ev3, tableMap(Seq(254, 254), Seq((247 << 8) | 1, (248 << 8) | 1))) ==
+      Seq("""{"after":{"c0":2,"c1":5}}"""))
+
+    // truncated optional metadata abandons the optional part, never the row
+    val torn = named("id", "name").dropRight(2)
+    assert(decode(ev1, tableMap(Seq(3, 15), Seq(0, 20), optMeta = torn)) ==
+      Seq("""{"after":{"c0":7,"c1":"abc"}}"""))
   }
 
   test("JSON column: json_binary documents render back to JSON text") {
