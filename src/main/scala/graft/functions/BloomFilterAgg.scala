@@ -153,7 +153,7 @@ object BloomFilterAgg {
     while (i < k) {
       val bit = java.lang.Math.floorMod(h1 + i * h2, numBits)
       val byteIdx = 8 + (bit >>> 6).toInt * 8 + 7 - ((bit & 63) >>> 3).toInt
-      if (((blob(byteIdx) >> (bit & 7)) & 1) == 0) return false
+      if (((blob(byteIdx) >> (bit & 7L).toInt) & 1) == 0) return false
       i += 1
     }
     true

@@ -318,7 +318,7 @@ object DedupQueries {
         math.max(1L << 16, (10L * nCorpus + 63) / 64 * 64)).toInt
       corpus
         .agg(graft.functions.BloomFilterAgg.bloom_agg(xxhash64(col("text")), bloomBits, 5))
-        .head.getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0)
     })
   }
 
