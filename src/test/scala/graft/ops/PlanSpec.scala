@@ -77,6 +77,18 @@ class PlanSpec extends SparkSuite {
     assert(scans == 1, s"expected 1 scan, saw $scans:\n$p")
   }
 
+  test("knn join ranks via bounded-state top-k — no Window over the candidate set") {
+    // the deliberate cartesian is gated; a row_number window over its n²
+    // candidate rows would be a SECOND scale-killer (global sort) — both
+    // knn queries must keep the per-partition top-3 + tiny-merge shape
+    Seq("sim_knn_join", "sim_ann_knn").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Window"), s"$name grew a window sort:\n$p")
+      // posexplode of the merged top-3 array is the bounded-rank marker
+      assert(p.contains("posexplode"), s"$name lost the bounded-state rank:\n$p")
+    }
+  }
+
   test("events_retention derives cohorts via window-min: one scan, no self-join") {
     val p = plan("events_retention")
     val scans = "Scan parquet".r.findAllIn(p).size
