@@ -223,10 +223,14 @@ object BinlogRows {
         }
       } catch {
         case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException =>
-          // keep identity + fallbacks; drop the partial optional metadata
+          // keep identity + fallbacks; drop the partial optional metadata —
+          // ALL of it: a TLV that throws after SIGNEDNESS must not leave
+          // signedness applied while names/labels are dropped (the fallback
+          // state is fully positional/signed)
           names = Array.empty
           enumLabels = Map.empty
           setLabels = Map.empty
+          java.util.Arrays.fill(unsigned, false)
       }
       Some(TableMapInfo(tableId, schema, table, types, meta,
         names, unsigned, enumLabels, setLabels))
@@ -571,7 +575,10 @@ object BinlogRows {
                 var v = 0L; var i = 0
                 while (i < maxLen) { v |= (c.u8().toLong << (8 * i)); i += 1 }
                 tm.setLabels.get(col) match {
-                  case Some(labels) if v >>> labels.length == 0 =>
+                  // JVM long shifts are mod 64, so a 64-member SET's
+                  // `v >>> 64` is a no-op — any label count >= 64 means no
+                  // out-of-range bit can exist and the guard must pass
+                  case Some(labels) if labels.length >= 64 || (v >>> labels.length) == 0 =>
                     val members = (0 until labels.length)
                       .filter(b => (v & (1L << b)) != 0).map(labels)
                     Some("\"" + jsonEscape(members.mkString(",")) + "\"")

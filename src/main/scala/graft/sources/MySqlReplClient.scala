@@ -390,10 +390,15 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
   }
 
   /** Streaming per-file GTID scan. A GTID is HELD only when its group
-    * provably ended inside the spool: an XID or a non-BEGIN query event
-    * (COMMIT/ROLLBACK/DDL) terminates it, and so does the next group's
-    * GTID event or a ROTATE — group events are contiguous, so a successor
-    * group proves the predecessor arrived whole. The stream can die
+    * provably ended inside the spool: an XID, an explicit transaction
+    * ender (COMMIT/ROLLBACK/XA COMMIT/XA ROLLBACK/XA PREPARE), or an
+    * auto-committed statement outside any BEGIN (DDL) terminates it, and
+    * so does the next group's GTID event or a ROTATE — group events are
+    * contiguous, so a successor group proves the predecessor arrived
+    * whole. A Query event INSIDE an open BEGIN…COMMIT (STATEMENT/MIXED
+    * format DML) is non-terminating: sealing there would mark the GTID
+    * committed before its COMMIT arrived, and a stream death in between
+    * would permanently lose the group's tail. The stream can die
     * mid-group (network error, [[close]], `maxEvents`); counting that torn
     * group as held would make both the master-side filter and the
     * client-side skip drop the missing tail forever — a silently and
@@ -416,9 +421,14 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
     var hasCrc = false
     // (seal action, byte offset of the group's GTID event)
     var pending: Option[(() => Unit, Long)] = None
+    // whether the open group was opened by an explicit BEGIN — a Query
+    // event inside BEGIN…COMMIT (STATEMENT/MIXED format DML) must NOT
+    // terminate the group; only COMMIT/ROLLBACK/XA enders do
+    var inBegin = false
     def sealPending(): Unit = {
       pending.foreach { case (seal, _) => seal() }
       pending = None
+      inBegin = false
     }
     val in = new BufferedInputStream(Files.newInputStream(path))
     try {
@@ -476,8 +486,18 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
                     case 16 => sealPending()
                     case 2 =>
                       val q = BinlogWire.decodeQuery(ev, hasCrc)
-                      val sql = if (q == null) "" else q.getUTF8String(4).toString
-                      if (!sql.trim.equalsIgnoreCase("BEGIN")) sealPending()
+                      val sql =
+                        if (q == null) "" else q.getUTF8String(4).toString.trim
+                      val u = sql.toUpperCase(java.util.Locale.ROOT)
+                      if (u == "BEGIN") inBegin = true
+                      else if (u == "COMMIT" || u == "ROLLBACK" ||
+                        u.startsWith("XA COMMIT") || u.startsWith("XA ROLLBACK") ||
+                        u.startsWith("XA PREPARE")) sealPending()
+                      else if (!inBegin) sealPending()
+                      // else: a DML statement inside an open BEGIN…COMMIT
+                      // (STATEMENT/MIXED binlog) — non-terminating; the group
+                      // stays pending until its real ender, matching replica
+                      // executed-GTID semantics
                     case 4 => sealPending()
                     case _ => ()
                   }
@@ -700,9 +720,15 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
         } else {
           // a real ROTATE is the file's last event: spool it, then switch.
           // Still-suppressed means the master re-streamed a file whose
-          // every group we hold — its bytes (rotate included, when the
-          // spool has one) are already there; appending would duplicate.
-          if (!suppressPreamble) { append(current, ev); spooled += 1 }
+          // every group we hold — its bytes are already there; appending
+          // would duplicate. EXCEPT the ROTATE itself: if the previous
+          // stream died after the last XID but before spooling the ROTATE,
+          // the file lacks its terminating event, so compare the spool tail
+          // byte-for-byte (the re-streamed ROTATE is the same bytes read
+          // from the master's binlog file) and append when absent.
+          if (!suppressPreamble || !spoolEndsWith(current, ev)) {
+            append(current, ev); spooled += 1
+          }
           openFile(next)
         }
       } else {
@@ -726,6 +752,23 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
     if (name.isEmpty) return 0L
     val p = spoolDir.resolve(name)
     if (Files.exists(p)) Files.size(p) else 0L
+  }
+
+  /** Do the spool file's last `event.length` bytes equal `event`? Used to
+    * decide whether a suppressed re-streamed file already holds its
+    * terminating ROTATE (torn-at-the-very-end recovery, see the dump loop).
+    */
+  private def spoolEndsWith(name: String, event: Array[Byte]): Boolean = {
+    val size = spoolEnd(name)
+    if (size < event.length) return false
+    val p = spoolDir.resolve(name)
+    val ch = java.nio.channels.FileChannel.open(p, StandardOpenOption.READ)
+    try {
+      val buf = java.nio.ByteBuffer.allocate(event.length)
+      ch.position(size - event.length)
+      while (buf.hasRemaining && ch.read(buf) >= 0) ()
+      java.util.Arrays.equals(buf.array(), event)
+    } finally ch.close()
   }
 
   /** Append one complete event; a fresh spool file starts with the binlog

@@ -18,13 +18,14 @@ import java.nio.charset.StandardCharsets.UTF_8
   * connection-per-worker shape as [[FastHttp]]'s pooling; RESP pipelining
   * is unnecessary at the queue's batch sizes.
   */
-final class RespClient(host: String, port: Int, timeoutMs: Int = 10000)
-    extends AutoCloseable {
+final class RespClient(host: String, port: Int, timeoutMs: Int = 10000,
+    soTimeoutMs: Int = 10000) extends AutoCloseable {
 
   private val socket = new Socket()
   socket.setTcpNoDelay(true)
   socket.connect(new InetSocketAddress(host, port), timeoutMs)
-  socket.setSoTimeout(timeoutMs)
+  // 0 = no read deadline — required for a BLPOP that blocks indefinitely
+  socket.setSoTimeout(soTimeoutMs)
   private val in = new BufferedInputStream(socket.getInputStream)
   private val out = new BufferedOutputStream(socket.getOutputStream)
 
@@ -99,10 +100,16 @@ final case class RespErr(message: String) extends RespReply
 final case class RespArr(items: Vector[RespReply]) extends RespReply
 
 /** The reference's queue VERBATIM: one Redis list (`cdc_events`,
-  * `main.go:38`), `RPUSH` on delivery (`main.go:95`), popped by the drain
-  * worker (`main.go:383-419`). Items frame as `group \t payload` — the
-  * same unambiguous framing [[FileQueue]] uses (payloads are single-line
-  * JSON).
+  * `main.go:38`), `RPUSH` of the BARE JSON payload on delivery
+  * (`main.go:95`), popped by the drain worker which re-derives the routing
+  * group from the payload itself (`extractTableNameFromPayload` +
+  * `getGroupForTable`, `main.go:403-406,421-430`). No extra framing: a
+  * reference worker drains items this engine pushed and vice versa — the
+  * mixed-deployment interop a drop-in replacement owes its user. The
+  * `group` the enqueue side already resolved is therefore NOT stored
+  * (drain re-resolves it, exactly like the reference), and [[drain]] hands
+  * consumers `("", payload)` — [[Sinks.drainQueue]] ignores the group slot
+  * and extracts table→group from the payload either way.
   *
   * Durability semantics match the reference, not [[FileQueue]]: an RPUSH
   * is visible immediately, so a failed partition task's retry surfaces as
@@ -114,8 +121,8 @@ final case class RespArr(items: Vector[RespReply]) extends RespReply
 final case class RedisQueue(host: String, port: Int,
     key: String = "cdc_events", password: String = "") extends DurableQueue {
 
-  private def connect(): RespClient = {
-    val conn = new RespClient(host, port)
+  private def connect(soTimeoutMs: Int = 10000): RespClient = {
+    val conn = new RespClient(host, port, soTimeoutMs = soTimeoutMs)
     // the reference authenticates through its client options
     // (`main.go:347-352`); empty password = the unauthenticated default
     if (password.nonEmpty) conn.command("AUTH", password)
@@ -126,7 +133,7 @@ final case class RedisQueue(host: String, port: Int,
     private var conn: RespClient = _
     override def enqueue(group: String, payload: String): Unit = {
       if (conn == null) conn = connect()
-      conn.command("RPUSH", key, group + "\t" + payload)
+      conn.command("RPUSH", key, payload) // bare payload, main.go:95
       ()
     }
     override def close(): Unit = if (conn != null) conn.close()
@@ -140,9 +147,47 @@ final case class RedisQueue(host: String, port: Int,
       var done = false
       while (!done) {
         conn.command("LPOP", key) match {
-          case RespStr(item) =>
-            val tab = item.indexOf('\t')
-            if (tab >= 0) { handle(item.substring(0, tab), item.substring(tab + 1)); n += 1 }
+          case RespStr(payload) => handle("", payload); n += 1
+          case _ => done = true
+        }
+      }
+      n
+    } finally conn.close()
+  }
+
+  /** One BLOCKING pop — the reference worker's exact command
+    * (`BLPop(redisCtx, 0, redisQueueKey)`, `main.go:392`): parks the
+    * connection server-side until an item lands or `timeoutSec` expires
+    * (`0` = block indefinitely, the reference's setting). Reply is a
+    * two-element array `[key, value]`, or nil on timeout.
+    */
+  def blockingPop(timeoutSec: Int): Option[String] = {
+    // the socket read deadline must outlast the server-side block
+    val so = if (timeoutSec == 0) 0 else timeoutSec * 1000 + 10000
+    val conn = connect(soTimeoutMs = so)
+    try conn.command("BLPOP", key, timeoutSec.toString) match {
+      case RespArr(Vector(_, RespStr(payload))) => Some(payload)
+      case _ => None
+    } finally conn.close()
+  }
+
+  /** The reference's drain-worker loop shape (`main.go:383-419`): block on
+    * the list, handle each item as it lands, stop once the queue stays
+    * empty for `idleTimeoutSec` (the reference blocks forever; a bounded
+    * idle timeout is what makes the worker testable and schedulable).
+    * Destructive like the reference — an item popped right before a crash
+    * is lost; the non-destructive exactly-once alternative is the
+    * [[Sinks.queueStream]] file-source path.
+    */
+  def drainBlocking(handle: (String, String) => Unit, idleTimeoutSec: Int): Long = {
+    val so = if (idleTimeoutSec == 0) 0 else idleTimeoutSec * 1000 + 10000
+    val conn = connect(soTimeoutMs = so)
+    try {
+      var n = 0L
+      var done = false
+      while (!done) {
+        conn.command("BLPOP", key, idleTimeoutSec.toString) match {
+          case RespArr(Vector(_, RespStr(payload))) => handle("", payload); n += 1
           case _ => done = true
         }
       }

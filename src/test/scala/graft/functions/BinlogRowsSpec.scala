@@ -307,6 +307,41 @@ class BinlogRowsSpec extends SparkSuite {
       Seq("""{"after":{"c0":7,"c1":"abc"}}"""))
   }
 
+  test("torn TLV drops signedness with the rest; 64-member SET renders labels") {
+    def tlv(tpe: Int)(fill: Buf => Unit): Array[Byte] = {
+      val body = new Buf; fill(body)
+      val b = new Buf
+      b.u8(tpe).u8(body.bytes.length)
+      b.raw(body.bytes).bytes
+    }
+    def named(ns: String*): Array[Byte] = tlv(4) { b =>
+      ns.foreach { n => b.u8(n.length).str(n) }
+    }
+
+    // a TLV block that throws AFTER SIGNEDNESS parsed must not leave
+    // signedness applied while names/labels were dropped — the fallback
+    // state is fully positional AND signed
+    val signed = tlv(1)(_.u8(0xC0))
+    val torn = signed ++ named("flags", "big").dropRight(2)
+    val ev = writeRows(2) { b =>
+      b.u8(0xFF)
+      b.u64(-1L)
+    }
+    assert(decode(ev, tableMap(Seq(1, 8), Seq(0, 0), optMeta = torn)) ==
+      Seq("""{"after":{"c0":-1,"c1":-1}}"""))
+
+    // a maximal 64-member SET: JVM long shifts are mod 64, so the
+    // out-of-range-bit guard must special-case labels.length >= 64 —
+    // bits 0 and 63 set render as labels, not as the numeric bitmask
+    val set64 = tlv(5) { b =>
+      b.u8(64)
+      (0 until 64).foreach(_ => b.u8(1).str("a"))
+    }
+    val tm64 = tableMap(Seq(254), Seq((248 << 8) | 8), optMeta = set64)
+    val ev64 = writeRows(1)(_.u64(0x8000000000000001L))
+    assert(decode(ev64, tm64) == Seq("""{"after":{"c0":"a,a"}}"""))
+  }
+
   test("JSON column: json_binary documents render back to JSON text") {
     // one JSON column, 4-byte length prefix (what mysqld writes)
     val tm = tableMap(Seq(245), Seq(4))

@@ -90,6 +90,19 @@ class MySqlReplClientSpec extends SparkSuite {
   private def xev(ts: Long, xid: Long): Array[Byte] =
     cev(ts, 16, 0, ByteBuffer.allocate(8).order(LITTLE_ENDIAN).putLong(xid).array())
 
+  /** Query event (type 2, checksummed): 13-byte post-header (thread, exec
+    * time, schema len, error code, status-vars len), schema + NUL, SQL —
+    * the STATEMENT/MIXED-format group payload.
+    */
+  private def qev(ts: Long, sql: String): Array[Byte] = {
+    val schema = "shop".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val body = Array[Byte](7, 0, 0, 0) ++ Array[Byte](0, 0, 0, 0) ++
+      Array[Byte](schema.length.toByte) ++ Array[Byte](0, 0) ++
+      Array[Byte](0, 0) ++ schema ++ Array[Byte](0) ++
+      sql.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    cev(ts, 2, 0, body)
+  }
+
   /** PREVIOUS_GTIDS event (type 35): the gtid-set payload after the FDE. */
   private def pgev(ts: Long, prior: GtidSet): Array[Byte] =
     cev(ts, 35, 0, prior.encode)
@@ -573,6 +586,60 @@ class MySqlReplClientSpec extends SparkSuite {
       assert(Files.readAllBytes(spool.resolve("fake-bin.000001")).sameElements(
         BinlogTestData.magic ++ g1._2.reduce(_ ++ _)))
     } finally m2.close()
+  }
+
+  test("statement-format groups: DML inside BEGIN never seals; bare DDL does") {
+    // In a STATEMENT/MIXED binlog a group's payload is Query events, and
+    // only an explicit ender (COMMIT/ROLLBACK/XA …) — or an auto-committed
+    // statement with no BEGIN (DDL) — terminates it. gno 1 = BEGIN + DML +
+    // COMMIT (held); gno 2 = bare DDL (held); gno 3 = BEGIN + DML +
+    // ROLLBACK (held — the group completed); gno 4 = BEGIN + DML with the
+    // stream dead before COMMIT. The DMLs must NOT seal their groups:
+    // counting gno 4 as committed would make resume skip its re-send and
+    // silently lose the tail forever.
+    val spool = Files.createTempDirectory("repl_stmt_seal")
+    val evs = Seq(fdeEvent(120), pgev(1700000000L, GtidSet.Empty),
+      gev(1700000001L, 0, 1L), qev(1700000001L, "BEGIN"),
+      qev(1700000001L, "INSERT INTO t VALUES (1)"), qev(1700000001L, "COMMIT"),
+      gev(1700000002L, 0, 2L), qev(1700000002L, "CREATE TABLE u (id INT)"),
+      gev(1700000003L, 0, 3L), qev(1700000003L, "BEGIN"),
+      qev(1700000003L, "DELETE FROM t"), qev(1700000003L, "ROLLBACK"),
+      gev(1700000004L, 0, 4L), qev(1700000004L, "BEGIN"),
+      qev(1700000004L, "UPDATE t SET a = 2"))
+    Files.write(spool.resolve("fake-bin.000001"),
+      BinlogTestData.magic ++ evs.reduce(_ ++ _))
+    val probe = new BinlogSpoolClient(
+      ReplConfig("127.0.0.1", 1, "repl", useGtid = true), spool)
+    assert(probe.resumeGtidSet().text == s"$SidText:1-3")
+  }
+
+  test("a spool that died before the terminating ROTATE gets it on resume") {
+    // the previous stream died after file 1's last XID but BEFORE spooling
+    // the real ROTATE: every group is held, so the re-streamed file stays
+    // preamble-suppressed end to end — the ROTATE must still be appended
+    // (the spool tail doesn't already hold it), restoring byte-identity
+    val spool = Files.createTempDirectory("repl_missing_rotate")
+    Files.write(spool.resolve(g1._1),
+      BinlogTestData.magic ++ g1._2.dropRight(1).reduce(_ ++ _))
+    val g2empty = "fake-bin.000002" ->
+      Seq(fdeEvent(120), pgev(1700000003L, GtidSet.parse(s"$SidText:1-2")))
+    val m = new FakeMySqlMaster("repl", "", Seq(g1, g2empty))
+    try {
+      val c1 = new BinlogSpoolClient(
+        ReplConfig("127.0.0.1", m.port, "repl", useGtid = true), spool)
+      try c1.run() finally c1.close()
+      assert(Files.readAllBytes(spool.resolve(g1._1)).sameElements(
+        BinlogTestData.magic ++ g1._2.reduce(_ ++ _)))
+      // a SECOND resume must not append the ROTATE again (tail-compare
+      // sees it): both files stay byte-identical
+      val c2 = new BinlogSpoolClient(
+        ReplConfig("127.0.0.1", m.port, "repl", useGtid = true), spool)
+      try c2.run() finally c2.close()
+      assert(Files.readAllBytes(spool.resolve(g1._1)).sameElements(
+        BinlogTestData.magic ++ g1._2.reduce(_ ++ _)))
+      assert(Files.readAllBytes(spool.resolve("fake-bin.000002")).sameElements(
+        BinlogTestData.magic ++ g2empty._2.reduce(_ ++ _)))
+    } finally m.close()
   }
 
   test("position resume truncates a torn trailing frame before appending") {

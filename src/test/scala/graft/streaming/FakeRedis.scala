@@ -84,6 +84,30 @@ final class FakeRedis(requirePass: String = "") extends AutoCloseable {
                     out.write(s"$$${bytes.length}\r\n".getBytes(UTF_8))
                     out.write(bytes); out.write('\r'); out.write('\n'); out.flush()
                   }
+                case "BLPOP" =>
+                  // BLPOP key timeout — block until an item lands or the
+                  // timeout (seconds, 0 = forever) expires; reply is the
+                  // two-element [key, value] array or a nil array
+                  val timeoutSec = args(2).toDouble
+                  val deadline =
+                    if (timeoutSec == 0) Long.MaxValue
+                    else System.nanoTime() + (timeoutSec * 1e9).toLong
+                  var v: String = null
+                  while (v == null && System.nanoTime() < deadline && !server.isClosed) {
+                    v = listFor(args(1)).poll()
+                    if (v == null) Thread.sleep(5)
+                  }
+                  if (v == null) reply("*-1\r\n")
+                  else {
+                    val kb = args(1).getBytes(UTF_8)
+                    val vb = v.getBytes(UTF_8)
+                    out.write("*2\r\n".getBytes(UTF_8))
+                    out.write(s"$$${kb.length}\r\n".getBytes(UTF_8))
+                    out.write(kb); out.write('\r'); out.write('\n')
+                    out.write(s"$$${vb.length}\r\n".getBytes(UTF_8))
+                    out.write(vb); out.write('\r'); out.write('\n')
+                    out.flush()
+                  }
                 case "LLEN" => reply(s":${listFor(args(1)).size}\r\n")
                 case other => reply(s"-ERR unknown command '$other'\r\n")
               }

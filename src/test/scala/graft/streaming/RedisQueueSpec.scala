@@ -48,6 +48,48 @@ class RedisQueueSpec extends SparkSuite {
     } finally redis.close()
   }
 
+  test("reference interop: the list holds BARE payloads, both directions drain") {
+    val redis = new FakeRedis
+    try {
+      val q = RedisQueue("127.0.0.1", redis.port)
+      val payload = """{"before":null,"after":{"id":"1"},"source":{"table":"orders"}}"""
+      val c = q.client()
+      c.enqueue("grp_sales", payload)
+      c.close()
+      // what sits in cdc_events is the bare JSON the reference's own drain
+      // worker parses (main.go:403-406) — no group prefix, no framing
+      assert(redis.lists.get("cdc_events").peek() == payload)
+      // and an item the REFERENCE pushed (bare JSON) drains symmetrically:
+      // the group slot is empty, the consumer re-derives it from the payload
+      val seen = scala.collection.mutable.Buffer[(String, String)]()
+      assert(q.drain((g, p) => { seen += ((g, p)); () }) == 1)
+      assert(seen.toSeq == Seq(("", payload)))
+    } finally redis.close()
+  }
+
+  test("BLPOP: a blocking drain parks until a concurrent RPUSH lands") {
+    val redis = new FakeRedis
+    try {
+      val q = RedisQueue("127.0.0.1", redis.port)
+      // empty queue + 1s timeout → nil, no throw
+      assert(q.blockingPop(1).isEmpty)
+      // a parked worker wakes when another connection RPUSHes
+      val popped = new java.util.concurrent.atomic.AtomicReference[String]()
+      val worker = new Thread(() => popped.set(q.blockingPop(10).orNull))
+      worker.start()
+      Thread.sleep(300)
+      assert(popped.get == null, "worker must still be blocked on the empty list")
+      val c = q.client(); c.enqueue("g", "late-item"); c.close()
+      worker.join(10000)
+      assert(popped.get == "late-item")
+      // the worker-loop form consumes everything, returns on idle timeout
+      val c2 = q.client(); c2.enqueue("g", "a"); c2.enqueue("g", "b"); c2.close()
+      val got = scala.collection.mutable.Buffer[String]()
+      assert(q.drainBlocking((_, p) => { got += p; () }, idleTimeoutSec = 1) == 2)
+      assert(got.toSeq == Seq("a", "b"))
+    } finally redis.close()
+  }
+
   test("AUTH: a password-protected server accepts the right password only") {
     val redis = new FakeRedis(requirePass = "hunter2")
     try {
