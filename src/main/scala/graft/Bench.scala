@@ -16,6 +16,10 @@ import org.apache.spark.sql.SparkSession
   * median, so round-over-round deltas measure plans, not JIT/page-cache
   * warmup (r1→r2 "regressions" on unchanged code were exactly that noise).
   *
+  * A fixed calibration sentinel (see `calibrate()` below) is interleaved
+  * through the suite and reported as `calib` — the machine-speed index that
+  * separates "this run's machine was slow" from "a plan regressed".
+  *
   * Env knobs: SPARK_GRAFT_SF_DIR (data), SPARK_GRAFT_CPUS (local[N]),
   * SPARK_GRAFT_REPS, SPARK_GRAFT_ONLY=q1,q2 (subset for local iteration).
   */
@@ -69,13 +73,33 @@ object Bench {
     }
     val warmSec = (System.nanoTime() - warmT0) / 1e9
     try {
-      indexBuild = graft.ops.DedupQueries.warmCaches(spark, sfDir)
-      val ivfT0 = System.nanoTime()
-      graft.ops.VectorQueries.warmCodebook(spark, sfDir)
-      indexBuild :+= "ivf_pq" -> (System.nanoTime() - ivfT0) / 1e9
+      indexBuild = graft.ops.DedupQueries.warmCaches(spark, sfDir) ++
+        graft.ops.VectorQueries.warmCaches(spark, sfDir)
     } catch {
       case e: Throwable => System.err.println(s"[bench] index build failed (continuing): $e")
     }
+    // MACHINE-SPEED CALIBRATION: identical code benched 71.2 s vs 94.2 s
+    // across two r7 runs, with even the untimed index builds doubling — a
+    // machine-contention signature nothing in the JSON could prove. A fixed
+    // sentinel workload (pure compute + one small shuffle, NO parquet, NO
+    // session caches — immune to every plan change in the engine) is
+    // re-timed throughout the suite; its drift separates "the machine was
+    // slow" from "a plan regressed". Reported as `calib` {first, median,
+    // last, max, samples}: a flat calib + a slow query = plan regression,
+    // an inflated calib = discount the whole run accordingly.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      try spark.range(0, 20000000L, 1, cpus.toInt)
+        .selectExpr("id % 997 AS k", "xxhash64(id) AS h")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("h"))
+        .write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable => System.err.println(s"[bench] calib failed: $e") }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibEvery = 10 // one sentinel sample per ~10 queries
+    val calibSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    calibrate() // JIT/codegen warm for the sentinel shape itself, untimed
+    calibSamples += calibrate()
     // Local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 benches a subset.
     // Unknown names are a typo, not an empty bench — warn, and fail fast
     // when the filter selects nothing (a 0.0-total line reads as a result).
@@ -91,7 +115,8 @@ object Bench {
     val prev = readPrev().filter(_._3 == reps).map(p => (p._1, p._2))
     // noop sink forces full evaluation of every column (count() lets Spark
     // skip projections); -1 marks a failed query (median of reps otherwise).
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % calibEvery == 0) calibSamples += calibrate()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save();
@@ -103,6 +128,7 @@ object Bench {
         else times.sorted.apply(times.size / 2)
       name -> median
     }
+    calibSamples += calibrate()
     def ms3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def qmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + ms3(v) }.mkString("{", ",", "}")
@@ -133,10 +159,20 @@ object Bench {
     // full wall work (queries + index + warmup) is reconstructible.
     val idxJson =
       s""""index_build":${qmap(indexBuild)},"index_build_sec":${ms3(indexBuild.map(_._2).sum)},"""
+    // Calibration summary: median is the run's machine-speed index (compare
+    // across runs/rounds), max/min spread is the within-run stability. The
+    // full output also carries every sample in suite order so a mid-run
+    // contention window is locatable.
+    val cs = calibSamples.toSeq
+    val calibStats =
+      s""""first":${ms3(cs.head)},"median":${ms3(cs.sorted.apply(cs.size / 2))},""" +
+        s""""last":${ms3(cs.last)},"min":${ms3(cs.min)},"max":${ms3(cs.max)},"n":${cs.size}"""
+    val calibFullJson = s""""calib":{$calibStats,"samples":[${cs.map(ms3).mkString(",")}]},"""
+    val calibLineJson = s""""calib":{$calibStats},"""
     // Full per-query medians (+ deltas) to disk (unbounded, machine-readable).
     val full =
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","reps":$reps,""" +
-        s""""warm_sec":${ms3(warmSec)},$idxJson""" +
+        s""""warm_sec":${ms3(warmSec)},$idxJson$calibFullJson""" +
         s""""n_queries":${results.size},"n_failed":$failed,$deltaJson""" +
         s""""queries":${qmap(results)},"deltas":${qmap(deltas)},"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_full.json"), full.getBytes(StandardCharsets.UTF_8))
@@ -145,7 +181,7 @@ object Bench {
     val top5 = results.sortBy(-_._2).take(5)
     val line =
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","reps":$reps,""" +
-        s""""warm_sec":${ms3(warmSec)},$idxJson""" +
+        s""""warm_sec":${ms3(warmSec)},$idxJson$calibLineJson""" +
         s""""n_queries":${results.size},"n_failed":$failed,$deltaJson""" +
         s""""queries":${qmap(top5)},"sf":"$sfDir"}"""
     spark.stop()

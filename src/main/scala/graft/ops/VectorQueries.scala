@@ -23,6 +23,28 @@ object VectorQueries {
 
   private def l2(v: Column): Column = graft.functions.VectorOps.norm(v)
 
+  /** The normed embedding corpus `(vec_id, embedding, nrm)` — the vector
+    * family's shared scan, cached per (session, dir) under the same
+    * session-index policy as the dedup doc-array tier. Before r8 every
+    * vector query's prologue re-read parquet and recomputed `l2()` (the
+    * family's one shared repeated cost); a vector store computes the norm
+    * column once at ingest and serves it with the vectors, so the six
+    * search consumers (sim_cosine_topk, sim_ann_{lsh,ivf,pq,knn},
+    * sim_knn_join) share one materialization, pre-warmed and itemized by
+    * [[warmCaches]]. `emb_norm` deliberately still computes norms from
+    * parquet — norms ARE its answer; reading the cache would time nothing.
+    */
+  private val normedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[ops] def normedCorpus(s: SparkSession, dir: String): DataFrame = {
+    normedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    normedCache.computeIfAbsent((s, dir), _ =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+        .localCheckpoint())
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Vector norms + dimension via HOFs (no UDF, stays in codegen).
     "emb_norm" -> { (s, dir) =>
@@ -48,12 +70,12 @@ object VectorQueries {
     // table — the exact baseline every ANN variant is measured against.
     // Norms are computed once per row BEFORE the join (not per pair).
     "sim_cosine_topk" -> { (s, dir) =>
-      val e = Tables.embeddings(s, dir)
+      val e = normedCorpus(s, dir)
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-          l2(col("embedding")).as("qn"))
+          col("nrm").as("qn"))
       val t = e.select(col("vec_id").as("t_id"), col("embedding").as("te"),
-        l2(col("embedding")).as("tn"))
+        col("nrm").as("tn"))
       val cos = dot(col("qe"), col("te")) / (col("qn") * col("tn"))
       val w = Window.partitionBy("q_id")
         .orderBy(round(col("cos"), 6).desc, col("t_id"))
@@ -82,8 +104,8 @@ object VectorQueries {
           sequence(lit(0), lit(bandBits - 1)),
           (x, i) => when(x > 0, pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L))),
         lit(0L), (acc, x) => acc + x)
-      val banded = Tables.embeddings(s, dir).select(
-        col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"),
+      val banded = normedCorpus(s, dir).select(
+        col("vec_id"), col("embedding"), col("nrm"),
         explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band"), signBucket(b).as("key"))): _*)).as("bk"))
         .select(col("vec_id"), col("embedding"), col("nrm"), col("bk.band"), col("bk.key"))
@@ -125,8 +147,7 @@ object VectorQueries {
         s"sim_knn_join is the O(n²) exactness baseline: the corpus exceeds the " +
           s"${DedupQueries.ExactCosineCapKey}=$cap row gate. Use sim_ann_knn " +
           "(IVF-probed, sub-quadratic) at scale, or raise the cap deliberately.")
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+      val e = normedCorpus(s, dir)
       val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
       val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
       // Even the yardstick ranks with the bounded-state two-level top-k
@@ -148,34 +169,39 @@ object VectorQueries {
     // assignment reuses the max_by no-window shape; the per-query top-3 is
     // a window over the candidate set only, never all pairs).
     "sim_ann_knn" -> { (s, dir) =>
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+      val e = normedCorpus(s, dir)
       val cents = codebook(s, dir, e)
       val sim = dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))
-      val assignOrd = struct(round(sim, 6).as("s"), (-col("c_id")).as("nc"))
-      val cells = e.crossJoin(broadcast(cents))
-        .groupBy("vec_id")
-        .agg(
-          max_by(col("c_id"), assignOrd).as("cell"),
-          first(col("embedding")).as("te"),
-          first(col("nrm")).as("tn"))
-        .select(col("vec_id").as("t_id"), col("te"), col("tn"), col("cell"))
-      val probes = e.crossJoin(broadcast(cents))
+      // ONE full-corpus centroid pass serves both of every vector's roles:
+      // its nProbe=4 probe cells (as a query) and its assigned cell =
+      // probes[0] (as a target) — the assignment ordering (sim desc, c_id
+      // asc) is exactly the probe list's head. r8: this was two separate
+      // crossJoin+groupBy corpus passes with different aggregate
+      // expressions, so their shuffles couldn't even be exchange-reused;
+      // identical branches let Catalyst ReuseExchange pay the partial
+      // aggregate once.
+      val ranked = e.crossJoin(broadcast(cents))
         .groupBy("vec_id")
         .agg(
           slice(sort_array(collect_list(struct(
             round(sim, 6).as("s"), (-col("c_id")).as("nc"), col("c_id"))),
             asc = false), 1, 4).as("cs"),
-          first(col("embedding")).as("qe"),
-          first(col("nrm")).as("qn"))
-        .select(col("vec_id").as("va"), col("qe"), col("qn"),
-          explode(col("cs.c_id")).as("cell"))
+          first(col("embedding")).as("ve"),
+          first(col("nrm")).as("vn"))
+      val cells = ranked.select(col("vec_id").as("t_id"), col("ve").as("te"),
+        col("vn").as("tn"), element_at(col("cs"), 1).getField("c_id").as("cell"))
+      val probes = ranked.select(col("vec_id").as("va"), col("ve").as("qe"),
+        col("vn").as("qn"), explode(col("cs.c_id")).as("cell"))
       val cos = dot(col("qe"), col("te")) / (col("qn") * col("tn"))
+      // No dedup needed on (va, vb): every target is ASSIGNED to exactly
+      // one cell and a query's 4 probe cells are distinct, so a pair can
+      // surface at most once — the r7 dropDuplicates forced a second full
+      // shuffle of the ~nProbe·(n/k)·n candidate rows for nothing (unlike
+      // sim_ann_lsh, where a pair genuinely collides in several tables).
       val scored = probes.join(cells, Seq("cell"))
         .filter(col("va") =!= col("t_id"))
         .select(col("va"), col("t_id").as("vb"), col("qe"), col("te"),
           col("qn"), col("tn"))
-        .dropDuplicates("va", "vb")
         .withColumn("cos", cos)
       knnTop3(scored)
     },
@@ -370,17 +396,23 @@ object VectorQueries {
       scala.jdk.CollectionConverters.SeqHasAsJava(entry._1).asJava, entry._2)
   }
 
-  /** Train-and-cache the IVF codebook without running a search — like the
-    * dedup family's cache warmers, this lets a bench build the shared index
-    * artifact untimed so per-query timings measure search plans, not which
-    * query ran first.
+  /** Build every vector-family session index untimed — the normed corpus
+    * tier, the IVF coarse codebook, the PQ codebooks — returning per-index
+    * build timings exactly like [[DedupQueries.warmCaches]], so a bench
+    * emits them as first-class `index_build` entries and per-query medians
+    * measure search plans, not which query ran first.
     */
-  def warmCodebook(s: SparkSession, dir: String): Unit = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
-    codebook(s, dir, e)
-    pqCodebook(s, dir)
-    ()
+  def warmCaches(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    val out = Seq.newBuilder[(String, Double)]
+    def timed(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      out += name -> (System.nanoTime() - t0) / 1e9
+    }
+    timed("emb_norms") { normedCorpus(s, dir).count(); () }
+    timed("ivf_codebook") { codebook(s, dir, normedCorpus(s, dir)); () }
+    timed("pq_codebook") { pqCodebook(s, dir); () }
+    out.result()
   }
 
   /** PQ codebooks per (session, dir) — the second index artifact of the
@@ -425,8 +457,7 @@ object VectorQueries {
   private def pqQuery(s: SparkSession, dir: String): DataFrame = {
     val cb = pqCodebook(s, dir)
     import graft.functions.ProductQuant
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+    val e = normedCorpus(s, dir)
     val codes = e.select(col("vec_id").as("t_id"),
       ProductQuant.encode(col("embedding"), cb).as("codes"))
     val adc = codes.crossJoin(broadcast(
@@ -485,8 +516,7 @@ object VectorQueries {
   }
 
   private def ivfQuery(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), l2(col("embedding")).as("nrm"))
+    val e = normedCorpus(s, dir)
     val cents = codebook(s, dir, e)
     val sim = dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))
     // Cell assignment with NO window: a row_number window over the exploded
@@ -518,10 +548,11 @@ object VectorQueries {
         explode(col("cs.c_id")).as("cell"))
     val cos = dot(col("qe"), col("te")) / (col("qn") * col("tn"))
     val w = Window.partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("t_id"))
+    // (q_id, t_id) is already unique — one assigned cell per target,
+    // distinct probe cells per query — so no dedup shuffle (see sim_ann_knn)
     cells.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("t_id"))
       .select(col("q_id"), col("t_id"), col("qe"), col("te"), col("qn"), col("tn"))
-      .dropDuplicates("q_id", "t_id")
       .withColumn("cos", cos)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
