@@ -70,6 +70,50 @@ object ReferenceEnv {
   /** Build from an environment map — `sys.env` in production, any map in
     * tests. Defaults are the reference's own, verbatim.
     */
+  /** The godotenv analog (`main.go:333-337`: `godotenv.Load()` before any
+    * `getEnv`): parse `path` as KEY=VALUE lines and merge UNDER the real
+    * environment — an already-set env var always wins, exactly
+    * godotenv.Load's no-override precedence, so a deployment can ship a
+    * `.env` of defaults and still override per-pod. A missing file is not
+    * an error (the reference warns and proceeds with the environment,
+    * `main.go:336`). Parsing covers the reference's own `.env.example`
+    * dialect: blank lines, full-line and trailing `#` comments, optional
+    * `export ` prefix, single- or double-quoted values (quotes stripped,
+    * trailing comments only recognized OUTSIDE quotes).
+    */
+  def loadDotEnv(path: String = ".env",
+      env: Map[String, String] = sys.env): Map[String, String] = {
+    val p = Paths.get(path)
+    if (!Files.isReadable(p)) return env
+    val fileVars = scala.io.Source.fromBytes(
+        Files.readAllBytes(p), "UTF-8").getLines().flatMap { raw =>
+      val line = raw.trim
+      if (line.isEmpty || line.startsWith("#") || !line.contains('=')) None
+      else {
+        val stripped = if (line.startsWith("export ")) line.drop(7).trim else line
+        val eq = stripped.indexOf('=')
+        val key = stripped.take(eq).trim
+        val rhs = stripped.drop(eq + 1).trim
+        val value =
+          if (rhs.length >= 2 && (rhs.head == '"' || rhs.head == '\'') && rhs.last == rhs.head)
+            rhs.substring(1, rhs.length - 1)
+          else rhs.indexOf('#') match { // trailing comment (unquoted values only)
+            case -1 => rhs
+            case i => rhs.take(i).trim
+          }
+        if (key.isEmpty) None else Some(key -> value)
+      }
+    }.toMap
+    fileVars ++ env // real environment wins
+  }
+
+  /** `loadDotEnv` + `fromEnv` in one step — the reference's exact startup
+    * sequence (`loadEnv()`, `main.go:333`).
+    */
+  def fromDotEnv(path: String = ".env",
+      env: Map[String, String] = sys.env): ReferenceEnv =
+    fromEnv(loadDotEnv(path, env))
+
   def fromEnv(env: Map[String, String] = sys.env): ReferenceEnv = ReferenceEnv(
     dbAddr = env.getOrElse("DB_ADDR", "127.0.0.1:3306"),
     dbUser = env.getOrElse("DB_USER", "root"),

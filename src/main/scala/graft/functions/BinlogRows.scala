@@ -44,10 +44,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `json_binary` document format rendered back to JSON text — objects,
   * arrays, strings, every int width, double, and the three literals;
   * opaque custom subtypes like packed decimal/temporal-in-JSON are
-  * refused, not guessed). Per-row NULL bitmaps and the columns-present
-  * bitmap are honored; an unsupported type (GEOMETRY, opaque JSON
-  * subtypes) or a table-id mismatch yields NULL for the whole event
-  * (wrong pairing must be loud, not plausible), never a torn decode.
+  * refused, not guessed), and GEOMETRY (rendered losslessly as
+  * `{"srid":N,"wkb":"hex"}` — u32 LE SRID + OGC WKB bytes, the public
+  * internal layout). Per-row NULL bitmaps and the columns-present
+  * bitmap are honored; an unsupported type (opaque JSON subtypes) or a
+  * table-id mismatch yields NULL for the whole event (wrong pairing
+  * must be loud, not plausible), never a torn decode.
   *
   * Row-local, no shuffle: decoding 100 TB of archived ROWS events
   * parallelizes per split like every other scalar here.
@@ -66,6 +68,7 @@ object BinlogRows {
   private val TINY_BLOB = 249; private val MEDIUM_BLOB = 250
   private val LONG_BLOB = 251; private val BLOB = 252
   private val VAR_STRING = 253; private val STRING = 254
+  private val GEOMETRY = 255
 
   private val WRITE = 30; private val UPDATE = 31; private val DELETE = 32
   private val TABLE_MAP = 19
@@ -155,7 +158,8 @@ object BinlogRows {
           case TIMESTAMP2 | DATETIME2 | TIME2 => meta(i) = c.u8() // fsp
           // wire order (precision, scale) / (real-type-or-upper-bits, length)
           case NEWDECIMAL | STRING | ENUM | SET => meta(i) = (c.u8() << 8) | c.u8()
-          case BLOB | TINY_BLOB | MEDIUM_BLOB | LONG_BLOB | JSONB => meta(i) = c.u8()
+          case BLOB | TINY_BLOB | MEDIUM_BLOB | LONG_BLOB | JSONB | GEOMETRY =>
+            meta(i) = c.u8()
           case BIT => // wire order (bits % 8, bytes)
             val m0 = c.u8(); meta(i) = (c.u8() << 8) | m0
           case _ => ()
@@ -535,6 +539,25 @@ object BinlogRows {
             if (len < 0) None
             else Some("\"" + jsonEscape(new String(c.bytes(len.toInt),
               java.nio.charset.StandardCharsets.UTF_8)) + "\"")
+          case GEOMETRY =>
+            // length-prefixed like BLOB (metadata = prefix width); payload
+            // is the public internal geometry layout: u32 LE SRID + OGC
+            // WKB bytes. Rendered losslessly as {"srid":N,"wkb":"hex"} —
+            // WKB geometry parsing belongs to a GIS layer, but the bytes
+            // and SRID round-trip exactly (r7 refused GEOMETRY outright).
+            val len = meta(col) match {
+              case 1 => c.u8().toLong
+              case 2 => c.u16().toLong
+              case 3 => c.u24().toLong
+              case 4 => c.u32()
+              case _ => -1L
+            }
+            if (len < 4) None // too short to carry the SRID header: refuse
+            else {
+              val srid = c.u32()
+              val wkb = c.bytes((len - 4).toInt)
+              Some(s"""{"srid":$srid,"wkb":"${java.util.HexFormat.of().formatHex(wkb)}"}""")
+            }
           case JSONB =>
             // length-prefixed (metadata = prefix width, like BLOB) binary
             // JSON document; an empty document is SQL-side JSON null

@@ -54,6 +54,36 @@ class ReferenceEnvSpec extends AnyFunSuite {
       graft.streaming.RedisPositionStore("cache.internal", 6380))
   }
 
+  test(".env loading: godotenv precedence — file fills gaps, real env wins") {
+    // the reference's own .env.example dialect, including the trailing
+    // comment on LOG_LEVEL, plus quoting and an export prefix
+    val dotenv = Files.createTempFile("graft", ".env")
+    Files.writeString(dotenv,
+      """# reference-style .env
+        |DB_ADDR=db.file:3311
+        |DB_USER=file_user
+        |DB_PASSWORD=
+        |SERVER_ID=200
+        |POST_URL="http://from-file:8080"
+        |export REDIS_ADDR=redis.file:6380
+        |LOG_LEVEL=info # trace, debug, info, warn, error
+        |
+        |not a kv line
+        |""".stripMargin)
+    val e = ReferenceEnv.fromDotEnv(dotenv.toString,
+      env = Map("DB_USER" -> "env_wins", "DB_FLAVOR" -> "mariadb"))
+    assert(e.dbAddr == "db.file:3311")       // from the file
+    assert(e.dbUser == "env_wins")           // real env overrides the file
+    assert(e.dbFlavor == "mariadb")          // env-only key
+    assert(e.serverId == 200L)
+    assert(e.postUrl == "http://from-file:8080") // quotes stripped
+    assert(e.redisAddr == "redis.file:6380")     // export prefix accepted
+    assert(e.logLevel == "info")                 // trailing comment stripped
+    // a missing file is not an error: pure env/defaults, like the reference
+    val miss = ReferenceEnv.fromDotEnv("/nonexistent/.env", env = Map.empty)
+    assert(miss.dbAddr == "127.0.0.1:3306" && miss.logLevel == "info")
+  }
+
   test("address parsing tolerates missing or malformed ports") {
     assert(ReferenceEnv.splitAddr("justhost", 6379) == ("justhost", 6379))
     assert(ReferenceEnv.splitAddr("h:abc", 6379) == ("h:abc", 6379))

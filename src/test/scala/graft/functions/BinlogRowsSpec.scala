@@ -53,6 +53,7 @@ class BinlogRowsSpec extends SparkSuite {
       case (246, m) => meta.u8(m >> 8).u8(m & 0xff) // NEWDECIMAL: precision, scale
       case (252, m) => meta.u8(m)          // BLOB: length-prefix width
       case (245, m) => meta.u8(m)          // JSON: length-prefix width
+      case (255, m) => meta.u8(m)          // GEOMETRY: length-prefix width
       case (254 | 247 | 248, m) => meta.u8(m >> 8).u8(m & 0xff) // STRING/ENUM/SET
       case (16, m) => meta.u8(m & 0xff).u8(m >> 8) // BIT: bits%8, bytes
       case _ => ()
@@ -146,8 +147,8 @@ class BinlogRowsSpec extends SparkSuite {
       decode(ev2, raw)
     }
     assert(otherTm == null)
-    // unsupported column type (GEOMETRY=255)
-    assert(decode(ev, tableMap(types = Seq(255, 15, 5, 8, 1, 15))) == null)
+    // unknown column type code (200 is unassigned in the protocol)
+    assert(decode(ev, tableMap(types = Seq(200, 15, 5, 8, 1, 15))) == null)
     // truncated body
     assert(decode(ev.dropRight(3), tableMap()) == null)
   }
@@ -305,6 +306,24 @@ class BinlogRowsSpec extends SparkSuite {
     val torn = named("id", "name").dropRight(2)
     assert(decode(ev1, tableMap(Seq(3, 15), Seq(0, 20), optMeta = torn)) ==
       Seq("""{"after":{"c0":7,"c1":"abc"}}"""))
+  }
+
+  test("GEOMETRY: SRID + WKB render as {srid, wkb-hex}; headerless refuses") {
+    // POINT(1 2), SRID 4326 — the internal layout is u32 LE SRID + OGC WKB
+    val wkbPoint = Array[Byte](1, 1, 0, 0, 0) ++
+      java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putDouble(1.0).putDouble(2.0).array()
+    val tm = tableMap(Seq(255), Seq(4)) // 4-byte length prefix
+    val ev = writeRows(1) { b =>
+      b.u32(4L + wkbPoint.length)
+      b.u32(4326L)
+      b.raw(wkbPoint)
+    }
+    assert(decode(ev, tm) == Seq(
+      """{"after":{"c0":{"srid":4326,"wkb":"0101000000000000000000f03f0000000000000040"}}}"""))
+    // a payload too short for the SRID header refuses the event, loudly
+    val torn = writeRows(1) { b => b.u32(3L); b.raw(Array[Byte](1, 2, 3)) }
+    assert(decode(torn, tm) == null)
   }
 
   test("torn TLV drops signedness with the rest; 64-member SET renders labels") {
