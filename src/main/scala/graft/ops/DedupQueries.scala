@@ -640,6 +640,26 @@ object DedupQueries {
         .orderBy("va", "vb")
     },
 
+    // THRESHOLD CALIBRATION: the similarity histogram over the verified
+    // cosine pair family — the diagnostic every dedup rollout runs before
+    // picking t (the bimodal valley between "same doc re-rendered" and
+    // "merely related" is where the threshold goes; SemDeDup and the
+    // Gopher/MassiveText dedup ablations all tune t off exactly this
+    // curve). 0.05-wide bins over cos ∈ [0.45, 1]; integer-exact contract
+    // (milli = round(cos·1000) as BIGINT, bucket = milli div 50, counts +
+    // integer min/max per bin — no float compare crosses the oracle
+    // boundary). Another consumer of the session pair index: one cached
+    // scan + one tiny aggregate; at 100 TB the histogram is a map-side
+    // combine over however many verified pairs exist.
+    "dedup_sim_histogram" -> { (s, dir) =>
+      cosinePairsLsh(s, dir, 0.45)
+        .select(round(col("cos") * 1000, 0).cast("long").as("milli"))
+        .groupBy(expr("milli div 50").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min("milli").as("min_milli"), max("milli").as("max_milli"))
+        .orderBy("bucket")
+    },
+
     // SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023): collapse
     // embedding-space near-duplicate CLUSTERS, not just pairs — the pass a
     // training pipeline runs over model embeddings where MinHash sees
@@ -940,6 +960,19 @@ object DedupQueries {
          |  SELECT a.vec_id AS va, b.vec_id AS vb, $cosSql AS cos
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          |WHERE cos >= 0.45 ORDER BY va, vb""".stripMargin,
+
+    "dedup_sim_histogram" ->
+      s"""WITH pairs AS (
+         |  SELECT $cosSql AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |), m AS (
+         |  SELECT CAST(round(cos * 1000, 0) AS BIGINT) AS milli FROM pairs
+         |  WHERE cos >= 0.45
+         |)
+         |SELECT CAST(milli // 50 AS BIGINT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       min(milli) AS min_milli, max(milli) AS max_milli
+         |FROM m GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // Exhaustive exact pairs + recursive-CTE components + windowed argmax —
     // the banded-LSH + label-propagation + max(struct) plan must reproduce

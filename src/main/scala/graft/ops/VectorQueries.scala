@@ -211,6 +211,33 @@ object VectorQueries {
     // via the engine-portable floor(y+0.5) formulation, plus the max
     // reconstruction error after dequantization. All sequential-fold
     // arithmetic → bit-comparable across engines.
+    // Johnson-Lindenstrauss SIGN random projection 64→8 (the Achlioptas
+    // ±1 variant): proj_j = Σ_i emb[i]·sign(md5("j_i")) — the standard
+    // cheap dimensionality cut before ANN/clustering on a big corpus. The
+    // HASH IS THE MATRIX: signs derive from md5 parity per (out-dim,
+    // in-dim), so at 100 TB there is no matrix to broadcast or version —
+    // any engine (and the DuckDB oracle) regenerates the identical
+    // projection from the key strings alone. One map-only pass, no
+    // shuffle but the oracle's determinism sort; sequential left-fold
+    // keeps every sum bit-comparable across engines.
+    "emb_random_projection" -> { (s, dir) =>
+      val nOut = 8; val dim = 64
+      def sign(j: Int, i: Int): Double = {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${j}_${i}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (((h(0) >> 4) & 1) == 0) 1.0 else -1.0 // first hex digit even
+      }
+      val projCols = (0 until nOut).map { j =>
+        val signs = typedLit((0 until dim).map(i => sign(j, i)))
+        round(aggregate(zip_with(col("embedding"), signs,
+          (x, sg) => x.cast("double") * sg), lit(0.0), (a, x) => a + x), 4)
+          .as(s"p$j")
+      }
+      Tables.embeddings(s, dir)
+        .select(col("vec_id") +: projCols: _*)
+        .orderBy("vec_id")
+    },
+
     "emb_quantize" -> { (s, dir) =>
       val xs = transform(col("embedding"), x => x.cast("double"))
       val scale = aggregate(xs, lit(0.0), (acc, x) => greatest(acc, abs(x)))
@@ -565,7 +592,25 @@ object VectorQueries {
   private def normSql(v: String) =
     s"sqrt(list_reduce(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))"
 
+  /** The sign-projection oracle regenerates the hash-derived ±1 matrix in
+    * SQL: first hex digit of md5("j_i") even → +1 (the Scala side reads
+    * the same nibble from the raw digest).
+    */
+  private val projSql: String = (0 until 8).map { j =>
+    s"""round(list_reduce(list_transform(range(1, 65),
+       |        i -> CAST(embedding[i] AS DOUBLE) *
+       |             (CASE WHEN substring(md5('${j}_' || CAST(i - 1 AS VARCHAR)), 1, 1)
+       |                   IN ('0','2','4','6','8','a','c','e')
+       |                   THEN 1.0 ELSE -1.0 END)),
+       |        (a, b) -> a + b), 4) AS p$j""".stripMargin
+  }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "emb_random_projection" ->
+      s"""SELECT vec_id,
+         |$projSql
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
     "emb_norm" ->
       s"""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
          |       round(${normSql("embedding")}, 4) AS l2_norm
