@@ -301,6 +301,67 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // GOPHER QUALITY RULES (Rae et al. 2021, MassiveText Appendix A): the
+    // published rule set every large-corpus curation pass starts from —
+    // word-count bounds, mean-word-length band, minimum stopword hits,
+    // alphabetic-word fraction, plus the repetition family's TTR floor.
+    // Every rule is evaluated with INTEGER arithmetic only (mean word
+    // length in [3,10] becomes 3·n ≤ sum_len ≤ 10·n; the 80 % alpha
+    // fraction becomes 5·n_alpha ≥ 4·n) so the oracle compares exactly.
+    // sum_len uses the closed form length(text) − (n_toks − 1) of the
+    // single-space corpus (same identity as text_tokens). One scan, no
+    // shuffle but the determinism sort — linear at 100 TB.
+    "text_gopher_rules" -> { (s, dir) =>
+      val nToks = size(toks).cast("long")
+      val sumLen = (length(col("text")) - size(toks) + 1).cast("long")
+      val nStop = size(filter(toks, t =>
+        t === "the" || t === "a" || t === "of" || t === "and" || t === "to" ||
+          t === "in")).cast("long")
+      val nAlpha = size(filter(toks, t => t.rlike("^[a-z]+$"))).cast("long")
+      val nDist = size(array_distinct(toks)).cast("long")
+      val rWc = (nToks >= 50 && nToks <= 100000).cast("long")
+      val rWlen = (sumLen >= nToks * 3 && sumLen <= nToks * 10).cast("long")
+      val rStop = (nStop >= 2).cast("long")
+      val rAlpha = (nAlpha * 5 >= nToks * 4).cast("long")
+      val rTtr = (nDist * 10 >= nToks * 3).cast("long")
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"), nToks.as("n_toks"),
+          rWc.as("r_wordcount"), rWlen.as("r_wordlen"), rStop.as("r_stopword"),
+          rAlpha.as("r_alpha"), rTtr.as("r_ttr"),
+          (rWc * rWlen * rStop * rAlpha * rTtr).as("pass"))
+        .orderBy("doc_id")
+    },
+
+    // DUPLICATED-SPAN DIAGNOSTIC (the ExactSubstr metric of Lee et al.
+    // 2022, "Deduplicating Training Data Makes Language Models Better"):
+    // per document, what fraction of its word 5-gram positions lies on a
+    // span that also occurs in ANOTHER document. The production form of
+    // their suffix-array pass at corpus scale is exactly this keyed job:
+    // explode grams (linear), count distinct docs per gram (one shuffle on
+    // the gram key, map-side combined), join back on gram (same key — no
+    // extra exchange), re-aggregate per doc. dup_permille is integer
+    // division so no float crosses the oracle boundary.
+    "text_dup_spans" -> { (s, dir) =>
+      val grams = expr(
+        "transform(sequence(1, size(ts) - 4), i -> concat_ws(' ', slice(ts, i, 5)))")
+      val g = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 5)
+        .select(col("doc_id"), explode(grams).as("gram"))
+      val gstats = g.groupBy("gram")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      g.join(gstats, "gram")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_pos"),
+          countDistinct(when(col("nd") >= 2, col("gram"))).as("n_dup_grams"))
+        .select(
+          col("doc_id"), col("n_grams"), col("n_dup_pos"), col("n_dup_grams"),
+          expr("1000 * n_dup_pos div n_grams").as("dup_permille"))
+        .orderBy("doc_id")
+    },
+
     // PII detection + redaction — the masking pass a corpus runs before
     // release. The testdata carries no natural PII, so the profile string
     // is CONSTRUCTED deterministically from customer columns (same pattern
@@ -478,6 +539,50 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_gopher_rules" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |         CAST(length(text) - len(string_split(text, ' ')) + 1 AS BIGINT) AS sl,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |           t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS nstop,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |           t -> regexp_matches(t, '^[a-z]+$'))) AS BIGINT) AS nalpha,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, nt,
+        |         CAST(CASE WHEN nt >= 50 AND nt <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_wordcount,
+        |         CAST(CASE WHEN sl >= nt * 3 AND sl <= nt * 10 THEN 1 ELSE 0 END AS BIGINT) AS r_wordlen,
+        |         CAST(CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stopword,
+        |         CAST(CASE WHEN nalpha * 5 >= nt * 4 THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+        |         CAST(CASE WHEN nd * 10 >= nt * 3 THEN 1 ELSE 0 END AS BIGINT) AS r_ttr
+        |  FROM f)
+        |SELECT doc_id, nt AS n_toks, r_wordcount, r_wordlen, r_stopword,
+        |       r_alpha, r_ttr,
+        |       r_wordcount * r_wordlen * r_stopword * r_alpha * r_ttr AS pass
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5
+        |), p AS (
+        |  SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i FROM t
+        |), g AS (
+        |  SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS gram FROM p
+        |), gs AS (
+        |  SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1
+        |)
+        |SELECT g.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pos,
+        |       CAST(count(DISTINCT CASE WHEN nd >= 2 THEN gram END) AS BIGINT) AS n_dup_grams,
+        |       CAST(1000 * sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
+        |            // count(*) AS BIGINT) AS dup_permille
+        |FROM g JOIN gs USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
     "pipeline_filter_funnel" ->
       """WITH flags AS (
         |  SELECT len(string_split(text, ' ')) AS nt,

@@ -238,6 +238,27 @@ object VectorQueries {
         .orderBy("vec_id")
     },
 
+    // PER-LABEL CENTROIDS — the cluster-profile aggregate behind k-means
+    // assignment audits and embedding-drift monitoring. posexplode to
+    // (label, pos) keys, then ONE hash aggregate with map-side combine —
+    // the textbook partial-agg plan; at 100 TB the shuffle carries only
+    // n_labels·dim partial rows per task. Sums are over floor(x·10⁴+0.5)
+    // integer-quantized components (the same engine-portable formulation
+    // as emb_quantize), so the aggregate is order-independent and the
+    // oracle compares exactly — no float sum crosses the boundary.
+    "emb_label_centroids" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
+        .select(
+          col("label"), (col("p") + 1).cast("long").as("pos"),
+          floor(col("x").cast("double") * 10000 + 0.5).cast("long").as("q"))
+        .groupBy("label", "pos")
+        .agg(
+          count(lit(1)).as("n_vecs"), sum("q").as("qsum"),
+          min("q").as("qmin"), max("q").as("qmax"))
+        .orderBy("label", "pos")
+    },
+
     "emb_quantize" -> { (s, dir) =>
       val xs = transform(col("embedding"), x => x.cast("double"))
       val scale = aggregate(xs, lit(0.0), (acc, x) => greatest(acc, abs(x)))
@@ -606,6 +627,18 @@ object VectorQueries {
   }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    "emb_label_centroids" ->
+      """WITH p AS (
+        |  SELECT label, unnest(range(1, len(embedding) + 1)) AS pos, embedding
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT label, CAST(pos AS BIGINT) AS pos,
+        |         CAST(floor(CAST(embedding[pos] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
+        |  FROM p)
+        |SELECT label, pos, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(sum(q) AS BIGINT) AS qsum, min(q) AS qmin, max(q) AS qmax
+        |FROM q GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+
     "emb_random_projection" ->
       s"""SELECT vec_id,
          |$projSql
