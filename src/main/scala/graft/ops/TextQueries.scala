@@ -301,6 +301,70 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // LENGTH-OUTLIER REPORT (Tukey fences): the robust trim pass a corpus
+    // runs before training — flag documents whose length falls outside
+    // [Q1 − 1.5·IQR, Q3 + 1.5·IQR] per source. Exact quartiles WITHOUT
+    // Spark's `percentile(...)` (which holds a value→count map per group):
+    // lengths are bounded-domain integers, so ONE map-side-combined
+    // histogram aggregate on (source, n_chars) replaces the corpus, and
+    // every later stage — cumulative ranks, rank pick, interpolation,
+    // fence counts — runs over that tiny table. All arithmetic is integer:
+    // the 0-based fractional position p·(n−1) is carried ×4 as
+    // pos4 = pq·(n−1) (pq ∈ 1..3), the interpolated quartile ×4 is
+    // (4−r)·v1 + r·v2 with r = pos4 mod 4 (≡ quantile_cont×4), and the
+    // ×8 fences make 1.5·IQR integral — no float ever crosses the oracle
+    // boundary. One full scan at 100 TB; per-task state is O(distinct
+    // lengths), never O(group).
+    "pipeline_length_outliers" -> { (s, dir) =>
+      val hist = Tables.documents(s, dir)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("cb",
+        coalesce(sum("c").over(Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val ns = hist.groupBy("source").agg(sum("c").as("n"))
+      val rk = ns
+        .select(col("source"), col("n"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("pq"))
+        .withColumn("pos4", col("pq") * (col("n") - 1))
+        .withColumn("k1", expr("pos4 div 4") + 1)
+        .withColumn("r", col("pos4") % 4)
+        .withColumn("k2", least(expr("pos4 div 4") + 2, col("n")))
+      val kk = rk.select(col("source"), col("pq"), col("r"),
+        explode(map(lit(1), col("k1"), lit(2), col("k2")))
+          .as(Seq("which", "k")))
+      val vat = kk.join(cum, "source")
+        .filter(col("k") > col("cb") && col("k") <= col("cb") + col("c"))
+      val qs = vat.groupBy("source", "pq", "r")
+        .agg(
+          max(when(col("which") === 1, col("v"))).as("v1"),
+          max(when(col("which") === 2, col("v"))).as("v2"))
+        .select(col("source"), col("pq"),
+          ((lit(4L) - col("r")) * col("v1") + col("r") * col("v2")).as("q4"))
+      val qt = qs.groupBy("source").agg(
+        max(when(col("pq") === 1, col("q4"))).as("q1_4"),
+        max(when(col("pq") === 2, col("q4"))).as("med_4"),
+        max(when(col("pq") === 3, col("q4"))).as("q3_4"))
+      val iqr4 = col("q3_4") - col("q1_4")
+      hist.join(broadcast(qt), "source")
+        .groupBy("source").agg(
+          sum("c").as("n_docs"),
+          first("q1_4").as("q1_4"), first("med_4").as("med_4"),
+          first("q3_4").as("q3_4"),
+          sum(when(col("v") * 8 < col("q1_4") * 2 - iqr4 * 3, col("c"))
+            .otherwise(0L)).as("n_lo"),
+          sum(when(col("v") * 8 > col("q3_4") * 2 + iqr4 * 3, col("c"))
+            .otherwise(0L)).as("n_hi"),
+          // Tail mass below Q1 / above Q3 — nonzero by construction, so
+          // the oracle check pins the picked ranks even on well-behaved
+          // corpora where the Tukey fences (correctly) never fire.
+          sum(when(col("v") * 4 < col("q1_4"), col("c")).otherwise(0L))
+            .as("n_below_q1"),
+          sum(when(col("v") * 4 > col("q3_4"), col("c")).otherwise(0L))
+            .as("n_above_q3"))
+        .orderBy("source")
+    },
+
     // GOPHER QUALITY RULES (Rae et al. 2021, MassiveText Appendix A): the
     // published rule set every large-corpus curation pass starts from —
     // word-count bounds, mean-word-length band, minimum stopword hits,
@@ -539,6 +603,59 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Mirrors the integer quartile definition exactly: pos4 = pq·(n−1),
+    // v1/v2 picked by rank from the cumulative length histogram,
+    // q4 = (4−r)·v1 + r·v2 ≡ quantile_cont(·, pq/4)·4 on integers.
+    "pipeline_length_outliers" ->
+      """WITH h AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS v, count(*) AS c
+        |  FROM documents GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT source, v, c,
+        |         COALESCE(sum(c) OVER (PARTITION BY source ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM h
+        |), ns AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1
+        |), rk0 AS (
+        |  SELECT source, n, unnest([1, 2, 3]) AS pq FROM ns
+        |), rk AS (
+        |  SELECT source, pq, pq * (n - 1) // 4 + 1 AS k1,
+        |         pq * (n - 1) % 4 AS r,
+        |         least(pq * (n - 1) // 4 + 2, n) AS k2
+        |  FROM rk0
+        |), kk AS (
+        |  SELECT source, pq, r, 1 AS which, k1 AS k FROM rk
+        |  UNION ALL
+        |  SELECT source, pq, r, 2, k2 FROM rk
+        |), vat AS (
+        |  SELECT kk.source, pq, r, which, v
+        |  FROM kk JOIN cum ON kk.source = cum.source
+        |    AND k > cb AND k <= cb + c
+        |), qs AS (
+        |  SELECT source, pq,
+        |         (4 - r) * max(CASE WHEN which = 1 THEN v END)
+        |         + r * max(CASE WHEN which = 2 THEN v END) AS q4
+        |  FROM vat GROUP BY source, pq, r
+        |), qt AS (
+        |  SELECT source,
+        |         max(CASE WHEN pq = 1 THEN q4 END) AS q1_4,
+        |         max(CASE WHEN pq = 2 THEN q4 END) AS med_4,
+        |         max(CASE WHEN pq = 3 THEN q4 END) AS q3_4
+        |  FROM qs GROUP BY 1)
+        |SELECT h.source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |       q1_4, med_4, q3_4,
+        |       CAST(sum(CASE WHEN v * 8 < q1_4 * 2 - (q3_4 - q1_4) * 3
+        |                     THEN c ELSE 0 END) AS BIGINT) AS n_lo,
+        |       CAST(sum(CASE WHEN v * 8 > q3_4 * 2 + (q3_4 - q1_4) * 3
+        |                     THEN c ELSE 0 END) AS BIGINT) AS n_hi,
+        |       CAST(sum(CASE WHEN v * 4 < q1_4 THEN c ELSE 0 END) AS BIGINT)
+        |         AS n_below_q1,
+        |       CAST(sum(CASE WHEN v * 4 > q3_4 THEN c ELSE 0 END) AS BIGINT)
+        |         AS n_above_q3
+        |FROM h JOIN qt USING (source)
+        |GROUP BY h.source, q1_4, med_4, q3_4 ORDER BY source""".stripMargin,
+
     "text_gopher_rules" ->
       """WITH f AS (
         |  SELECT doc_id,

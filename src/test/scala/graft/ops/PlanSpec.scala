@@ -51,6 +51,19 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("vector_dot"), p)
   }
 
+  test("length-outlier histogram fans out through a reused exchange (one corpus scan)") {
+    // The (source, n_chars) histogram subtree feeds three consumers
+    // (cumulative ranks, group sizes, fence counts); its partial-agg
+    // exchange is canonically identical across them, so AQE must execute
+    // the scan+combine once and wire the other branches to the reused
+    // stage — otherwise the "one full scan at 100 TB" contract is broken.
+    val df = SparkEntry.queries("pipeline_length_outliers")(spark, sfDir)
+    df.collect() // finalize the AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("table_cache") ||
+      p.toLowerCase.contains("reused"), p)
+  }
+
   test("prefix-Jaccard pair construction is equi-join + positional filter, no cartesian") {
     val df = DedupQueries.jaccardPairsPrefixPlan(spark, sfDir, 0.5)
     df.collect()
