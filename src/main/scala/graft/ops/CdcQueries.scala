@@ -148,6 +148,40 @@ object CdcQueries {
           min(col("event_type")).as("event_type"),
           count(lit(1)).as("copies"))
         .orderBy("event_id")
+    },
+
+    // CDC MATERIALIZATION ("apply changes"): fold a change log onto a base
+    // snapshot to the table's current state — the consumer-side half the
+    // reference leaves to whoever drains its HTTP/queue feed. `customer` is
+    // the snapshot (pk = c_custkey), `events` the keyed change stream
+    // (pk = user_id, change order = event_id, 'error' = delete, any other
+    // action = upsert). Last-writer-wins per key is ONE hash aggregate
+    // (map-side combined max_by — the standard log compaction; at 100 TB of
+    // changes the shuffle carries one partial row per key per task), then
+    // one full-outer join on pk against the snapshot. Deleted keys stay in
+    // the output labeled 'deleted' with a null value — the audit view; the
+    // live table is `WHERE action <> 'deleted'`.
+    "cdc_apply_changes" -> { (s, dir) =>
+      val last = Tables.events(s, dir)
+        .groupBy(col("user_id").as("pk"))
+        .agg(
+          max_by(col("event_type"), col("event_id")).as("op"),
+          max_by(col("value"), col("event_id")).as("v"),
+          count(lit(1)).as("n_changes"))
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey").as("bpk"), col("c_acctbal"))
+      base.join(last, col("bpk") === col("pk"), "full_outer")
+        .select(
+          coalesce(col("bpk"), col("pk")).as("pk"),
+          when(col("pk").isNull, lit("kept"))
+            .when(col("op") === "error", lit("deleted"))
+            .when(col("bpk").isNull, lit("inserted"))
+            .otherwise(lit("updated")).as("action"),
+          round(when(col("op") === "error", lit(null))
+            .when(col("pk").isNull, col("c_acctbal"))
+            .otherwise(col("v")), 2).as("val_r"),
+          coalesce(col("n_changes"), lit(0L)).as("n_changes"))
+        .orderBy("pk")
     })
 
   val oracles: Map[String, String] = Map(
@@ -211,5 +245,27 @@ object CdcQueries {
       """SELECT event_id, min(event_type) AS event_type,
         |       CAST(count(*) AS BIGINT) AS copies
         |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
-        |GROUP BY event_id ORDER BY event_id""".stripMargin)
+        |GROUP BY event_id ORDER BY event_id""".stripMargin,
+
+    // Last-writer-wins per key (event_id is unique, so arg_max is
+    // deterministic), then snapshot ⟗ compacted-log on pk.
+    "cdc_apply_changes" ->
+      """WITH last AS (
+        |  SELECT user_id AS pk,
+        |         arg_max(event_type, event_id) AS op,
+        |         arg_max(value, event_id) AS v,
+        |         count(*) AS n_changes
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT COALESCE(c.c_custkey, l.pk) AS pk,
+        |       CASE WHEN l.pk IS NULL THEN 'kept'
+        |            WHEN l.op = 'error' THEN 'deleted'
+        |            WHEN c.c_custkey IS NULL THEN 'inserted'
+        |            ELSE 'updated' END AS action,
+        |       round(CASE WHEN l.op = 'error' THEN NULL
+        |                  WHEN l.pk IS NULL THEN c.c_acctbal
+        |                  ELSE l.v END, 2) AS val_r,
+        |       CAST(COALESCE(l.n_changes, 0) AS BIGINT) AS n_changes
+        |FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.pk
+        |ORDER BY pk""".stripMargin)
 }

@@ -259,6 +259,57 @@ object VectorQueries {
         .orderBy("label", "pos")
     },
 
+    // K-MEANS (Lloyd's, 2 unrolled iterations, k=8) — the clustering pass
+    // embedding-space curation runs before intra-cluster work (SemDeDup
+    // clusters before deduping inside each cluster; cluster-balanced
+    // sampling needs the same assignment). Deterministic and integer-exact
+    // so DuckDB can replay it bit-for-bit: coordinates quantized to
+    // floor(x·10⁴ + 0.5) (the emb_label_centroids grid), centroids seeded
+    // from the k smallest vec_ids (production would use k-means‖ sampling;
+    // a fixed seed is the oracle contract), centroid updates kept integral
+    // via exact truncating division (sx − sx % c) / c, argmin ties broken
+    // on the lower cluster id via one min(struct) — never a window.
+    // Scale shape per iteration: centroids are a broadcast k×d literal-ish
+    // table, assignment is a narrow crossJoin(broadcast) + one map-side-
+    // combined hash agg per vec, recompute is posexplode → (j,pos) partial
+    // agg whose shuffle carries k·d rows per task. Two fixed iterations
+    // unroll into one static plan — one corpus pass per iteration, no
+    // driver loop, no collect.
+    "emb_kmeans" -> { (s, dir) =>
+      val k = 8
+      val xq = transform(col("embedding"),
+        x => floor(x.cast("double") * 10000 + 0.5).cast("long"))
+      val pts = Tables.embeddings(s, dir).select(col("vec_id"), xq.as("xq"))
+      val c0 = pts.orderBy("vec_id").limit(k)
+        .select((row_number().over(Window.orderBy("vec_id")) - 1)
+          .cast("long").as("j"), col("xq").as("cvec"))
+      def assign(cents: DataFrame): DataFrame =
+        pts.crossJoin(broadcast(cents))
+          .withColumn("dist",
+            aggregate(zip_with(col("xq"), col("cvec"),
+              (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v))
+          .groupBy("vec_id")
+          .agg(min(struct(col("dist"), col("j"), col("xq"))).as("m"))
+          .select(col("vec_id"), col("m.xq").as("xq"),
+            col("m.j").as("j"), col("m.dist").as("dist"))
+      def recompute(assigned: DataFrame): DataFrame =
+        assigned
+          .select(col("j"), posexplode(col("xq")).as(Seq("pos", "x")))
+          .groupBy("j", "pos")
+          .agg(sum("x").as("sx"), count(lit(1)).as("c"))
+          .withColumn("cq", expr("(sx - sx % c) div c"))
+          .groupBy("j")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cq")))),
+            e => e.getField("cq")).as("cvec"))
+      val a2 = assign(recompute(assign(c0)))
+      a2.groupBy("j")
+        .agg(
+          count(lit(1)).as("n_members"),
+          sum("dist").as("inertia"),
+          sum("vec_id").as("id_sum"))
+        .orderBy("j")
+    },
+
     "emb_quantize" -> { (s, dir) =>
       val xs = transform(col("embedding"), x => x.cast("double"))
       val scale = aggregate(xs, lit(0.0), (acc, x) => greatest(acc, abs(x)))
@@ -627,6 +678,49 @@ object VectorQueries {
   }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    // Unrolled Lloyd's mirror: same 10⁴ quantization grid, same k-smallest-
+    // vec_id seed, same exact truncating centroid division, same
+    // min([dist, j]) lexicographic argmin (j unique → xq never compared).
+    "emb_kmeans" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS xq
+        |  FROM embeddings
+        |), c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j,
+        |         xq AS cvec
+        |  FROM (SELECT vec_id, xq FROM q ORDER BY vec_id LIMIT 8)
+        |), d1 AS (
+        |  SELECT vec_id, xq, j,
+        |         CAST(list_sum(list_transform(range(1, len(xq) + 1),
+        |           i -> (xq[i] - cvec[i]) * (xq[i] - cvec[i]))) AS BIGINT) AS dist
+        |  FROM q CROSS JOIN c0
+        |), a1 AS (
+        |  SELECT vec_id, min([dist, j])[2] AS j FROM d1 GROUP BY vec_id
+        |), e1 AS (
+        |  SELECT j, unnest(range(1, len(xq) + 1)) AS pos, unnest(xq) AS x
+        |  FROM a1 JOIN q USING (vec_id)
+        |), c1 AS (
+        |  SELECT j, list(cq ORDER BY pos) AS cvec
+        |  FROM (SELECT j, pos,
+        |          CAST((sum(x) - sum(x) % count(*)) // count(*) AS BIGINT) AS cq
+        |        FROM e1 GROUP BY j, pos)
+        |  GROUP BY j
+        |), d2 AS (
+        |  SELECT vec_id, j,
+        |         CAST(list_sum(list_transform(range(1, len(xq) + 1),
+        |           i -> (xq[i] - cvec[i]) * (xq[i] - cvec[i]))) AS BIGINT) AS dist
+        |  FROM q CROSS JOIN c1
+        |), a2 AS (
+        |  SELECT vec_id, min([dist, j])[1] AS dist, min([dist, j])[2] AS j
+        |  FROM d2 GROUP BY vec_id
+        |)
+        |SELECT j, CAST(count(*) AS BIGINT) AS n_members,
+        |       CAST(sum(dist) AS BIGINT) AS inertia,
+        |       CAST(sum(vec_id) AS BIGINT) AS id_sum
+        |FROM a2 GROUP BY j ORDER BY j""".stripMargin,
+
     "emb_label_centroids" ->
       """WITH p AS (
         |  SELECT label, unnest(range(1, len(embedding) + 1)) AS pos, embedding
