@@ -67,71 +67,23 @@ case class SpaceSavingTopK(
   override def createAggregationBuffer(): mutable.HashMap[String, (Long, Long)] =
     mutable.HashMap.empty
 
-  /** The deterministic victim: minimum count, ties to the LARGEST item, so
-    * on a count tie the lexicographically smaller (reported-first) item
-    * survives.
-    */
-  private def victim(buf: mutable.HashMap[String, (Long, Long)]): (String, Long) = {
-    var vi: String = null
-    var vc = Long.MaxValue
-    buf.foreach { case (item, (cnt, _)) =>
-      if (cnt < vc || (cnt == vc && item > vi)) { vi = item; vc = cnt }
-    }
-    (vi, vc)
-  }
-
   override def update(
       buf: mutable.HashMap[String, (Long, Long)],
       input: InternalRow): mutable.HashMap[String, (Long, Long)] = {
     val v = child.eval(input)
-    if (v != null) {
-      val item = v.asInstanceOf[UTF8String].toString
-      buf.get(item) match {
-        case Some((c, e)) => buf.update(item, (c + 1, e))
-        case None if buf.size < k => buf.update(item, (1L, 0L))
-        case None =>
-          val (vi, vc) = victim(buf)
-          buf.remove(vi)
-          buf.update(item, (vc + 1, vc)) // inherit the evicted count as error
-      }
-    }
+    if (v != null) SpaceSaving.insert(buf, v.asInstanceOf[UTF8String].toString, k)
     buf
   }
 
   override def merge(
       a: mutable.HashMap[String, (Long, Long)],
-      b: mutable.HashMap[String, (Long, Long)]): mutable.HashMap[String, (Long, Long)] = {
-    if (b.isEmpty) return a
-    if (a.isEmpty) { a ++= b; return a }
-    // An item absent from one summary has true count <= that summary's min
-    // counter; offsetting by it (count AND error) keeps the invariant
-    // true ∈ [cnt - err, cnt] after the merge.
-    val minA = if (a.size < k) 0L else a.valuesIterator.map(_._1).min
-    val minB = if (b.size < k) 0L else b.valuesIterator.map(_._1).min
-    val merged = mutable.HashMap.empty[String, (Long, Long)]
-    (a.keySet ++ b.keySet).foreach { item =>
-      val (ca, ea) = a.getOrElse(item, (minA, minA))
-      val (cb, eb) = b.getOrElse(item, (minB, minB))
-      merged.update(item, (ca + cb, ea + eb))
-    }
-    a.clear()
-    if (merged.size <= k) a ++= merged
-    else {
-      // keep the k largest (count desc, item asc — the reporting order)
-      val kept = merged.toSeq
-        .sortBy { case (item, (cnt, _)) => (-cnt, item) }
-        .take(k)
-      a ++= kept
-    }
-    a
-  }
+      b: mutable.HashMap[String, (Long, Long)]): mutable.HashMap[String, (Long, Long)] =
+    SpaceSaving.merge(a, b, k)
 
   override def eval(buf: mutable.HashMap[String, (Long, Long)]): Any = {
-    val rows = buf.toSeq
-      .sortBy { case (item, (cnt, _)) => (-cnt, item) }
-      .map { case (item, (cnt, err)) =>
-        InternalRow(UTF8String.fromString(item), cnt, err)
-      }
+    val rows = SpaceSaving.sorted(buf).map { case (item, cnt, err) =>
+      InternalRow(UTF8String.fromString(item), cnt, err)
+    }
     new GenericArrayData(rows.toArray[Any])
   }
 
@@ -179,4 +131,67 @@ object SpaceSavingTopK {
     org.apache.spark.sql.GraftColumnBridge.toColumn(
       SpaceSavingTopK(org.apache.spark.sql.GraftColumnBridge.toExpression(c), k)
         .toAggregateExpression())
+}
+
+/** The SpaceSaving kernel, shared between the batch aggregate above and the
+  * streaming keyed state (`graft.streaming.StreamingTopK`): one summary
+  * shape, one eviction rule, one merge — so the stream's continuously
+  * maintained summary IS the batch sketch folded over micro-batches.
+  */
+object SpaceSaving {
+  type Buf = mutable.HashMap[String, (Long, Long)]
+
+  /** The deterministic victim: minimum count, ties to the LARGEST item, so
+    * on a count tie the lexicographically smaller (reported-first) item
+    * survives.
+    */
+  def victim(buf: Buf): (String, Long) = {
+    var vi: String = null
+    var vc = Long.MaxValue
+    buf.foreach { case (item, (cnt, _)) =>
+      if (cnt < vc || (cnt == vc && item > vi)) { vi = item; vc = cnt }
+    }
+    (vi, vc)
+  }
+
+  /** One SpaceSaving step: count a hit, open a counter while capacity
+    * remains, otherwise evict the victim and inherit its count as error.
+    */
+  def insert(buf: Buf, item: String, k: Int): Unit =
+    buf.get(item) match {
+      case Some((c, e)) => buf.update(item, (c + 1, e))
+      case None if buf.size < k => buf.update(item, (1L, 0L))
+      case None =>
+        val (vi, vc) = victim(buf)
+        buf.remove(vi)
+        buf.update(item, (vc + 1, vc)) // inherit the evicted count as error
+    }
+
+  /** Summary merge (the distributed step), mutating and returning `a`.
+    * An item absent from one summary has true count <= that summary's min
+    * counter; offsetting by it (count AND error) keeps the invariant
+    * true ∈ [cnt - err, cnt] after the merge.
+    */
+  def merge(a: Buf, b: Buf, k: Int): Buf = {
+    if (b.isEmpty) return a
+    if (a.isEmpty) { a ++= b; return a }
+    val minA = if (a.size < k) 0L else a.valuesIterator.map(_._1).min
+    val minB = if (b.size < k) 0L else b.valuesIterator.map(_._1).min
+    val merged = mutable.HashMap.empty[String, (Long, Long)]
+    (a.keySet ++ b.keySet).foreach { item =>
+      val (ca, ea) = a.getOrElse(item, (minA, minA))
+      val (cb, eb) = b.getOrElse(item, (minB, minB))
+      merged.update(item, (ca + cb, ea + eb))
+    }
+    a.clear()
+    if (merged.size <= k) a ++= merged
+    else a ++= merged.toSeq.sortBy { case (item, (cnt, _)) => (-cnt, item) }.take(k)
+    a
+  }
+
+  /** Reporting order: count desc, item asc. */
+  def sorted(buf: Buf): Seq[(String, Long, Long)] =
+    buf.toSeq
+      .sortBy { case (item, (cnt, _)) => (-cnt, item) }
+      .map { case (item, (cnt, err)) => (item, cnt, err) }
 }

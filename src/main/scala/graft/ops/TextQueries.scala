@@ -402,24 +402,28 @@ object TextQueries {
     // per document, what fraction of its word 5-gram positions lies on a
     // span that also occurs in ANOTHER document. The production form of
     // their suffix-array pass at corpus scale is exactly this keyed job:
-    // explode grams (linear), count distinct docs per gram (one shuffle on
-    // the gram key, map-side combined), join back on gram (same key — no
-    // extra exchange), re-aggregate per doc. dup_permille is integer
+    // explode grams (linear), collapse to the (doc, gram, in-doc count)
+    // grain FIRST — after that every aggregate is a plain sum, so neither
+    // side ever pays a countDistinct expand: docs-per-gram is count(*)
+    // over the already-distinct grain (one map-side-combined shuffle on
+    // gram), the join back is on the same key (exchange reused), and the
+    // per-doc rollup recovers positions as sum(c). dup_permille is integer
     // division so no float crosses the oracle boundary.
     "text_dup_spans" -> { (s, dir) =>
       val grams = expr(
         "transform(sequence(1, size(ts) - 4), i -> concat_ws(' ', slice(ts, i, 5)))")
-      val g = Tables.documents(s, dir)
+      val gd = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("ts"))
         .filter(size(col("ts")) >= 5)
         .select(col("doc_id"), explode(grams).as("gram"))
-      val gstats = g.groupBy("gram")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-      g.join(gstats, "gram")
+        .groupBy("doc_id", "gram")
+        .agg(count(lit(1)).as("c"))
+      val gstats = gd.groupBy("gram").agg(count(lit(1)).as("nd"))
+      gd.join(gstats, "gram")
         .groupBy("doc_id").agg(
-          count(lit(1)).as("n_grams"),
-          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_pos"),
-          countDistinct(when(col("nd") >= 2, col("gram"))).as("n_dup_grams"))
+          sum(col("c")).as("n_grams"),
+          sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_dup_pos"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
         .select(
           col("doc_id"), col("n_grams"), col("n_dup_pos"), col("n_dup_grams"),
           expr("1000 * n_dup_pos div n_grams").as("dup_permille"))
