@@ -45,6 +45,41 @@ object VectorQueries {
         .localCheckpoint())
   }
 
+  /** Final k-means assignment `(vec_id, j, dist)` — Lloyd's with 2
+    * unrolled iterations, k=8, integer-exact (see the `emb_kmeans` query
+    * doc for the full contract). Shared by `emb_kmeans` (the cluster
+    * report) and `pipeline_cluster_sample` (per-cluster representatives);
+    * both oracles replay the same unrolled CTE prefix.
+    */
+  private def kmeansAssigned(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val xq = transform(col("embedding"),
+      x => floor(x.cast("double") * 10000 + 0.5).cast("long"))
+    val pts = Tables.embeddings(s, dir).select(col("vec_id"), xq.as("xq"))
+    val c0 = pts.orderBy("vec_id").limit(k)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("long").as("j"), col("xq").as("cvec"))
+    def assign(cents: DataFrame): DataFrame =
+      pts.crossJoin(broadcast(cents))
+        .withColumn("dist",
+          aggregate(zip_with(col("xq"), col("cvec"),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("j"), col("xq"))).as("m"))
+        .select(col("vec_id"), col("m.xq").as("xq"),
+          col("m.j").as("j"), col("m.dist").as("dist"))
+    def recompute(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("j"), posexplode(col("xq")).as(Seq("pos", "x")))
+        .groupBy("j", "pos")
+        .agg(sum("x").as("sx"), count(lit(1)).as("c"))
+        .withColumn("cq", expr("(sx - sx % c) div c"))
+        .groupBy("j")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cq")))),
+          e => e.getField("cq")).as("cvec"))
+    assign(recompute(assign(c0))).drop("xq")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Vector norms + dimension via HOFs (no UDF, stays in codegen).
     "emb_norm" -> { (s, dir) =>
@@ -276,38 +311,39 @@ object VectorQueries {
     // unroll into one static plan — one corpus pass per iteration, no
     // driver loop, no collect.
     "emb_kmeans" -> { (s, dir) =>
-      val k = 8
-      val xq = transform(col("embedding"),
-        x => floor(x.cast("double") * 10000 + 0.5).cast("long"))
-      val pts = Tables.embeddings(s, dir).select(col("vec_id"), xq.as("xq"))
-      val c0 = pts.orderBy("vec_id").limit(k)
-        .select((row_number().over(Window.orderBy("vec_id")) - 1)
-          .cast("long").as("j"), col("xq").as("cvec"))
-      def assign(cents: DataFrame): DataFrame =
-        pts.crossJoin(broadcast(cents))
-          .withColumn("dist",
-            aggregate(zip_with(col("xq"), col("cvec"),
-              (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v))
-          .groupBy("vec_id")
-          .agg(min(struct(col("dist"), col("j"), col("xq"))).as("m"))
-          .select(col("vec_id"), col("m.xq").as("xq"),
-            col("m.j").as("j"), col("m.dist").as("dist"))
-      def recompute(assigned: DataFrame): DataFrame =
-        assigned
-          .select(col("j"), posexplode(col("xq")).as(Seq("pos", "x")))
-          .groupBy("j", "pos")
-          .agg(sum("x").as("sx"), count(lit(1)).as("c"))
-          .withColumn("cq", expr("(sx - sx % c) div c"))
-          .groupBy("j")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cq")))),
-            e => e.getField("cq")).as("cvec"))
-      val a2 = assign(recompute(assign(c0)))
-      a2.groupBy("j")
+      kmeansAssigned(s, dir)
+        .groupBy("j")
         .agg(
           count(lit(1)).as("n_members"),
           sum("dist").as("inertia"),
           sum("vec_id").as("id_sum"))
         .orderBy("j")
+    },
+
+    // CLUSTER-BALANCED SAMPLING — the step after clustering in an
+    // embedding-curation pass (SemDeDup keeps per-cluster representatives;
+    // cluster-stratified mixes sample per cluster to flatten topical
+    // skew): the 5 most-central members of each k-means cluster (dist asc,
+    // vec_id tie). Ranking rides the bounded-state two-level top-k
+    // (per-partition top-5, (#partitions × 5)-row merge, posexplode
+    // ranks) — never a row_number window over the corpus, per the
+    // standing plan rule.
+    "pipeline_cluster_sample" -> { (s, dir) =>
+      val m = 5
+      // sort_array desc over negated keys ≡ (dist asc, vec_id asc)
+      val cand = struct((-col("dist")).as("nd"), (-col("vec_id")).as("nv"),
+        col("vec_id"), col("dist"))
+      kmeansAssigned(s, dir)
+        .select(col("j"), cand.as("c"), spark_partition_id().as("part"))
+        .groupBy("j", "part")
+        .agg(slice(sort_array(collect_list(col("c")), asc = false), 1, m).as("cs"))
+        .select(col("j"), explode(col("cs")).as("c"))
+        .groupBy("j")
+        .agg(slice(sort_array(collect_list(col("c")), asc = false), 1, m).as("cs"))
+        .select(col("j"), posexplode(col("cs")))
+        .select(col("j"), (col("pos") + 1).cast("long").as("rn"),
+          col("col.vec_id").as("vec_id"), col("col.dist").as("dist"))
+        .orderBy("j", "rn")
     },
 
     "emb_quantize" -> { (s, dir) =>
@@ -677,12 +713,14 @@ object VectorQueries {
        |        (a, b) -> a + b), 4) AS p$j""".stripMargin
   }.mkString(",\n")
 
-  val oracles: Map[String, String] = Map(
-    // Unrolled Lloyd's mirror: same 10⁴ quantization grid, same k-smallest-
-    // vec_id seed, same exact truncating centroid division, same
-    // min([dist, j]) lexicographic argmin (j unique → xq never compared).
-    "emb_kmeans" ->
-      """WITH q AS (
+  /** Unrolled Lloyd's mirror: same 10⁴ quantization grid, same k-smallest-
+    * vec_id seed, same exact truncating centroid division, same
+    * min([dist, j]) lexicographic argmin (j unique → xq never compared).
+    * Shared CTE prefix ending at the final assignment `a2`, consumed by
+    * the emb_kmeans and pipeline_cluster_sample oracles.
+    */
+  private val kmeansCteSql: String =
+    """WITH q AS (
         |  SELECT vec_id,
         |         list_transform(embedding,
         |           x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS xq
@@ -715,11 +753,24 @@ object VectorQueries {
         |), a2 AS (
         |  SELECT vec_id, min([dist, j])[1] AS dist, min([dist, j])[2] AS j
         |  FROM d2 GROUP BY vec_id
-        |)
-        |SELECT j, CAST(count(*) AS BIGINT) AS n_members,
-        |       CAST(sum(dist) AS BIGINT) AS inertia,
-        |       CAST(sum(vec_id) AS BIGINT) AS id_sum
-        |FROM a2 GROUP BY j ORDER BY j""".stripMargin,
+        |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "emb_kmeans" ->
+      s"""$kmeansCteSql
+         |SELECT j, CAST(count(*) AS BIGINT) AS n_members,
+         |       CAST(sum(dist) AS BIGINT) AS inertia,
+         |       CAST(sum(vec_id) AS BIGINT) AS id_sum
+         |FROM a2 GROUP BY j ORDER BY j""".stripMargin,
+
+    "pipeline_cluster_sample" ->
+      s"""$kmeansCteSql
+         |SELECT j, rn, vec_id, dist FROM (
+         |  SELECT j, vec_id, dist,
+         |         CAST(row_number() OVER (PARTITION BY j ORDER BY dist, vec_id)
+         |           AS BIGINT) AS rn
+         |  FROM a2)
+         |WHERE rn <= 5 ORDER BY j, rn""".stripMargin,
 
     "emb_label_centroids" ->
       """WITH p AS (

@@ -64,6 +64,25 @@ class PlanSpec extends SparkSuite {
       p.toLowerCase.contains("reused"), p)
   }
 
+  test("cluster-sample ranks via bounded-state aggregation, window only on the k-row seed") {
+    // The per-cluster representative pick must ride the two-level top-k
+    // aggregate, never a row_number window over the corpus-sized
+    // assignment; the single Window in the plan is the k-means seed
+    // (row_number over the 8-row LIMIT), which sits above a GlobalLimit.
+    val df = SparkEntry.queries("pipeline_cluster_sample")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the unrolled assign() stages each instantiate the seed subtree; every
+    // window must be the global row_number over the 8-row limit (ordered by
+    // vec_id, partition-less), never one partitioned by the cluster id —
+    // that would be a corpus-sized rank sort
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(w =>
+      w.contains("vec_id#") && !w.contains(", [j#")), s"corpus-rank window:\n$p")
+    assert(p.contains("Limit") || p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("collect_list"), p) // the bounded-state rank
+  }
+
   test("prefix-Jaccard pair construction is equi-join + positional filter, no cartesian") {
     val df = DedupQueries.jaccardPairsPrefixPlan(spark, sfDir, 0.5)
     df.collect()
