@@ -94,10 +94,16 @@ object ReferenceEnv {
         val eq = stripped.indexOf('=')
         val key = stripped.take(eq).trim
         val rhs = stripped.drop(eq + 1).trim
+        // A quoted value is the span up to its MATCHING closing quote;
+        // anything after it (a trailing comment) is discarded. The '#'
+        // comment cut only ever applies to unquoted values, so
+        // `KEY="a # b" # c` yields `a # b`, matching godotenv.
         val value =
-          if (rhs.length >= 2 && (rhs.head == '"' || rhs.head == '\'') && rhs.last == rhs.head)
-            rhs.substring(1, rhs.length - 1)
-          else rhs.indexOf('#') match { // trailing comment (unquoted values only)
+          if (rhs.length >= 2 && (rhs.head == '"' || rhs.head == '\'')) {
+            val close = rhs.indexOf(rhs.head.toInt, 1)
+            if (close > 0) rhs.substring(1, close)
+            else rhs // unterminated quote: keep verbatim
+          } else rhs.indexOf('#') match { // trailing comment (unquoted values only)
             case -1 => rhs
             case i => rhs.take(i).trim
           }

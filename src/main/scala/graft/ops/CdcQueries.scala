@@ -162,12 +162,20 @@ object CdcQueries {
     // the output labeled 'deleted' with a null value — the audit view; the
     // live table is `WHERE action <> 'deleted'`.
     "cdc_apply_changes" -> { (s, dir) =>
+      // ONE max_by over a struct of the carried fields, not one per field:
+      // the struct is never NULL even when a field is, so Spark's max_by and
+      // DuckDB's arg_max (which skips NULL args) pick the same winning row
+      // regardless of NULL values at the winning event_id.
       val last = Tables.events(s, dir)
         .groupBy(col("user_id").as("pk"))
         .agg(
-          max_by(col("event_type"), col("event_id")).as("op"),
-          max_by(col("value"), col("event_id")).as("v"),
+          max_by(
+            struct(col("event_type").as("op"), col("value").as("v")),
+            col("event_id")).as("w"),
           count(lit(1)).as("n_changes"))
+        .select(
+          col("pk"), col("w.op").as("op"), col("w.v").as("v"),
+          col("n_changes"))
       val base = Tables.customer(s, dir)
         .select(col("c_custkey").as("bpk"), col("c_acctbal"))
       base.join(last, col("bpk") === col("pk"), "full_outer")
@@ -250,12 +258,13 @@ object CdcQueries {
     // Last-writer-wins per key (event_id is unique, so arg_max is
     // deterministic), then snapshot ⟗ compacted-log on pk.
     "cdc_apply_changes" ->
-      """WITH last AS (
+      """WITH lastw AS (
         |  SELECT user_id AS pk,
-        |         arg_max(event_type, event_id) AS op,
-        |         arg_max(value, event_id) AS v,
+        |         arg_max(struct_pack(op := event_type, v := value), event_id) AS w,
         |         count(*) AS n_changes
         |  FROM events GROUP BY 1
+        |), last AS (
+        |  SELECT pk, w.op AS op, w.v AS v, n_changes FROM lastw
         |)
         |SELECT COALESCE(c.c_custkey, l.pk) AS pk,
         |       CASE WHEN l.pk IS NULL THEN 'kept'

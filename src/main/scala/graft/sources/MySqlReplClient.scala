@@ -395,10 +395,12 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
     * auto-committed statement outside any BEGIN (DDL) terminates it, and
     * so does the next group's GTID event or a ROTATE — group events are
     * contiguous, so a successor group proves the predecessor arrived
-    * whole. A Query event INSIDE an open BEGIN…COMMIT (STATEMENT/MIXED
-    * format DML) is non-terminating: sealing there would mark the GTID
-    * committed before its COMMIT arrived, and a stream death in between
-    * would permanently lose the group's tail. The stream can die
+    * whole. A Query event INSIDE an open BEGIN…COMMIT or XA START…XA END
+    * (STATEMENT/MIXED format DML) is non-terminating — and `XA END`
+    * itself is not an ender either (the XA group's ender is XA PREPARE):
+    * sealing early would mark the GTID committed before its real ender
+    * arrived, and a stream death in between would permanently lose the
+    * group's tail. The stream can die
     * mid-group (network error, [[close]], `maxEvents`); counting that torn
     * group as held would make both the master-side filter and the
     * client-side skip drop the missing tail forever — a silently and
@@ -489,15 +491,20 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
                       val sql =
                         if (q == null) "" else q.getUTF8String(4).toString.trim
                       val u = sql.toUpperCase(java.util.Locale.ROOT)
-                      if (u == "BEGIN") inBegin = true
+                      if (u == "BEGIN" || u.startsWith("XA START")) inBegin = true
                       else if (u == "COMMIT" || u == "ROLLBACK" ||
                         u.startsWith("XA COMMIT") || u.startsWith("XA ROLLBACK") ||
                         u.startsWith("XA PREPARE")) sealPending()
+                      else if (u.startsWith("XA END")) () // closes the XA
+                      // statement block but NOT the group: the group's real
+                      // ender is XA PREPARE — sealing here would mark a
+                      // stream death between XA END and XA PREPARE as held
+                      // and lose the prepare forever
                       else if (!inBegin) sealPending()
-                      // else: a DML statement inside an open BEGIN…COMMIT
-                      // (STATEMENT/MIXED binlog) — non-terminating; the group
-                      // stays pending until its real ender, matching replica
-                      // executed-GTID semantics
+                      // else: a DML statement inside an open BEGIN…COMMIT /
+                      // XA START…XA END (STATEMENT/MIXED binlog) —
+                      // non-terminating; the group stays pending until its
+                      // real ender, matching replica executed-GTID semantics
                     case 4 => sealPending()
                     case _ => ()
                   }

@@ -84,6 +84,26 @@ class ReferenceEnvSpec extends AnyFunSuite {
     assert(miss.dbAddr == "127.0.0.1:3306" && miss.logLevel == "info")
   }
 
+  test(".env loading: quoted values with trailing comments match godotenv") {
+    // godotenv parses the quoted span FIRST, then discards what follows:
+    // `KEY="val" # comment` → `val` (not `"val"`), and a '#' INSIDE the
+    // quotes is value content, never a comment cut (`"a # b" # c` → `a # b`)
+    val dotenv = Files.createTempFile("graft", ".env")
+    Files.writeString(dotenv,
+      """A="val" # comment
+        |B="a # b" # c
+        |C='sq # keep' # cut
+        |D="plain"
+        |E="unterminated # kept verbatim
+        |""".stripMargin)
+    val vars = ReferenceEnv.loadDotEnv(dotenv.toString, env = Map.empty)
+    assert(vars("A") == "val")
+    assert(vars("B") == "a # b")
+    assert(vars("C") == "sq # keep")
+    assert(vars("D") == "plain")
+    assert(vars("E") == "\"unterminated # kept verbatim")
+  }
+
   test("address parsing tolerates missing or malformed ports") {
     assert(ReferenceEnv.splitAddr("justhost", 6379) == ("justhost", 6379))
     assert(ReferenceEnv.splitAddr("h:abc", 6379) == ("h:abc", 6379))

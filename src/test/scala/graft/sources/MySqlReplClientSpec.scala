@@ -613,6 +613,33 @@ class MySqlReplClientSpec extends SparkSuite {
     assert(probe.resumeGtidSet().text == s"$SidText:1-3")
   }
 
+  test("XA groups: START opens, END does not seal, only PREPARE/COMMIT do") {
+    // An XA transaction binlogs as XA START … XA END … XA PREPARE in one
+    // group, with XA COMMIT as its OWN later group. Neither XA START nor
+    // XA END is a group ender: a stream dying between XA END and XA
+    // PREPARE leaves a torn group whose tail the master must re-send —
+    // counting it held would skip that re-send and lose the prepare
+    // forever (the same loss mode the BEGIN…COMMIT rule closes). gno 1 =
+    // full prepared XA group (held); gno 2 = XA COMMIT group (held);
+    // gno 3 = XA START + DML + XA END with the stream dead before
+    // XA PREPARE — torn, must NOT be held.
+    val spool = Files.createTempDirectory("repl_xa_seal")
+    val evs = Seq(fdeEvent(120), pgev(1700000000L, GtidSet.Empty),
+      gev(1700000001L, 0, 1L), qev(1700000001L, "XA START X'78','',1"),
+      qev(1700000001L, "INSERT INTO t VALUES (1)"),
+      qev(1700000001L, "XA END X'78','',1"),
+      qev(1700000001L, "XA PREPARE X'78','',1"),
+      gev(1700000002L, 0, 2L), qev(1700000002L, "XA COMMIT X'78','',1"),
+      gev(1700000003L, 0, 3L), qev(1700000003L, "XA START X'79','',1"),
+      qev(1700000003L, "UPDATE t SET a = 2"),
+      qev(1700000003L, "XA END X'79','',1"))
+    Files.write(spool.resolve("fake-bin.000001"),
+      BinlogTestData.magic ++ evs.reduce(_ ++ _))
+    val probe = new BinlogSpoolClient(
+      ReplConfig("127.0.0.1", 1, "repl", useGtid = true), spool)
+    assert(probe.resumeGtidSet().text == s"$SidText:1-2")
+  }
+
   test("a spool that died before the terminating ROTATE gets it on resume") {
     // the previous stream died after file 1's last XID but BEFORE spooling
     // the real ROTATE: every group is held, so the re-streamed file stays
