@@ -11,7 +11,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference's canal dependency does between the wire and the handler
   * (`/root/reference/main.go:50-113` receives exactly these decoded
   * images): `binlog_rows_json(rows_event, table_map_event)` pairs a
-  * WRITE/UPDATE/DELETE_ROWS_EVENTv2 with its TABLE_MAP_EVENT and returns
+  * WRITE/UPDATE/DELETE_ROWS_EVENTv2 — or a PARTIAL_UPDATE_ROWS_EVENT
+  * (type 39, `binlog_row_value_options=PARTIAL_JSON`, whose partial JSON
+  * columns render as their faithful `json_diff` vectors) — with its
+  * TABLE_MAP_EVENT and returns
   * one JSON string per row change, shaped like the handler's input:
   *
   *   WRITE  → `{"after":{"c0":…,"c1":…}}`
@@ -71,6 +74,7 @@ object BinlogRows {
   private val GEOMETRY = 255
 
   private val WRITE = 30; private val UPDATE = 31; private val DELETE = 32
+  private val PARTIAL_UPDATE = 39 // binlog_row_value_options=PARTIAL_JSON
   private val TABLE_MAP = 19
 
   private final class Cursor(val b: Array[Byte], var off: Int) {
@@ -442,14 +446,61 @@ object BinlogRows {
     Some(sb.append(if (obj) '}' else ']').toString())
   }
 
+  /** MySQL `Json_diff_vector` binary (public layout, `sql/json_diff.cc`
+    * `write_binary`/`read_binary`): concatenated diffs, each = operation
+    * byte (0 REPLACE, 1 INSERT, 2 REMOVE), lenenc path length + path
+    * text, and (except REMOVE) lenenc value length + a standard
+    * json_binary document. Rendered faithfully as
+    * `{"json_diff":[{"op":…,"path":…,"value":…}…]}` — the diff IS what
+    * the wire carries (the full after-document would need the before
+    * state the binlog deliberately omits), and it's exactly the shape the
+    * reference's go-mysql dependency surfaces to its handlers.
+    */
+  private def jsonDiffVector(b: Array[Byte]): Option[String] = {
+    val c = new Cursor(b, 0)
+    val sb = new StringBuilder("""{"json_diff":[""")
+    var first = true
+    while (c.remaining > 0) {
+      val op = c.u8() match {
+        case 0 => "replace"
+        case 1 => "insert"
+        case 2 => "remove"
+        case _ => return None // unknown operation: refuse the event
+      }
+      val path = new String(c.bytes(c.lenenc().toInt),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val value: Option[String] =
+        if (op == "remove") None
+        else {
+          val vlen = c.lenenc().toInt
+          if (vlen <= 0) return None
+          val doc = c.bytes(vlen)
+          jsonValue(doc, doc(0) & 0xff, 1) match {
+            case Some(s) => Some(s)
+            case None => return None
+          }
+        }
+      if (!first) sb.append(',')
+      first = false
+      sb.append(s"""{"op":"$op","path":"${jsonEscape(path)}"""")
+      value.foreach(v => sb.append(s""","value":$v"""))
+      sb.append('}')
+    }
+    Some(sb.append("]}").toString())
+  }
+
   /** One row image as a JSON object; null when a column type is
     * unsupported (the caller then nulls the whole event). Keys are the
     * real column names when the TABLE_MAP carried them (FULL row
     * metadata), positional `c0…cN` otherwise; ints honor SIGNEDNESS;
     * ENUM/SET render their labels when the label lists are on the wire.
+    * `partialBits` (PARTIAL_UPDATE after-images only) marks which JSON
+    * columns arrive as diff vectors instead of full documents — one bit
+    * per JSON column in image order, consumed even for NULL values
+    * (matching `log_event.cc`'s partial_bits walk).
     */
   private def image(c: Cursor, tm: TableMapInfo,
-      present: Array[Byte]): Option[String] = {
+      present: Array[Byte], partialBits: Array[Byte] = null): Option[String] = {
     val types = tm.types
     val meta = tm.meta
     val presentIdx = types.indices.filter(bit(present, _))
@@ -457,9 +508,27 @@ object BinlogRows {
     val sb = new StringBuilder("{")
     var first = true
     var pi = 0
+    var jsonIdx = 0
     presentIdx.foreach { col =>
+      val partialJson = types(col) == JSONB && partialBits != null && {
+        val p = bit(partialBits, jsonIdx); jsonIdx += 1; p
+      }
       val v: Option[String] =
         if (bit(nullBm, pi)) Some("null")
+        else if (partialJson) {
+          // partial format: same length prefix as a full JSON column, but
+          // the payload is a Json_diff_vector, not a document
+          val len = meta(col) match {
+            case 1 => c.u8().toLong
+            case 2 => c.u16().toLong
+            case 3 => c.u24().toLong
+            case 4 => c.u32()
+            case _ => -1L
+          }
+          if (len < 0) None
+          else if (len == 0) Some("null") // empty diff = no-op image
+          else jsonDiffVector(c.bytes(len.toInt))
+        }
         else types(col) match {
           case TINY =>
             Some(if (tm.unsigned(col)) c.u8().toString else c.i8().toString)
@@ -636,7 +705,8 @@ object BinlogRows {
     if (rowsEvent == null || tableMapEvent == null) return null
     if (rowsEvent.length < BinlogWire.HeaderLen + 10) return null
     val tpe = rowsEvent(4) & 0xff
-    if (tpe != WRITE && tpe != UPDATE && tpe != DELETE) return null
+    if (tpe != WRITE && tpe != UPDATE && tpe != DELETE && tpe != PARTIAL_UPDATE)
+      return null
     val tm = parseTableMap(tableMapEvent, hasCrc).orNull
     if (tm == null) return null
     try {
@@ -649,7 +719,10 @@ object BinlogRows {
       val nCols = c.lenenc().toInt
       if (nCols != tm.types.length) return null
       val present = c.bytes((nCols + 7) / 8)
-      val presentAfter = if (tpe == UPDATE) c.bytes((nCols + 7) / 8) else present
+      val presentAfter =
+        if (tpe == UPDATE || tpe == PARTIAL_UPDATE) c.bytes((nCols + 7) / 8)
+        else present
+      val nJsonCols = tm.types.count(_ == JSONB)
       val out = scala.collection.mutable.ArrayBuffer.empty[Any]
       while (c.off < end) {
         val j = tpe match {
@@ -661,6 +734,22 @@ object BinlogRows {
             for {
               b <- image(c, tm, present)
               a <- image(c, tm, presentAfter)
+            } yield s"""{"before":$b,"after":$a}"""
+          case PARTIAL_UPDATE =>
+            // PARTIAL_UPDATE_ROWS_EVENT (type 39, WL#2955): the after-image
+            // opens with a lenenc value_options word; bit 0 = PARTIAL_JSON,
+            // which adds a bitmap (one bit per JSON column) marking the
+            // columns that arrive as Json_diff vectors instead of full
+            // documents — see jsonDiffVector above for the rendering.
+            for {
+              b <- image(c, tm, present)
+              a <- {
+                val valueOptions = c.lenenc()
+                val partial =
+                  if ((valueOptions & 1L) != 0L) c.bytes((nJsonCols + 7) / 8)
+                  else null
+                image(c, tm, presentAfter, partial)
+              }
             } yield s"""{"before":$b,"after":$a}"""
         }
         if (j.isEmpty || c.off > end) return null // unsupported type / torn image
@@ -683,7 +772,8 @@ object BinlogRows {
   def tableId(ev: Array[Byte]): Any = {
     if (ev == null || ev.length < BinlogWire.HeaderLen + 6) return null
     val tpe = ev(4) & 0xff
-    if (tpe != TABLE_MAP && tpe != WRITE && tpe != UPDATE && tpe != DELETE) return null
+    if (tpe != TABLE_MAP && tpe != WRITE && tpe != UPDATE && tpe != DELETE &&
+      tpe != PARTIAL_UPDATE) return null
     java.lang.Long.valueOf(new Cursor(ev, BinlogWire.HeaderLen).u48())
   }
 

@@ -62,6 +62,7 @@ object BinlogWire {
     16 -> "XID_EVENT", 19 -> "TABLE_MAP_EVENT", 30 -> "WRITE_ROWS_EVENT",
     31 -> "UPDATE_ROWS_EVENT", 32 -> "DELETE_ROWS_EVENT", 33 -> "GTID_EVENT",
     34 -> "ANONYMOUS_GTID_EVENT", 35 -> "PREVIOUS_GTIDS_EVENT",
+    39 -> "PARTIAL_UPDATE_ROWS_EVENT", 40 -> "TRANSACTION_PAYLOAD_EVENT",
     160 -> "ANNOTATE_ROWS_EVENT", 161 -> "BINLOG_CHECKPOINT_EVENT",
     162 -> "MARIA_GTID_EVENT", 163 -> "MARIA_GTID_LIST_EVENT")
 
@@ -255,6 +256,94 @@ object BinlogWire {
     java.lang.Boolean.valueOf((crc.getValue & 0xffffffffL) == u32(bytes, bytes.length - 4))
   }
 
+  /** TRANSACTION_PAYLOAD_EVENT (type 40; MySQL 8.0.20+ with
+    * `binlog_transaction_compression=ON` — default-on for several managed
+    * offerings): the transaction's whole event stream — Query(`BEGIN`),
+    * TABLE_MAP, ROWS events, XID — wrapped inside ONE container event,
+    * zstd-compressed by default. The body is a TLV field list (lenenc
+    * type, lenenc length, value bytes; all LE): field 1 = payload size,
+    * 2 = compression codec (0 = ZSTD, 255 = NONE), 3 = uncompressed size;
+    * field 0 is the header-end mark, and the payload bytes follow it
+    * immediately. Inner events are written WITHOUT CRC32 trailers
+    * regardless of the server's checksum setting (the container carries
+    * the only checksum). Public format: MySQL WL#3549 + libbinlogevents
+    * `control_events.h` (the reference's go-mysql dependency decodes the
+    * same fields before `OnRow` fires).
+    *
+    * `payloadEvents(ev, hasCrc)` normalizes ANY event to the flat stream
+    * a pre-8.0.20 consumer expects: a type-40 container decodes (and
+    * decompresses) into its inner events; every other event passes
+    * through unchanged except that a declared CRC32 trailer is stripped
+    * (with `event_size` patched down to match), so the OUTPUT is
+    * uniformly checksum-free and downstream pairing/decode always runs
+    * `has_crc = false`. Null on a torn container, a declared-size
+    * mismatch, a torn inner stream, or an unknown compression codec —
+    * refuse, don't guess: bytes "decompressed" under the wrong codec are
+    * plausible garbage, and a poisoned event must not kill a 100 TB scan.
+    */
+  def payloadEvents(ev: Array[Byte], hasCrc: Boolean): ArrayData = {
+    if (ev == null || ev.length < HeaderLen) return null
+    val end = ev.length - (if (hasCrc) 4 else 0)
+    if (end < HeaderLen) return null
+    if ((ev(4) & 0xff) != 40) {
+      if (!hasCrc) return new GenericArrayData(Array[Any](ev))
+      val out = java.util.Arrays.copyOfRange(ev, 0, end)
+      val sz = u32(ev, 9) - 4 // event_size covered the stripped trailer
+      out(9) = (sz & 0xff).toByte; out(10) = ((sz >> 8) & 0xff).toByte
+      out(11) = ((sz >> 16) & 0xff).toByte; out(12) = ((sz >> 24) & 0xff).toByte
+      return new GenericArrayData(Array[Any](out))
+    }
+    try {
+      var off = HeaderLen
+      var payloadSize = -1L
+      var codec = 255L // NONE when the field is absent (libbinlogevents default)
+      var rawSize = -1L
+      def lenenc(): Long = {
+        val first = ev(off) & 0xff; off += 1
+        first match {
+          case 0xfc =>
+            val r = (ev(off) & 0xffL) | ((ev(off + 1) & 0xffL) << 8); off += 2; r
+          case 0xfd =>
+            val r = (ev(off) & 0xffL) | ((ev(off + 1) & 0xffL) << 8) |
+              ((ev(off + 2) & 0xffL) << 16); off += 3; r
+          case 0xfe =>
+            var r = 0L; var i = 0
+            while (i < 8) { r |= (ev(off + i) & 0xffL) << (8 * i); i += 1 }
+            off += 8; r
+          case v => v.toLong
+        }
+      }
+      var payload: Array[Byte] = null
+      while (payload == null) {
+        if (off >= end) return null // ran out before the header-end mark
+        val ft = lenenc()
+        if (ft == 0L) payload = java.util.Arrays.copyOfRange(ev, off, end)
+        else {
+          val fl = lenenc().toInt
+          if (fl < 0 || off + fl > end) return null
+          var v = 0L; var i = 0
+          while (i < math.min(fl, 8)) { v |= (ev(off + i) & 0xffL) << (8 * i); i += 1 }
+          ft match {
+            case 1L => payloadSize = v
+            case 2L => codec = v
+            case 3L => rawSize = v
+            case _ => () // unknown optional field: skip it, not the event
+          }
+          off += fl
+        }
+      }
+      if (payloadSize >= 0 && payloadSize != payload.length) return null
+      val inner: Array[Byte] = codec match {
+        case 255L => payload // COMPRESSION_TYPE_NONE
+        case 0L => // COMPRESSION_TYPE_ZSTD
+          if (rawSize < 0 || rawSize > Int.MaxValue) return null
+          com.github.luben.zstd.Zstd.decompress(payload, rawSize.toInt)
+        case _ => return null // unknown codec: refuse, don't guess
+      }
+      frames(inner) // inner events frame like any stream (null when torn)
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
   /** Column-level API. */
   def binlog_header(c: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.toColumn(
@@ -265,6 +354,9 @@ object BinlogWire {
   def binlog_rotate(c: Column, hasCrc: Boolean = false): Column =
     org.apache.spark.sql.GraftColumnBridge.toColumn(
       BinlogRotateDecode(org.apache.spark.sql.GraftColumnBridge.toExpression(c), hasCrc))
+  def binlog_payload_events(c: Column, hasCrc: Boolean = false): Column =
+    org.apache.spark.sql.GraftColumnBridge.toColumn(
+      BinlogPayloadEvents(org.apache.spark.sql.GraftColumnBridge.toExpression(c), hasCrc))
   def binlog_gtid(c: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.toColumn(
       BinlogGtidDecode(org.apache.spark.sql.GraftColumnBridge.toExpression(c)))
@@ -330,6 +422,24 @@ case class BinlogFrames(child: Expression) extends BinlogDecodeExpression {
   override protected def withNewChildInternal(newChild: Expression): BinlogFrames =
     copy(child = newChild)
   override def prettyName: String = "binlog_frames"
+}
+
+/** `binlog_payload_events(event[, has_crc])` → the event normalized to a
+  * checksum-free flat stream: a TRANSACTION_PAYLOAD container (type 40)
+  * expands to its decompressed inner events, anything else passes through
+  * (CRC trailer stripped). See [[BinlogWire.payloadEvents]].
+  */
+case class BinlogPayloadEvents(child: Expression, hasCrc: Boolean = false)
+    extends BinlogDecodeExpression {
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override protected def staticCall: String = "graft.functions.BinlogWire.payloadEvents"
+  override protected def javaType: String = "org.apache.spark.sql.catalyst.util.ArrayData"
+  override protected def extraArgs: String = s", $hasCrc"
+  override protected def nullSafeEval(input: Any): Any =
+    BinlogWire.payloadEvents(input.asInstanceOf[Array[Byte]], hasCrc)
+  override protected def withNewChildInternal(newChild: Expression): BinlogPayloadEvents =
+    copy(child = newChild)
+  override def prettyName: String = "binlog_payload_events"
 }
 
 /** GTID event → struct(uuid, gno, commit_flag) — the modern position unit. */

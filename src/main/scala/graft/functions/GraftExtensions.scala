@@ -41,6 +41,12 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"has_crc must be a boolean literal, got $other")
       })),
+    "binlog_payload_events" -> (children => BinlogPayloadEvents(children.head,
+      hasCrc = children.lift(1).exists {
+        case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, _) => b
+        case other => throw new IllegalArgumentException(
+          s"has_crc must be a boolean literal, got $other")
+      })),
     "binlog_gtid" -> (children => BinlogGtidDecode(children.head)),
     "binlog_xid" -> (children => BinlogXidDecode(children.head)),
     "binlog_query" -> (children => BinlogQueryDecode(children.head,

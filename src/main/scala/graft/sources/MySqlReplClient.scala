@@ -508,6 +508,16 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
                     case 4 => sealPending()
                     case _ => ()
                   }
+                case 40 => // TRANSACTION_PAYLOAD: the compressed container
+                  // holds the ENTIRE transaction including its commit, so
+                  // its arrival proves the group ended — seal without
+                  // materializing the (potentially large) body
+                  var sk = 0L
+                  while (sk < bodyLen && !done) {
+                    val r = in.skip(bodyLen - sk)
+                    if (r <= 0L) done = true else sk += r
+                  }
+                  if (!done) sealPending()
                 case _ => // row payloads etc.: skip, never materialize
                   var sk = 0L
                   while (sk < bodyLen && !done) {

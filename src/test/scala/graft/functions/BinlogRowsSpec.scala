@@ -153,6 +153,83 @@ class BinlogRowsSpec extends SparkSuite {
     assert(decode(ev.dropRight(3), tableMap()) == null)
   }
 
+  test("PARTIAL_UPDATE (type 39): partial JSON columns render as json_diff vectors") {
+    // (LONG, JSON, JSON) table — two JSON columns so the partial bitmap
+    // walk (one bit per JSON column, consumed even for NULLs) is exercised
+    val tm = tableMap(Seq(3, 245, 245), Seq(0, 4, 4))
+    // a small full document for the before-image: {"a":17}
+    val fullDoc = {
+      val b = new Buf
+      b.u8(0x00).u16(1).u16(12) // count 1, total size 12
+      b.u16(11).u16(1)       // key "a" @11
+      b.u8(0x05).u16(17)     // inline int16
+      b.str("a")
+      b.bytes
+    }
+    // diff vector: REPLACE $.a := 99, REMOVE $.b
+    val diffVec = {
+      val b = new Buf
+      b.u8(0).u8(3).str("$.a")        // op REPLACE, lenenc path
+      b.u8(3).u8(0x05).u16(99)        //   lenenc value len + json int16
+      b.u8(2).u8(3).str("$.b")        // op REMOVE, lenenc path
+      b.bytes
+    }
+    def ev(valueOptions: Int, partialBits: Int)(after: Buf => Unit): Array[Byte] = {
+      val b = new Buf
+      b.u48(TableId).u16(0).u16(2)
+      b.u8(3)       // column count
+      b.u8(0x7)     // before present bitmap
+      b.u8(0x7)     // after present bitmap
+      // before image: (1, {"a":17}, NULL)
+      b.u8(4)       // null bitmap: third column NULL
+      b.u32(1L); b.u32(fullDoc.length.toLong).raw(fullDoc)
+      // after image: value_options + optional partial bitmap + row
+      b.u8(valueOptions)
+      if ((valueOptions & 1) != 0) b.u8(partialBits)
+      after(b)
+      event(1700000400L, 39, 1, 0, 0, b.bytes)
+    }
+    // PARTIAL_JSON set; col c1 NULL (still consumes a partial bit), col c2
+    // partial (bit 1 → consumed as the SECOND json column's bit)
+    val partial = ev(valueOptions = 1, partialBits = 0x2) { b =>
+      b.u8(2) // null bitmap: second column (c1) NULL
+      b.u32(7L)
+      b.u32(diffVec.length.toLong).raw(diffVec)
+    }
+    assert(decode(partial, tm) == Seq(
+      """{"before":{"c0":1,"c1":{"a":17},"c2":null},""" +
+        """"after":{"c0":7,"c1":null,"c2":{"json_diff":[""" +
+        """{"op":"replace","path":"$.a","value":99},""" +
+        """{"op":"remove","path":"$.b"}]}}}"""))
+    // value_options without PARTIAL_JSON: after-image JSON decodes as a
+    // full document, no partial bitmap on the wire
+    val fullAfter = ev(valueOptions = 0, partialBits = 0) { b =>
+      b.u8(4) // c2 NULL
+      b.u32(7L)
+      b.u32(fullDoc.length.toLong).raw(fullDoc)
+    }
+    assert(decode(fullAfter, tm) == Seq(
+      """{"before":{"c0":1,"c1":{"a":17},"c2":null},""" +
+        """"after":{"c0":7,"c1":{"a":17},"c2":null}}"""))
+    // PARTIAL_JSON set but this column's bit clear: full document
+    val bitClear = ev(valueOptions = 1, partialBits = 0x0) { b =>
+      b.u8(4)
+      b.u32(7L)
+      b.u32(fullDoc.length.toLong).raw(fullDoc)
+    }
+    assert(decode(bitClear, tm) == Seq(
+      """{"before":{"c0":1,"c1":{"a":17},"c2":null},""" +
+        """"after":{"c0":7,"c1":{"a":17},"c2":null}}"""))
+    // unknown diff operation (7): refuse the whole event, never guess
+    val badOp = ev(valueOptions = 1, partialBits = 0x2) { b =>
+      b.u8(2)
+      b.u32(7L)
+      val bad = { val v = new Buf; v.u8(7).u8(3).str("$.a"); v.bytes }
+      b.u32(bad.length.toLong).raw(bad)
+    }
+    assert(decode(badOp, tm) == null)
+  }
+
   // --- extended type set: hand-packed wire values, expected text pinned ---
 
   /** Generic one-row WRITE_ROWS with `n` columns, all present and non-NULL

@@ -38,6 +38,67 @@ class BinlogWireSpec extends SparkSuite {
     assert(BinlogWire.decodeHeader(Array[Byte](1, 2, 3)) == null) // truncated
   }
 
+  // --- TRANSACTION_PAYLOAD_EVENT (type 40) ---------------------------------
+
+  /** Pack a type-40 container per WL#3549: TLV fields (1-byte type, 1-byte
+    * length, LE value) then the end mark then the payload.
+    */
+  private def payloadEvent(inner: Array[Byte], zstd: Boolean,
+      codecOverride: Int = -1, sizeOverride: Long = -1L): Array[Byte] = {
+    val payload =
+      if (zstd) com.github.luben.zstd.Zstd.compress(inner) else inner
+    val codec = if (codecOverride >= 0) codecOverride else if (zstd) 0 else 255
+    val declared = if (sizeOverride >= 0) sizeOverride else payload.length.toLong
+    val b = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = b.write(v & 0xff)
+    def u32(v: Long): Unit = (0 until 4).foreach(i => u8((v >> (8 * i)).toInt))
+    u8(2); u8(1); u8(codec)             // field 2: compression type
+    u8(3); u8(4); u32(inner.length.toLong) // field 3: uncompressed size
+    u8(1); u8(4); u32(declared)         // field 1: payload size
+    u8(0)                               // header end mark
+    b.write(payload, 0, payload.length)
+    event(1700000004L, 40, 1, 1111, 0, b.toByteArray)
+  }
+
+  test("transaction payload: zstd and uncompressed containers expand to inner events") {
+    val inner = query ++ write
+    Seq(true, false).foreach { z =>
+      val fs = BinlogWire.payloadEvents(payloadEvent(inner, zstd = z), hasCrc = false)
+      assert(fs.numElements() == 2, s"zstd=$z")
+      assert(fs.getBinary(0).sameElements(query))
+      assert(fs.getBinary(1).sameElements(write))
+    }
+  }
+
+  test("transaction payload: refusal cases and checksum-free normalization") {
+    val inner = query ++ write
+    // unknown codec: refuse, don't guess
+    assert(BinlogWire.payloadEvents(
+      payloadEvent(inner, zstd = true, codecOverride = 42), hasCrc = false) == null)
+    // declared payload size disagrees with the body: torn container
+    assert(BinlogWire.payloadEvents(
+      payloadEvent(inner, zstd = false, sizeOverride = 3L), hasCrc = false) == null)
+    // torn inner stream: null, not a silent partial expand
+    val torn = payloadEvent(inner.dropRight(1), zstd = false)
+    assert(BinlogWire.payloadEvents(torn, hasCrc = false) == null)
+    // corrupt zstd bytes (frame magic flipped): null, never an exception
+    val zev = payloadEvent(inner, zstd = true)
+    val payloadOff = zev.length - com.github.luben.zstd.Zstd.compress(inner).length
+    zev(payloadOff) = (zev(payloadOff) ^ 0x5f).toByte
+    assert(BinlogWire.payloadEvents(zev, hasCrc = false) == null)
+    // non-payload events pass through; a declared CRC trailer is stripped
+    // and event_size patched so the output is uniformly checksum-free
+    val plain = BinlogWire.payloadEvents(write, hasCrc = false)
+    assert(plain.numElements() == 1 && plain.getBinary(0).sameElements(write))
+    val crc = write ++ Array[Byte](1, 2, 3, 4) // (value unchecked here)
+    // patch event_size to cover the trailer like a checksumming server
+    val sized = crc.clone()
+    val newSize = write.length + 4
+    sized(9) = (newSize & 0xff).toByte; sized(10) = ((newSize >> 8) & 0xff).toByte
+    val stripped = BinlogWire.payloadEvents(sized, hasCrc = true)
+    assert(stripped.numElements() == 1 && stripped.getBinary(0).sameElements(write))
+  }
+
   test("framing splits a magic-prefixed stream and refuses truncation") {
     val fs = BinlogWire.frames(stream)
     assert(fs.numElements() == 4)

@@ -613,6 +613,23 @@ class MySqlReplClientSpec extends SparkSuite {
     assert(probe.resumeGtidSet().text == s"$SidText:1-3")
   }
 
+  test("a TRANSACTION_PAYLOAD container seals its GTID group") {
+    // With binlog_transaction_compression=ON the whole transaction
+    // (TABLE_MAP + ROWS + XID) rides inside one type-40 container, so the
+    // container IS the group's proof of completion — gno 1 must be held
+    // even though the stream dies right after it (no XID/successor ever
+    // arrives at the top level).
+    val spool = Files.createTempDirectory("repl_tpe_seal")
+    val payload = cev(1700000001L, 40, 0, Array[Byte](1, 1, 0, 0, 0, 0)) // body opaque to the scan
+    val evs = Seq(fdeEvent(120), pgev(1700000000L, GtidSet.Empty),
+      gev(1700000001L, 0, 1L), payload)
+    Files.write(spool.resolve("fake-bin.000001"),
+      BinlogTestData.magic ++ evs.reduce(_ ++ _))
+    val probe = new BinlogSpoolClient(
+      ReplConfig("127.0.0.1", 1, "repl", useGtid = true), spool)
+    assert(probe.resumeGtidSet().text == s"$SidText:1")
+  }
+
   test("XA groups: START opens, END does not seal, only PREPARE/COMMIT do") {
     // An XA transaction binlogs as XA START … XA END … XA PREPARE in one
     // group, with XA COMMIT as its OWN later group. Neither XA START nor
