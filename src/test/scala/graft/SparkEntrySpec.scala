@@ -30,4 +30,27 @@ class SparkEntrySpec extends SparkSuite {
   test("flagship entry returns rows (the driver's t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("documented inventory counts match the code (no doc drift)") {
+    // COVERAGE.md and README.md each carry an `Inventory: N declared / M
+    // oracle-checked` line; r8's audit caught both stale (133/125 vs the
+    // real 137/129) because the counts were hand-maintained prose. This
+    // guard makes the docs fail the build instead of drifting.
+    val declared = SparkEntry.queries.size
+    val oracle = SparkEntry.oracleSql.size
+    val marker = """Inventory: (\d+)\s*declared / (\d+)\s*oracle-checked""".r
+    Seq("COVERAGE.md", "README.md").foreach { f =>
+      val p = java.nio.file.Paths.get(f)
+      assert(java.nio.file.Files.exists(p), s"$f missing")
+      val text = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      marker.findFirstMatchIn(text) match {
+        case None => fail(s"$f lacks an 'Inventory: N declared / M oracle-checked' line")
+        case Some(m) =>
+          assert(m.group(1).toInt == declared && m.group(2).toInt == oracle,
+            s"$f documents ${m.group(1)}/${m.group(2)} but the code declares " +
+              s"$declared/$oracle — update the doc's Inventory line")
+      }
+    }
+  }
 }
