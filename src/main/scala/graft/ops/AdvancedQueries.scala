@@ -122,6 +122,21 @@ object AdvancedQueries {
         .orderBy("l_returnflag")
     },
 
+    // KEY-SKEW PROFILE: the frequency-of-frequencies histogram of a join
+    // key — the diagnostic that decides salting / AQE skew-join handling
+    // BEFORE shipping a 100 TB shuffle. Two stacked hash aggregates, both
+    // map-side combined; the output is tiny (distinct per-key counts) no
+    // matter the input scale, and the first aggregate's shuffle is exactly
+    // the join's would-be shuffle, so the histogram prices it honestly.
+    "agg_key_skew" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_orders")
+    },
+
     // try_cast: null on failure instead of error (the reference's lenient
     // dynamic typing, SURVEY §1.2).
     "scalar_trycast" -> { (s, dir) =>
@@ -307,6 +322,12 @@ object AdvancedQueries {
         |       bool_or(l_quantity > 49) AS any_big,
         |       CAST(count(*) FILTER (l_discount > 0.05) AS BIGINT) AS n_disc
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_key_skew" ->
+      """SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |      FROM orders GROUP BY 1)
+        |GROUP BY 1 ORDER BY n_orders""".stripMargin,
 
     "scalar_trycast" ->
       """SELECT c_custkey,

@@ -150,6 +150,21 @@ object CdcQueries {
         .orderBy("event_id")
     },
 
+    // SCHEMA-DRIFT DETECTION: the per-key first-appearance ledger of the
+    // change stream's JSON payload — when a producer adds a column, the new
+    // key surfaces here with the event_id it first rode in on, which is how
+    // a CDC consumer notices upstream DDL without seeing the DDL (the
+    // reference forwards raw JSON and leaves drift to the HTTP consumer).
+    // One scan + one map-side-combined aggregate over exploded key names;
+    // output is the live key vocabulary (tiny), input-scale-free.
+    "cdc_schema_drift" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), explode(json_object_keys(col("props"))).as("key"))
+        .groupBy("key")
+        .agg(min(col("event_id")).as("first_seen"), count(lit(1)).as("n_events"))
+        .orderBy("key")
+    },
+
     // CDC MATERIALIZATION ("apply changes"): fold a change log onto a base
     // snapshot to the table's current state — the consumer-side half the
     // reference leaves to whoever drains its HTTP/queue feed. `customer` is
@@ -257,6 +272,13 @@ object CdcQueries {
 
     // Last-writer-wins per key (event_id is unique, so arg_max is
     // deterministic), then snapshot ⟗ compacted-log on pk.
+    "cdc_schema_drift" ->
+      """SELECT key,
+        |       CAST(min(event_id) AS BIGINT) AS first_seen,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM (SELECT event_id, unnest(json_keys(props)) AS key FROM events)
+        |GROUP BY 1 ORDER BY key""".stripMargin,
+
     "cdc_apply_changes" ->
       """WITH lastw AS (
         |  SELECT user_id AS pk,

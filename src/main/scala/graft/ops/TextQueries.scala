@@ -66,6 +66,28 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // CHAR-CLASS PROFILE: integer counts of alphabetic / digit /
+    // whitespace / punctuation characters per document — the alphabet-mix
+    // quality signal (C4/Gopher-style filters threshold on exactly these
+    // ratios; keeping the raw integers makes any downstream ratio exact).
+    // Pure column expressions in one scan: count(class) = len - len(text
+    // with the class deleted), so the whole profile is codegen'd regexps
+    // with no UDF and no shuffle beyond the determinism sort.
+    "text_char_classes" -> { (s, dir) =>
+      val t = col("text")
+      def classCount(re: String) =
+        (length(t) - length(regexp_replace(t, re, ""))).cast("long")
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          length(t).cast("long").as("n_total"),
+          classCount("[A-Za-z]").as("n_alpha"),
+          classCount("[0-9]").as("n_digit"),
+          classCount("[ \\t\\n]").as("n_space"),
+          classCount("[.,;:!?'\"()-]").as("n_punct"))
+        .orderBy("doc_id")
+    },
+
     // Language ID: argmax of marker-token hits per language (ties → first
     // lang alphabetically). All five scores come from ONE projection over a
     // single scan of documents, then `stack()` pivots them to (cand, score)
@@ -459,6 +481,22 @@ object TextQueries {
               phoneRe, "[PHONE]"),
             "[0-9]{5,}", "[NUM]").as("redacted"))
         .orderBy("c_custkey")
+    },
+
+    // EPOCH SHUFFLE KEYS — the deterministic per-epoch reshuffle every
+    // training run needs: each (doc, epoch) pair gets a pseudorandom but
+    // reproducible sort key (md5 of doc_id:epoch), so epoch 0 and epoch 1
+    // see the corpus in independent orders and any node can recompute the
+    // order without coordination. Map-only (hash IS the permutation —
+    // nothing to broadcast, no RNG state to version at 100 TB); the only
+    // sort is the writer's range partition, which a real pipeline pays
+    // anyway to emit shuffled shards.
+    "pipeline_epoch_shuffle" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(sequence(lit(0), lit(1))).as("epoch"))
+        .select(col("doc_id"), col("epoch"),
+          md5(concat_ws(":", col("doc_id"), col("epoch"))).as("shuffle_key"))
+        .orderBy("epoch", "shuffle_key")
     },
 
     // SEQUENCE PACKING (concat-and-chunk) — the pretraining batch-prep
@@ -915,6 +953,21 @@ object TextQueries {
         |       round(ln(1 + len(string_split(text, ' ')))
         |             * CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
         |             / len(string_split(text, ' ')), 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipeline_epoch_shuffle" ->
+      """SELECT doc_id, epoch,
+        |       md5(doc_id || ':' || epoch) AS shuffle_key
+        |FROM (SELECT doc_id, unnest([0, 1]) AS epoch FROM documents)
+        |ORDER BY epoch, shuffle_key""".stripMargin,
+
+    "text_char_classes" ->
+      """SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_total,
+        |       CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+        |       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |       CAST(length(text) - length(regexp_replace(text, '[ \t\n]', '', 'g')) AS BIGINT) AS n_space,
+        |       CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS BIGINT) AS n_punct
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_lang_id" -> {
