@@ -263,11 +263,15 @@ object Bench {
       implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
       val j = org.json4s.jackson.JsonMethods.parse(
         new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      // json4s happily extracts JNothing as an EMPTY map — which would
+      // select the min-vs-min branch with no data and silently produce
+      // zero deltas; a missing/empty queries_min must read as None
+      val qmin = (j \ "queries_min")
+        .extractOpt[Map[String, Double]].filter(_.nonEmpty)
       for {
         sf <- (j \ "sf").extractOpt[String]
         qs <- (j \ "queries").extractOpt[Map[String, Double]]
-      } yield (sf, qs, (j \ "queries_min").extractOpt[Map[String, Double]],
-        (j \ "reps").extractOpt[Int].getOrElse(0))
+      } yield (sf, qs, qmin, (j \ "reps").extractOpt[Int].getOrElse(0))
     }
   } catch { case _: Throwable => None }
 }

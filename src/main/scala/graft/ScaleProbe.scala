@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off scale probe: replicate the sf0.1 `documents`/`embeddings`
+  * corpus 10× and 100× (deterministic — replica index rides the id, and
+  * each replica's text gets a distinguishing token so near-dup pairs stay
+  * within a replica instead of exploding quadratically across replicas,
+  * matching how real corpus growth adds NEW near-dup families rather than
+  * multiplying one), then time the representative Tier-D quartile at each
+  * scale and report the observed scaling exponents
+  * (`log(t_big/t_small) / log(factor)` — 1.0 = linear).
+  *
+  * Probed queries: `dedup_jaccard_prefix` (prefix-filtered AllPairs over
+  * the shingle index), `sim_ann_knn` (IVF probe + assignment over the
+  * normed-vector index), `text_dup_spans` (keyed gram explode/join). Each
+  * is timed end-to-end INCLUDING its session index build (caches are per
+  * (session, dir), and each scale is a fresh dir) — the honest number a
+  * new cluster pays — and then once more warm (the steady-state number).
+  *
+  * Writes replicas under the work dir (default `/tmp/graft_scale_probe`)
+  * and prints one JSON line per scale plus the exponent summary. Not part
+  * of the bench or the correctness gate; run manually:
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleProbe"
+  */
+object ScaleProbe {
+
+  private val Probes = Seq("dedup_jaccard_prefix", "sim_ann_knn", "text_dup_spans")
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = if (args.length > 1) args(1) else "/tmp/graft_scale_probe"
+    val factors = Seq(10, 100)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark)
+
+    def replicate(factor: Int): String = {
+      val dir = s"$work/x$factor"
+      val docs = Tables.documents(spark, src)
+      val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
+      docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), explode(sequence(lit(0), lit(factor - 1))).as("rep"))
+        .select(
+          (col("doc_id") + col("rep") * lit(nDocs)).as("doc_id"),
+          // the replica token keeps cross-replica Jaccard below any
+          // near-dup threshold, so pair families scale like real growth
+          concat(col("text"), lit(" rep"), col("rep")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val embs = Tables.embeddings(spark, src)
+      val nVecs = embs.agg(max("vec_id")).head.getLong(0) + 1
+      embs.select(col("vec_id"), col("embedding"), col("label"),
+          explode(sequence(lit(0), lit(factor - 1))).as("rep"))
+        .select(
+          (col("vec_id") + col("rep") * lit(nVecs)).as("vec_id"),
+          col("embedding"), col("label"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def ms3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+    // cold = first run in this session for that dir (includes the index
+    // build the per-(session, dir) caches amortize); warm = second run
+    val results = (Seq(1 -> src) ++ factors.map(f => f -> replicate(f))).map {
+      case (factor, dir) =>
+        val cold = Probes.map(q => q -> time(q, dir)).toMap
+        val warm = Probes.map(q => q -> time(q, dir)).toMap
+        println(s"""{"scale":$factor,"dir":"$dir",""" +
+          s""""cold":{${Probes.map(q => s""""$q":${ms3(cold(q))}""").mkString(",")}},""" +
+          s""""warm":{${Probes.map(q => s""""$q":${ms3(warm(q))}""").mkString(",")}}}""")
+        factor -> (cold, warm)
+    }
+    val (f1, (c1, w1)) = results.head
+    results.tail.foreach { case (f, (c, w)) =>
+      val exps = Probes.map { q =>
+        val e = math.log(c(q) / c1(q)) / math.log(f.toDouble / f1)
+        val ew = math.log(w(q) / w1(q)) / math.log(f.toDouble / f1)
+        s""""$q":{"cold":${ms3(e)},"warm":${ms3(ew)}}"""
+      }
+      println(s"""{"exponent_vs_1x":{"scale":$f,${exps.mkString(",")}}}""")
+    }
+    spark.stop()
+  }
+}
