@@ -68,6 +68,25 @@ object AdvancedQueries {
         .orderBy("o_orderpriority")
     },
 
+    // Statistical mode with a deterministic tie-break (highest count, then
+    // smallest value). Two map-side-combined hash aggregates — (group, value)
+    // counts, then a struct-max per group — not a window: the first shuffle
+    // carries one partial per distinct (group, value) pair and the second one
+    // row per group, so the shape is skew-proof at 100 TB where a
+    // row_number-over-count window would funnel each group to one task.
+    "agg_mode" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(max(struct(col("n"), (-col("user_id")).as("negu"))).as("b"))
+        .select(
+          col("event_type"),
+          (-col("b.negu")).as("mode_user"),
+          col("b.n").as("n_events"))
+        .orderBy("event_type")
+    },
+
     // Correlation / covariance / variance.
     "agg_corr" -> { (s, dir) =>
       Tables.lineitem(s, dir)
@@ -292,6 +311,16 @@ object AdvancedQueries {
         |       arg_min(o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) * 100000000 + o_orderkey) AS bottom_order,
         |       round(max(o_totalprice), 2) AS top_tp
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type,
+        |       CAST(-(max(struct_pack(n := n, negu := -user_id)).negu) AS BIGINT) AS mode_user,
+        |       max(struct_pack(n := n, negu := -user_id)).n AS n_events
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "agg_corr" ->
       """SELECT l_returnflag,

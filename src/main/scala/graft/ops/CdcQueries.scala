@@ -205,6 +205,31 @@ object CdcQueries {
             .otherwise(col("v")), 2).as("val_r"),
           coalesce(col("n_changes"), lit(0L)).as("n_changes"))
         .orderBy("pk")
+    },
+
+    // SCD TYPE-2 MATERIALIZATION: the history-keeping sibling of
+    // `cdc_apply_changes` — every change becomes a versioned row whose
+    // validity interval runs to the key's NEXT change (open = current).
+    // One partitioned window per key (hash-partitioned by pk at scale —
+    // no global ordering anywhere); `event_id` is the change ordinate, so
+    // the intervals are integer-exact. A delete ('error') closes the
+    // key's history: its row carries a null value and is never current.
+    "cdc_scd2" -> { (s, dir) =>
+      val w = Window.partitionBy("pk").orderBy("event_id")
+      Tables.events(s, dir)
+        .select(
+          col("user_id").as("pk"), col("event_id"),
+          col("event_type").as("op"), col("value"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_to", lead(col("event_id"), 1).over(w))
+        .select(
+          col("pk"), col("version"),
+          col("event_id").as("valid_from"), col("valid_to"),
+          col("op"),
+          round(when(col("op") === "error", lit(null)).otherwise(col("value")), 2)
+            .as("val_r"),
+          (col("valid_to").isNull && col("op") =!= "error").as("is_current"))
+        .orderBy("pk", "version")
     })
 
   val oracles: Map[String, String] = Map(
@@ -298,5 +323,18 @@ object CdcQueries {
         |                  ELSE l.v END, 2) AS val_r,
         |       CAST(COALESCE(l.n_changes, 0) AS BIGINT) AS n_changes
         |FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.pk
-        |ORDER BY pk""".stripMargin)
+        |ORDER BY pk""".stripMargin,
+
+    "cdc_scd2" ->
+      """SELECT pk, version, valid_from, valid_to, op,
+        |       round(CASE WHEN op = 'error' THEN NULL ELSE value END, 2) AS val_r,
+        |       (valid_to IS NULL AND op <> 'error') AS is_current
+        |FROM (
+        |  SELECT user_id AS pk, event_id AS valid_from, event_type AS op, value,
+        |         CAST(row_number() OVER w AS BIGINT) AS version,
+        |         lead(event_id, 1) OVER w AS valid_to
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |)
+        |ORDER BY pk, version""".stripMargin)
 }

@@ -409,6 +409,34 @@ object RelationalQueries {
           from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
             .getField("k").cast("long").as("k"))
         .orderBy("event_id")
+    },
+
+    // Z-ORDER LAYOUT — the multi-dimensional clustering key behind file
+    // skipping on two filter columns at once (the Delta/Iceberg OPTIMIZE
+    // ZORDER idea): interleave the low 10 bits of l_partkey and l_suppkey
+    // into one 20-bit Morton code; writing sorted by it makes every file's
+    // (partkey, suppkey) min/max stats a tight bounding box, so a scan
+    // filtered on EITHER column prunes files. Pure integer bit arithmetic
+    // (codegen'd, map-only until the final tiny rollup); the query emits the
+    // per-bucket bounding boxes — the pruning-quality evidence: each of the
+    // 64 buckets covers a ~1/8 slice of both key ranges simultaneously.
+    "pipeline_zorder_layout" -> { (s, dir) =>
+      val p = (col("l_partkey") % 1024).cast("long")
+      val q = (col("l_suppkey") % 1024).cast("long")
+      val zval = (0 until 10).map { i =>
+        shiftleft(shiftright(p, i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(q, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }.reduce(_ + _)
+      Tables.lineitem(s, dir)
+        .select(p.as("pb"), q.as("qb"), zval.as("zval"))
+        .withColumn("bucket", expr("zval div 16384"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("pb")).as("p_min"), max(col("pb")).as("p_max"),
+          min(col("qb")).as("q_min"), max(col("qb")).as("q_max"),
+          min(col("zval")).as("z_min"))
+        .orderBy("bucket")
     })
 
   private def bigSpenders(s: SparkSession, dir: String): DataFrame =
@@ -653,5 +681,24 @@ object RelationalQueries {
 
     "json_from_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "pipeline_zorder_layout" -> {
+      val zSql = (0 until 10).map { i =>
+        s"((((l_partkey % 1024) >> $i) & 1) << ${2 * i}) + " +
+          s"((((l_suppkey % 1024) >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" + ")
+      s"""WITH z AS (
+         |  SELECT CAST(l_partkey % 1024 AS BIGINT) AS pb,
+         |         CAST(l_suppkey % 1024 AS BIGINT) AS qb,
+         |         CAST($zSql AS BIGINT) AS zval
+         |  FROM lineitem
+         |)
+         |SELECT CAST(zval // 16384 AS BIGINT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       min(pb) AS p_min, max(pb) AS p_max,
+         |       min(qb) AS q_min, max(qb) AS q_max,
+         |       min(zval) AS z_min
+         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+    })
 }

@@ -499,6 +499,30 @@ object TextQueries {
         .orderBy("epoch", "shuffle_key")
     },
 
+    // SHARD MANIFEST — the WebDataset-style export ledger: docs are packed
+    // into fixed-size shards per language (shard = ordinal within lang div
+    // 50) and the manifest rolls up each shard's row count, token total, and
+    // doc-id range — what a training loader needs to plan reads without
+    // listing files. The per-lang ordinal is a partitioned window here; at
+    // 100 TB the same ordinal comes from the two-level offset shape
+    // `pipeline_pack_sequences` already uses (per-partition counts → prefix
+    // offsets → local ranks), so no single-partition stage is inherent.
+    "pipeline_shard_manifest" -> { (s, dir) =>
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .withColumn("ord0", (row_number().over(w) - 1).cast("long"))
+        .withColumn("shard_id", expr("ord0 div 50"))
+        .groupBy("lang", "shard_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("sum_toks"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("lang", "shard_id")
+    },
+
     // SEQUENCE PACKING (concat-and-chunk) — the pretraining batch-prep
     // step: documents are concatenated in a deterministic global order
     // (source, doc_id) and the token stream is cut into fixed 256-token
@@ -960,6 +984,19 @@ object TextQueries {
         |       md5(doc_id || ':' || epoch) AS shuffle_key
         |FROM (SELECT doc_id, unnest([0, 1]) AS epoch FROM documents)
         |ORDER BY epoch, shuffle_key""".stripMargin,
+
+    "pipeline_shard_manifest" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |         CAST((row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1)
+        |           // 50 AS BIGINT) AS shard_id
+        |  FROM documents
+        |)
+        |SELECT lang, shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM r GROUP BY 1, 2 ORDER BY lang, shard_id""".stripMargin,
 
     "text_char_classes" ->
       """SELECT doc_id,

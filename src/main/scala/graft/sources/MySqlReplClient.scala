@@ -748,6 +748,12 @@ final class BinlogSpoolClient(cfg: ReplConfig, spoolDir: Path) extends AutoClose
           }
           openFile(next)
         }
+      } else if (tpe == 27 || tpe == 41) {
+        // HEARTBEAT (27) / HEARTBEAT_V2 (41, MySQL 8.0.27+): synthetic
+        // keep-alives an idle master emits every MASTER_HEARTBEAT_PERIOD.
+        // They exist only on the wire — never in the master's binlog file —
+        // so spooling one would corrupt the byte-exact spool invariant the
+        // {name,pos} offsets depend on. Positional no-ops: drop.
       } else {
         if (current.isEmpty)
           throw new IOException("event before the master named its binlog file")

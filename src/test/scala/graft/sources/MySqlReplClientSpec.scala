@@ -222,6 +222,28 @@ class MySqlReplClientSpec extends SparkSuite {
     } finally m.close()
   }
 
+  test("heartbeats (27 and 41) are wire-only: never spooled, spool stays byte-exact") {
+    // an idle master with MASTER_HEARTBEAT_PERIOD set interleaves synthetic
+    // HEARTBEAT (27) / HEARTBEAT_V2 (41, 8.0.27+) events into the dump
+    // stream; they exist only on the wire — spooling one would shift every
+    // later {name,pos} byte offset off the master's real binlog file
+    val fde = fdeEvent(120)
+    val w1 = cev(1700000001L, 30, 200, Array[Byte](1, 1, 1, 1))
+    val hb = cev(1700000009L, 27, 300, "hb-bin.000001".getBytes(UTF_8))
+    val hb2 = cev(1700000009L, 41, 300, Array[Byte](0, 1, 2))
+    val w2 = cev(1700000002L, 30, 300, Array[Byte](2, 2))
+    val m = new FakeMySqlMaster("repl", "",
+      Seq("fake-bin.000001" -> Seq(fde, w1, hb, hb2, w2)))
+    val spool = Files.createTempDirectory("repl_hb")
+    try {
+      val client = new BinlogSpoolClient(ReplConfig("127.0.0.1", m.port, "repl"), spool)
+      val n = try client.run() finally client.close()
+      assert(n == 3, s"spooled $n events") // fde + w1 + w2; both heartbeats dropped
+      assert(Files.readAllBytes(spool.resolve("fake-bin.000001")).sameElements(
+        BinlogTestData.magic ++ fde ++ w1 ++ w2))
+    } finally m.close()
+  }
+
   test("resume: a second run dumps from the spool end, appends only the delta") {
     val m1 = new FakeMySqlMaster("repl", "", Seq(f1))
     val spool = Files.createTempDirectory("repl_resume")
