@@ -87,6 +87,32 @@ object AdvancedQueries {
         .orderBy("event_type")
     },
 
+    // Weighted median — the robust center of a weighted distribution
+    // (here: l_quantity weighted by l_linenumber), the aggregation quantile
+    // sketches approximate. Exact and integer-only: pre-aggregate to the
+    // (group, value) grain first — ONE map-side-combined hash aggregate
+    // replaces the corpus with ≤50 distinct quantities per group — then the
+    // cumulative-weight window and the 2·cum ≥ W pick run over that tiny
+    // table. The window partitions by group over the pre-aggregated rows,
+    // so per-task state is O(distinct values), never O(rows): the same
+    // bounded-domain-histogram shape as pipeline_length_outliers, and the
+    // reason this survives 100 TB where a naive percentile_approx-free
+    // exact median (sort per group) would not.
+    "agg_weighted_median" -> { (s, dir) =>
+      val w = Window.partitionBy("l_returnflag").orderBy("qty")
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"),
+          col("l_linenumber").cast("long").as("wt"))
+        .groupBy("l_returnflag", "qty")
+        .agg(sum(col("wt")).as("wsum"))
+        .withColumn("cw", sum(col("wsum")).over(w))
+        .withColumn("tw", sum(col("wsum")).over(Window.partitionBy("l_returnflag")))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy("l_returnflag")
+        .agg(min(col("qty")).as("w_median"), max(col("tw")).as("total_w"))
+        .orderBy("l_returnflag")
+    },
+
     // Correlation / covariance / variance.
     "agg_corr" -> { (s, dir) =>
       Tables.lineitem(s, dir)
@@ -321,6 +347,22 @@ object AdvancedQueries {
         |       CAST(-(max(struct_pack(n := n, negu := -user_id)).negu) AS BIGINT) AS mode_user,
         |       max(struct_pack(n := n, negu := -user_id)).n AS n_events
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_weighted_median" ->
+      """WITH h AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(sum(l_linenumber) AS BIGINT) AS wsum
+        |  FROM lineitem GROUP BY 1, 2
+        |), c AS (
+        |  SELECT l_returnflag, qty, wsum,
+        |         CAST(sum(wsum) OVER (PARTITION BY l_returnflag ORDER BY qty
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+        |         CAST(sum(wsum) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+        |  FROM h
+        |)
+        |SELECT l_returnflag, min(qty) AS w_median, max(tw) AS total_w
+        |FROM c WHERE cw * 2 >= tw
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_corr" ->
       """SELECT l_returnflag,

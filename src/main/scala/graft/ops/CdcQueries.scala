@@ -207,6 +207,40 @@ object CdcQueries {
         .orderBy("pk")
     },
 
+    // SNAPSHOT CHECKSUM — the pt-table-checksum shape: the integrity check
+    // a CDC consumer runs to prove its materialization (cdc_apply_changes)
+    // still matches the master without shipping rows. The table is chunked
+    // by key range (bucket = key div 100) and each chunk reduces to
+    // (row count, key range, content checksum); master and replica compare
+    // these tiny ledgers and re-sync only mismatched chunks. The checksum
+    // must be ORDER-INDEPENDENT (chunks arrive in any partition order) and
+    // engine-portable: md5 over a canonical '|'-joined row string (doubles
+    // canonicalized to integer cents first — a raw double-to-string cast
+    // would diverge between engines), folded to an integer as the
+    // position-weighted byte sum Σ ascii(hex_i)·i, then SUM'd per chunk —
+    // commutative, integer-exact, no CRC builtin needed on either side.
+    // One map-side-combined hash aggregate; at 100 TB each executor emits
+    // one partial per local chunk and only the ledger moves.
+    "cdc_snapshot_checksum" -> { (s, dir) =>
+      val cents = floor(col("c_acctbal") * 100 + 0.5).cast("long")
+      val canon = concat_ws("|",
+        col("c_custkey").cast("string"), col("c_name"),
+        col("c_nationkey").cast("string"), cents.cast("string"),
+        col("c_mktsegment"))
+      val h = md5(canon)
+      val folded = (1 to 32).map(i => ascii(substring(h, i, 1)) * lit(i))
+        .reduce(_ + _).cast("long")
+      Tables.customer(s, dir)
+        .select(expr("c_custkey div 100").as("bucket"),
+          col("c_custkey"), folded.as("rh"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("c_custkey")).as("key_min"),
+          max(col("c_custkey")).as("key_max"),
+          sum(col("rh")).as("chk"))
+        .orderBy("bucket")
+    },
+
     // SCD TYPE-2 MATERIALIZATION: the history-keeping sibling of
     // `cdc_apply_changes` — every change becomes a versioned row whose
     // validity interval runs to the key's NEXT change (open = current).
@@ -324,6 +358,22 @@ object CdcQueries {
         |       CAST(COALESCE(l.n_changes, 0) AS BIGINT) AS n_changes
         |FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.pk
         |ORDER BY pk""".stripMargin,
+
+    "cdc_snapshot_checksum" -> {
+      val foldedSql = (1 to 32).map(i => s"ascii(substr(h, $i, 1)) * $i").mkString(" + ")
+      s"""WITH r AS (
+         |  SELECT CAST(c_custkey // 100 AS BIGINT) AS bucket, c_custkey,
+         |         md5(concat_ws('|', CAST(c_custkey AS VARCHAR), c_name,
+         |               CAST(c_nationkey AS VARCHAR),
+         |               CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS VARCHAR),
+         |               c_mktsegment)) AS h
+         |  FROM customer
+         |)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         |       min(c_custkey) AS key_min, max(c_custkey) AS key_max,
+         |       CAST(sum($foldedSql) AS BIGINT) AS chk
+         |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
 
     "cdc_scd2" ->
       """SELECT pk, version, valid_from, valid_to, op,

@@ -523,6 +523,46 @@ object TextQueries {
         .orderBy("lang", "shard_id")
     },
 
+    // COLLOCATION EXTRACTION (PMI lift) — the phrase-mining pass that finds
+    // multi-word expressions worth treating as single tokens ("new york",
+    // "machine learning") before vocabulary construction: bigrams whose
+    // observed count beats what independent unigrams predict. The score is
+    // the integer lift proxy  c_xy * N * 1000 div (c_x * c_y)
+    // (≈ 1000 · P(xy)/(P(x)P(y)) with the bigram-slot total absorbed into
+    // N) — truncating integer division on both sides, so the oracle is
+    // bit-exact with no log/double anywhere. Min support c_xy ≥ 5 (the
+    // standard collocation floor) keeps one-off pairings out. Plan shape:
+    // one explode for bigram counts, one for unigram counts; the unigram
+    // table is vocabulary-sized → broadcast twice (word1, word2); N rides a
+    // broadcast cross join; top-100 is a TakeOrdered over the (score,
+    // c_xy, bigram) total order — no window, no global sort materialized.
+    // At 100 TB: bigram keys shuffle once (map-side combined), vocab stays
+    // broadcastable by Heaps' law, nothing quadratic.
+    "text_bigram_pmi" -> { (s, dir) =>
+      val bigramArr = expr(
+        """transform(sequence(1, size(ts) - 1),
+          |  i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))""".stripMargin)
+      val docs = Tables.documents(s, dir)
+      val uni = docs.select(explode(toks).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cu"))
+      val total = uni.agg(sum(col("cu")).as("n_total"))
+      docs.select(split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(explode(bigramArr).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+        .join(broadcast(uni.withColumnRenamed("cu", "c_x")), col("w1") === col("term"))
+        .drop("term")
+        .join(broadcast(uni.withColumnRenamed("cu", "c_y")), col("w2") === col("term"))
+        .crossJoin(broadcast(total))
+        .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+          expr("c_xy * n_total * 1000 div (c_x * c_y)").as("lift_m"))
+        .orderBy(col("lift_m").desc, col("c_xy").desc, col("bigram"))
+        .limit(100)
+    },
+
     // SEQUENCE PACKING (concat-and-chunk) — the pretraining batch-prep
     // step: documents are concatenated in a deterministic global order
     // (source, doc_id) and the token stream is cut into fixed 256-token
@@ -997,6 +1037,31 @@ object TextQueries {
         |       CAST(sum(n_toks) AS BIGINT) AS sum_toks,
         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM r GROUP BY 1, 2 ORDER BY lang, shard_id""".stripMargin,
+
+    "text_bigram_pmi" ->
+      """WITH base AS (
+        |  SELECT string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), bg AS (
+        |  SELECT unnest(list_transform(range(1, len(ts)),
+        |           i -> ts[i] || ' ' || ts[i+1])) AS bigram
+        |  FROM base
+        |), cb AS (
+        |  SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy
+        |  FROM bg GROUP BY 1 HAVING count(*) >= 5
+        |), uni AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS cu
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1
+        |), tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM uni)
+        |SELECT b.bigram, b.c_xy, x.cu AS c_x, y.cu AS c_y,
+        |       CAST(b.c_xy * t.n_total * 1000 // (x.cu * y.cu) AS BIGINT) AS lift_m
+        |FROM cb b
+        |JOIN uni x ON string_split(b.bigram, ' ')[1] = x.term
+        |JOIN uni y ON string_split(b.bigram, ' ')[2] = y.term
+        |CROSS JOIN tot t
+        |ORDER BY lift_m DESC, c_xy DESC, bigram
+        |LIMIT 100""".stripMargin,
 
     "text_char_classes" ->
       """SELECT doc_id,
