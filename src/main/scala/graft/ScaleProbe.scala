@@ -5,12 +5,18 @@ import org.apache.spark.sql.functions._
 
 /** One-off scale probe: replicate the sf0.1 `documents`/`embeddings`
   * corpus 10× and 100× (deterministic — replica index rides the id, and
-  * each replica's text gets a distinguishing token so near-dup pairs stay
-  * within a replica instead of exploding quadratically across replicas,
-  * matching how real corpus growth adds NEW near-dup families rather than
-  * multiplying one), then time the representative Tier-D quartile at each
-  * scale and report the observed scaling exponents
-  * (`log(t_big/t_small) / log(factor)` — 1.0 = linear).
+  * every TOKEN of a replica's text carries a replica suffix, so each
+  * replica has its own shingle/gram universe: posting lists stay
+  * per-replica and candidate pairs grow linearly, matching how real
+  * corpus growth adds NEW near-dup families rather than multiplying one.
+  * A trailing-token-only tag is NOT enough — replicas would still share
+  * every interior shingle, posting lists would grow ×factor and the
+  * prefix-filter candidate join ×factor², which is a duplication
+  * stress-test, not a growth model: at 100× it spilled the disk.
+  * Embeddings likewise get a per-replica deterministic component nudge so
+  * IVF cells don't fill with exact copies), then time the representative
+  * Tier-D quartile at each scale and report the observed scaling
+  * exponents (`log(t_big/t_small) / log(factor)` — 1.0 = linear).
   *
   * Probed queries: `dedup_jaccard_prefix` (prefix-filtered AllPairs over
   * the shingle index), `sim_ann_knn` (IVF probe + assignment over the
@@ -51,9 +57,12 @@ object ScaleProbe {
           col("n_chars"), explode(sequence(lit(0), lit(factor - 1))).as("rep"))
         .select(
           (col("doc_id") + col("rep") * lit(nDocs)).as("doc_id"),
-          // the replica token keeps cross-replica Jaccard below any
-          // near-dup threshold, so pair families scale like real growth
-          concat(col("text"), lit(" rep"), col("rep")).as("text"),
+          // per-TOKEN replica suffix: every shingle/gram is replica-local,
+          // so posting lists and candidate pairs scale like real growth
+          when(col("rep") === 0, col("text")).otherwise(
+            array_join(
+              transform(split(col("text"), " "),
+                t => concat(t, lit("r"), col("rep"))), " ")).as("text"),
           col("lang"), col("source"), col("n_chars"))
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -63,7 +72,13 @@ object ScaleProbe {
           explode(sequence(lit(0), lit(factor - 1))).as("rep"))
         .select(
           (col("vec_id") + col("rep") * lit(nVecs)).as("vec_id"),
-          col("embedding"), col("label"))
+          // deterministic per-replica nudge: replicas land near, not ON,
+          // the originals, so IVF cells grow in population, not in copies
+          when(col("rep") === 0, col("embedding")).otherwise(
+            transform(col("embedding"),
+              x => (x + col("rep").cast("float") * lit(0.003f)).cast("float")))
+            .as("embedding"),
+          col("label"))
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       dir

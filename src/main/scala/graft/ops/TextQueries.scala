@@ -523,6 +523,33 @@ object TextQueries {
         .orderBy("lang", "shard_id")
     },
 
+    // TRAIN/VAL/TEST SPLIT — the reproducible corpus partition every
+    // training run needs: assignment must be a pure function of the doc id
+    // (stable across runs, retries, engines, and corpus growth — a doc
+    // never migrates between splits when new data arrives, unlike rand()
+    // or ordinal-based splits), here the salted-md5 byte fold mod 100 →
+    // 98/1/1. The query emits the split × source ledger (counts, token
+    // sums, id ranges) used to audit leakage and balance. Map-only
+    // assignment + one map-side-combined hash aggregate; nothing global,
+    // so the same plan ships at 100 TB.
+    "pipeline_train_val_split" -> { (s, dir) =>
+      val h = md5(concat(lit("split:"), col("doc_id").cast("string")))
+      val folded = (1 to 32).map(i => ascii(substring(h, i, 1)) * lit(i))
+        .reduce(_ + _).cast("long")
+      val bucket = pmod(folded, lit(100L))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"),
+          when(bucket < 98, "train").when(bucket === 98, "val")
+            .otherwise("test").as("split"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("sum_toks"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("split", "source")
+    },
+
     // COLLOCATION EXTRACTION (PMI lift) — the phrase-mining pass that finds
     // multi-word expressions worth treating as single tokens ("new york",
     // "machine learning") before vocabulary construction: bigrams whose
@@ -1037,6 +1064,26 @@ object TextQueries {
         |       CAST(sum(n_toks) AS BIGINT) AS sum_toks,
         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM r GROUP BY 1, 2 ORDER BY lang, shard_id""".stripMargin,
+
+    "pipeline_train_val_split" -> {
+      val foldedSql = (1 to 32).map(i => s"ascii(substr(h, $i, 1)) * $i").mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |         md5('split:' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents
+         |), a AS (
+         |  SELECT doc_id, source, n_toks,
+         |         CAST(($foldedSql) % 100 AS BIGINT) AS bucket
+         |  FROM d
+         |)
+         |SELECT CASE WHEN bucket < 98 THEN 'train'
+         |            WHEN bucket = 98 THEN 'val' ELSE 'test' END AS split,
+         |       source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM a GROUP BY 1, 2 ORDER BY split, source""".stripMargin
+    },
 
     "text_bigram_pmi" ->
       """WITH base AS (
