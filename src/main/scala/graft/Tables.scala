@@ -20,6 +20,11 @@ object Tables {
   val sessionConfigs: Map[String, String] = Map(
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // naive (isAdjustedToUTC=false) parquet timestamps read as TimestampType
+    // (LTZ) under the UTC session, not TIMESTAMP_NTZ — keeps `unix_micros`
+    // et al. applicable and matches DuckDB's naive read wall-clock for the
+    // oracle compare, regardless of which annotation the generator emits
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     "spark.sql.ansi.enabled" -> "false",
     "spark.sql.adaptive.enabled" -> "true")
 
