@@ -303,6 +303,25 @@ object AdvancedQueries {
         .groupBy("k")
         .agg(min(col("name")).as("name"), count(lit(1)).as("copies"))
         .orderBy("k")
+    },
+
+    // EQUI-WIDTH HISTOGRAM — the data-profiling primitive behind every
+    // "distribution of X" dashboard. Fixed bucket edges (width 25 000) make
+    // the report scale-independent: the bucket id is pure arithmetic on
+    // each row (no percentile pre-pass, no second scan), so the whole plan
+    // is one map-side-combined hash aggregate whose shuffle carries only
+    // the occupied buckets. Edges are exact in IEEE double (25 000 is a
+    // power-of-two multiple of 5⁵), so Spark and DuckDB bucket every cent
+    // value identically.
+    "agg_histogram" -> { (s, dir) =>
+      val bucket = floor(col("o_totalprice") / 25000.0).cast("long")
+      Tables.orders(s, dir)
+        .select(bucket.as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .select(col("bucket"), (col("bucket") * 25000L).as("lo"),
+          ((col("bucket") + 1) * 25000L).as("hi"), col("n"))
+        .orderBy("bucket")
     })
 
   val oracles: Map[String, String] = Map(
@@ -476,5 +495,12 @@ object AdvancedQueries {
         |  SELECT c_custkey AS k, c_name AS name FROM customer WHERE c_custkey <= 50
         |  UNION ALL
         |  SELECT c_custkey, c_name FROM customer WHERE c_custkey >= 40)
-        |GROUP BY k ORDER BY k""".stripMargin)
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT bucket, bucket * 25000 AS lo, (bucket + 1) * 25000 AS hi,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket
+        |      FROM orders)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin)
 }

@@ -264,6 +264,29 @@ object CdcQueries {
             .as("val_r"),
           (col("valid_to").isNull && col("op") =!= "error").as("is_current"))
         .orderBy("pk", "version")
+    },
+
+    // REPLICATION FRESHNESS ledger — the per-destination staleness monitor
+    // every CDC deployment runs next to the pipeline (the reference's only
+    // observability is a per-event log line, `logger/logger.go`; the
+    // operational question it can't answer is "how far behind is each
+    // group?"). Per routing group: event count, head position (max event
+    // time in µs), and lag behind the stream head. Plan shape: ONE
+    // map-side-combined hash aggregate over the routed stream plus a
+    // broadcast of the 1-row global head — no window, no second scan, and
+    // at 100 TB the shuffle carries n_groups partial rows per task.
+    "cdc_freshness" -> { (s, dir) =>
+      val routed = Tables.events(s, dir)
+        .withColumn("grp", Routing.groupExpr(col("event_type"), tableToGroup))
+        .filter(col("grp").isNotNull)
+        .select(col("grp"), expr("unix_micros(ts)").as("t"))
+      val head = routed.agg(max(col("t")).as("t_head"))
+      routed.groupBy("grp")
+        .agg(count(lit(1)).as("n"), max(col("t")).as("t_last"))
+        .crossJoin(broadcast(head))
+        .select(col("grp"), col("n"), col("t_last"),
+          (col("t_head") - col("t_last")).as("lag_us"))
+        .orderBy("grp")
     })
 
   val oracles: Map[String, String] = Map(
@@ -386,5 +409,17 @@ object CdcQueries {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |)
-        |ORDER BY pk, version""".stripMargin)
+        |ORDER BY pk, version""".stripMargin,
+
+    "cdc_freshness" ->
+      """WITH routed AS (
+        |  SELECT CASE WHEN event_type IN ('click','view') THEN 'grp_engage'
+        |              WHEN event_type IN ('purchase','signup') THEN 'grp_convert' END AS grp,
+        |         epoch_us(ts) AS t
+        |  FROM events
+        |  WHERE event_type IN ('click','view','purchase','signup')
+        |), head AS (SELECT max(t) AS t_head FROM routed)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n, max(t) AS t_last,
+        |       CAST((SELECT t_head FROM head) - max(t) AS BIGINT) AS lag_us
+        |FROM routed GROUP BY grp ORDER BY grp""".stripMargin)
 }

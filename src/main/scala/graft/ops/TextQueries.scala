@@ -726,6 +726,50 @@ object TextQueries {
           round(col("n_overlap").cast("double") / col("n_sh"), 4).as("overlap_ratio"),
           (col("n_overlap").cast("double") / col("n_sh") >= 0.5).as("contaminated"))
         .orderBy("doc_id")
+    },
+
+    // ZIPF FIT — the corpus-health diagnostic: natural text follows
+    // freq ∝ rank^(-s) with s ≈ 1, and a slope far from -1 flags synthetic
+    // or template-heavy corpora before they reach training. Least-squares
+    // fit of ln(freq) on ln(rank) over the top 200 terms: one term-count
+    // aggregate (map-side combined), a bounded TakeOrdered(200) — never a
+    // global sort — and the rank window runs over those 200 rows on one
+    // partition (constant key keeps the plan warning-free). regr_slope /
+    // regr_intercept are the same built-ins both engines define.
+    "text_zipf_fit" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, dir)
+        .select(explode(toks).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(200)
+      tf.withColumn("rank",
+          row_number().over(Window.partitionBy(lit(0))
+            .orderBy(col("n").desc, col("term"))).cast("long"))
+        .agg(
+          count(lit(1)).as("n_terms"),
+          round(expr("regr_slope(ln(n), ln(rank))"), 4).as("slope_r"),
+          round(expr("regr_intercept(ln(n), ln(rank))"), 4).as("icept_r"))
+    },
+
+    // CHARACTER ENTROPY — the compressibility proxy quality signal (low
+    // entropy = repeated boilerplate, high = encoded noise; both get
+    // filtered before training). Exact per-character counts first, then
+    // H = log2(n) − Σ c·log2(c) / n over the ≤|alphabet| per-doc rows —
+    // the float sum crosses only that tiny grain, and the identical
+    // per-(doc, char) integers feed the identical formula in the oracle.
+    // Two keyed hash aggregates, both map-side combined; the explode is
+    // the unavoidable char grain, not a shuffle multiplier.
+    "text_entropy" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n"),
+          count(lit(1)).as("n_alphabet"),
+          sum(col("c").cast("double") * log2(col("c"))).as("clg"))
+        .select(col("doc_id"), col("n"), col("n_alphabet"),
+          round(log2(col("n")) - col("clg") / col("n"), 4).as("entropy_r"))
+        .orderBy("doc_id")
     })
 
   private def langScoreSql(lang: String, markers: Seq[String]): String = {
@@ -1202,5 +1246,29 @@ object TextQueries {
         |       list_reduce(list_prepend(CAST(0 AS BIGINT),
         |         list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
         |         (h, c) -> (h * 31 + c) % 2147483648) AS rhash
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_zipf_fit" ->
+      """WITH tf AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term
+        |), top AS (
+        |  SELECT n, CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank
+        |  FROM tf ORDER BY n DESC, term LIMIT 200)
+        |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |       round(regr_slope(ln(n), ln(rank)), 4) AS slope_r,
+        |       round(regr_intercept(ln(n), ln(rank)), 4) AS icept_r
+        |FROM top""".stripMargin,
+
+    "text_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+        |), cc AS (
+        |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        |  FROM chars GROUP BY doc_id, ch)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |       CAST(count(*) AS BIGINT) AS n_alphabet,
+        |       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy_r
+        |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -119,6 +119,39 @@ object TimeWindowQueries {
           date_format(col("w.end"), fmt).as("s_end"),
           col("n"), col("sum_v"))
         .orderBy("user_id", "s_start")
+    },
+
+    // EVENT-SEQUENCE PATTERN MATCH (the MATCH_RECOGNIZE / ClickHouse
+    // sequenceMatch shape): each user's history becomes the time-ordered
+    // string of event initials (c/e/p/s/v; ties broken on event_id so the
+    // order is a total one), and each pattern is a regex over that string —
+    // '^s' = signup-first users, 'vc' = a view IMMEDIATELY followed by a
+    // click (adjacency, which no join can express without sequence
+    // numbers), 'v[^p]*p' = view converted with no earlier purchase
+    // between, 'v.*c.*p' = the funnel as order-only regex. One shuffle:
+    // groupBy(user) builds the per-user string (state bounded by the
+    // user's history — the same per-key bound every funnel/retention
+    // report carries), then a single 4-row aggregate counts matching
+    // users per pattern; the regexes run once per user, not per event.
+    "window_pattern_match" -> { (s, dir) =>
+      val pats = Seq("^s", "v.*c.*p", "v[^p]*p", "vc")
+      val seqs = Tables.events(s, dir)
+        .select(col("user_id"),
+          struct(expr("unix_micros(ts)").as("t"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("ch")).as("x"))
+        .groupBy("user_id")
+        .agg(concat_ws("",
+          transform(array_sort(collect_list(col("x"))),
+            x => x.getField("ch"))).as("seq"))
+      val counts = pats.zipWithIndex.map { case (p, i) =>
+        sum(when(col("seq").rlike(p), 1L).otherwise(0L)).as(s"m$i")
+      }
+      seqs.agg(counts.head, counts.tail: _*)
+        .select(explode(array(pats.zipWithIndex.map { case (p, i) =>
+          struct(lit(p).as("pattern"), col(s"m$i").as("n_users"))
+        }: _*)).as("r"))
+        .select(col("r.pattern"), col("r.n_users"))
+        .orderBy("pattern")
     })
 
   val oracles: Map[String, String] = Map(
@@ -196,5 +229,19 @@ object TimeWindowQueries {
         |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
         |       strftime(max(ts) + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
         |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_v
-        |FROM numbered GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin)
+        |FROM numbered GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+
+    "window_pattern_match" ->
+      """WITH seqs AS (
+        |  SELECT user_id,
+        |         string_agg(substr(event_type, 1, 1), ''
+        |                    ORDER BY epoch_us(ts), event_id) AS seq
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT p.pattern,
+        |       CAST(sum(CASE WHEN regexp_matches(s.seq, p.pattern)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_users
+        |FROM seqs s
+        |CROSS JOIN (VALUES ('^s'), ('v.*c.*p'), ('v[^p]*p'), ('vc')) p(pattern)
+        |GROUP BY p.pattern ORDER BY p.pattern""".stripMargin)
 }

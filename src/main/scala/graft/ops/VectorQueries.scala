@@ -294,6 +294,44 @@ object VectorQueries {
         .orderBy("label", "pos")
     },
 
+    // CENTROID-DISTANCE OUTLIERS — embedding-space mislabel/noise
+    // detection (the cleaning pass run before clustering-based curation):
+    // each label's 5 vectors farthest from their label centroid. Exactness
+    // recipe: components quantized to the emb_label_centroids integer grid
+    // (per-dim sums are integral doubles < 2⁵³ → order-independent), the
+    // centroid mean is ONE double division both engines compute from the
+    // same pair, and the per-row distance folds the 64 dims sequentially
+    // in index order (the VectorOps.dot discipline) — so ranks can't flip.
+    // Scale shape: centroid build is a posexplode + map-side-combined agg
+    // (n_labels·dim partials), the join back is a broadcast of
+    // n_labels rows, and the top-5 window partitions by label.
+    "emb_centroid_outliers" -> { (s, dir) =>
+      val qv = transform(col("embedding"),
+        x => floor(x.cast("double") * 10000 + 0.5))
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), qv.as("qv"))
+      val cent = e
+        .select(col("label"), posexplode(col("qv")).as(Seq("p", "q")))
+        .groupBy("label", "p")
+        .agg((sum(col("q")) / count(lit(1))).as("m"))
+        .groupBy("label")
+        .agg(collect_list(struct(col("p"), col("m"))).as("pm"))
+        .select(col("label"),
+          transform(array_sort(col("pm")), x => x.getField("m")).as("cv"))
+      val dist = sqrt(aggregate(
+        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)) / 10000.0
+      val w = Window.partitionBy("label")
+        .orderBy(round(col("dist"), 6).desc, col("vec_id"))
+      e.join(broadcast(cent), "label")
+        .withColumn("dist", dist)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("label"), col("vec_id"),
+          round(col("dist"), 4).as("dist_r"), col("rn"))
+        .orderBy("label", "rn")
+    },
+
     // K-MEANS (Lloyd's, 2 unrolled iterations, k=8) — the clustering pass
     // embedding-space curation runs before intra-cluster work (SemDeDup
     // clusters before deduping inside each cluster; cluster-balanced
@@ -783,6 +821,34 @@ object VectorQueries {
         |SELECT label, pos, CAST(count(*) AS BIGINT) AS n_vecs,
         |       CAST(sum(q) AS BIGINT) AS qsum, min(q) AS qmin, max(q) AS qmax
         |FROM q GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+
+    "emb_centroid_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding,
+        |           x -> floor(CAST(x AS DOUBLE) * 10000 + 0.5)) AS qv
+        |  FROM embeddings
+        |), comp AS (
+        |  SELECT label, unnest(range(1, len(qv) + 1)) AS pos, qv FROM e
+        |), cent AS (
+        |  SELECT label, pos, sum(qv[pos]) / count(*) AS m
+        |  FROM comp GROUP BY 1, 2
+        |), carr AS (
+        |  SELECT label, list(m ORDER BY pos) AS cv FROM cent GROUP BY 1
+        |), d AS (
+        |  SELECT e.vec_id, e.label,
+        |         sqrt(list_reduce(
+        |           list_prepend(CAST(0 AS DOUBLE),
+        |             list_transform(range(1, len(e.qv) + 1),
+        |               i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i]))),
+        |           (a, b) -> a + b)) / 10000 AS dist
+        |  FROM e JOIN carr c USING (label)
+        |)
+        |SELECT label, vec_id, round(dist, 4) AS dist_r, rn
+        |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY label
+        |        ORDER BY round(dist, 6) DESC, vec_id) AS INT) AS rn
+        |      FROM d)
+        |WHERE rn <= 5 ORDER BY label, rn""".stripMargin,
 
     "emb_random_projection" ->
       s"""SELECT vec_id,

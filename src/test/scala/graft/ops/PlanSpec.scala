@@ -171,6 +171,29 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
   }
 
+  test("pattern match is one user shuffle — no window, no join") {
+    // The per-user sequence string comes from ONE groupBy(user) aggregate
+    // (array_sort inside the agg, not a sort-based window), and the 4-row
+    // pattern report folds from a second tiny aggregate — any Join or
+    // Window in this plan means a per-event self-join crept in.
+    val p = plan("window_pattern_match")
+    assert(!p.contains("Window"), s"window crept into the sequence build:\n$p")
+    assert(!p.contains("Join"), s"self-join crept into the pattern match:\n$p")
+  }
+
+  test("centroid outliers broadcast the centroid table, never the corpus") {
+    val df = SparkEntry.queries("emb_centroid_outliers")(spark, sfDir)
+    df.collect() // finalize the AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("zipf fit takes its top-200 without a global sort") {
+    val p = plan("text_zipf_fit")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for the top-200:\n$p")
+  }
+
   test("cosine kernel stays inside whole-stage codegen") {
     val df = SparkEntry.queries("dedup_near_cosine")(spark, sfDir)
     df.collect() // finalize the AQE plan
