@@ -37,7 +37,12 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_scale_probe"
-    val factors = Seq(10, 100)
+    // Replication factors: CLI args after src+work, default 10× and 30×.
+    // 100× needs ~100 GB of spill for the shingle sort on one box — more
+    // scratch disk than this sandbox has (the sort is distributed across
+    // executors on a real cluster; locally it must fit one machine's disk).
+    val factors =
+      if (args.length > 2) args.drop(2).toSeq.map(_.toInt) else Seq(10, 30)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val builder = SparkSession.builder()

@@ -287,6 +287,35 @@ object CdcQueries {
         .select(col("grp"), col("n"), col("t_last"),
           (col("t_head") - col("t_last")).as("lag_us"))
         .orderBy("grp")
+    },
+
+    // TIME TRAVEL — the AS OF query event sourcing exists for: reconstruct
+    // every key's state at a past log position (here the half-history
+    // point, derived from the data so the query is scale-free) by folding
+    // only the changes at-or-before the cutoff. Same null-robust
+    // max_by-over-struct kernel as cdc_apply_changes; the cutoff is a
+    // broadcast 1-row aggregate, the fold is one map-side-combined hash
+    // aggregate over the filtered log — at 100 TB the position filter
+    // rides the scan (binlog files beyond the cutoff prune entirely).
+    "cdc_time_travel" -> { (s, dir) =>
+      val cut = Tables.events(s, dir)
+        .agg(floor(max(col("event_id")) / 2).cast("long").as("as_of"))
+      Tables.events(s, dir)
+        .crossJoin(broadcast(cut))
+        .filter(col("event_id") <= col("as_of"))
+        .groupBy(col("user_id").as("pk"))
+        .agg(
+          max_by(
+            struct(col("event_type").as("op"), col("value").as("v")),
+            col("event_id")).as("w"),
+          count(lit(1)).as("n_changes"),
+          max(col("event_id")).as("last_event"),
+          min(col("as_of")).as("as_of"))
+        .select(
+          col("pk"), col("w.op").as("op"),
+          round(col("w.v"), 2).as("val_r"),
+          col("n_changes"), col("last_event"), col("as_of"))
+        .orderBy("pk")
     })
 
   val oracles: Map[String, String] = Map(
@@ -421,5 +450,22 @@ object CdcQueries {
         |), head AS (SELECT max(t) AS t_head FROM routed)
         |SELECT grp, CAST(count(*) AS BIGINT) AS n, max(t) AS t_last,
         |       CAST((SELECT t_head FROM head) - max(t) AS BIGINT) AS lag_us
-        |FROM routed GROUP BY grp ORDER BY grp""".stripMargin)
+        |FROM routed GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "cdc_time_travel" ->
+      """WITH cut AS (
+        |  SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS as_of FROM events
+        |), lastw AS (
+        |  SELECT user_id AS pk,
+        |         arg_max(struct_pack(op := event_type, v := value), event_id) AS w,
+        |         CAST(count(*) AS BIGINT) AS n_changes,
+        |         max(event_id) AS last_event,
+        |         min(c.as_of) AS as_of
+        |  FROM events CROSS JOIN cut c
+        |  WHERE event_id <= c.as_of
+        |  GROUP BY 1
+        |)
+        |SELECT pk, w.op AS op, round(w.v, 2) AS val_r,
+        |       n_changes, last_event, as_of
+        |FROM lastw ORDER BY pk""".stripMargin)
 }

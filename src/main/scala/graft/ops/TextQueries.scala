@@ -550,6 +550,38 @@ object TextQueries {
         .orderBy("split", "source")
     },
 
+    // IMPORTANCE RESAMPLING (the DSIR shape): quality-weighted subsampling
+    // where each doc's acceptance probability rises with a target-likeness
+    // signal (here the stopword ratio — the cheap English-likeness proxy),
+    // decided by comparing a deterministic salted hash against the doc's
+    // own acceptance threshold. Everything is integer basis points
+    // (threshold = min(10000, 400 + 3·stop_bp), truncating div) and the
+    // hash is the same md5 byte fold as the train/val split — so the kept
+    // set is a pure function of (doc_id, text): reproducible across runs,
+    // engines, and corpus growth, and docs never flip when others arrive.
+    // Map-only per doc + one hash-aggregate audit ledger per source.
+    "pipeline_importance_resample" -> { (s, dir) =>
+      val h = md5(concat(lit("resample:"), col("doc_id").cast("string")))
+      val folded = (1 to 32).map(i => ascii(substring(h, i, 1)) * lit(i))
+        .reduce(_ + _).cast("long")
+      val nToks = size(toks).cast("long")
+      val nStop = size(filter(toks, t => t === "a" || t === "the" || t === "of"))
+        .cast("long")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          pmod(folded, lit(10000L)).as("hash_bp"),
+          nStop.as("n_stop"), nToks.as("n_toks"))
+        .withColumn("accept_bp",
+          expr("least(10000, 400 + 3 * ((n_stop * 10000) div n_toks))"))
+        .select(col("source"), col("accept_bp"),
+          (col("hash_bp") < col("accept_bp")).cast("long").as("kept"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_in"), sum(col("kept")).as("n_kept"),
+          expr("(sum(kept) * 10000) div count(*)").as("kept_bp"),
+          expr("sum(accept_bp) div count(*)").as("avg_accept_bp"))
+        .orderBy("source")
+    },
+
     // COLLOCATION EXTRACTION (PMI lift) — the phrase-mining pass that finds
     // multi-word expressions worth treating as single tokens ("new york",
     // "machine learning") before vocabulary construction: bigrams whose
@@ -1127,6 +1159,29 @@ object TextQueries {
          |       CAST(sum(n_toks) AS BIGINT) AS sum_toks,
          |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM a GROUP BY 1, 2 ORDER BY split, source""".stripMargin
+    },
+
+    "pipeline_importance_resample" -> {
+      val foldedSql = (1 to 32).map(i => s"ascii(substr(h, $i, 1)) * $i").mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |           t -> t = 'a' OR t = 'the' OR t = 'of')) AS BIGINT) AS n_stop,
+         |         md5('resample:' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents
+         |), a AS (
+         |  SELECT source,
+         |         CAST(($foldedSql) % 10000 AS BIGINT) AS hash_bp,
+         |         least(10000, 400 + 3 * ((n_stop * 10000) // n_toks)) AS accept_bp
+         |  FROM d
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_in,
+         |       CAST(sum(CASE WHEN hash_bp < accept_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN hash_bp < accept_bp THEN 1 ELSE 0 END) * 10000
+         |            // count(*) AS BIGINT) AS kept_bp,
+         |       CAST(sum(accept_bp) // count(*) AS BIGINT) AS avg_accept_bp
+         |FROM a GROUP BY source ORDER BY source""".stripMargin
     },
 
     "text_bigram_pmi" ->
