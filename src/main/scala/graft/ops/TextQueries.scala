@@ -582,6 +582,30 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // BPE VOCABULARY TRAINING, one merge iteration — the pair-count pass
+    // at the heart of tokenizer training (Sennrich et al.: count adjacent
+    // symbol pairs weighted by word frequency; the max pair becomes the
+    // next merge). The decisive scale property: pair statistics come from
+    // the WORD-TYPE table (vocabulary-sized), never the token stream — a
+    // 100 TB corpus first collapses to its term frequencies (one map-side-
+    // combined aggregate), and the character-pair explode runs over that
+    // small table. Top-50 by the (count desc, pair) total order is a
+    // bounded TakeOrdered. All counts exact integers.
+    "pipeline_bpe_pairs" -> { (s, dir) =>
+      val tf = Tables.documents(s, dir)
+        .select(explode(toks).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("f"))
+        .filter(length(col("term")) >= 2)
+      tf.select(col("term"), col("f"), explode(expr(
+          "transform(sequence(1, char_length(term) - 1), " +
+            "i -> substring(term, i, 2))")).as("pair"))
+        .groupBy("pair")
+        .agg(sum(col("f")).as("n_weighted"),
+          countDistinct(col("term")).as("n_types"))
+        .orderBy(col("n_weighted").desc, col("pair"))
+        .limit(50)
+    },
+
     // COLLOCATION EXTRACTION (PMI lift) — the phrase-mining pass that finds
     // multi-word expressions worth treating as single tokens ("new york",
     // "machine learning") before vocabulary construction: bigrams whose
@@ -1183,6 +1207,24 @@ object TextQueries {
          |       CAST(sum(accept_bp) // count(*) AS BIGINT) AS avg_accept_bp
          |FROM a GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "pipeline_bpe_pairs" ->
+      """WITH tf0 AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS f
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term
+        |), tf AS (
+        |  SELECT * FROM tf0 WHERE length(term) >= 2
+        |), pairs AS (
+        |  SELECT term, f,
+        |         unnest(list_transform(range(1, length(term)),
+        |           i -> substr(term, CAST(i AS INT), 2))) AS pair
+        |  FROM tf
+        |)
+        |SELECT pair, CAST(sum(f) AS BIGINT) AS n_weighted,
+        |       CAST(count(DISTINCT term) AS BIGINT) AS n_types
+        |FROM pairs GROUP BY pair
+        |ORDER BY n_weighted DESC, pair LIMIT 50""".stripMargin,
 
     "text_bigram_pmi" ->
       """WITH base AS (

@@ -152,6 +152,33 @@ object TimeWindowQueries {
         }: _*)).as("r"))
         .select(col("r.pattern"), col("r.n_users"))
         .orderBy("pattern")
+    },
+
+    // GAP FILL + FORWARD FILL — the time-series regularization every
+    // feature pipeline runs before windowed aggregation: densify each
+    // user's daily series to every day in their active span (missing days
+    // appear with n=0) and carry the last observed value forward. The
+    // dense day axis comes from sequence() over each user's own (min, max)
+    // span — never a global calendar cross join — so the explode is
+    // bounded by the user's span; the fill is one `last(ignore nulls)`
+    // running window per user. Shapes at 100 TB: two keyed aggregates, one
+    // keyed equi-join, one per-user sorted window — all on the (user, day)
+    // grain the query itself outputs.
+    "window_gap_fill" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      val dense = daily.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+      dense.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_ff"),
+          col("n").isNull.as("filled"))
+        .orderBy("user_id", "day")
     })
 
   val oracles: Map[String, String] = Map(
@@ -243,5 +270,23 @@ object TimeWindowQueries {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_users
         |FROM seqs s
         |CROSS JOIN (VALUES ('^s'), ('v.*c.*p'), ('v[^p]*p'), ('vc')) p(pattern)
-        |GROUP BY p.pattern ORDER BY p.pattern""".stripMargin)
+        |GROUP BY p.pattern ORDER BY p.pattern""".stripMargin,
+
+    "window_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS v
+        |  FROM events GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT user_id,
+        |         CAST(unnest(generate_series(min(day), max(day),
+        |           INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM daily GROUP BY user_id
+        |)
+        |SELECT s.user_id, s.day, COALESCE(d.n, 0) AS n,
+        |       last_value(d.v IGNORE NULLS) OVER (
+        |         PARTITION BY s.user_id ORDER BY s.day) AS v_ff,
+        |       d.n IS NULL AS filled
+        |FROM dense s LEFT JOIN daily d USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin)
 }
