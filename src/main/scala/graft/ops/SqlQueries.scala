@@ -97,7 +97,26 @@ object SqlQueries {
         |FROM documents
         |LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
         |WHERE pos < 3
-        |ORDER BY doc_id, pos""".stripMargin))
+        |ORDER BY doc_id, pos""".stripMargin),
+
+    // RECURSIVE CTE (Spark 4's WITH RECURSIVE): iterative graph walk
+    // inside the engine — each supplier key walks its synthetic parent
+    // chain (parent = key div 10, a deterministic tree over the real key
+    // space) to the root, and the report folds the walk's terminal rows by
+    // depth. The recursion is engine-iterated (one join per level, bounded
+    // by the key width — 6 levels here, never unbounded), the same shape a
+    // BOM explosion or org-chart rollup takes; dedup_components covers the
+    // unbounded-iteration variant with explicit lineage checkpoints.
+    "sql_recursive_cte" -> q(
+      """WITH RECURSIVE walk(key, cur, depth) AS (
+        |  SELECT s_suppkey, s_suppkey, 0 FROM supplier
+        |  UNION ALL
+        |  SELECT key, cur div 10, depth + 1 FROM walk WHERE cur > 0
+        |)
+        |SELECT depth, CAST(count(*) AS BIGINT) AS n_keys,
+        |       min(key) AS key_min, max(key) AS key_max
+        |FROM walk WHERE cur = 0
+        |GROUP BY depth ORDER BY depth""".stripMargin))
 
   val oracles: Map[String, String] = Map(
     "sql_cte" ->
@@ -159,5 +178,16 @@ object SqlQueries {
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
         |         generate_subscripts(string_split(text, ' '), 1) AS pos
         |  FROM documents)
-        |WHERE pos <= 3 ORDER BY doc_id, pos""".stripMargin)
+        |WHERE pos <= 3 ORDER BY doc_id, pos""".stripMargin,
+
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE walk(key, cur, depth) AS (
+        |  SELECT s_suppkey, s_suppkey, 0 FROM supplier
+        |  UNION ALL
+        |  SELECT key, cur // 10, depth + 1 FROM walk WHERE cur > 0
+        |)
+        |SELECT CAST(depth AS INT) AS depth, CAST(count(*) AS BIGINT) AS n_keys,
+        |       min(key) AS key_min, max(key) AS key_max
+        |FROM walk WHERE cur = 0
+        |GROUP BY depth ORDER BY depth""".stripMargin)
 }
