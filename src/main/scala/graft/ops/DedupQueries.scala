@@ -53,7 +53,7 @@ object DedupQueries {
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private[ops] def shingles(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def shingles(s: SparkSession, dir: String): DataFrame = {
     // Drop entries of stopped sessions so test suites that spin up many
     // short-lived sessions don't pin dead plans (their cached blocks died
     // with the context; this just releases the map references). For a
@@ -315,7 +315,7 @@ object DedupQueries {
   }
 
   /** Both directions of the verified prefix-Jaccard pairs, componentized. */
-  private[ops] def componentsJaccard(s: SparkSession, dir: String, t: Double): DataFrame =
+  private[graft] def componentsJaccard(s: SparkSession, dir: String, t: Double): DataFrame =
     cachedComponents(s, dir, s"comp:jaccard:$t") {
       val pairs = jaccardPairsPrefix(s, dir, t).select("da", "db")
       pairs.select(col("da").as("u"), col("db").as("v"))
