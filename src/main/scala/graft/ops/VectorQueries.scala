@@ -264,9 +264,13 @@ object VectorQueries {
       }
       val projCols = (0 until nOut).map { j =>
         val signs = typedLit((0 until dim).map(i => sign(j, i)))
-        round(aggregate(zip_with(col("embedding"), signs,
+        // + 0.0 canonicalizes an exactly-cancelled projection: IEEE says
+        // -0.0 + 0.0 = +0.0, and the two engines disagree on the zero's
+        // SIGN after round (one sf0.1 row hit it) while agreeing on the
+        // value; every nonzero value is unchanged
+        (round(aggregate(zip_with(col("embedding"), signs,
           (x, sg) => x.cast("double") * sg), lit(0.0), (a, x) => a + x), 4)
-          .as(s"p$j")
+          + lit(0.0)).as(s"p$j")
       }
       Tables.embeddings(s, dir)
         .select(col("vec_id") +: projCols: _*)
@@ -748,7 +752,7 @@ object VectorQueries {
        |             (CASE WHEN substring(md5('${j}_' || CAST(i - 1 AS VARCHAR)), 1, 1)
        |                   IN ('0','2','4','6','8','a','c','e')
        |                   THEN 1.0 ELSE -1.0 END)),
-       |        (a, b) -> a + b), 4) AS p$j""".stripMargin
+       |        (a, b) -> a + b), 4) + 0.0 AS p$j""".stripMargin
   }.mkString(",\n")
 
   /** Unrolled Lloyd's mirror: same 10⁴ quantization grid, same k-smallest-
