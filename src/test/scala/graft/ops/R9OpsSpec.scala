@@ -130,6 +130,19 @@ class R9OpsSpec extends SparkSuite {
     }
   }
 
+  test("sql_recursive_cte: the walk terminates at exactly the key's digit count") {
+    val got = run("sql_recursive_cte").collect()
+      .map(r => r.getAs[Int]("depth") -> (r.getAs[Long]("n_keys"),
+        r.getAs[Long]("key_min"), r.getAs[Long]("key_max"))).toMap
+    val keys = Tables.supplier(spark, sfDir).select("s_suppkey").collect()
+      .map(_.getLong(0))
+    // depth = number of div-10 steps to reach 0: digit count, except the
+    // root key 0 itself which is already terminal at depth 0
+    val want = keys.groupBy(k => if (k == 0) 0 else k.toString.length)
+      .map { case (d, ks) => d -> (ks.length.toLong, ks.min, ks.max) }
+    assert(got == want, s"depth ledger differs: $got vs $want")
+  }
+
   test("emb_centroid_outliers: reported top-5 dominate every unreported vector") {
     val rows = run("emb_centroid_outliers").collect()
     val byLabel = rows.groupBy(_.getAs[Int]("label"))
