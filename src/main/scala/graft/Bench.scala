@@ -85,14 +85,27 @@ object Bench {
       case e: Throwable => System.err.println(s"[bench] warmup failed (continuing): $e")
     }
     val warmSec = (System.nanoTime() - warmT0) / 1e9
+    // The dedup and vector index families touch disjoint tables, so they
+    // warm CONCURRENTLY (and the dedup builder parallelizes its own
+    // independent chains internally). Per-item numbers are each build's
+    // own wall under concurrency; `index_build_sec` is the PHASE wall —
+    // the time the suite actually waits, the number the r9 verdict asked
+    // to halve (a sum of overlapping walls would double-count).
+    val idxT0 = System.nanoTime()
     val indexBuild: Seq[(String, Double)] =
-      try graft.ops.DedupQueries.warmCaches(spark, sfDir) ++
-        graft.ops.VectorQueries.warmCaches(spark, sfDir)
-      catch {
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val vec = Future(graft.ops.VectorQueries.warmCaches(spark, sfDir))
+        graft.ops.DedupQueries.warmCaches(spark, sfDir) ++
+          Await.result(vec, Duration.Inf)
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] index build failed (continuing): $e")
           Seq.empty
       }
+    val indexWallSec = (System.nanoTime() - idxT0) / 1e9
     // MACHINE-SPEED CALIBRATION: identical code benched 71.2 s vs 94.2 s
     // across two r7 runs, with even the untimed index builds doubling — a
     // machine-contention signature nothing in the JSON could prove. A fixed
@@ -142,15 +155,14 @@ object Bench {
     val names = selected.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.LinkedHashMap(
       names.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
-    var execs = 0
     // Same sentinel cadence as before (~1 per 10 distinct queries' worth of
     // work): with reps passes the execution count is names.size * reps, so
     // sampling every calibEvery*reps executions keeps ~the same sample count
     // while spreading them across the whole timeline.
     val calibStride = calibEvery * reps
-    for (rep <- 1 to reps; (name, fn) <- names) {
+    val schedule = for (rep <- 1 to reps; nf <- names) yield (rep, nf)
+    for (((rep, (name, fn)), execs) <- schedule.zipWithIndex) {
       if (execs > 0 && execs % calibStride == 0) calibSamples += calibrate()
-      execs += 1
       val t0 = System.nanoTime()
       val t =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save();
@@ -215,10 +227,12 @@ object Bench {
         val prevTotal = prevQ.collect { case (n, v) if v >= 0 && thisQ.exists(r => r._1 == n && r._2 >= 0) => v }.sum
         s""""delta_basis":"$deltaBasis","prev_total":${ms3(prevTotal)},"delta_total":${ms3(thisTotal - prevTotal)},"""
       }
-    // Index-build total rides both outputs next to warm_sec so the round's
+    // Index-build wall rides both outputs next to warm_sec so the round's
     // full wall work (queries + index + warmup) is reconstructible.
+    // index_build_sec = the build PHASE's wall clock (builds overlap, so
+    // the per-item sum would overstate it).
     val idxJson =
-      s""""index_build":${qmap(indexBuild)},"index_build_sec":${ms3(indexBuild.map(_._2).sum)},"""
+      s""""index_build":${qmap(indexBuild)},"index_build_sec":${ms3(indexWallSec)},"""
     // Calibration summary: median is the run's machine-speed index (compare
     // across runs/rounds), max/min spread is the within-run stability. The
     // full output also carries every sample in suite order so a mid-run

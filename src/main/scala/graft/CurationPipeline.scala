@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The end-to-end training-data curation chain, composed from the same
@@ -35,30 +35,37 @@ import org.apache.spark.sql.functions._
   */
 object CurationPipeline {
 
-  private def fold(prefix: String): Column = {
-    val h = md5(concat(lit(prefix), col("doc_id").cast("string")))
-    (1 to 32).map(i => ascii(substring(h, i, 1)) * lit(i))
-      .reduce(_ + _).cast("long")
-  }
-
-  /** The per-stage survivor sets (name -> annotated survivors). */
+  /** The per-stage survivor sets (name -> annotated survivors).
+    *
+    * Each stage feeds BOTH its ledger aggregate and the next stage, so
+    * every stage is `localCheckpoint`ed as it is defined: the chain is ONE
+    * forward pass (stage k materializes once on top of stage k−1's
+    * checkpoint) and every downstream aggregate scans a doc-count-bounded
+    * survivor table. Unmaterialized, stage k's consumers re-derived
+    * stages 1..k from parquet and the 8-row ledger paid a quadratic pile
+    * of repeated tokenize/sha2/contamination work — 7.0 s at sf0.1, the
+    * single most expensive query in the r10 bench before this. Same
+    * discipline as the session dedup indexes: materialize the narrow
+    * fan-out point, keep lineage flat.
+    */
   def stages(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
     val toksCol = split(col("text"), " ")
     val ingest = Tables.documents(s, dir)
       .withColumn("nt", size(toksCol).cast("long"))
       .withColumn("nd", size(array_distinct(toksCol)).cast("long"))
-      .withColumn("n_stop",
-        size(filter(toksCol, t => t === "a" || t === "the" || t === "of"))
-          .cast("long"))
+      .withColumn("n_stop", ops.CurationRules.stopCount(toksCol))
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
         col("nt"), col("nd"), col("n_stop"))
+      .localCheckpoint()
 
     val quality = ingest.filter(col("nt") >= 20 && col("lang") === "en" &&
       col("nd") * 100 >= col("nt") * 55 && col("n_chars") <= 400)
+      .localCheckpoint()
 
     val exactReps = quality.groupBy(sha2(col("text"), 256).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
     val exact = quality.join(exactReps.select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
 
     val comp = ops.DedupQueries.componentsJaccard(s, dir, 0.5)
       .select(col("id").as("doc_id"), col("comp"))
@@ -67,6 +74,7 @@ object CurationPipeline {
     val nearKeep = labeled.groupBy("component").agg(min(col("doc_id")).as("doc_id"))
     val near = labeled.drop("comp", "component")
       .join(nearKeep.select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
 
     val sh = ops.DedupQueries.shingles(s, dir)
     val probes = sh.filter(col("doc_id") % 100 === 7).select("shingle").distinct()
@@ -77,15 +85,21 @@ object CurationPipeline {
       .filter(col("n_ov") * 2 >= col("n_sh")).select("doc_id")
     val clean = near.filter(col("doc_id") % 100 =!= 7)
       .join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
 
+    // The resample draw/threshold and the split bucket are the SHARED
+    // CurationRules definitions — identical expressions to the stand-alone
+    // pipeline_importance_resample / pipeline_train_val_split queries, so
+    // the composed chain cannot drift from the operators it claims.
     val resampled = clean
-      .withColumn("hash_bp", pmod(fold("resample:"), lit(10000L)))
-      .withColumn("accept_bp",
-        expr("least(10000, 400 + 3 * ((n_stop * 10000) div nt))"))
+      .withColumn("hash_bp", ops.CurationRules.resampleHashBp(col("doc_id")))
+      .withColumn("accept_bp", ops.CurationRules.resampleAcceptBp("n_stop", "nt"))
       .filter(col("hash_bp") < col("accept_bp"))
       .drop("hash_bp", "accept_bp")
+      .localCheckpoint()
 
-    val train = resampled.filter(pmod(fold("split:"), lit(100L)) < 98)
+    val train = resampled.filter(ops.CurationRules.splitBucket(col("doc_id")) < 98)
+      .localCheckpoint()
 
     Seq("ingest" -> ingest, "quality" -> quality, "exact_dedup" -> exact,
       "near_dedup" -> near, "decontaminate" -> clean,

@@ -125,11 +125,14 @@ object AdvancedQueries {
     },
 
     // Exact percentiles (continuous interpolation). l_quantity has ~50
-    // distinct values, so `percentile`'s value→count map is tiny there;
-    // l_extendedprice is mostly-distinct (the map would hold ~600k doubles
-    // per group and merge 32 partials — the suite's top allocation cost in
-    // r4), so its percentile goes through the bucketed two-pass selection
-    // (VectorQueries.exactPercentileByGroup, bit-identical arithmetic).
+    // distinct values, so `percentile`'s value→count map is tiny there and
+    // one map-side-combined aggregate is the right plan; l_extendedprice
+    // is mostly-distinct (the map would hold ~600k doubles per group and
+    // merge 32 partials — the suite's top allocation cost in r4), so its
+    // quantile goes through the bucketed two-pass selection
+    // (VectorQueries.exactPercentilesByGroup, bit-identical arithmetic).
+    // r10: the selection's tiny intermediates are materialized, so the
+    // price path is 3 scans, not the 7 hidden re-derivations r9 paid.
     "agg_percentile" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
       val qty = li.groupBy("l_linestatus")

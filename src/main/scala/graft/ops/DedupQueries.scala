@@ -82,21 +82,40 @@ object DedupQueries {
   private val docsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private[ops] def docArrays(s: SparkSession, dir: String): DataFrame = {
+  /** ONE per-doc aggregation pass building BOTH per-doc index artifacts —
+    * the rarity-sorted hashed-token array (the PPJoin working set) AND the
+    * 8-hash md5-order MinHash signature. The two artifacts used to be two
+    * independent groupBy passes over the shingle cache (r9 index_build:
+    * doc_arrays 2.07 s + minhash_sig 2.20 s); they aggregate the same
+    * (doc_id, shingle) rows, so one shuffle serves both and each consumer
+    * projects its columns from the shared checkpoint. The freq join feeds
+    * only the rarity sort key; the md5 mins ride the same aggregate
+    * unchanged (the join is row-preserving on the distinct (doc, shingle)
+    * grain).
+    */
+  private def docIndex(s: SparkSession, dir: String): DataFrame = {
     docsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     docsCache.computeIfAbsent((s, dir), _ => {
       val tok = shingles(s, dir).withColumnRenamed("shingle", "tok")
       val freq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+      val sigAggs = (0 until 8)
+        .map(i => min(md5(concat(lit(i.toString), col("tok")))).as(s"h$i"))
+      val aggs =
+        sort_array(collect_list(struct(col("df"), xxhash64(col("tok")).as("h"))))
+          .as("st") +: sigAggs
       tok.join(freq, "tok")
         .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("df"), xxhash64(col("tok")).as("h"))))
-          .as("st"))
-        .select(col("doc_id"),
-          expr("transform(st, x -> x.h)").as("hs"),
-          size(col("st")).as("n"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id") +:
+          expr("transform(st, x -> x.h)").as("hs") +:
+          size(col("st")).as("n") +:
+          (0 until 8).map(i => col(s"h$i")): _*)
         .localCheckpoint()
     })
   }
+
+  private[ops] def docArrays(s: SparkSession, dir: String): DataFrame =
+    docIndex(s, dir).select("doc_id", "hs", "n")
 
   /** Exact-Jaccard verification of a candidate pair set (`da`, `db`
     * columns): fetch both docs' hashed shingle arrays, intersect with the
@@ -126,22 +145,47 @@ object DedupQueries {
     * `warm_sec` lump made the headline total incomparable with r5).
     */
   def warmCaches(s: SparkSession, dir: String): Seq[(String, Double)] = {
-    val out = Seq.newBuilder[(String, Double)]
+    // The build DAG has three independent chains, so they run CONCURRENTLY
+    // (Spark's scheduler interleaves their stages across the executor
+    // cores — concurrent jobs on one session are the supported pattern):
+    //
+    //   text chain:   shingles → doc_index → pairs_jaccard → comp_jaccard
+    //   text side:    (after doc_index) pairs_containment → bloom_sketch
+    //   cosine chain: pairs_cosine → comp_cosine   (embeddings only — no
+    //                 shingle dependency at all)
+    //
+    // r9 ran all eight sequentially: 22.5 s of wall for ~13 s of critical
+    // path. Each reported number is that build's own wall under
+    // concurrency; the bench reports the PHASE wall (what the suite
+    // actually waits) as index_build_sec. doc_index builds BOTH the
+    // rarity-sorted arrays and the minhash signatures in one aggregation
+    // pass (r10 — was doc_arrays + minhash_sig as two passes over the
+    // same rows).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
     def timed(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
       f
-      out += name -> (System.nanoTime() - t0) / 1e9
+      out.add(name -> (System.nanoTime() - t0) / 1e9)
+    }
+    val cosineChain = Future {
+      timed("pairs_cosine_0.45") { cosinePairsLsh(s, dir, 0.45).count() }
+      timed("comp_cosine_0.45") { componentsCosine(s, dir, 0.45).count() }
     }
     timed("shingles") { shingles(s, dir).count() }
-    timed("doc_arrays") { docArrays(s, dir).count() }
-    timed("minhash_sig") { minhashSignatures(s, dir).count() }
+    timed("doc_index") { docIndex(s, dir).count() }
+    val containChain = Future {
+      timed("pairs_containment_0.8") { containmentPairs(s, dir, 0.8).count() }
+      timed("bloom_sketch") { bloomSketch(s, dir) }
+    }
     timed("pairs_jaccard_0.5") { jaccardPairsPrefix(s, dir, 0.5).count() }
-    timed("pairs_containment_0.8") { containmentPairs(s, dir, 0.8).count() }
-    timed("pairs_cosine_0.45") { cosinePairsLsh(s, dir, 0.45).count() }
     timed("comp_jaccard_0.5") { componentsJaccard(s, dir, 0.5).count() }
-    timed("comp_cosine_0.45") { componentsCosine(s, dir, 0.45).count() }
-    timed("bloom_sketch") { bloomSketch(s, dir) }
-    out.result()
+    Await.result(cosineChain, Duration.Inf)
+    Await.result(containChain, Duration.Inf)
+    import scala.jdk.CollectionConverters._
+    out.asScala.toSeq
   }
 
   /** Unpersist and drop every cached dedup artifact of `s` (shingle set +
@@ -177,15 +221,6 @@ object DedupQueries {
         org.apache.spark.sql.GraftColumnBridge.checkpointRdd(e.getValue)
           .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
         pt.remove()
-      }
-    }
-    val st = sigCache.entrySet().iterator()
-    while (st.hasNext) {
-      val e = st.next()
-      if (e.getKey._1 eq s) {
-        org.apache.spark.sql.GraftColumnBridge.checkpointRdd(e.getValue)
-          .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
-        st.remove()
       }
     }
     val ct = componentCache.entrySet().iterator()
@@ -274,25 +309,15 @@ object DedupQueries {
   /** 8-hash md5-order MinHash signature table per (session, dir) — the
     * banded-LSH index `dedup_minhash_banded` buckets on, with
     * `dedup_near_jaccard` reading its 2-hash prefix (same salts "0","1").
-    * Cached like [[docArrays]] because the signature aggregate re-scans the
-    * whole shingle cache computing 8 string md5s per (doc, shingle) — by
-    * far the heaviest fragment of the MinHash family (it alone was the
-    * 4.1 s r6 median of the banded query, re-run every rep). md5 stays the
-    * hash deliberately: its total order is engine-portable, so the DuckDB
-    * oracle replays the identical signatures.
+    * A projection of the shared [[docIndex]] aggregate (one combined pass
+    * with the doc arrays — r10; the stand-alone signature aggregate was
+    * 2.2 s of the r9 index build duplicating the same shuffle). md5 stays
+    * the hash deliberately: its total order is engine-portable, so the
+    * DuckDB oracle replays the identical signatures.
     */
-  private val sigCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  private[ops] def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    sigCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    sigCache.computeIfAbsent((s, dir), _ => {
-      val sigExprs = (0 until 8)
-        .map(i => min(md5(concat(lit(i.toString), col("shingle")))).as(s"h$i"))
-      shingles(s, dir).groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
-        .localCheckpoint()
-    })
-  }
+  private[ops] def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    docIndex(s, dir).select(
+      col("doc_id") +: (0 until 8).map(i => col(s"h$i")): _*)
 
   /** Component LABELS per (session, dir, edge-family:t) — the third tier of
     * the session index stack (pairs → edges → labels). Cached under the
@@ -800,6 +825,22 @@ object DedupQueries {
 
   /** The uncached construction (PlanSpec asserts on this — the cached
     * accessor's plan is just the checkpoint scan).
+    *
+    * r10 shape: the banded rows CARRY their embedding + norm through the
+    * equi-join, the exact cosine is computed inline on each band collision
+    * (same codegen stage as the join output), and the `>= t` filter kills
+    * the non-duplicate collisions BEFORE anything shuffles again; distinct
+    * then dedups band multiplicity on the tiny surviving set. The r9 shape
+    * (narrow candidates → distinct → two fetch-back joins) shuffled the
+    * FULL collision set twice: at a 0.45 threshold over clustered 64-d
+    * vectors the sign bands barely prune (most pairs collide on ≥ 1 of 21
+    * bands), so "narrow candidates" was ~n² rows through distinct plus two
+    * n²-row joins — 4.5 s of the r9 index build. Carrying vectors costs a
+    * bounded nBands×n-row band shuffle (linear in the corpus, ~300 B/row)
+    * and the post-filter distinct shuffles only true near-dup pairs — by
+    * definition a vanishing fraction. Both shapes are equi-join candidate
+    * generation; at any scale the inline-verify variant shuffles strictly
+    * less whenever survivors << collisions, which is what dedup means.
     */
   private[ops] def cosinePairsLshPlan(s: SparkSession, dir: String, t: Double): DataFrame = {
     import graft.functions.VectorOps
@@ -813,21 +854,20 @@ object DedupQueries {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         VectorOps.norm(col("embedding")).as("nrm"))
-    val banded = e.select(col("vec_id"),
+    val banded = e.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"), signKey(b).as("key"))): _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band"), col("bk.key"))
-    val cand = banded.select(col("vec_id").as("va"), col("band"), col("key"))
-      .join(banded.select(col("vec_id").as("vb"), col("band"), col("key")),
-        Seq("band", "key"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("bk.band"), col("bk.key"))
+    banded.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("nrm").as("na"), col("band"), col("key"))
+      .join(banded.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+        col("nrm").as("nb"), col("band"), col("key")), Seq("band", "key"))
       .filter(col("va") < col("vb"))
-      .select("va", "vb").distinct()
-    val ax = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na"))
-    val bx = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb"))
-    cand.join(ax, "va").join(bx, "vb")
       .withColumn("cos", VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= t)
       .select("va", "vb", "cos")
+      .distinct()
   }
 
   private val cosSql =

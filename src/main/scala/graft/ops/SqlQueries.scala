@@ -109,9 +109,9 @@ object SqlQueries {
     // unbounded-iteration variant with explicit lineage checkpoints.
     "sql_recursive_cte" -> q(
       """WITH RECURSIVE walk(key, cur, depth) AS (
-        |  SELECT s_suppkey, s_suppkey, 0 FROM supplier
+        |  SELECT s_suppkey AS key, s_suppkey AS cur, 0 AS depth FROM supplier
         |  UNION ALL
-        |  SELECT key, cur div 10, depth + 1 FROM walk WHERE cur > 0
+        |  SELECT key, cur div 10 AS cur, depth + 1 AS depth FROM walk WHERE cur > 0
         |)
         |SELECT depth, CAST(count(*) AS BIGINT) AS n_keys,
         |       min(key) AS key_min, max(key) AS key_max

@@ -219,7 +219,9 @@ object TextQueries {
       val deduped = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       val stats = deduped.agg(
         avg(col("quality")).as("mu"), stddev_samp(col("quality")).as("sd"))
-      deduped.crossJoin(stats)
+      // 1-row aggregate: hint the broadcast so the plan replicates the
+      // scalar regardless of AQE (same pattern as text_tfidf below).
+      deduped.crossJoin(broadcast(stats))
         .filter(col("lang") === "en" && col("n_toks").between(20, 40))
         .select(
           col("doc_id"), col("n_toks"),
@@ -533,10 +535,10 @@ object TextQueries {
     // assignment + one map-side-combined hash aggregate; nothing global,
     // so the same plan ships at 100 TB.
     "pipeline_train_val_split" -> { (s, dir) =>
-      val h = md5(concat(lit("split:"), col("doc_id").cast("string")))
-      val folded = (1 to 32).map(i => ascii(substring(h, i, 1)) * lit(i))
-        .reduce(_ + _).cast("long")
-      val bucket = pmod(folded, lit(100L))
+      // The assignment rule is the shared CurationRules definition — the
+      // composed graft.CurationPipeline consumes the same one, so the two
+      // cannot drift (pipeline_curation_ledger's oracle pins both).
+      val bucket = CurationRules.splitBucket(col("doc_id"))
       Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("long").as("n_toks"),
@@ -561,18 +563,15 @@ object TextQueries {
     // engines, and corpus growth, and docs never flip when others arrive.
     // Map-only per doc + one hash-aggregate audit ledger per source.
     "pipeline_importance_resample" -> { (s, dir) =>
-      val h = md5(concat(lit("resample:"), col("doc_id").cast("string")))
-      val folded = (1 to 32).map(i => ascii(substring(h, i, 1)) * lit(i))
-        .reduce(_ + _).cast("long")
+      // Acceptance draw + threshold come from the shared CurationRules
+      // (one definition site with the composed chain, see split above).
       val nToks = size(toks).cast("long")
-      val nStop = size(filter(toks, t => t === "a" || t === "the" || t === "of"))
-        .cast("long")
       Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
-          pmod(folded, lit(10000L)).as("hash_bp"),
-          nStop.as("n_stop"), nToks.as("n_toks"))
+          CurationRules.resampleHashBp(col("doc_id")).as("hash_bp"),
+          CurationRules.stopCount(toks).as("n_stop"), nToks.as("n_toks"))
         .withColumn("accept_bp",
-          expr("least(10000, 400 + 3 * ((n_stop * 10000) div n_toks))"))
+          CurationRules.resampleAcceptBp("n_stop", "n_toks"))
         .select(col("source"), col("accept_bp"),
           (col("hash_bp") < col("accept_bp")).cast("long").as("kept"))
         .groupBy("source")
@@ -580,6 +579,19 @@ object TextQueries {
           expr("(sum(kept) * 10000) div count(*)").as("kept_bp"),
           expr("sum(accept_bp) div count(*)").as("avg_accept_bp"))
         .orderBy("source")
+    },
+
+    // THE COMPOSED CURATION CHAIN, hash-verified end to end: the 8-stage
+    // ledger (ingest → quality → exact dedup → near dedup → decontaminate
+    // → resample → train split → pack) of graft.CurationPipeline, every
+    // stage the same shared-rule expressions the stand-alone operators
+    // declare. The DuckDB oracle replays the whole chain — including the
+    // recursive-CTE connected components the near-dedup stage keys on —
+    // so the composition itself (not just its parts) is oracle-pinned.
+    // Scale shape: the chain adds no shuffle its stages don't already pay;
+    // the ledger is 8 one-row aggregates over survivor sets.
+    "pipeline_curation_ledger" -> { (s, dir) =>
+      graft.CurationPipeline.ledger(s, dir)
     },
 
     // BPE VOCABULARY TRAINING, one merge iteration — the pair-count pass
@@ -1166,7 +1178,7 @@ object TextQueries {
         |FROM r GROUP BY 1, 2 ORDER BY lang, shard_id""".stripMargin,
 
     "pipeline_train_val_split" -> {
-      val foldedSql = (1 to 32).map(i => s"ascii(substr(h, $i, 1)) * $i").mkString(" + ")
+      val foldedSql = CurationRules.foldedSql
       s"""WITH d AS (
          |  SELECT doc_id, source,
          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
@@ -1185,8 +1197,108 @@ object TextQueries {
          |FROM a GROUP BY 1, 2 ORDER BY split, source""".stripMargin
     },
 
+    // The composed chain, replayed stage by stage: the funnel predicates,
+    // sha256 exact-dedup policy, the SAME recursive-CTE components as the
+    // dedup_components oracle, the shingle-overlap contamination screen,
+    // and the shared fold/threshold rules — then the 8-row count ledger.
+    "pipeline_curation_ledger" -> {
+      val f = CurationRules.foldedSql
+      s"""WITH RECURSIVE docs0 AS (
+         |  SELECT doc_id, lang, n_chars, text,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |              t -> t = 'a' OR t = 'the' OR t = 'of')) AS BIGINT) AS n_stop
+         |  FROM documents
+         |), quality AS (
+         |  SELECT * FROM docs0
+         |  WHERE nt >= 20 AND lang = 'en' AND nd * 100 >= nt * 55 AND n_chars <= 400
+         |), exact AS (
+         |  SELECT * FROM quality
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY sha256(text))
+         |), toksc AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3
+         |), sh AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(range(1, len(ts) - 1),
+         |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+         |  FROM toksc
+         |), card AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nc FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT x.doc_id AS da, y.doc_id AS db, CAST(count(*) AS BIGINT) AS ni
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |), prs AS (
+         |  SELECT da, db FROM inter
+         |  JOIN card ca ON ca.doc_id = da JOIN card cb ON cb.doc_id = db
+         |  WHERE round(CAST(ni AS DOUBLE) / (ca.nc + cb.nc - ni), 3) >= 0.5
+         |), edges AS (
+         |  SELECT da AS u, db AS v FROM prs UNION SELECT db, da FROM prs
+         |), reach(u, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+         |), comp AS (
+         |  SELECT u AS doc_id, min(r) AS comp FROM reach GROUP BY 1
+         |), labeled AS (
+         |  SELECT e.*, coalesce(c.comp, e.doc_id) AS component
+         |  FROM exact e LEFT JOIN comp c ON c.doc_id = e.doc_id
+         |), near AS (
+         |  SELECT * FROM labeled
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM labeled GROUP BY component)
+         |), probes AS (
+         |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 7
+         |), overlap AS (
+         |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_ov
+         |  FROM sh s JOIN probes p ON s.shingle = p.shingle GROUP BY 1
+         |), contaminated AS (
+         |  SELECT c.doc_id FROM card c JOIN overlap o ON o.doc_id = c.doc_id
+         |  WHERE o.n_ov * 2 >= c.nc
+         |), clean AS (
+         |  SELECT * FROM near
+         |  WHERE doc_id % 100 <> 7
+         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |), resampled AS (
+         |  SELECT * FROM (
+         |    SELECT *, CAST(($f) % 10000 AS BIGINT) AS hash_bp,
+         |           least(10000, 400 + 3 * ((n_stop * 10000) // nt)) AS accept_bp
+         |    FROM (SELECT *, md5('resample:' || CAST(doc_id AS VARCHAR)) AS h
+         |          FROM clean))
+         |  WHERE hash_bp < accept_bp
+         |), train AS (
+         |  SELECT * FROM (
+         |    SELECT *, CAST(($f) % 100 AS BIGINT) AS bucket
+         |    FROM (SELECT doc_id, nt,
+         |                 md5('split:' || CAST(doc_id AS VARCHAR)) AS h
+         |          FROM resampled))
+         |  WHERE bucket < 98
+         |)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS INT) AS stage_no, 'ingest' AS stage,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(coalesce(sum(nt), 0) AS BIGINT) AS sum_toks FROM docs0
+         |  UNION ALL SELECT CAST(2 AS INT), 'quality', CAST(count(*) AS BIGINT),
+         |         CAST(coalesce(sum(nt), 0) AS BIGINT) FROM quality
+         |  UNION ALL SELECT CAST(3 AS INT), 'exact_dedup', CAST(count(*) AS BIGINT),
+         |         CAST(coalesce(sum(nt), 0) AS BIGINT) FROM exact
+         |  UNION ALL SELECT CAST(4 AS INT), 'near_dedup', CAST(count(*) AS BIGINT),
+         |         CAST(coalesce(sum(nt), 0) AS BIGINT) FROM near
+         |  UNION ALL SELECT CAST(5 AS INT), 'decontaminate', CAST(count(*) AS BIGINT),
+         |         CAST(coalesce(sum(nt), 0) AS BIGINT) FROM clean
+         |  UNION ALL SELECT CAST(6 AS INT), 'resample', CAST(count(*) AS BIGINT),
+         |         CAST(coalesce(sum(nt), 0) AS BIGINT) FROM resampled
+         |  UNION ALL SELECT CAST(7 AS INT), 'split_train', CAST(count(*) AS BIGINT),
+         |         CAST(coalesce(sum(nt), 0) AS BIGINT) FROM train
+         |  UNION ALL SELECT CAST(8 AS INT), 'pack_256',
+         |         CAST((SELECT coalesce(sum(nt), 0) FROM train) // 256 AS BIGINT),
+         |         CAST((SELECT coalesce(sum(nt), 0) FROM train) AS BIGINT)
+         |) ORDER BY stage_no""".stripMargin
+    },
+
     "pipeline_importance_resample" -> {
-      val foldedSql = (1 to 32).map(i => s"ascii(substr(h, $i, 1)) * $i").mkString(" + ")
+      val foldedSql = CurationRules.foldedSql
       s"""WITH d AS (
          |  SELECT doc_id, source,
          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,

@@ -449,15 +449,38 @@ object VectorQueries {
     * result. At 100 TB each pass is a full scan but per-task state is
     * O(1024), never O(group).
     */
-  private[ops] def exactPercentileByGroup(vals: DataFrame, p: Double): DataFrame = {
+  private[ops] def exactPercentileByGroup(vals: DataFrame, p: Double): DataFrame =
+    exactPercentilesByGroup(vals, Seq(p)).select("g", "pct")
+
+  /** The multi-percentile generalization (r10): ONE bucketed histogram
+    * serves every requested `p` — the per-(group, p) ranks all index the
+    * same cumulative histogram, and pass 2 picks all ranked values in one
+    * scan. Returns (g, p, pct), one row per group per requested p.
+    *
+    * The two tiny intermediates (per-group stats; per-rank bucket targets)
+    * are `localCheckpoint`ed: both are group-count-sized, but each was
+    * re-derived — a FULL input scan each time — by every downstream
+    * reference in the r9 single-p version (stats 3×: ranks, the bucketed
+    * broadcast, the final interpolation join; hist 2×: both `targets`
+    * references in pass 2). Seven scans masquerading as two. With the
+    * checkpoints the selection does exactly what the doc says: stats scan,
+    * histogram scan, pick scan — 3 total, independent of how many
+    * percentiles ride the histogram.
+    */
+  private[ops] def exactPercentilesByGroup(vals: DataFrame, ps: Seq[Double]): DataFrame = {
     val nb = 1024
     val stats = vals.groupBy("g")
       .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
-      .withColumn("pos0", lit(p) * (col("n") - 1).cast("double"))
+      .localCheckpoint()
+    // Per-(group, p) rank parameters — identical arithmetic to Spark's
+    // Percentile: pos0 = p·(n−1), ranks floor(pos0)+1 / +2 (clamped).
+    val pp = stats.select(col("g"), col("n"),
+        explode(array(ps.map(lit(_)): _*)).as("p"))
+      .withColumn("pos0", col("p") * (col("n") - 1).cast("double"))
       .withColumn("k1", (floor(col("pos0")) + 1).cast("long"))
       .withColumn("k2", least((floor(col("pos0")) + 2).cast("long"), col("n")))
       .withColumn("frac", col("pos0") - floor(col("pos0")))
-    val ranks = stats.select(col("g"),
+    val ranks = pp.select(col("g"),
       explode(array(col("k1"), col("k2"))).as("k")).distinct()
     // Bucket id: value position on the [lo, hi] grid; the +epsilon width
     // keeps hi (and a degenerate lo == hi group) in the last/first bucket.
@@ -473,6 +496,7 @@ object VectorQueries {
     val targets = cum.join(ranks, Seq("g"))
       .filter(col("k") > col("cum_before") && col("k") <= col("cum_before") + col("c"))
       .select(col("g"), col("b"), col("k"), col("cum_before"))
+      .localCheckpoint()
     // Pass 2: rank only the target buckets' rows; global rank k is local
     // rank k - cum_before within its bucket.
     val wb = Window.partitionBy("g", "b").orderBy("v")
@@ -482,14 +506,16 @@ object VectorQueries {
       .join(broadcast(targets), Seq("g", "b"))
       .filter(col("rnb") === col("k") - col("cum_before"))
       .select(col("g"), col("k"), col("v"))
-    // v2 is null when k1 == k2 (single-row group); frac is 0 there, and
-    // coalesce keeps the arithmetic finite.
-    picked.join(broadcast(stats.select("g", "k1", "frac")), Seq("g"))
-      .groupBy(col("g"), col("frac"))
+    // Each (g, p) takes its two ranked values; v2 is null when k1 == k2
+    // (single-row group) — frac is 0 there and coalesce keeps it finite.
+    pp.select(col("g"), col("p"), col("k1"), col("k2"), col("frac"))
+      .join(picked, Seq("g"))
+      .filter(col("k") === col("k1") || col("k") === col("k2"))
+      .groupBy(col("g"), col("p"), col("frac"))
       .agg(
         min(when(col("k") === col("k1"), col("v"))).as("v1"),
         min(when(col("k") =!= col("k1"), col("v"))).as("v2"))
-      .select(col("g"),
+      .select(col("g"), col("p"),
         ((lit(1.0) - col("frac")) * col("v1") +
           col("frac") * coalesce(col("v2"), col("v1"))).as("pct"))
   }

@@ -27,8 +27,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * Events fold in event-time order within each micro-batch (ties broken
   * on event_id — the batch query's total order); ACROSS batches the fold
   * assumes per-user event-time order, the same contract the reference's
-  * ordered binlog tail provides. `PatternMatchSpec` proves the streamed
-  * match sets equal the batch regexes under uneven micro-batch splits.
+  * ordered binlog tail provides. That contract is now ENFORCED as
+  * observable state, not silently assumed: the per-user state carries the
+  * last folded (micros, event_id) frontier, and any event arriving behind
+  * it increments an `out_of_order` count surfaced on every output row — a
+  * late event still folds (history can't be rewritten without unbounded
+  * state), but the corruption risk to adjacency (`vc`) / anchor (`^s`)
+  * patterns is flagged instead of invisible. The production hardening
+  * path is a watermark-based reorder buffer upstream; the counter tells
+  * you when you need it. `PatternMatchSpec` proves the streamed match
+  * sets equal the batch regexes under uneven micro-batch splits and that
+  * in-order feeds report zero violations.
   */
 object PatternMatch {
 
@@ -68,16 +77,22 @@ object PatternMatch {
       Array(Map('v' -> 1), Map('c' -> 2, 'v' -> 1)),
       Set(2), Array(0, 0)))
 
-  final case class PatternState(states: Seq[Int])
+  /** Per-user keyed state: one DFA state per pattern, plus the last folded
+    * (micros, event_id) frontier and the count of events that arrived
+    * behind it — O(patterns + 3 longs) regardless of stream length.
+    */
+  final case class PatternState(states: Seq[Int], lastMicros: Long,
+      lastId: Long, outOfOrder: Long)
 
-  final case class UserMatches(user_id: Long, matched: Seq[String])
+  final case class UserMatches(user_id: Long, matched: Seq[String],
+      out_of_order: Long)
 
   private[streaming] def initial: PatternState =
-    PatternState(Dfas.map(_ => 0))
+    PatternState(Dfas.map(_ => 0), Long.MinValue, Long.MinValue, 0L)
 
   /** Fold one event-initial char into every pattern's DFA state. */
   private[streaming] def stepAll(s: PatternState, ch: Char): PatternState =
-    PatternState(Dfas.zip(s.states).map { case (d, st) => d.next(st, ch) })
+    s.copy(states = Dfas.zip(s.states).map { case (d, st) => d.next(st, ch) })
 
   /** Per-user matched-pattern sets, updated every micro-batch (update
     * mode — each batch emits the keys it touched).
@@ -93,10 +108,22 @@ object PatternMatch {
           var st = state.getOption.getOrElse(initial)
           rows.toSeq
             .sortBy(e => (micros(e.ts), e.event_id))
-            .foreach(e => st = stepAll(st, e.event_type.charAt(0)))
+            .foreach { e =>
+              val m = micros(e.ts)
+              // An event behind the folded frontier violates the cross-batch
+              // order contract: it still folds (rewinding would need the full
+              // history), but the violation is counted, not swallowed.
+              if (m < st.lastMicros ||
+                  (m == st.lastMicros && e.event_id < st.lastId))
+                st = st.copy(outOfOrder = st.outOfOrder + 1)
+              else
+                st = st.copy(lastMicros = m, lastId = e.event_id)
+              st = stepAll(st, e.event_type.charAt(0))
+            }
           state.update(st)
           UserMatches(userId,
-            Dfas.zip(st.states).collect { case (d, s) if d.matched(s) => d.pattern })
+            Dfas.zip(st.states).collect { case (d, s) if d.matched(s) => d.pattern },
+            st.outOfOrder)
       }
   }
 

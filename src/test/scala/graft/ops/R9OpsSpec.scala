@@ -99,8 +99,12 @@ class R9OpsSpec extends SparkSuite {
       .collect()
       .groupBy(_.getAs[Long]("user_id"))
       .map { case (_, rs) =>
-        rs.sortBy(r => (r.getAs[java.sql.Timestamp]("ts").getTime * 1000000 +
-            r.getAs[java.sql.Timestamp]("ts").getNanos,
+        // micros exactly as PatternMatch.micros computes them: getTime
+        // already carries the millis, so only the sub-milli part of
+        // getNanos may be added (getTime*1e6 + getNanos double-counted
+        // the millisecond component and was non-monotonic across seconds)
+        rs.sortBy(r => (r.getAs[java.sql.Timestamp]("ts").getTime * 1000L +
+            (r.getAs[java.sql.Timestamp]("ts").getNanos % 1000000L) / 1000L,
             r.getAs[Long]("event_id")))
           .map(_.getAs[String]("event_type").charAt(0)).mkString
       }.toSeq

@@ -48,11 +48,15 @@ class PatternMatchSpec extends SparkSuite {
 
     val mem = MemoryStream[PatternMatch.Event]
     val latest = new ConcurrentHashMap[Long, Seq[String]]()
+    val ooo = new ConcurrentHashMap[Long, Long]()
     val q = PatternMatch.matches(mem.toDS())
       .writeStream.outputMode(OutputMode.Update())
       .trigger(Trigger.ProcessingTime(50))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[PatternMatch.UserMatches], _: Long) =>
-        batch.collect().foreach(m => latest.put(m.user_id, m.matched))
+        batch.collect().foreach { m =>
+          latest.put(m.user_id, m.matched)
+          ooo.put(m.user_id, m.out_of_order)
+        }
         ()
       }
       .start()
@@ -86,6 +90,37 @@ class PatternMatchSpec extends SparkSuite {
     assert(PatternMatch.Dfas.exists(d => expected(d.pattern).size < got.size),
       s"every pattern matches every user — vacuous fixture: " +
         expected.view.mapValues(_.size).toMap.toString)
+    // the feed above is globally event-time-ordered, so the order-contract
+    // counter must read zero for every user — a nonzero here would mean
+    // the tracker itself mis-fires on legal input
+    val violated = ooo.asScala.filter(_._2 != 0L)
+    assert(violated.isEmpty, s"in-order feed flagged out-of-order: ${violated.take(5)}")
+  }
+
+  test("a late-arriving event is counted as an order-contract violation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, tMillis: Long, ty: String) =
+      PatternMatch.Event(7L, id, new java.sql.Timestamp(tMillis), ty)
+    val mem = MemoryStream[PatternMatch.Event]
+    val seen = new ConcurrentHashMap[Long, Long]()
+    val q = PatternMatch.matches(mem.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .trigger(Trigger.ProcessingTime(50))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[PatternMatch.UserMatches], _: Long) =>
+        batch.collect().foreach(m => seen.put(m.user_id, m.out_of_order))
+        ()
+      }
+      .start()
+    try {
+      mem.addData(ev(1, 1000, "view"), ev(2, 2000, "cart"))
+      q.processAllAvailable()
+      assert(seen.get(7L) == 0L)
+      // arrives BEHIND the folded frontier (t=1500 < 2000): folds, flagged
+      mem.addData(ev(3, 1500, "purchase"))
+      q.processAllAvailable()
+      assert(seen.get(7L) == 1L, s"late event not counted: ${seen.get(7L)}")
+    } finally q.stop()
   }
 
   test("the DFA tables themselves: per-pattern fold semantics") {
