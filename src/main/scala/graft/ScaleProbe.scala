@@ -19,28 +19,46 @@ import org.apache.spark.sql.functions._
   * exponents (`log(t_big/t_small) / log(factor)` — 1.0 = linear).
   *
   * Probed queries: `dedup_jaccard_prefix` (prefix-filtered AllPairs over
-  * the shingle index), `sim_ann_knn` (IVF probe + assignment over the
-  * normed-vector index), `text_dup_spans` (keyed gram explode/join). Each
-  * is timed end-to-end INCLUDING its session index build (caches are per
-  * (session, dir), and each scale is a fresh dir) — the honest number a
-  * new cluster pays — and then once more warm (the steady-state number).
+  * the shingle index), `dedup_minhash_banded` (4×2 banded MinHash-LSH —
+  * the OR-amplified band equi-join), `sim_ann_knn` (IVF probe +
+  * assignment over the normed-vector index), `text_dup_spans` (keyed gram
+  * explode/join). Each is timed end-to-end INCLUDING its session index
+  * build (caches are per (session, dir), and each scale is a fresh dir) —
+  * the honest number a new cluster pays — and then once more warm (the
+  * steady-state number).
+  *
+  * At factors ≥ 100 only the shingle-space PAIR families run
+  * (`dedup_jaccard_prefix`, `dedup_minhash_banded`): they are the
+  * families whose scale story is candidate-boundedness, so they are the
+  * ones worth proving at two orders of magnitude; the embedding probes'
+  * corpus is served by the 10×/30× tier (`sim_ann_knn`'s IVF cell count
+  * is fixed, so 100× population growth measures cell scan size, not plan
+  * shape). The 100× tier also widens `spark.sql.shuffle.partitions` 4×
+  * for the duration of that scale so the external sorts in the index
+  * build spill as many small runs instead of few giant ones — the same
+  * lever a cluster pulls by simply having more executors.
   *
   * Writes replicas under the work dir (default `/tmp/graft_scale_probe`)
   * and prints one JSON line per scale plus the exponent summary. Not part
   * of the bench or the correctness gate; run manually:
-  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleProbe"
+  *   SPARK_DRIVER_MEM=31g SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleProbe"
+  *   # add factors: ... "runMain graft.ScaleProbe /root/testdata/sf0.1 /tmp/probe 10 30 100"
   */
 object ScaleProbe {
 
-  private val Probes = Seq("dedup_jaccard_prefix", "sim_ann_knn", "text_dup_spans")
+  private val PairProbes = Seq("dedup_jaccard_prefix", "dedup_minhash_banded")
+  private val Probes = PairProbes ++ Seq("sim_ann_knn", "text_dup_spans")
+
+  /** The probe set a given replication factor runs (see the scaladoc). */
+  private def probesFor(factor: Int): Seq[String] =
+    if (factor >= 100) PairProbes else Probes
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = if (args.length > 1) args(1) else "/tmp/graft_scale_probe"
-    // Replication factors: CLI args after src+work, default 10× and 30×.
-    // 100× needs ~100 GB of spill for the shingle sort on one box — more
-    // scratch disk than this sandbox has (the sort is distributed across
-    // executors on a real cluster; locally it must fit one machine's disk).
+    // Replication factors: CLI args after src+work, default 10× and 30×
+    // (the full probe set); pass 100 for the pair-family tier (see the
+    // scaladoc — wider shuffle partitioning, shingle-space probes only).
     val factors =
       if (args.length > 2) args.drop(2).toSeq.map(_.toInt) else Seq(10, 30)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -101,18 +119,22 @@ object ScaleProbe {
 
     // cold = first run in this session for that dir (includes the index
     // build the per-(session, dir) caches amortize); warm = second run
+    val basePartitions = spark.conf.get("spark.sql.shuffle.partitions")
     val results = (Seq(1 -> src) ++ factors.map(f => f -> replicate(f))).map {
       case (factor, dir) =>
-        val cold = Probes.map(q => q -> time(q, dir)).toMap
-        val warm = Probes.map(q => q -> time(q, dir)).toMap
+        val qs = probesFor(factor)
+        spark.conf.set("spark.sql.shuffle.partitions",
+          if (factor >= 100) (basePartitions.toInt * 4).toString else basePartitions)
+        val cold = qs.map(q => q -> time(q, dir)).toMap
+        val warm = qs.map(q => q -> time(q, dir)).toMap
         println(s"""{"scale":$factor,"dir":"$dir",""" +
-          s""""cold":{${Probes.map(q => s""""$q":${ms3(cold(q))}""").mkString(",")}},""" +
-          s""""warm":{${Probes.map(q => s""""$q":${ms3(warm(q))}""").mkString(",")}}}""")
+          s""""cold":{${qs.map(q => s""""$q":${ms3(cold(q))}""").mkString(",")}},""" +
+          s""""warm":{${qs.map(q => s""""$q":${ms3(warm(q))}""").mkString(",")}}}""")
         factor -> (cold, warm)
     }
     val (f1, (c1, w1)) = results.head
     results.tail.foreach { case (f, (c, w)) =>
-      val exps = Probes.map { q =>
+      val exps = probesFor(f).map { q =>
         val e = math.log(c(q) / c1(q)) / math.log(f.toDouble / f1)
         val ew = math.log(w(q) / w1(q)) / math.log(f.toDouble / f1)
         s""""$q":{"cold":${ms3(e)},"warm":${ms3(ew)}}"""
