@@ -194,6 +194,16 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), s"global sort for the top-200:\n$p")
   }
 
+  test("corpus-select replicates its 1-row stats by broadcast, independent of AQE") {
+    // The z-score stage crossJoins a 1-row corpus-stats aggregate; the
+    // broadcast is HINTED (r10, matching text_tfidf) so the plan pins
+    // BroadcastNestedLoopJoin at planning time instead of relying on AQE
+    // to rescue an unhinted cross join at runtime.
+    val p = plan("pipeline_corpus_select")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("cosine kernel stays inside whole-stage codegen") {
     val df = SparkEntry.queries("dedup_near_cosine")(spark, sfDir)
     df.collect() // finalize the AQE plan
