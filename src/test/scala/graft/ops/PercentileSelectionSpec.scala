@@ -39,6 +39,27 @@ class PercentileSelectionSpec extends SparkSuite {
     check(rows, ps)
   }
 
+  test("one multi-p call serves every p from the shared histogram, still bit-identical") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows =
+      (1 to 777).map(_ => ("a", rng.nextDouble() * 1e4 - 5e3)) ++
+        (1 to 400).map(i => ("b", (i % 7).toDouble)) ++
+        Seq(("c", -1.5)) ++
+        (1 to 30).map(_ => ("d", 9.75))
+    val df = rows.toDF("g", "v").repartition(4)
+    val got = VectorQueries.exactPercentilesByGroup(df, ps)
+      .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2))).toMap
+    for (p <- ps) {
+      val want = df.groupBy("g").agg(expr(s"percentile(v, $p)").as("e"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      want.foreach { case (g, w) =>
+        assert(got((g, p)) == w, s"($g, $p): got=${got((g, p))} want=$w")
+      }
+    }
+    assert(got.size == ps.size * 4) // every (group, p) produced exactly once
+  }
+
   test("matches percentile() on the lineitem price column at sf0.001") {
     val li = graft.Tables.lineitem(spark, sfDir)
       .select(col("l_linestatus").as("g"), col("l_extendedprice").cast("double").as("v"))
