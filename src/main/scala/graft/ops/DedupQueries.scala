@@ -534,6 +534,56 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // INCREMENTAL near-dup ADMISSION (r10) — the sibling of
+    // dedup_incremental_bloom for NEAR duplicates: a new batch
+    // (doc_id % 10 == 0) is screened against the EXISTING corpus
+    // (doc_id % 10 != 0) and each batch doc gets an admission verdict —
+    // exact-dup-of-base, near-dup-of-base (any base doc with
+    // shingle-Jaccard ≥ 0.5, count + best score), or admitted. This is
+    // the steady-state 100 TB curation pattern: the corpus's rarity-
+    // ordered array index is the standing session artifact, the batch is
+    // small, and candidate generation is the ASYMMETRIC prefix equi-join
+    // (batch prefixes probe base prefixes — the AllPairs prefix theorem
+    // is two-sided, so screening only batch×base pairs is lossless at
+    // J ≥ t). Nothing rescans or re-pairs the base against itself; batch
+    // cost is ~|batch| · prefix, independent of corpus history. Batch-
+    // internal dedup is deliberately out of scope (the stand-alone pair
+    // families handle it before admission).
+    "dedup_incremental_near" -> { (s, dir) =>
+      val t = 0.5
+      val docsT = Tables.documents(s, dir)
+      val isBatch = col("doc_id") % 10 === 0
+      val pre = docArrays(s, dir).select(col("doc_id"), col("n"),
+        posexplode(expr(s"slice(hs, 1, cast(n - ceil(n * $t) + 1 AS int))")))
+        .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"), col("col").as("tok"))
+      val alpha = ceil(lit(t / (1 + t)) * (col("na") + col("nb")))
+      val cand = pre.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("da"), col("n").as("na"), col("p").as("pa"), col("tok"))
+        .join(pre.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id").as("db"), col("n").as("nb"), col("p").as("pb"), col("tok")),
+          "tok")
+        .filter(least(col("na"), col("nb")) >= greatest(col("na"), col("nb")) * t)
+        .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >= alpha)
+        .select("da", "db").distinct()
+      val nearAgg = verifyJaccard(s, dir, cand, t)
+        .groupBy(col("da").as("doc_id"))
+        .agg(count(lit(1)).as("n_near_base"), max(col("jaccard")).as("best_j"))
+      val baseHashes = docsT.filter(!isBatch)
+        .select(sha2(col("text"), 256).as("h")).distinct()
+        .withColumn("hit", lit(true))
+      docsT.filter(isBatch)
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        .join(baseHashes, Seq("h"), "left")
+        .join(nearAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("hit"), lit(false)).as("exact_dup"),
+          coalesce(col("n_near_base"), lit(0L)).as("n_near_base"),
+          col("best_j"),
+          (coalesce(col("hit"), lit(false)) === false &&
+            coalesce(col("n_near_base"), lit(0L)) === 0L).as("admitted"))
+        .orderBy("doc_id")
+    },
+
     // MinHash+LSH near-dup: 2-hash band bucketing (md5-order MinHash — the
     // same total order in any engine), then exact shingle-Jaccard ≥ 0.5 on
     // candidates only, verified via the shared array_intersect fetch-join.
@@ -933,6 +983,48 @@ object DedupQueries {
         |      SELECT text FROM documents WHERE doc_id % 20 = 0) c
         |    WHERE c.text = b.text)
         |ORDER BY doc_id""".stripMargin,
+
+    // Exhaustive batch×base screen — the asymmetric prefix-filtered Spark
+    // plan must reproduce exactly this (prefix filtering is lossless).
+    "dedup_incremental_near" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(ts) - 1),
+        |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+        |  FROM toks
+        |), card AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nc FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS ni
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |  GROUP BY 1, 2
+        |), near AS (
+        |  SELECT da, round(CAST(ni AS DOUBLE) / (ca.nc + cb.nc - ni), 3) AS j
+        |  FROM inter
+        |  JOIN card ca ON ca.doc_id = da JOIN card cb ON cb.doc_id = db
+        |  WHERE round(CAST(ni AS DOUBLE) / (ca.nc + cb.nc - ni), 3) >= 0.5
+        |), nagg AS (
+        |  SELECT da AS doc_id, CAST(count(*) AS BIGINT) AS n_near_base,
+        |         max(j) AS best_j
+        |  FROM near GROUP BY 1
+        |), bh AS (
+        |  SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 10 <> 0
+        |), batch AS (
+        |  SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 10 = 0
+        |)
+        |SELECT b.doc_id,
+        |       (bh.h IS NOT NULL) AS exact_dup,
+        |       CAST(coalesce(n.n_near_base, 0) AS BIGINT) AS n_near_base,
+        |       n.best_j AS best_j,
+        |       (bh.h IS NULL AND coalesce(n.n_near_base, 0) = 0) AS admitted
+        |FROM batch b
+        |LEFT JOIN bh ON bh.h = b.h
+        |LEFT JOIN nagg n ON n.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     "dedup_components" ->
       """WITH RECURSIVE toks AS (

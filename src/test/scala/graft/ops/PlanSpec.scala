@@ -163,6 +163,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("incremental-near admission is an asymmetric equi-join, never a cartesian") {
+    // batch×base screening must flow through the prefix-token equi-join;
+    // a nested-loop here would re-pair the batch against the whole corpus
+    val df = SparkEntry.queries("dedup_incremental_near")(spark, sfDir)
+    df.collect() // finalize the AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("array_intersect"), p) // the shared verify stage
+  }
+
   test("unigram LM joins broadcast the vocabulary, not the corpus") {
     val df = SparkEntry.queries("text_unigram_logprob")(spark, sfDir)
     df.collect()
