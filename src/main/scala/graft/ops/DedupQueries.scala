@@ -26,9 +26,13 @@ object DedupQueries {
     */
   val ExactCosineCapKey = "spark.graft.dedup.exactCosineMaxRows"
 
-  /** Word 3-gram shingles per doc, distinct. Requires ≥ 3 tokens. */
-  private def buildShingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  /** Word 3-gram shingles per doc, distinct, for ANY (doc_id, text) frame.
+    * Requires ≥ 3 tokens. Shared by the session shingle cache and the
+    * streaming admission probe ([[graft.streaming.IncrementalAdmission]]),
+    * so both sides of an incremental screen shingle identically.
+    */
+  private[graft] def explodedShingles(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -36,6 +40,10 @@ object DedupQueries {
           |  i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ', element_at(ts, i + 2)))"""
           .stripMargin)).as("shingle"))
       .distinct()
+
+  /** Word 3-gram shingles per doc, distinct. Requires ≥ 3 tokens. */
+  private def buildShingles(s: SparkSession, dir: String): DataFrame =
+    explodedShingles(Tables.documents(s, dir))
 
   /** The shingle set, persisted once per (session, table dir).
     *
@@ -134,6 +142,57 @@ object DedupQueries {
         round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 3)
           .as("jaccard"))
       .filter(col("jaccard") >= t)
+  }
+
+  /** The batch-vs-base near-dup ADMISSION screen shared by the batch query
+    * `dedup_incremental_near` and the streaming arrival path
+    * ([[graft.streaming.IncrementalAdmission]]). Inputs: the probe docs
+    * `(doc_id, text, …)`, probe and base rarity-ordered hashed-shingle
+    * arrays `(doc_id, hs, n)`, and the base content-hash set `(h)`.
+    * The two array frames may rank rarity by DIFFERENT (but each
+    * internally consistent) document-frequency sources — the asymmetric
+    * prefix filter is lossless under ANY shared total order on the common
+    * token universe, and exact-Jaccard verification makes the final pair
+    * set order-independent, so batch and streaming callers produce
+    * identical verdicts (pinned by `IncrementalAdmissionSpec`).
+    * Output per probe doc: `(doc_id, exact_dup, n_near_base, best_j,
+    * admitted)`, ordered by doc_id.
+    */
+  private[graft] def admissionScreen(probeDocs: DataFrame, probeArrays: DataFrame,
+      baseArrays: DataFrame, baseHashes: DataFrame, t: Double): DataFrame = {
+    def pre(arr: DataFrame) = arr.select(col("doc_id"), col("n"),
+      posexplode(expr(s"slice(hs, 1, cast(n - ceil(n * $t) + 1 AS int))")))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"), col("col").as("tok"))
+    val alpha = ceil(lit(t / (1 + t)) * (col("na") + col("nb")))
+    val cand = pre(probeArrays)
+      .select(col("doc_id").as("da"), col("n").as("na"), col("p").as("pa"), col("tok"))
+      .join(pre(baseArrays)
+        .select(col("doc_id").as("db"), col("n").as("nb"), col("p").as("pb"), col("tok")),
+        "tok")
+      .filter(least(col("na"), col("nb")) >= greatest(col("na"), col("nb")) * t)
+      .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >= alpha)
+      .select("da", "db").distinct()
+    val nearAgg = cand
+      .join(probeArrays.select(col("doc_id").as("da"), col("hs").as("ha"), col("n").as("na")), "da")
+      .join(baseArrays.select(col("doc_id").as("db"), col("hs").as("hb"), col("n").as("nb")), "db")
+      .withColumn("ni", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .select(col("da"),
+        round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 3)
+          .as("jaccard"))
+      .filter(col("jaccard") >= t)
+      .groupBy(col("da").as("doc_id"))
+      .agg(count(lit(1)).as("n_near_base"), max(col("jaccard")).as("best_j"))
+    probeDocs
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(baseHashes.withColumn("hit", lit(true)), Seq("h"), "left")
+      .join(nearAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hit"), lit(false)).as("exact_dup"),
+        coalesce(col("n_near_base"), lit(0L)).as("n_near_base"),
+        col("best_j"),
+        (coalesce(col("hit"), lit(false)) === false &&
+          coalesce(col("n_near_base"), lit(0L)) === 0L).as("admitted"))
+      .orderBy("doc_id")
   }
 
   /** Build every session-lifetime dedup index untimed and return each
@@ -550,38 +609,16 @@ object DedupQueries {
     // internal dedup is deliberately out of scope (the stand-alone pair
     // families handle it before admission).
     "dedup_incremental_near" -> { (s, dir) =>
-      val t = 0.5
       val docsT = Tables.documents(s, dir)
       val isBatch = col("doc_id") % 10 === 0
-      val pre = docArrays(s, dir).select(col("doc_id"), col("n"),
-        posexplode(expr(s"slice(hs, 1, cast(n - ceil(n * $t) + 1 AS int))")))
-        .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"), col("col").as("tok"))
-      val alpha = ceil(lit(t / (1 + t)) * (col("na") + col("nb")))
-      val cand = pre.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id").as("da"), col("n").as("na"), col("p").as("pa"), col("tok"))
-        .join(pre.filter(col("doc_id") % 10 =!= 0)
-          .select(col("doc_id").as("db"), col("n").as("nb"), col("p").as("pb"), col("tok")),
-          "tok")
-        .filter(least(col("na"), col("nb")) >= greatest(col("na"), col("nb")) * t)
-        .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >= alpha)
-        .select("da", "db").distinct()
-      val nearAgg = verifyJaccard(s, dir, cand, t)
-        .groupBy(col("da").as("doc_id"))
-        .agg(count(lit(1)).as("n_near_base"), max(col("jaccard")).as("best_j"))
-      val baseHashes = docsT.filter(!isBatch)
-        .select(sha2(col("text"), 256).as("h")).distinct()
-        .withColumn("hit", lit(true))
-      docsT.filter(isBatch)
-        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
-        .join(baseHashes, Seq("h"), "left")
-        .join(nearAgg, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("hit"), lit(false)).as("exact_dup"),
-          coalesce(col("n_near_base"), lit(0L)).as("n_near_base"),
-          col("best_j"),
-          (coalesce(col("hit"), lit(false)) === false &&
-            coalesce(col("n_near_base"), lit(0L)) === 0L).as("admitted"))
-        .orderBy("doc_id")
+      val arrays = docArrays(s, dir)
+      admissionScreen(
+        probeDocs = docsT.filter(isBatch),
+        probeArrays = arrays.filter(col("doc_id") % 10 === 0),
+        baseArrays = arrays.filter(col("doc_id") % 10 =!= 0),
+        baseHashes = docsT.filter(!isBatch)
+          .select(sha2(col("text"), 256).as("h")).distinct(),
+        t = 0.5)
     },
 
     // MinHash+LSH near-dup: 2-hash band bucketing (md5-order MinHash — the

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+
+import graft.{Tables, ops}
+
+/** Streaming NEAR-DUP ADMISSION — the arrival-time form of the batch
+  * `dedup_incremental_near` screen: documents arrive as a stream, and each
+  * micro-batch is screened against the STANDING base-corpus index (the
+  * session artifact built once per (session, baseDir)), emitting the same
+  * `(doc_id, exact_dup, n_near_base, best_j, admitted)` verdicts. This is
+  * the steady-state shape of corpus curation behind a CDC feed: the base
+  * index never rebuilds, per-batch cost is ~|batch|·prefix, and verdicts
+  * are a pure function of (doc, base) — independent of how arrivals split
+  * into micro-batches.
+  *
+  * The probe side ranks its shingles by the BASE document frequencies
+  * (unseen shingles take df = 0 — rarest — which cannot collide with the
+  * base anyway), while the batch query ranks by whole-corpus frequencies.
+  * The two orders differ, and it does not matter: the asymmetric prefix
+  * filter is lossless under ANY consistent total order on the shared
+  * token universe, and exact-Jaccard verification is order-independent,
+  * so streamed verdicts equal the batch query's exactly —
+  * `IncrementalAdmissionSpec` pins that equivalence under uneven
+  * micro-batch splits.
+  *
+  * Delivery uses `foreachBatch` (the Structured Streaming idiom for
+  * joining a stream against heavyweight static artifacts with full batch
+  * APIs), so the screen itself is the SAME code path in both modes —
+  * [[ops.DedupQueries.admissionScreen]].
+  */
+object IncrementalAdmission {
+
+  /** The standing base index per (session, baseDir): rarity-ordered
+    * hashed-shingle arrays (base-df order), the base df stats the probe
+    * ranks against, and the base content-hash set. Built once,
+    * `localCheckpoint`ed, reused by every micro-batch.
+    */
+  private val baseCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame)]()
+
+  private def baseIndex(s: SparkSession, baseDir: String): (DataFrame, DataFrame, DataFrame) = {
+    baseCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    baseCache.computeIfAbsent((s, baseDir), _ => {
+      // the base slice of the session shingle cache (the same cache every
+      // dedup operator shares) — base = docs outside the arriving batch
+      val sh = ops.DedupQueries.shingles(s, baseDir)
+        .filter(col("doc_id") % 10 =!= 0)
+      val df_ = sh.groupBy("shingle").agg(count(lit(1)).as("df")).localCheckpoint()
+      val arrays = sh.join(df_, "shingle")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), xxhash64(col("shingle")).as("h"))))
+          .as("st"))
+        .select(col("doc_id"),
+          expr("transform(st, x -> x.h)").as("hs"),
+          size(col("st")).as("n"))
+        .localCheckpoint()
+      val hashes = Tables.documents(s, baseDir)
+        .filter(col("doc_id") % 10 =!= 0)
+        .select(sha2(col("text"), 256).as("h")).distinct()
+        .localCheckpoint()
+      (arrays, df_, hashes)
+    })
+  }
+
+  /** Screen one (micro-)batch of incoming `(doc_id, text, …)` docs against
+    * the standing base index. Pure function of (incoming, base) — shared
+    * verbatim by every micro-batch and by the spec's batch-equivalence
+    * check.
+    */
+  def screen(s: SparkSession, baseDir: String, incoming: DataFrame): DataFrame = {
+    val (bArrays, bDf, bHashes) = baseIndex(s, baseDir)
+    val pSh = ops.DedupQueries.explodedShingles(incoming)
+    val pArrays = pSh.join(bDf, Seq("shingle"), "left")
+      .select(col("doc_id"), coalesce(col("df"), lit(0L)).as("df"), col("shingle"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), xxhash64(col("shingle")).as("h"))))
+        .as("st"))
+      .select(col("doc_id"),
+        expr("transform(st, x -> x.h)").as("hs"),
+        size(col("st")).as("n"))
+    ops.DedupQueries.admissionScreen(incoming, pArrays, bArrays, bHashes, 0.5)
+  }
+
+  /** Wire a streaming `(doc_id, text)` source to per-micro-batch screening:
+    * each batch's verdicts go to `sink`. Caller starts/stops the query.
+    */
+  def stream(s: SparkSession, baseDir: String, incoming: DataFrame)(
+      sink: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    incoming.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(screen(s, baseDir, batch))
+        ()
+      }
+
+  /** Convenience: start with a processing-time trigger. */
+  def start(s: SparkSession, baseDir: String, incoming: DataFrame)(
+      sink: DataFrame => Unit): StreamingQuery =
+    stream(s, baseDir, incoming)(sink).start()
+}
