@@ -87,24 +87,36 @@ object Bench {
     val warmSec = (System.nanoTime() - warmT0) / 1e9
     // The dedup and vector index families touch disjoint tables, so they
     // warm CONCURRENTLY (and the dedup builder parallelizes its own
-    // independent chains internally). Per-item numbers are each build's
-    // own wall under concurrency; `index_build_sec` is the PHASE wall —
-    // the time the suite actually waits, the number the r9 verdict asked
-    // to halve (a sum of overlapping walls would double-count).
+    // independent chains internally); the curation-stage checkpoints (the
+    // third session artifact family) ride the main thread after dedup.
+    // Per-item numbers are each build's own wall under concurrency;
+    // `index_build_sec` is the PHASE wall — the time the suite actually
+    // waits, the number the r9 verdict asked to halve (a sum of
+    // overlapping walls would double-count). Each family fails
+    // independently, and the vector future is ALWAYS awaited — an
+    // abandoned build would keep training codebooks underneath the
+    // calibration samples and the first timed reps, silently poisoning
+    // the very numbers calib exists to defend.
     val idxT0 = System.nanoTime()
-    val indexBuild: Seq[(String, Double)] =
-      try {
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        implicit val ec: ExecutionContext = ExecutionContext.global
-        val vec = Future(graft.ops.VectorQueries.warmCaches(spark, sfDir))
-        graft.ops.DedupQueries.warmCaches(spark, sfDir) ++
-          Await.result(vec, Duration.Inf)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] index build failed (continuing): $e")
-          Seq.empty
+    val indexBuild: Seq[(String, Double)] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      def safe(label: String)(f: => Seq[(String, Double)]): Seq[(String, Double)] =
+        try f catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $label index build failed (continuing): $e")
+            Seq.empty
+        }
+      val vec = Future(safe("vector")(graft.ops.VectorQueries.warmCaches(spark, sfDir)))
+      val ded = safe("dedup")(graft.ops.DedupQueries.warmCaches(spark, sfDir))
+      val cur = safe("curation") {
+        val t0 = System.nanoTime()
+        CurationPipeline.stages(spark, sfDir) // eager checkpoints, cached
+        Seq("curation_stages" -> (System.nanoTime() - t0) / 1e9)
       }
+      ded ++ cur ++ Await.result(vec, Duration.Inf)
+    }
     val indexWallSec = (System.nanoTime() - idxT0) / 1e9
     // MACHINE-SPEED CALIBRATION: identical code benched 71.2 s vs 94.2 s
     // across two r7 runs, with even the untimed index builds doubling — a

@@ -35,7 +35,8 @@ import org.apache.spark.sql.functions._
   */
 object CurationPipeline {
 
-  /** The per-stage survivor sets (name -> annotated survivors).
+  /** The per-stage survivor sets (name -> annotated survivors), cached per
+    * (session, dir) like every other session-lifetime artifact.
     *
     * Each stage feeds BOTH its ledger aggregate and the next stage, so
     * every stage is `localCheckpoint`ed as it is defined: the chain is ONE
@@ -46,9 +47,39 @@ object CurationPipeline {
     * of repeated tokenize/sha2/contamination work — 7.0 s at sf0.1, the
     * single most expensive query in the r10 bench before this. Same
     * discipline as the session dedup indexes: materialize the narrow
-    * fan-out point, keep lineage flat.
+    * fan-out point, keep lineage flat. The CACHE (r10 review) stops
+    * repeated `stages()` calls — bench reps, the ledger query plus the
+    * spec's recounts — from checkpointing a fresh 7-table set each time
+    * and pinning the old blocks until GC; [[clearStages]] is the eager
+    * release (and the spec's determinism test rebuilds through it, so
+    * caching doesn't make that test vacuous).
     */
   def stages(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    stagesCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    stagesCache.computeIfAbsent((s, dir), _ => buildStages(s, dir))
+  }
+
+  private val stagesCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(String, DataFrame)]]()
+
+  /** Unpersist every cached stage checkpoint of `s` and drop the entries —
+    * the same eager-release contract as `DedupQueries.clearCache`.
+    */
+  def clearStages(s: SparkSession): Unit = {
+    val it = stagesCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        e.getValue.foreach { case (_, df) =>
+          org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
+            .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
+        }
+        it.remove()
+      }
+    }
+  }
+
+  private def buildStages(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
     val toksCol = split(col("text"), " ")
     val ingest = Tables.documents(s, dir)
       .withColumn("nt", size(toksCol).cast("long"))

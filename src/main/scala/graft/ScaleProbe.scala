@@ -118,11 +118,15 @@ object ScaleProbe {
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
     // cold = first run in this session for that dir (includes the index
-    // build the per-(session, dir) caches amortize); warm = second run
+    // build the per-(session, dir) caches amortize); warm = second run.
+    // The 1× baseline runs only the UNION of the requested factors' probe
+    // sets — a 100-only invocation must not pay the embedding probes'
+    // cold codebook builds twice for exponents nothing consumes.
+    val baselineProbes = factors.flatMap(probesFor).distinct
     val basePartitions = spark.conf.get("spark.sql.shuffle.partitions")
     val results = (Seq(1 -> src) ++ factors.map(f => f -> replicate(f))).map {
       case (factor, dir) =>
-        val qs = probesFor(factor)
+        val qs = if (factor == 1) baselineProbes else probesFor(factor)
         spark.conf.set("spark.sql.shuffle.partitions",
           if (factor >= 100) (basePartitions.toInt * 4).toString else basePartitions)
         val cold = qs.map(q => q -> time(q, dir)).toMap

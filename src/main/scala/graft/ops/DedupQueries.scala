@@ -90,6 +90,22 @@ object DedupQueries {
   private val docsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Rarity-ordered hashed-token arrays `(doc_id, hs, n)` from
+    * `(doc_id, tok, df)` rows — THE shared sort-key construction
+    * (ascending `(df, xxhash64(tok))`) whose cross-side consistency the
+    * prefix filter's losslessness depends on. Every rarity-array builder
+    * must go through here (or, for [[docIndex]]'s fused signature pass,
+    * replicate the aggregate EXACTLY as documented there): two sides of a
+    * screen ranking by different keys would silently lose candidates.
+    */
+  private[graft] def rarityArrays(tok: DataFrame): DataFrame =
+    tok.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), xxhash64(col("tok")).as("h"))))
+        .as("st"))
+      .select(col("doc_id"),
+        expr("transform(st, x -> x.h)").as("hs"),
+        size(col("st")).as("n"))
+
   /** ONE per-doc aggregation pass building BOTH per-doc index artifacts —
     * the rarity-sorted hashed-token array (the PPJoin working set) AND the
     * 8-hash md5-order MinHash signature. The two artifacts used to be two
@@ -99,7 +115,11 @@ object DedupQueries {
     * projects its columns from the shared checkpoint. The freq join feeds
     * only the rarity sort key; the md5 mins ride the same aggregate
     * unchanged (the join is row-preserving on the distinct (doc, shingle)
-    * grain).
+    * grain). The array/size construction REPLICATES [[rarityArrays]]'s
+    * sort key verbatim (the fused signature mins prevent sharing the
+    * helper's single-purpose aggregate) — any change to the `(df,
+    * xxhash64)` key must land in BOTH places or prefix screens across
+    * array sources lose candidates.
     */
   private def docIndex(s: SparkSession, dir: String): DataFrame = {
     docsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)

@@ -49,13 +49,8 @@ object IncrementalAdmission {
       val sh = ops.DedupQueries.shingles(s, baseDir)
         .filter(col("doc_id") % 10 =!= 0)
       val df_ = sh.groupBy("shingle").agg(count(lit(1)).as("df")).localCheckpoint()
-      val arrays = sh.join(df_, "shingle")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("df"), xxhash64(col("shingle")).as("h"))))
-          .as("st"))
-        .select(col("doc_id"),
-          expr("transform(st, x -> x.h)").as("hs"),
-          size(col("st")).as("n"))
+      val arrays = ops.DedupQueries.rarityArrays(
+          sh.join(df_, "shingle").select(col("doc_id"), col("shingle").as("tok"), col("df")))
         .localCheckpoint()
       val hashes = Tables.documents(s, baseDir)
         .filter(col("doc_id") % 10 =!= 0)
@@ -73,15 +68,36 @@ object IncrementalAdmission {
   def screen(s: SparkSession, baseDir: String, incoming: DataFrame): DataFrame = {
     val (bArrays, bDf, bHashes) = baseIndex(s, baseDir)
     val pSh = ops.DedupQueries.explodedShingles(incoming)
-    val pArrays = pSh.join(bDf, Seq("shingle"), "left")
-      .select(col("doc_id"), coalesce(col("df"), lit(0L)).as("df"), col("shingle"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), xxhash64(col("shingle")).as("h"))))
-        .as("st"))
-      .select(col("doc_id"),
-        expr("transform(st, x -> x.h)").as("hs"),
-        size(col("st")).as("n"))
+    // Materialized because admissionScreen references the probe arrays
+    // twice (candidate prefixes + the verify fetch-back) — uncheckpointed,
+    // every micro-batch would pay the shingle explode + base-df join +
+    // sort aggregate twice. Bounded: one small table per micro-batch,
+    // released by GC + ContextCleaner with the batch.
+    val pArrays = ops.DedupQueries.rarityArrays(
+        pSh.join(bDf, Seq("shingle"), "left")
+          .select(col("doc_id"), col("shingle").as("tok"),
+            coalesce(col("df"), lit(0L)).as("df")))
+      .localCheckpoint()
     ops.DedupQueries.admissionScreen(incoming, pArrays, bArrays, bHashes, 0.5)
+  }
+
+  /** Unpersist the standing base indexes of `s` and drop the entries —
+    * the eager-release contract `DedupQueries.clearCache` defines, for
+    * long-lived services that screen against many base dirs.
+    */
+  def clearBaseIndex(s: SparkSession): Unit = {
+    val it = baseCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        val (arrays, df_, hashes) = e.getValue
+        Seq(arrays, df_, hashes).foreach { df =>
+          org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
+            .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
+        }
+        it.remove()
+      }
+    }
   }
 
   /** Wire a streaming `(doc_id, text)` source to per-micro-batch screening:

@@ -110,11 +110,16 @@ object PatternMatch {
             .sortBy(e => (micros(e.ts), e.event_id))
             .foreach { e =>
               val m = micros(e.ts)
-              // An event behind the folded frontier violates the cross-batch
-              // order contract: it still folds (rewinding would need the full
-              // history), but the violation is counted, not swallowed.
+              // An event AT OR BEHIND the folded frontier violates the
+              // cross-batch order contract — behind = late arrival, at =
+              // exact duplicate redelivery (at-least-once replay), which
+              // double-folds the DFA just as corruptingly (a replayed 'c'
+              // can newly match 'vc'). Either still folds (rewinding would
+              // need the full history), but the violation is counted, not
+              // swallowed. (event_id, micros) pairs are unique for
+              // distinct events, so `<=` flags exactly late + duplicate.
               if (m < st.lastMicros ||
-                  (m == st.lastMicros && e.event_id < st.lastId))
+                  (m == st.lastMicros && e.event_id <= st.lastId))
                 st = st.copy(outOfOrder = st.outOfOrder + 1)
               else
                 st = st.copy(lastMicros = m, lastId = e.event_id)

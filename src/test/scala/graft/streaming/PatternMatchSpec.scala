@@ -120,6 +120,11 @@ class PatternMatchSpec extends SparkSuite {
       mem.addData(ev(3, 1500, "purchase"))
       q.processAllAvailable()
       assert(seen.get(7L) == 1L, s"late event not counted: ${seen.get(7L)}")
+      // exact duplicate redelivery (same id, same ts as the frontier event)
+      // double-folds the DFA — an at-least-once replay must count too
+      mem.addData(ev(2, 2000, "cart"))
+      q.processAllAvailable()
+      assert(seen.get(7L) == 2L, s"duplicate redelivery not counted: ${seen.get(7L)}")
     } finally q.stop()
   }
 
