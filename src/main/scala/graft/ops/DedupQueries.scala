@@ -641,6 +641,44 @@ object DedupQueries {
         t = 0.5)
     },
 
+    // INCREMENTAL near-dup admission in EMBEDDING space (r10) — the
+    // semantic face of dedup_incremental_near: a new batch of vectors
+    // (vec_id % 10 == 0) screens against the standing corpus
+    // (vec_id % 10 != 0) through the SAME 21×3-bit sign-LSH banding the
+    // symmetric pair build uses, restricted to batch×base collisions —
+    // a SUBSET of the symmetric candidate set, so the banding's
+    // empirically-100%-recall property on this corpus carries over
+    // unchanged and the exhaustive batch×base oracle stays exact. Each
+    // batch vector reports its base near-dup count, best cosine, and the
+    // admission verdict. Per-batch cost is the batch's band rows joining
+    // the standing banded corpus — linear in batch size, no base
+    // re-pairing, the SemDeDup admission loop at arrival time.
+    "dedup_incremental_cosine" -> { (s, dir) =>
+      import graft.functions.VectorOps
+      val t = 0.45
+      val banded = signBanded(normedEmbeddings(s, dir))
+      val pairs = banded.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("va"), col("embedding").as("ea"),
+          col("nrm").as("na"), col("band"), col("key"))
+        .join(banded.filter(col("vec_id") % 10 =!= 0)
+          .select(col("vec_id").as("vb"), col("embedding").as("eb"),
+            col("nrm").as("nb"), col("band"), col("key")), Seq("band", "key"))
+        .withColumn("cos", VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= t)
+        .select(col("va"), col("vb"), round(col("cos"), 4).as("cr"))
+        .distinct()
+      val agg = pairs.groupBy(col("va").as("vec_id"))
+        .agg(count(lit(1)).as("n_near_base"), max(col("cr")).as("best_cos"))
+      Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"))
+        .join(agg, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_near_base"), lit(0L)).as("n_near_base"),
+          col("best_cos"),
+          (coalesce(col("n_near_base"), lit(0L)) === 0L).as("admitted"))
+        .orderBy("vec_id")
+    },
+
     // MinHash+LSH near-dup: 2-hash band bucketing (md5-order MinHash — the
     // same total order in any engine), then exact shingle-Jaccard ≥ 0.5 on
     // candidates only, verified via the shared array_intersect fetch-join.
@@ -949,8 +987,12 @@ object DedupQueries {
     * generation; at any scale the inline-verify variant shuffles strictly
     * less whenever survivors << collisions, which is what dedup means.
     */
-  private[ops] def cosinePairsLshPlan(s: SparkSession, dir: String, t: Double): DataFrame = {
-    import graft.functions.VectorOps
+  /** The corpus with per-row norm and the 21×3-bit sign-band explosion —
+    * one row per (vector, band) carrying the embedding + norm so collision
+    * verification runs inline (see [[cosinePairsLshPlan]]'s rationale).
+    * Shared by the symmetric pair build and the incremental batch screen.
+    */
+  private def signBanded(e: DataFrame): DataFrame = {
     val bits = 3
     val nBands = 21 // 64-dim embeddings → 21 whole 3-bit bands (dim 64 unused)
     def signKey(b: Int): Column =
@@ -958,14 +1000,23 @@ object DedupQueries {
         when(element_at(col("embedding"), b * bits + j + 1) > 0f, lit(1L << j))
           .otherwise(lit(0L))
       }.reduce(_ + _)
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"),
-        VectorOps.norm(col("embedding")).as("nrm"))
-    val banded = e.select(col("vec_id"), col("embedding"), col("nrm"),
+    e.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"), signKey(b).as("key"))): _*)).as("bk"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("bk.band"), col("bk.key"))
+  }
+
+  private def normedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+  }
+
+  private[ops] def cosinePairsLshPlan(s: SparkSession, dir: String, t: Double): DataFrame = {
+    import graft.functions.VectorOps
+    val banded = signBanded(normedEmbeddings(s, dir))
     banded.select(col("vec_id").as("va"), col("embedding").as("ea"),
         col("nrm").as("na"), col("band"), col("key"))
       .join(banded.select(col("vec_id").as("vb"), col("embedding").as("eb"),
@@ -1149,6 +1200,29 @@ object DedupQueries {
          |  SELECT a.vec_id AS va, b.vec_id AS vb, $cosSql AS cos
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          |WHERE cos >= 0.45 ORDER BY va, vb""".stripMargin,
+
+    // Exhaustive batch×base cosine screen — the asymmetric banding is a
+    // subset of the symmetric candidate set, whose 100% recall on this
+    // corpus the brute-force oracles already pin.
+    "dedup_incremental_cosine" ->
+      s"""WITH pr AS (
+         |  SELECT a.vec_id AS va, $cosSql AS cos
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0
+         |), near AS (
+         |  SELECT va, round(cos, 4) AS cr FROM pr WHERE cos >= 0.45
+         |), agg AS (
+         |  SELECT va AS vec_id, CAST(count(*) AS BIGINT) AS n_near_base,
+         |         max(cr) AS best_cos
+         |  FROM near GROUP BY 1
+         |)
+         |SELECT e.vec_id,
+         |       CAST(coalesce(a.n_near_base, 0) AS BIGINT) AS n_near_base,
+         |       a.best_cos AS best_cos,
+         |       (coalesce(a.n_near_base, 0) = 0) AS admitted
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0) e
+         |LEFT JOIN agg a ON a.vec_id = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
 
     "dedup_sim_histogram" ->
       s"""WITH pairs AS (
