@@ -654,29 +654,11 @@ object DedupQueries {
     // the standing banded corpus — linear in batch size, no base
     // re-pairing, the SemDeDup admission loop at arrival time.
     "dedup_incremental_cosine" -> { (s, dir) =>
-      import graft.functions.VectorOps
-      val t = 0.45
-      val banded = signBanded(normedEmbeddings(s, dir))
-      val pairs = banded.filter(col("vec_id") % 10 === 0)
-        .select(col("vec_id").as("va"), col("embedding").as("ea"),
-          col("nrm").as("na"), col("band"), col("key"))
-        .join(banded.filter(col("vec_id") % 10 =!= 0)
-          .select(col("vec_id").as("vb"), col("embedding").as("eb"),
-            col("nrm").as("nb"), col("band"), col("key")), Seq("band", "key"))
-        .withColumn("cos", VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-        .filter(col("cos") >= t)
-        .select(col("va"), col("vb"), round(col("cos"), 4).as("cr"))
-        .distinct()
-      val agg = pairs.groupBy(col("va").as("vec_id"))
-        .agg(count(lit(1)).as("n_near_base"), max(col("cr")).as("best_cos"))
-      Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
-        .select(col("vec_id"))
-        .join(agg, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("n_near_base"), lit(0L)).as("n_near_base"),
-          col("best_cos"),
-          (coalesce(col("n_near_base"), lit(0L)) === 0L).as("admitted"))
-        .orderBy("vec_id")
+      val normed = normedEmbeddings(s, dir)
+      cosineAdmissionScreen(
+        probe = normed.filter(col("vec_id") % 10 === 0),
+        baseBanded = signBanded(normed.filter(col("vec_id") % 10 =!= 0)),
+        t = 0.45)
     },
 
     // MinHash+LSH near-dup: 2-hash band bucketing (md5-order MinHash — the
@@ -987,12 +969,46 @@ object DedupQueries {
     * generation; at any scale the inline-verify variant shuffles strictly
     * less whenever survivors << collisions, which is what dedup means.
     */
+  /** The embedding-space batch-vs-base admission screen shared by the
+    * batch query `dedup_incremental_cosine` and the streaming arrival
+    * path ([[graft.streaming.IncrementalAdmission.screenVectors]]):
+    * probe vectors `(vec_id, embedding, nrm)` band against the ALREADY
+    * BANDED base side, collisions verify inline (exact cosine in the
+    * same codegen stage), and each probe vector gets `(vec_id,
+    * n_near_base, best_cos, admitted)`. Restricting the symmetric
+    * banding to probe×base collisions keeps its pinned 100% recall —
+    * the candidate set is a subset, every true pair still collides.
+    */
+  private[graft] def cosineAdmissionScreen(probe: DataFrame, baseBanded: DataFrame,
+      t: Double): DataFrame = {
+    import graft.functions.VectorOps
+    val pairs = signBanded(probe)
+      .select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("nrm").as("na"), col("band"), col("key"))
+      .join(baseBanded
+        .select(col("vec_id").as("vb"), col("embedding").as("eb"),
+          col("nrm").as("nb"), col("band"), col("key")), Seq("band", "key"))
+      .withColumn("cos", VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= t)
+      .select(col("va"), col("vb"), round(col("cos"), 4).as("cr"))
+      .distinct()
+    val agg = pairs.groupBy(col("va").as("vec_id"))
+      .agg(count(lit(1)).as("n_near_base"), max(col("cr")).as("best_cos"))
+    probe.select(col("vec_id"))
+      .join(agg, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_near_base"), lit(0L)).as("n_near_base"),
+        col("best_cos"),
+        (coalesce(col("n_near_base"), lit(0L)) === 0L).as("admitted"))
+      .orderBy("vec_id")
+  }
+
   /** The corpus with per-row norm and the 21×3-bit sign-band explosion —
     * one row per (vector, band) carrying the embedding + norm so collision
     * verification runs inline (see [[cosinePairsLshPlan]]'s rationale).
     * Shared by the symmetric pair build and the incremental batch screen.
     */
-  private def signBanded(e: DataFrame): DataFrame = {
+  private[graft] def signBanded(e: DataFrame): DataFrame = {
     val bits = 3
     val nBands = 21 // 64-dim embeddings → 21 whole 3-bit bands (dim 64 unused)
     def signKey(b: Int): Column =

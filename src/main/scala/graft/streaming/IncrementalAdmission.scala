@@ -81,6 +81,46 @@ object IncrementalAdmission {
     ops.DedupQueries.admissionScreen(incoming, pArrays, bArrays, bHashes, 0.5)
   }
 
+  /** The standing EMBEDDING-space base index per (session, baseDir): the
+    * base corpus sign-banded (21×3-bit keys, embedding + norm carried for
+    * inline verification), checkpointed once and joined by every arriving
+    * micro-batch of vectors.
+    */
+  private val vecBaseCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def vecBaseIndex(s: SparkSession, baseDir: String): DataFrame = {
+    vecBaseCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    vecBaseCache.computeIfAbsent((s, baseDir), _ =>
+      ops.DedupQueries.signBanded(
+        Tables.embeddings(s, baseDir)
+          .filter(col("vec_id") % 10 =!= 0)
+          .select(col("vec_id"), col("embedding"),
+            graft.functions.VectorOps.norm(col("embedding")).as("nrm")))
+        .localCheckpoint())
+  }
+
+  /** Screen one (micro-)batch of incoming `(vec_id, embedding)` vectors
+    * against the standing banded base — the embedding-space analog of
+    * [[screen]], same code path as the batch `dedup_incremental_cosine`
+    * query ([[ops.DedupQueries.cosineAdmissionScreen]]).
+    */
+  def screenVectors(s: SparkSession, baseDir: String, incoming: DataFrame): DataFrame =
+    ops.DedupQueries.cosineAdmissionScreen(
+      incoming.select(col("vec_id"), col("embedding"),
+        graft.functions.VectorOps.norm(col("embedding")).as("nrm")),
+      vecBaseIndex(s, baseDir), 0.45)
+
+  /** Start per-micro-batch vector screening (foreachBatch, like [[start]]). */
+  def startVectors(s: SparkSession, baseDir: String, incoming: DataFrame)(
+      sink: DataFrame => Unit): StreamingQuery =
+    incoming.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(screenVectors(s, baseDir, batch))
+        ()
+      }
+      .start()
+
   /** Unpersist the standing base indexes of `s` and drop the entries —
     * the eager-release contract `DedupQueries.clearCache` defines, for
     * long-lived services that screen against many base dirs.
@@ -96,6 +136,15 @@ object IncrementalAdmission {
             .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
         }
         it.remove()
+      }
+    }
+    val vt = vecBaseCache.entrySet().iterator()
+    while (vt.hasNext) {
+      val e = vt.next()
+      if (e.getKey._1 eq s) {
+        org.apache.spark.sql.GraftColumnBridge.checkpointRdd(e.getValue)
+          .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
+        vt.remove()
       }
     }
   }

@@ -69,4 +69,41 @@ class IncrementalAdmissionSpec extends SparkSuite {
     // the fixture must exercise both verdicts, or the equivalence is vacuous
     assert(expected.values.exists(_._4) && expected.values.exists(!_._4))
   }
+
+  private def vkey(r: Row): (Long, (Long, Option[Double], Boolean)) =
+    r.getAs[Long]("vec_id") -> ((r.getAs[Long]("n_near_base"),
+      Option(r.getAs[java.lang.Double]("best_cos")).map(_.doubleValue()),
+      r.getAs[Boolean]("admitted")))
+
+  test("streamed EMBEDDING admission over micro-batch splits equals the batch query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val expected = SparkEntry.queries("dedup_incremental_cosine")(spark, sfDir)
+      .collect().map(vkey).toMap
+    assert(expected.nonEmpty)
+
+    val vecs = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 10 === 0)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().sortBy(_._1)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val verdicts = new ConcurrentHashMap[Long, (Long, Option[Double], Boolean)]()
+    val q = IncrementalAdmission.startVectors(spark, sfDir,
+      mem.toDF().toDF("vec_id", "embedding")) { out =>
+      out.collect().foreach { r => val (k, v) = vkey(r); verdicts.put(k, v) }
+    }
+    try {
+      val splits = Seq(vecs.length / 3, vecs.length * 2 / 3, vecs.length)
+      var from = 0
+      splits.foreach { to =>
+        if (to > from) mem.addData(vecs.slice(from, to).toSeq: _*)
+        from = math.max(from, to)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val got = verdicts.asScala.toMap
+    assert(got == expected,
+      s"stream=${got.size} batch=${expected.size} " +
+        s"diff=${(got.toSet diff expected.toSet).take(3)} | ${(expected.toSet diff got.toSet).take(3)}")
+  }
 }
