@@ -173,6 +173,14 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("array_intersect"), p) // the shared verify stage
   }
 
+  test("incremental-cosine admission is a banded equi-join with inline verify, no cartesian") {
+    val df = SparkEntry.queries("dedup_incremental_cosine")(spark, sfDir)
+    df.collect() // finalize the AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("vector_dot"), p) // exact verify inline on band collisions
+  }
+
   test("unigram LM joins broadcast the vocabulary, not the corpus") {
     val df = SparkEntry.queries("text_unigram_logprob")(spark, sfDir)
     df.collect()
