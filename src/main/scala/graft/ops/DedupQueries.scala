@@ -982,18 +982,34 @@ object DedupQueries {
   private[graft] def cosineAdmissionScreen(probe: DataFrame, baseBanded: DataFrame,
       t: Double): DataFrame = {
     import graft.functions.VectorOps
+    // The banded join is HINTED to a ShuffledHashJoin building the (small
+    // by definition) probe side: hash-partitioning both sides on
+    // (band, key) is what parallelizes the screen — measured alternatives
+    // at sf0.1: the unhinted plan picked SortMergeJoin and sorted /
+    // group-buffered the wide embedding-carrying base rows (4.9 s), and
+    // broadcasting the probe removed the shuffle but inherited the base
+    // SCAN's partitioning, running the entire probe pipeline in ONE task
+    // on a single-file corpus (4.4 s). The hinted shuffle moves ~nBands
+    // narrow-keyed wide rows once and probes in parallel (0.9 s), and at
+    // scale it is the same shuffle the symmetric pair build already pays.
     val pairs = signBanded(probe)
       .select(col("vec_id").as("va"), col("embedding").as("ea"),
         col("nrm").as("na"), col("band"), col("key"))
+      .hint("shuffle_hash")
       .join(baseBanded
         .select(col("vec_id").as("vb"), col("embedding").as("eb"),
           col("nrm").as("nb"), col("band"), col("key")), Seq("band", "key"))
       .withColumn("cos", VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= t)
       .select(col("va"), col("vb"), round(col("cos"), 4).as("cr"))
-      .distinct()
+    // Band multiplicity dedups INSIDE the aggregate (count distinct
+    // partners; max unaffected by duplicates) — a separate `.distinct()`
+    // here pushed an exchange between the join and the aggregate and
+    // re-planned the banded join out of its single codegen pipeline,
+    // re-evaluating the dot kernel off the fast path: measured 4.4 s vs
+    // 1.2 s at sf0.1 for identical results.
     val agg = pairs.groupBy(col("va").as("vec_id"))
-      .agg(count(lit(1)).as("n_near_base"), max(col("cr")).as("best_cos"))
+      .agg(countDistinct(col("vb")).as("n_near_base"), max(col("cr")).as("best_cos"))
     probe.select(col("vec_id"))
       .join(agg, Seq("vec_id"), "left")
       .select(col("vec_id"),
@@ -1029,6 +1045,7 @@ object DedupQueries {
       .select(col("vec_id"), col("embedding"),
         VectorOps.norm(col("embedding")).as("nrm"))
   }
+
 
   private[ops] def cosinePairsLshPlan(s: SparkSession, dir: String, t: Double): DataFrame = {
     import graft.functions.VectorOps
