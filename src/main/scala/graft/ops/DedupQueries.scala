@@ -1050,8 +1050,14 @@ object DedupQueries {
   private[ops] def cosinePairsLshPlan(s: SparkSession, dir: String, t: Double): DataFrame = {
     import graft.functions.VectorOps
     val banded = signBanded(normedEmbeddings(s, dir))
+    // shuffle_hash: same join-shape lesson as the incremental screen —
+    // unhinted, this self-join sort-merges the wide embedding-carrying
+    // banded rows (sort + per-key group buffering of 64-float arrays);
+    // the hash join shuffles them exactly once and streams the collision
+    // enumeration with the dot verified inline in codegen.
     banded.select(col("vec_id").as("va"), col("embedding").as("ea"),
         col("nrm").as("na"), col("band"), col("key"))
+      .hint("shuffle_hash")
       .join(banded.select(col("vec_id").as("vb"), col("embedding").as("eb"),
         col("nrm").as("nb"), col("band"), col("key")), Seq("band", "key"))
       .filter(col("va") < col("vb"))
