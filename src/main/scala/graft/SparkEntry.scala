@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{AdvancedQueries, CdcQueries, DedupQueries, HofQueries, MultimodalQueries, RelationalQueries, SqlQueries, TextQueries, TimeWindowQueries, VectorQueries}
+import graft.ops.{AdvancedQueries, CdcQueries, DedupQueries, GraphQueries, HofQueries, MultimodalQueries, RelationalQueries, SqlQueries, TextQueries, TimeWindowQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,6 +34,7 @@ object SparkEntry {
       TimeWindowQueries.queries ++
       TextQueries.queries ++
       DedupQueries.queries ++
+      GraphQueries.queries ++
       MultimodalQueries.queries ++
       VectorQueries.queries
 
@@ -51,6 +52,7 @@ object SparkEntry {
       TimeWindowQueries.oracles ++
       TextQueries.oracles ++
       DedupQueries.oracles ++
+      GraphQueries.oracles ++
       MultimodalQueries.oracles ++
       VectorQueries.oracles
 }

@@ -1,0 +1,195 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over the part co-purchase graph (round 11).
+  *
+  * Training-data curation at 100 TB routinely needs graph passes over
+  * similarity / co-occurrence structures: connected components already
+  * exist (`dedup_components`); this family adds the other three classics —
+  * degree profiling, triangle counting, and PageRank — each expressed as
+  * pure shuffle-bounded DataFrame plans with an exact DuckDB oracle.
+  *
+  * The graph: vertices are parts, and an undirected edge {u, v} exists
+  * when parts u and v are ever bought in the same order (distinct pairs
+  * via a per-order self-join — per-order item counts are bounded, so the
+  * pair enumeration is O(k²)-per-order with tiny k, never quadratic in
+  * the table). sf0.01: 2 000 nodes / 115 729 edges / 13.8 M wedges.
+  *
+  * Determinism: PageRank runs in FIXED-POINT INTEGER arithmetic (rank
+  * mass scaled by 10^12, truncating `div` for every split) so the
+  * three-iteration result is bit-exact in any engine — no
+  * float-summation-order hazard, which would otherwise make an iterative
+  * FP fixpoint un-oracle-able. Triangle counting uses degree-peeling
+  * orientation in Spark (each edge directed toward the higher
+  * (degree, id) endpoint, so enumeration cost is Σ C(outdeg, 2) with
+  * outdeg bounded by arboricity ~ O(√m)) while the oracle uses the
+  * simpler u<v orientation — the global count is orientation-invariant.
+  */
+object GraphQueries {
+
+  /** Distinct co-purchase edges (u < v), u/v = l_partkey. */
+  private def edges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    // Per-order pair enumeration: equi-join on the order key; both sides
+    // are the same small projection, hash-join shuffled once on ok.
+    li.as("a").hint("SHUFFLE_HASH")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+  }
+
+  /** Edges in both directions — the undirected adjacency list. */
+  private def bidirectional(e: DataFrame): DataFrame =
+    e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+
+  private val oracleEdgeCtes: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+      |e AS (SELECT DISTINCT a.pk u, b.pk v FROM li a
+      |      JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+      |deg AS (SELECT u, count(*) d FROM bi GROUP BY u)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Degree distribution — the first question asked of any new graph
+    // (is it skewed? does the planner need salting?). Two stacked
+    // map-side-combined hash aggregates; output is O(distinct degrees).
+    "graph_degree_dist" -> { (s, dir) =>
+      bidirectional(edges(s, dir))
+        .groupBy("u").agg(count(lit(1)).as("d"))
+        .groupBy(col("d").as("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    },
+
+    // Triangle census + global clustering coefficient. Spark enumerates
+    // wedges under the degree-peeling orientation (rank = degree·2^31 +
+    // node, edge points at the higher rank): every triangle has exactly
+    // one apex with two out-edges, so the count is exact and the
+    // enumeration is Σ C(outdeg, 2) — bounded by graph arboricity, the
+    // standard scale-out formulation. Joins are hash joins on int keys.
+    "graph_triangles" -> { (s, dir) =>
+      val e = edges(s, dir)
+      val bi = bidirectional(e)
+      val deg = bi.groupBy("u").agg(count(lit(1)).as("d"))
+      val rank = deg.select(col("u").as("n"),
+        (col("d") * lit(2147483648L) + col("u")).as("rk"))
+      // Orient each undirected edge toward the higher (degree, id) rank.
+      val ranked = e
+        .join(rank.withColumnsRenamed(Map("n" -> "u", "rk" -> "rku")), "u")
+        .join(rank.withColumnsRenamed(Map("n" -> "v", "rk" -> "rkv")), "v")
+      val oriented = ranked.select(
+        when(col("rku") < col("rkv"), col("u")).otherwise(col("v")).as("a"),
+        when(col("rku") < col("rkv"), col("v")).otherwise(col("u")).as("b"),
+        greatest(col("rku"), col("rkv")).as("rkb"))
+      // Wedges at apex a: ordered pairs of out-neighbors; close with a
+      // third hash join against the oriented edge set.
+      val tri = oriented.as("e1").hint("SHUFFLE_HASH")
+        .join(oriented.as("e2"),
+          col("e1.a") === col("e2.a") && col("e1.rkb") < col("e2.rkb"))
+        .select(col("e1.b").as("x"), col("e2.b").as("y"))
+        .hint("SHUFFLE_HASH")
+        .join(oriented.as("e3"),
+          col("x") === col("e3.a") && col("y") === col("e3.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+      val nEdges = e.agg(count(lit(1)).as("n_edges"))
+      val nWedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      nNodes.crossJoin(broadcast(nEdges))
+        .crossJoin(broadcast(nWedges))
+        .crossJoin(broadcast(tri))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+            .as("clustering"))
+    },
+
+    // Three PageRank iterations (damping 0.85) in fixed-point integer
+    // arithmetic: rank mass scaled by 10^12, every division truncating —
+    // integer sums are order-independent, so the iterative fixpoint is
+    // bit-exact across engines AND across Spark's own nondeterministic
+    // partial-aggregation order (an FP PageRank would not be). Each
+    // iteration is one hash join (ranks ⨝ adjacency, both shuffled on
+    // the source key) + one map-side-combined aggregate on the target
+    // key; degrees and the node count ride along as a broadcast. At
+    // cluster scale the adjacency would be hash-partitioned once and
+    // reused across iterations (the dedup_components checkpoint kernel
+    // shows the long-iteration variant); three fixed iterations need no
+    // lineage truncation.
+    "graph_pagerank" -> { (s, dir) =>
+      val bi = bidirectional(edges(s, dir))
+      val deg = bi.groupBy("u").agg(count(lit(1)).as("d"))
+      val nn = deg.agg(count(lit(1)).as("n"))
+      var r = deg.crossJoin(broadcast(nn))
+        .select(col("u"), expr("1000000000000 div n").as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = bi.hint("SHUFFLE_HASH").join(r, "u")
+          .hint("SHUFFLE_HASH").join(deg, "u")
+          .groupBy(col("v"))
+          .agg(sum(expr("(r * 85) div (100 * d)")).as("m"))
+        r = deg.join(contrib, deg("u") === contrib("v"), "left")
+          .crossJoin(broadcast(nn))
+          .select(deg("u"),
+            (expr("15000000000000 div (100 * n)") +
+              coalesce(col("m"), lit(0L))).as("r"))
+      }
+      r.select(col("u").as("node"), col("r").as("rank_fp"))
+        .orderBy(col("rank_fp").desc, col("node"))
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "graph_degree_dist" ->
+      s"""$oracleEdgeCtes
+         |SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM deg GROUP BY d ORDER BY degree""".stripMargin,
+
+    "graph_triangles" ->
+      s"""$oracleEdgeCtes,
+         |tri AS (SELECT count(*) t FROM e e1
+         |        JOIN e e2 ON e1.v = e2.u
+         |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+         |SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+         |       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+         |       CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS BIGINT)
+         |         AS n_wedges,
+         |       CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+         |       round(3.0 * (SELECT t FROM tri)
+         |             / (SELECT sum(d * (d - 1) // 2) FROM deg), 6)
+         |         AS clustering""".stripMargin,
+
+    "graph_pagerank" ->
+      s"""$oracleEdgeCtes,
+         |nn AS (SELECT CAST(count(*) AS BIGINT) n FROM deg),
+         |r0 AS (SELECT u, 1000000000000 // n AS r FROM deg, nn),
+         |s1 AS (SELECT bi.v AS u,
+         |              CAST(sum((r0.r * 85) // (100 * deg.d)) AS BIGINT) m
+         |       FROM bi JOIN r0 ON bi.u = r0.u JOIN deg ON bi.u = deg.u
+         |       GROUP BY bi.v),
+         |r1 AS (SELECT deg.u, 15000000000000 // (100 * n)
+         |              + coalesce(m, 0) AS r
+         |       FROM deg LEFT JOIN s1 ON deg.u = s1.u, nn),
+         |s2 AS (SELECT bi.v AS u,
+         |              CAST(sum((r1.r * 85) // (100 * deg.d)) AS BIGINT) m
+         |       FROM bi JOIN r1 ON bi.u = r1.u JOIN deg ON bi.u = deg.u
+         |       GROUP BY bi.v),
+         |r2 AS (SELECT deg.u, 15000000000000 // (100 * n)
+         |              + coalesce(m, 0) AS r
+         |       FROM deg LEFT JOIN s2 ON deg.u = s2.u, nn),
+         |s3 AS (SELECT bi.v AS u,
+         |              CAST(sum((r2.r * 85) // (100 * deg.d)) AS BIGINT) m
+         |       FROM bi JOIN r2 ON bi.u = r2.u JOIN deg ON bi.u = deg.u
+         |       GROUP BY bi.v),
+         |r3 AS (SELECT deg.u, 15000000000000 // (100 * n)
+         |              + coalesce(m, 0) AS r
+         |       FROM deg LEFT JOIN s3 ON deg.u = s3.u, nn)
+         |SELECT u AS node, CAST(r AS BIGINT) AS rank_fp FROM r3
+         |ORDER BY rank_fp DESC, node""".stripMargin,
+  )
+}

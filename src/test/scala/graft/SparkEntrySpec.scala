@@ -11,8 +11,8 @@ class SparkEntrySpec extends SparkSuite {
   private val moduleQueries = Seq(
     CdcQueries.queries, RelationalQueries.queries, AdvancedQueries.queries,
     SqlQueries.queries, HofQueries.queries, TimeWindowQueries.queries,
-    TextQueries.queries, DedupQueries.queries, MultimodalQueries.queries,
-    VectorQueries.queries)
+    TextQueries.queries, DedupQueries.queries, GraphQueries.queries,
+    MultimodalQueries.queries, VectorQueries.queries)
 
   test("no query-name collisions across modules") {
     val total = moduleQueries.map(_.size).sum
