@@ -838,6 +838,40 @@ object TextQueries {
         .select(col("doc_id"), col("n"), col("n_alphabet"),
           round(log2(col("n")) - col("clg") / col("n"), 4).as("entropy_r"))
         .orderBy("doc_id")
+    },
+
+    // N-GRAM LANGUAGE-MODEL SCORING — the CCNet/KenLM-style perplexity
+    // quality gate: train an add-one-smoothed char-trigram LM on half the
+    // corpus (even doc_ids), score every document by average trigram
+    // log-probability. Low scores = out-of-distribution noise, high =
+    // boilerplate — both ends get reviewed before training. The shape is
+    // the 100 TB-friendly one: trigram explode (linear), one hash
+    // aggregate for the model, and — because a char-trigram vocabulary is
+    // charset³-BOUNDED no matter the corpus size — the scoring join
+    // broadcasts the model instead of shuffling the exploded stream; the
+    // only shuffle is the per-doc combine, map-side-reduced from the
+    // trigram grain to the doc grain. n_oov counts trigrams unseen in
+    // training (integer-exact); avg_lp crosses the float sum only at the
+    // per-doc grain over identical per-row values, same as text_entropy.
+    "text_ngram_lm" -> { (s, dir) =>
+      val tri = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(
+            "transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"))
+            .as("g"))
+      val model = tri.filter(col("doc_id") % 2 === 0)
+        .groupBy("g").agg(count(lit(1)).as("c"))
+      val tot = model.agg(sum("c").cast("long").as("t"), count(lit(1)).as("v"))
+      tri.join(broadcast(model), Seq("g"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("lp",
+          log((coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("t") + col("v"))))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tri"),
+          sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"),
+          round(sum(col("lp")) / count(lit(1)), 4).as("avg_lp"))
+        .orderBy("doc_id")
     })
 
   private def langScoreSql(lang: String, markers: Seq[String]): String = {
@@ -1469,6 +1503,27 @@ object TextQueries {
         |       round(regr_slope(ln(n), ln(rank)), 4) AS slope_r,
         |       round(regr_intercept(ln(n), ln(rank)), 4) AS icept_r
         |FROM top""".stripMargin,
+
+    "text_ngram_lm" ->
+      """WITH tri AS (
+        |  SELECT doc_id, lang, substr(text, CAST(i AS INTEGER), 3) AS g
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i)
+        |  WHERE length(text) >= 3
+        |), model AS (
+        |  SELECT g, count(*) c FROM tri WHERE doc_id % 2 = 0 GROUP BY g
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) t, CAST(count(*) AS BIGINT) v
+        |  FROM model)
+        |SELECT tri.doc_id, tri.lang,
+        |       CAST(count(*) AS BIGINT) AS n_tri,
+        |       CAST(sum(CASE WHEN model.c IS NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_oov,
+        |       round(sum(ln((COALESCE(model.c, 0) + 1.0) / (t + v)))
+        |             / count(*), 4) AS avg_lp
+        |FROM tri LEFT JOIN model ON tri.g = model.g, tot
+        |GROUP BY tri.doc_id, tri.lang
+        |ORDER BY tri.doc_id""".stripMargin,
 
     "text_entropy" ->
       """WITH chars AS (

@@ -407,6 +407,48 @@ object VectorQueries {
         .orderBy("vec_id")
     },
 
+    // Corpus covariance (first 6 dims) — the oracle-able corner of the
+    // second-moment pass: one map-side-combined aggregate, 21 scalars out.
+    "emb_covariance" -> { (s, dir) =>
+      val dims = 1 to 6
+      val proj = Tables.embeddings(s, dir).select(
+        dims.map(i => element_at(col("embedding"), i).cast("double").as(s"x$i")): _*)
+      val aggs = for { i <- dims; j <- dims if j >= i }
+        yield round(covar_samp(col(s"x$i"), col(s"x$j")), 6).as(s"c_${i}_$j")
+      proj.agg(aggs.head, aggs.tail: _*)
+    },
+
+    // PCA over the embedding corpus — the whitening/compression pass a
+    // training-data pipeline runs before indexing. The data-sized half is
+    // ONE pass: `moments_agg` (functions/MomentsAgg.scala) folds every
+    // vector into a d-bounded [n | Σx | upper-tri Σxxᵀ] buffer with
+    // element-wise-add merges (no vector shuffle, no iteration — the same
+    // plan at 50 k rows and at 100 TB). The d×d eigendecomposition runs on
+    // the driver (breeze eigSym) over that bounded artifact, like the
+    // k-means/PQ codebooks. No DuckDB oracle — eigenvectors aren't
+    // SQL-expressible; ApproxSpec pins it against a driver-side
+    // brute-force PCA instead (eigenvalues, trace identity, orthonormality).
+    "emb_pca" -> { (s, dir) =>
+      val d = 64
+      val flat = Tables.embeddings(s, dir)
+        .agg(graft.functions.MomentsAgg.moments_agg(col("embedding"), d).as("m"))
+        .head().getSeq[Double](0).toArray // bounded driver artifact: 2 145 doubles
+      val (n, _, cov) = graft.functions.MomentsAgg.covariance(flat, d)
+      val es = breeze.linalg.eigSym(
+        new breeze.linalg.DenseMatrix(d, d, cov.flatten)) // symmetric: layout-proof
+      val trace = (0 until d).map(i => cov(i)(i)).sum
+      var cum = 0.0
+      val rows = (0 until 8).map { k =>
+        val ev = es.eigenvalues(d - 1 - k) // eigSym sorts ascending
+        cum += ev / trace
+        (k + 1, n, math.rint(ev * 1e6) / 1e6,
+          math.rint(ev / trace * 1e6) / 1e6, math.rint(cum * 1e6) / 1e6)
+      }
+      import s.implicits._
+      rows.toDF("component", "n", "eigenvalue", "evr", "cum_evr")
+        .orderBy("component")
+    },
+
     // Approximate percentile sketch (no DuckDB oracle — different sketch;
     // error bound property-tested against the exact percentile). The exact
     // yardstick is computed by [[exactMedianByGroup]] — a bucketed two-pass
@@ -839,6 +881,14 @@ object VectorQueries {
          |           AS BIGINT) AS rn
          |  FROM a2)
          |WHERE rn <= 5 ORDER BY j, rn""".stripMargin,
+
+    "emb_covariance" -> {
+      val dims = 1 to 6
+      val aggs = (for { i <- dims; j <- dims if j >= i }
+        yield s"round(covar_samp(embedding[$i], embedding[$j]), 6) AS c_${i}_$j")
+        .mkString(",\n       ")
+      s"SELECT $aggs\nFROM embeddings"
+    },
 
     "emb_label_centroids" ->
       """WITH p AS (

@@ -132,6 +132,41 @@ class ApproxSpec extends SparkSuite {
     }
   }
 
+  test("one-pass PCA matches a two-pass driver brute force") {
+    val d = 64
+    // Independent ground truth: collect the vectors, exact two-pass
+    // mean-then-covariance (different summation structure than the
+    // one-pass E[xy]−mx·my moments path the query uses).
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length
+    val mean = Array.tabulate(d)(i => vecs.map(_(i)).sum / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      vecs.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / (n - 1))
+    val es = breeze.linalg.eigSym(new breeze.linalg.DenseMatrix(d, d, cov.flatten))
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    val got = SparkEntryQueries.run("emb_pca").collect()
+    assert(got.length == 8)
+    var prev = Double.MaxValue
+    got.foreach { r =>
+      val k = r.getAs[Int]("component")
+      val ev = r.getAs[Double]("eigenvalue")
+      val expected = es.eigenvalues(d - k)
+      assert(math.abs(ev - expected) <= 5e-6 + 1e-6 * expected.abs,
+        s"component $k: query=$ev brute=$expected")
+      assert(math.abs(r.getAs[Double]("evr") - expected / trace) <= 5e-6)
+      assert(ev <= prev && ev >= 0, s"eigenvalues must descend, non-negative")
+      prev = ev
+      assert(r.getAs[Long]("n") == n)
+    }
+    // cum_evr is the running sum of evr
+    val cum = got.map(_.getAs[Double]("evr")).scanLeft(0.0)(_ + _).tail
+    got.zip(cum).foreach { case (r, c) =>
+      assert(math.abs(r.getAs[Double]("cum_evr") - c) <= 2e-5)
+    }
+  }
+
   private object SparkEntryQueries {
     def run(name: String) = graft.SparkEntry.queries(name)(spark, sfDir)
   }
