@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{AdvancedQueries, CdcQueries, DedupQueries, GraphQueries, HofQueries, MultimodalQueries, RelationalQueries, SqlQueries, TextQueries, TimeWindowQueries, VectorQueries}
+import graft.ops.{AdvancedQueries, CdcQueries, DedupQueries, GraphQueries, HofQueries, MultimodalQueries, RelationalQueries, RetrievalQueries, SqlQueries, TextQueries, TimeWindowQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,6 +35,7 @@ object SparkEntry {
       TextQueries.queries ++
       DedupQueries.queries ++
       GraphQueries.queries ++
+      RetrievalQueries.queries ++
       MultimodalQueries.queries ++
       VectorQueries.queries
 
@@ -53,6 +54,7 @@ object SparkEntry {
       TextQueries.oracles ++
       DedupQueries.oracles ++
       GraphQueries.oracles ++
+      RetrievalQueries.oracles ++
       MultimodalQueries.oracles ++
       VectorQueries.oracles
 }

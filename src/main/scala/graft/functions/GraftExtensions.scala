@@ -90,7 +90,7 @@ object GraftExtensions {
   /** The engine's optimizer rules (also injected by the extensions path). */
   val rules: Seq[org.apache.spark.sql.catalyst.rules.Rule[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
-    Seq(RewriteHofDotProduct, RewriteInlineMapHof)
+    Seq(RewriteHofDotProduct, RewriteInlineMapHof, RewriteLevenshteinJoin)
 
   /** Register on an already-running session (the config path above only
     * applies at session construction).

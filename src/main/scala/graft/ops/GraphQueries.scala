@@ -142,6 +142,30 @@ object GraphQueries {
       r.select(col("u").as("node"), col("r").as("rank_fp"))
         .orderBy(col("rank_fp").desc, col("node"))
     },
+
+    // Common-neighbors link prediction: for every non-adjacent pair that
+    // shares at least one neighbor, count the shared neighbors; top-50 by
+    // count. Wedge enumeration is the inherent cost (Σ C(deg, 2)), so the
+    // center is HUB-CAPPED at degree ≤ 64 — the standard link-prediction
+    // mitigation (a hub's co-neighborhood says little and costs O(d²));
+    // the cap bounds the wedge count by 2016·|V| regardless of skew, and
+    // the oracle applies the identical cap so the check stays exact. One
+    // self-equi-join on the center key, one map-side-combined count, one
+    // anti-join against the edge set.
+    "graph_common_neighbors" -> { (s, dir) =>
+      val e = edges(s, dir)
+      val bi = bidirectional(e)
+      val deg = bi.groupBy("u").agg(count(lit(1)).as("d"))
+      val small = bi.join(deg.filter(col("d") <= 64), "u")
+      val cand = small.as("x").hint("SHUFFLE_HASH")
+        .join(small.as("y"),
+          col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+        .select(col("x.v").as("a"), col("y.v").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      cand.join(e, cand("a") === e("u") && cand("b") === e("v"), "left_anti")
+        .orderBy(col("n_common").desc, col("a"), col("b"))
+        .limit(50)
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -191,5 +215,18 @@ object GraphQueries {
          |       FROM deg LEFT JOIN s3 ON deg.u = s3.u, nn)
          |SELECT u AS node, CAST(r AS BIGINT) AS rank_fp FROM r3
          |ORDER BY rank_fp DESC, node""".stripMargin,
+
+    "graph_common_neighbors" ->
+      s"""$oracleEdgeCtes,
+         |small AS (SELECT bi.u, bi.v FROM bi
+         |          JOIN deg ON bi.u = deg.u WHERE deg.d <= 64),
+         |cand AS (SELECT x.v AS a, y.v AS b,
+         |                CAST(count(*) AS BIGINT) AS n_common
+         |         FROM small x JOIN small y
+         |           ON x.u = y.u AND x.v < y.v
+         |         GROUP BY 1, 2)
+         |SELECT a, b, n_common FROM cand
+         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cand.a AND e.v = cand.b)
+         |ORDER BY n_common DESC, a, b LIMIT 50""".stripMargin,
   )
 }
