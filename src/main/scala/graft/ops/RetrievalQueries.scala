@@ -84,6 +84,11 @@ object RetrievalQueries {
     // home bucket generates every qualifying pair exactly once (the
     // three exploded values are distinct). The oracle cross-joins naively
     // — the whole point of the check is that blocking loses nothing.
+    // A user who writes the naive crossJoin+filter form gets this same
+    // plan automatically: graft.functions.RewriteLevenshteinJoin performs
+    // the identical rewrite as an optimizer rule (registered via
+    // GraftExtensions); the query spells the blocking out so its shape is
+    // self-contained and session-independent.
     "join_fuzzy_levenshtein" -> { (s, dir) =>
       val vocab = Tables.documents(s, dir)
         .select(explode(toks).as("w"))
