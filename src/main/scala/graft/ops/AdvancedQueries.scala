@@ -146,6 +146,38 @@ object AdvancedQueries {
       qty.join(price, "l_linestatus").orderBy("l_linestatus")
     },
 
+    // Robust outlier detection by MAD (median absolute deviation): the
+    // data-quality screen that survives the heavy tails a mean/stddev
+    // z-score is wrecked by. Both medians run through the bucketed
+    // two-pass selection (never a per-group value map — l_extendedprice
+    // is mostly-distinct), so per-task state stays O(1024) at any group
+    // size; the deviation scan joins the ~3-row broadcast median back.
+    // dev > 3·MAD is the conventional fence. All arithmetic (abs,
+    // subtraction, 3·mad compare) is identical IEEE in both engines;
+    // money rounding only on output.
+    "agg_mad_outliers" -> { (s, dir) =>
+      import RelationalQueries.money
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_linestatus").as("g"),
+          col("l_extendedprice").cast("double").as("v"))
+      val med = VectorQueries.exactPercentileByGroup(li, 0.5)
+        .select(col("g"), col("pct").as("med"))
+      val dev = li.join(broadcast(med), "g")
+        .select(col("g"), abs(col("v") - col("med")).as("v"))
+      val mad = VectorQueries.exactPercentileByGroup(dev, 0.5)
+        .select(col("g"), col("pct").as("mad"))
+      dev.withColumnRenamed("v", "d")
+        .join(broadcast(mad), "g")
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("d") > col("mad") * 3.0, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .join(med, "g").join(mad, "g")
+        .select(col("g").as("l_linestatus"), col("n"), col("n_outliers"),
+          money(col("med")).as("med_price"), money(col("mad")).as("mad_price"))
+        .orderBy("l_linestatus")
+    },
+
     // Median + linear-regression aggregates (qty vs net price per flag).
     "agg_regression" -> { (s, dir) =>
       Tables.lineitem(s, dir)
@@ -399,6 +431,26 @@ object AdvancedQueries {
         |       round(quantile_cont(l_quantity, 0.9), 4) AS p90,
         |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_mad_outliers" ->
+      s"""WITH med AS (
+         |  SELECT l_linestatus AS g, quantile_cont(l_extendedprice, 0.5) AS med
+         |  FROM lineitem GROUP BY 1
+         |), dev AS (
+         |  SELECT li.l_linestatus AS g,
+         |         abs(CAST(li.l_extendedprice AS DOUBLE) - med.med) AS d,
+         |         med.med
+         |  FROM lineitem li JOIN med ON li.l_linestatus = med.g
+         |), mad AS (
+         |  SELECT g, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY g
+         |)
+         |SELECT dev.g AS l_linestatus, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CASE WHEN dev.d > mad.mad * 3.0 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_outliers,
+         |       ${RelationalQueries.moneySql("any_value(dev.med)")} AS med_price,
+         |       ${RelationalQueries.moneySql("any_value(mad.mad)")} AS mad_price
+         |FROM dev JOIN mad ON dev.g = mad.g
+         |GROUP BY dev.g ORDER BY l_linestatus""".stripMargin,
 
     "agg_regression" ->
       """SELECT l_returnflag,

@@ -122,6 +122,28 @@ object VectorQueries {
         .orderBy("q_id", "rn")
     },
 
+    // Radius (range) search — the watchlist/alerting complement to top-k:
+    // every corpus vector within cosine ≥ τ of each query vector, however
+    // many there are. One broadcast of the bounded query set, one linear
+    // scan, no window and no sort beyond the oracle's output order — at
+    // 100 TB this is a map-only pass (the LSH/IVF variants above are the
+    // same plan with a pre-filter). Cosines are bit-identical cross-engine
+    // (sequential fold in VectorDot and DuckDB's list_reduce alike), so
+    // the raw-τ filter cannot flap.
+    "sim_radius_search" -> { (s, dir) =>
+      val e = normedCorpus(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val t = e.select(col("vec_id").as("t_id"), col("embedding").as("te"),
+        col("nrm").as("tn"))
+      t.join(broadcast(q), col("q_id") =!= col("t_id"))
+        .withColumn("cos", dot(col("qe"), col("te")) / (col("qn") * col("tn")))
+        .filter(col("cos") >= 0.3)
+        .select(col("q_id"), col("t_id"), round(col("cos"), 4).as("cos_r"))
+        .orderBy("q_id", "t_id")
+    },
+
     // Sign-bit LSH ANN (no DuckDB oracle — recall property-tested in
     // ScalaTest against the brute-force baseline). Proper multi-table LSH:
     // 8 hash tables, each a 4-bit bucket from the sign pattern of one
@@ -1002,5 +1024,15 @@ object VectorQueries {
          |                            ORDER BY round(cos, 6) DESC, t_id) AS rn
          |  FROM scored)
          |SELECT q_id, t_id, round(cos, 4) AS cos_r, CAST(rn AS INT) AS rn
-         |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)
+         |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    "sim_radius_search" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |t AS (SELECT vec_id AS t_id, embedding AS te FROM embeddings),
+         |scored AS (
+         |  SELECT q_id, t_id,
+         |         $dotSql / (${normSql("qe")} * ${normSql("te")}) AS cos
+         |  FROM q JOIN t ON q_id <> t_id)
+         |SELECT q_id, t_id, round(cos, 4) AS cos_r
+         |FROM scored WHERE cos >= 0.3 ORDER BY q_id, t_id""".stripMargin)
 }

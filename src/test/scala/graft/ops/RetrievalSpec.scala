@@ -103,6 +103,38 @@ class RetrievalSpec extends SparkSuite {
     }
   }
 
+  test("MAD outliers: fences are coherent and bounded") {
+    val rows = q("agg_mad_outliers").collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val (n, out) = (r.getLong(1), r.getLong(2))
+      val (med, mad) = (r.getDouble(3), r.getDouble(4))
+      assert(out >= 0 && out < n, s"outliers $out of $n")
+      assert(med > 0.0 && mad > 0.0 && mad < med)
+      // At least half the mass lies within one MAD of the median by
+      // definition, so > 3·MAD outliers are always a minority.
+      assert(out.toDouble / n < 0.5)
+    }
+  }
+
+  test("radius search equals a brute-force driver recount") {
+    val got = q("sim_radius_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val embs = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val queries = embs.filter(_._1 < 5)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val want = (for {
+      (qid, qe) <- queries.toSeq; (tid, te) <- embs.toSeq
+      if qid != tid && cos(qe, te) >= 0.3
+    } yield (qid, tid)).sorted
+    assert(got == want, s"got=${got.size} want=${want.size}")
+  }
+
   test("common neighbors matches a driver-side wedge recount") {
     val li = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_partkey").distinct().collect()
