@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{AdvancedQueries, CdcQueries, DedupQueries, GraphQueries, HofQueries, MultimodalQueries, RelationalQueries, RetrievalQueries, SqlQueries, TextQueries, TimeWindowQueries, VectorQueries}
+import graft.ops.{AdvancedQueries, CdcQueries, DedupQueries, GraphQueries, HofQueries, MiningQueries, MultimodalQueries, RelationalQueries, RetrievalQueries, SqlQueries, TextQueries, TimeWindowQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,6 +36,7 @@ object SparkEntry {
       DedupQueries.queries ++
       GraphQueries.queries ++
       RetrievalQueries.queries ++
+      MiningQueries.queries ++
       MultimodalQueries.queries ++
       VectorQueries.queries
 
@@ -55,6 +56,7 @@ object SparkEntry {
       DedupQueries.oracles ++
       GraphQueries.oracles ++
       RetrievalQueries.oracles ++
+      MiningQueries.oracles ++
       MultimodalQueries.oracles ++
       VectorQueries.oracles
 }

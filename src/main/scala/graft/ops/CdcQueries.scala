@@ -316,6 +316,80 @@ object CdcQueries {
           round(col("w.v"), 2).as("val_r"),
           col("n_changes"), col("last_event"), col("as_of"))
         .orderBy("pk")
+    },
+
+    // INCREMENTAL VIEW MAINTENANCE — aggregate (r10). The Z-set/DBSP
+    // shape: each change carries a signed multiplicity (+1 insert/update
+    // image, −1 for the delete analog 'error'), so any SUM/COUNT view is
+    // maintainable by pure ledger addition. The query materializes the
+    // BASE ledger (event_id % 10 < 7 — "already applied"), the DELTA
+    // ledger (the new 30%), and merges them with a full-outer coalesce —
+    // never re-touching base rows. At 100 TB the base ledger is the
+    // stored view (group-count-sized); only the delta batch is scanned
+    // and only ledger rows shuffle. Provenance columns (n_base/n_delta)
+    // pin that the merge really consumed both sides.
+    "cdc_ivm_agg" -> { (s, dir) =>
+      def ledger(df: DataFrame, nAs: String): DataFrame =
+        df.groupBy(col("user_id").as("pk"))
+          .agg(count(lit(1)).as(nAs),
+            sum(when(col("event_type") === "error", -1L).otherwise(1L)).as("net_n"),
+            sum(when(col("event_type") === "error", -col("value"))
+              .otherwise(col("value"))).as("net_v"))
+      val ev = Tables.events(s, dir)
+      val base = ledger(ev.filter(col("event_id") % 10 < 7), "n_base")
+      val delta = ledger(ev.filter(col("event_id") % 10 >= 7), "n_delta")
+      base.as("b").join(delta.as("d"), col("b.pk") === col("d.pk"), "full_outer")
+        .select(
+          coalesce(col("b.pk"), col("d.pk")).as("pk"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+          (coalesce(col("b.net_n"), lit(0L)) + coalesce(col("d.net_n"), lit(0L)))
+            .as("net_n"),
+          round(coalesce(col("b.net_v"), lit(0.0))
+            + coalesce(col("d.net_v"), lit(0.0)), 2).as("net_v_r"))
+        .orderBy("pk")
+    },
+
+    // INCREMENTAL VIEW MAINTENANCE — join (r10). The delta-join identity:
+    // with A = orders, B = customer and deltas ΔA (o_orderkey % 5 = 0),
+    // ΔB (c_custkey % 7 = 0),
+    //   ΔV = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB,
+    // so the maintained view V_new = V_old + ΔV never rejoins
+    // A_old⋈B_old. Here V is the per-nation (count, revenue) rollup:
+    // V_old's ledger plays the stored materialization, the three delta
+    // terms aggregate into one ΔV ledger, and the merge is a full-outer
+    // coalesce over ~25 nation rows. Every join keeps the dimension side
+    // broadcast; at 100 TB only ΔA (the new fact partition) is scanned
+    // against broadcast B, which is the entire point of IVM.
+    "cdc_ivm_join" -> { (s, dir) =>
+      val a = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val b = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val dA = a.filter(col("o_orderkey") % 5 === 0)
+      val aOld = a.filter(col("o_orderkey") % 5 =!= 0)
+      val dB = b.filter(col("c_custkey") % 7 === 0)
+      val bOld = b.filter(col("c_custkey") % 7 =!= 0)
+      def led(df: DataFrame, nAs: String, vAs: String): DataFrame =
+        df.groupBy(col("c_nationkey").as("nation"))
+          .agg(count(lit(1)).as(nAs), sum(col("o_totalprice")).as(vAs))
+      val vOld = led(aOld.join(broadcast(bOld),
+        col("o_custkey") === col("c_custkey")), "n_old", "v_old")
+      val dV = led(
+        dA.join(broadcast(bOld), col("o_custkey") === col("c_custkey"))
+          .unionByName(aOld.join(broadcast(dB), col("o_custkey") === col("c_custkey")))
+          .unionByName(dA.join(broadcast(dB), col("o_custkey") === col("c_custkey"))),
+        "n_delta", "v_delta")
+      vOld.as("o").join(dV.as("d"), col("o.nation") === col("d.nation"), "full_outer")
+        .select(
+          coalesce(col("o.nation"), col("d.nation")).as("nation"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"),
+          coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+          (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_delta"), lit(0L)))
+            .as("n_pairs"),
+          round(coalesce(col("v_old"), lit(0.0)) + coalesce(col("v_delta"), lit(0.0)), 2)
+            .as("sum_price_r"))
+        .orderBy("nation")
     })
 
   val oracles: Map[String, String] = Map(
@@ -467,5 +541,28 @@ object CdcQueries {
         |)
         |SELECT pk, w.op AS op, round(w.v, 2) AS val_r,
         |       n_changes, last_event, as_of
-        |FROM lastw ORDER BY pk""".stripMargin)
+        |FROM lastw ORDER BY pk""".stripMargin,
+
+    "cdc_ivm_agg" ->
+      """SELECT user_id AS pk,
+        |       CAST(sum(CASE WHEN event_id % 10 < 7 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_base,
+        |       CAST(sum(CASE WHEN event_id % 10 >= 7 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_delta,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) AS BIGINT)
+        |         AS net_n,
+        |       round(sum(CASE WHEN event_type = 'error' THEN -value ELSE value END), 2)
+        |         AS net_v_r
+        |FROM events GROUP BY user_id ORDER BY pk""".stripMargin,
+
+    "cdc_ivm_join" ->
+      """SELECT c_nationkey AS nation,
+        |       CAST(sum(CASE WHEN o_orderkey % 5 <> 0 AND c_custkey % 7 <> 0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        |       CAST(sum(CASE WHEN o_orderkey % 5 = 0 OR c_custkey % 7 = 0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       round(sum(o_totalprice), 2) AS sum_price_r
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -166,6 +166,36 @@ object GraphQueries {
         .orderBy(col("n_common").desc, col("a"), col("b"))
         .limit(50)
     },
+
+    // NEIGHBORHOOD JACCARD (r10): structural similarity for entity
+    // resolution — two nodes are alike when their adjacency SETS overlap,
+    // |N(a)∩N(b)| / |N(a)∪N(b)|, the graph-space sibling of the shingle
+    // Jaccard the dedup family runs in token space. Same capped wedge
+    // enumeration as `graph_common_neighbors` (centers with deg ≤ 64 —
+    // hub co-neighborhoods say little and cost O(d²); the oracle applies
+    // the identical cap so the check stays exact), then each candidate
+    // pair picks up both FULL degrees from a broadcast and scores in
+    // exact integer ppm — no float division, so the top-k order is
+    // engine-portable. Unlike the link-prediction query, existing edges
+    // are kept: similarity is meaningful between connected nodes too.
+    "graph_jaccard_neighbors" -> { (s, dir) =>
+      val e = edges(s, dir)
+      val bi = bidirectional(e)
+      val deg = bi.groupBy("u").agg(count(lit(1)).as("d"))
+      val small = bi.join(deg.filter(col("d") <= 64), "u")
+      val cand = small.as("x").hint("SHUFFLE_HASH")
+        .join(small.as("y"),
+          col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+        .select(col("x.v").as("a"), col("y.v").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      cand
+        .join(broadcast(deg.select(col("u").as("a"), col("d").as("d_a"))), "a")
+        .join(broadcast(deg.select(col("u").as("b"), col("d").as("d_b"))), "b")
+        .select(col("a"), col("b"), col("n_common"), col("d_a"), col("d_b"),
+          expr("(n_common * 1000000L) div (d_a + d_b - n_common)").as("j_ppm"))
+        .orderBy(col("j_ppm").desc, col("a"), col("b"))
+        .limit(50)
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -228,5 +258,21 @@ object GraphQueries {
          |SELECT a, b, n_common FROM cand
          |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cand.a AND e.v = cand.b)
          |ORDER BY n_common DESC, a, b LIMIT 50""".stripMargin,
+
+    "graph_jaccard_neighbors" ->
+      s"""$oracleEdgeCtes,
+         |small AS (SELECT bi.u, bi.v FROM bi
+         |          JOIN deg ON bi.u = deg.u WHERE deg.d <= 64),
+         |cand AS (SELECT x.v AS a, y.v AS b,
+         |                CAST(count(*) AS BIGINT) AS n_common
+         |         FROM small x JOIN small y
+         |           ON x.u = y.u AND x.v < y.v
+         |         GROUP BY 1, 2)
+         |SELECT a, b, n_common,
+         |       CAST(da.d AS BIGINT) AS d_a, CAST(db.d AS BIGINT) AS d_b,
+         |       CAST((n_common * 1000000) // (da.d + db.d - n_common) AS BIGINT)
+         |         AS j_ppm
+         |FROM cand JOIN deg da ON cand.a = da.u JOIN deg db ON cand.b = db.u
+         |ORDER BY j_ppm DESC, a, b LIMIT 50""".stripMargin,
   )
 }

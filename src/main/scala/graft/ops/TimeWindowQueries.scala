@@ -179,6 +179,71 @@ object TimeWindowQueries {
           last(col("v"), ignoreNulls = true).over(w).as("v_ff"),
           col("n").isNull.as("filled"))
         .orderBy("user_id", "day")
+    },
+
+    // LAG-1 AUTOCORRELATION (r10): per-type serial correlation of the
+    // value series, each user's events sequenced by event_id (the
+    // deterministic arrival order — FIXTURES.md warns off raw-ts keys).
+    // One per-user sorted window for the lag, one map-side-combined
+    // corr aggregate per type; corr is scale-invariant so the
+    // sample-vs-population normalization cancels between engines.
+    "ts_autocorr" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .withColumn("prev_v", lag(col("value"), 1).over(w))
+        .filter(col("prev_v").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(corr(col("value"), col("prev_v")), 4).as("autocorr_r"))
+        .orderBy("event_type")
+    },
+
+    // ROLLING Z-SCORE ANOMALIES (r10): the streaming-monitoring classic —
+    // each event scored against the mean/stddev of its user's previous
+    // 20 values (frame excludes the current row so an outlier can't mask
+    // itself), flagged when |z| > 2.5 with ≥10 history rows. ONE per-user
+    // sorted window computes all three frame aggregates in a single pass;
+    // no self-join, no global sort before the final ORDER BY.
+    "ts_anomaly_zscore" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(-20, -1)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .withColumn("m", avg(col("value")).over(w))
+        .withColumn("sd", stddev_samp(col("value")).over(w))
+        .withColumn("n_hist", count(col("value")).over(w))
+        .filter(col("n_hist") >= 10 && col("sd") > 0.001 &&
+          abs((col("value") - col("m")) / col("sd")) > 2.5)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round((col("value") - col("m")) / col("sd"), 3).as("z_r"))
+        .orderBy("event_id")
+    },
+
+    // EWMA (r10): per-user exponentially-weighted moving average
+    // (α = 0.1), computed by the CLOSED FORM instead of the recursive
+    // fold: s_T = Σ_{t≥2} α(1−α)^{T−t}·x_t + (1−α)^{T−1}·x_1, so the
+    // whole series reduces in one windowed projection + one hash
+    // aggregate — no sequential per-key iteration, no collect_list
+    // materialization, and the weights underflow harmlessly for deep
+    // history ((0.9)^600 ≈ 1e-28), which is exactly EWMA's point.
+    "ts_ewma" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val wAll = Window.partitionBy("user_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("tot", count(lit(1)).over(wAll))
+        .withColumn("wt",
+          when(col("rn") === 1, pow(lit(0.9), col("tot") - 1))
+            .otherwise(pow(lit(0.9), col("tot") - col("rn")) * 0.1))
+        .groupBy("user_id")
+        .agg(max(col("tot")).as("n_events"),
+          round(sum(col("wt") * col("value")), 4).as("ewma_r"))
+        .orderBy("user_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -288,5 +353,41 @@ object TimeWindowQueries {
         |         PARTITION BY s.user_id ORDER BY s.day) AS v_ff,
         |       d.n IS NULL AS filled
         |FROM dense s LEFT JOIN daily d USING (user_id, day)
-        |ORDER BY user_id, day""".stripMargin)
+        |ORDER BY user_id, day""".stripMargin,
+
+    "ts_autocorr" ->
+      """WITH l AS (
+        |  SELECT event_type, value,
+        |         lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_v
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       round(corr(value, prev_v), 4) AS autocorr_r
+        |FROM l WHERE prev_v IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ts_anomaly_zscore" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         avg(value) OVER w AS m,
+        |         stddev_samp(value) OVER w AS sd,
+        |         count(value) OVER w AS n_hist
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, event_type, round((value - m) / sd, 3) AS z_r
+        |FROM f
+        |WHERE n_hist >= 10 AND sd > 0.001 AND abs((value - m) / sd) > 2.5
+        |ORDER BY event_id""".stripMargin,
+
+    "ts_ewma" ->
+      """WITH r AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS tot
+        |  FROM events)
+        |SELECT user_id, CAST(max(tot) AS BIGINT) AS n_events,
+        |       round(sum(CASE WHEN rn = 1 THEN pow(0.9, tot - 1)
+        |                      ELSE 0.1 * pow(0.9, tot - rn) END * value), 4)
+        |         AS ewma_r
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

@@ -12,8 +12,8 @@ class SparkEntrySpec extends SparkSuite {
     CdcQueries.queries, RelationalQueries.queries, AdvancedQueries.queries,
     SqlQueries.queries, HofQueries.queries, TimeWindowQueries.queries,
     TextQueries.queries, DedupQueries.queries, GraphQueries.queries,
-    RetrievalQueries.queries, MultimodalQueries.queries,
-    VectorQueries.queries)
+    RetrievalQueries.queries, MiningQueries.queries,
+    MultimodalQueries.queries, VectorQueries.queries)
 
   test("no query-name collisions across modules") {
     val total = moduleQueries.map(_.size).sum

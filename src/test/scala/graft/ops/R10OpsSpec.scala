@@ -1,0 +1,216 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSuite, Tables}
+
+/** Semantic properties of the round-10 operators: incremental view
+  * maintenance (aggregate + join), market-basket mining, column profiling,
+  * the time-series trio, and neighborhood Jaccard. The DuckDB oracle
+  * proves value equality against an independent engine; these pin the
+  * algebraic invariants — the IVM merge really equals a from-scratch
+  * recompute, the EWMA closed form really equals the recursive definition,
+  * every flagged anomaly really clears the threshold — that a refactor
+  * could silently break while staying self-consistent.
+  */
+class R10OpsSpec extends SparkSuite {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("cdc_ivm_agg: base+delta merge equals a single-pass recount") {
+    val rows = run("cdc_ivm_agg").collect()
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value").collect()
+    val byUser = ev.groupBy(_.getAs[Long]("user_id"))
+    assert(rows.length == byUser.size)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("pk")
+      val es = byUser(u)
+      val (base, delta) = es.partition(_.getAs[Long]("event_id") % 10 < 7)
+      assert(r.getAs[Long]("n_base") == base.length.toLong, s"user $u n_base")
+      assert(r.getAs[Long]("n_delta") == delta.length.toLong, s"user $u n_delta")
+      val netN = es.map(e =>
+        if (e.getAs[String]("event_type") == "error") -1L else 1L).sum
+      assert(r.getAs[Long]("net_n") == netN, s"user $u net_n")
+      val netV = es.map { e =>
+        val v = e.getAs[Double]("value")
+        if (e.getAs[String]("event_type") == "error") -v else v
+      }.sum
+      assert(math.abs(r.getAs[Double]("net_v_r") - netV) < 1e-2, s"user $u net_v")
+    }
+  }
+
+  test("cdc_ivm_join: delta decomposition is disjoint and complete") {
+    val rows = run("cdc_ivm_join").collect()
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice").collect()
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[Int]("c_nationkey")).toMap
+    // brute-force the full join per nation, splitting old vs delta
+    case class L(var nOld: Long = 0, var nDelta: Long = 0, var v: Double = 0)
+    val want = scala.collection.mutable.Map[Int, L]()
+    orders.foreach { o =>
+      val ck = o.getAs[Long]("o_custkey")
+      cust.get(ck).foreach { nat =>
+        val l = want.getOrElseUpdate(nat, L())
+        val isDelta = o.getAs[Long]("o_orderkey") % 5 == 0 || ck % 7 == 0
+        if (isDelta) l.nDelta += 1 else l.nOld += 1
+        l.v += o.getAs[Double]("o_totalprice")
+      }
+    }
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val nat = r.getAs[Int]("nation")
+      val l = want(nat)
+      assert(r.getAs[Long]("n_old") == l.nOld, s"nation $nat n_old")
+      assert(r.getAs[Long]("n_delta") == l.nDelta, s"nation $nat n_delta")
+      // the IVM identity: merged count = old + delta = full recompute
+      assert(r.getAs[Long]("n_pairs") == l.nOld + l.nDelta, s"nation $nat n_pairs")
+      assert(math.abs(r.getAs[Double]("sum_price_r") - l.v) < 1e-2,
+        s"nation $nat sum")
+    }
+  }
+
+  test("assoc_item_pairs: supports and lift match a brute-force recount") {
+    val rows = run("assoc_item_pairs").collect()
+    assert(rows.nonEmpty)
+    val baskets = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .groupBy(_.getAs[Long]("l_orderkey"))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("l_partkey")).toSet }
+      .toSeq
+    val nOrders = baskets.size.toLong
+    val itemCnt = baskets.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // top-k is ordered by (support desc, a, b)
+    val key = rows.map(r => (-r.getAs[Long]("support"), r.getAs[Long]("a"), r.getAs[Long]("b")))
+    assert(key.sameElements(key.sorted), "output not in (support desc, a, b) order")
+    rows.foreach { r =>
+      val (a, b, sup) = (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("support"))
+      val direct = baskets.count(s => s.contains(a) && s.contains(b)).toLong
+      assert(sup == direct, s"pair ($a,$b): $sup vs $direct")
+      assert(r.getAs[Long]("n_a") == itemCnt(a) && r.getAs[Long]("n_b") == itemCnt(b))
+      val lift = sup * nOrders * 1000000L / (itemCnt(a) * itemCnt(b))
+      assert(r.getAs[Long]("lift_ppm") == lift, s"pair ($a,$b) lift")
+    }
+  }
+
+  test("assoc_rules: confidence arithmetic and direction consistency") {
+    val rows = run("assoc_rules").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sup, nAnte, conf) = (r.getAs[Long]("support"),
+        r.getAs[Long]("n_ante"), r.getAs[Long]("conf_ppm"))
+      assert(sup >= 2 && sup <= nAnte, r.toString)
+      assert(conf == sup * 1000000L / nAnte, r.toString)
+      assert(conf <= 1000000L, r.toString)
+    }
+    val key = rows.map(r => (-r.getAs[Long]("conf_ppm"),
+      r.getAs[Long]("ante"), r.getAs[Long]("cons")))
+    assert(key.sameElements(key.sorted), "output not in (conf desc, ante, cons) order")
+  }
+
+  test("profile_columns: per-column metrics match direct recounts") {
+    val rows = run("profile_columns").collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rows.keySet == Set("l_partkey", "l_quantity", "l_extendedprice",
+      "l_returnflag", "l_shipdate"))
+    val li = Tables.lineitem(spark, sfDir).collect()
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == li.length.toLong)
+      assert(r.getAs[Long]("n_nulls") == 0L)
+    }
+    val flags = li.map(_.getAs[String]("l_returnflag"))
+    val rf = rows("l_returnflag")
+    assert(rf.getAs[Long]("n_distinct") == flags.distinct.length.toLong)
+    assert(rf.getAs[String]("v_min") == flags.min && rf.getAs[String]("v_max") == flags.max)
+    assert(rf.getAs[Double]("avg_len") == 1.0)
+    val qty = rows("l_quantity")
+    val cents = li.map(x => math.floor(x.getAs[Double]("l_quantity") * 100 + 0.5).toLong)
+    assert(qty.getAs[Long]("n_distinct") == cents.distinct.length.toLong)
+    assert(qty.getAs[String]("v_min") == cents.min.toString)
+  }
+
+  test("ts_autocorr: coefficient bounds and pair accounting") {
+    val rows = run("ts_autocorr").collect()
+    val ev = Tables.events(spark, sfDir).select("user_id").collect()
+    val nUsers = ev.map(_.getAs[Long]("user_id")).distinct.length.toLong
+    // every event except each user's first contributes exactly one lag pair
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == ev.length - nUsers)
+    rows.foreach { r =>
+      val ac = r.getAs[Double]("autocorr_r")
+      assert(ac >= -1.0 - 1e-9 && ac <= 1.0 + 1e-9, r.toString)
+    }
+  }
+
+  test("ts_anomaly_zscore: every flagged event clears the threshold on recount") {
+    val rows = run("ts_anomaly_zscore").collect()
+    assert(rows.nonEmpty, "no anomalies flagged at sf0.001 — fixture changed?")
+    val seqs = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "value").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rs) =>
+        u -> rs.sortBy(_.getAs[Long]("event_id"))
+          .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value"))
+      }
+    rows.foreach { r =>
+      val (eid, u, z) = (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Double]("z_r"))
+      val seq = seqs(u)
+      val i = seq.indexWhere(_._1 == eid)
+      val hist = seq.slice(math.max(0, i - 20), i).map(_._2)
+      assert(hist.length >= 10, s"event $eid history ${hist.length}")
+      val m = hist.sum / hist.length
+      val sd = math.sqrt(hist.map(x => (x - m) * (x - m)).sum / (hist.length - 1))
+      val direct = (seq(i)._2 - m) / sd
+      assert(math.abs(direct) > 2.5, s"event $eid |z|=${math.abs(direct)}")
+      assert(math.abs(direct - z) < 2e-3, s"event $eid: $direct vs $z")
+    }
+  }
+
+  test("ts_ewma: closed form equals the recursive definition") {
+    val rows = run("ts_ewma").collect()
+    val seqs = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "value").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rs) =>
+        u -> rs.sortBy(_.getAs[Long]("event_id")).map(_.getAs[Double]("value"))
+      }
+    assert(rows.length == seqs.size)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val xs = seqs(u)
+      assert(r.getAs[Long]("n_events") == xs.length.toLong)
+      // the textbook recursion the closed form must reproduce
+      val rec = xs.tail.foldLeft(xs.head)((s, x) => 0.1 * x + 0.9 * s)
+      assert(math.abs(r.getAs[Double]("ewma_r") - rec) < 1e-3,
+        s"user $u: ${r.getAs[Double]("ewma_r")} vs $rec")
+    }
+  }
+
+  test("graph_jaccard_neighbors: score formula exact on a brute-force recount") {
+    val rows = run("graph_jaccard_neighbors").collect()
+    assert(rows.nonEmpty)
+    // rebuild adjacency from the co-purchase definition
+    val baskets = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .groupBy(_.getAs[Long]("l_orderkey"))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("l_partkey")).toSet }
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    baskets.foreach { s =>
+      for (u <- s; v <- s if u < v) {
+        adj(u) = adj(u) + v; adj(v) = adj(v) + u
+      }
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      val (da, db) = (adj(a).size.toLong, adj(b).size.toLong)
+      assert(r.getAs[Long]("d_a") == da && r.getAs[Long]("d_b") == db, r.toString)
+      // capped numerator: common neighbors whose OWN degree is <= 64
+      val cn = (adj(a) & adj(b)).count(c => adj(c).size <= 64).toLong
+      assert(r.getAs[Long]("n_common") == cn, s"pair ($a,$b) cn")
+      assert(r.getAs[Long]("j_ppm") == cn * 1000000L / (da + db - cn), r.toString)
+      assert(r.getAs[Long]("j_ppm") <= 1000000L, r.toString)
+    }
+  }
+}
