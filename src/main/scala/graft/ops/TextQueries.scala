@@ -525,6 +525,31 @@ object TextQueries {
         .orderBy("lang", "shard_id")
     },
 
+    // COMPACTION PLAN (r10) — the OPTIMIZE/small-file-compaction planner:
+    // assign each file (doc) to an output bin by the 4 KiB byte range its
+    // cumulative offset starts in, per language partition. Deterministic
+    // byte-range partitioning (the split-point shape Delta-style OPTIMIZE
+    // computes), not greedy first-fit — the running byte offset is one
+    // per-partition sorted window cumsum, so the plan is a pure function
+    // of the manifest and identical in any engine. Reads ONLY metadata
+    // columns (doc_id, lang, n_chars) — the planner never touches
+    // payloads, which is what makes planning 100 TB of smallfiles cheap:
+    // the parquet scan prunes `text` entirely (ReadSchema is 3 columns).
+    "pipeline_compaction_bins" -> { (s, dir) =>
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("offset", sum(col("n_chars")).over(w) - col("n_chars"))
+        .withColumn("bin_id", expr("offset div 4096"))
+        .groupBy("lang", "bin_id")
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum(col("n_chars")).as("sum_bytes"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("lang", "bin_id")
+    },
+
     // TRAIN/VAL/TEST SPLIT — the reproducible corpus partition every
     // training run needs: assignment must be a pure function of the doc id
     // (stable across runs, retries, engines, and corpus growth — a doc
@@ -1210,6 +1235,19 @@ object TextQueries {
         |       CAST(sum(n_toks) AS BIGINT) AS sum_toks,
         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM r GROUP BY 1, 2 ORDER BY lang, shard_id""".stripMargin,
+
+    "pipeline_compaction_bins" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id)
+        |           - n_chars AS off
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(off // 4096 AS BIGINT) AS bin_id,
+        |       CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_bytes,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM r GROUP BY 1, 2 ORDER BY lang, bin_id""".stripMargin,
 
     "pipeline_train_val_split" -> {
       val foldedSql = CurationRules.foldedSql

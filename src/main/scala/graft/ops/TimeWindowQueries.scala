@@ -244,6 +244,67 @@ object TimeWindowQueries {
         .agg(max(col("tot")).as("n_events"),
           round(sum(col("wt") * col("value")), 4).as("ewma_r"))
         .orderBy("user_id")
+    },
+
+    // LAST-TOUCH ATTRIBUTION (r10): every purchase credited to the user's
+    // most recent prior engagement (click/view) within 30 minutes — the
+    // marketing-analytics staple next to the funnel. NOT a self-join: one
+    // per-user sorted window carries the latest engagement forward as a
+    // running MAX over a (micros, event_id, type) struct (struct ordering
+    // is lexicographic, so the max IS the latest touch, with event_id
+    // breaking same-microsecond ties deterministically); each purchase
+    // then decides locally. The frame excludes the current row, so a
+    // purchase never attributes to itself.
+    "events_attribution" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"))
+        .withColumn("touch",
+          max(when(col("event_type").isin("click", "view"),
+            struct(col("t").as("t"), col("event_id").as("eid"),
+              col("event_type").as("et")))).over(w))
+        .filter(col("event_type") === "purchase" && col("touch").isNotNull &&
+          col("t") - col("touch.t") <= 1800000000L)
+        .select(col("event_id"), col("user_id"),
+          col("touch.eid").as("src_event_id"),
+          col("touch.et").as("src_type"),
+          (col("t") - col("touch.t")).as("delta_us"))
+        .orderBy("event_id")
+    },
+
+    // LEAD-LAG CROSS-CORRELATION (r10): does engagement LEAD conversion?
+    // Both series bucketed to 10-minute counts on a DENSE bucket grid
+    // (zero-filled from the global span — a missing bucket is a real 0,
+    // and skipping it would bias the correlation), then click(t) is
+    // correlated against purchase(t + lag) for lags 0..2. The grid comes
+    // from ONE 1-row span aggregate exploded and broadcast — never a
+    // calendar cross join — and each lag is a broadcast-joined shifted
+    // copy of the same tiny bucket ledger: the events table is scanned
+    // once at any corpus size.
+    "ts_cross_corr" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(expr("unix_micros(ts) div 600000000").as("bucket"),
+          col("event_type"))
+      val counts = ev.groupBy("bucket")
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_buy"))
+      val grid = ev.agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+        .select(explode(sequence(col("b0"), col("b1"))).as("bucket"))
+      val dense = grid.join(counts, Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("n_click"), lit(0L)).as("n_click"),
+          coalesce(col("n_buy"), lit(0L)).as("n_buy"))
+      val lags = s.range(0, 3).select(col("id").as("lag"))
+      dense.as("c").join(broadcast(lags))
+        .join(dense.as("p"), col("c.bucket") + col("lag") === col("p.bucket"))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n_buckets"),
+          round(corr(col("c.n_click"), col("p.n_buy")), 4).as("xcorr_r"))
+        .orderBy("lag")
     })
 
   val oracles: Map[String, String] = Map(
@@ -389,5 +450,41 @@ object TimeWindowQueries {
         |       round(sum(CASE WHEN rn = 1 THEN pow(0.9, tot - 1)
         |                      ELSE 0.1 * pow(0.9, tot - rn) END * value), 4)
         |         AS ewma_r
-        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events)
+        |SELECT p.event_id, p.user_id, lt.eid AS src_event_id,
+        |       lt.et AS src_type, p.t - lt.t AS delta_us
+        |FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+        |JOIN LATERAL (
+        |  SELECT s.event_id AS eid, s.event_type AS et, s.t
+        |  FROM e s
+        |  WHERE s.user_id = p.user_id AND s.event_type IN ('click', 'view')
+        |    AND (s.t < p.t OR (s.t = p.t AND s.event_id < p.event_id))
+        |  ORDER BY s.t DESC, s.event_id DESC LIMIT 1) lt ON true
+        |WHERE p.t - lt.t <= 1800000000
+        |ORDER BY p.event_id""".stripMargin,
+
+    "ts_cross_corr" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 600000000 AS bucket, event_type FROM events),
+        |counts AS (
+        |  SELECT bucket,
+        |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_buy
+        |  FROM ev GROUP BY bucket),
+        |grid AS (
+        |  SELECT unnest(generate_series(min(bucket), max(bucket))) AS bucket FROM ev),
+        |dense AS (
+        |  SELECT g.bucket, coalesce(c.n_click, 0) AS n_click,
+        |         coalesce(c.n_buy, 0) AS n_buy
+        |  FROM grid g LEFT JOIN counts c ON g.bucket = c.bucket)
+        |SELECT lag, CAST(count(*) AS BIGINT) AS n_buckets,
+        |       round(corr(c.n_click, p.n_buy), 4) AS xcorr_r
+        |FROM dense c
+        |CROSS JOIN (VALUES (0::BIGINT), (1::BIGINT), (2::BIGINT)) l(lag)
+        |JOIN dense p ON c.bucket + l.lag = p.bucket
+        |GROUP BY lag ORDER BY lag""".stripMargin)
 }

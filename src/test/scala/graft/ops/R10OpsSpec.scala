@@ -188,6 +188,88 @@ class R10OpsSpec extends SparkSuite {
     }
   }
 
+  test("events_attribution: every credit matches the brute-force last touch") {
+    val rows = run("events_attribution").collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t")).collect()
+    val byUser = ev.groupBy(_.getAs[Long]("user_id"))
+    // recompute the full attribution set independently
+    val want = ev.filter(_.getAs[String]("event_type") == "purchase").flatMap { p =>
+      val (u, t, eid) = (p.getAs[Long]("user_id"), p.getAs[Long]("t"),
+        p.getAs[Long]("event_id"))
+      val prior = byUser(u).filter { s =>
+        val st = s.getAs[Long]("t")
+        Set("click", "view").contains(s.getAs[String]("event_type")) &&
+          (st < t || (st == t && s.getAs[Long]("event_id") < eid))
+      }
+      if (prior.isEmpty) None
+      else {
+        val lt = prior.maxBy(s => (s.getAs[Long]("t"), s.getAs[Long]("event_id")))
+        val d = t - lt.getAs[Long]("t")
+        if (d <= 1800000000L)
+          Some(eid -> (lt.getAs[Long]("event_id"), lt.getAs[String]("event_type"), d))
+        else None
+      }
+    }.toMap
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val (src, et, d) = want(r.getAs[Long]("event_id"))
+      assert(r.getAs[Long]("src_event_id") == src, r.toString)
+      assert(r.getAs[String]("src_type") == et, r.toString)
+      assert(r.getAs[Long]("delta_us") == d, r.toString)
+    }
+  }
+
+  test("pipeline_compaction_bins: bins are contiguous byte ranges that tile the partition") {
+    val rows = run("pipeline_compaction_bins").collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "doc_id", "n_chars").collect()
+      .groupBy(_.getAs[String]("lang"))
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("bin_id"))
+      // per-partition totals conserved
+      val total = docs(lang).map(_.getAs[Long]("n_chars")).sum
+      assert(sorted.map(_.getAs[Long]("sum_bytes")).sum == total, s"$lang bytes")
+      assert(sorted.map(_.getAs[Long]("n_files")).sum == docs(lang).length.toLong)
+      // every bin holds the files whose cumulative offset starts in its range
+      val byId = docs(lang).sortBy(_.getAs[Long]("doc_id"))
+      var off = 0L
+      val binOf = byId.map { d =>
+        val b = off / 4096; off += d.getAs[Long]("n_chars")
+        d.getAs[Long]("doc_id") -> b
+      }.toMap
+      sorted.foreach { r =>
+        val ids = byId.map(_.getAs[Long]("doc_id"))
+          .filter(id => binOf(id) == r.getAs[Long]("bin_id"))
+        assert(r.getAs[Long]("n_files") == ids.length.toLong, s"$lang bin $r")
+        assert(r.getAs[Long]("min_doc") == ids.min && r.getAs[Long]("max_doc") == ids.max)
+      }
+      // doc-id ranges of consecutive bins never interleave (contiguity)
+      sorted.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(x.getAs[Long]("max_doc") < y.getAs[Long]("min_doc"), s"$lang overlap")
+        case _ => ()
+      }
+    }
+  }
+
+  test("ts_cross_corr: bucket accounting on the dense grid, coefficient bounds") {
+    val rows = run("ts_cross_corr").collect()
+    assert(rows.length == 3)
+    val b = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) div 600000000").as("bucket")).collect()
+      .map(_.getAs[Long]("bucket"))
+    val span = b.max - b.min + 1
+    rows.foreach { r =>
+      val lag = r.getAs[Long]("lag")
+      assert(r.getAs[Long]("n_buckets") == span - lag, r.toString)
+      val x = r.getAs[Double]("xcorr_r")
+      assert(x >= -1.0 - 1e-9 && x <= 1.0 + 1e-9, r.toString)
+    }
+  }
+
   test("graph_jaccard_neighbors: score formula exact on a brute-force recount") {
     val rows = run("graph_jaccard_neighbors").collect()
     assert(rows.nonEmpty)
