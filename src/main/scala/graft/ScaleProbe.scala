@@ -47,7 +47,15 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
 
   private val PairProbes = Seq("dedup_jaccard_prefix", "dedup_minhash_banded")
-  private val Probes = PairProbes ++ Seq("sim_ann_knn", "text_dup_spans")
+  // r10: the relational/event families — basket mining (per-order pair
+  // enumeration), wedge-bounded graph similarity, and the per-user window
+  // shapes. Replication shifts ORDER/PART/USER keys per replica, so
+  // baskets, adjacency lists, and user histories stay replica-local:
+  // growth adds new orders/users, it does not inflate existing groups —
+  // the same growth model the document replicas use.
+  private val RelProbes = Seq("assoc_item_pairs", "graph_jaccard_neighbors",
+    "ts_anomaly_zscore", "events_attribution")
+  private val Probes = PairProbes ++ Seq("sim_ann_knn", "text_dup_spans") ++ RelProbes
 
   /** The probe set a given replication factor runs (see the scaladoc). */
   private def probesFor(factor: Int): Seq[String] =
@@ -104,6 +112,24 @@ object ScaleProbe {
           col("label"))
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val li = Tables.lineitem(spark, src)
+      val nOk = li.agg(max("l_orderkey")).head.getLong(0) + 1
+      val nPk = li.agg(max("l_partkey")).head.getLong(0) + 1
+      li.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+        .withColumn("l_orderkey", col("l_orderkey") + col("rep") * lit(nOk))
+        .withColumn("l_partkey", col("l_partkey") + col("rep") * lit(nPk))
+        .drop("rep")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val ev = Tables.events(spark, src)
+      val nEid = ev.agg(max("event_id")).head.getLong(0) + 1
+      val nUid = ev.agg(max("user_id")).head.getLong(0) + 1
+      ev.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+        .withColumn("event_id", col("event_id") + col("rep") * lit(nEid))
+        .withColumn("user_id", col("user_id") + col("rep") * lit(nUid))
+        .drop("rep")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
       dir
     }
 

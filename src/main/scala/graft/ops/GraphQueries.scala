@@ -196,6 +196,58 @@ object GraphQueries {
         .orderBy(col("j_ppm").desc, col("a"), col("b"))
         .limit(50)
     },
+
+    // K-CORE PEELING LEDGER (r10): three rounds of "remove every node
+    // with degree < k, recount" — the degeneracy-ordering workhorse
+    // behind community detection and dense-subgraph mining. Like
+    // `graph_pagerank`, the iteration count is FIXED (3) so the query is
+    // engine-portable; k itself is data-derived (7/8 of the mean degree
+    // in exact integers — see below) so the peel stays meaningful at any
+    // sf. Each round is one hash aggregate + two anti-joins against the
+    // just-removed node set — the standard iterative-graph shuffle
+    // pattern, each round's state the surviving adjacency. Nodes whose
+    // last neighbors vanish drop out of the adjacency silently (they are
+    // not core members either way); the ledger counts peeled vs
+    // surviving nodes per round, which is exactly what converging-peel
+    // monitoring dashboards plot.
+    "graph_k_core" -> { (s, dir) =>
+      val bi = bidirectional(edges(s, dir))
+      // k = 7/8 of the mean degree in EXACT integer arithmetic (bi
+      // already double-counts edges; a double divide + cast could
+      // truncate differently from floor near an integer quotient). The
+      // 7/8 keeps k strictly below the mean: peeling AT the mean
+      // obliterates this tight-degree graph in one round (measured:
+      // 90→110→∅ at sf0.001), while 7/8 yields a genuine multi-round
+      // cascade (33/59/107 peeled over the three rounds).
+      val k = bi.agg(count(lit(1)).as("e2"), countDistinct(col("u")).as("nv"))
+        .select(expr("(e2 * 7) div (nv * 8)").as("k"))
+      def degrees(adj: DataFrame): DataFrame =
+        adj.groupBy("u").agg(count(lit(1)).as("d"))
+      def round1(deg: DataFrame, r: Int): DataFrame =
+        deg.crossJoin(broadcast(k))
+          .agg(
+            min(col("k")).as("k"),
+            sum(when(col("d") < col("k"), 1L).otherwise(0L)).as("n_removed"),
+            sum(when(col("d") >= col("k"), 1L).otherwise(0L)).as("n_remaining"))
+          // the round id is a literal OUTSIDE the aggregate so an empty
+          // round (everything already peeled) still labels its row
+          .select(lit(r).cast("long").as("round"), col("k"),
+            col("n_removed"), col("n_remaining"))
+      def peel(adj: DataFrame, deg: DataFrame): DataFrame = {
+        val removed = deg.crossJoin(broadcast(k))
+          .filter(col("d") < col("k")).select(col("u").as("ru"))
+        adj.join(removed, adj("u") === removed("ru"), "left_anti")
+          .join(removed.withColumnRenamed("ru", "rv"),
+            adj("v") === col("rv"), "left_anti")
+      }
+      val d1 = degrees(bi)
+      val a2 = peel(bi, d1)
+      val d2 = degrees(a2)
+      val a3 = peel(a2, d2)
+      val d3 = degrees(a3)
+      round1(d1, 1).unionByName(round1(d2, 2)).unionByName(round1(d3, 3))
+        .orderBy("round")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -274,5 +326,39 @@ object GraphQueries {
          |         AS j_ppm
          |FROM cand JOIN deg da ON cand.a = da.u JOIN deg db ON cand.b = db.u
          |ORDER BY j_ppm DESC, a, b LIMIT 50""".stripMargin,
+
+    "graph_k_core" ->
+      s"""$oracleEdgeCtes,
+         |kk AS (SELECT ((SELECT count(*) FROM bi) * 7)
+         |              // ((SELECT count(*) FROM deg) * 8) AS k),
+         |rm1 AS (SELECT u FROM deg, kk WHERE d < k),
+         |b2 AS (SELECT bi.u, bi.v FROM bi
+         |       WHERE bi.u NOT IN (SELECT u FROM rm1)
+         |         AND bi.v NOT IN (SELECT u FROM rm1)),
+         |d2 AS (SELECT u, count(*) d FROM b2 GROUP BY u),
+         |rm2 AS (SELECT u FROM d2, kk WHERE d < k),
+         |b3 AS (SELECT b2.u, b2.v FROM b2
+         |       WHERE b2.u NOT IN (SELECT u FROM rm2)
+         |         AND b2.v NOT IN (SELECT u FROM rm2)),
+         |d3 AS (SELECT u, count(*) d FROM b3 GROUP BY u)
+         |SELECT CAST(r AS BIGINT) AS round, CAST(k AS BIGINT) AS k,
+         |       CAST(n_removed AS BIGINT) AS n_removed,
+         |       CAST(n_remaining AS BIGINT) AS n_remaining
+         |FROM (
+         |  SELECT 1 AS r, min(k) AS k,
+         |         sum(CASE WHEN d < k THEN 1 ELSE 0 END) AS n_removed,
+         |         sum(CASE WHEN d >= k THEN 1 ELSE 0 END) AS n_remaining
+         |  FROM deg, kk
+         |  UNION ALL
+         |  SELECT 2, min(k),
+         |         sum(CASE WHEN d < k THEN 1 ELSE 0 END),
+         |         sum(CASE WHEN d >= k THEN 1 ELSE 0 END)
+         |  FROM d2, kk
+         |  UNION ALL
+         |  SELECT 3, min(k),
+         |         sum(CASE WHEN d < k THEN 1 ELSE 0 END),
+         |         sum(CASE WHEN d >= k THEN 1 ELSE 0 END)
+         |  FROM d3, kk)
+         |ORDER BY round""".stripMargin,
   )
 }

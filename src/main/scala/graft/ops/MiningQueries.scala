@@ -127,6 +127,35 @@ object MiningQueries {
             / sum(when(col("v").isNotNull, col("n"))), 2).as("avg_len"))
         .orderBy("col_name")
     },
+
+    // WILSON CONFIDENCE INTERVALS (r10): the experimentation-analytics
+    // primitive — per-arm success-rate estimates with 95 % Wilson score
+    // bounds (the interval that stays sane at small n and extreme p,
+    // unlike the normal approximation). Success = value > 500 over each
+    // event-type arm. One map-side-combined hash aggregate collects
+    // (n, successes); the interval arithmetic is a closed-form scalar
+    // projection over the 5-row ledger — nothing but the two counts ever
+    // shuffles, at any corpus size.
+    "agg_ratio_ci" -> { (s, dir) =>
+      val z2 = 3.8416 // z² for z = 1.96
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > 500.0, 1L).otherwise(0L)).as("n_succ"))
+        .withColumn("p", col("n_succ").cast("double") / col("n"))
+        .select(
+          col("event_type"), col("n"), col("n_succ"),
+          round(col("p"), 4).as("p_r"),
+          round((col("p") + lit(z2) / (lit(2.0) * col("n"))
+            - lit(1.96) * sqrt(col("p") * (lit(1.0) - col("p")) / col("n")
+              + lit(z2) / (lit(4.0) * col("n") * col("n"))))
+            / (lit(1.0) + lit(z2) / col("n")), 4).as("ci_lo_r"),
+          round((col("p") + lit(z2) / (lit(2.0) * col("n"))
+            + lit(1.96) * sqrt(col("p") * (lit(1.0) - col("p")) / col("n")
+              + lit(z2) / (lit(4.0) * col("n") * col("n"))))
+            / (lit(1.0) + lit(z2) / col("n")), 4).as("ci_hi_r"))
+        .orderBy("event_type")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -176,5 +205,23 @@ object MiningQueries {
         |       CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
         |       min(v) AS v_min, max(v) AS v_max,
         |       round(avg(length(v)), 2) AS avg_len
-        |FROM s GROUP BY col_name ORDER BY col_name""".stripMargin)
+        |FROM s GROUP BY col_name ORDER BY col_name""".stripMargin,
+
+    "agg_ratio_ci" ->
+      """WITH a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN value > 500.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_succ
+        |  FROM events GROUP BY event_type),
+        |p AS (SELECT *, CAST(n_succ AS DOUBLE) / n AS p FROM a)
+        |SELECT event_type, n, n_succ, round(p, 4) AS p_r,
+        |       round((p + 3.8416 / (2.0 * n)
+        |              - 1.96 * sqrt(p * (1.0 - p) / n
+        |                            + 3.8416 / (4.0 * n * n)))
+        |             / (1.0 + 3.8416 / n), 4) AS ci_lo_r,
+        |       round((p + 3.8416 / (2.0 * n)
+        |              + 1.96 * sqrt(p * (1.0 - p) / n
+        |                            + 3.8416 / (4.0 * n * n)))
+        |             / (1.0 + 3.8416 / n), 4) AS ci_hi_r
+        |FROM p ORDER BY event_type""".stripMargin)
 }

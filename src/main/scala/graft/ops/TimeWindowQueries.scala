@@ -305,6 +305,26 @@ object TimeWindowQueries {
         .agg(count(lit(1)).as("n_buckets"),
           round(corr(col("c.n_click"), col("p.n_buy")), 4).as("xcorr_r"))
         .orderBy("lag")
+    },
+
+    // HOUR-OF-DAY SEASONALITY (r10): the simplest honest seasonal
+    // decomposition — the trend is each DAY's mean (removing day-scale
+    // drift), the seasonal component is the hour-of-day mean of the
+    // DETRENDED residual. Two keyed aggregates and one broadcast join of
+    // the tiny per-day trend table back onto the events; the raw hourly
+    // mean rides along so the 24-row profile shows both the absolute
+    // level and the trend-free seasonal shape.
+    "ts_seasonality" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"),
+          hour(col("ts")).cast("long").as("hod"), col("value"))
+      val trend = ev.groupBy("day").agg(avg(col("value")).as("day_mean"))
+      ev.join(broadcast(trend), "day")
+        .groupBy("hod")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("value")), 4).as("mean_v_r"),
+          round(avg(col("value") - col("day_mean")), 4).as("seasonal_r"))
+        .orderBy("hod")
     })
 
   val oracles: Map[String, String] = Map(
@@ -486,5 +506,15 @@ object TimeWindowQueries {
         |FROM dense c
         |CROSS JOIN (VALUES (0::BIGINT), (1::BIGINT), (2::BIGINT)) l(lag)
         |JOIN dense p ON c.bucket + l.lag = p.bucket
-        |GROUP BY lag ORDER BY lag""".stripMargin)
+        |GROUP BY lag ORDER BY lag""".stripMargin,
+
+    "ts_seasonality" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, hour(ts) AS hod, value FROM events),
+        |trend AS (SELECT day, avg(value) AS day_mean FROM ev GROUP BY day)
+        |SELECT hod, CAST(count(*) AS BIGINT) AS n,
+        |       round(avg(value), 4) AS mean_v_r,
+        |       round(avg(value - day_mean), 4) AS seasonal_r
+        |FROM ev JOIN trend USING (day)
+        |GROUP BY hod ORDER BY hod""".stripMargin)
 }

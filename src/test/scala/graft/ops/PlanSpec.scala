@@ -222,6 +222,55 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("IVM join delta terms keep the dimension side broadcast") {
+    // Every term of ΔV = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB joins against the
+    // customer dimension — all four joins (incl. V_old's) must be
+    // broadcast hash joins; a shuffle join here would re-partition the
+    // fact table per term and defeat the IVM point.
+    val p = plan("cdc_ivm_join")
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 4, p)
+    // the only shuffle join allowed is the final FULL-OUTER merge of the
+    // two nation-grain LEDGERS (≤ ~25 rows each); no fact-side custkey
+    // join may shuffle
+    assert(!p.contains("SortMergeJoin [o_custkey") &&
+      !p.contains("ShuffledHashJoin [o_custkey"), p)
+    val smj = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smj.forall(_.contains("FullOuter")), smj.mkString("\n"))
+  }
+
+  test("basket pair mining: hash-join pair enumeration, broadcast count tables") {
+    // The per-order self-join is hinted SHUFFLE_HASH (sort would pay an
+    // O(n log n) per-partition sort for a join whose per-key group is
+    // bounded by basket size); the item-count and total-count ledgers
+    // must ride in by broadcast.
+    val p = plan("assoc_item_pairs")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("profile_columns avoids the multi-distinct Expand") {
+    // The explicit two-level aggregate replaces planner-generated
+    // count_distinct expansion: exactly one Expand (the 5-column stack
+    // itself) and no Expand carrying a gid column (the multi-distinct
+    // marker), so the shuffle carries distinct (col, value) pairs once.
+    val p = plan("profile_columns")
+    assert(!p.contains("gid"), p)
+    assert(p.contains("HashAggregate") && p.contains("partial_"), p)
+  }
+
+  test("events_attribution is one user-sorted window — no self-join") {
+    val p = plan("events_attribution")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("ts_ewma folds in one window pass + one hash aggregate, no join") {
+    val p = plan("ts_ewma")
+    assert(p.contains("Window") && p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("cosine kernel stays inside whole-stage codegen") {
     val df = SparkEntry.queries("dedup_near_cosine")(spark, sfDir)
     df.collect() // finalize the AQE plan

@@ -270,6 +270,72 @@ class R10OpsSpec extends SparkSuite {
     }
   }
 
+  test("graph_k_core: ledger equals a literal 3-round peel") {
+    val rows = run("graph_k_core").collect()
+    assert(rows.map(_.getAs[Long]("round")).toSeq == Seq(1L, 2L, 3L))
+    // brute-force the peel from the co-purchase definition
+    val baskets = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .groupBy(_.getAs[Long]("l_orderkey"))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("l_partkey")).toSet }
+    var adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    baskets.foreach { s =>
+      for (u <- s; v <- s if u < v) {
+        adj(u) = adj(u) + v; adj(v) = adj(v) + u
+      }
+    }
+    val twoE = adj.values.map(_.size.toLong).sum
+    val k = twoE * 7 / (adj.size * 8)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k") == k, s"k ${r.getAs[Long]("k")} vs $k")
+      val (low, high) = adj.partition(_._2.size < k)
+      assert(r.getAs[Long]("n_removed") == low.size.toLong, r.toString)
+      assert(r.getAs[Long]("n_remaining") == high.size.toLong, r.toString)
+      // peel: drop low-degree nodes, prune their edges, drop isolates
+      val gone = low.keySet.toSet
+      adj = adj.collect {
+        case (u, ns) if !gone.contains(u) && (ns -- gone).nonEmpty =>
+          u -> (ns -- gone)
+      }.to(scala.collection.mutable.Map).withDefaultValue(Set.empty)
+    }
+  }
+
+  test("ts_seasonality: detrended components cancel, counts conserved") {
+    val rows = run("ts_seasonality").collect()
+    assert(rows.map(_.getAs[Long]("hod")).toSeq == (0L to 23L))
+    val total = Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    // each day's residuals sum to zero, so the n-weighted seasonal
+    // components must cancel globally
+    val weighted = rows.map(r => r.getAs[Long]("n") * r.getAs[Double]("seasonal_r")).sum
+    assert(math.abs(weighted) < total * 5e-4, s"weighted seasonal sum $weighted")
+  }
+
+  test("agg_ratio_ci: Wilson bounds bracket the estimate and match a recount") {
+    val rows = run("agg_ratio_ci").collect()
+    assert(rows.length == 5)
+    val ev = Tables.events(spark, sfDir)
+      .select("event_type", "value").collect()
+      .groupBy(_.getAs[String]("event_type"))
+    rows.foreach { r =>
+      val (n, s) = (r.getAs[Long]("n"), r.getAs[Long]("n_succ"))
+      val es = ev(r.getAs[String]("event_type"))
+      assert(n == es.length.toLong)
+      assert(s == es.count(_.getAs[Double]("value") > 500.0).toLong)
+      val (pr, lo, hi) = (r.getAs[Double]("p_r"), r.getAs[Double]("ci_lo_r"),
+        r.getAs[Double]("ci_hi_r"))
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= pr + 1e-9 && pr <= hi + 1e-9, r.toString)
+      // direct Wilson recount
+      val p = s.toDouble / n
+      val z2 = 3.8416
+      val center = p + z2 / (2 * n)
+      val half = 1.96 * math.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n))
+      val denom = 1 + z2 / n
+      assert(math.abs((center - half) / denom - lo) < 1e-4, r.toString)
+      assert(math.abs((center + half) / denom - hi) < 1e-4, r.toString)
+    }
+  }
+
   test("graph_jaccard_neighbors: score formula exact on a brute-force recount") {
     val rows = run("graph_jaccard_neighbors").collect()
     assert(rows.nonEmpty)
