@@ -140,6 +140,36 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    // BLOOM RUNTIME-FILTER JOIN (r10): the join-pruning pattern that
+    // matters when the dim side is too big to broadcast but its KEY SET
+    // still compresses — build an exact-size bloom over the selective
+    // dim keys (a bounded driver artifact, ~128 KiB, the same contract
+    // as the k-means/PQ codebooks), prune the fact table BEFORE its
+    // shuffle with the codegen'd probe, then let the exact join remove
+    // the false positives. No false negatives ⟹ result ≡ the plain
+    // join, which is exactly what the oracle checks; the win at 100 TB
+    // is that ~99 % of fact rows never enter the exchange. Spark's own
+    // runtime row-filtering covers simple cases — this is the explicit,
+    // plannable form of it.
+    "join_bloom_runtime_filter" -> { (s, dir) =>
+      val dim = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val blob = dim
+        .agg(graft.functions.BloomFilterAgg.bloom_agg(
+          xxhash64(col("o_orderkey")), 1 << 20, 5))
+        .head().getAs[Array[Byte]](0)
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .filter(graft.functions.BloomFilterAgg.bloom_might_contain(
+          lit(blob), xxhash64(col("l_orderkey"))))
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+
     // As-of join: for each purchase, the latest click value at or before it,
     // via the merge-ordered window emulation (no native as-of in Spark SQL;
     // at 100 TB this is a single shuffle on user_id + in-partition sort).
@@ -482,6 +512,14 @@ object RelationalQueries {
         |       round(sum(coalesce(l_quantity, 0)), 2) AS qty_sum
         |FROM orders LEFT JOIN lineitem
         |  ON o_orderkey = l_orderkey AND l_quantity > 45
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "join_bloom_runtime_filter" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "join_right" ->

@@ -325,6 +325,27 @@ object TimeWindowQueries {
           round(avg(col("value")), 4).as("mean_v_r"),
           round(avg(col("value") - col("day_mean")), 4).as("seasonal_r"))
         .orderBy("hod")
+    },
+
+    // OHLC CANDLES (r10): the downsampling shape every metrics/market
+    // store runs — per 10-minute bucket: open (first value), high, low,
+    // close (last value), count. ONE map-side-combined hash aggregate:
+    // open/close are min_by/max_by on the event time, so no per-bucket
+    // sort and no window — the whole candle reduces in partial
+    // aggregates. Time is the ordering key alone: event timestamps are
+    // unique at every sf (µs precision, ~minute gaps; `R10OpsSpec`
+    // guards the uniqueness so a fixture change is caught), which keeps
+    // the first/last picks portable to DuckDB's two-argument arg_min.
+    "ts_ohlc" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(unix_micros(col("ts")).as("t"), col("value"))
+        .groupBy(expr("t div 600000000").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min_by(col("value"), col("t")), 2).as("open_r"),
+          round(max(col("value")), 2).as("high_r"),
+          round(min(col("value")), 2).as("low_r"),
+          round(max_by(col("value"), col("t")), 2).as("close_r"))
+        .orderBy("bucket")
     })
 
   val oracles: Map[String, String] = Map(
@@ -516,5 +537,14 @@ object TimeWindowQueries {
         |       round(avg(value), 4) AS mean_v_r,
         |       round(avg(value - day_mean), 4) AS seasonal_r
         |FROM ev JOIN trend USING (day)
-        |GROUP BY hod ORDER BY hod""".stripMargin)
+        |GROUP BY hod ORDER BY hod""".stripMargin,
+
+    "ts_ohlc" ->
+      """SELECT CAST(epoch_us(ts) // 600000000 AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(arg_min(value, epoch_us(ts)), 2) AS open_r,
+        |       round(max(value), 2) AS high_r,
+        |       round(min(value), 2) AS low_r,
+        |       round(arg_max(value, epoch_us(ts)), 2) AS close_r
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin)
 }

@@ -271,6 +271,19 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("bloom runtime filter prunes the fact side below the join") {
+    // the codegen'd probe must sit in a Filter on the lineitem scan —
+    // pruning before the exchange is the entire point of the pattern
+    val df = SparkEntry.queries("join_bloom_runtime_filter")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("bloom_might_contain"), p)
+    val filterIdx = p.linesIterator.indexWhere(_.contains("bloom_might_contain"))
+    val joinIdx = p.linesIterator.indexWhere(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"probe filter (line $filterIdx) not below the join (line $joinIdx)\n$p")
+  }
+
   test("cosine kernel stays inside whole-stage codegen") {
     val df = SparkEntry.queries("dedup_near_cosine")(spark, sfDir)
     df.collect() // finalize the AQE plan

@@ -336,6 +336,60 @@ class R10OpsSpec extends SparkSuite {
     }
   }
 
+  test("ts_ohlc: candles match a brute recount; ts uniqueness contract holds") {
+    val ev = Tables.events(spark, sfDir)
+      .select(unix_micros(col("ts")).as("t"), col("value")).collect()
+    // the open/close picks are keyed by time alone — guard the fixture
+    // property that makes that deterministic
+    assert(ev.map(_.getAs[Long]("t")).distinct.length == ev.length,
+      "event timestamps are no longer unique — ts_ohlc needs a tie-break")
+    val rows = run("ts_ohlc").collect()
+    val byBucket = ev.groupBy(_.getAs[Long]("t") / 600000000L)
+    assert(rows.length == byBucket.size)
+    rows.foreach { r =>
+      val es = byBucket(r.getAs[Long]("bucket")).sortBy(_.getAs[Long]("t"))
+      val vs = es.map(_.getAs[Double]("value"))
+      assert(r.getAs[Long]("n") == es.length.toLong, r.toString)
+      assert(math.abs(r.getAs[Double]("open_r") - vs.head) < 5e-3, r.toString)
+      assert(math.abs(r.getAs[Double]("close_r") - vs.last) < 5e-3, r.toString)
+      assert(math.abs(r.getAs[Double]("high_r") - vs.max) < 5e-3, r.toString)
+      assert(math.abs(r.getAs[Double]("low_r") - vs.min) < 5e-3, r.toString)
+    }
+  }
+
+  test("join_bloom_runtime_filter: bloom prunes without changing the join result") {
+    // result ≡ the plain (unfiltered) join — no false negatives survive
+    val rows = run("join_bloom_runtime_filter").collect()
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice").collect()
+      .filter(_.getAs[Double]("o_totalprice") > 400000.0)
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[String]("o_orderpriority"))
+      .toMap
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity").collect()
+    val want = li.flatMap(l => orders.get(l.getAs[Long]("l_orderkey"))
+        .map(p => p -> l.getAs[Double]("l_quantity")))
+      .groupBy(_._1)
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val g = want(r.getAs[String]("o_orderpriority"))
+      assert(r.getAs[Long]("n_lines") == g.length.toLong, r.toString)
+      assert(math.abs(r.getAs[Double]("sum_qty") - g.map(_._2).sum) < 1e-2, r.toString)
+    }
+    // and the prune BITES: far fewer fact rows pass the bloom than exist
+    val dim = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 400000.0).select("o_orderkey")
+    val blob = dim.agg(graft.functions.BloomFilterAgg.bloom_agg(
+        xxhash64(col("o_orderkey")), 1 << 20, 5))
+      .head().getAs[Array[Byte]](0)
+    val passed = Tables.lineitem(spark, sfDir)
+      .filter(graft.functions.BloomFilterAgg.bloom_might_contain(
+        lit(blob), xxhash64(col("l_orderkey")))).count()
+    val matched = want.values.map(_.length.toLong).sum
+    assert(passed >= matched, "bloom dropped a true match (false negative)")
+    assert(passed < li.length / 2, s"bloom pruned nothing: $passed of ${li.length}")
+  }
+
   test("graph_jaccard_neighbors: score formula exact on a brute-force recount") {
     val rows = run("graph_jaccard_neighbors").collect()
     assert(rows.nonEmpty)
