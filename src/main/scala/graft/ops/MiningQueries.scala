@@ -156,6 +156,35 @@ object MiningQueries {
             / (lit(1.0) + lit(z2) / col("n")), 4).as("ci_hi_r"))
         .orderBy("event_type")
     },
+
+    // ONE-WAY ANOVA (r10): does the event type explain the value? The
+    // classic variance decomposition — between-group (SSB) vs
+    // within-group (SSW) sum of squares and the F statistic — computed
+    // from ONE grouped pass collecting (n, Σx, Σx²) per arm and a 5-row
+    // combine: SSW_g = Σx² − (Σx)²/n needs no second data pass, so the
+    // full decomposition is two stacked hash aggregates at any corpus
+    // size (the textbook two-pass mean-then-deviation formulation would
+    // re-scan 100 TB).
+    "agg_anova" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("ng"),
+          sum(col("value")).as("sg"),
+          sum(col("value") * col("value")).as("qg"))
+        .agg(
+          count(lit(1)).as("k"),
+          sum(col("ng")).cast("long").as("n"),
+          round(sum(col("qg")) - sum(col("sg")) * sum(col("sg")) / sum(col("ng")), 2)
+            .as("sst_r"),
+          round(sum(col("qg")) - sum(col("sg") * col("sg") / col("ng")), 2).as("ssw_r"),
+          round(sum(col("sg") * col("sg") / col("ng"))
+            - sum(col("sg")) * sum(col("sg")) / sum(col("ng")), 2).as("ssb_r"),
+          round(((sum(col("sg") * col("sg") / col("ng"))
+            - sum(col("sg")) * sum(col("sg")) / sum(col("ng")))
+            / (count(lit(1)) - 1))
+            / ((sum(col("qg")) - sum(col("sg") * col("sg") / col("ng")))
+              / (sum(col("ng")) - count(lit(1)))), 4).as("f_r"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -223,5 +252,21 @@ object MiningQueries {
         |              + 1.96 * sqrt(p * (1.0 - p) / n
         |                            + 3.8416 / (4.0 * n * n)))
         |             / (1.0 + 3.8416 / n), 4) AS ci_hi_r
-        |FROM p ORDER BY event_type""".stripMargin)
+        |FROM p ORDER BY event_type""".stripMargin,
+
+    "agg_anova" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS ng,
+        |         sum(value) AS sg, sum(value * value) AS qg
+        |  FROM events GROUP BY event_type)
+        |SELECT CAST(count(*) AS BIGINT) AS k,
+        |       CAST(sum(ng) AS BIGINT) AS n,
+        |       round(sum(qg) - sum(sg) * sum(sg) / sum(ng), 2) AS sst_r,
+        |       round(sum(qg) - sum(sg * sg / ng), 2) AS ssw_r,
+        |       round(sum(sg * sg / ng) - sum(sg) * sum(sg) / sum(ng), 2) AS ssb_r,
+        |       round(((sum(sg * sg / ng) - sum(sg) * sum(sg) / sum(ng))
+        |              / (count(*) - 1))
+        |             / ((sum(qg) - sum(sg * sg / ng)) / (sum(ng) - count(*))), 4)
+        |         AS f_r
+        |FROM g""".stripMargin)
 }

@@ -170,6 +170,27 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     },
 
+    // SALTED SKEW JOIN (r10): `Skew.saltedJoin` as a first-class query —
+    // the explicit mitigation for the one-key-too-hot-for-any-task case
+    // AQE's skew split can't always save (a single key larger than a
+    // task's memory). The fact side gets a deterministic per-row salt
+    // (hash of a disambiguator column, never rand() — retries must land
+    // identically), the dim side replicates 8×, and the join key becomes
+    // (key, salt) so the hottest key spreads over 8 reducers. Salting is
+    // correctness-neutral by construction; the oracle is the PLAIN join,
+    // which is exactly the point.
+    "join_salted_skew" -> { (s, dir) =>
+      val facts = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey"), col("l_quantity"))
+      val dim = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("ok"), col("o_orderpriority"))
+      Skew.saltedJoin(facts, dim, "ok", "l_partkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+
     // As-of join: for each purchase, the latest click value at or before it,
     // via the merge-ordered window emulation (no native as-of in Spark SQL;
     // at 100 TB this is a single shuffle on user_id + in-partition sort).
@@ -520,6 +541,13 @@ object RelationalQueries {
         |       round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 400000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "join_salted_skew" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "join_right" ->

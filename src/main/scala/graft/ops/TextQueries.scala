@@ -41,6 +41,25 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // TOKENIZER FERTILITY (r10): tokens-per-100-chars by (lang, source) —
+    // the budget planner's number (how many training tokens a byte of
+    // this slice buys) and the canary for tokenizer/language mismatch
+    // (a slice whose fertility collapses is being shredded into bytes).
+    // Exact integer per-mille arithmetic over two summed counts; one
+    // map-side-combined hash aggregate, output O(slices).
+    "text_fertility" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), col("source"),
+          size(toks).cast("long").as("n_toks"), col("n_chars"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("sum_toks"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("toks_per_100c_pm",
+          expr("(sum_toks * 100000) div sum_chars"))
+        .orderBy("lang", "source")
+    },
+
     // Term frequency / top terms: one shuffle on the term key.
     "text_top_terms" -> { (s, dir) =>
       Tables.documents(s, dir)
@@ -1190,6 +1209,14 @@ object TextQueries {
         |       (CAST(n_overlap AS DOUBLE) / n_sh >= 0.5) AS contaminated
         |FROM ov JOIN card ON card.doc_id = ov.doc_id
         |ORDER BY ov.doc_id""".stripMargin,
+
+    "text_fertility" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_toks,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST((sum(len(string_split(text, ' '))) * 100000)
+        |            // sum(n_chars) AS BIGINT) AS toks_per_100c_pm
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

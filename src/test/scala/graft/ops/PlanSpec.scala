@@ -284,6 +284,11 @@ class PlanSpec extends SparkSuite {
       s"probe filter (line $filterIdx) not below the join (line $joinIdx)\n$p")
   }
 
+  test("salted join really joins on (key, salt)") {
+    val p = plan("join_salted_skew")
+    assert(p.contains("__salt"), p)
+  }
+
   test("cosine kernel stays inside whole-stage codegen") {
     val df = SparkEntry.queries("dedup_near_cosine")(spark, sfDir)
     df.collect() // finalize the AQE plan

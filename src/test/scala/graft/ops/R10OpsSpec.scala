@@ -390,6 +390,64 @@ class R10OpsSpec extends SparkSuite {
     assert(passed < li.length / 2, s"bloom pruned nothing: $passed of ${li.length}")
   }
 
+  test("agg_anova: decomposition identity and a direct recount") {
+    val r = run("agg_anova").collect().head
+    // SST = SSB + SSW (the identity the decomposition exists for)
+    assert(math.abs(r.getAs[Double]("sst_r")
+      - (r.getAs[Double]("ssb_r") + r.getAs[Double]("ssw_r"))) < 0.05, r.toString)
+    val ev = Tables.events(spark, sfDir)
+      .select("event_type", "value").collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.map(_.getAs[Double]("value"))).toMap
+    val n = ev.values.map(_.length).sum
+    val k = ev.size
+    assert(r.getAs[Long]("k") == k.toLong && r.getAs[Long]("n") == n.toLong)
+    val grand = ev.values.flatten.sum / n
+    val ssb = ev.values.map(g => g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = ev.values.map(g => { val m = g.sum / g.length
+      g.map(x => (x - m) * (x - m)).sum }).sum
+    assert(math.abs(r.getAs[Double]("ssb_r") - ssb) < 0.5, s"ssb $ssb")
+    assert(math.abs(r.getAs[Double]("ssw_r") - ssw) < 0.5, s"ssw $ssw")
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(r.getAs[Double]("f_r") - f) < 1e-3, s"F $f")
+  }
+
+  test("text_fertility: per-slice integer arithmetic matches a recount") {
+    val rows = run("text_fertility").collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "source", "text", "n_chars").collect()
+      .groupBy(r => (r.getAs[String]("lang"), r.getAs[String]("source")))
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val g = docs((r.getAs[String]("lang"), r.getAs[String]("source")))
+      val toks = g.map(_.getAs[String]("text").split(" ", -1).length.toLong).sum
+      val chars = g.map(_.getAs[Long]("n_chars")).sum
+      assert(r.getAs[Long]("n_docs") == g.length.toLong, r.toString)
+      assert(r.getAs[Long]("sum_toks") == toks, r.toString)
+      assert(r.getAs[Long]("sum_chars") == chars, r.toString)
+      assert(r.getAs[Long]("toks_per_100c_pm") == toks * 100000L / chars, r.toString)
+    }
+  }
+
+  test("join_salted_skew: salting is invisible in the result") {
+    val rows = run("join_salted_skew").collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Double]("sum_qty"))).toMap
+    val prio = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority").collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[String]("o_orderpriority")).toMap
+    val want = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity").collect()
+      .flatMap(l => prio.get(l.getAs[Long]("l_orderkey"))
+        .map(_ -> l.getAs[Double]("l_quantity")))
+      .groupBy(_._1)
+    assert(rows.keySet == want.keySet)
+    want.foreach { case (p, g) =>
+      assert(rows(p)._1 == g.length.toLong, p)
+      assert(math.abs(rows(p)._2 - g.map(_._2).sum) < 1e-2, p)
+    }
+  }
+
   test("graph_jaccard_neighbors: score formula exact on a brute-force recount") {
     val rows = run("graph_jaccard_neighbors").collect()
     assert(rows.nonEmpty)
