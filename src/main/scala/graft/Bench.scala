@@ -109,13 +109,18 @@ object Bench {
             Seq.empty
         }
       val vec = Future(safe("vector")(graft.ops.VectorQueries.warmCaches(spark, sfDir)))
+      // graph edge index: lineitem-only, disjoint from the text/vector
+      // chains, so it warms concurrently too (r10 — seven graph queries
+      // each rebuilt the ~2 s edge set before it was cached)
+      val gra = Future(safe("graph")(graft.ops.GraphQueries.warmCaches(spark, sfDir)))
       val ded = safe("dedup")(graft.ops.DedupQueries.warmCaches(spark, sfDir))
       val cur = safe("curation") {
         val t0 = System.nanoTime()
         CurationPipeline.stages(spark, sfDir) // eager checkpoints, cached
         Seq("curation_stages" -> (System.nanoTime() - t0) / 1e9)
       }
-      ded ++ cur ++ Await.result(vec, Duration.Inf)
+      ded ++ cur ++ Await.result(vec, Duration.Inf) ++
+        Await.result(gra, Duration.Inf)
     }
     val indexWallSec = (System.nanoTime() - idxT0) / 1e9
     // MACHINE-SPEED CALIBRATION: identical code benched 71.2 s vs 94.2 s

@@ -31,8 +31,24 @@ import graft.Tables
   */
 object GraphQueries {
 
-  /** Distinct co-purchase edges (u < v), u/v = l_partkey. */
-  private def edges(s: SparkSession, dir: String): DataFrame = {
+  /** Edge-set cache, materialized once per (session, dir) — the same
+    * session-lifetime index policy as the dedup family's pair caches:
+    * every graph query starts from the identical distinct co-purchase
+    * edge set (the per-order self-join + distinct is ~2 s at sf0.1, and
+    * seven queries rebuilt it independently — ~14 s of redundant work per
+    * bench pass before r10 cached it). localCheckpoint, NOT persist():
+    * measured, the InMemoryRelation from persist() made every consumer
+    * SLOWER than no cache at all (k-core 7.9 → 36 s — the columnar cache
+    * boundary changes downstream join planning), while the checkpointed
+    * RDD keeps the consumers' plans identical and cut the family roughly
+    * in half (k-core 4.2 s, pagerank 4.4 s, triangles 4.4 s,
+    * common-neighbors 2.0 s). `warmCaches` lets the bench build and time
+    * it as a first-class `index_build` entry.
+    */
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def buildEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -42,6 +58,19 @@ object GraphQueries {
       .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
       .distinct()
+  }
+
+  /** Distinct co-purchase edges (u < v), u/v = l_partkey. */
+  private def edges(s: SparkSession, dir: String): DataFrame = {
+    edgeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    edgeCache.computeIfAbsent((s, dir), _ => buildEdges(s, dir).localCheckpoint())
+  }
+
+  /** Build + materialize the session edge index, timed for the bench. */
+  def warmCaches(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    val t0 = System.nanoTime()
+    edges(s, dir).count()
+    Seq("graph_edges" -> (System.nanoTime() - t0) / 1e9)
   }
 
   /** Edges in both directions — the undirected adjacency list. */
