@@ -195,8 +195,11 @@ object TimeWindowQueries {
         .withColumn("prev_v", lag(col("value"), 1).over(w))
         .filter(col("prev_v").isNotNull)
         .groupBy("event_type")
+        // + 0.0 canonicalizes a rounded −0.0 to +0.0 — a near-zero
+        // autocorrelation can round to signed zero, which the two engines
+        // FORMAT differently (the r9 JL-projection lesson; bit at sf0.1)
         .agg(count(lit(1)).as("n_pairs"),
-          round(corr(col("value"), col("prev_v")), 4).as("autocorr_r"))
+          (round(corr(col("value"), col("prev_v")), 4) + 0.0).as("autocorr_r"))
         .orderBy("event_type")
     },
 
@@ -303,7 +306,7 @@ object TimeWindowQueries {
         .join(dense.as("p"), col("c.bucket") + col("lag") === col("p.bucket"))
         .groupBy("lag")
         .agg(count(lit(1)).as("n_buckets"),
-          round(corr(col("c.n_click"), col("p.n_buy")), 4).as("xcorr_r"))
+          (round(corr(col("c.n_click"), col("p.n_buy")), 4) + 0.0).as("xcorr_r"))
         .orderBy("lag")
     },
 
@@ -323,7 +326,7 @@ object TimeWindowQueries {
         .groupBy("hod")
         .agg(count(lit(1)).as("n"),
           round(avg(col("value")), 4).as("mean_v_r"),
-          round(avg(col("value") - col("day_mean")), 4).as("seasonal_r"))
+          (round(avg(col("value") - col("day_mean")), 4) + 0.0).as("seasonal_r"))
         .orderBy("hod")
     },
 
@@ -463,7 +466,7 @@ object TimeWindowQueries {
         |         lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_v
         |  FROM events)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
-        |       round(corr(value, prev_v), 4) AS autocorr_r
+        |       round(corr(value, prev_v), 4) + 0.0 AS autocorr_r
         |FROM l WHERE prev_v IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -523,7 +526,7 @@ object TimeWindowQueries {
         |         coalesce(c.n_buy, 0) AS n_buy
         |  FROM grid g LEFT JOIN counts c ON g.bucket = c.bucket)
         |SELECT lag, CAST(count(*) AS BIGINT) AS n_buckets,
-        |       round(corr(c.n_click, p.n_buy), 4) AS xcorr_r
+        |       round(corr(c.n_click, p.n_buy), 4) + 0.0 AS xcorr_r
         |FROM dense c
         |CROSS JOIN (VALUES (0::BIGINT), (1::BIGINT), (2::BIGINT)) l(lag)
         |JOIN dense p ON c.bucket + l.lag = p.bucket
@@ -535,7 +538,7 @@ object TimeWindowQueries {
         |trend AS (SELECT day, avg(value) AS day_mean FROM ev GROUP BY day)
         |SELECT hod, CAST(count(*) AS BIGINT) AS n,
         |       round(avg(value), 4) AS mean_v_r,
-        |       round(avg(value - day_mean), 4) AS seasonal_r
+        |       round(avg(value - day_mean), 4) + 0.0 AS seasonal_r
         |FROM ev JOIN trend USING (day)
         |GROUP BY hod ORDER BY hod""".stripMargin,
 
