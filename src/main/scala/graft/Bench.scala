@@ -112,7 +112,8 @@ object Bench {
       // graph edge index: lineitem-only, disjoint from the text/vector
       // chains, so it warms concurrently too (r10 — seven graph queries
       // each rebuilt the ~2 s edge set before it was cached)
-      val gra = Future(safe("graph")(graft.ops.GraphQueries.warmCaches(spark, sfDir)))
+      val gra = Future(safe("graph")(graft.ops.GraphQueries.warmCaches(spark, sfDir)) ++
+        safe("mining")(graft.ops.MiningQueries.warmCaches(spark, sfDir)))
       val ded = safe("dedup")(graft.ops.DedupQueries.warmCaches(spark, sfDir))
       val cur = safe("curation") {
         val t0 = System.nanoTime()

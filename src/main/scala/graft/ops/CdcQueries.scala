@@ -329,12 +329,19 @@ object CdcQueries {
     // and only ledger rows shuffle. Provenance columns (n_base/n_delta)
     // pin that the merge really consumed both sides.
     "cdc_ivm_agg" -> { (s, dir) =>
+      // INTEGER-CENTS ledgers: the value sums go through
+      // floor(v·100+0.5) BEFORE summation so the base ledger, the delta
+      // ledger, and their merge are all integer-EXACT — the same house
+      // rule every cross-engine float hazard here follows, and doubly
+      // right for IVM, where a float ledger would accumulate drift over
+      // unbounded maintenance batches.
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
       def ledger(df: DataFrame, nAs: String): DataFrame =
         df.groupBy(col("user_id").as("pk"))
           .agg(count(lit(1)).as(nAs),
             sum(when(col("event_type") === "error", -1L).otherwise(1L)).as("net_n"),
-            sum(when(col("event_type") === "error", -col("value"))
-              .otherwise(col("value"))).as("net_v"))
+            sum(when(col("event_type") === "error", -cents).otherwise(cents))
+              .as("net_c"))
       val ev = Tables.events(s, dir)
       val base = ledger(ev.filter(col("event_id") % 10 < 7), "n_base")
       val delta = ledger(ev.filter(col("event_id") % 10 >= 7), "n_delta")
@@ -345,8 +352,8 @@ object CdcQueries {
           coalesce(col("n_delta"), lit(0L)).as("n_delta"),
           (coalesce(col("b.net_n"), lit(0L)) + coalesce(col("d.net_n"), lit(0L)))
             .as("net_n"),
-          round(coalesce(col("b.net_v"), lit(0.0))
-            + coalesce(col("d.net_v"), lit(0.0)), 2).as("net_v_r"))
+          ((coalesce(col("b.net_c"), lit(0L)) + coalesce(col("d.net_c"), lit(0L)))
+            / 100.0).as("net_v_r"))
         .orderBy("pk")
     },
 
@@ -370,9 +377,11 @@ object CdcQueries {
       val aOld = a.filter(col("o_orderkey") % 5 =!= 0)
       val dB = b.filter(col("c_custkey") % 7 === 0)
       val bOld = b.filter(col("c_custkey") % 7 =!= 0)
+      // integer cents (see cdc_ivm_agg): partial ledgers merge exactly
+      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
       def led(df: DataFrame, nAs: String, vAs: String): DataFrame =
         df.groupBy(col("c_nationkey").as("nation"))
-          .agg(count(lit(1)).as(nAs), sum(col("o_totalprice")).as(vAs))
+          .agg(count(lit(1)).as(nAs), sum(cents).as(vAs))
       val vOld = led(aOld.join(broadcast(bOld),
         col("o_custkey") === col("c_custkey")), "n_old", "v_old")
       val dV = led(
@@ -387,8 +396,8 @@ object CdcQueries {
           coalesce(col("n_delta"), lit(0L)).as("n_delta"),
           (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_delta"), lit(0L)))
             .as("n_pairs"),
-          round(coalesce(col("v_old"), lit(0.0)) + coalesce(col("v_delta"), lit(0.0)), 2)
-            .as("sum_price_r"))
+          ((coalesce(col("v_old"), lit(0L)) + coalesce(col("v_delta"), lit(0L)))
+            / 100.0).as("sum_price_r"))
         .orderBy("nation")
     })
 
@@ -551,7 +560,9 @@ object CdcQueries {
         |         AS n_delta,
         |       CAST(sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) AS BIGINT)
         |         AS net_n,
-        |       round(sum(CASE WHEN event_type = 'error' THEN -value ELSE value END), 2)
+        |       sum(CASE WHEN event_type = 'error'
+        |                THEN -CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |                ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END) / 100.0
         |         AS net_v_r
         |FROM events GROUP BY user_id ORDER BY pk""".stripMargin,
 
@@ -562,7 +573,8 @@ object CdcQueries {
         |       CAST(sum(CASE WHEN o_orderkey % 5 = 0 OR c_custkey % 7 = 0
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
         |       CAST(count(*) AS BIGINT) AS n_pairs,
-        |       round(sum(o_totalprice), 2) AS sum_price_r
+        |       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+        |         AS sum_price_r
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -78,6 +78,23 @@ object GraphQueries {
     e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
 
+  /** Co-neighbor candidate pairs (a < b) with their shared-neighbor
+    * count, wedge centers hub-capped at degree ≤ 64 — the ONE wedge
+    * enumeration `graph_common_neighbors` and `graph_jaccard_neighbors`
+    * both build on (the cap bounds candidates by C(64,2)·|V| regardless
+    * of skew; both oracles apply the identical cap, keeping the checks
+    * exact — a cap change here must change both oracle CTEs too).
+    */
+  private def cappedWedgeCandidates(bi: DataFrame): DataFrame = {
+    val deg = bi.groupBy("u").agg(count(lit(1)).as("d"))
+    val small = bi.join(deg.filter(col("d") <= 64), "u")
+    small.as("x").hint("SHUFFLE_HASH")
+      .join(small.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.v").as("a"), col("y.v").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+  }
+
   private val oracleEdgeCtes: String =
     """WITH li AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
       |e AS (SELECT DISTINCT a.pk u, b.pk v FROM li a
@@ -98,17 +115,22 @@ object GraphQueries {
     },
 
     // Triangle census + global clustering coefficient. Spark enumerates
-    // wedges under the degree-peeling orientation (rank = degree·2^31 +
-    // node, edge points at the higher rank): every triangle has exactly
-    // one apex with two out-edges, so the count is exact and the
-    // enumeration is Σ C(outdeg, 2) — bounded by graph arboricity, the
-    // standard scale-out formulation. Joins are hash joins on int keys.
+    // wedges under the degree-peeling orientation (rank = the (degree,
+    // node) PAIR compared lexicographically as a struct, edge points at
+    // the higher rank): every triangle has exactly one apex with two
+    // out-edges, so the count is exact and the enumeration is
+    // Σ C(outdeg, 2) — bounded by graph arboricity, the standard
+    // scale-out formulation. Joins are hash joins on int keys. The rank
+    // is a STRUCT, not the packed long d·2^31 + u an earlier draft used:
+    // packing aliases distinct nodes once ids reach 2^31, which would
+    // silently drop wedges at exactly the corpus sizes this module is
+    // written for.
     "graph_triangles" -> { (s, dir) =>
       val e = edges(s, dir)
       val bi = bidirectional(e)
       val deg = bi.groupBy("u").agg(count(lit(1)).as("d"))
       val rank = deg.select(col("u").as("n"),
-        (col("d") * lit(2147483648L) + col("u")).as("rk"))
+        struct(col("d"), col("u").as("id")).as("rk"))
       // Orient each undirected edge toward the higher (degree, id) rank.
       val ranked = e
         .join(rank.withColumnsRenamed(Map("n" -> "u", "rk" -> "rku")), "u")
@@ -183,14 +205,7 @@ object GraphQueries {
     // anti-join against the edge set.
     "graph_common_neighbors" -> { (s, dir) =>
       val e = edges(s, dir)
-      val bi = bidirectional(e)
-      val deg = bi.groupBy("u").agg(count(lit(1)).as("d"))
-      val small = bi.join(deg.filter(col("d") <= 64), "u")
-      val cand = small.as("x").hint("SHUFFLE_HASH")
-        .join(small.as("y"),
-          col("x.u") === col("y.u") && col("x.v") < col("y.v"))
-        .select(col("x.v").as("a"), col("y.v").as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      val cand = cappedWedgeCandidates(bidirectional(e))
       cand.join(e, cand("a") === e("u") && cand("b") === e("v"), "left_anti")
         .orderBy(col("n_common").desc, col("a"), col("b"))
         .limit(50)
@@ -208,16 +223,9 @@ object GraphQueries {
     // engine-portable. Unlike the link-prediction query, existing edges
     // are kept: similarity is meaningful between connected nodes too.
     "graph_jaccard_neighbors" -> { (s, dir) =>
-      val e = edges(s, dir)
-      val bi = bidirectional(e)
+      val bi = bidirectional(edges(s, dir))
       val deg = bi.groupBy("u").agg(count(lit(1)).as("d"))
-      val small = bi.join(deg.filter(col("d") <= 64), "u")
-      val cand = small.as("x").hint("SHUFFLE_HASH")
-        .join(small.as("y"),
-          col("x.u") === col("y.u") && col("x.v") < col("y.v"))
-        .select(col("x.v").as("a"), col("y.v").as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
-      cand
+      cappedWedgeCandidates(bi)
         .join(broadcast(deg.select(col("u").as("a"), col("d").as("d_a"))), "a")
         .join(broadcast(deg.select(col("u").as("b"), col("d").as("d_b"))), "b")
         .select(col("a"), col("b"), col("n_common"), col("d_a"), col("d_b"),

@@ -33,10 +33,7 @@ object MiningQueries {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
 
-  /** Pair supports (a < b) + each item's basket count + total basket count.
-    * Columns: a, b, support, n_a, n_b, n_orders.
-    */
-  private def pairSupports(s: SparkSession, dir: String): DataFrame = {
+  private def buildPairSupports(s: SparkSession, dir: String): DataFrame = {
     val b = baskets(s, dir)
     // Per-item basket counts: |parts| rows — small enough to broadcast at
     // any sf (item vocabulary grows ~sf^1, row count ~sf^1, but the count
@@ -52,6 +49,36 @@ object MiningQueries {
       .join(broadcast(itemCnt.select(col("pk").as("a"), col("n_i").as("n_a"))), "a")
       .join(broadcast(itemCnt.select(col("pk").as("b"), col("n_i").as("n_b"))), "b")
       .crossJoin(broadcast(nOrders))
+  }
+
+  /** Pair supports (a < b) + each item's basket count + total basket count,
+    * columns (a, b, support, n_a, n_b, n_orders) — materialized ONCE per
+    * (session, dir): both assoc queries consume the identical support
+    * ledger, the exact redundant-rebuild shape the graph family's edge
+    * cache eliminates. localCheckpoint, not persist() — same measured
+    * lesson as `GraphQueries.edges` (the InMemoryRelation boundary
+    * regresses downstream join planning).
+    */
+  private val supportCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def pairSupports(s: SparkSession, dir: String): DataFrame = {
+    supportCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    supportCache.computeIfAbsent((s, dir),
+      _ => buildPairSupports(s, dir).localCheckpoint())
+  }
+
+  /** The un-checkpointed construction plan — PlanSpec pins its join
+    * shapes here, since consumers see only the checkpointed RDD scan.
+    */
+  private[ops] def pairSupportsPlan(s: SparkSession, dir: String): DataFrame =
+    buildPairSupports(s, dir)
+
+  /** Build + materialize the session support ledger, timed for the bench. */
+  def warmCaches(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    val t0 = System.nanoTime()
+    pairSupports(s, dir).count()
+    Seq("assoc_supports" -> (System.nanoTime() - t0) / 1e9)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

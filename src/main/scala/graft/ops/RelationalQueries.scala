@@ -150,7 +150,10 @@ object RelationalQueries {
     // join, which is exactly what the oracle checks; the win at 100 TB
     // is that ~99 % of fact rows never enter the exchange. Spark's own
     // runtime row-filtering covers simple cases — this is the explicit,
-    // plannable form of it.
+    // plannable form of it. NOTE: constructing this DataFrame runs the
+    // bounded bloom-build job eagerly (same contract as the k-means/PQ
+    // codebook queries) — callers iterating `SparkEntry.queries` for
+    // plan inspection pay one small dim scan here.
     "join_bloom_runtime_filter" -> { (s, dir) =>
       val dim = Tables.orders(s, dir)
         .filter(col("o_totalprice") > 400000.0)

@@ -30,16 +30,23 @@ object IvmLedger {
 
   final case class Change(pk: Long, event_id: Long, op: String, value: Double)
 
-  /** A key's maintained aggregate view: Σsign, Σsign·value, change count. */
-  final case class Ledger(n_changes: Long, net_n: Long, net_v: Double)
+  /** A key's maintained aggregate view: Σsign, Σsign·cents, change count.
+    * The value ledger is INTEGER CENTS (floor(v·100+0.5)) — a float
+    * ledger would accumulate association-order drift over unbounded
+    * maintenance batches; integer cents make every merge exact, the
+    * same rule the batch `cdc_ivm_agg` follows.
+    */
+  final case class Ledger(n_changes: Long, net_n: Long, net_c: Long)
 
   final case class ChangelogRow(
       pk: Long, batch_changes: Long,
-      before_n: Long, before_v: Double,
-      after_n: Long, after_v: Double,
+      before_n: Long, before_c: Long,
+      after_n: Long, after_c: Long,
       total_changes: Long)
 
-  val empty: Ledger = Ledger(0L, 0L, 0.0)
+  val empty: Ledger = Ledger(0L, 0L, 0L)
+
+  def cents(v: Double): Long = math.floor(v * 100 + 0.5).toLong
 
   /** Fold a batch of changes into a ledger — the kernel shared by the
     * operator, the spec's oracle, and (in spirit) the batch query's
@@ -48,7 +55,7 @@ object IvmLedger {
   def fold(l: Ledger, cs: Iterable[Change]): Ledger =
     cs.foldLeft(l) { (acc, c) =>
       val sign = if (c.op == "error") -1L else 1L
-      Ledger(acc.n_changes + 1, acc.net_n + sign, acc.net_v + sign * c.value)
+      Ledger(acc.n_changes + 1, acc.net_n + sign, acc.net_c + sign * cents(c.value))
     }
 
   def changelog(changes: Dataset[Change]): Dataset[ChangelogRow] = {
@@ -67,8 +74,8 @@ object IvmLedger {
           state.update(after)
           Iterator.single(ChangelogRow(
             pk, batch.size.toLong,
-            before.net_n, before.net_v,
-            after.net_n, after.net_v,
+            before.net_n, before.net_c,
+            after.net_n, after.net_c,
             after.n_changes))
       }
   }

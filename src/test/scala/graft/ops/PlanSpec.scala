@@ -242,8 +242,10 @@ class PlanSpec extends SparkSuite {
     // The per-order self-join is hinted SHUFFLE_HASH (sort would pay an
     // O(n log n) per-partition sort for a join whose per-key group is
     // bounded by basket size); the item-count and total-count ledgers
-    // must ride in by broadcast.
-    val p = plan("assoc_item_pairs")
+    // must ride in by broadcast. The assertion targets the CONSTRUCTION
+    // plan — consumers read the session-checkpointed support ledger.
+    val p = MiningQueries.pairSupportsPlan(spark, sfDir)
+      .queryExecution.executedPlan.toString
     assert(p.contains("ShuffledHashJoin"), p)
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)

@@ -32,11 +32,12 @@ class R10OpsSpec extends SparkSuite {
       val netN = es.map(e =>
         if (e.getAs[String]("event_type") == "error") -1L else 1L).sum
       assert(r.getAs[Long]("net_n") == netN, s"user $u net_n")
-      val netV = es.map { e =>
-        val v = e.getAs[Double]("value")
-        if (e.getAs[String]("event_type") == "error") -v else v
+      val netC = es.map { e =>
+        val c = math.floor(e.getAs[Double]("value") * 100 + 0.5).toLong
+        if (e.getAs[String]("event_type") == "error") -c else c
       }.sum
-      assert(math.abs(r.getAs[Double]("net_v_r") - netV) < 1e-2, s"user $u net_v")
+      // integer-cents ledger: exact, no tolerance
+      assert(r.getAs[Double]("net_v_r") == netC / 100.0, s"user $u net_v")
     }
   }
 
@@ -48,7 +49,7 @@ class R10OpsSpec extends SparkSuite {
       .select("c_custkey", "c_nationkey").collect()
       .map(r => r.getAs[Long]("c_custkey") -> r.getAs[Int]("c_nationkey")).toMap
     // brute-force the full join per nation, splitting old vs delta
-    case class L(var nOld: Long = 0, var nDelta: Long = 0, var v: Double = 0)
+    case class L(var nOld: Long = 0, var nDelta: Long = 0, var c: Long = 0)
     val want = scala.collection.mutable.Map[Int, L]()
     orders.foreach { o =>
       val ck = o.getAs[Long]("o_custkey")
@@ -56,7 +57,7 @@ class R10OpsSpec extends SparkSuite {
         val l = want.getOrElseUpdate(nat, L())
         val isDelta = o.getAs[Long]("o_orderkey") % 5 == 0 || ck % 7 == 0
         if (isDelta) l.nDelta += 1 else l.nOld += 1
-        l.v += o.getAs[Double]("o_totalprice")
+        l.c += math.floor(o.getAs[Double]("o_totalprice") * 100 + 0.5).toLong
       }
     }
     assert(rows.length == want.size)
@@ -67,8 +68,8 @@ class R10OpsSpec extends SparkSuite {
       assert(r.getAs[Long]("n_delta") == l.nDelta, s"nation $nat n_delta")
       // the IVM identity: merged count = old + delta = full recompute
       assert(r.getAs[Long]("n_pairs") == l.nOld + l.nDelta, s"nation $nat n_pairs")
-      assert(math.abs(r.getAs[Double]("sum_price_r") - l.v) < 1e-2,
-        s"nation $nat sum")
+      // integer-cents ledger: exact
+      assert(r.getAs[Double]("sum_price_r") == l.c / 100.0, s"nation $nat sum")
     }
   }
 

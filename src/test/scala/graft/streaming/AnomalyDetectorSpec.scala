@@ -56,11 +56,25 @@ class AnomalyDetectorSpec extends SparkSuite {
     assert(want.nonEmpty)
     for (nSplits <- Seq(1, 4, 9)) {
       val got = runStream(items, nSplits)
-      assert(got.map(_.event_id).toSet == want.keySet,
-        s"flag set diverged at $nSplits splits")
+      // The fold's sequential mean/stddev and Spark's window aggregates
+      // agree to float noise, so an event whose true |z| sits within an
+      // ulp of the 2.5 threshold could legitimately flag on one side
+      // only. No such event exists in this fixture — the sets must match
+      // exactly — but if the symmetric difference is ever non-empty, it
+      // must consist ONLY of such boundary cases; anything else is a bug.
+      val gotIds = got.map(_.event_id).toSet
+      val diff = (gotIds -- want.keySet) ++ (want.keySet -- gotIds)
+      diff.foreach { eid =>
+        val z = got.find(_.event_id == eid).map(_.z)
+          .orElse(want.get(eid)).get
+        assert(math.abs(math.abs(z) - AnomalyDetector.Threshold) < 1e-6,
+          s"event $eid flagged on one side only with non-boundary |z|=$z " +
+            s"at $nSplits splits")
+      }
       got.foreach { a =>
-        assert(math.abs(a.z - want(a.event_id)) < 2e-3,
-          s"event ${a.event_id}: ${a.z} vs ${want(a.event_id)}")
+        want.get(a.event_id).foreach { wz =>
+          assert(math.abs(a.z - wz) < 2e-3, s"event ${a.event_id}: ${a.z} vs $wz")
+        }
         assert(a.n_hist >= AnomalyDetector.MinHist && a.n_hist <= AnomalyDetector.Depth)
       }
     }

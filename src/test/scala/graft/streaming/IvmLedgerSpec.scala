@@ -64,13 +64,14 @@ class IvmLedgerSpec extends SparkSuite {
       assert(byKey.keySet == want.keySet, s"key set at $nSplits splits")
       byKey.foreach { case (pk, emissions) =>
         val ordered = emissions.sortBy(_._1).map(_._2)
-        // chain: before_0 = empty; before_k = after_{k-1}
-        assert(ordered.head.before_n == 0L && ordered.head.before_v == 0.0,
+        // chain: before_0 = empty; before_k = after_{k-1} — EXACT in the
+        // integer-cents ledger, no float tolerance anywhere
+        assert(ordered.head.before_n == 0L && ordered.head.before_c == 0L,
           s"key $pk does not start from the empty ledger")
         ordered.sliding(2).foreach {
           case Seq(a, b) =>
             assert(b.before_n == a.after_n, s"key $pk net_n chain break")
-            assert(math.abs(b.before_v - a.after_v) < 1e-9, s"key $pk net_v chain break")
+            assert(b.before_c == a.after_c, s"key $pk net_c chain break")
           case _ => ()
         }
         // totals: all changes accounted once
@@ -78,8 +79,7 @@ class IvmLedgerSpec extends SparkSuite {
         assert(ordered.last.total_changes == want(pk).n_changes, s"key $pk total")
         // convergence to the batch ledger
         assert(ordered.last.after_n == want(pk).net_n, s"key $pk final net_n")
-        assert(math.abs(ordered.last.after_v - want(pk).net_v) < 1e-6,
-          s"key $pk final net_v")
+        assert(ordered.last.after_c == want(pk).net_c, s"key $pk final net_c")
       }
       // emission volume bounded by touched keys x batches
       assert(got.size <= want.size * (nSplits + 1), s"emissions at $nSplits splits")
@@ -96,7 +96,8 @@ class IvmLedgerSpec extends SparkSuite {
       val pk = r.getAs[Long]("pk")
       val s = got(pk)
       assert(r.getAs[Long]("net_n") == s.after_n, s"key $pk net_n")
-      assert(math.abs(r.getAs[Double]("net_v_r") - s.after_v) < 5e-3, s"key $pk net_v")
+      // both sides are integer cents, so the comparison is EXACT
+      assert(r.getAs[Double]("net_v_r") == s.after_c / 100.0, s"key $pk net_v")
       assert(r.getAs[Long]("n_base") + r.getAs[Long]("n_delta") == s.total_changes,
         s"key $pk change count")
     }
