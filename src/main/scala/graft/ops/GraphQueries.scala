@@ -285,6 +285,24 @@ object GraphQueries {
       round1(d1, 1).unionByName(round1(d2, 2)).unionByName(round1(d3, 3))
         .orderBy("round")
     },
+
+    // DEGREE ASSORTATIVITY (r10): Newman's r — the Pearson correlation
+    // of endpoint degrees over the directed edge list (both directions,
+    // the standard undirected convention). Do high-degree products
+    // co-purchase with other high-degree products, or with the long
+    // tail? One broadcast of the degree table onto each endpoint and a
+    // single corr aggregate; corr's scale invariance cancels the
+    // sample-vs-population normalization between engines, and + 0.0
+    // canonicalizes a near-zero coefficient's signed zero.
+    "graph_assortativity" -> { (s, dir) =>
+      val bi = bidirectional(edges(s, dir))
+      val deg = bi.groupBy("u").agg(count(lit(1)).as("d"))
+      bi
+        .join(broadcast(deg.select(col("u"), col("d").as("d_u"))), "u")
+        .join(broadcast(deg.select(col("u").as("v"), col("d").as("d_v"))), "v")
+        .agg(count(lit(1)).as("n_directed_edges"),
+          (round(corr(col("d_u"), col("d_v")), 4) + 0.0).as("assortativity_r"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -397,5 +415,11 @@ object GraphQueries {
          |         sum(CASE WHEN d >= k THEN 1 ELSE 0 END)
          |  FROM d3, kk)
          |ORDER BY round""".stripMargin,
+
+    "graph_assortativity" ->
+      s"""$oracleEdgeCtes
+         |SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
+         |       round(corr(du.d, dv.d), 4) + 0.0 AS assortativity_r
+         |FROM bi JOIN deg du ON bi.u = du.u JOIN deg dv ON bi.v = dv.u""".stripMargin,
   )
 }

@@ -158,7 +158,9 @@ object MiningQueries {
     // WILSON CONFIDENCE INTERVALS (r10): the experimentation-analytics
     // primitive — per-arm success-rate estimates with 95 % Wilson score
     // bounds (the interval that stays sane at small n and extreme p,
-    // unlike the normal approximation). Success = value > 500 over each
+    // unlike the normal approximation). Success = value > 50 (≈ the
+    // median of the exponential-ish value column — a threshold above the
+    // observed max would make every cell degenerate) over each
     // event-type arm. One map-side-combined hash aggregate collects
     // (n, successes); the interval arithmetic is a closed-form scalar
     // projection over the 5-row ledger — nothing but the two counts ever
@@ -168,7 +170,7 @@ object MiningQueries {
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          sum(when(col("value") > 500.0, 1L).otherwise(0L)).as("n_succ"))
+          sum(when(col("value") > 50.0, 1L).otherwise(0L)).as("n_succ"))
         .withColumn("p", col("n_succ").cast("double") / col("n"))
         .select(
           col("event_type"), col("n"), col("n_succ"),
@@ -211,6 +213,35 @@ object MiningQueries {
             / (count(lit(1)) - 1))
             / ((sum(col("qg")) - sum(col("sg") * col("sg") / col("ng")))
               / (sum(col("ng")) - count(lit(1)))), 4).as("f_r"))
+    },
+
+    // CHI-SQUARED INDEPENDENCE (r10): is the success indicator
+    // (value > 50, the same median-ish cut as agg_ratio_ci) independent
+    // of the event type? The categorical
+    // sibling of `agg_anova`: one grouped pass collects the 5×2
+    // contingency table as (n, successes) per arm, then
+    // χ² = Σ (O−E)²/E over all ten cells from the 5-row ledger —
+    // expected counts derive from the row/column margins, so again no
+    // second data pass. Exact integer observed counts; only the final
+    // statistic is floating point, rounded once.
+    "agg_chi2" -> { (s, dir) =>
+      val g = Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > 50.0, 1L).otherwise(0L)).as("sx"))
+      val tot = g.agg(sum(col("n")).as("nn"), sum(col("sx")).as("ss"))
+      // (O − E)²/E for the success + failure cell of each arm, expected
+      // counts from the margins: E_s = n_g·S/N, E_f = n_g·(N−S)/N
+      val es = col("n") * col("ss") / col("nn")
+      val ef = col("n") * (col("nn") - col("ss")) / col("nn")
+      g.crossJoin(broadcast(tot))
+        .agg(
+          count(lit(1)).as("k"),
+          min(col("nn")).as("n_total"),
+          min(col("ss")).as("n_succ_total"),
+          round(sum((col("sx") - es) * (col("sx") - es) / es
+            + (col("n") - col("sx") - ef) * (col("n") - col("sx") - ef) / ef), 4)
+            .as("chi2_r"))
     },
   )
 
@@ -266,7 +297,7 @@ object MiningQueries {
     "agg_ratio_ci" ->
       """WITH a AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |         CAST(sum(CASE WHEN value > 500.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT)
         |           AS n_succ
         |  FROM events GROUP BY event_type),
         |p AS (SELECT *, CAST(n_succ AS DOUBLE) / n AS p FROM a)
@@ -295,5 +326,22 @@ object MiningQueries {
         |              / (count(*) - 1))
         |             / ((sum(qg) - sum(sg * sg / ng)) / (sum(ng) - count(*))), 4)
         |         AS f_r
-        |FROM g""".stripMargin)
+        |FROM g""".stripMargin,
+
+    "agg_chi2" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS sx
+        |  FROM events GROUP BY event_type),
+        |tot AS (SELECT sum(n) AS nn, sum(sx) AS ss FROM g)
+        |SELECT CAST(count(*) AS BIGINT) AS k,
+        |       CAST(min(nn) AS BIGINT) AS n_total,
+        |       CAST(min(ss) AS BIGINT) AS n_succ_total,
+        |       round(sum((sx - n * ss / nn) * (sx - n * ss / nn)
+        |                   / (n * ss / nn)
+        |                 + (n - sx - n * (nn - ss) / nn)
+        |                   * (n - sx - n * (nn - ss) / nn)
+        |                   / (n * (nn - ss) / nn)), 4) AS chi2_r
+        |FROM g, tot""".stripMargin)
 }

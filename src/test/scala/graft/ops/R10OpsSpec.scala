@@ -322,7 +322,7 @@ class R10OpsSpec extends SparkSuite {
       val (n, s) = (r.getAs[Long]("n"), r.getAs[Long]("n_succ"))
       val es = ev(r.getAs[String]("event_type"))
       assert(n == es.length.toLong)
-      assert(s == es.count(_.getAs[Double]("value") > 500.0).toLong)
+      assert(s == es.count(_.getAs[Double]("value") > 50.0).toLong)
       val (pr, lo, hi) = (r.getAs[Double]("p_r"), r.getAs[Double]("ci_lo_r"),
         r.getAs[Double]("ci_hi_r"))
       assert(lo >= 0.0 && hi <= 1.0 && lo <= pr + 1e-9 && pr <= hi + 1e-9, r.toString)
@@ -447,6 +447,50 @@ class R10OpsSpec extends SparkSuite {
       assert(rows(p)._1 == g.length.toLong, p)
       assert(math.abs(rows(p)._2 - g.map(_._2).sum) < 1e-2, p)
     }
+  }
+
+  test("agg_chi2: statistic matches a direct contingency-table recount") {
+    val r = run("agg_chi2").collect().head
+    val ev = Tables.events(spark, sfDir)
+      .select("event_type", "value").collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.map(_.getAs[Double]("value"))).toMap
+    val n = ev.values.map(_.length.toLong).sum
+    val s = ev.values.map(_.count(_ > 50.0).toLong).sum
+    assert(r.getAs[Long]("k") == ev.size.toLong)
+    assert(r.getAs[Long]("n_total") == n && r.getAs[Long]("n_succ_total") == s)
+    val chi2 = ev.values.map { g =>
+      val (ng, sg) = (g.length.toDouble, g.count(_ > 50.0).toDouble)
+      val es = ng * s / n; val ef = ng * (n - s) / n
+      (sg - es) * (sg - es) / es + (ng - sg - ef) * (ng - sg - ef) / ef
+    }.sum
+    assert(math.abs(r.getAs[Double]("chi2_r") - chi2) < 1e-3, s"chi2 $chi2")
+  }
+
+  test("graph_assortativity: coefficient bounds and a direct recount") {
+    val r = run("graph_assortativity").collect().head
+    val baskets = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .groupBy(_.getAs[Long]("l_orderkey"))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("l_partkey")).toSet }
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    baskets.foreach { st =>
+      for (u <- st; v <- st if u < v) {
+        adj(u) = adj(u) + v; adj(v) = adj(v) + u
+      }
+    }
+    val pairs = adj.toSeq.flatMap { case (u, ns) =>
+      ns.toSeq.map(v => (adj(u).size.toDouble, adj(v).size.toDouble))
+    }
+    assert(r.getAs[Long]("n_directed_edges") == pairs.length.toLong)
+    val a = r.getAs[Double]("assortativity_r")
+    assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, a.toString)
+    val (xs, ys) = (pairs.map(_._1), pairs.map(_._2))
+    val (mx, my) = (xs.sum / xs.length, ys.sum / ys.length)
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val direct = cov / math.sqrt(
+      xs.map(x => (x - mx) * (x - mx)).sum * ys.map(y => (y - my) * (y - my)).sum)
+    assert(math.abs(a - direct) < 1e-3, s"$a vs $direct")
   }
 
   test("graph_jaccard_neighbors: score formula exact on a brute-force recount") {
