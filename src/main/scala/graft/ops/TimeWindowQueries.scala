@@ -330,6 +330,31 @@ object TimeWindowQueries {
         .orderBy("hod")
     },
 
+    // ACTIVITY STREAKS (r10): the gaps-and-islands classic — each user's
+    // longest run of CONSECUTIVE active days, plus how many distinct
+    // runs they have. The island id is pure integer arithmetic
+    // (epoch_day − per-user day ordinal: constant within a consecutive
+    // run, strictly increasing across gaps), so the whole report is the
+    // distinct (user, day) grain, one per-user sorted window for the
+    // ordinal, and two stacked hash aggregates — no self-join, no
+    // sequence explode, exact integers end to end.
+    "window_streaks" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("day")
+      Tables.events(s, dir)
+        .select(col("user_id"), datediff(to_date(col("ts")), lit("1970-01-01"))
+          .cast("long").as("day"))
+        .distinct()
+        .withColumn("island", col("day") - row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum(col("len")).as("n_active_days"))
+        .orderBy("user_id")
+    },
+
     // OHLC CANDLES (r10): the downsampling shape every metrics/market
     // store runs — per 10-minute bucket: open (first value), high, low,
     // close (last value), count. ONE map-side-combined hash aggregate:
@@ -541,6 +566,24 @@ object TimeWindowQueries {
         |       round(avg(value - day_mean), 4) + 0.0 AS seasonal_r
         |FROM ev JOIN trend USING (day)
         |GROUP BY hod ORDER BY hod""".stripMargin,
+
+    "window_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, day,
+        |         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |           AS island
+        |  FROM d),
+        |runs AS (
+        |  SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+        |  FROM i GROUP BY user_id, island)
+        |SELECT user_id, max(len) AS longest_streak,
+        |       CAST(count(*) AS BIGINT) AS n_streaks,
+        |       CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "ts_ohlc" ->
       """SELECT CAST(epoch_us(ts) // 600000000 AS BIGINT) AS bucket,

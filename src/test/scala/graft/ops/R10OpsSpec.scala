@@ -493,6 +493,30 @@ class R10OpsSpec extends SparkSuite {
     assert(math.abs(a - direct) < 1e-3, s"$a vs $direct")
   }
 
+  test("window_streaks: islands match a literal consecutive-day recount") {
+    val rows = run("window_streaks").collect()
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.map(_.getAs[java.sql.Date]("day").toLocalDate.toEpochDay)
+        .sorted.toSeq).toMap
+    assert(rows.length == days.size)
+    rows.foreach { r =>
+      val ds = days(r.getAs[Long]("user_id"))
+      // literal run-length scan over the sorted distinct days
+      val lens = scala.collection.mutable.ArrayBuffer[Long]()
+      var cur = 1L
+      ds.sliding(2).foreach {
+        case Seq(a, b) => if (b == a + 1) cur += 1 else { lens += cur; cur = 1 }
+        case _ => ()
+      }
+      lens += cur
+      assert(r.getAs[Long]("longest_streak") == lens.max, r.toString)
+      assert(r.getAs[Long]("n_streaks") == lens.length.toLong, r.toString)
+      assert(r.getAs[Long]("n_active_days") == ds.length.toLong, r.toString)
+    }
+  }
+
   test("graph_jaccard_neighbors: score formula exact on a brute-force recount") {
     val rows = run("graph_jaccard_neighbors").collect()
     assert(rows.nonEmpty)
