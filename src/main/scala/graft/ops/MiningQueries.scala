@@ -155,6 +155,36 @@ object MiningQueries {
         .orderBy("col_name")
     },
 
+    // BENFORD FIRST-DIGIT PROFILE (r10): the fraud/data-quality screen —
+    // the leading-digit distribution of a naturally-spread money column
+    // against Benford's law. The digit comes from the INTEGER-CENTS
+    // string (integer→string is canonical in both engines; a double
+    // log10 would mis-floor at exact powers of ten), the observed share
+    // is exact integer ppm, and the Benford expectation is a literal
+    // per-digit table (log10(1+1/d) pre-rounded to ppm) so no
+    // transcendental function crosses the oracle. One map-side-combined
+    // 9-group hash aggregate.
+    "agg_benford" -> { (s, dir) =>
+      val benford = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+        4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+        8 -> 51153L, 9 -> 45757L)
+      val expect = benford.foldLeft(lit(0L)) { case (acc, (d, p)) =>
+        when(col("digit") === d.toString, p).otherwise(acc)
+      }
+      Tables.lineitem(s, dir)
+        .select(substring(
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").cast("string"),
+          1, 1).as("digit"))
+        .groupBy("digit")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over())
+        .select(col("digit"), col("n"),
+          expr("(n * 1000000L) div total").as("obs_ppm"),
+          expect.as("benford_ppm"),
+          (expr("(n * 1000000L) div total") - expect).as("dev_ppm"))
+        .orderBy("digit")
+    },
+
     // WILSON CONFIDENCE INTERVALS (r10): the experimentation-analytics
     // primitive — per-arm success-rate estimates with 95 % Wilson score
     // bounds (the interval that stays sane at small n and extreme p,
@@ -293,6 +323,30 @@ object MiningQueries {
         |       min(v) AS v_min, max(v) AS v_max,
         |       round(avg(length(v)), 2) AS avg_len
         |FROM s GROUP BY col_name ORDER BY col_name""".stripMargin,
+
+    "agg_benford" ->
+      """WITH d AS (
+        |  SELECT substr(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |                     AS VARCHAR), 1, 1) AS digit
+        |  FROM lineitem),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+        |t AS (SELECT sum(n) AS total FROM g)
+        |SELECT digit, n,
+        |       CAST((n * 1000000) // total AS BIGINT) AS obs_ppm,
+        |       CAST(CASE digit WHEN '1' THEN 301030 WHEN '2' THEN 176091
+        |                       WHEN '3' THEN 124939 WHEN '4' THEN 96910
+        |                       WHEN '5' THEN 79181 WHEN '6' THEN 66947
+        |                       WHEN '7' THEN 57992 WHEN '8' THEN 51153
+        |                       WHEN '9' THEN 45757 ELSE 0 END AS BIGINT)
+        |         AS benford_ppm,
+        |       CAST((n * 1000000) // total
+        |            - CASE digit WHEN '1' THEN 301030 WHEN '2' THEN 176091
+        |                         WHEN '3' THEN 124939 WHEN '4' THEN 96910
+        |                         WHEN '5' THEN 79181 WHEN '6' THEN 66947
+        |                         WHEN '7' THEN 57992 WHEN '8' THEN 51153
+        |                         WHEN '9' THEN 45757 ELSE 0 END AS BIGINT)
+        |         AS dev_ppm
+        |FROM g, t ORDER BY digit""".stripMargin,
 
     "agg_ratio_ci" ->
       """WITH a AS (

@@ -517,6 +517,26 @@ class R10OpsSpec extends SparkSuite {
     }
   }
 
+  test("agg_benford: digit shares recount exactly; Benford table sums to one") {
+    val rows = run("agg_benford").collect()
+    val cents = Tables.lineitem(spark, sfDir)
+      .select("l_extendedprice").collect()
+      .map(r => math.floor(r.getAs[Double]("l_extendedprice") * 100 + 0.5).toLong)
+    val byDigit = cents.map(_.toString.take(1)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    assert(rows.map(_.getAs[String]("digit")).toSet == byDigit.keySet)
+    val total = cents.length.toLong
+    rows.foreach { r =>
+      val d = r.getAs[String]("digit")
+      assert(r.getAs[Long]("n") == byDigit(d), r.toString)
+      assert(r.getAs[Long]("obs_ppm") == byDigit(d) * 1000000L / total, r.toString)
+      assert(r.getAs[Long]("dev_ppm") ==
+        r.getAs[Long]("obs_ppm") - r.getAs[Long]("benford_ppm"), r.toString)
+    }
+    // the expectation table is a real probability distribution (ppm)
+    assert(rows.map(_.getAs[Long]("benford_ppm")).sum == 1000000L)
+  }
+
   test("graph_jaccard_neighbors: score formula exact on a brute-force recount") {
     val rows = run("graph_jaccard_neighbors").collect()
     assert(rows.nonEmpty)
