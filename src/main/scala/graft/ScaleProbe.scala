@@ -160,6 +160,17 @@ object ScaleProbe {
         println(s"""{"scale":$factor,"dir":"$dir",""" +
           s""""cold":{${qs.map(q => s""""$q":${ms3(cold(q))}""").mkString(",")}},""" +
           s""""warm":{${qs.map(q => s""""$q":${ms3(warm(q))}""").mkString(",")}}}""")
+        // Evict this factor's session caches (r11, ADVICE): each replica
+        // dir builds its own checkpointed edge/support/shingle/vector
+        // artifacts, and without eviction every factor's blocks stay
+        // pinned on disk/memory for the session's remaining lifetime —
+        // at 100× that is tens of GiB underneath the NEXT factor's run.
+        // The 1× baseline dir is evicted too once its probes are done
+        // (nothing re-reads it; exponents use only the recorded times).
+        graft.ops.GraphQueries.clearCache(spark, dir)
+        graft.ops.MiningQueries.clearCache(spark, dir)
+        graft.ops.VectorQueries.clearCache(spark, dir)
+        graft.ops.DedupQueries.clearCache(spark)
         factor -> (cold, warm)
     }
     val (f1, (c1, w1)) = results.head

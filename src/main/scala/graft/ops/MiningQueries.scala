@@ -81,6 +81,17 @@ object MiningQueries {
     Seq("assoc_supports" -> (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Unpersist + drop the cached support ledger for one data dir —
+    * ScaleProbe iterates replica dirs through one session, and without
+    * per-dir eviction each factor's checkpointed ledger stays pinned
+    * until the session stops (same contract as `GraphQueries.clearCache`).
+    */
+  def clearCache(s: SparkSession, dir: String): Unit =
+    Option(supportCache.remove((s, dir))).foreach { df =>
+      org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
+        .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MARKET-BASKET PAIR MINING: the support-counting pass of
     // Apriori/FP-growth over order baskets, with lift in exact integer
@@ -194,7 +205,11 @@ object MiningQueries {
     // event-type arm. One map-side-combined hash aggregate collects
     // (n, successes); the interval arithmetic is a closed-form scalar
     // projection over the 5-row ledger — nothing but the two counts ever
-    // shuffles, at any corpus size.
+    // shuffles, at any corpus size. Edge behavior (r11 note): Wilson is
+    // total on its domain — n ≥ 1 for any grouped row, and at p ∈ {0, 1}
+    // the radicand reduces to z²/4n² > 0 exactly (p·(1−p) is exactly 0.0
+    // in IEEE, never negative), so no guard is needed; both engines
+    // evaluate the identical closed form.
     "agg_ratio_ci" -> { (s, dir) =>
       val z2 = 3.8416 // z² for z = 1.96
       Tables.events(s, dir)
@@ -264,13 +279,19 @@ object MiningQueries {
       // counts from the margins: E_s = n_g·S/N, E_f = n_g·(N−S)/N
       val es = col("n") * col("ss") / col("nn")
       val ef = col("n") * (col("nn") - col("ss")) / col("nn")
+      // Degenerate-margin guard (r11): when the success indicator is
+      // globally all-true or all-false, every es or ef is 0 and χ² is
+      // undefined — emit NULL (the oracle's CASE emits the same NULL, so
+      // the check stays exact on any fixture instead of relying on the
+      // shipped data having both outcomes).
       g.crossJoin(broadcast(tot))
         .agg(
           count(lit(1)).as("k"),
           min(col("nn")).as("n_total"),
           min(col("ss")).as("n_succ_total"),
-          round(sum((col("sx") - es) * (col("sx") - es) / es
-            + (col("n") - col("sx") - ef) * (col("n") - col("sx") - ef) / ef), 4)
+          when(min(col("ss")) > 0 && min(col("nn") - col("ss")) > 0,
+            round(sum((col("sx") - es) * (col("sx") - es) / es
+              + (col("n") - col("sx") - ef) * (col("n") - col("sx") - ef) / ef), 4))
             .as("chi2_r"))
     },
   )
@@ -392,10 +413,12 @@ object MiningQueries {
         |SELECT CAST(count(*) AS BIGINT) AS k,
         |       CAST(min(nn) AS BIGINT) AS n_total,
         |       CAST(min(ss) AS BIGINT) AS n_succ_total,
-        |       round(sum((sx - n * ss / nn) * (sx - n * ss / nn)
-        |                   / (n * ss / nn)
-        |                 + (n - sx - n * (nn - ss) / nn)
-        |                   * (n - sx - n * (nn - ss) / nn)
-        |                   / (n * (nn - ss) / nn)), 4) AS chi2_r
+        |       CASE WHEN min(ss) > 0 AND min(nn - ss) > 0 THEN
+        |         round(sum((sx - n * ss / nn) * (sx - n * ss / nn)
+        |                     / (n * ss / nn)
+        |                   + (n - sx - n * (nn - ss) / nn)
+        |                     * (n - sx - n * (nn - ss) / nn)
+        |                     / (n * (nn - ss) / nn)), 4)
+        |       END AS chi2_r
         |FROM g, tot""".stripMargin)
 }

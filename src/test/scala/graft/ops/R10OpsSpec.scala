@@ -129,7 +129,11 @@ class R10OpsSpec extends SparkSuite {
     val qty = rows("l_quantity")
     val cents = li.map(x => math.floor(x.getAs[Double]("l_quantity") * 100 + 0.5).toLong)
     assert(qty.getAs[Long]("n_distinct") == cents.distinct.length.toLong)
-    assert(qty.getAs[String]("v_min") == cents.min.toString)
+    // v_min/v_max are LEXICOGRAPHIC over the stringified canonical values
+    // (profile_columns stacks heterogeneous columns as strings) — assert
+    // the query's actual semantics, not the numeric min, so a fixture
+    // with values below 100 cents alongside 4-digit ones stays green.
+    assert(qty.getAs[String]("v_min") == cents.map(_.toString).min)
   }
 
   test("ts_autocorr: coefficient bounds and pair accounting") {
