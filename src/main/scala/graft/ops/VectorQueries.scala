@@ -480,13 +480,15 @@ object VectorQueries {
     // both allocates O(distinct) and was the whole-suite's slowest query
     // under bench heap pressure (9.2 s in r4; the selection plan is ~10×
     // lighter and scales to groups that could never fit a count map).
+    // r11: the exact yardstick is the SAME median the MAD query needs, so
+    // it now comes from the shared AdvancedQueries.priceStats artifact
+    // (one histogram pass per session instead of one selection per rep).
     "agg_approx_percentile" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
       val approx = li.groupBy("l_linestatus")
         .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"))
-      val exact = exactPercentileByGroup(
-        li.select(col("l_linestatus").as("g"), col("l_extendedprice").cast("double").as("v")), 0.5)
-        .select(col("g").as("l_linestatus"), col("pct").as("p50_exact"))
+      val exact = AdvancedQueries.priceStats(s, dir)
+        .select(col("g").as("l_linestatus"), col("med").as("p50_exact"))
       approx.join(exact, "l_linestatus").orderBy("l_linestatus")
     })
 
@@ -680,6 +682,20 @@ object VectorQueries {
     timed("ivf_codebook") { codebook(s, dir, normedCorpus(s, dir)); () }
     timed("pq_codebook") { pqCodebook(s, dir); () }
     out.result()
+  }
+
+  /** Unpersist + drop this dir's cached vector artifacts (normed-corpus
+    * checkpoint + driver-side IVF/PQ codebooks) — for callers iterating
+    * many data dirs through one session (ScaleProbe), same contract as
+    * `GraphQueries.clearCache`.
+    */
+  def clearCache(s: SparkSession, dir: String): Unit = {
+    Option(normedCache.remove((s, dir))).foreach { df =>
+      org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
+        .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
+    }
+    codebookCache.remove((s, dir)) // plain driver rows, no blocks
+    pqCache.remove((s, dir))
   }
 
   /** PQ codebooks per (session, dir) — the second index artifact of the

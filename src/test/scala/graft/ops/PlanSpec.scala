@@ -291,6 +291,19 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("__salt"), p)
   }
 
+  test("join_range is a hash equi-join on (user, band) — never nested-loop") {
+    // the r11 banded-bucket rewrite: the time band must be IN the join
+    // keys (time locality carried by the exchange), with the range
+    // predicate demoted to a residual condition
+    val df = SparkEntry.queries("join_range")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    assert(joinLine.isDefined, p)
+    assert(joinLine.get.contains("band"), s"band key not in the join: ${joinLine.get}")
+  }
+
   test("cosine kernel stays inside whole-stage codegen") {
     val df = SparkEntry.queries("dedup_near_cosine")(spark, sfDir)
     df.collect() // finalize the AQE plan
