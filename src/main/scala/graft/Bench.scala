@@ -113,7 +113,10 @@ object Bench {
       // chains, so it warms concurrently too (r10 — seven graph queries
       // each rebuilt the ~2 s edge set before it was cached)
       val gra = Future(safe("graph")(graft.ops.GraphQueries.warmCaches(spark, sfDir)) ++
-        safe("mining")(graft.ops.MiningQueries.warmCaches(spark, sfDir)))
+        safe("mining")(graft.ops.MiningQueries.warmCaches(spark, sfDir)) ++
+        // price-quantile artifact (r11): lineitem-family like graph/mining,
+        // disjoint from the text/vector chains, so it rides this future
+        safe("price_stats")(graft.ops.AdvancedQueries.warmCaches(spark, sfDir)))
       val ded = safe("dedup")(graft.ops.DedupQueries.warmCaches(spark, sfDir))
       val cur = safe("curation") {
         val t0 = System.nanoTime()
@@ -144,8 +147,15 @@ object Bench {
     }
     val calibEvery = 10 // one sentinel sample per ~10 queries
     val calibSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    // Run-relative start offset of every calib sample (r11): a spiked
+    // query sample is only attributable if the calib timeline around it
+    // is locatable — "which reps were poisoned" needs both sides stamped.
+    val calibAt = scala.collection.mutable.ArrayBuffer[Double]()
+    val runT0 = System.nanoTime()
+    def offsetSec(): Double = (System.nanoTime() - runT0) / 1e9
+    def calibSample(): Unit = { calibAt += offsetSec(); calibSamples += calibrate() }
     calibrate() // JIT/codegen warm for the sentinel shape itself, untimed
-    calibSamples += calibrate()
+    calibSample()
     // Local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 benches a subset.
     // Unknown names are a typo, not an empty bench — warn, and fail fast
     // when the filter selects nothing (a 0.0-total line reads as a result).
@@ -173,6 +183,13 @@ object Bench {
     val names = selected.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.LinkedHashMap(
       names.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    // Per-sample run-relative start offsets (r11 — the attribution fix the
+    // r10 verdict asked for): rep-major scheduling spreads a query's reps
+    // across the whole run, so a median/min divergence plus these offsets
+    // pins WHICH reps sat inside a contention window; bench_full.json
+    // carries (samples, sample_at) for every divergent query.
+    val sampleAt = scala.collection.mutable.LinkedHashMap(
+      names.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
     // Same sentinel cadence as before (~1 per 10 distinct queries' worth of
     // work): with reps passes the execution count is names.size * reps, so
     // sampling every calibEvery*reps executions keeps ~the same sample count
@@ -180,7 +197,8 @@ object Bench {
     val calibStride = calibEvery * reps
     val schedule = for (rep <- 1 to reps; nf <- names) yield (rep, nf)
     for (((rep, (name, fn)), execs) <- schedule.zipWithIndex) {
-      if (execs > 0 && execs % calibStride == 0) calibSamples += calibrate()
+      if (execs > 0 && execs % calibStride == 0) calibSample()
+      sampleAt(name) += offsetSec()
       val t0 = System.nanoTime()
       val t =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save();
@@ -203,7 +221,7 @@ object Bench {
       val times = samples(name).toSeq
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
-    calibSamples += calibrate()
+    calibSample()
     def ms3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def qmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + ms3(v) }.mkString("{", ",", "}")
@@ -259,13 +277,30 @@ object Bench {
     val calibStats =
       s""""first":${ms3(cs.head)},"median":${ms3(cs.sorted.apply(cs.size / 2))},""" +
         s""""last":${ms3(cs.last)},"min":${ms3(cs.min)},"max":${ms3(cs.max)},"n":${cs.size}"""
-    val calibFullJson = s""""calib":{$calibStats,"samples":[${cs.map(ms3).mkString(",")}]},"""
+    val calibFullJson = s""""calib":{$calibStats,"samples":[${cs.map(ms3).mkString(",")}],""" +
+      s""""at":[${calibAt.map(ms3).mkString(",")}]},"""
     val calibLineJson = s""""calib":{$calibStats},"""
+    // DIVERGENT-QUERY ATTRIBUTION (r11): any query whose median strays >2×
+    // from its min had ≥ ⌈reps/2⌉ poisoned samples — exactly the shape the
+    // r10 driver rerun recorded for json_from_json (12.5 s median, 0.73 s
+    // min) with no way to say WHEN. Emit the full per-rep sample array plus
+    // each sample's run-relative start offset for those queries, so a spike
+    // is attributable to specific reps and cross-checkable against the
+    // calib timeline ("calib.at"/"calib.samples").
+    val divergent = names.map(_._1).filter { n =>
+      val ts = samples(n).toSeq
+      !ts.contains(-1.0) && ts.min > 0.05 && ts.sorted.apply(ts.size / 2) / ts.min > 2.0
+    }
+    def sarr(m: scala.collection.Map[String, scala.collection.mutable.ArrayBuffer[Double]]): String =
+      divergent.map(n => "\"" + n + "\":[" + m(n).map(ms3).mkString(",") + "]")
+        .mkString("{", ",", "}")
+    val divergentJson =
+      s""""divergent":${sarr(samples)},"divergent_at":${sarr(sampleAt)},"""
     // Full per-query medians (+ deltas) to disk (unbounded, machine-readable).
     val full =
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","reps":$reps,""" +
         s""""total_min":${ms3(totalMin)},"warm_sec":${ms3(warmSec)},$idxJson$calibFullJson""" +
-        s""""n_queries":${results.size},"n_failed":$failed,$deltaJson""" +
+        s""""n_queries":${results.size},"n_failed":$failed,$deltaJson$divergentJson""" +
         s""""queries":${qmap(results)},"queries_min":${qmap(resultsMin)},""" +
         s""""deltas":${qmap(deltas)},"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_full.json"), full.getBytes(StandardCharsets.UTF_8))
@@ -276,6 +311,7 @@ object Bench {
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","reps":$reps,""" +
         s""""total_min":${ms3(totalMin)},"warm_sec":${ms3(warmSec)},$idxJson$calibLineJson""" +
         s""""n_queries":${results.size},"n_failed":$failed,$deltaJson""" +
+        s""""divergent":[${divergent.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""queries":${qmap(top5)},"sf":"$sfDir"}"""
     spark.stop()
     println(line)
