@@ -222,6 +222,17 @@ object Bench {
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     calibSample()
+    // ANN recall as a first-class artifact (r11): measured once per run,
+    // AFTER the timed reps (caches are warm; this never touches the
+    // latency numbers). A recall failure must not kill the bench line.
+    val recallT0 = System.nanoTime()
+    val recall: Seq[(String, Double)] =
+      if (only.isEmpty)
+        try graft.ops.RecallReport.compute(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] recall report failed (continuing): $e"); Seq.empty }
+      else Seq.empty // subset runs skip it — the baselines may be filtered out
+    val recallSec = (System.nanoTime() - recallT0) / 1e9
     def ms3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def qmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + ms3(v) }.mkString("{", ",", "}")
@@ -296,11 +307,14 @@ object Bench {
         .mkString("{", ",", "}")
     val divergentJson =
       s""""divergent":${sarr(samples)},"divergent_at":${sarr(sampleAt)},"""
+    val recallJson =
+      if (recall.isEmpty) ""
+      else s""""recall":${qmap(recall)},"recall_sec":${ms3(recallSec)},"""
     // Full per-query medians (+ deltas) to disk (unbounded, machine-readable).
     val full =
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","reps":$reps,""" +
         s""""total_min":${ms3(totalMin)},"warm_sec":${ms3(warmSec)},$idxJson$calibFullJson""" +
-        s""""n_queries":${results.size},"n_failed":$failed,$deltaJson$divergentJson""" +
+        s""""n_queries":${results.size},"n_failed":$failed,$deltaJson$divergentJson$recallJson""" +
         s""""queries":${qmap(results)},"queries_min":${qmap(resultsMin)},""" +
         s""""deltas":${qmap(deltas)},"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_full.json"), full.getBytes(StandardCharsets.UTF_8))
@@ -310,7 +324,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","reps":$reps,""" +
         s""""total_min":${ms3(totalMin)},"warm_sec":${ms3(warmSec)},$idxJson$calibLineJson""" +
-        s""""n_queries":${results.size},"n_failed":$failed,$deltaJson""" +
+        s""""n_queries":${results.size},"n_failed":$failed,$deltaJson$recallJson""" +
         s""""divergent":[${divergent.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""queries":${qmap(top5)},"sf":"$sfDir"}"""
     spark.stop()

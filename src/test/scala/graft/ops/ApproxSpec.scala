@@ -21,66 +21,29 @@ class ApproxSpec extends SparkSuite {
     assert(math.abs(approx - exact) / exact < 0.2, s"approx=$approx exact=$exact")
   }
 
-  test("LSH ANN recall vs brute-force cosine top-k baseline") {
-    val exact = SparkEntryQueries.run("sim_cosine_topk")
-    val ann = SparkEntryQueries.run("sim_ann_lsh")
-    val exactTop = exact.filter(col("rn") <= 3)
-      .select("q_id", "t_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val annPairs = ann.select("q_id", "t_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exactTop & annPairs).size.toDouble / exactTop.size
-    // Sign-LSH is a candidate filter, not exact — expect meaningful
-    // (well above random) recall. 8 tables × 4 bits on these embeddings
-    // lands ~0.7-0.9; random pairs would give < 0.1.
-    assert(recall >= 0.5, s"recall=$recall (${(exactTop & annPairs).size}/${exactTop.size})")
+  test("every ANN variant clears its recall floor (RecallReport — the bench artifact path)") {
+    // The SAME computation graft.Bench emits as the "recall" map: asserting
+    // floors through RecallReport means the spec gate and the bench
+    // artifact cannot drift. Sign-LSH/PQ land ~0.7-0.9 on these embeddings
+    // (random pairs < 0.1); the IVF variants probe 4 of 16 cells, so their
+    // floor sits lower — still far above the ~0.25 a random-cell
+    // assignment would give.
+    val measured = RecallReport.compute(spark, sfDir).toMap
+    assert(measured.keySet == RecallReport.floors.keySet, measured.toString)
+    RecallReport.floors.foreach { case (name, floor) =>
+      assert(measured(name) >= floor,
+        s"$name recall=${measured(name)} < floor $floor")
+    }
   }
 
-  test("IVF ANN recall vs brute-force cosine top-k baseline") {
-    val exact = SparkEntryQueries.run("sim_cosine_topk")
-    val ivf = SparkEntryQueries.run("sim_ann_ivf")
-    val exactTop = exact.filter(col("rn") <= 3)
-      .select("q_id", "t_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivfPairs = ivf.select("q_id", "t_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exactTop & ivfPairs).size.toDouble / exactTop.size
-    assert(recall >= 0.4, s"recall=$recall (${(exactTop & ivfPairs).size}/${exactTop.size})")
-  }
-
-  test("IVF k-NN JOIN recall vs the exact all-vectors baseline") {
-    // the all-n variant: every vector's streamed-from-cells top-3 against
-    // sim_knn_join's exhaustive answer. Same IVF geometry as the
-    // single-query test (nProbe=4 of k=16 cells), so recall lands in the
-    // same band — far above the ~nProbe/k ≈ 0.25 a random-cell assignment
-    // would give.
-    val exact = SparkEntryQueries.run("sim_knn_join")
+  test("IVF k-NN JOIN output is structurally sound (dense ranks 1..k, k <= 3)") {
     val ann = SparkEntryQueries.run("sim_ann_knn")
-    val exactTop = exact.select("va", "vb").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val annPairs = ann.select("va", "vb").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exactTop & annPairs).size.toDouble / exactTop.size
-    assert(recall >= 0.4, s"recall=$recall (${(exactTop & annPairs).size}/${exactTop.size})")
-    // structural sanity: every vector reports ranks 1..k with k <= 3
     val badRanks = ann.groupBy("va").agg(collect_list("rn").as("rns"))
       .collect().filterNot { r =>
         val rns = r.getSeq[Int](1).sorted
         rns == (1 to rns.size)
       }
     assert(badRanks.isEmpty, badRanks.take(3).mkString("\n"))
-  }
-
-  test("PQ ANN recall vs brute-force cosine top-k baseline") {
-    // 16×16 product quantization + ADC shortlist + exact re-rank: recall
-    // lands 0.75-0.9 on these embeddings at every shipped SF (random
-    // pairs would give < 0.1).
-    val exact = SparkEntryQueries.run("sim_cosine_topk")
-    val pq = SparkEntryQueries.run("sim_ann_pq")
-    val exactTop = exact.filter(col("rn") <= 3)
-      .select("q_id", "t_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val pqPairs = pq.select("q_id", "t_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exactTop & pqPairs).size.toDouble / exactTop.size
-    assert(recall >= 0.5, s"recall=$recall (${(exactTop & pqPairs).size}/${exactTop.size})")
   }
 
   test("PQ codebook training is deterministic and encode round-trips within quantization error") {
