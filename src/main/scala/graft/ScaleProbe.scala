@@ -27,10 +27,12 @@ import org.apache.spark.sql.functions._
   * the honest number a new cluster pays — and then once more warm (the
   * steady-state number).
   *
-  * At factors ≥ 100 only the shingle-space PAIR families run
-  * (`dedup_jaccard_prefix`, `dedup_minhash_banded`): they are the
-  * families whose scale story is candidate-boundedness, so they are the
-  * ones worth proving at two orders of magnitude; the embedding probes'
+  * At factors ≥ 100 the probe set is the candidate-boundedness families:
+  * the shingle-space pairs (`dedup_jaccard_prefix`, `dedup_minhash_banded`)
+  * plus, since r11, the lineitem-keyed graph/mining pair enumerations
+  * (`assoc_item_pairs`, `graph_jaccard_neighbors`) — each one's scale
+  * story is that candidates stay bounded per key, which is exactly what
+  * two orders of magnitude should demonstrate. The embedding probes'
   * corpus is served by the 10×/30× tier (`sim_ann_knn`'s IVF cell count
   * is fixed, so 100× population growth measures cell scan size, not plan
   * shape). The 100× tier also widens `spark.sql.shuffle.partitions` 4×
@@ -47,6 +49,14 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
 
   private val PairProbes = Seq("dedup_jaccard_prefix", "dedup_minhash_banded")
+  // r11: the graph + mining families join the 100× tier — their scale
+  // claims (arboricity-bounded triangle orientation, hub-capped wedge
+  // enumeration, bounded per-basket pair counting) deserve the same
+  // two-orders-of-magnitude measured evidence as the shingle pair
+  // families. Replica-local order/part key shifts keep baskets and
+  // adjacency lists per-replica, so growth adds new orders/parts rather
+  // than inflating existing groups — real-corpus growth, not duplication.
+  private val HeavyRelProbes = Seq("assoc_item_pairs", "graph_jaccard_neighbors")
   // r10: the relational/event families — basket mining (per-order pair
   // enumeration), wedge-bounded graph similarity, and the per-user window
   // shapes. Replication shifts ORDER/PART/USER keys per replica, so
@@ -59,7 +69,7 @@ object ScaleProbe {
 
   /** The probe set a given replication factor runs (see the scaladoc). */
   private def probesFor(factor: Int): Seq[String] =
-    if (factor >= 100) PairProbes else Probes
+    if (factor >= 100) PairProbes ++ HeavyRelProbes else Probes
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

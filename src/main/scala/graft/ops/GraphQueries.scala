@@ -321,6 +321,33 @@ object GraphQueries {
         .orderBy("round")
     },
 
+    // MIN-LABEL PROPAGATION (r11): 3 synchronous rounds of
+    // label(u) ← min(label(u), min over neighbors) from label₀ = node id —
+    // the communication kernel of connected components / community
+    // detection (the dedup family's `dedup_components` runs the
+    // until-fixpoint variant with lineage checkpoints; this is the
+    // fixed-iteration, engine-portable face with an exact oracle). All
+    // integer min-arithmetic — bit-exact under any partial-aggregation
+    // order. Each round is ONE hash join (adjacency ⨝ labels, both
+    // shuffled on the neighbor key) + one min-aggregate; at cluster scale
+    // the adjacency is hash-partitioned once and reused across rounds,
+    // exactly like `graph_pagerank`. Output: label histogram after round
+    // 3 — the partially-converged community structure.
+    "graph_label_prop" -> { (s, dir) =>
+      val bi = bidirectional(edges(s, dir))
+      var lbl = degrees(s, dir).select(col("u"), col("u").as("lbl"))
+      for (_ <- 1 to 3) {
+        val nb = bi.hint("SHUFFLE_HASH")
+          .join(lbl.withColumnsRenamed(Map("u" -> "v", "lbl" -> "vl")), "v")
+          .groupBy("u").agg(min(col("vl")).as("nl"))
+        lbl = lbl.join(nb, Seq("u"), "left")
+          .select(col("u"),
+            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+      }
+      lbl.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+        .orderBy("lbl")
+    },
+
     // DEGREE ASSORTATIVITY (r10): Newman's r — the Pearson correlation
     // of endpoint degrees over the directed edge list (both directions,
     // the standard undirected convention). Do high-degree products
@@ -456,5 +483,23 @@ object GraphQueries {
          |SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
          |       round(corr(du.d, dv.d), 4) + 0.0 AS assortativity_r
          |FROM bi JOIN deg du ON bi.u = du.u JOIN deg dv ON bi.v = dv.u""".stripMargin,
+
+    "graph_label_prop" ->
+      s"""$oracleEdgeCtes,
+         |l0 AS (SELECT u, u AS lbl FROM deg),
+         |n1 AS (SELECT bi.u, min(l0.lbl) AS nl FROM bi
+         |       JOIN l0 ON bi.v = l0.u GROUP BY bi.u),
+         |l1 AS (SELECT l0.u, least(l0.lbl, coalesce(n1.nl, l0.lbl)) AS lbl
+         |       FROM l0 LEFT JOIN n1 ON l0.u = n1.u),
+         |n2 AS (SELECT bi.u, min(l1.lbl) AS nl FROM bi
+         |       JOIN l1 ON bi.v = l1.u GROUP BY bi.u),
+         |l2 AS (SELECT l1.u, least(l1.lbl, coalesce(n2.nl, l1.lbl)) AS lbl
+         |       FROM l1 LEFT JOIN n2 ON l1.u = n2.u),
+         |n3 AS (SELECT bi.u, min(l2.lbl) AS nl FROM bi
+         |       JOIN l2 ON bi.v = l2.u GROUP BY bi.u),
+         |l3 AS (SELECT l2.u, least(l2.lbl, coalesce(n3.nl, l2.lbl)) AS lbl
+         |       FROM l2 LEFT JOIN n3 ON l2.u = n3.u)
+         |SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
+         |FROM l3 GROUP BY lbl ORDER BY lbl""".stripMargin,
   )
 }

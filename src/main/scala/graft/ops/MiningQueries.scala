@@ -294,6 +294,39 @@ object MiningQueries {
               + (col("n") - col("sx") - ef) * (col("n") - col("sx") - ef) / ef), 4))
             .as("chi2_r"))
     },
+
+    // GINI COEFFICIENT (r11): concentration of event value per event type
+    // — the inequality statistic data-mix dashboards plot next to the
+    // histogram. EXACT and 100 TB-shaped: value is 2-decimal, so the
+    // (type, cents) pre-aggregate is a BOUNDED-domain histogram (≤ ~49 k
+    // distinct cents by construction — the agg_weighted_median pattern),
+    // and the rank sum Σ i·xᵢ folds over it without ever sorting rows:
+    // a value v with c copies after `cum` smaller items contributes
+    // v·(c·cum + c(c+1)/2) — ties contribute identically under any
+    // internal order, so the statistic is deterministic. All integer
+    // arithmetic; G in exact ppm via the standard
+    // (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx). Per-task window state is
+    // O(distinct cents), never O(rows).
+    "agg_gini" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = graft.Tables.events(s, dir)
+        .select(col("event_type").as("g"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+        .groupBy("g", "v").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      h.withColumn("cum", coalesce(sum(col("c")).over(w), lit(0L)))
+        .groupBy("g")
+        .agg(
+          sum(col("v") * (col("c") * col("cum")
+            + expr("c * (c + 1) div 2"))).as("ranksum"),
+          sum(col("v") * col("c")).as("s"),
+          sum(col("c")).as("n"))
+        .select(col("g").as("event_type"), col("n"),
+          expr("((2 * ranksum - (n + 1) * s) * 1000000) div (n * s)")
+            .as("gini_ppm"))
+        .orderBy("event_type")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -420,5 +453,28 @@ object MiningQueries {
         |                     * (n - sx - n * (nn - ss) / nn)
         |                     / (n * (nn - ss) / nn)), 4)
         |       END AS chi2_r
-        |FROM g, tot""".stripMargin)
+        |FROM g, tot""".stripMargin,
+
+    "agg_gini" ->
+      """WITH h AS (
+        |  SELECT event_type AS g,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT g, v, c,
+        |         coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS cum
+        |  FROM h),
+        |a AS (
+        |  SELECT g, CAST(sum(v * (c * cum + c * (c + 1) // 2)) AS BIGINT)
+        |           AS ranksum,
+        |         CAST(sum(v * c) AS BIGINT) AS s,
+        |         CAST(sum(c) AS BIGINT) AS n
+        |  FROM cw GROUP BY g)
+        |SELECT g AS event_type, n,
+        |       CAST(((2 * ranksum - (n + 1) * s) * 1000000) // (n * s)
+        |            AS BIGINT) AS gini_ppm
+        |FROM a ORDER BY event_type""".stripMargin)
 }

@@ -916,6 +916,56 @@ object TextQueries {
           sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_oov"),
           round(sum(col("lp")) / count(lit(1)), 4).as("avg_lp"))
         .orderBy("doc_id")
+    },
+
+    // STRATIFIED QUOTA SAMPLING (r11): draw a fixed total budget (1000
+    // docs) across `source` strata with LARGEST-REMAINDER allocation —
+    // the exact-proportional apportionment a training-mix pipeline uses
+    // when "10% of the mix" must mean exactly 10%, not Bernoulli-expected
+    // 10%. Selection within a stratum is deterministic pseudo-random:
+    // smallest sha2(text) first (the content hash is the reproducible
+    // coin — re-running on the same corpus picks the same docs). The
+    // allocation windows run over the BOUNDED strata ledger (one row per
+    // source — the cluster-sample seed pattern); the per-stratum pick is
+    // a two-level bounded-state top-k (per-partition top-B, then a final
+    // slice to quota), NEVER a per-stratum sort of the corpus — per-task
+    // state is O(B), so a 100 TB stratum costs one scan. Output pins the
+    // exact selection (sum of picked doc_ids), not just the counts.
+    "pipeline_quota_sample" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val B = 1000L
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("h"))
+      val strata = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val tot = strata.agg(sum(col("n_s")).as("n_total"))
+      val a = strata.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($B * n_s) div n_total"))
+        .withColumn("rem", expr(s"($B * n_s) % n_total"))
+      val lo = a.agg((lit(B) - sum(col("base"))).as("leftover"))
+      val quota = a.crossJoin(broadcast(lo))
+        .withColumn("rr",
+          row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+        .select(col("source"), col("n_s"),
+          (col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+            .as("quota"))
+      val cand = struct(col("h"), col("doc_id"))
+      docs.join(broadcast(quota), "source")
+        .select(col("source"), col("quota"), cand.as("cnd"),
+          spark_partition_id().as("part"))
+        .groupBy("source", "quota", "part")
+        .agg(slice(sort_array(collect_list(col("cnd"))), 1, B.toInt).as("cs"))
+        .select(col("source"), col("quota"), explode(col("cs")).as("cnd"))
+        .groupBy("source", "quota")
+        .agg(slice(sort_array(collect_list(col("cnd"))), lit(1),
+          col("quota").cast("int")).as("cs"))
+        .select(col("source"), col("quota"), explode(col("cs")).as("cnd"))
+        .groupBy("source", "quota")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("cnd.doc_id")).as("sum_doc_ids"))
+        .join(quota.select(col("source"), col("n_s")), "source")
+        .select(col("source"), col("n_s"), col("quota"),
+          col("n_sampled"), col("sum_doc_ids"))
+        .orderBy("source")
     })
 
   private def langScoreSql(lang: String, markers: Seq[String]): String = {
@@ -1599,5 +1649,31 @@ object TextQueries {
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
         |       CAST(count(*) AS BIGINT) AS n_alphabet,
         |       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy_r
-        |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "pipeline_quota_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, sha256(text) AS h FROM documents),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |      FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM s),
+        |a AS (SELECT source, n_s,
+        |             (1000 * n_s) // n_total AS base,
+        |             (1000 * n_s) % n_total AS rem
+        |      FROM s, t),
+        |l AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM a),
+        |q AS (SELECT source, n_s,
+        |             CAST(base + (CASE WHEN row_number()
+        |                 OVER (ORDER BY rem DESC, source) <= leftover
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS quota
+        |      FROM a, l),
+        |p AS (SELECT d.source, d.doc_id, q.quota, q.n_s,
+        |             row_number() OVER (PARTITION BY d.source
+        |                                ORDER BY d.h, d.doc_id) AS rn
+        |      FROM d JOIN q USING (source))
+        |SELECT source, n_s, quota,
+        |       CAST(count(*) AS BIGINT) AS n_sampled,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
+        |FROM p WHERE rn <= quota
+        |GROUP BY source, n_s, quota ORDER BY source""".stripMargin)
 }

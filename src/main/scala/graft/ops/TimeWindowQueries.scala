@@ -374,6 +374,64 @@ object TimeWindowQueries {
           round(min(col("value")), 2).as("low_r"),
           round(max_by(col("value"), col("t")), 2).as("close_r"))
         .orderBy("bucket")
+    },
+
+    // MARKOV TRANSITION MATRIX (r11): first-order event-type transitions
+    // per user — the behavioral model behind next-event prediction and
+    // journey analysis. One per-user sorted window derives (prev → next)
+    // pairs, then a 25-row hash aggregate counts them; transition
+    // probabilities are exact integer ppm over the source-state margin
+    // (float division would make near-tied rankings engine-dependent).
+    // At 100 TB: the window shuffle is the only data-sized exchange, and
+    // its per-task state is one row lookback (lag 1) — nothing is
+    // retained per user. Streaming face: streaming/MarkovChain, which
+    // folds the same transitions with one (ts, type) state per user.
+    "events_markov" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val t = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("src", lag(col("event_type"), 1).over(w))
+        .filter(col("src").isNotNull)
+      val cnt = t.groupBy(col("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("n"))
+      cnt
+        .withColumn("tot",
+          sum(col("n")).over(Window.partitionBy("src")))
+        .select(col("src"), col("dst"), col("n"),
+          expr("(n * 1000000) div tot").as("p_ppm"))
+        .orderBy("src", "dst")
+    },
+
+    // CUSUM CHANGEPOINT (r11): per user, the point where the cumulative
+    // deviation from the user's mean value peaks — the classic
+    // change-detection statistic, in EXACT INTEGERS: with S = Σ cents and
+    // n the user's count, the k-th prefix statistic n·(Σ_{i≤k} cents_i)
+    // − k·S is the CUSUM scaled by n (value is exactly 2-decimal in this
+    // corpus, so cents are lossless; integer sums are
+    // partial-agg-order-proof where a float CUSUM would not be). The
+    // argmax is a max_by over a (score, −event_id) struct — ONE hash
+    // aggregate, skew-proof, not a rank window over the scored rows.
+    "ts_changepoint" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      val stats = ev.groupBy("user_id")
+        .agg(sum(col("vc")).as("s"), count(lit(1)).as("n"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val scored = ev.join(stats, "user_id")
+        .withColumn("k", row_number().over(w).cast("long"))
+        .withColumn("cs", sum(col("vc")).over(w))
+        .withColumn("score", abs(col("n") * col("cs") - col("k") * col("s")))
+      scored.groupBy("user_id")
+        .agg(
+          max(struct(col("score"), (-col("event_id")).as("ne"),
+            col("k"), col("event_id").as("eid"))).as("b"),
+          min(col("n")).as("n"))
+        .select(col("user_id"), col("b.eid").as("cp_event"),
+          col("b.k").as("cp_pos"), col("n"), col("b.score").as("cusum_stat"))
+        .orderBy("user_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -592,5 +650,50 @@ object TimeWindowQueries {
         |       round(max(value), 2) AS high_r,
         |       round(min(value), 2) AS low_r,
         |       round(arg_max(value, epoch_us(ts)), 2) AS close_r
-        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "events_markov" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS src
+        |  FROM events),
+        |c AS (
+        |  SELECT src, event_type AS dst, CAST(count(*) AS BIGINT) AS n
+        |  FROM t WHERE src IS NOT NULL GROUP BY 1, 2)
+        |SELECT src, dst, n,
+        |       CAST((n * 1000000) // (sum(n) OVER (PARTITION BY src))
+        |            AS BIGINT) AS p_ppm
+        |FROM c ORDER BY src, dst""".stripMargin,
+
+    "ts_changepoint" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, CAST(sum(vc) AS BIGINT) AS s,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY 1),
+        |c AS (
+        |  SELECT ev.user_id, ev.event_id, st.n, st.s,
+        |         CAST(row_number() OVER w AS BIGINT) AS k,
+        |         CAST(sum(vc) OVER (PARTITION BY ev.user_id
+        |                ORDER BY ts, event_id
+        |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+        |  FROM ev JOIN st USING (user_id)
+        |  WINDOW w AS (PARTITION BY ev.user_id ORDER BY ts, event_id)),
+        |sc AS (
+        |  SELECT user_id, n, event_id, k,
+        |         abs(n * cs - k * s) AS score
+        |  FROM c)
+        |SELECT user_id,
+        |       max(struct_pack(score := score, ne := -event_id,
+        |                       k := k, eid := event_id)).eid AS cp_event,
+        |       max(struct_pack(score := score, ne := -event_id,
+        |                       k := k, eid := event_id)).k AS cp_pos,
+        |       min(n) AS n,
+        |       max(struct_pack(score := score, ne := -event_id,
+        |                       k := k, eid := event_id)).score AS cusum_stat
+        |FROM sc GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSuite, Tables}
+
+/** Semantic properties of the round-11 operators: Markov transitions,
+  * CUSUM changepoints, the Gini histogram fold, min-label propagation,
+  * and largest-remainder quota sampling. The DuckDB oracle proves value
+  * equality against an independent engine; these pin the algebraic
+  * invariants a refactor could break while staying self-consistent.
+  */
+class R11OpsSpec extends SparkSuite {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("events_markov: transition mass accounts for every non-first event; rows are probability-complete") {
+    val rows = run("events_markov").collect()
+    val ev = Tables.events(spark, sfDir).select("user_id").collect()
+    val nUsers = ev.map(_.getAs[Long]("user_id")).distinct.length
+    // every event except each user's first contributes exactly one transition
+    assert(rows.map(_.getAs[Long]("n")).sum == ev.length - nUsers)
+    // per-source probabilities sum to ~1e6 (floor division loses < |dst| ppm)
+    rows.groupBy(_.getAs[String]("src")).foreach { case (src, rs) =>
+      val pSum = rs.map(_.getAs[Long]("p_ppm")).sum
+      assert(pSum <= 1000000L && pSum > 1000000L - rs.length,
+        s"src=$src p_ppm sum=$pSum")
+    }
+  }
+
+  test("ts_changepoint: the reported peak matches a per-user brute-force CUSUM") {
+    val rows = run("ts_changepoint").collect()
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts"),
+        math.floor(r.getAs[Double]("value") * 100 + 0.5).toLong))
+    assert(rows.length == ev.map(_._1).distinct.length)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val series = ev.filter(_._1 == u).sortBy(e => (e._3.getTime, e._2))
+      val s = series.map(_._4).sum
+      val n = series.length.toLong
+      var cs = 0L
+      val scored = series.zipWithIndex.map { case (e, i) =>
+        cs += e._4
+        (math.abs(n * cs - (i + 1) * s), e._2, i + 1L)
+      }
+      val best = scored.maxBy(x => (x._1, -x._2))
+      assert(r.getAs[Long]("cusum_stat") == best._1, s"user $u stat")
+      assert(r.getAs[Long]("cp_event") == best._2, s"user $u event")
+      assert(r.getAs[Long]("cp_pos") == best._3, s"user $u pos")
+    }
+  }
+
+  test("agg_gini: histogram fold equals the sorted-rank brute force") {
+    val rows = run("agg_gini").collect()
+    val ev = Tables.events(spark, sfDir).select("event_type", "value").collect()
+      .map(r => (r.getAs[String]("event_type"),
+        math.floor(r.getAs[Double]("value") * 100 + 0.5).toLong))
+    rows.foreach { r =>
+      val g = r.getAs[String]("event_type")
+      val xs = ev.filter(_._1 == g).map(_._2).sorted
+      val n = xs.length.toLong
+      val s = xs.sum
+      val ranksum = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val want = ((2 * ranksum - (n + 1) * s) * 1000000L) / (n * s)
+      assert(r.getAs[Long]("n") == n, s"$g n")
+      assert(r.getAs[Long]("gini_ppm") == want, s"$g gini")
+      assert(want >= 0L && want < 1000000L, s"$g bounds")
+    }
+  }
+
+  test("graph_label_prop: labels partition the vertex set and only shrink") {
+    val rows = run("graph_label_prop").collect()
+    val nNodes = run("graph_degree_dist").collect()
+      .map(_.getAs[Long]("n_nodes")).sum
+    assert(rows.map(_.getAs[Long]("n_members")).sum == nNodes)
+    // 3 rounds of min-propagation strictly reduce the label count on any
+    // graph with at least one edge
+    assert(rows.length < nNodes)
+    assert(rows.map(_.getAs[Long]("lbl")).distinct.length == rows.length)
+  }
+
+  test("pipeline_quota_sample: largest-remainder allocation is exact and the pick is the hash top-k") {
+    val rows = run("pipeline_quota_sample").collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("h"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[String]("h")))
+    // quotas sum to exactly the budget (the whole point of largest remainder)
+    assert(rows.map(_.getAs[Long]("quota")).sum == 1000L)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val inStratum = docs.filter(_._2 == src)
+      assert(r.getAs[Long]("n_s") == inStratum.length.toLong, s"$src n_s")
+      val q = r.getAs[Long]("quota").toInt
+      val picked = inStratum.sortBy(d => (d._3, d._1)).take(q)
+      assert(r.getAs[Long]("n_sampled") == picked.length.toLong, s"$src n_sampled")
+      assert(r.getAs[Long]("sum_doc_ids") == picked.map(_._1).sum, s"$src selection")
+    }
+  }
+}
