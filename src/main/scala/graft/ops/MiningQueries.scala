@@ -295,6 +295,61 @@ object MiningQueries {
             .as("chi2_r"))
     },
 
+    // ONE-PASS HIGHER MOMENTS (r11): skewness + excess kurtosis per event
+    // type from EXACT integer power sums — the engine-portable route
+    // around Spark's vs DuckDB's differing skewness/kurtosis definitions
+    // (sample vs population corrections differ, so the built-ins can
+    // never hash-match). Value cents c ≤ 49 002, so c⁴ < 2⁶³ per row and
+    // the Σc^k ride DECIMAL(38,0) sums — exact and
+    // summation-order-independent where double power sums would drift
+    // under Spark's partial-agg ordering. Central moments and the
+    // standardized statistics are then closed-form doubles from exact
+    // inputs; m2^1.5 is written m2·√m2 (sqrt is correctly rounded IEEE;
+    // pow's last-ulp behavior differs across libms). One
+    // map-side-combined aggregate at any corpus size.
+    "agg_moments" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val c = floor(col("value") * 100 + 0.5).cast("long")
+      val m = graft.Tables.events(s, dir)
+        .select(col("event_type"), c.as("c"))
+        .withColumn("c2", col("c") * col("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast(d38)).as("s1"),
+          sum(col("c2").cast(d38)).as("s2"),
+          sum((col("c2") * col("c")).cast(d38)).as("s3"),
+          sum((col("c2") * col("c2")).cast(d38)).as("s4"))
+      val nD = col("n").cast("double")
+      val mu = col("s1").cast("double") / nD
+      val m2 = col("s2").cast("double") / nD - mu * mu
+      val m3 = col("s3").cast("double") / nD - lit(3.0) * mu * (col("s2").cast("double") / nD) +
+        lit(2.0) * mu * mu * mu
+      val m4 = col("s4").cast("double") / nD - lit(4.0) * mu * (col("s3").cast("double") / nD) +
+        lit(6.0) * mu * mu * (col("s2").cast("double") / nD) - lit(3.0) * mu * mu * mu * mu
+      m.select(col("event_type"), col("n"),
+          round(mu, 4).as("mean_c_r"),
+          (round(m3 / (m2 * sqrt(m2)), 4) + 0.0).as("skew_r"),
+          (round(m4 / (m2 * m2) - 3.0, 4) + 0.0).as("exkurt_r"))
+        .orderBy("event_type")
+    },
+
+    // HERFINDAHL–HIRSCHMAN INDEX (r11): source concentration per language
+    // over the document corpus — the mix-diversity number a curation
+    // dashboard tracks next to the Gini (HHI = Σ share², 10⁶·Σn_s²/N² in
+    // exact integer ppm; 10 000 ppm = perfectly even across 100 sources,
+    // 10⁶ = single-source). Two stacked map-side-combined aggregates;
+    // output is O(languages).
+    "agg_hhi" -> { (s, dir) =>
+      graft.Tables.documents(s, dir)
+        .groupBy("lang", "source").agg(count(lit(1)).as("ns"))
+        .groupBy("lang")
+        .agg(sum(col("ns")).as("n"), count(lit(1)).as("n_sources"),
+          sum(col("ns") * col("ns")).as("s2"))
+        .select(col("lang"), col("n"), col("n_sources"),
+          expr("(s2 * 1000000) div (n * n)").as("hhi_ppm"))
+        .orderBy("lang")
+    },
+
     // GINI COEFFICIENT (r11): concentration of event value per event type
     // — the inequality statistic data-mix dashboards plot next to the
     // histogram. EXACT and 100 TB-shaped: value is 2-decimal, so the
@@ -454,6 +509,45 @@ object MiningQueries {
         |                     / (n * (nn - ss) / nn)), 4)
         |       END AS chi2_r
         |FROM g, tot""".stripMargin,
+
+    "agg_moments" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(c AS HUGEINT)) AS s1,
+        |         sum(CAST(c * c AS HUGEINT)) AS s2,
+        |         sum(CAST(c * c * c AS HUGEINT)) AS s3,
+        |         sum(CAST((c * c) * (c * c) AS HUGEINT)) AS s4
+        |  FROM (SELECT event_type,
+        |               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |        FROM events)
+        |  GROUP BY event_type),
+        |d AS (
+        |  SELECT event_type, n,
+        |         CAST(s1 AS DOUBLE) / n AS mu,
+        |         CAST(s2 AS DOUBLE) / n AS r2,
+        |         CAST(s3 AS DOUBLE) / n AS r3,
+        |         CAST(s4 AS DOUBLE) / n AS r4
+        |  FROM m),
+        |c AS (
+        |  SELECT event_type, n, mu,
+        |         r2 - mu * mu AS m2,
+        |         r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+        |         r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+        |           - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM d)
+        |SELECT event_type, n, round(mu, 4) AS mean_c_r,
+        |       round(m3 / (m2 * sqrt(m2)), 4) + 0.0 AS skew_r,
+        |       round(m4 / (m2 * m2) - 3.0, 4) + 0.0 AS exkurt_r
+        |FROM c ORDER BY event_type""".stripMargin,
+
+    "agg_hhi" ->
+      """SELECT lang, CAST(sum(ns) AS BIGINT) AS n,
+        |       CAST(count(*) AS BIGINT) AS n_sources,
+        |       CAST((sum(ns * ns) * 1000000) // (sum(ns) * sum(ns))
+        |            AS BIGINT) AS hhi_ppm
+        |FROM (SELECT lang, source, CAST(count(*) AS BIGINT) AS ns
+        |      FROM documents GROUP BY 1, 2)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "agg_gini" ->
       """WITH h AS (

@@ -71,6 +71,40 @@ class R11OpsSpec extends SparkSuite {
     }
   }
 
+  test("agg_moments: standardized moments match a driver-side exact recount") {
+    val rows = run("agg_moments").collect()
+    val ev = Tables.events(spark, sfDir).select("event_type", "value").collect()
+      .map(r => (r.getAs[String]("event_type"),
+        math.floor(r.getAs[Double]("value") * 100 + 0.5).toLong))
+    rows.foreach { r =>
+      val g = r.getAs[String]("event_type")
+      val xs = ev.filter(_._1 == g).map(_._2.toDouble)
+      val n = xs.length.toDouble
+      val mu = xs.sum / n
+      def cm(k: Int) = xs.map(x => math.pow(x - mu, k)).sum / n
+      val (m2, m3, m4) = (cm(2), cm(3), cm(4))
+      assert(r.getAs[Long]("n") == xs.length.toLong, s"$g n")
+      assert(math.abs(r.getAs[Double]("skew_r") - m3 / (m2 * math.sqrt(m2))) < 1e-3, s"$g skew")
+      assert(math.abs(r.getAs[Double]("exkurt_r") - (m4 / (m2 * m2) - 3.0)) < 1e-3, s"$g kurt")
+    }
+  }
+
+  test("agg_hhi: ppm concentration matches the share-squared recount and its bounds") {
+    val rows = run("agg_hhi").collect()
+    val docs = Tables.documents(spark, sfDir).select("lang", "source").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")))
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val bySource = docs.filter(_._1 == lang).groupBy(_._2).view.mapValues(_.length.toLong)
+      val n = bySource.values.sum
+      val want = (bySource.values.map(x => x * x).sum * 1000000L) / (n * n)
+      assert(r.getAs[Long]("n") == n, s"$lang n")
+      assert(r.getAs[Long]("hhi_ppm") == want, s"$lang hhi")
+      // HHI floor is 1e6/k for k sources (floor-division slack ≤ 1)
+      assert(want >= 1000000L / bySource.size - 1 && want <= 1000000L, s"$lang bounds")
+    }
+  }
+
   test("graph_label_prop: labels partition the vertex set and only shrink") {
     val rows = run("graph_label_prop").collect()
     val nNodes = run("graph_degree_dist").collect()
