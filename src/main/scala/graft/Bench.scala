@@ -117,7 +117,8 @@ object Bench {
         // price-quantile artifact (r11): lineitem-family like graph/mining,
         // disjoint from the text/vector chains, so it rides this future
         safe("price_stats")(graft.ops.AdvancedQueries.warmCaches(spark, sfDir)))
-      val ded = safe("dedup")(graft.ops.DedupQueries.warmCaches(spark, sfDir))
+      val ded = safe("dedup")(graft.ops.DedupQueries.warmCaches(spark, sfDir)) ++
+        safe("text")(graft.ops.TextQueries.warmCaches(spark, sfDir))
       val cur = safe("curation") {
         val t0 = System.nanoTime()
         CurationPipeline.stages(spark, sfDir) // eager checkpoints, cached

@@ -399,6 +399,37 @@ object CdcQueries {
           ((coalesce(col("v_old"), lit(0L)) + coalesce(col("v_delta"), lit(0L)))
             / 100.0).as("sum_price_r"))
         .orderBy("nation")
+    },
+
+    // LAST-WRITER-WINS REGISTER (r11): multi-master conflict resolution —
+    // the merge rule every active-active CDC topology needs when two
+    // sites update the same row concurrently. Each event is an update to
+    // register `user_id` from site `event_id % 3`; the winner is the max
+    // (ts, site, event_id) triple — the LWW-register CRDT with a total
+    // deterministic tie-break, which is exactly what makes the merge
+    // CONVERGENT: any subset order of arrivals (any shuffle, any
+    // partial-aggregation order) yields the same winner because max over
+    // a total order is associative+commutative. ONE map-side-combined
+    // max_by aggregate; the conflict profile (sites-seen count) rides
+    // the same pass via a bounded bit-set OR (3 sites → 3 bits).
+    "cdc_lww_register" -> { (s, dir) =>
+      val site = (col("event_id") % 3).as("site")
+      Tables.events(s, dir)
+        .select(col("user_id").as("pk"), col("event_id"), col("ts"),
+          col("value"), site)
+        .groupBy("pk")
+        .agg(
+          max(struct(col("ts"), col("site"), col("event_id"),
+            col("value"))).as("w"),
+          count(lit(1)).as("n_writes"),
+          expr("bit_or(1 << CAST(site AS INT))").as("site_bits"))
+        .select(col("pk"),
+          col("w.event_id").as("winner_event"),
+          col("w.site").as("winner_site"),
+          round(col("w.value"), 2).as("value_r"),
+          col("n_writes"),
+          expr("bit_count(site_bits)").cast("long").as("n_sites"))
+        .orderBy("pk")
     })
 
   val oracles: Map[String, String] = Map(
@@ -576,5 +607,27 @@ object CdcQueries {
         |       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
         |         AS sum_price_r
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The oracle replays the identical total order (ts, site, event_id):
+    // convergence means any engine computing max over that order agrees.
+    "cdc_lww_register" ->
+      """WITH w AS (
+        |  SELECT user_id AS pk, event_id, ts, value,
+        |         event_id % 3 AS site
+        |  FROM events)
+        |SELECT pk,
+        |       max(struct_pack(ts := ts, site := site,
+        |                       event_id := event_id, value := value))
+        |         .event_id AS winner_event,
+        |       CAST(max(struct_pack(ts := ts, site := site,
+        |                            event_id := event_id, value := value))
+        |            .site AS BIGINT) AS winner_site,
+        |       round(max(struct_pack(ts := ts, site := site,
+        |                             event_id := event_id, value := value))
+        |             .value, 2) AS value_r,
+        |       CAST(count(*) AS BIGINT) AS n_writes,
+        |       CAST(bit_count(bit_or(1 << CAST(site AS INT)))
+        |            AS BIGINT) AS n_sites
+        |FROM w GROUP BY pk ORDER BY pk""".stripMargin)
 }
