@@ -350,6 +350,73 @@ object MiningQueries {
         .orderBy("lang")
     },
 
+    // KOLMOGOROV–SMIRNOV DRIFT (r11): the two-sample KS statistic between
+    // the click and purchase value distributions — the distribution-drift
+    // screen a data pipeline runs between corpus snapshots. EXACT
+    // integers end to end: D = max |F₁−F₂| is computed as
+    // max |cum₁·n₂ − cum₂·n₁| over the BOUNDED-domain cents histogram
+    // (≤ ~49 k distinct values by construction), reported in ppm via
+    // floor division; the argmax value rides a max-struct with a
+    // deterministic smallest-v tie-break. The cumulative window runs over
+    // the bounded histogram (domain-sized, not data-sized — the
+    // seed-table pattern), so per-task state is O(distinct cents) at any
+    // corpus size and nothing float ever crosses the oracle.
+    "agg_ks_drift" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(floor(col("value") * 100 + 0.5).cast("long").as("v"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("i1"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("i2"))
+      val h = ev.groupBy("v").agg(sum(col("i1")).as("c1"), sum(col("i2")).as("c2"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+      val cum = h.select(col("v"),
+        sum(col("c1")).over(w).as("cum1"), sum(col("c2")).over(w).as("cum2"))
+      val tot = h.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("n1"), col("n2"),
+          abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("d"),
+          col("v"))
+        .groupBy("n1", "n2")
+        .agg(max(struct(col("d"), (-col("v")).as("nv"))).as("b"))
+        .select(col("n1").as("n_click"), col("n2").as("n_purchase"),
+          expr("(b.d * 1000000) div (n1 * n2)").as("ks_ppm"),
+          (-col("b.nv")).as("ks_at_cents"))
+    },
+
+    // MANN–WHITNEY U (r11): the rank-sum test between the same two arms —
+    // the nonparametric "did the distribution shift" sibling of
+    // `agg_ks_drift` that weighs the whole ordering, not just the worst
+    // gap. Midrank arithmetic stays in EXACT integers by carrying 2·R₁:
+    // a value v with c₁ group-1 members among c = c₁+c₂ ties after `cum`
+    // smaller items contributes c₁·(2·cum + c + 1) to 2·R₁, so
+    // 2U₁ = 2R₁ − n₁(n₁+1) is exact and tie-order-proof. The z
+    // normalization (no tie correction — documented) is a closed-form
+    // double from exact integers, rounded once. Same bounded-domain
+    // histogram fold as the KS/Gini queries.
+    "agg_mannwhitney" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(floor(col("value") * 100 + 0.5).cast("long").as("v"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("i1"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("i2"))
+      val h = ev.groupBy("v").agg(sum(col("i1")).as("c1"), sum(col("i2")).as("c2"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val cum = h
+        .withColumn("cum", coalesce(sum(col("c1") + col("c2")).over(w), lit(0L)))
+      val r = cum.agg(
+        sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1") * (lit(2L) * col("cum") + col("c1") + col("c2") + 1L))
+          .as("r1x2"))
+      val u2x = col("r1x2") - col("n1") * (col("n1") + 1L)
+      val nD = col("n1").cast("double") * col("n2").cast("double")
+      val z = (u2x.cast("double") / 2.0 - nD / 2.0) /
+        sqrt(nD * (col("n1") + col("n2") + 1L).cast("double") / 12.0)
+      r.select(col("n1").as("n_click"), col("n2").as("n_purchase"),
+        u2x.as("u1_x2"), (round(z, 4) + 0.0).as("z_r"))
+    },
+
     // GINI COEFFICIENT (r11): concentration of event value per event type
     // — the inequality statistic data-mix dashboards plot next to the
     // histogram. EXACT and 100 TB-shaped: value is 2-decimal, so the
@@ -548,6 +615,59 @@ object MiningQueries {
         |FROM (SELECT lang, source, CAST(count(*) AS BIGINT) AS ns
         |      FROM documents GROUP BY 1, 2)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "agg_ks_drift" ->
+      """WITH ev AS (
+        |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS i1,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i2
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |h AS (SELECT v, CAST(sum(i1) AS BIGINT) AS c1,
+        |             CAST(sum(i2) AS BIGINT) AS c2
+        |      FROM ev GROUP BY v),
+        |cum AS (
+        |  SELECT v,
+        |         CAST(sum(c1) OVER (ORDER BY v
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+        |         CAST(sum(c2) OVER (ORDER BY v
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+        |  FROM h),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum(c2) AS BIGINT) AS n2 FROM h),
+        |d AS (SELECT n1, n2, abs(cum1 * n2 - cum2 * n1) AS d, v
+        |      FROM cum, t)
+        |SELECT n1 AS n_click, n2 AS n_purchase,
+        |       CAST((max(struct_pack(d := d, nv := -v)).d * 1000000)
+        |            // (n1 * n2) AS BIGINT) AS ks_ppm,
+        |       -(max(struct_pack(d := d, nv := -v)).nv) AS ks_at_cents
+        |FROM d GROUP BY n1, n2""".stripMargin,
+
+    "agg_mannwhitney" ->
+      """WITH ev AS (
+        |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS i1,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i2
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |h AS (SELECT v, CAST(sum(i1) AS BIGINT) AS c1,
+        |             CAST(sum(i2) AS BIGINT) AS c2
+        |      FROM ev GROUP BY v),
+        |cw AS (
+        |  SELECT c1, c2,
+        |         coalesce(CAST(sum(c1 + c2) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS BIGINT), 0) AS cum
+        |  FROM h),
+        |r AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum(c2) AS BIGINT) AS n2,
+        |             CAST(sum(c1 * (2 * cum + c1 + c2 + 1)) AS BIGINT) AS r1x2
+        |      FROM cw)
+        |SELECT n1 AS n_click, n2 AS n_purchase,
+        |       r1x2 - n1 * (n1 + 1) AS u1_x2,
+        |       round((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+        |                - CAST(n1 AS DOUBLE) * n2 / 2.0)
+        |             / sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) / 12.0),
+        |             4) + 0.0 AS z_r
+        |FROM r""".stripMargin,
 
     "agg_gini" ->
       """WITH h AS (
