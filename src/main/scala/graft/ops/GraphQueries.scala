@@ -348,6 +348,35 @@ object GraphQueries {
         .orderBy("lbl")
     },
 
+    // BFS REACHABILITY LAYERS (r11): 3 frontier-expansion rounds from the
+    // minimum node id — the traversal kernel behind reachability,
+    // radius/eccentricity probes, and seed-expansion community detection.
+    // Each round is one hash join (frontier ⨝ adjacency) + distinct +
+    // one anti-join against the visited set — the standard scale-out BFS
+    // step where per-round state is the frontier and visited id sets,
+    // never paths. Fixed round count keeps it engine-portable (the
+    // until-fixpoint variant is `dedup_components`' kernel); the ledger
+    // (round, frontier_size, n_visited) is what BFS monitoring plots.
+    "graph_bfs_layers" -> { (s, dir) =>
+      val bi = bidirectional(edges(s, dir))
+      var frontier = degrees(s, dir).agg(min(col("u")).as("u"))
+      var visited = frontier
+      def ledger(r: Int, f: DataFrame, vis: DataFrame): DataFrame =
+        f.agg(count(lit(1)).as("frontier_size"))
+          .crossJoin(broadcast(vis.agg(count(lit(1)).as("n_visited"))))
+          .select(lit(r.toLong).as("round"), col("frontier_size"),
+            col("n_visited"))
+      var out = ledger(0, frontier, visited)
+      for (r <- 1 to 3) {
+        val next = bi.join(frontier, "u").select(col("v").as("u")).distinct()
+          .join(visited, Seq("u"), "left_anti")
+        visited = visited.unionByName(next)
+        frontier = next
+        out = out.unionByName(ledger(r, frontier, visited))
+      }
+      out.orderBy("round")
+    },
+
     // DEGREE ASSORTATIVITY (r10): Newman's r — the Pearson correlation
     // of endpoint degrees over the directed edge list (both directions,
     // the standard undirected convention). Do high-degree products
@@ -483,6 +512,33 @@ object GraphQueries {
          |SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
          |       round(corr(du.d, dv.d), 4) + 0.0 AS assortativity_r
          |FROM bi JOIN deg du ON bi.u = du.u JOIN deg dv ON bi.v = dv.u""".stripMargin,
+
+    "graph_bfs_layers" ->
+      s"""$oracleEdgeCtes,
+         |f0 AS (SELECT min(u) AS u FROM deg),
+         |v0 AS (SELECT u FROM f0),
+         |f1 AS (SELECT DISTINCT bi.v AS u FROM bi JOIN f0 ON bi.u = f0.u
+         |       WHERE bi.v NOT IN (SELECT u FROM v0)),
+         |v1 AS (SELECT u FROM v0 UNION ALL SELECT u FROM f1),
+         |f2 AS (SELECT DISTINCT bi.v AS u FROM bi JOIN f1 ON bi.u = f1.u
+         |       WHERE bi.v NOT IN (SELECT u FROM v1)),
+         |v2 AS (SELECT u FROM v1 UNION ALL SELECT u FROM f2),
+         |f3 AS (SELECT DISTINCT bi.v AS u FROM bi JOIN f2 ON bi.u = f2.u
+         |       WHERE bi.v NOT IN (SELECT u FROM v2)),
+         |v3 AS (SELECT u FROM v2 UNION ALL SELECT u FROM f3)
+         |SELECT CAST(r AS BIGINT) AS round,
+         |       CAST(fs AS BIGINT) AS frontier_size,
+         |       CAST(nv AS BIGINT) AS n_visited
+         |FROM (
+         |  SELECT 0 AS r, (SELECT count(*) FROM f0) AS fs,
+         |         (SELECT count(*) FROM v0) AS nv
+         |  UNION ALL SELECT 1, (SELECT count(*) FROM f1),
+         |         (SELECT count(*) FROM v1)
+         |  UNION ALL SELECT 2, (SELECT count(*) FROM f2),
+         |         (SELECT count(*) FROM v2)
+         |  UNION ALL SELECT 3, (SELECT count(*) FROM f3),
+         |         (SELECT count(*) FROM v3))
+         |ORDER BY round""".stripMargin,
 
     "graph_label_prop" ->
       s"""$oracleEdgeCtes,
