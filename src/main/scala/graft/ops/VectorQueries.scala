@@ -597,7 +597,19 @@ object VectorQueries {
     */
   private def kmeansCentroids(e: DataFrame, iters: Int): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.checkpointRdd
-    var cents = e.filter(col("vec_id") % 50 === 0)
+    // Quantizer sizing (r11): up to 10k vectors the dense every-50th
+    // seeding stands (k = n/50 — bit-identical at every shipped SF);
+    // beyond that the stride follows the FAISS √n rule (k ≈ √n), so
+    // centroid training and probe-side scoring are n^1.5 instead of the
+    // n² the linear-k seeding produced (the 30× ScaleProbe measured a
+    // 1.12 warm exponent for sim_ann_knn before this — n·k assignment
+    // with k = n/50). Deterministic: stride is a pure function of the
+    // corpus count.
+    val n = e.count()
+    val stride =
+      if (n <= 10000L) 50L
+      else math.max(50L, n / math.ceil(math.sqrt(n.toDouble)).toLong)
+    var cents = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
