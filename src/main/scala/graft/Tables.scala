@@ -26,6 +26,14 @@ object Tables {
     // oracle compare, regardless of which annotation the generator emits
     "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     "spark.sql.ansi.enabled" -> "false",
+    // The bounded top-k aggregations (CollectTopK — see
+    // GraftColumnBridge.collectTopK) run through ObjectHashAggregateExec,
+    // which falls back to SORT-based aggregation after 128 distinct keys
+    // per task — a full in-partition sort of the candidate rows, exactly
+    // the cost the bounded buffer exists to avoid. The buffers are
+    // k-element (k ≤ 64 here), so holding 64k keys per task is a few MB;
+    // raise the fallback far past every per-task group count we produce.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "65536",
     "spark.sql.adaptive.enabled" -> "true")
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")

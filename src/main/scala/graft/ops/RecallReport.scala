@@ -7,47 +7,131 @@ import org.apache.spark.sql.functions._
   * bench-artifact form of the checks `ApproxSpec` pins (r11, verdict ask:
   * the recall numbers used to live only in the test log; a recall
   * regression should be tracked like a latency regression). `graft.Bench`
-  * runs [[compute]] once per run (after the timed reps — the session
-  * caches are pre-warmed, so this adds one exact-baseline pass + the four
-  * search plans) and emits the map as `"recall"` in bench_full.json;
-  * `ApproxSpec` asserts the same computation against [[floors]], so the
-  * spec and the artifact cannot drift.
+  * runs [[compute]] once per run (after the timed reps) and emits the map
+  * as `"recall"` in bench_full.json; `ApproxSpec` asserts the same
+  * computation against [[floors]], so the spec and the artifact cannot
+  * drift.
   *
-  * All pair sets are bounded driver artifacts: top-3 per query vector for
-  * the single-query variants, top-3 per corpus vector for the k-NN join —
+  * r12: ONE exact pass serves every yardstick. `sim_cosine_topk`'s top-3
+  * for its 10 query vectors is by construction `sim_knn_join`'s rows with
+  * va < 10 (identical scoring, identical (round(cos,6) desc, id asc)
+  * tie-break), so [[exactKnnPairs]] runs the k-NN join once and both pair
+  * sets fall out — and the result is cached per (session, dir) like every
+  * other index artifact ([[graft.ops.VectorQueries.warmCaches]] builds it
+  * untimed as `recall_pairs`, so the bench's recall_sec times only the
+  * four ANN search plans, not a re-run of the already-timed exact
+  * baselines — the r11 verdict's ask #6).
+  *
+  * All pair sets are bounded driver artifacts: top-3 per corpus vector —
   * O(3·n) ids, never the candidate space.
   */
 object RecallReport {
 
   /** Spec floors (ApproxSpec asserts these; the bench only reports).
-    * Sign-LSH/PQ land ~0.7-0.9 on the shipped embeddings; IVF variants
-    * probe 4 of 16 cells, so their floor sits lower.
+    * r12: the tuned defaults (nProbe 8, 16 LSH tables + Hamming-1
+    * multi-probe, PQ shortlist 48 — see VectorQueries' knob keys) measure
+    * ≥ 0.9 on the shipped embeddings; floors sit at 0.8 — the verdict's
+    * target bar with headroom against fixture drift, ~0.1 under each
+    * variant's weakest measured SF.
     */
   val floors: Map[String, Double] = Map(
-    "sim_ann_lsh" -> 0.5,
-    "sim_ann_ivf" -> 0.4,
-    "sim_ann_knn" -> 0.4,
-    "sim_ann_pq" -> 0.5)
+    "sim_ann_lsh" -> 0.8,
+    "sim_ann_ivf" -> 0.8,
+    "sim_ann_knn" -> 0.8,
+    "sim_ann_pq" -> 0.8)
 
   private def pairSet(df: DataFrame, a: String, b: String): Set[(Long, Long)] =
     df.select(col(a), col(b)).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  /** recall@3 of each ANN variant against its exact yardstick:
-    * `sim_ann_{lsh,ivf,pq}` vs the brute-force `sim_cosine_topk` top-3,
-    * `sim_ann_knn` vs the exhaustive `sim_knn_join`.
+  /** The exhaustive top-3 pair set (`sim_knn_join`'s rows) per (session,
+    * dir) — the exact yardstick every ANN variant is scored against,
+    * cached as an index artifact (bounded: 3 ids per corpus vector).
+    * Subject to the same `exactCosineMaxRows` gate as the query itself —
+    * callers beyond the gate (ScaleProbe's replicated tiers) use
+    * [[sampledRecall]] instead.
+    */
+  private val exactCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Set[(Long, Long)]]()
+
+  private[graft] def exactKnnPairs(s: SparkSession, dir: String): Set[(Long, Long)] = {
+    exactCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (s, dir)
+    // Compute outside the bin lock (the pass runs Spark jobs — the
+    // VectorQueries.codebook pattern); a racing duplicate is benign.
+    var entry = exactCache.get(key)
+    if (entry == null) {
+      val fresh = pairSet(graft.SparkEntry.queries("sim_knn_join")(s, dir), "va", "vb")
+      val prev = exactCache.putIfAbsent(key, fresh)
+      entry = if (prev == null) fresh else prev
+    }
+    entry
+  }
+
+  /** Drop this dir's cached pair set (ScaleProbe's many-dirs-one-session
+    * contract, like VectorQueries.clearCache).
+    */
+  private[graft] def clearCache(s: SparkSession, dir: String): Unit = {
+    exactCache.remove((s, dir)); ()
+  }
+
+  /** recall@3 of each ANN variant against the exact yardstick: the
+    * single-query variants (`sim_ann_{lsh,ivf,pq}`) against its va < 10
+    * restriction (= `sim_cosine_topk`'s top-3), `sim_ann_knn` against the
+    * full set.
     */
   def compute(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
     def q(name: String): DataFrame = graft.SparkEntry.queries(name)(s, dir)
-    val exactTop = pairSet(q("sim_cosine_topk").filter(col("rn") <= 3), "q_id", "t_id")
-    def vsExact(name: String): (String, Double) =
+    val knnExact = exactKnnPairs(s, dir)
+    val exactTop = knnExact.filter(_._1 < 10)
+    // The four search plans are independent reads of the same warm
+    // session artifacts — score them concurrently, so the pass costs the
+    // slowest plan, not the sum (the scheduler interleaves the four job
+    // DAGs across the executor threads).
+    def vsExact(name: String): Future[(String, Double)] = Future {
       name -> (exactTop & pairSet(q(name), "q_id", "t_id")).size.toDouble / exactTop.size
-    val knnExact = pairSet(q("sim_knn_join"), "va", "vb")
-    val knnAnn = pairSet(q("sim_ann_knn"), "va", "vb")
-    Seq(
-      vsExact("sim_ann_lsh"),
-      vsExact("sim_ann_ivf"),
-      vsExact("sim_ann_pq"),
-      "sim_ann_knn" -> (knnExact & knnAnn).size.toDouble / knnExact.size)
+    }
+    val knnF = Future {
+      val knnAnn = pairSet(q("sim_ann_knn"), "va", "vb")
+      "sim_ann_knn" -> (knnExact & knnAnn).size.toDouble / knnExact.size
+    }
+    Await.result(
+      Future.sequence(Seq(
+        vsExact("sim_ann_lsh"), vsExact("sim_ann_ivf"), vsExact("sim_ann_pq"), knnF)),
+      Duration.Inf)
+  }
+
+  /** Sampled recall@3 of `sim_ann_knn` for corpora beyond the exact-join
+    * gate (the 30×/100× ScaleProbe tiers, r11 verdict ask #3 — the √n
+    * quantizer sizing only activates past 10k vectors, exactly where no
+    * recall check existed): `nQueries` vec_ids spread evenly across the id
+    * range are brute-forced against the full corpus (one broadcast of the
+    * sample × one linear scan — never O(n²)) and compared against the ANN
+    * join's rows for those queries. Tie-break matches the exact yardstick:
+    * (round(cos, 6) desc, vb asc).
+    */
+  def sampledRecall(s: SparkSession, dir: String, nQueries: Int = 50): Double = {
+    val e = VectorQueries.normedCorpus(s, dir)
+    val n = e.count()
+    val stride = math.max(1L, n / nQueries)
+    val qs = e.filter(col("vec_id") % stride === 0 && col("vec_id") < stride * nQueries)
+      .select(col("vec_id").as("va"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val scored = e.select(col("vec_id").as("vb"), col("embedding").as("te"),
+        col("nrm").as("tn"))
+      .join(broadcast(qs), col("va") =!= col("vb"))
+      .withColumn("cos",
+        graft.functions.VectorOps.dot(col("qe"), col("te")) / (col("qn") * col("tn")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("va")
+      .orderBy(round(col("cos"), 6).desc, col("vb"))
+    val exact = pairSet(
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3),
+      "va", "vb")
+    val sampleIds = exact.map(_._1)
+    val ann = pairSet(graft.SparkEntry.queries("sim_ann_knn")(s, dir), "va", "vb")
+      .filter(p => sampleIds.contains(p._1))
+    if (exact.isEmpty) 1.0 else (exact & ann).size.toDouble / exact.size
   }
 }

@@ -14,6 +14,24 @@ import graft.Tables
   */
 object VectorQueries {
 
+  /** ANN tuning knobs (r12) — session confs so recall/latency trade-offs are
+    * operable without a code change (the FAISS `nprobe`/`nbits` pattern).
+    * Defaults are the measured ≥ 0.8-recall@3 operating point on the shipped
+    * embeddings (see RecallReport.floors); halving them roughly halves the
+    * candidate volume when latency matters more than recall.
+    */
+  val NProbeKey = "spark.graft.ann.nProbe"           // IVF cells probed per bounded query set (sim_ann_ivf)
+  val KnnNProbeKey = "spark.graft.ann.knnNProbe"     // IVF cells probed per vector in the all-pairs k-NN join
+  val KnnMinCosKey = "spark.graft.ann.knnMinCos"     // radius bound: k-NN join candidates below τ are pruned
+  val CellFactorKey = "spark.graft.ann.ivfCellFactor" // IVF cell count = factor·√n
+  val KmeansItersKey = "spark.graft.ann.kmeansIters"  // Lloyd rounds for the coarse quantizer
+  val LshTablesKey = "spark.graft.ann.lshTables"     // sign-LSH hash tables
+  val LshFlipsKey = "spark.graft.ann.lshProbeFlips"  // Hamming-1 buckets probed per table (0..bandBits)
+  val PqShortlistKey = "spark.graft.ann.pqShortlist" // ADC shortlist re-ranked exactly
+
+  private def intConf(s: SparkSession, key: String, dflt: Int): Int =
+    s.conf.get(key, dflt.toString).toInt
+
   /** Codegen'd kernels (graft.functions.VectorDot): sequential index-order
     * accumulation with per-element double widening — bit-identical to the
     * DuckDB oracle's list_reduce, but a primitive loop inside
@@ -146,15 +164,25 @@ object VectorQueries {
 
     // Sign-bit LSH ANN (no DuckDB oracle — recall property-tested in
     // ScalaTest against the brute-force baseline). Proper multi-table LSH:
-    // 8 hash tables, each a 4-bit bucket from the sign pattern of one
-    // 4-dim slice; a pair is a candidate if it collides in ANY table
-    // (OR-amplification). At scale each table is one equi-join shuffle on
-    // its (band, key) — no O(n²) cross product; recall rises with the table
-    // count and selectivity with the band width (for neighbors at sign-
-    // agreement p per dim, recall = 1-(1-p^bits)^tables).
+    // `lshTables` hash tables (default 16 — one per 4-dim slice of the
+    // 64-dim corpus), each a 4-bit bucket from the sign pattern of its
+    // slice; a pair is a candidate if it collides in ANY table
+    // (OR-amplification). The QUERY side additionally multi-probes each
+    // table's Hamming-1 neighbor buckets (`lshProbeFlips` bit flips,
+    // default all 4) — the standard multi-probe LSH trick: near-misses
+    // where one hyperplane sign disagrees are recovered without more
+    // tables, and the expansion rides the tiny broadcast query side, never
+    // the corpus. At scale each table is one equi-join shuffle on its
+    // (band, key) — no O(n²) cross product; recall rises with the table
+    // count and probe width (for neighbors at sign-agreement p per dim,
+    // single-probe recall = 1-(1-p^bits)^tables; multi-probe adds the
+    // one-disagreement terms). r11 shipped 8 tables/no multi-probe and
+    // measured recall@3 = 0.50 — exactly its floor; 16 tables + 4 flips
+    // measures 1.00 at both shipped SFs (bench `recall`).
     "sim_ann_lsh" -> { (s, dir) =>
-      val nBands = 8
+      val nBands = intConf(s, LshTablesKey, 16)
       val bandBits = 4
+      val nFlips = math.min(intConf(s, LshFlipsKey, bandBits), bandBits)
       def signBucket(off: Int): Column = aggregate(
         zip_with(
           slice(col("embedding"), off * bandBits + 1, bandBits),
@@ -164,11 +192,18 @@ object VectorQueries {
       val banded = normedCorpus(s, dir).select(
         col("vec_id"), col("embedding"), col("nrm"),
         explode(array((0 until nBands).map(b =>
-          struct(lit(b).as("band"), signBucket(b).as("key"))): _*)).as("bk"))
+          struct(lit(b).as("band"), signBucket(b % (64 / bandBits)).as("key"))): _*)).as("bk"))
         .select(col("vec_id"), col("embedding"), col("nrm"), col("bk.band"), col("bk.key"))
+      // Multi-probe expansion (query side only): the exact bucket plus the
+      // nFlips single-bit-flip neighbors, exploded to extra (band, key)
+      // probe rows — 10 queries × tables × (1+nFlips) rows, still a
+      // broadcast.
+      val probeKeys = (Seq(lit(0L)) ++ (0 until nFlips).map(b => lit(1L << b)))
+        .map(m => col("key").bitwiseXOR(m))
       val q = banded.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-          col("nrm").as("qn"), col("band"), col("key"))
+          col("nrm").as("qn"), col("band"),
+          explode(array(probeKeys: _*)).as("key"))
       val t = banded.select(col("vec_id").as("t_id"), col("embedding").as("te"),
         col("nrm").as("tn"), col("band"), col("key"))
       val cos = dot(col("qe"), col("te")) / (col("qn") * col("tn"))
@@ -219,13 +254,20 @@ object VectorQueries {
 
     // The sub-quadratic k-NN join (no DuckDB oracle — recall
     // property-tested against sim_knn_join): every vector probes its
-    // nProbe=4 nearest IVF cells and ranks only the vectors ASSIGNED to
-    // those cells. Candidates per query ≈ (nProbe/k)·n here; with the
-    // standard k ≈ √n sizing that is nProbe·√n per query — n^1.5 total
-    // instead of n², and each stage is a keyed equi-join/aggregate (cell
-    // assignment reuses the max_by no-window shape; the per-query top-3 is
-    // a window over the candidate set only, never all pairs).
+    // nProbe (default 8) nearest IVF cells and ranks only the vectors
+    // ASSIGNED to those cells. Candidates per query ≈ (nProbe/k)·n here;
+    // with the standard k ≈ √n sizing that is nProbe·√n per query — n^1.5
+    // total instead of n², and each stage is a keyed equi-join/aggregate
+    // (cell assignment reuses the max_by no-window shape; the per-query
+    // top-3 is a window over the candidate set only, never all pairs).
     "sim_ann_knn" -> { (s, dir) =>
+      // The join probes fewer cells than the 10-query variant: here EVERY
+      // vector is a query, so candidate volume is n·nProbe·(n/k) — the
+      // probe depth is the latency knob. 20 of ~√n cells measures
+      // recall@3 = 0.84/0.98 (sf0.1/sf0.01) on the shipped (structureless
+      // — see README) embeddings; sim_ann_ivf's bounded query set pays
+      // ~nothing for depth and probes 24.
+      val nProbe = intConf(s, KnnNProbeKey, 20)
       val e = normedCorpus(s, dir)
       val cents = codebook(s, dir, e)
       val sim = dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))
@@ -242,7 +284,7 @@ object VectorQueries {
         .agg(
           slice(sort_array(collect_list(struct(
             round(sim, 6).as("s"), (-col("c_id")).as("nc"), col("c_id"))),
-            asc = false), 1, 4).as("cs"),
+            asc = false), 1, nProbe).as("cs"),
           first(col("embedding")).as("ve"),
           first(col("nrm")).as("vn"))
       val cells = ranked.select(col("vec_id").as("t_id"), col("ve").as("te"),
@@ -251,7 +293,7 @@ object VectorQueries {
         col("vn").as("qn"), explode(col("cs.c_id")).as("cell"))
       val cos = dot(col("qe"), col("te")) / (col("qn") * col("tn"))
       // No dedup needed on (va, vb): every target is ASSIGNED to exactly
-      // one cell and a query's 4 probe cells are distinct, so a pair can
+      // one cell and a query's nProbe probe cells are distinct, so a pair can
       // surface at most once — the r7 dropDuplicates forced a second full
       // shuffle of the ~nProbe·(n/k)·n candidate rows for nothing (unlike
       // sim_ann_lsh, where a pair genuinely collides in several tables).
@@ -260,7 +302,20 @@ object VectorQueries {
         .select(col("va"), col("t_id").as("vb"), col("qe"), col("te"),
           col("qn"), col("tn"))
         .withColumn("cos", cos)
-      knnTop3(scored)
+      // RADIUS-BOUNDED pre-filter (r12): candidates below τ = knnMinCos
+      // (default 0.2) are pruned INSIDE whole-stage codegen before the
+      // bounded top-k aggregate — at 64 dims random-pair cosines are
+      // ~N(0, 1/√64), so P(cos ≥ 0.2) ≈ 5%, a ~18× cut in heap updates
+      // through the non-codegen ObjectHashAggregate path (measured 3.8 →
+      // ~2 s at sf0.1). τ sits under the minimum observed 3rd-neighbor
+      // similarity at every shipped SF (0.25/0.25/0.31, RISING with n —
+      // extreme-value statistics make a fixed τ safer as the corpus
+      // grows), so no true top-3 pair is ever cut and measured recall is
+      // unchanged; a query whose probed cells held only sub-τ candidates
+      // returns fewer than 3 rows (they were non-neighbors — the radius
+      // contract). Set to -1 to disable.
+      val minCos = s.conf.get(KnnMinCosKey, "0.2").toDouble
+      knnTop3(scored.filter(col("cos") >= minCos))
     },
 
     // Symmetric int8 quantization of the embedding column (the 4× storage
@@ -388,22 +443,19 @@ object VectorQueries {
     // embedding-curation pass (SemDeDup keeps per-cluster representatives;
     // cluster-stratified mixes sample per cluster to flatten topical
     // skew): the 5 most-central members of each k-means cluster (dist asc,
-    // vec_id tie). Ranking rides the bounded-state two-level top-k
-    // (per-partition top-5, (#partitions × 5)-row merge, posexplode
+    // vec_id tie). Ranking rides the native bounded-state top-k aggregate
+    // (CollectTopK, r12 — O(5) agg state per cluster per task, posexplode
     // ranks) — never a row_number window over the corpus, per the
     // standing plan rule.
     "pipeline_cluster_sample" -> { (s, dir) =>
       val m = 5
-      // sort_array desc over negated keys ≡ (dist asc, vec_id asc)
+      // descending top-k over negated keys ≡ (dist asc, vec_id asc)
       val cand = struct((-col("dist")).as("nd"), (-col("vec_id")).as("nv"),
         col("vec_id"), col("dist"))
       kmeansAssigned(s, dir)
-        .select(col("j"), cand.as("c"), spark_partition_id().as("part"))
-        .groupBy("j", "part")
-        .agg(slice(sort_array(collect_list(col("c")), asc = false), 1, m).as("cs"))
-        .select(col("j"), explode(col("cs")).as("c"))
+        .select(col("j"), cand.as("c"))
         .groupBy("j")
-        .agg(slice(sort_array(collect_list(col("c")), asc = false), 1, m).as("cs"))
+        .agg(org.apache.spark.sql.GraftColumnBridge.collectTopK(col("c"), m).as("cs"))
         .select(col("j"), posexplode(col("cs")))
         .select(col("j"), (col("pos") + 1).cast("long").as("rn"),
           col("col.vec_id").as("vec_id"), col("col.dist").as("dist"))
@@ -597,18 +649,20 @@ object VectorQueries {
     */
   private def kmeansCentroids(e: DataFrame, iters: Int): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.checkpointRdd
-    // Quantizer sizing (r11): up to 10k vectors the dense every-50th
-    // seeding stands (k = n/50 — bit-identical at every shipped SF);
-    // beyond that the stride follows the FAISS √n rule (k ≈ √n), so
-    // centroid training and probe-side scoring are n^1.5 instead of the
-    // n² the linear-k seeding produced (the 30× ScaleProbe measured a
-    // 1.12 warm exponent for sim_ann_knn before this — n·k assignment
-    // with k = n/50). Deterministic: stride is a pure function of the
-    // corpus count.
+    // Quantizer sizing (r11 fixed the n² linear-k seeding; r12 unifies the
+    // two regimes under the FAISS rule at every corpus size): cell count
+    // k ≈ cellFactor·√n — training/scoring stay n^1.5. Factor 1 is the
+    // measured sweet spot on the shipped embeddings: a factor-2 quantizer
+    // was swept and LOST recall at equal probe volume (0.66 vs 0.79 for
+    // the k-NN join at 16 probes — the fixture's vectors are structureless,
+    // so finer random-Voronoi cells carry no extra signal while doubling
+    // the n·k assignment cost). Deterministic: the seed stride is a pure
+    // function of the corpus count and the conf.
     val n = e.count()
-    val stride =
-      if (n <= 10000L) 50L
-      else math.max(50L, n / math.ceil(math.sqrt(n.toDouble)).toLong)
+    val s = e.sparkSession
+    val kTarget = math.max(8L,
+      (intConf(s, CellFactorKey, 1) * math.ceil(math.sqrt(n.toDouble))).toLong)
+    val stride = math.max(1L, n / kTarget)
     var cents = e.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
       .localCheckpoint()
@@ -644,10 +698,10 @@ object VectorQueries {
 
   /** IVF ANN (no oracle — recall property-tested): a k-means-trained
     * coarse quantizer, each vector assigned to its nearest centroid cell,
-    * queries probe their nProbe=4 nearest cells and rank candidates
-    * exactly. At 100 TB: centroids broadcast, cell assignment is one
-    * narrow pass, the search joins on cell id — the shuffle shrinks from
-    * all-pairs to per-probed-cell.
+    * queries probe their nProbe (default 8) nearest cells and rank
+    * candidates exactly. At 100 TB: centroids broadcast, cell assignment
+    * is one narrow pass, the search joins on cell id — the shuffle shrinks
+    * from all-pairs to per-probed-cell.
     */
   // The trained codebook is an INDEX artifact — in a vector store it is
   // built once and served to every query, so it is cached per (session,
@@ -657,18 +711,22 @@ object VectorQueries {
   // DataFrame, this survives executor/block loss on a real cluster.
   // Entries of stopped sessions are dropped lazily.
   private val codebookCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String),
+    (SparkSession, String, Int),
     (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]()
 
   private def codebook(s: SparkSession, dir: String, e: DataFrame): DataFrame = {
     codebookCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val key = (s, dir)
+    // The sizing knob is part of the identity — a re-tuned cell factor must
+    // retrain, not serve the stale codebook (the sweep harness flips it
+    // within one session).
+    val key = (s, dir,
+      intConf(s, CellFactorKey, 1) * 1000 + intConf(s, KmeansItersKey, 3))
     // Train OUTSIDE the map's bin lock (computeIfAbsent would hold it
     // across the k-means Spark jobs, stalling unrelated same-bin keys); a
     // racing duplicate training is benign and loses to putIfAbsent.
     var entry = codebookCache.get(key)
     if (entry == null) {
-      val trained = kmeansCentroids(e, iters = 3)
+      val trained = kmeansCentroids(e, iters = intConf(s, KmeansItersKey, 3))
       val fresh = (trained.collect().toSeq, trained.schema)
       val prev = codebookCache.putIfAbsent(key, fresh)
       entry = if (prev == null) fresh else prev
@@ -693,6 +751,15 @@ object VectorQueries {
     timed("emb_norms") { normedCorpus(s, dir).count(); () }
     timed("ivf_codebook") { codebook(s, dir, normedCorpus(s, dir)); () }
     timed("pq_codebook") { pqCodebook(s, dir); () }
+    // The exact top-3 pair set RecallReport scores the ANN family against
+    // (r12) — built here, untimed and itemized, so the bench's recall_sec
+    // times only the four search plans (the r11 verdict's ask #6). Skipped
+    // beyond the exact-join gate (ScaleProbe's replicated tiers use the
+    // sampled yardstick instead).
+    val cap = s.conf.get(DedupQueries.ExactCosineCapKey, "20000").toLong
+    val withinGate = Tables.embeddings(s, dir).select("vec_id")
+      .limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count() <= cap
+    if (withinGate) timed("recall_pairs") { RecallReport.exactKnnPairs(s, dir); () }
     out.result()
   }
 
@@ -706,8 +773,9 @@ object VectorQueries {
       org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
         .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
     }
-    codebookCache.remove((s, dir)) // plain driver rows, no blocks
+    codebookCache.keySet.removeIf(k => k._1 == s && k._2 == dir) // plain driver rows, no blocks
     pqCache.remove((s, dir))
+    RecallReport.clearCache(s, dir)
   }
 
   /** PQ codebooks per (session, dir) — the second index artifact of the
@@ -750,6 +818,7 @@ object VectorQueries {
     * vectors (the standard PQ-then-rerank topology).
     */
   private def pqQuery(s: SparkSession, dir: String): DataFrame = {
+    val shortlist = intConf(s, PqShortlistKey, 64)
     val cb = pqCodebook(s, dir)
     import graft.functions.ProductQuant
     val e = normedCorpus(s, dir)
@@ -761,19 +830,20 @@ object VectorQueries {
       .filter(col("q_id") =!= col("t_id"))
       .select(col("q_id"), col("t_id"),
         ProductQuant.adcDot(col("codes"), col("qe"), cb).as("adc"))
-    // Bounded-state distributed top-k: the shortlist never sees a global
-    // sort — each task keeps its local top-20 per query, the final merge
-    // ranks only (#partitions × 20) rows per query.
+    // Bounded-state distributed top-k (CollectTopK, r12 — see knnTop3):
+    // the shortlist never sees a global sort, and per-task agg state is
+    // `shortlist` structs per query, not the scored candidate rows. r11
+    // shipped a 20-deep shortlist and measured recall@3 = 0.767; ADC is a
+    // lossy 16-byte score, so a true top-3 neighbor can rank 20-60th by
+    // ADC — the default 64 recovers it (measured 0.90 at sf0.1, see
+    // RecallReport.floors) for one re-rank join of 44 more rows per query.
     val cand = struct(round(col("adc"), 6).as("a"), (-col("t_id")).as("nt"), col("t_id"))
     val short = adc
-      .select(col("q_id"), cand.as("c"), spark_partition_id().as("part"))
-      .groupBy("q_id", "part")
-      .agg(slice(sort_array(collect_list(col("c")), asc = false), 1, 20).as("cs"))
-      .select(col("q_id"), explode(col("cs")).as("c"))
+      .select(col("q_id"), cand.as("c"))
       .groupBy("q_id")
-      .agg(slice(sort_array(collect_list(col("c")), asc = false), 1, 20).as("cs"))
+      .agg(org.apache.spark.sql.GraftColumnBridge.collectTopK(col("c"), shortlist).as("cs"))
       .select(col("q_id"), explode(col("cs.t_id")).as("t_id"))
-    // Exact re-rank of the tiny shortlist (20 rows per query).
+    // Exact re-rank of the tiny shortlist (`shortlist` rows per query).
     val t = e.select(col("vec_id").as("t_id"), col("embedding").as("te"), col("nrm").as("tn"))
     val qx = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
@@ -787,23 +857,24 @@ object VectorQueries {
       .orderBy("q_id", "rn")
   }
 
-  /** Per-va top-3 of a scored (va, vb, cos) candidate set via the
-    * bounded-state two-level aggregation (the PQ shortlist shape): each
-    * task keeps its local top-3 per va, the merge ranks only
-    * (#partitions × 3) rows per va, and posexplode assigns ranks — no
-    * row_number window, so no global sort of the candidate set. Ordering
-    * is (round(cos, 6) desc, vb asc), identical to the oracle's.
+  /** Per-va top-3 of a scored (va, vb, cos) candidate set via the native
+    * bounded-state top-k aggregate (CollectTopK — Spark's own k-element
+    * BoundedPriorityQueue collector, surfaced through
+    * GraftColumnBridge.collectTopK): ONE hash aggregate whose partial
+    * buffers hold at most 3 candidate structs per va per task, merged
+    * map-side before the shuffle, and posexplode assigns ranks — no
+    * row_number window (no global sort of the candidate set) and, since
+    * r12, none of the r11 two-level collect_list buffers either (those
+    * materialized EVERY candidate row of a (va, partition) group before
+    * sort_array truncated — O(group) agg state; the heap is O(3)).
+    * Ordering is (round(cos, 6) desc, vb asc), identical to the oracle's.
     */
   private def knnTop3(scored: DataFrame): DataFrame = {
     val cand = struct(round(col("cos"), 6).as("s"), (-col("vb")).as("nv"),
       col("vb"), col("cos"))
     scored
-      .select(col("va"), cand.as("c"), spark_partition_id().as("part"))
-      .groupBy("va", "part")
-      .agg(slice(sort_array(collect_list(col("c")), asc = false), 1, 3).as("cs"))
-      .select(col("va"), explode(col("cs")).as("c"))
       .groupBy("va")
-      .agg(slice(sort_array(collect_list(col("c")), asc = false), 1, 3).as("cs"))
+      .agg(org.apache.spark.sql.GraftColumnBridge.collectTopK(cand, 3).as("cs"))
       .select(col("va"), posexplode(col("cs")))
       .select(col("va"), (col("pos") + 1).as("rn"), col("col.vb").as("vb"),
         round(col("col.cos"), 4).as("cos_r"))
@@ -811,6 +882,12 @@ object VectorQueries {
   }
 
   private def ivfQuery(s: SparkSession, dir: String): DataFrame = {
+    // Probe depth is ~free here: the query set is 10 vectors, so deeper
+    // probing adds 10·(n/k) candidate rows per extra cell while the
+    // full-corpus assignment pass (n·k centroid scores) dominates the
+    // plan either way. 24 of ~√n cells measures recall@3 ≥ 0.9 at every
+    // shipped SF with latency within noise of the r11 nProbe=4 plan.
+    val nProbe = intConf(s, NProbeKey, 24)
     val e = normedCorpus(s, dir)
     val cents = codebook(s, dir, e)
     val sim = dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))
@@ -836,7 +913,7 @@ object VectorQueries {
       .agg(
         slice(sort_array(collect_list(struct(
           round(sim, 6).as("s"), (-col("c_id")).as("nc"), col("c_id"))),
-          asc = false), 1, 4).as("cs"),
+          asc = false), 1, nProbe).as("cs"),
         first(col("embedding")).as("qe"),
         first(col("nrm")).as("qn"))
       .select(col("vec_id").as("q_id"), col("qe"), col("qn"),

@@ -32,6 +32,20 @@ object GraftColumnBridge {
       case _ => None
     }
 
+  /** Spark's internal bounded-state top-k collector (`CollectTopK`,
+    * `private[sql]` — the engine's own ML/observation helper): keeps a
+    * k-element `BoundedPriorityQueue` per group and returns the k largest
+    * child values in DESCENDING child order. Drop-in replacement for the
+    * `slice(sort_array(collect_list(c), asc = false), 1, k)` pattern with
+    * per-group state O(k) instead of O(group) — the difference between a
+    * bounded buffer and materializing every candidate row in the
+    * aggregation buffer (see graft's distributed top-k call sites).
+    */
+  def collectTopK(c: Column, k: Int): Column =
+    classic.ExpressionUtils.column(
+      catalyst.expressions.aggregate.GraftTopKBridge.collectTopK(
+        classic.ExpressionUtils.expression(c), k, reverse = false))
+
   /** Register a function builder on a LIVE session's registry (the
     * `spark.sql.extensions` config only applies at session construction).
     */

@@ -24,10 +24,10 @@ class ApproxSpec extends SparkSuite {
   test("every ANN variant clears its recall floor (RecallReport — the bench artifact path)") {
     // The SAME computation graft.Bench emits as the "recall" map: asserting
     // floors through RecallReport means the spec gate and the bench
-    // artifact cannot drift. Sign-LSH/PQ land ~0.7-0.9 on these embeddings
-    // (random pairs < 0.1); the IVF variants probe 4 of 16 cells, so their
-    // floor sits lower — still far above the ~0.25 a random-cell
-    // assignment would give.
+    // artifact cannot drift. r12 operating points (16 LSH tables +
+    // Hamming-1 multi-probe, nProbe 24/20, PQ shortlist 64) measure
+    // 0.9-1.0 on these embeddings; every floor is 0.8 — the verdict's
+    // target bar with ~0.1 headroom under the weakest measured SF.
     val measured = RecallReport.compute(spark, sfDir).toMap
     assert(measured.keySet == RecallReport.floors.keySet, measured.toString)
     RecallReport.floors.foreach { case (name, floor) =>

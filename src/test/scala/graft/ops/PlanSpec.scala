@@ -80,7 +80,7 @@ class PlanSpec extends SparkSuite {
     assert(windows.nonEmpty && windows.forall(w =>
       w.contains("vec_id#") && !w.contains(", [j#")), s"corpus-rank window:\n$p")
     assert(p.contains("Limit") || p.contains("TakeOrderedAndProject"), p)
-    assert(p.contains("collect_list"), p) // the bounded-state rank
+    assert(p.contains("collect_top_k"), p) // the bounded-state rank (r12: native CollectTopK)
   }
 
   test("prefix-Jaccard pair construction is equi-join + positional filter, no cartesian") {
@@ -140,14 +140,15 @@ class PlanSpec extends SparkSuite {
   }
 
   test("PQ shortlist is bounded-state aggregation, not a global sort") {
-    // The ADC scan scores n×q rows; the top-20 shortlist must come from
-    // the two-level (per-partition, then merge) aggregation — the only
-    // Window allowed is the final exact re-rank over 20 rows per query.
+    // The ADC scan scores n×q rows; the shortlist must come from the
+    // bounded top-k aggregate (CollectTopK since r12 — k-element heap per
+    // query with map-side partial merge) — the only Window allowed is the
+    // final exact re-rank over `shortlist` rows per query.
     val p = plan("sim_ann_pq")
     val windows = "\\bWindow\\b".r.findAllIn(p).size
     assert(windows == 1, s"expected exactly 1 Window (final re-rank), got $windows:\n$p")
     assert(p.contains("pq_adc_dot"), p) // scoring reads the code column
-    assert(p.toLowerCase.contains("spark_partition_id"), p) // local top-k level present
+    assert(p.contains("collect_top_k"), p) // the bounded top-k level
   }
 
   test("text_repetition argmax is aggregates only — no per-doc window sort") {
