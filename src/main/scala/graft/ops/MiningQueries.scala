@@ -339,82 +339,127 @@ object MiningQueries {
     // exact integer ppm; 10 000 ppm = perfectly even across 100 sources,
     // 10⁶ = single-source). Two stacked map-side-combined aggregates;
     // output is O(languages).
+    // Overflow discipline (r12, ADVICE): every data-sized product and sum
+    // on the ppm path rides DECIMAL(38,0) (the agg_moments pattern) — the
+    // r11 Int64 arithmetic silently wrapped at ~3 M rows per language
+    // (n²·10⁶ > 2⁶³) while the DuckDB oracle raised, so the engines would
+    // diverge exactly where it matters. `div` on decimals returns BIGINT,
+    // so the output column (ppm ≤ 10⁶ by construction) is unchanged.
     "agg_hhi" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
       graft.Tables.documents(s, dir)
         .groupBy("lang", "source").agg(count(lit(1)).as("ns"))
         .groupBy("lang")
         .agg(sum(col("ns")).as("n"), count(lit(1)).as("n_sources"),
-          sum(col("ns") * col("ns")).as("s2"))
+          sum(col("ns").cast(d38) * col("ns").cast(d38)).as("s2"))
         .select(col("lang"), col("n"), col("n_sources"),
-          expr("(s2 * 1000000) div (n * n)").as("hhi_ppm"))
+          expr("(s2 * CAST(1000000 AS DECIMAL(38,0))) div " +
+            "(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))").as("hhi_ppm"))
         .orderBy("lang")
     },
 
-    // KOLMOGOROV–SMIRNOV DRIFT (r11): the two-sample KS statistic between
-    // the click and purchase value distributions — the distribution-drift
-    // screen a data pipeline runs between corpus snapshots. EXACT
-    // integers end to end: D = max |F₁−F₂| is computed as
-    // max |cum₁·n₂ − cum₂·n₁| over the BOUNDED-domain cents histogram
-    // (≤ ~49 k distinct values by construction), reported in ppm via
-    // floor division; the argmax value rides a max-struct with a
-    // deterministic smallest-v tie-break. The cumulative window runs over
-    // the bounded histogram (domain-sized, not data-sized — the
-    // seed-table pattern), so per-task state is O(distinct cents) at any
-    // corpus size and nothing float ever crosses the oracle.
+    // KOLMOGOROV–SMIRNOV DRIFT (r11; r12 generalizes click-vs-purchase to
+    // ALL PAIRS of arms — the real drift-dashboard shape, one KS row per
+    // unordered event-type pair): the two-sample KS statistic between the
+    // value distributions of every pair of arms. EXACT integers end to
+    // end: D = max |F₁−F₂| is computed as max |cum₁·n₂ − cum₂·n₁| over
+    // the BOUNDED-domain cents histogram (≤ ~49 k distinct values by
+    // construction), reported in ppm via floor division; the argmax value
+    // rides a max-struct with a deterministic smallest-v tie-break.
+    // Scale shape: the events table is scanned ONCE (the (arm, cents)
+    // histogram — map-side-combined); everything after operates on that
+    // domain-bounded artifact: the 10-row pair table broadcasts onto it
+    // (≤ arms−1 copies per histogram row), the cumulative windows
+    // partition by pair over ≤ arms²·domain rows, so per-task state and
+    // all post-scan work are bounded by the VALUE DOMAIN and arm count,
+    // never the corpus. Products and the ppm scaling ride DECIMAL(38,0)
+    // (r12, ADVICE): in Int64, cum1·n2 wraps once n1·n2 > 2⁶³ and d·10⁶ a
+    // million times earlier (~3 M rows per arm), silently in Spark vs an
+    // error in DuckDB. ppm output stays BIGINT via decimal `div`.
     "agg_ks_drift" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val ev = graft.Tables.events(s, dir)
-        .filter(col("event_type").isin("click", "purchase"))
-        .select(floor(col("value") * 100 + 0.5).cast("long").as("v"),
-          when(col("event_type") === "click", 1L).otherwise(0L).as("i1"),
-          when(col("event_type") === "purchase", 1L).otherwise(0L).as("i2"))
-      val h = ev.groupBy("v").agg(sum(col("i1")).as("c1"), sum(col("i2")).as("c2"))
-      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-      val cum = h.select(col("v"),
+      val h = graft.Tables.events(s, dir)
+        .select(col("event_type").as("et"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+        .groupBy("et", "v").agg(count(lit(1)).as("c"))
+      val arms = h.select("et").distinct()
+      val pairs = arms.select(col("et").as("pa"))
+        .join(arms.select(col("et").as("pb")), col("pa") < col("pb"))
+      val hp = h.join(broadcast(pairs), col("et") === col("pa") || col("et") === col("pb"))
+        .groupBy("pa", "pb", "v")
+        .agg(sum(when(col("et") === col("pa"), col("c")).otherwise(0L)).as("c1"),
+          sum(when(col("et") === col("pb"), col("c")).otherwise(0L)).as("c2"))
+      val w = Window.partitionBy("pa", "pb").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = hp.select(col("pa"), col("pb"), col("v"),
         sum(col("c1")).over(w).as("cum1"), sum(col("c2")).over(w).as("cum2"))
-      val tot = h.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
-      cum.crossJoin(broadcast(tot))
-        .select(col("n1"), col("n2"),
-          abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("d"),
+      val tot = hp.groupBy("pa", "pb").agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      cum.join(broadcast(tot), Seq("pa", "pb"))
+        .select(col("pa"), col("pb"), col("n1"), col("n2"),
+          abs(col("cum1").cast(d38) * col("n2").cast(d38)
+            - col("cum2").cast(d38) * col("n1").cast(d38)).as("d"),
           col("v"))
-        .groupBy("n1", "n2")
+        .groupBy("pa", "pb", "n1", "n2")
         .agg(max(struct(col("d"), (-col("v")).as("nv"))).as("b"))
-        .select(col("n1").as("n_click"), col("n2").as("n_purchase"),
-          expr("(b.d * 1000000) div (n1 * n2)").as("ks_ppm"),
+        .select(col("pa").as("arm_a"), col("pb").as("arm_b"),
+          col("n1").as("n_a"), col("n2").as("n_b"),
+          expr("(b.d * CAST(1000000 AS DECIMAL(38,0))) div " +
+            "(CAST(n1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0)))").as("ks_ppm"),
           (-col("b.nv")).as("ks_at_cents"))
+        .orderBy("arm_a", "arm_b")
     },
 
-    // MANN–WHITNEY U (r11): the rank-sum test between the same two arms —
-    // the nonparametric "did the distribution shift" sibling of
-    // `agg_ks_drift` that weighs the whole ordering, not just the worst
-    // gap. Midrank arithmetic stays in EXACT integers by carrying 2·R₁:
-    // a value v with c₁ group-1 members among c = c₁+c₂ ties after `cum`
-    // smaller items contributes c₁·(2·cum + c + 1) to 2·R₁, so
-    // 2U₁ = 2R₁ − n₁(n₁+1) is exact and tie-order-proof. The z
-    // normalization (no tie correction — documented) is a closed-form
-    // double from exact integers, rounded once. Same bounded-domain
-    // histogram fold as the KS/Gini queries.
+    // MANN–WHITNEY U (r11; r12: ALL PAIRS of arms, like `agg_ks_drift`) —
+    // the rank-sum test between every pair of arms, the nonparametric
+    // "did the distribution shift" sibling of the KS screen that weighs
+    // the whole ordering, not just the worst gap. Midrank arithmetic
+    // stays in EXACT integers by carrying 2·R₁: a value v with c₁ group-1
+    // members among c = c₁+c₂ ties after `cum` smaller items contributes
+    // c₁·(2·cum + c + 1) to 2·R₁, so 2U₁ = 2R₁ − n₁(n₁+1) is exact and
+    // tie-order-proof. The z normalization (no tie correction —
+    // documented) is a closed-form double from exact integers, rounded
+    // once. Same one-scan histogram + broadcast pair expansion as
+    // `agg_ks_drift`; everything after the scan is bounded by
+    // arms²·domain. The rank sum rides DECIMAL(38,0) (r12, ADVICE —
+    // c1·cum ~ n² wraps Int64 at ~3·10⁹ rows in Spark while DuckDB
+    // raises). The reported u1_x2 is itself ~n²: its BIGINT
+    // representation is exact for n1+n2 ≤ ~3·10⁹ rows per pair
+    // (documented output-domain bound; beyond it Spark's decimal→long
+    // cast nulls rather than wrapping, and the oracle's HUGEINT→BIGINT
+    // cast errors — a loud failure either way, never silent divergence).
+    // The z statistic derives from the exact decimal before any cast.
     "agg_mannwhitney" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val ev = graft.Tables.events(s, dir)
-        .filter(col("event_type").isin("click", "purchase"))
-        .select(floor(col("value") * 100 + 0.5).cast("long").as("v"),
-          when(col("event_type") === "click", 1L).otherwise(0L).as("i1"),
-          when(col("event_type") === "purchase", 1L).otherwise(0L).as("i2"))
-      val h = ev.groupBy("v").agg(sum(col("i1")).as("c1"), sum(col("i2")).as("c2"))
-      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-      val cum = h
+      val h = graft.Tables.events(s, dir)
+        .select(col("event_type").as("et"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+        .groupBy("et", "v").agg(count(lit(1)).as("c"))
+      val arms = h.select("et").distinct()
+      val pairs = arms.select(col("et").as("pa"))
+        .join(arms.select(col("et").as("pb")), col("pa") < col("pb"))
+      val hp = h.join(broadcast(pairs), col("et") === col("pa") || col("et") === col("pb"))
+        .groupBy("pa", "pb", "v")
+        .agg(sum(when(col("et") === col("pa"), col("c")).otherwise(0L)).as("c1"),
+          sum(when(col("et") === col("pb"), col("c")).otherwise(0L)).as("c2"))
+      val w = Window.partitionBy("pa", "pb").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = hp
         .withColumn("cum", coalesce(sum(col("c1") + col("c2")).over(w), lit(0L)))
-      val r = cum.agg(
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val r = cum.groupBy("pa", "pb").agg(
         sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
-        sum(col("c1") * (lit(2L) * col("cum") + col("c1") + col("c2") + 1L))
+        sum(col("c1").cast(d38) *
+            (lit(2L) * col("cum") + col("c1") + col("c2") + 1L).cast(d38))
           .as("r1x2"))
-      val u2x = col("r1x2") - col("n1") * (col("n1") + 1L)
+      val u2x = col("r1x2") - col("n1").cast(d38) * (col("n1") + 1L).cast(d38)
       val nD = col("n1").cast("double") * col("n2").cast("double")
       val z = (u2x.cast("double") / 2.0 - nD / 2.0) /
         sqrt(nD * (col("n1") + col("n2") + 1L).cast("double") / 12.0)
-      r.select(col("n1").as("n_click"), col("n2").as("n_purchase"),
-        u2x.as("u1_x2"), (round(z, 4) + 0.0).as("z_r"))
+      r.select(col("pa").as("arm_a"), col("pb").as("arm_b"),
+        col("n1").as("n_a"), col("n2").as("n_b"),
+        u2x.cast("long").as("u1_x2"), (round(z, 4) + 0.0).as("z_r"))
+        .orderBy("arm_a", "arm_b")
     },
 
     // GINI COEFFICIENT (r11): concentration of event value per event type
@@ -422,11 +467,11 @@ object MiningQueries {
     // histogram. EXACT and 100 TB-shaped: value is 2-decimal, so the
     // (type, cents) pre-aggregate is a BOUNDED-domain histogram (≤ ~49 k
     // distinct cents by construction — the agg_weighted_median pattern),
-    // and the rank sum Σ i·xᵢ folds over it without ever sorting rows:
-    // a value v with c copies after `cum` smaller items contributes
-    // v·(c·cum + c(c+1)/2) — ties contribute identically under any
-    // internal order, so the statistic is deterministic. All integer
-    // arithmetic; G in exact ppm via the standard
+    // and the (doubled) rank sum 2·Σ i·xᵢ folds over it without ever
+    // sorting rows: a value v with c copies after `cum` smaller items
+    // contributes v·c·(2·cum + c + 1) — ties contribute identically under
+    // any internal order, so the statistic is deterministic. All exact
+    // integer arithmetic in DECIMAL(38,0); G in exact ppm via the standard
     // (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx). Per-task window state is
     // O(distinct cents), never O(rows).
     "agg_gini" -> { (s, dir) =>
@@ -437,15 +482,25 @@ object MiningQueries {
         .groupBy("g", "v").agg(count(lit(1)).as("c"))
       val w = Window.partitionBy("g").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, -1)
+      // r12 (ADVICE): the rank sum, Σv·c and every ppm product ride
+      // DECIMAL(38,0) — the r11 Int64 path wrapped at ~10⁵-10⁶ rows per
+      // type (ranksum·10⁶ ~ avg_cents·n²·10⁶) while DuckDB raised. The
+      // DOUBLED rank sum Σ v·c·(2·cum + c + 1) = 2·Σ i·xᵢ replaces the
+      // halved form (c(c+1)/2 needs an even/odd split to divide exactly
+      // in decimals; doubling both numerator terms — Gauss's trick, as in
+      // agg_mannwhitney — keeps every step integral): G·ppm =
+      // (ranksum2 − (n+1)·s)·10⁶ div (n·s), identical values, BIGINT out.
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
       h.withColumn("cum", coalesce(sum(col("c")).over(w), lit(0L)))
         .groupBy("g")
         .agg(
-          sum(col("v") * (col("c") * col("cum")
-            + expr("c * (c + 1) div 2"))).as("ranksum"),
-          sum(col("v") * col("c")).as("s"),
+          sum(col("v").cast(d38) * col("c").cast(d38) *
+            (lit(2L) * col("cum") + col("c") + 1L).cast(d38)).as("ranksum2"),
+          sum(col("v").cast(d38) * col("c").cast(d38)).as("s"),
           sum(col("c")).as("n"))
         .select(col("g").as("event_type"), col("n"),
-          expr("((2 * ranksum - (n + 1) * s) * 1000000) div (n * s)")
+          expr("((ranksum2 - (CAST(n AS DECIMAL(38,0)) + 1) * s) " +
+            "* CAST(1000000 AS DECIMAL(38,0))) div (CAST(n AS DECIMAL(38,0)) * s)")
             .as("gini_ppm"))
         .orderBy("event_type")
     },
@@ -607,67 +662,86 @@ object MiningQueries {
         |       round(m4 / (m2 * m2) - 3.0, 4) + 0.0 AS exkurt_r
         |FROM c ORDER BY event_type""".stripMargin,
 
+    // The HUGEINT casts mirror the Spark side's DECIMAL(38,0) routing
+    // (r12): both engines stay exact to ~10¹⁵ rows per group instead of
+    // wrapping (Spark) / erroring (DuckDB) at the Int64 boundary.
     "agg_hhi" ->
       """SELECT lang, CAST(sum(ns) AS BIGINT) AS n,
-        |       CAST(count(*) AS BIGINT) AS n_sources,
-        |       CAST((sum(ns * ns) * 1000000) // (sum(ns) * sum(ns))
-        |            AS BIGINT) AS hhi_ppm
+        |       CAST((sum(CAST(ns AS HUGEINT) * ns) * 1000000)
+        |            // (CAST(sum(ns) AS HUGEINT) * sum(ns))
+        |            AS BIGINT) AS hhi_ppm,
+        |       CAST(count(*) AS BIGINT) AS n_sources
         |FROM (SELECT lang, source, CAST(count(*) AS BIGINT) AS ns
         |      FROM documents GROUP BY 1, 2)
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "agg_ks_drift" ->
-      """WITH ev AS (
-        |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
-        |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS i1,
-        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i2
-        |  FROM events WHERE event_type IN ('click', 'purchase')),
-        |h AS (SELECT v, CAST(sum(i1) AS BIGINT) AS c1,
-        |             CAST(sum(i2) AS BIGINT) AS c2
-        |      FROM ev GROUP BY v),
+      """WITH h AS (
+        |  SELECT event_type AS et,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |arms AS (SELECT DISTINCT et FROM h),
+        |pairs AS (SELECT a.et AS pa, b.et AS pb
+        |          FROM arms a JOIN arms b ON a.et < b.et),
+        |hp AS (
+        |  SELECT pa, pb, v,
+        |         CAST(sum(CASE WHEN et = pa THEN c ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN et = pb THEN c ELSE 0 END) AS BIGINT) AS c2
+        |  FROM pairs JOIN h ON et = pa OR et = pb
+        |  GROUP BY 1, 2, 3),
         |cum AS (
-        |  SELECT v,
-        |         CAST(sum(c1) OVER (ORDER BY v
+        |  SELECT pa, pb, v,
+        |         CAST(sum(c1) OVER (PARTITION BY pa, pb ORDER BY v
         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
-        |         CAST(sum(c2) OVER (ORDER BY v
+        |         CAST(sum(c2) OVER (PARTITION BY pa, pb ORDER BY v
         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
-        |  FROM h),
-        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
-        |             CAST(sum(c2) AS BIGINT) AS n2 FROM h),
-        |d AS (SELECT n1, n2, abs(cum1 * n2 - cum2 * n1) AS d, v
-        |      FROM cum, t)
-        |SELECT n1 AS n_click, n2 AS n_purchase,
+        |  FROM hp),
+        |t AS (SELECT pa, pb, CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum(c2) AS BIGINT) AS n2 FROM hp GROUP BY 1, 2),
+        |d AS (SELECT pa, pb, n1, n2,
+        |             abs(CAST(cum1 AS HUGEINT) * n2
+        |               - CAST(cum2 AS HUGEINT) * n1) AS d, v
+        |      FROM cum JOIN t USING (pa, pb))
+        |SELECT pa AS arm_a, pb AS arm_b, n1 AS n_a, n2 AS n_b,
         |       CAST((max(struct_pack(d := d, nv := -v)).d * 1000000)
-        |            // (n1 * n2) AS BIGINT) AS ks_ppm,
+        |            // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS ks_ppm,
         |       -(max(struct_pack(d := d, nv := -v)).nv) AS ks_at_cents
-        |FROM d GROUP BY n1, n2""".stripMargin,
+        |FROM d GROUP BY pa, pb, n1, n2 ORDER BY arm_a, arm_b""".stripMargin,
 
     "agg_mannwhitney" ->
-      """WITH ev AS (
-        |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
-        |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS i1,
-        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS i2
-        |  FROM events WHERE event_type IN ('click', 'purchase')),
-        |h AS (SELECT v, CAST(sum(i1) AS BIGINT) AS c1,
-        |             CAST(sum(i2) AS BIGINT) AS c2
-        |      FROM ev GROUP BY v),
+      """WITH h AS (
+        |  SELECT event_type AS et,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |arms AS (SELECT DISTINCT et FROM h),
+        |pairs AS (SELECT a.et AS pa, b.et AS pb
+        |          FROM arms a JOIN arms b ON a.et < b.et),
+        |hp AS (
+        |  SELECT pa, pb, v,
+        |         CAST(sum(CASE WHEN et = pa THEN c ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN et = pb THEN c ELSE 0 END) AS BIGINT) AS c2
+        |  FROM pairs JOIN h ON et = pa OR et = pb
+        |  GROUP BY 1, 2, 3),
         |cw AS (
-        |  SELECT c1, c2,
-        |         coalesce(CAST(sum(c1 + c2) OVER (ORDER BY v
+        |  SELECT pa, pb, c1, c2,
+        |         coalesce(CAST(sum(c1 + c2) OVER (PARTITION BY pa, pb
+        |           ORDER BY v
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |           AS BIGINT), 0) AS cum
-        |  FROM h),
-        |r AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |  FROM hp),
+        |r AS (SELECT pa, pb, CAST(sum(c1) AS BIGINT) AS n1,
         |             CAST(sum(c2) AS BIGINT) AS n2,
-        |             CAST(sum(c1 * (2 * cum + c1 + c2 + 1)) AS BIGINT) AS r1x2
-        |      FROM cw)
-        |SELECT n1 AS n_click, n2 AS n_purchase,
-        |       r1x2 - n1 * (n1 + 1) AS u1_x2,
-        |       round((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+        |             sum(CAST(c1 AS HUGEINT) * (2 * cum + c1 + c2 + 1)) AS r1x2
+        |      FROM cw GROUP BY 1, 2)
+        |SELECT pa AS arm_a, pb AS arm_b, n1 AS n_a, n2 AS n_b,
+        |       CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1_x2,
+        |       round((CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2.0
         |                - CAST(n1 AS DOUBLE) * n2 / 2.0)
         |             / sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) / 12.0),
         |             4) + 0.0 AS z_r
-        |FROM r""".stripMargin,
+        |FROM r ORDER BY arm_a, arm_b""".stripMargin,
 
     "agg_gini" ->
       """WITH h AS (
@@ -682,13 +756,13 @@ object MiningQueries {
         |           AS cum
         |  FROM h),
         |a AS (
-        |  SELECT g, CAST(sum(v * (c * cum + c * (c + 1) // 2)) AS BIGINT)
-        |           AS ranksum,
-        |         CAST(sum(v * c) AS BIGINT) AS s,
+        |  SELECT g, sum(CAST(v AS HUGEINT) * c * (2 * cum + c + 1))
+        |           AS ranksum2,
+        |         sum(CAST(v AS HUGEINT) * c) AS s,
         |         CAST(sum(c) AS BIGINT) AS n
         |  FROM cw GROUP BY g)
         |SELECT g AS event_type, n,
-        |       CAST(((2 * ranksum - (n + 1) * s) * 1000000) // (n * s)
-        |            AS BIGINT) AS gini_ppm
+        |       CAST(((ranksum2 - (CAST(n AS HUGEINT) + 1) * s) * 1000000)
+        |            // (CAST(n AS HUGEINT) * s) AS BIGINT) AS gini_ppm
         |FROM a ORDER BY event_type""".stripMargin)
 }

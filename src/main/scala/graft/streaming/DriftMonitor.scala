@@ -36,20 +36,24 @@ object DriftMonitor {
 
   /** The batch query's exact-integer KS in kernel form — max over the
     * merged value domain of |cum_sample·n_ref − cum_ref·n_sample|, ppm by
-    * floor division. Shared with the spec's oracle.
+    * floor division. Shared with the spec's oracle. The cross products and
+    * the ppm scaling ride BigInt (r12, ADVICE — the batch query's
+    * DECIMAL(38,0) discipline): in Long, cum·n wraps once n1·n2 > 2⁶³ and
+    * best·10⁶ at n1·n2 > 9.2·10¹² (~3 M points per side), silently. The
+    * domain loop is ≤ ~49 k iterations, so the boxed arithmetic is noise.
     */
   def ksPpm(sample: Map[Long, Long], reference: Map[Long, Long]): Long = {
-    val n1 = sample.values.sum
-    val n2 = reference.values.sum
-    if (n1 == 0L || n2 == 0L) return 0L
-    var c1 = 0L; var c2 = 0L; var best = 0L
+    val n1 = BigInt(sample.values.sum)
+    val n2 = BigInt(reference.values.sum)
+    if (n1 == 0 || n2 == 0) return 0L
+    var c1 = BigInt(0); var c2 = BigInt(0); var best = BigInt(0)
     (sample.keySet ++ reference.keySet).toSeq.sorted.foreach { v =>
-      c1 += sample.getOrElse(v, 0L)
-      c2 += reference.getOrElse(v, 0L)
-      val d = math.abs(c1 * n2 - c2 * n1)
+      c1 += BigInt(sample.getOrElse(v, 0L))
+      c2 += BigInt(reference.getOrElse(v, 0L))
+      val d = (c1 * n2 - c2 * n1).abs
       if (d > best) best = d
     }
-    best * 1000000L / (n1 * n2)
+    (best * 1000000 / (n1 * n2)).toLong
   }
 
   def monitor(obs: Dataset[Obs], reference: Map[Long, Long]): Dataset[Snapshot] = {

@@ -105,37 +105,58 @@ class R11OpsSpec extends SparkSuite {
     }
   }
 
-  test("agg_ks_drift / agg_mannwhitney: statistics match brute-force recounts") {
+  test("agg_ks_drift / agg_mannwhitney: every arm pair matches its brute-force recount") {
+    // r12: the drift pair generalized to ALL pairs of arms — the recount
+    // now covers every returned row (the r11 verdict's ask: at least a
+    // second pair), plus the pair-inventory shape itself.
     val ev = Tables.events(spark, sfDir).select("event_type", "value").collect()
       .map(r => (r.getAs[String]("event_type"),
         math.floor(r.getAs[Double]("value") * 100 + 0.5).toLong))
-    val a = ev.filter(_._1 == "click").map(_._2).sorted
-    val b = ev.filter(_._1 == "purchase").map(_._2).sorted
-    val (n1, n2) = (a.length.toLong, b.length.toLong)
+    val byArm = ev.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    val nArms = byArm.size
+    val wantPairs = (for {
+      x <- byArm.keys; y <- byArm.keys if x < y
+    } yield (x, y)).toSet
 
-    val ks = run("agg_ks_drift").collect().head
-    // brute-force D over every distinct value
-    val dMax = (a ++ b).distinct.map { v =>
-      math.abs(a.count(_ <= v) * n2 - b.count(_ <= v) * n1)
-    }.max
-    assert(ks.getAs[Long]("n_click") == n1 && ks.getAs[Long]("n_purchase") == n2)
-    assert(ks.getAs[Long]("ks_ppm") == dMax * 1000000L / (n1 * n2), "ks value")
-    val atV = ks.getAs[Long]("ks_at_cents")
-    assert(math.abs(a.count(_ <= atV) * n2 - b.count(_ <= atV) * n1) == dMax, "argmax")
+    val ksRows = run("agg_ks_drift").collect()
+    assert(ksRows.length == nArms * (nArms - 1) / 2, s"expected C($nArms,2) KS rows")
+    assert(ksRows.map(r => (r.getAs[String]("arm_a"), r.getAs[String]("arm_b"))).toSet
+      == wantPairs)
+    ksRows.foreach { ks =>
+      val a = byArm(ks.getAs[String]("arm_a"))
+      val b = byArm(ks.getAs[String]("arm_b"))
+      val (n1, n2) = (a.length.toLong, b.length.toLong)
+      // brute-force D over every distinct value
+      val dMax = (a ++ b).distinct.map { v =>
+        math.abs(a.count(_ <= v) * n2 - b.count(_ <= v) * n1)
+      }.max
+      assert(ks.getAs[Long]("n_a") == n1 && ks.getAs[Long]("n_b") == n2)
+      assert(ks.getAs[Long]("ks_ppm") == dMax * 1000000L / (n1 * n2),
+        s"ks value ${ks.getAs[String]("arm_a")}/${ks.getAs[String]("arm_b")}")
+      val atV = ks.getAs[Long]("ks_at_cents")
+      assert(math.abs(a.count(_ <= atV) * n2 - b.count(_ <= atV) * n1) == dMax, "argmax")
+    }
 
-    val mw = run("agg_mannwhitney").collect().head
-    // midrank rank-sum over the combined sample, 2x-scaled to stay exact
-    val all = (a.map((_, 1)) ++ b.map((_, 0))).sortBy(_._1)
-    val r1x2 = all.groupBy(_._1).map { case (v, g) =>
-      val cum = all.count(_._1 < v).toLong
-      val c = g.length.toLong
-      g.count(_._2 == 1).toLong * (2 * cum + c + 1)
-    }.sum
-    assert(mw.getAs[Long]("u1_x2") == r1x2 - n1 * (n1 + 1), "U statistic")
-    val u1 = (r1x2 - n1 * (n1 + 1)) / 2.0
-    val zWant = (u1 - n1.toDouble * n2 / 2.0) /
-      math.sqrt(n1.toDouble * n2 * (n1 + n2 + 1) / 12.0)
-    assert(math.abs(mw.getAs[Double]("z_r") - zWant) < 1e-3, "z")
+    val mwRows = run("agg_mannwhitney").collect()
+    assert(mwRows.map(r => (r.getAs[String]("arm_a"), r.getAs[String]("arm_b"))).toSet
+      == wantPairs)
+    mwRows.foreach { mw =>
+      val a = byArm(mw.getAs[String]("arm_a"))
+      val b = byArm(mw.getAs[String]("arm_b"))
+      val (n1, n2) = (a.length.toLong, b.length.toLong)
+      // midrank rank-sum over the combined sample, 2x-scaled to stay exact
+      val all = (a.map((_, 1)) ++ b.map((_, 0))).sortBy(_._1)
+      val r1x2 = all.groupBy(_._1).map { case (v, g) =>
+        val cum = all.count(_._1 < v).toLong
+        val c = g.length.toLong
+        g.count(_._2 == 1).toLong * (2 * cum + c + 1)
+      }.sum
+      assert(mw.getAs[Long]("u1_x2") == r1x2 - n1 * (n1 + 1), "U statistic")
+      val u1 = (r1x2 - n1 * (n1 + 1)) / 2.0
+      val zWant = (u1 - n1.toDouble * n2 / 2.0) /
+        math.sqrt(n1.toDouble * n2 * (n1 + n2 + 1) / 12.0)
+      assert(math.abs(mw.getAs[Double]("z_r") - zWant) < 1e-3, "z")
+    }
   }
 
   test("graph_label_prop: labels partition the vertex set and only shrink") {

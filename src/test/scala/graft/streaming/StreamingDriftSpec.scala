@@ -57,12 +57,16 @@ class StreamingDriftSpec extends SparkSuite {
 
   test("final streamed KS equals the batch agg_ks_drift answer under any split") {
     val (clicks, ref) = arms()
+    // r12: the batch query reports every arm pair — pin against its
+    // (click, purchase) row
     val want = graft.ops.MiningQueries
-      .queries("agg_ks_drift")(spark, sfDir).collect().head
+      .queries("agg_ks_drift")(spark, sfDir)
+      .filter(col("arm_a") === "click" && col("arm_b") === "purchase")
+      .collect().head
     for (nSplits <- Seq(1, 3, 6)) {
       val got = runStream(clicks, ref, nSplits)
       val last = got.maxBy(_.n)
-      assert(last.n == want.getAs[Long]("n_click"), s"nSplits=$nSplits n")
+      assert(last.n == want.getAs[Long]("n_a"), s"nSplits=$nSplits n")
       assert(last.ks_ppm == want.getAs[Long]("ks_ppm"),
         s"nSplits=$nSplits: streamed ks=${last.ks_ppm} batch=${want.getAs[Long]("ks_ppm")}")
       // the arm's sample size is non-decreasing across snapshots
