@@ -966,10 +966,16 @@ object TextQueries {
     // coin — re-running on the same corpus picks the same docs). The
     // allocation windows run over the BOUNDED strata ledger (one row per
     // source — the cluster-sample seed pattern); the per-stratum pick is
-    // a two-level bounded-state top-k (per-partition top-B, then a final
-    // slice to quota), NEVER a per-stratum sort of the corpus — per-task
-    // state is O(B), so a 100 TB stratum costs one scan. Output pins the
-    // exact selection (sum of picked doc_ids), not just the counts.
+    // the native bounded bottom-k aggregate (CollectTopK reversed — a
+    // B-element heap per stratum, merged map-side), NEVER a per-stratum
+    // sort of the corpus. r12 (ADVICE): the r11 two-level
+    // collect_list→sort_array→slice claimed O(B) per-task state but its
+    // first-level aggregation buffer materialized EVERY candidate of a
+    // (stratum, partition) group before the slice — state bounded by
+    // split size, not B. With the heap the O(B) claim actually holds
+    // (SpaceSavingSpec-style buffer-bound test in R11OpsSpec), so a
+    // 100 TB stratum costs one scan with B structs of state per task.
+    // Output pins the exact selection (sum of picked doc_ids).
     "pipeline_quota_sample" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val B = 1000L
@@ -989,15 +995,14 @@ object TextQueries {
             .as("quota"))
       val cand = struct(col("h"), col("doc_id"))
       docs.join(broadcast(quota), "source")
-        .select(col("source"), col("quota"), cand.as("cnd"),
-          spark_partition_id().as("part"))
-        .groupBy("source", "quota", "part")
-        .agg(slice(sort_array(collect_list(col("cnd"))), 1, B.toInt).as("cs"))
-        .select(col("source"), col("quota"), explode(col("cs")).as("cnd"))
+        .select(col("source"), col("quota"), cand.as("cnd"))
         .groupBy("source", "quota")
-        .agg(slice(sort_array(collect_list(col("cnd"))), lit(1),
-          col("quota").cast("int")).as("cs"))
-        .select(col("source"), col("quota"), explode(col("cs")).as("cnd"))
+        .agg(org.apache.spark.sql.GraftColumnBridge
+          .collectBottomK(col("cnd"), B.toInt).as("cs"))
+        // quota ≤ B always (Σ quotas = B), so slicing the B-heap's sorted
+        // output to quota is the exact per-stratum pick
+        .select(col("source"), col("quota"),
+          explode(slice(col("cs"), lit(1), col("quota").cast("int"))).as("cnd"))
         .groupBy("source", "quota")
         .agg(count(lit(1)).as("n_sampled"),
           sum(col("cnd.doc_id")).as("sum_doc_ids"))

@@ -46,6 +46,15 @@ object GraftColumnBridge {
       catalyst.expressions.aggregate.GraftTopKBridge.collectTopK(
         classic.ExpressionUtils.expression(c), k, reverse = false))
 
+  /** The ascending face: the k SMALLEST child values in ASCENDING child
+    * order — a drop-in for `slice(sort_array(collect_list(c)), 1, k)`
+    * with the same O(k) per-group state.
+    */
+  def collectBottomK(c: Column, k: Int): Column =
+    classic.ExpressionUtils.column(
+      catalyst.expressions.aggregate.GraftTopKBridge.collectTopK(
+        classic.ExpressionUtils.expression(c), k, reverse = true))
+
   /** Register a function builder on a LIVE session's registry (the
     * `spark.sql.extensions` config only applies at session construction).
     */

@@ -188,4 +188,20 @@ class R11OpsSpec extends SparkSuite {
       assert(r.getAs[Long]("sum_doc_ids") == picked.map(_._1).sum, s"$src selection")
     }
   }
+
+  test("bounded top-k aggregate: state never exceeds k and output is the exact rank order") {
+    // The O(k)-per-task-state claim behind knnTop3, the PQ shortlist and
+    // pipeline_quota_sample's per-stratum pick (r12, ADVICE — the r11
+    // collect_list formulation buffered whole partition-strata before
+    // truncating): fold 100k shuffled values through the collector and pin
+    // the LARGEST buffer ever observed, not just the final size.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.TopKBufferProbe
+    val values = new scala.util.Random(7).shuffle((1L to 100000L).toVector)
+    val (maxTop, topOut) = TopKBufferProbe.maxBufferSize(values, 5, reverse = false)
+    assert(maxTop == 5, s"top-k buffer grew to $maxTop")
+    assert(topOut == Seq(100000L, 99999L, 99998L, 99997L, 99996L))
+    val (maxBot, botOut) = TopKBufferProbe.maxBufferSize(values, 5, reverse = true)
+    assert(maxBot == 5, s"bottom-k buffer grew to $maxBot")
+    assert(botOut == Seq(1L, 2L, 3L, 4L, 5L))
+  }
 }
