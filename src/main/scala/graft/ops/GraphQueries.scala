@@ -269,32 +269,44 @@ object GraphQueries {
         .limit(50)
     },
 
-    // K-CORE PEELING LEDGER (r10): three rounds of "remove every node
-    // with degree < k, recount" — the degeneracy-ordering workhorse
-    // behind community detection and dense-subgraph mining. Like
-    // `graph_pagerank`, the iteration count is FIXED (3) so the query is
-    // engine-portable; k itself is data-derived (7/8 of the mean degree
-    // in exact integers — see below) so the peel stays meaningful at any
-    // sf. Each round is one hash aggregate + two anti-joins against the
-    // just-removed node set — the standard iterative-graph shuffle
-    // pattern, each round's state the surviving adjacency. Nodes whose
-    // last neighbors vanish drop out of the adjacency silently (they are
-    // not core members either way); the ledger counts peeled vs
-    // surviving nodes per round, which is exactly what converging-peel
-    // monitoring dashboards plot.
+    // K-CORE PEELING LEDGER (r10; r12 rewires the rounds to INCREMENTAL
+    // DEGREE MAINTENANCE — the standard peeling delta): three rounds of
+    // "remove every node with degree < k" — the degeneracy-ordering
+    // workhorse behind community detection and dense-subgraph mining.
+    // Like `graph_pagerank`, the iteration count is FIXED (3) so the
+    // query is engine-portable; k itself is data-derived (7/8 of the mean
+    // degree in exact integers — see below) so the peel stays meaningful
+    // at any sf. r10-r11 rounds 2-3 re-materialized the surviving
+    // adjacency (two anti-joins over the FULL edge set per round) and
+    // recounted degrees over it; the delta formulation never touches the
+    // adjacency after round 1's degree table: the next round's degrees
+    // are d(u) − |neighbors of u in the just-removed set| — one hash
+    // aggregate over only the edges INCIDENT to removed nodes (sub-graph-
+    // sized, shrinking per round), subtracted from the cached table. A
+    // node whose degree hits 0 drops out silently (exactly the nodes that
+    // vanished from the recounted adjacency — not core members either
+    // way); the ledger counts peeled vs surviving nodes per round, which
+    // is what converging-peel monitoring dashboards plot. Correctness of
+    // the delta: an edge (u, v∈Rᵢ) with u surviving round i is live at
+    // round i by induction (v ∈ Rᵢ ⇒ v survived rounds < i), so the
+    // incident-edge count equals the recount's loss term — the r10 peel
+    // replay in R10OpsSpec pins the ledger unchanged.
     "graph_k_core" -> { (s, dir) =>
       val bi = bidirectional(edges(s, dir))
-      // k = 7/8 of the mean degree in EXACT integer arithmetic (bi
-      // already double-counts edges; a double divide + cast could
-      // truncate differently from floor near an integer quotient). The
-      // 7/8 keeps k strictly below the mean: peeling AT the mean
-      // obliterates this tight-degree graph in one round (measured:
-      // 90→110→∅ at sf0.001), while 7/8 yields a genuine multi-round
-      // cascade (33/59/107 peeled over the three rounds).
-      val k = bi.agg(count(lit(1)).as("e2"), countDistinct(col("u")).as("nv"))
+      // k = 7/8 of the mean degree in EXACT integer arithmetic (Σd
+      // double-counts edges; a double divide + cast could truncate
+      // differently from floor near an integer quotient). The 7/8 keeps
+      // k strictly below the mean: peeling AT the mean obliterates this
+      // tight-degree graph in one round (measured: 90→110→∅ at sf0.001),
+      // while 7/8 yields a genuine multi-round cascade (33/59/107 peeled
+      // over the three rounds). r12: derived from the CACHED degree
+      // table (Σd = 2|E|, rows = distinct endpoints) — the r11 form
+      // aggregated count + countDistinct over the full bidirectional
+      // edge set, a 2|E|-row distinct pass instantiated under all five
+      // broadcast sites of this plan.
+      val k = degrees(s, dir)
+        .agg(sum(col("d")).as("e2"), count(lit(1)).as("nv"))
         .select(expr("(e2 * 7) div (nv * 8)").as("k"))
-      def degreesOf(adj: DataFrame): DataFrame =
-        adj.groupBy("u").agg(count(lit(1)).as("d"))
       def round1(deg: DataFrame, r: Int): DataFrame =
         deg.crossJoin(broadcast(k))
           .agg(
@@ -305,18 +317,26 @@ object GraphQueries {
           // round (everything already peeled) still labels its row
           .select(lit(r).cast("long").as("round"), col("k"),
             col("n_removed"), col("n_remaining"))
-      def peel(adj: DataFrame, deg: DataFrame): DataFrame = {
-        val removed = deg.crossJoin(broadcast(k))
+      def removedOf(deg: DataFrame): DataFrame =
+        deg.crossJoin(broadcast(k))
           .filter(col("d") < col("k")).select(col("u").as("ru"))
-        adj.join(removed, adj("u") === removed("ru"), "left_anti")
-          .join(removed.withColumnRenamed("ru", "rv"),
-            adj("v") === col("rv"), "left_anti")
+      // d_{i+1} = (d_i − incident-to-Rᵢ counts) over survivors, zeros out.
+      // The delta join keys on the neighbor side of the cached edge set;
+      // each round's intermediate degree table is node-count-sized and
+      // read by three consumers (ledger row, removed set, next delta), so
+      // it is localCheckpointed like the other bounded graph artifacts.
+      def nextDegrees(deg: DataFrame, removed: DataFrame): DataFrame = {
+        val delta = bi.join(removed, bi("v") === removed("ru"))
+          .groupBy("u").agg(count(lit(1)).as("dx"))
+        deg.join(removed, deg("u") === removed("ru"), "left_anti")
+          .join(delta, Seq("u"), "left")
+          .select(col("u"), (col("d") - coalesce(col("dx"), lit(0L))).as("d"))
+          .filter(col("d") > 0)
+          .localCheckpoint()
       }
       val d1 = degrees(s, dir)
-      val a2 = peel(bi, d1)
-      val d2 = degreesOf(a2)
-      val a3 = peel(a2, d2)
-      val d3 = degreesOf(a3)
+      val d2 = nextDegrees(d1, removedOf(d1))
+      val d3 = nextDegrees(d2, removedOf(d2))
       round1(d1, 1).unionByName(round1(d2, 2)).unionByName(round1(d3, 3))
         .orderBy("round")
     },
