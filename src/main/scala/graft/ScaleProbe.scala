@@ -90,14 +90,30 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftExtensions.register(spark)
 
+    // Replica-scheme identity (r12, ADVICE): replicas are a pure function
+    // of (src, factor, scheme) — but the r11 fast path keyed only on
+    // `_SUCCESS` files, so pointing the probe at a different source or
+    // changing the replication scheme silently reused stale replicas and
+    // measured exponents against the wrong corpus. A manifest written
+    // next to the replicas records the identity plus per-table row counts
+    // and is validated on reuse; any mismatch rewrites.
+    val SchemeVersion = "pertoken-suffix+emb-nudge+key-shift/v2"
+
     def replicate(factor: Int): String = {
       val dir = s"$work/x$factor"
-      // Replicas are a pure function of (src, factor) — reuse an existing
-      // complete set so iterating on probe methodology doesn't pay the
-      // multi-GiB rewrite each run.
       val tables = Seq("documents", "embeddings", "lineitem", "events")
+      val manifestPath = java.nio.file.Paths.get(s"$dir/manifest.json")
+      def manifest(): String = {
+        val counts = tables.map(t => t ->
+          spark.read.parquet(s"$dir/$t.parquet").count())
+        s"""{"src":"$src","factor":$factor,"scheme":"$SchemeVersion",""" +
+          counts.map { case (t, n) => s""""n_$t":$n""" }.mkString(",") + "}"
+      }
       if (tables.forall(t => java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$dir/$t.parquet/_SUCCESS")))) {
+          java.nio.file.Paths.get(s"$dir/$t.parquet/_SUCCESS"))) &&
+          java.nio.file.Files.exists(manifestPath) &&
+          new String(java.nio.file.Files.readAllBytes(manifestPath),
+            java.nio.charset.StandardCharsets.UTF_8) == manifest()) {
         println(s"""{"replica_reused":"$dir"}""")
         return dir
       }
@@ -149,6 +165,8 @@ object ScaleProbe {
         .drop("rep")
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      java.nio.file.Files.write(manifestPath,
+        manifest().getBytes(java.nio.charset.StandardCharsets.UTF_8))
       dir
     }
 
@@ -195,14 +213,27 @@ object ScaleProbe {
           if (q.startsWith("graph_")) graft.ops.GraphQueries.clearCache(spark, dir)
           if (q.startsWith("sim_")) graft.ops.VectorQueries.clearCache(spark, dir)
         }
+        // ANN recall at scale (r12, verdict ask: the √n quantizer sizing
+        // only activates beyond 10k vectors — exactly where no recall
+        // check existed; the latency exponent alone could hide a silent
+        // recall collapse). Measured right after sim_ann_knn's warm run,
+        // against a 50-query sampled exact yardstick (one broadcast ×
+        // linear scan — never the gated O(n²) join), while the probe's
+        // own index artifacts are still resident.
+        var recallKnn = Double.NaN
         qs.foreach { q =>
           cold(q) = time(q, dir)
           warm(q) = time(q, dir)
+          if (q == "sim_ann_knn")
+            recallKnn = graft.ops.RecallReport.sampledRecall(spark, dir)
           evictFamily(q)
         }
+        val recallJson =
+          if (recallKnn.isNaN) "" else s""","recall_knn_at3":${ms3(recallKnn)}"""
         println(s"""{"scale":$factor,"dir":"$dir",""" +
           s""""cold":{${qs.map(q => s""""$q":${ms3(cold(q))}""").mkString(",")}},""" +
-          s""""warm":{${qs.map(q => s""""$q":${ms3(warm(q))}""").mkString(",")}}}""")
+          s""""warm":{${qs.map(q => s""""$q":${ms3(warm(q))}""").mkString(",")}}""" +
+          recallJson + "}")
         // Evict this factor's session caches (r11, ADVICE): each replica
         // dir builds its own checkpointed edge/support/shingle/vector
         // artifacts, and without eviction every factor's blocks stay

@@ -462,6 +462,59 @@ object MiningQueries {
         .orderBy("arm_a", "arm_b")
     },
 
+    // POPULATION STABILITY INDEX (r12): the third face of the drift
+    // dashboard — KS reports the worst CDF gap, Mann–Whitney the rank
+    // shift, PSI the industry-standard binned divergence
+    // Σ (pᵃ−pᵇ)·ln(pᵃ/pᵇ) that risk/data-quality dashboards alarm on
+    // (rule of thumb: > 0.1 drifting, > 0.25 shifted). Same all-pairs
+    // one-scan harness as `agg_ks_drift`: the (arm, cents) histogram is
+    // the only corpus pass; bins are 10 equal-width integer slices of
+    // the GLOBAL cents range (exact integer bin ids — both engines floor
+    // the same product), counts are Laplace-smoothed (+1 per bin, +10
+    // per arm) so empty bins stay finite without float clamps, and the
+    // 10 per-bin terms fold in ascending bin order via a sorted-array
+    // aggregate — a deterministic float summation (the text_entropy
+    // discipline) rounded once at 4dp.
+    "agg_psi_drift" -> { (s, dir) =>
+      val h0 = graft.Tables.events(s, dir)
+        .select(col("event_type").as("et"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      val bounds = h0.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      val binned = h0.crossJoin(broadcast(bounds))
+        .select(col("et"),
+          least(lit(9L), expr("((v - lo) * 10) div (hi - lo + 1)")).as("b"))
+        .groupBy("et", "b").agg(count(lit(1)).as("c"))
+      val arms = binned.select("et").distinct()
+      val pairs = arms.select(col("et").as("pa"))
+        .join(arms.select(col("et").as("pb")), col("pa") < col("pb"))
+      val totals = binned.groupBy("et").agg(sum(col("c")).as("n"))
+      // dense (pair, bin) grid: 10 bins per pair, missing counts 0
+      val bins = binned.sparkSession.range(0, 10).select(col("id").as("b"))
+      val grid = pairs.crossJoin(broadcast(bins))
+        .join(binned.select(col("et").as("pa"), col("b"), col("c").as("ca")),
+          Seq("pa", "b"), "left")
+        .join(binned.select(col("et").as("pb"), col("b"), col("c").as("cb")),
+          Seq("pb", "b"), "left")
+        .join(broadcast(totals.select(col("et").as("pa"), col("n").as("na"))), "pa")
+        .join(broadcast(totals.select(col("et").as("pb"), col("n").as("nb"))), "pb")
+        .select(col("pa"), col("pb"), col("b"), col("na"), col("nb"),
+          coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+      val p1 = (col("ca") + 1L).cast("double") / (col("na") + 10L).cast("double")
+      val p2 = (col("cb") + 1L).cast("double") / (col("nb") + 10L).cast("double")
+      val term = (p1 - p2) * log(p1 / p2)
+      grid
+        .select(col("pa"), col("pb"), col("na"), col("nb"),
+          struct(col("b"), term.as("t")).as("bt"))
+        .groupBy("pa", "pb", "na", "nb")
+        .agg(aggregate(array_sort(collect_list(col("bt"))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("psi"))
+        .select(col("pa").as("arm_a"), col("pb").as("arm_b"),
+          col("na").as("n_a"), col("nb").as("n_b"),
+          (round(col("psi"), 4) + 0.0).as("psi_r"))
+        .orderBy("arm_a", "arm_b")
+    },
+
     // GINI COEFFICIENT (r11): concentration of event value per event type
     // — the inequality statistic data-mix dashboards plot next to the
     // histogram. EXACT and 100 TB-shaped: value is 2-decimal, so the
@@ -742,6 +795,42 @@ object MiningQueries {
         |             / sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) / 12.0),
         |             4) + 0.0 AS z_r
         |FROM r ORDER BY arm_a, arm_b""".stripMargin,
+
+    "agg_psi_drift" ->
+      """WITH h0 AS (
+        |  SELECT event_type AS et,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events),
+        |bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM h0),
+        |binned AS (
+        |  SELECT et, least(9, ((v - lo) * 10) // (hi - lo + 1)) AS b,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM h0, bounds GROUP BY 1, 2),
+        |arms AS (SELECT DISTINCT et FROM binned),
+        |pairs AS (SELECT a.et AS pa, b.et AS pb
+        |          FROM arms a JOIN arms b ON a.et < b.et),
+        |totals AS (SELECT et, CAST(sum(c) AS BIGINT) AS n
+        |           FROM binned GROUP BY 1),
+        |bins AS (SELECT unnest(range(0, 10)) AS bb),
+        |grid AS (
+        |  SELECT pa, pb, bb, ta.n AS na, tb.n AS nb,
+        |         coalesce(ha.c, 0) AS ca, coalesce(hb.c, 0) AS cb
+        |  FROM pairs CROSS JOIN bins
+        |  LEFT JOIN binned ha ON ha.et = pa AND ha.b = bb
+        |  LEFT JOIN binned hb ON hb.et = pb AND hb.b = bb
+        |  JOIN totals ta ON ta.et = pa
+        |  JOIN totals tb ON tb.et = pb),
+        |terms AS (
+        |  SELECT pa, pb, na, nb, bb,
+        |         (CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE)
+        |            - CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))
+        |         * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE))
+        |              / (CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))) AS t
+        |  FROM grid)
+        |SELECT pa AS arm_a, pb AS arm_b, na AS n_a, nb AS n_b,
+        |       round(list_reduce(list_prepend(0.0, list(t ORDER BY bb)),
+        |             (acc, x) -> acc + x), 4) + 0.0 AS psi_r
+        |FROM terms GROUP BY pa, pb, na, nb ORDER BY arm_a, arm_b""".stripMargin,
 
     "agg_gini" ->
       """WITH h AS (

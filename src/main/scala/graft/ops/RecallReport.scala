@@ -38,7 +38,8 @@ object RecallReport {
     "sim_ann_lsh" -> 0.8,
     "sim_ann_ivf" -> 0.8,
     "sim_ann_knn" -> 0.8,
-    "sim_ann_pq" -> 0.8)
+    "sim_ann_pq" -> 0.8,
+    "sim_ann_ivfpq" -> 0.8)
 
   private def pairSet(df: DataFrame, a: String, b: String): Set[(Long, Long)] =
     df.select(col(a), col(b)).collect()
@@ -100,7 +101,8 @@ object RecallReport {
     }
     Await.result(
       Future.sequence(Seq(
-        vsExact("sim_ann_lsh"), vsExact("sim_ann_ivf"), vsExact("sim_ann_pq"), knnF)),
+        vsExact("sim_ann_lsh"), vsExact("sim_ann_ivf"), vsExact("sim_ann_pq"),
+        vsExact("sim_ann_ivfpq"), knnF)),
       Duration.Inf)
   }
 

@@ -224,6 +224,8 @@ object VectorQueries {
 
     "sim_ann_pq" -> { (s, dir) => pqQuery(s, dir) },
 
+    "sim_ann_ivfpq" -> { (s, dir) => ivfpqQuery(s, dir) },
+
     // k-NN JOIN, exact variant (oracle yes): EVERY vector's top-3 cosine
     // neighbors — the batch primitive behind embedding dedup and
     // retrieval-index bootstrapping (sim_cosine_topk answers 10 queries;
@@ -460,6 +462,73 @@ object VectorQueries {
         .select(col("j"), (col("pos") + 1).cast("long").as("rn"),
           col("col.vec_id").as("vec_id"), col("col.dist").as("dist"))
         .orderBy("j", "rn")
+    },
+
+    // MMR DIVERSIFICATION (r12): Maximal Marginal Relevance re-ranking of
+    // each query's retrieval shortlist — the standard step between "top-k
+    // by similarity" and "what a RAG/curation pipeline actually keeps"
+    // (near-duplicate hits crowd out coverage; MMR trades relevance
+    // against redundancy: argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)).
+    // Fixed shape for engine portability: top-8 shortlist per query (the
+    // bounded top-k aggregate), pairwise sims INSIDE the shortlist only
+    // (8×7 rows per query — never corpus-sized), λ = 0.7, three greedy
+    // picks unrolled into a static plan (the emb_kmeans discipline). All
+    // comparisons run on round(cos, 6) inputs with identical double
+    // arithmetic in both engines and min-t_id tie-breaks, so the greedy
+    // argmax can't flap. Scale shape: one corpus scan builds the
+    // shortlists (broadcast 10-query side); everything after is bounded
+    // by queries × shortlist².
+    "emb_mmr_diversify" -> { (s, dir) =>
+      val e = normedCorpus(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val t = e.select(col("vec_id").as("t_id"), col("embedding").as("te"), col("nrm").as("tn"))
+      val relCol = round(dot(col("qe"), col("te")) / (col("qn") * col("tn")), 6)
+      val cand8 = t.join(broadcast(q), col("q_id") =!= col("t_id"))
+        .select(col("q_id"),
+          struct(relCol.as("rel"), (-col("t_id")).as("nt"), col("t_id"),
+            col("te"), col("tn")).as("c"))
+        .groupBy("q_id")
+        .agg(org.apache.spark.sql.GraftColumnBridge.collectTopK(col("c"), 8).as("cs"))
+        .select(col("q_id"), explode(col("cs")).as("c"))
+        .select(col("q_id"), col("c.rel").as("rel"), col("c.t_id").as("t_id"),
+          col("c.te").as("te"), col("c.tn").as("tn"))
+        .localCheckpoint() // 80 rows, read by 6 downstream branches
+      val pairSims = cand8.as("x").join(cand8.as("y"), "q_id")
+        .filter(col("x.t_id") =!= col("y.t_id"))
+        .select(col("q_id"), col("x.t_id").as("a"), col("y.t_id").as("b"),
+          round(dot(col("x.te"), col("y.te")) / (col("x.tn") * col("y.tn")), 6)
+            .as("sim"))
+        .localCheckpoint() // 10 × 56 rows
+      def argmax(df: DataFrame, score: org.apache.spark.sql.Column,
+          pick: String, sc: String): DataFrame =
+        df.withColumn("mmr", score)
+          .groupBy("q_id")
+          .agg(max_by(struct(col("t_id"), col("mmr")),
+            struct(col("mmr"), (-col("t_id")).as("nt"))).as("p"))
+          .select(col("q_id"), col("p.t_id").as(pick), col("p.mmr").as(sc))
+      val p1 = argmax(cand8, lit(0.7) * col("rel"), "p1", "score1")
+      val p2 = argmax(
+        cand8.join(broadcast(p1), "q_id").filter(col("t_id") =!= col("p1"))
+          .join(pairSims.select(col("q_id"), col("a").as("t_id"),
+            col("b").as("p1"), col("sim")), Seq("q_id", "t_id", "p1")),
+        lit(0.7) * col("rel") - lit(0.3) * col("sim"), "p2", "score2")
+      val p3 = argmax(
+        cand8.join(broadcast(p1), "q_id").join(broadcast(p2), "q_id")
+          .filter(col("t_id") =!= col("p1") && col("t_id") =!= col("p2"))
+          .join(pairSims.select(col("q_id"), col("a").as("t_id"),
+            col("b").as("p1"), col("sim").as("sim1")), Seq("q_id", "t_id", "p1"))
+          .join(pairSims.select(col("q_id"), col("a").as("t_id"),
+            col("b").as("p2"), col("sim").as("sim2")), Seq("q_id", "t_id", "p2")),
+        lit(0.7) * col("rel") - lit(0.3) * greatest(col("sim1"), col("sim2")),
+        "p3", "score3")
+      p1.select(col("q_id"), lit(1L).as("rn"), col("p1").as("t_id"),
+          (round(col("score1"), 4) + 0.0).as("score_r"))
+        .unionByName(p2.select(col("q_id"), lit(2L).as("rn"), col("p2").as("t_id"),
+          (round(col("score2"), 4) + 0.0).as("score_r")))
+        .unionByName(p3.select(col("q_id"), lit(3L).as("rn"), col("p3").as("t_id"),
+          (round(col("score3"), 4) + 0.0).as("score_r")))
+        .orderBy("q_id", "rn")
     },
 
     "emb_quantize" -> { (s, dir) =>
@@ -881,6 +950,64 @@ object VectorQueries {
       .orderBy("va", "rn")
   }
 
+  /** IVF+PQ ANN (r12, no oracle — recall property-tested like the rest of
+    * the family): the production FAISS topology composed from the two
+    * index artifacts the family already trains. The coarse quantizer
+    * restricts each query to its nProbe nearest cells; ADC scores ONLY
+    * the probed cells' 16-byte code rows (the float vectors never flow
+    * past the encode — compare `pqQuery`, which ADC-scans the whole
+    * corpus, and `ivfQuery`, which exact-scores float candidates); the
+    * bounded top-`shortlist` survivors are re-ranked exactly on fetched
+    * vectors. At 100 TB this is the shape a vector store actually
+    * serves: (nProbe/k)·n code rows per query — sub-linear in rows
+    * probed AND ~3% of the bytes per row.
+    */
+  private def ivfpqQuery(s: SparkSession, dir: String): DataFrame = {
+    val nProbe = intConf(s, NProbeKey, 24)
+    val shortlist = intConf(s, PqShortlistKey, 64)
+    val cb = pqCodebook(s, dir)
+    import graft.functions.ProductQuant
+    val e = normedCorpus(s, dir)
+    val cents = codebook(s, dir, e)
+    val sim = dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))
+    val assignOrd = struct(round(sim, 6).as("s"), (-col("c_id")).as("nc"))
+    val cells = e.crossJoin(broadcast(cents))
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"), assignOrd).as("cell"),
+        first(col("embedding")).as("te"))
+      .select(col("vec_id").as("t_id"), col("cell"),
+        ProductQuant.encode(col("te"), cb).as("codes"))
+    val probes = e.filter(col("vec_id") < 10).crossJoin(broadcast(cents))
+      .groupBy("vec_id")
+      .agg(
+        slice(sort_array(collect_list(struct(
+          round(sim, 6).as("s"), (-col("c_id")).as("nc"), col("c_id"))),
+          asc = false), 1, nProbe).as("cs"),
+        first(col("embedding")).as("qe"))
+      .select(col("vec_id").as("q_id"), col("qe"), explode(col("cs.c_id")).as("cell"))
+    val adc = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("t_id"))
+      .select(col("q_id"), col("t_id"),
+        ProductQuant.adcDot(col("codes"), col("qe"), cb).as("adc"))
+    val cand = struct(round(col("adc"), 6).as("a"), (-col("t_id")).as("nt"), col("t_id"))
+    val short = adc
+      .select(col("q_id"), cand.as("c"))
+      .groupBy("q_id")
+      .agg(org.apache.spark.sql.GraftColumnBridge.collectTopK(col("c"), shortlist).as("cs"))
+      .select(col("q_id"), explode(col("cs.t_id")).as("t_id"))
+    val t = e.select(col("vec_id").as("t_id"), col("embedding").as("te"), col("nrm").as("tn"))
+    val qx = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val cos = dot(col("qv"), col("te")) / (col("qn") * col("tn"))
+    val w = Window.partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("t_id"))
+    short.join(t, "t_id").join(broadcast(qx), "q_id")
+      .withColumn("cos", cos)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("t_id"), round(col("cos"), 4).as("cos_r"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
   private def ivfQuery(s: SparkSession, dir: String): DataFrame = {
     // Probe depth is ~free here: the query set is 10 vectors, so deeper
     // probing adds 10·(n/k) candidate rows per extra cell while the
@@ -1099,6 +1226,72 @@ object VectorQueries {
         |               i -> abs(xs[i] - CAST(q[i] AS DOUBLE) * s / 127))),
         |             (a, b) -> greatest(a, b)), 5) AS max_err
         |FROM qq ORDER BY vec_id""".stripMargin,
+
+    // MMR mirror: identical shortlist (rel desc, t_id tie), identical
+    // unrolled greedy with the SAME computed ordering expressions (the
+    // argmax must order by 0.7·rel − 0.3·sim itself, not by rel — a
+    // constant multiply can collapse two distinct rels into one double,
+    // and only the identical product ties identically in both engines).
+    "emb_mmr_diversify" -> {
+      val pairDot =
+        """list_reduce(list_transform(range(1, len(ex.embedding) + 1),
+          |  i -> CAST(ex.embedding[i] AS DOUBLE) * CAST(ey.embedding[i] AS DOUBLE)),
+          |  (a, b) -> a + b)""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |t AS (SELECT vec_id AS t_id, embedding AS te FROM embeddings),
+         |scored AS (
+         |  SELECT q_id, t_id,
+         |         round($dotSql / (${normSql("qe")} * ${normSql("te")}), 6) AS rel
+         |  FROM q JOIN t ON q_id <> t_id),
+         |cand8 AS (
+         |  SELECT q_id, t_id, rel FROM (
+         |    SELECT q_id, t_id, rel,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY rel DESC, t_id) AS rn
+         |    FROM scored) WHERE rn <= 8),
+         |ps AS (
+         |  SELECT x.q_id AS q_id, x.t_id AS a, y.t_id AS b,
+         |         round($pairDot /
+         |           (${normSql("ex.embedding")} * ${normSql("ey.embedding")}), 6) AS sim
+         |  FROM cand8 x JOIN cand8 y ON x.q_id = y.q_id AND x.t_id <> y.t_id
+         |  JOIN embeddings ex ON ex.vec_id = x.t_id
+         |  JOIN embeddings ey ON ey.vec_id = y.t_id),
+         |s1 AS (
+         |  SELECT q_id, t_id AS p1, sc AS score1 FROM (
+         |    SELECT q_id, t_id, 0.7 * rel AS sc,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY 0.7 * rel DESC, t_id) AS rn
+         |    FROM cand8) WHERE rn = 1),
+         |s2 AS (
+         |  SELECT q_id, t_id AS p2, sc AS score2 FROM (
+         |    SELECT c.q_id AS q_id, c.t_id AS t_id,
+         |           0.7 * c.rel - 0.3 * s.sim AS sc,
+         |           row_number() OVER (PARTITION BY c.q_id
+         |             ORDER BY 0.7 * c.rel - 0.3 * s.sim DESC, c.t_id) AS rn
+         |    FROM cand8 c
+         |    JOIN s1 ON s1.q_id = c.q_id AND c.t_id <> s1.p1
+         |    JOIN ps s ON s.q_id = c.q_id AND s.a = c.t_id AND s.b = s1.p1)
+         |  WHERE rn = 1),
+         |s3 AS (
+         |  SELECT q_id, t_id AS p3, sc AS score3 FROM (
+         |    SELECT c.q_id AS q_id, c.t_id AS t_id,
+         |           0.7 * c.rel - 0.3 * greatest(sa.sim, sb.sim) AS sc,
+         |           row_number() OVER (PARTITION BY c.q_id
+         |             ORDER BY 0.7 * c.rel - 0.3 * greatest(sa.sim, sb.sim) DESC,
+         |               c.t_id) AS rn
+         |    FROM cand8 c
+         |    JOIN s1 ON s1.q_id = c.q_id
+         |    JOIN s2 ON s2.q_id = c.q_id
+         |    JOIN ps sa ON sa.q_id = c.q_id AND sa.a = c.t_id AND sa.b = s1.p1
+         |    JOIN ps sb ON sb.q_id = c.q_id AND sb.a = c.t_id AND sb.b = s2.p2
+         |    WHERE c.t_id <> s1.p1 AND c.t_id <> s2.p2)
+         |  WHERE rn = 1)
+         |SELECT q_id, CAST(1 AS BIGINT) AS rn, p1 AS t_id,
+         |       round(score1, 4) + 0.0 AS score_r FROM s1
+         |UNION ALL SELECT q_id, CAST(2 AS BIGINT), p2, round(score2, 4) + 0.0 FROM s2
+         |UNION ALL SELECT q_id, CAST(3 AS BIGINT), p3, round(score3, 4) + 0.0 FROM s3
+         |ORDER BY q_id, rn""".stripMargin
+    },
 
     "sim_knn_join" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings),
