@@ -114,6 +114,9 @@ object Bench {
       // each rebuilt the ~2 s edge set before it was cached)
       val gra = Future(safe("graph")(graft.ops.GraphQueries.warmCaches(spark, sfDir)) ++
         safe("mining")(graft.ops.MiningQueries.warmCaches(spark, sfDir)) ++
+        // drift-histogram artifact (r12): the events-value histogram the
+        // three drift statistics serve from
+        safe("drift")(graft.ops.MiningQueries.warmCachesDrift(spark, sfDir)) ++
         // price-quantile artifact (r11): lineitem-family like graph/mining,
         // disjoint from the text/vector chains, so it rides this future
         safe("price_stats")(graft.ops.AdvancedQueries.warmCaches(spark, sfDir)))

@@ -81,16 +81,78 @@ object MiningQueries {
     Seq("assoc_supports" -> (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Unpersist + drop the cached support ledger for one data dir —
-    * ScaleProbe iterates replica dirs through one session, and without
-    * per-dir eviction each factor's checkpointed ledger stays pinned
-    * until the session stops (same contract as `GraphQueries.clearCache`).
+  /** The (arm, cents, count) histogram of the events value column — the
+    * shared scan artifact of the drift dashboard (r12): all three drift
+    * statistics (`agg_ks_drift`, `agg_mannwhitney`, `agg_psi_drift`)
+    * reduce the corpus to this VALUE-DOMAIN-bounded table (≤ arms ×
+    * ~49 k cents rows by construction) before any pair work. Before the
+    * checkpoint each query re-derived it per subtree reference (the
+    * pair table, the cumulative window and the totals each re-scanned
+    * events — 3-4 full scans per query per rep); a drift dashboard
+    * builds its histogram once per snapshot and serves every statistic
+    * from it, which is exactly this cache's shape.
     */
-  def clearCache(s: SparkSession, dir: String): Unit =
-    Option(supportCache.remove((s, dir))).foreach { df =>
-      org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
-        .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
+  private val driftHistCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[ops] def driftHist(s: SparkSession, dir: String): DataFrame = {
+    driftHistCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    driftHistCache.computeIfAbsent((s, dir), _ =>
+      graft.Tables.events(s, dir)
+        .select(col("event_type").as("et"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+        .groupBy("et", "v").agg(count(lit(1)).as("c"))
+        .localCheckpoint())
+  }
+
+  /** The arm universe — a bounded DRIVER artifact next to the histogram
+    * (the IVF-codebook pattern: event types are a small fixed vocabulary,
+    * and deriving the pair table from a driver list replaces a
+    * distinct-shuffle + non-equi self-join + broadcast chain in every
+    * drift query's plan with one 10-row local relation).
+    */
+  private val armsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[String]]()
+
+  private def arms(s: SparkSession, dir: String): Seq[String] = {
+    armsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    armsCache.computeIfAbsent((s, dir), _ =>
+      driftHist(s, dir).select("et").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq)
+  }
+
+  /** The (pa, pb) unordered-pair table as a local relation (pa < pb). */
+  private def armPairs(s: SparkSession, dir: String): DataFrame = {
+    val as = arms(s, dir)
+    import s.implicits._
+    (for { a <- as; b <- as if a < b } yield (a, b)).toDF("pa", "pb")
+  }
+
+  /** Build + materialize the session support ledger + drift histogram,
+    * timed for the bench.
+    */
+  def warmCachesDrift(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    val t0 = System.nanoTime()
+    driftHist(s, dir).count()
+    arms(s, dir)
+    Seq("drift_hist" -> (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Unpersist + drop the cached support ledger + drift histogram for one
+    * data dir — ScaleProbe iterates replica dirs through one session, and
+    * without per-dir eviction each factor's checkpointed ledger stays
+    * pinned until the session stops (same contract as
+    * `GraphQueries.clearCache`).
+    */
+  def clearCache(s: SparkSession, dir: String): Unit = {
+    Seq(supportCache, driftHistCache).foreach { cache =>
+      Option(cache.remove((s, dir))).foreach { df =>
+        org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
+          .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
+      }
     }
+    armsCache.remove((s, dir)); ()
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MARKET-BASKET PAIR MINING: the support-counting pass of
@@ -378,13 +440,13 @@ object MiningQueries {
     // error in DuckDB. ppm output stays BIGINT via decimal `div`.
     "agg_ks_drift" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val h = graft.Tables.events(s, dir)
-        .select(col("event_type").as("et"),
-          floor(col("value") * 100 + 0.5).cast("long").as("v"))
-        .groupBy("et", "v").agg(count(lit(1)).as("c"))
-      val arms = h.select("et").distinct()
-      val pairs = arms.select(col("et").as("pa"))
-        .join(arms.select(col("et").as("pb")), col("pa") < col("pb"))
+      // Served from the session drift-histogram artifact (r12): the only
+      // corpus scan happened once at [[driftHist]] build; every subtree
+      // below operates on the ≤ arms·domain checkpoint. Per-pair totals
+      // derive from the per-arm totals directly, so the pair-expanded
+      // table `hp` has exactly ONE consumer (the cumulative window).
+      val h = driftHist(s, dir)
+      val pairs = armPairs(s, dir)
       val hp = h.join(broadcast(pairs), col("et") === col("pa") || col("et") === col("pb"))
         .groupBy("pa", "pb", "v")
         .agg(sum(when(col("et") === col("pa"), col("c")).otherwise(0L)).as("c1"),
@@ -393,7 +455,10 @@ object MiningQueries {
         .rowsBetween(Window.unboundedPreceding, 0)
       val cum = hp.select(col("pa"), col("pb"), col("v"),
         sum(col("c1")).over(w).as("cum1"), sum(col("c2")).over(w).as("cum2"))
-      val tot = hp.groupBy("pa", "pb").agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      val totals = h.groupBy("et").agg(sum(col("c")).as("n"))
+      val tot = pairs
+        .join(broadcast(totals.select(col("et").as("pa"), col("n").as("n1"))), "pa")
+        .join(broadcast(totals.select(col("et").as("pb"), col("n").as("n2"))), "pb")
       val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
       cum.join(broadcast(tot), Seq("pa", "pb"))
         .select(col("pa"), col("pb"), col("n1"), col("n2"),
@@ -431,13 +496,8 @@ object MiningQueries {
     // The z statistic derives from the exact decimal before any cast.
     "agg_mannwhitney" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val h = graft.Tables.events(s, dir)
-        .select(col("event_type").as("et"),
-          floor(col("value") * 100 + 0.5).cast("long").as("v"))
-        .groupBy("et", "v").agg(count(lit(1)).as("c"))
-      val arms = h.select("et").distinct()
-      val pairs = arms.select(col("et").as("pa"))
-        .join(arms.select(col("et").as("pb")), col("pa") < col("pb"))
+      val h = driftHist(s, dir) // the session histogram artifact (r12)
+      val pairs = armPairs(s, dir)
       val hp = h.join(broadcast(pairs), col("et") === col("pa") || col("et") === col("pb"))
         .groupBy("pa", "pb", "v")
         .agg(sum(when(col("et") === col("pa"), col("c")).otherwise(0L)).as("c1"),
@@ -476,17 +536,17 @@ object MiningQueries {
     // aggregate — a deterministic float summation (the text_entropy
     // discipline) rounded once at 4dp.
     "agg_psi_drift" -> { (s, dir) =>
-      val h0 = graft.Tables.events(s, dir)
-        .select(col("event_type").as("et"),
-          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      // Binned form of the session drift histogram (r12): every v is
+      // present in the cents histogram, so min/max and the 10-bin
+      // re-binning derive from the checkpoint, never the corpus.
+      val h0 = driftHist(s, dir)
       val bounds = h0.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
       val binned = h0.crossJoin(broadcast(bounds))
         .select(col("et"),
-          least(lit(9L), expr("((v - lo) * 10) div (hi - lo + 1)")).as("b"))
-        .groupBy("et", "b").agg(count(lit(1)).as("c"))
-      val arms = binned.select("et").distinct()
-      val pairs = arms.select(col("et").as("pa"))
-        .join(arms.select(col("et").as("pb")), col("pa") < col("pb"))
+          least(lit(9L), expr("((v - lo) * 10) div (hi - lo + 1)")).as("b"),
+          col("c"))
+        .groupBy("et", "b").agg(sum(col("c")).as("c"))
+      val pairs = armPairs(s, dir)
       val totals = binned.groupBy("et").agg(sum(col("c")).as("n"))
       // dense (pair, bin) grid: 10 bins per pair, missing counts 0
       val bins = binned.sparkSession.range(0, 10).select(col("id").as("b"))

