@@ -220,6 +220,37 @@ object AdvancedQueries {
       qty.join(price, "l_linestatus").orderBy("l_linestatus")
     },
 
+    // TRIMMED MEAN (r12): the robust location estimate between the mean
+    // (agg_stats) and the median (agg_percentile) — drop the n/20
+    // smallest and largest observations per group BY RANK, then average
+    // the survivors in exact integer cents. Rank-trimming (row_number
+    // over (value, key) with integer-div cutoffs) rather than
+    // value-threshold trimming: the cutoff is a row INDEX, so the two
+    // engines agree exactly with no float-boundary tie to adjudicate.
+    // Cost is the per-group window sort — the same one shuffle+sort every
+    // window-family query pays; at 100 TB the identical trim runs as the
+    // bucketed two-pass selection (find the p5/p95 order statistics via
+    // exactPercentilesByGroup, then filter + sum), trading the sort for
+    // two scans. Final division is double only at the very end, rounded.
+    "agg_trimmed_mean" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(
+        col("l_linestatus").as("g"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+      val w = Window.partitionBy("g").orderBy(col("cents"), col("ok"), col("ln"))
+      val wn = Window.partitionBy("g")
+      li.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rn") > expr("n div 20") &&
+          col("rn") <= col("n") - expr("n div 20"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n_kept"), sum(col("cents")).as("sum_cents"))
+        .select(col("g").as("l_linestatus"), col("n_kept"), col("sum_cents"),
+          round(col("sum_cents") / lit(100.0) / col("n_kept"), 4)
+            .as("trimmed_mean_r"))
+        .orderBy("l_linestatus")
+    },
+
     // Robust outlier detection by MAD (median absolute deviation): the
     // data-quality screen that survives the heavy tails a mean/stddev
     // z-score is wrecked by. Both medians run through the bucketed
@@ -505,6 +536,23 @@ object AdvancedQueries {
         |       round(quantile_cont(l_quantity, 0.9), 4) AS p90,
         |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_trimmed_mean" ->
+      """WITH t AS (
+        |  SELECT l_linestatus AS g,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        |         row_number() OVER (
+        |           PARTITION BY l_linestatus
+        |           ORDER BY CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),
+        |                    l_orderkey, l_linenumber) AS rn,
+        |         count(*) OVER (PARTITION BY l_linestatus) AS n
+        |  FROM lineitem)
+        |SELECT g AS l_linestatus, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |       round(CAST(sum(cents) AS DOUBLE) / 100.0 / count(*), 4)
+        |         AS trimmed_mean_r
+        |FROM t WHERE rn > n // 20 AND rn <= n - n // 20
+        |GROUP BY g ORDER BY g""".stripMargin,
 
     "agg_mad_outliers" ->
       s"""WITH med AS (

@@ -111,6 +111,40 @@ object GraphQueries {
       }
     }
 
+  /** Closed-triangle corner triples `(a, x, y)` under the degree-peeling
+    * orientation (rank = the (degree, node) pair as a struct, each edge
+    * pointing at the higher rank): every triangle closes at exactly one
+    * apex `a` with two out-edges, so each triangle appears exactly once
+    * and the wedge enumeration is Σ C(outdeg, 2) — bounded by graph
+    * arboricity. Shared by `graph_triangles` (one global count) and
+    * `graph_clustering_coeff` (per-corner counts). The rank is a STRUCT,
+    * not a packed long: packing aliases distinct nodes once ids reach
+    * 2^31 — exactly the corpus sizes this module is written for.
+    */
+  private def closedTriangles(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    val deg = degrees(s, dir)
+    val rank = deg.select(col("u").as("n"),
+      struct(col("d"), col("u").as("id")).as("rk"))
+    val ranked = e
+      .join(rank.withColumnsRenamed(Map("n" -> "u", "rk" -> "rku")), "u")
+      .join(rank.withColumnsRenamed(Map("n" -> "v", "rk" -> "rkv")), "v")
+    val oriented = ranked.select(
+      when(col("rku") < col("rkv"), col("u")).otherwise(col("v")).as("a"),
+      when(col("rku") < col("rkv"), col("v")).otherwise(col("u")).as("b"),
+      greatest(col("rku"), col("rkv")).as("rkb"))
+    // Wedges at apex a: ordered pairs of out-neighbors; close with a
+    // third hash join against the oriented edge set.
+    oriented.as("e1").hint("SHUFFLE_HASH")
+      .join(oriented.as("e2"),
+        col("e1.a") === col("e2.a") && col("e1.rkb") < col("e2.rkb"))
+      .select(col("e1.a").as("apex"), col("e1.b").as("x"), col("e2.b").as("y"))
+      .hint("SHUFFLE_HASH")
+      .join(oriented.as("e3"),
+        col("x") === col("e3.a") && col("y") === col("e3.b"))
+      .select(col("apex").as("a"), col("x"), col("y"))
+  }
+
   /** Edges in both directions — the undirected adjacency list. */
   private def bidirectional(e: DataFrame): DataFrame =
     e.select(col("u"), col("v"))
@@ -164,26 +198,7 @@ object GraphQueries {
     "graph_triangles" -> { (s, dir) =>
       val e = edges(s, dir)
       val deg = degrees(s, dir)
-      val rank = deg.select(col("u").as("n"),
-        struct(col("d"), col("u").as("id")).as("rk"))
-      // Orient each undirected edge toward the higher (degree, id) rank.
-      val ranked = e
-        .join(rank.withColumnsRenamed(Map("n" -> "u", "rk" -> "rku")), "u")
-        .join(rank.withColumnsRenamed(Map("n" -> "v", "rk" -> "rkv")), "v")
-      val oriented = ranked.select(
-        when(col("rku") < col("rkv"), col("u")).otherwise(col("v")).as("a"),
-        when(col("rku") < col("rkv"), col("v")).otherwise(col("u")).as("b"),
-        greatest(col("rku"), col("rkv")).as("rkb"))
-      // Wedges at apex a: ordered pairs of out-neighbors; close with a
-      // third hash join against the oriented edge set.
-      val tri = oriented.as("e1").hint("SHUFFLE_HASH")
-        .join(oriented.as("e2"),
-          col("e1.a") === col("e2.a") && col("e1.rkb") < col("e2.rkb"))
-        .select(col("e1.b").as("x"), col("e2.b").as("y"))
-        .hint("SHUFFLE_HASH")
-        .join(oriented.as("e3"),
-          col("x") === col("e3.a") && col("y") === col("e3.b"))
-        .agg(count(lit(1)).as("n_triangles"))
+      val tri = closedTriangles(s, dir).agg(count(lit(1)).as("n_triangles"))
       val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
       val nEdges = e.agg(count(lit(1)).as("n_edges"))
       val nWedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
@@ -397,6 +412,57 @@ object GraphQueries {
       out.orderBy("round")
     },
 
+    // LOCAL CLUSTERING COEFFICIENT (r12): per-node triangle density —
+    // the community-structure profile question ("is this node's
+    // neighborhood a clique or a star?") that the global census in
+    // graph_triangles averages away. One extra explode over the SAME
+    // arboricity-bounded closed-triangle enumeration (each triangle
+    // attributed to its 3 corners), one map-side-combined count per
+    // corner, then exact integer ppm against C(d, 2) from the cached
+    // degree table — no float division, so the engines agree bit-for-bit
+    // and the top-20 order cannot flap. Total order: (coeff, n_tri,
+    // node) — node is unique, so TakeOrderedAndProject is deterministic.
+    "graph_clustering_coeff" -> { (s, dir) =>
+      val corners = closedTriangles(s, dir)
+        .select(explode(array(col("a"), col("x"), col("y"))).as("u"))
+        .groupBy("u").agg(count(lit(1)).as("tri"))
+      degrees(s, dir).filter(col("d") >= 2)
+        .join(corners, Seq("u"), "left")
+        .select(col("u").as("node"), col("d").as("degree"),
+          coalesce(col("tri"), lit(0L)).as("n_tri"),
+          expr("(coalesce(tri, 0) * 2000000) div (d * (d - 1))")
+            .as("coeff_ppm"))
+        .orderBy(col("coeff_ppm").desc, col("n_tri").desc, col("node"))
+        .limit(20)
+    },
+
+    // LANDMARK DISTANCES (r12): multi-source bounded-hop BFS — the
+    // closeness-centrality / landmark-embedding primitive (distance
+    // oracles estimate d(u,v) ≤ d(u,L)+d(L,v) through a few landmarks).
+    // Per (landmark, node) the MINIMUM hop count ≤ 3, reported as a
+    // distance histogram. Each round is one hash join of the frontier
+    // against the cached adjacency + one anti-join against the reached
+    // set, all keyed on (src, u) — 3 seeds × 4 rounds of |E|-bounded
+    // shuffles, the textbook Pregel step expressed as joins. The oracle
+    // replays it as a recursive CTE whose UNION dedup gives the same
+    // visited-set semantics.
+    "graph_landmark_distance" -> { (s, dir) =>
+      val bi = bidirectional(edges(s, dir))
+      val seeds = degrees(s, dir).orderBy("u").limit(3)
+        .select(col("u").as("src"), col("u"))
+      var reached = seeds.withColumn("dist", lit(0L))
+      var frontier = seeds
+      for (r <- 1 to 3) {
+        val next = bi.join(frontier, "u")
+          .select(col("src"), col("v").as("u")).distinct()
+          .join(reached.select("src", "u"), Seq("src", "u"), "left_anti")
+        reached = reached.unionByName(next.withColumn("dist", lit(r.toLong)))
+        frontier = next
+      }
+      reached.groupBy("src", "dist").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("src", "dist")
+    },
+
     // DEGREE ASSORTATIVITY (r10): Newman's r — the Pearson correlation
     // of endpoint degrees over the directed edge list (both directions,
     // the standard undirected convention). Do high-degree products
@@ -559,6 +625,37 @@ object GraphQueries {
          |  UNION ALL SELECT 3, (SELECT count(*) FROM f3),
          |         (SELECT count(*) FROM v3))
          |ORDER BY round""".stripMargin,
+
+    "graph_clustering_coeff" ->
+      s"""$oracleEdgeCtes,
+         |tri AS (SELECT e1.u a, e2.u b, e2.v c FROM e e1
+         |        JOIN e e2 ON e1.v = e2.u
+         |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |corners AS (SELECT a AS u FROM tri UNION ALL
+         |            SELECT b FROM tri UNION ALL
+         |            SELECT c FROM tri),
+         |tc AS (SELECT u, count(*) AS tri FROM corners GROUP BY u)
+         |SELECT deg.u AS node, CAST(deg.d AS BIGINT) AS degree,
+         |       CAST(coalesce(tc.tri, 0) AS BIGINT) AS n_tri,
+         |       CAST((coalesce(tc.tri, 0) * 2000000)
+         |            // (deg.d * (deg.d - 1)) AS BIGINT) AS coeff_ppm
+         |FROM deg LEFT JOIN tc USING (u)
+         |WHERE deg.d >= 2
+         |ORDER BY coeff_ppm DESC, n_tri DESC, node LIMIT 20""".stripMargin,
+
+    "graph_landmark_distance" ->
+      s"""${oracleEdgeCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |seeds AS (SELECT u FROM deg ORDER BY u LIMIT 3),
+         |walk(src, node, dist) AS (
+         |  SELECT u, u, 0 FROM seeds
+         |  UNION
+         |  SELECT w.src, bi.v, w.dist + 1
+         |  FROM walk w JOIN bi ON bi.u = w.node WHERE w.dist < 3),
+         |md AS (SELECT src, node, min(dist) AS dist
+         |       FROM walk GROUP BY src, node)
+         |SELECT src, CAST(dist AS BIGINT) AS dist,
+         |       CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM md GROUP BY src, dist ORDER BY src, dist""".stripMargin,
 
     "graph_label_prop" ->
       s"""$oracleEdgeCtes,

@@ -80,6 +80,41 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // TERM BURSTINESS (r12): Church–Gale dispersion of the top-5 corpus
+    // terms — does a term arrive uniformly or in bursts? The number that
+    // separates function words (Fano ≈ mean, Poisson-like) from topical
+    // content words (overdispersed), used to pick keyword candidates and
+    // to diagnose templated/spammy sources. Per (doc, term) occurrence
+    // gaps from ONE posexplode scan + a per-doc-term lag window (the
+    // window key includes doc_id, so partitions are document-sized, never
+    // corpus-sized); per (source, term) the gap count / sum / sum-of-
+    // squares fold in exact integers and the mean and Fano factor come
+    // out in milli-units by integer division — all quantities
+    // non-negative, so floor = truncate and the engines cannot disagree.
+    // Overflow bound, stated not hand-waved: n_gaps·Σgap²·1000 < 2⁶³
+    // holds while a single (source, term) stratum has < ~10¹³ gap-pairs
+    // product — petascale per stratum; past that, route the three sums
+    // through DECIMAL(38,0) exactly as agg_moments does.
+    "text_burstiness" -> { (s, dir) =>
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          posexplode(split(col("text"), " ")).as(Seq("i", "term")))
+      val top5 = tok.groupBy("term").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term")).limit(5).select("term")
+      val w = Window.partitionBy("doc_id", "term").orderBy("i")
+      tok.join(broadcast(top5), "term")
+        .withColumn("gap", (col("i") - lag(col("i"), 1).over(w)).cast("long"))
+        .filter(col("gap").isNotNull)
+        .groupBy("source", "term")
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sum_gap"),
+          sum(expr("gap * gap")).as("sumsq_gap"))
+        .select(col("source"), col("term"), col("n_gaps"),
+          expr("(sum_gap * 1000) div n_gaps").as("mean_gap_milli"),
+          expr("((n_gaps * sumsq_gap - sum_gap * sum_gap) * 1000) " +
+            "div (n_gaps * sum_gap)").as("fano_milli"))
+        .orderBy("source", "term")
+    },
+
     // TOKENIZER FERTILITY (r10): tokens-per-100-chars by (lang, source) —
     // the budget planner's number (how many training tokens a byte of
     // this slice buys) and the canary for tokenizer/language mismatch
@@ -1319,6 +1354,32 @@ object TextQueries {
         |       round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
         |             / len(string_split(text, ' ')), 4) AS avg_tok_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_burstiness" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+        |), tok AS (
+        |  SELECT doc_id, source, unnest(range(1, len(ts) + 1)) AS i, ts FROM t
+        |), tok2 AS (
+        |  SELECT doc_id, source, i, ts[i] AS term FROM tok
+        |), top5 AS (
+        |  SELECT term FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents) u
+        |  GROUP BY term ORDER BY count(*) DESC, term LIMIT 5
+        |), g AS (
+        |  SELECT doc_id, source, term,
+        |         i - lag(i) OVER (PARTITION BY doc_id, term ORDER BY i) AS gap
+        |  FROM tok2 WHERE term IN (SELECT term FROM top5)
+        |), a AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS n_gaps,
+        |         CAST(sum(gap) AS BIGINT) AS sum_gap,
+        |         CAST(sum(gap * gap) AS BIGINT) AS sumsq_gap
+        |  FROM g WHERE gap IS NOT NULL GROUP BY source, term)
+        |SELECT source, term, n_gaps,
+        |       CAST((sum_gap * 1000) // n_gaps AS BIGINT) AS mean_gap_milli,
+        |       CAST(((n_gaps * sumsq_gap - sum_gap * sum_gap) * 1000)
+        |            // (n_gaps * sum_gap) AS BIGINT) AS fano_milli
+        |FROM a ORDER BY source, term""".stripMargin,
 
     "text_top_terms" ->
       """SELECT term, CAST(count(*) AS BIGINT) AS n

@@ -376,6 +376,42 @@ object TimeWindowQueries {
         .orderBy("bucket")
     },
 
+    // ACTIVE-INTERVAL CONCURRENCY (r12): how many order lines are in
+    // flight (the fulfillment window between order placement and line
+    // shipment, endpoint-normalized since the synthetic dates are
+    // unordered) on any given day — the sweep-line / "concurrent
+    // sessions" classic, solved WITHOUT an interval×calendar blow-up
+    // join: each interval becomes a +1 at its start and a −1 the day
+    // after its end, one hash aggregate collapses the deltas to the
+    // bounded DAY DOMAIN (~2.5k rows over seven years — the same
+    // domain-not-data bound as the cents histograms), and one running
+    // sum over that tiny table is the concurrency curve. Input is one
+    // co-partitionable fact⨝orders hash join + one map-side-combined
+    // aggregate; the single-partition window runs over the day domain,
+    // never over data-sized input. Reported per month: peak concurrency
+    // and the month-end level (max_by over the unique day key —
+    // deterministic).
+    "ts_active_intervals" -> { (s, dir) =>
+      val iv = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), to_date(col("l_shipdate")).as("sd"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey").as("ok"), to_date(col("o_orderdate")).as("od")), "ok")
+        .select(least(col("od"), col("sd")).as("start"),
+          greatest(col("od"), col("sd")).as("end"))
+      val deltas = iv.select(col("start").as("day"), lit(1L).as("delta"))
+        .unionByName(iv.select(date_add(col("end"), 1).as("day"),
+          lit(-1L).as("delta")))
+        .groupBy("day").agg(sum(col("delta")).as("delta"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      deltas.withColumn("active", sum(col("delta")).over(w))
+        .groupBy(date_format(col("day"), "yyyy-MM").as("month"))
+        .agg(max(col("active")).as("max_active"),
+          expr("max_by(active, day)").as("eom_active"))
+        .orderBy("month")
+    },
+
     // MARKOV TRANSITION MATRIX (r11): first-order event-type transitions
     // per user — the behavioral model behind next-event prediction and
     // journey analysis. One per-user sorted window derives (prev → next)
@@ -651,6 +687,24 @@ object TimeWindowQueries {
         |       round(min(value), 2) AS low_r,
         |       round(arg_max(value, epoch_us(ts)), 2) AS close_r
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "ts_active_intervals" ->
+      """WITH iv AS (
+        |  SELECT least(CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS s,
+        |         greatest(CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS e
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |), deltas AS (
+        |  SELECT day, CAST(sum(delta) AS BIGINT) AS delta FROM (
+        |    SELECT s AS day, 1 AS delta FROM iv
+        |    UNION ALL
+        |    SELECT e + 1 AS day, -1 AS delta FROM iv) t
+        |  GROUP BY day
+        |), act AS (
+        |  SELECT day, sum(delta) OVER (ORDER BY day) AS active FROM deltas)
+        |SELECT strftime(day, '%Y-%m') AS month,
+        |       CAST(max(active) AS BIGINT) AS max_active,
+        |       CAST(arg_max(active, day) AS BIGINT) AS eom_active
+        |FROM act GROUP BY 1 ORDER BY month""".stripMargin,
 
     "events_markov" ->
       """WITH t AS (

@@ -162,6 +162,41 @@ object VectorQueries {
         .orderBy("q_id", "t_id")
     },
 
+    // TRIPLET MINING (r12): for each anchor, the hardest NEGATIVE (the
+    // most-similar vector of a DIFFERENT label — the pair a contrastive
+    // loss most needs to see) and the hardest POSITIVE (the
+    // least-similar same-label vector — the pair metric learning must
+    // pull together). The metric-learning batch-construction primitive
+    // (FaceNet's semi-hard mining, SimCLR negatives). Bounded anchor set
+    // broadcast against one linear corpus scan — the sim_cosine_topk
+    // shape, so 100 TB cost is one pass; at full-corpus anchor counts
+    // the same query runs over sim_ann_knn's IVF-probed candidates
+    // instead of the exact scan. Long form (anchor, kind, t_id): one
+    // row_number per (anchor, kind) with the family's (round(cos,6),
+    // t_id) tie-break.
+    "emb_hard_negatives" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), col("label"),
+          l2(col("embedding")).as("nrm"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("label").as("ql"), col("nrm").as("qn"))
+      val t = e.select(col("vec_id").as("t_id"), col("embedding").as("te"),
+        col("label").as("tl"), col("nrm").as("tn"))
+      val scored = t.join(broadcast(q), col("q_id") =!= col("t_id"))
+        .withColumn("cos", dot(col("qe"), col("te")) / (col("qn") * col("tn")))
+        .withColumn("kind",
+          when(col("ql") === col("tl"), lit("hard_pos")).otherwise(lit("hard_neg")))
+      // hard_neg: MOST similar other-label; hard_pos: LEAST similar same-label.
+      val ord = when(col("kind") === "hard_neg", -round(col("cos"), 6))
+        .otherwise(round(col("cos"), 6))
+      val w = Window.partitionBy("q_id", "kind").orderBy(ord.asc, col("t_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("q_id"), col("kind"), col("t_id"),
+          round(col("cos"), 4).as("cos_r"))
+        .orderBy("q_id", "kind")
+    },
+
     // Sign-bit LSH ANN (no DuckDB oracle — recall property-tested in
     // ScalaTest against the brute-force baseline). Proper multi-table LSH:
     // `lshTables` hash tables (default 16 — one per 4-dim slice of the
@@ -1336,5 +1371,26 @@ object VectorQueries {
          |         $dotSql / (${normSql("qe")} * ${normSql("te")}) AS cos
          |  FROM q JOIN t ON q_id <> t_id)
          |SELECT q_id, t_id, round(cos, 4) AS cos_r
-         |FROM scored WHERE cos >= 0.3 ORDER BY q_id, t_id""".stripMargin)
+         |FROM scored WHERE cos >= 0.3 ORDER BY q_id, t_id""".stripMargin,
+
+    "emb_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS ql
+         |           FROM embeddings WHERE vec_id < 20),
+         |t AS (SELECT vec_id AS t_id, embedding AS te, label AS tl
+         |      FROM embeddings),
+         |scored AS (
+         |  SELECT q_id, t_id,
+         |         CASE WHEN ql = tl THEN 'hard_pos' ELSE 'hard_neg' END AS kind,
+         |         $dotSql / (${normSql("qe")} * ${normSql("te")}) AS cos
+         |  FROM q JOIN t ON q_id <> t_id
+         |), ranked AS (
+         |  SELECT q_id, kind, t_id, cos,
+         |         row_number() OVER (
+         |           PARTITION BY q_id, kind
+         |           ORDER BY CASE WHEN kind = 'hard_neg'
+         |                         THEN -round(cos, 6) ELSE round(cos, 6) END,
+         |                    t_id) AS rn
+         |  FROM scored)
+         |SELECT q_id, kind, t_id, round(cos, 4) AS cos_r
+         |FROM ranked WHERE rn = 1 ORDER BY q_id, kind""".stripMargin)
 }
