@@ -480,6 +480,38 @@ object GraphQueries {
         .agg(count(lit(1)).as("n_directed_edges"),
           (round(corr(col("d_u"), col("d_v")), 4) + 0.0).as("assortativity_r"))
     },
+
+    // HITS (r12): hubs and authorities on the DIRECTED bipartite
+    // supplier → part graph (who supplies it, not who co-occurs with
+    // it — the natural directed structure the undirected co-purchase
+    // family can't express). Two unnormalized power-iteration rounds in
+    // EXACT integers: a₁(p) = indegree, h₁(s) = Σ_{s→p} a₁(p),
+    // a₂(p) = Σ_{s→p} h₁(s) — no division anywhere, so there is no
+    // float fixpoint and no truncation order for the engines to
+    // disagree on. Sums ride DECIMAL(38,0) (the agg_moments pattern;
+    // a₂ is bounded by |E|·max-indeg·max-outdeg, past Int64 on a
+    // planet-scale graph, comfortably inside 38 digits); the emitted
+    // score casts back to BIGINT, exact while scores < 2^63 — true up
+    // to ~10⁶ suppliers × 10⁶ parts. Each round is one shuffle join on
+    // the edge key + one map-side-combined aggregate, the PageRank
+    // kernel shape; ranking is unaffected by the skipped normalization
+    // because every score in a round shares the same implicit scale.
+    "graph_hits" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val sp = graft.Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+        .distinct()
+      val a1 = sp.groupBy("p").agg(count(lit(1)).cast(d38).as("a1"))
+      val h1 = sp.hint("SHUFFLE_HASH").join(a1, "p")
+        .groupBy("s").agg(sum(col("a1")).as("h1"))
+      val a2 = sp.hint("SHUFFLE_HASH").join(h1, "s")
+        .groupBy("p").agg(sum(col("h1")).as("a2"))
+      h1.select(lit("hub").as("side"), col("s").as("node"),
+          col("h1").cast("long").as("score"))
+        .unionByName(a2.select(lit("authority").as("side"), col("p").as("node"),
+          col("a2").cast("long").as("score")))
+        .orderBy(col("side"), col("score").desc, col("node"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -674,5 +706,18 @@ object GraphQueries {
          |       FROM l2 LEFT JOIN n3 ON l2.u = n3.u)
          |SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
          |FROM l3 GROUP BY lbl ORDER BY lbl""".stripMargin,
+
+    "graph_hits" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey s, l_partkey p FROM lineitem),
+        |a1 AS (SELECT p, CAST(count(*) AS HUGEINT) AS a1 FROM sp GROUP BY p),
+        |h1 AS (SELECT sp.s, sum(a1.a1) AS h1
+        |       FROM sp JOIN a1 ON sp.p = a1.p GROUP BY sp.s),
+        |a2 AS (SELECT sp.p, sum(h1.h1) AS a2
+        |       FROM sp JOIN h1 ON sp.s = h1.s GROUP BY sp.p)
+        |SELECT side, node, score FROM (
+        |  SELECT 'hub' AS side, s AS node, CAST(h1 AS BIGINT) AS score FROM h1
+        |  UNION ALL
+        |  SELECT 'authority' AS side, p AS node, CAST(a2 AS BIGINT) AS score FROM a2)
+        |ORDER BY side, score DESC, node""".stripMargin,
   )
 }
