@@ -430,6 +430,43 @@ object CdcQueries {
           col("n_writes"),
           expr("bit_count(site_bits)").cast("long").as("n_sites"))
         .orderBy("pk")
+    },
+
+    // TOMBSTONE GC (r12): the retention decision a compacted changelog
+    // runs over delete markers. The reference DROPS deletes outright
+    // (hazard H2, `main.go:56-60`); a log-compacted consumer instead
+    // keeps a tombstone per deleted key until (a) the GC watermark has
+    // passed it AND (b) no later write revived the key — GC'ing a
+    // tombstone too early resurrects deleted rows on replay, the classic
+    // compaction bug. Per key: last delete position, revival check, and
+    // the verdict against a data-derived watermark (¾ of the log head, so
+    // the query is scale-free). ONE map-side-combined hash aggregate with
+    // conditional max (no window, no self-join: "revived" is just
+    // max(event_id) > max(delete event_id), both ridden on the same
+    // pass); the watermark is a broadcast 1-row aggregate. All integer
+    // arithmetic — nothing for the engines to disagree on. At 100 TB the
+    // aggregate shuffles one row per deleted key and nothing else.
+    "cdc_tombstone_gc" -> { (s, dir) =>
+      val wm = Tables.events(s, dir)
+        .agg(expr("(max(event_id) * 3) div 4").as("wm"))
+      Tables.events(s, dir)
+        .groupBy(col("user_id").as("pk"))
+        .agg(
+          max(when(col("event_type") === "error", col("event_id")))
+            .as("last_delete"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_deletes"),
+          max(col("event_id")).as("last_any"))
+        .filter(col("last_delete").isNotNull)
+        .crossJoin(broadcast(wm))
+        .select(
+          col("pk"), col("last_delete"), col("n_deletes"),
+          (col("last_any") > col("last_delete")).as("revived"),
+          when(col("last_any") > col("last_delete"), lit("keep_revived"))
+            .when(col("last_delete") <= col("wm"), lit("purge"))
+            .otherwise(lit("retain")).as("gc_action"),
+          col("wm"))
+        .orderBy("pk")
     })
 
   val oracles: Map[String, String] = Map(
@@ -629,5 +666,25 @@ object CdcQueries {
         |       CAST(count(*) AS BIGINT) AS n_writes,
         |       CAST(bit_count(bit_or(1 << CAST(site AS INT)))
         |            AS BIGINT) AS n_sites
-        |FROM w GROUP BY pk ORDER BY pk""".stripMargin)
+        |FROM w GROUP BY pk ORDER BY pk""".stripMargin,
+
+    "cdc_tombstone_gc" ->
+      """WITH wm AS (SELECT (max(event_id) * 3) // 4 AS wm FROM events),
+        |agg AS (
+        |  SELECT user_id AS pk,
+        |         max(CASE WHEN event_type = 'error' THEN event_id END)
+        |           AS last_delete,
+        |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_deletes,
+        |         max(event_id) AS last_any
+        |  FROM events GROUP BY user_id)
+        |SELECT pk, last_delete, n_deletes,
+        |       last_any > last_delete AS revived,
+        |       CASE WHEN last_any > last_delete THEN 'keep_revived'
+        |            WHEN last_delete <= wm THEN 'purge'
+        |            ELSE 'retain' END AS gc_action,
+        |       wm
+        |FROM agg, wm
+        |WHERE last_delete IS NOT NULL
+        |ORDER BY pk""".stripMargin)
 }

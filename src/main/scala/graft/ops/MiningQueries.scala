@@ -617,6 +617,44 @@ object MiningQueries {
             .as("gini_ppm"))
         .orderBy("event_type")
     },
+
+    // THEIL INDEX (r12): the decomposable inequality measure — the
+    // companion to agg_gini that, unlike Gini, splits exactly into
+    // within-group + between-group terms, which is why curation
+    // dashboards prefer it for "is the value skew coming from inside an
+    // arm or across arms?". T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ) over integer
+    // cents, rewritten as (Σ cᵢ·ln(cᵢ·n/s)) / s so the only float is the
+    // per-row logarithm. House float rule: each row's term is rounded to
+    // integer NANOS before the sum (order-independent — Spark's partial
+    // aggregation cannot move the result), and the final normalization
+    // is integer division; the total is ≥ 0 by Jensen, so truncating
+    // `div` and floor `//` agree. ln's argument is computed
+    // double-first (CAST(c AS DOUBLE)·n/s) identically on both engines.
+    // Scale shape: one map-side-combined aggregate for the 5-row group
+    // totals, broadcast back, one more hash aggregate — two linear
+    // scans, no window, no O(n²). A value that quantizes to 0 cents
+    // contributes 0 — the x·ln(x) → 0 limit convention, and required:
+    // at sf0.1 the corpus DOES hold sub-half-cent values, where DuckDB's
+    // ln(0) raises while Spark's returns NULL (silent divergence).
+    "agg_theil" -> { (s, dir) =>
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      val rows = Tables.events(s, dir)
+        .select(col("event_type").as("g"), cents.as("c"))
+      val tot = rows.groupBy("g")
+        .agg(sum(col("c")).as("sv"), count(lit(1)).as("n"))
+      rows.join(broadcast(tot), "g")
+        .withColumn("t_ns",
+          when(col("c") === 0L, lit(0L))
+            .otherwise(round(col("c").cast("double")
+              * log(col("c").cast("double") * col("n") / col("sv")) * 1e9)
+              .cast("long")))
+        .groupBy("g")
+        .agg(sum(col("t_ns")).as("sum_ns"),
+          min(col("n")).as("n"), min(col("sv")).as("sv"))
+        .select(col("g").as("event_type"), col("n"),
+          expr("sum_ns div sv").as("theil_ns"))
+        .orderBy("event_type")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -913,5 +951,24 @@ object MiningQueries {
         |SELECT g AS event_type, n,
         |       CAST(((ranksum2 - (CAST(n AS HUGEINT) + 1) * s) * 1000000)
         |            // (CAST(n AS HUGEINT) * s) AS BIGINT) AS gini_ppm
-        |FROM a ORDER BY event_type""".stripMargin)
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "agg_theil" ->
+      """WITH r AS (
+        |  SELECT event_type AS g,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |tot AS (SELECT g, sum(c) AS sv, CAST(count(*) AS BIGINT) AS n
+        |        FROM r GROUP BY g),
+        |t AS (
+        |  SELECT r.g,
+        |         CASE WHEN r.c = 0 THEN 0
+        |              ELSE CAST(round(CAST(r.c AS DOUBLE)
+        |                * ln(CAST(r.c AS DOUBLE) * tot.n / tot.sv) * 1e9)
+        |                AS BIGINT) END AS t_ns,
+        |         tot.n, tot.sv
+        |  FROM r JOIN tot ON r.g = tot.g)
+        |SELECT g AS event_type, min(n) AS n,
+        |       CAST(sum(t_ns) // min(sv) AS BIGINT) AS theil_ns
+        |FROM t GROUP BY g ORDER BY event_type""".stripMargin)
 }

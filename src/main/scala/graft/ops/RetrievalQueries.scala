@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -181,6 +182,58 @@ object RetrievalQueries {
           (lit(1000000000L) - sum(col("gini_ns"))).as("gini_ns"))
         .orderBy("source")
     },
+
+    // NDCG@10 (r12): the ranking-quality metric every retrieval eval
+    // reports — here measuring, per query term, how well the length-
+    // normalized tf-saturation ranking (the BM25 per-term kernel without
+    // idf, which is constant within a term) recovers a raw-tf relevance
+    // grade (rel = min(tf, 3), the 0-3 graded-judgment shape).
+    // Determinism: the RANKING KEY is the integer-micros score with a
+    // doc_id tie-break, so row_number is engine-portable; each position's
+    // gain (2^rel − 1)/log₂(rank+1) is rounded to integer micros BEFORE
+    // the per-term sum; NDCG is a ratio of two exact integers, rounded at
+    // the very end. DCG uses the realized ranking, IDCG ranks the same
+    // candidate set by rel (doc_id tie-break) — both windows partition by
+    // term over df-bounded candidate sets (at 100 TB a hot term's
+    // candidates are df-sized, and only top-10 survives; the bounded
+    // top-k aggregate in functions/ is the drop-in if df itself explodes).
+    "text_ndcg" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val dl = docs.select(col("doc_id"), size(toks).cast("double").as("dl"))
+      val avg_ = dl.agg(avg(col("dl")).as("avgdl"))
+      val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+        .filter(col("term").isin("table", "spark", "merge"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val scored = tf.join(dl, "doc_id").crossJoin(broadcast(avg_))
+        .withColumn("score_us",
+          round(col("tf") * 2.2 /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+            * 1000000.0).cast("long"))
+        .withColumn("rel", least(col("tf"), lit(3.0)).cast("long"))
+      val byScore = Window.partitionBy("term")
+        .orderBy(col("score_us").desc, col("doc_id"))
+      val byRel = Window.partitionBy("term")
+        .orderBy(col("rel").desc, col("doc_id"))
+      val gains = scored
+        .withColumn("rk", row_number().over(byScore).cast("long"))
+        .withColumn("irk", row_number().over(byRel).cast("long"))
+        .withColumn("g_us", when(col("rk") <= 10,
+          round((pow(lit(2.0), col("rel").cast("double")) - 1.0)
+            / log2(col("rk").cast("double") + 1.0) * 1000000.0).cast("long"))
+          .otherwise(lit(0L)))
+        .withColumn("ig_us", when(col("irk") <= 10,
+          round((pow(lit(2.0), col("rel").cast("double")) - 1.0)
+            / log2(col("irk").cast("double") + 1.0) * 1000000.0).cast("long"))
+          .otherwise(lit(0L)))
+      gains.groupBy("term")
+        .agg(sum(when(col("rk") <= 10, 1L).otherwise(0L)).as("n_ranked"),
+          sum(col("g_us")).as("dcg_us"),
+          sum(col("ig_us")).as("idcg_us"))
+        .select(col("term"), col("n_ranked"), col("dcg_us"), col("idcg_us"),
+          round(col("dcg_us").cast("double") / col("idcg_us"), 6).as("ndcg_r"))
+        .orderBy("term")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -278,5 +331,49 @@ object RetrievalQueries {
         |       CAST(1000000000 - sum(CAST(round(p * p * 1e9) AS BIGINT))
         |         AS BIGINT) AS gini_ns
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_ndcg" ->
+      """WITH dl AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        |  FROM documents
+        |), stats AS (SELECT avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  WHERE term IN ('table', 'spark', 'merge')
+        |  GROUP BY doc_id, term
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         CAST(round(tf.tf * 2.2
+        |           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+        |           * 1000000.0) AS BIGINT) AS score_us,
+        |         CAST(least(tf.tf, 3.0) AS BIGINT) AS rel
+        |  FROM tf JOIN dl USING (doc_id), stats
+        |), ranked AS (
+        |  SELECT term, rel,
+        |         CAST(row_number() OVER (PARTITION BY term
+        |           ORDER BY score_us DESC, doc_id) AS BIGINT) AS rk,
+        |         CAST(row_number() OVER (PARTITION BY term
+        |           ORDER BY rel DESC, doc_id) AS BIGINT) AS irk
+        |  FROM scored
+        |), gains AS (
+        |  SELECT term,
+        |         CASE WHEN rk <= 10 THEN CAST(round(
+        |           (pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+        |           / log2(CAST(rk AS DOUBLE) + 1.0) * 1000000.0) AS BIGINT)
+        |           ELSE 0 END AS g_us,
+        |         CASE WHEN irk <= 10 THEN CAST(round(
+        |           (pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+        |           / log2(CAST(irk AS DOUBLE) + 1.0) * 1000000.0) AS BIGINT)
+        |           ELSE 0 END AS ig_us,
+        |         CASE WHEN rk <= 10 THEN 1 ELSE 0 END AS in10
+        |  FROM ranked)
+        |SELECT term, CAST(sum(in10) AS BIGINT) AS n_ranked,
+        |       CAST(sum(g_us) AS BIGINT) AS dcg_us,
+        |       CAST(sum(ig_us) AS BIGINT) AS idcg_us,
+        |       round(CAST(sum(g_us) AS DOUBLE) / sum(ig_us), 6) AS ndcg_r
+        |FROM gains GROUP BY term ORDER BY term""".stripMargin,
   )
 }

@@ -468,6 +468,59 @@ object TimeWindowQueries {
         .select(col("user_id"), col("b.eid").as("cp_event"),
           col("b.k").as("cp_pos"), col("n"), col("b.score").as("cusum_stat"))
         .orderBy("user_id")
+    },
+
+    // KAPLAN-MEIER SURVIVAL (r12): the censoring-aware lifetime curve —
+    // per user, the observation runs from the first event to the LAST,
+    // and the user "dies" only if that last event is the delete analog
+    // ('error'); everyone else is right-censored (still alive when the
+    // log ends), which is exactly what a naive churn-rate query gets
+    // wrong. Lifetimes collapse to integer DAYS; per duration t the step
+    // table carries deaths d_t and total exits e_t, the at-risk count
+    // n_t = Σ_{t'≥t} e_t' rides a desc-ordered cumulative window, and the
+    // survival curve is kept in LOG space as integer nanos — each death
+    // step contributes round(ln((n−d)/n)·1e9) BEFORE the cumulative sum,
+    // so the curve is bit-exact cross-engine (an exp() roundtrip would
+    // reintroduce the last-ulp libm hazard for no analytical gain; S(t)
+    // = exp(km_log_ns/1e9) when a human wants it). A step where n = d
+    // sends S to exactly 0 — ln is undefined there, so the row carries a
+    // NULL step and the `s_zero` flag latches instead. Scale shape: one
+    // max-struct hash aggregate per user (the lww winner kernel), one
+    // domain-bounded step table (≤ observation-span days, ~30 here —
+    // like agg_ks_drift's histogram, the single-partition windows run
+    // over the DOMAIN, never the corpus), output only at death times.
+    "ts_survival_km" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(min(col("ts").cast("date")).as("d0"),
+          max(struct(col("ts"), col("event_id"), col("event_type"))).as("w"))
+        .select(
+          datediff(col("w.ts").cast("date"), col("d0")).cast("long").as("t"),
+          when(col("w.event_type") === "error", 1L).otherwise(0L).as("isd"))
+      val byT = per.groupBy("t")
+        .agg(sum(col("isd")).as("d"), count(lit(1)).as("e"))
+      val wDesc = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAsc = Window.orderBy(col("t").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byT
+        .withColumn("n_at_risk", sum(col("e")).over(wDesc))
+        .withColumn("step_ns",
+          when(col("d") === 0L, lit(0L))
+            .when(col("n_at_risk") > col("d"),
+              round(log((col("n_at_risk") - col("d")).cast("double")
+                / col("n_at_risk")) * 1e9).cast("long"))
+            .otherwise(lit(null)))
+        .withColumn("km_log_ns", sum(col("step_ns")).over(wAsc))
+        .withColumn("s_zero",
+          (max(when(col("d") > 0L && col("n_at_risk") === col("d"), 1L)
+            .otherwise(0L)).over(wAsc) === 1L))
+        .filter(col("d") > 0L)
+        .select(col("t").as("t_days"), col("n_at_risk"),
+          col("d").as("d_deaths"), (col("e") - col("d")).as("n_censored"),
+          col("km_log_ns"), col("s_zero"))
+        .orderBy("t_days")
     })
 
   val oracles: Map[String, String] = Map(
@@ -749,5 +802,45 @@ object TimeWindowQueries {
         |       min(n) AS n,
         |       max(struct_pack(score := score, ne := -event_id,
         |                       k := k, eid := event_id)).score AS cusum_stat
-        |FROM sc GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM sc GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts_survival_km" ->
+      """WITH per AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+        |         max(struct_pack(ts := ts, event_id := event_id,
+        |                         event_type := event_type)) AS w
+        |  FROM events GROUP BY user_id),
+        |life AS (
+        |  SELECT CAST(CAST(w.ts AS DATE) - d0 AS BIGINT) AS t,
+        |         CASE WHEN w.event_type = 'error' THEN 1 ELSE 0 END AS isd
+        |  FROM per),
+        |byt AS (
+        |  SELECT t, CAST(sum(isd) AS BIGINT) AS d,
+        |         CAST(count(*) AS BIGINT) AS e
+        |  FROM life GROUP BY t),
+        |r AS (
+        |  SELECT t, d, e,
+        |         CAST(sum(e) OVER (ORDER BY t DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS n_at_risk
+        |  FROM byt),
+        |st AS (
+        |  SELECT t, d, e, n_at_risk,
+        |         CASE WHEN d = 0 THEN 0
+        |              WHEN n_at_risk > d THEN CAST(round(
+        |                ln(CAST(n_at_risk - d AS DOUBLE) / n_at_risk) * 1e9)
+        |                AS BIGINT)
+        |              ELSE NULL END AS step_ns
+        |  FROM r),
+        |curve AS (
+        |  SELECT t, d, e, n_at_risk,
+        |         CAST(sum(step_ns) OVER w AS BIGINT) AS km_log_ns,
+        |         max(CASE WHEN d > 0 AND n_at_risk = d THEN 1 ELSE 0 END)
+        |           OVER w = 1 AS s_zero
+        |  FROM st
+        |  WINDOW w AS (ORDER BY t ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT t AS t_days, n_at_risk, d AS d_deaths,
+        |       e - d AS n_censored, km_log_ns, s_zero
+        |FROM curve WHERE d > 0 ORDER BY t_days""".stripMargin)
 }

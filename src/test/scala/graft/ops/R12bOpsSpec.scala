@@ -1,0 +1,159 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSuite, Tables}
+
+/** Semantic properties of the second round-12 batch: HITS hub/authority
+  * scores, tombstone GC verdicts, the Theil inequality index, NDCG@10,
+  * and the Kaplan-Meier survival curve. The DuckDB oracle proves value
+  * equality against an independent engine; these pin each operator
+  * against an in-memory brute force that shares no code with the
+  * distributed plan.
+  */
+class R12bOpsSpec extends SparkSuite {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  private def events(): Array[(Long, java.sql.Timestamp, Long, String, Double)] =
+    Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+
+  test("graph_hits: two power-iteration rounds match the brute force, hubs vs authorities") {
+    val sp = Tables.lineitem(spark, sfDir)
+      .select("l_suppkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val a1 = sp.groupBy(_._2).map { case (p, es) => p -> es.size.toLong }
+    val h1 = sp.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(e => BigInt(a1(e._2))).sum
+    }
+    val a2 = sp.groupBy(_._2).map { case (p, es) =>
+      p -> es.map(e => h1(e._1)).sum
+    }
+    val expected =
+      (h1.toSeq.map { case (n, sc) => ("hub", n, sc.toLong) } ++
+        a2.toSeq.map { case (n, sc) => ("authority", n, sc.toLong) })
+        .sortBy { case (side, n, sc) => (side, -sc, n) }
+    val got = run("graph_hits").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("cdc_tombstone_gc: every verdict matches the brute-force replay rule") {
+    val ev = events()
+    val wm = ev.map(_._1).max * 3 / 4
+    val expected = ev.groupBy(_._3).flatMap { case (pk, es) =>
+      val dels = es.filter(_._4 == "error").map(_._1)
+      if (dels.isEmpty) None
+      else {
+        val lastDel = dels.max
+        val lastAny = es.map(_._1).max
+        val action =
+          if (lastAny > lastDel) "keep_revived"
+          else if (lastDel <= wm) "purge"
+          else "retain"
+        Some((pk, lastDel, dels.length.toLong, lastAny > lastDel, action, wm))
+      }
+    }.toSeq.sortBy(_._1)
+    val got = run("cdc_tombstone_gc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getString(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // The fixture exercises all three verdicts or the test is vacuous.
+    assert(expected.map(_._5).distinct.size >= 2)
+  }
+
+  test("agg_theil: per-arm index matches the brute force and is non-negative") {
+    val ev = events()
+    val expected = ev.groupBy(_._4).map { case (g, es) =>
+      val cents = es.map(e => math.floor(e._5 * 100 + 0.5).toLong)
+      val n = cents.length.toLong
+      val sv = cents.sum
+      val sumNs = cents.map { c =>
+        if (c == 0L) 0L
+        else math.round(c.toDouble * math.log(c.toDouble * n / sv) * 1e9)
+      }.sum
+      (g, n, sumNs / sv)
+    }.toSeq.sortBy(_._1)
+    val got = run("agg_theil").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.forall(_._3 >= 0L), "Theil is non-negative by Jensen")
+  }
+
+  test("text_ndcg: DCG/IDCG match the brute-force ranking and NDCG <= 1") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+    val avgdl = docs.map(_._2.length.toDouble).sum / docs.length
+    val terms = Seq("table", "spark", "merge")
+    val expected = terms.flatMap { t =>
+      val cand = docs.flatMap { case (id, toks) =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) None
+        else {
+          val dl = toks.length.toDouble
+          val scoreUs = math.round(
+            tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6)
+          Some((id, scoreUs, math.min(tf, 3.0).toLong))
+        }
+      }
+      if (cand.isEmpty) None
+      else {
+        def dcg(ordered: Seq[(Long, Long, Long)]): Long =
+          ordered.take(10).zipWithIndex.map { case ((_, _, rel), i) =>
+            math.round((math.pow(2.0, rel.toDouble) - 1.0)
+              / (math.log(i + 2.0) / math.log(2.0)) * 1e6)
+          }.sum
+        val byScore = cand.sortBy { case (id, s, _) => (-s, id) }.toSeq
+        val byRel = cand.sortBy { case (id, _, r) => (-r, id) }.toSeq
+        val d = dcg(byScore)
+        val i = dcg(byRel)
+        Some((t, math.min(cand.length, 10).toLong, d, i,
+          BigDecimal(d.toDouble / i)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.sortBy(_._1)
+    val got = run("text_ndcg").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected)
+    assert(got.forall(_._5 <= 1.0), "realized DCG cannot beat the ideal")
+  }
+
+  test("ts_survival_km: steps match the brute-force estimator; curve is non-increasing") {
+    val ev = events()
+    val day = 86400000L
+    // groupBy returns a Map: convert to Seq BEFORE mapping to pair-shaped
+    // tuples, or the collection dedups lives by duration.
+    val lives = ev.groupBy(_._3).toSeq.map { case (_, es) =>
+      val d0 = es.map(_._2.getTime / day).min
+      val last = es.maxBy(e =>
+        (Math.floorDiv(e._2.getTime, 1000L), e._2.getNanos.toLong, e._1))
+      (last._2.getTime / day - d0, last._4 == "error")
+    }
+    val byT = lives.groupBy(_._1).map { case (t, ls) =>
+      (t, ls.count(_._2).toLong, ls.length.toLong)
+    }.toSeq.sortBy(_._1)
+    val atRisk = byT.map { case (t, _, _) =>
+      t -> byT.filter(_._1 >= t).map(_._3).sum
+    }.toMap
+    var cum = 0L
+    var zero = false
+    val expected = byT.flatMap { case (t, d, e) =>
+      val n = atRisk(t)
+      if (d == 0L) None
+      else {
+        if (n > d) cum += math.round(math.log((n - d).toDouble / n) * 1e9)
+        else zero = true
+        Some((t, n, d, e - d, cum, zero))
+      }
+    }
+    val got = run("ts_survival_km").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got == expected)
+    assert(got.map(_._5) == got.map(_._5).sorted.reverse,
+      "log-survival must be non-increasing in t")
+  }
+}
