@@ -655,6 +655,63 @@ object MiningQueries {
           expr("sum_ns div sv").as("theil_ns"))
         .orderBy("event_type")
     },
+
+    // POISSON BOOTSTRAP CI (r12): the resampling technique that actually
+    // works at 100 TB — a classical bootstrap draws n rows WITH
+    // replacement per replicate (a global shuffle per replicate, n·B
+    // rows moved); the Poisson bootstrap instead gives every row an
+    // independent Poisson(1) replicate weight, which is exact in the
+    // n→∞ limit and needs ONE linear pass. Weights are deterministic
+    // and engine-portable: md5("boot:<event_id>:<b>") → first byte
+    // uniform on 0..255 → the quantized-Poisson(1) inverse-CDF table
+    // (94/94/47/16/5 out of 256 ≈ e⁻¹/e⁻¹/e⁻¹/2/…, mean 1.004), the
+    // same salted-md5 device as pipeline_train_val_split, so retries,
+    // partitioning and engines all agree. Replicate means are exact
+    // integer ppm-cents riding DECIMAL(38,0)/HUGEINT (house overflow
+    // rule); the CI is RANK-BASED — 2nd smallest / 2nd largest of the
+    // B = 32 sorted replicate means (a ~93.75 % interval) — because
+    // percentile INTERPOLATION is exactly the cross-engine float
+    // hazard this file exists to avoid. Scale shape: the explode
+    // inflates rows ×32 inside the map task only; the aggregate is
+    // map-side-combined, so the shuffle carries arms×32 partials, and
+    // the per-arm sorted array is a bounded 32-element artifact.
+    "agg_bootstrap_ci" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      val rows = Tables.events(s, dir)
+        .select(col("event_type").as("g"), col("event_id"), cents.as("c"))
+      val reps = rows
+        .withColumn("b", explode(sequence(lit(1), lit(32))))
+        .withColumn("h", md5(concat_ws(":", lit("boot"),
+          col("event_id").cast("string"), col("b").cast("string"))))
+        .withColumn("u",
+          (expr("instr('0123456789abcdef', substring(h, 1, 1)) - 1") * 16
+            + expr("instr('0123456789abcdef', substring(h, 2, 1)) - 1")))
+        .withColumn("w",
+          when(col("u") < 94, 0L).when(col("u") < 188, 1L)
+            .when(col("u") < 235, 2L).when(col("u") < 251, 3L)
+            .otherwise(4L))
+      val repMeans = reps.groupBy("g", "b")
+        .agg(sum((col("w") * col("c")).cast(d38)).as("swc"),
+          sum(col("w")).as("sw"))
+        .select(col("g"),
+          when(col("sw") > 0L,
+            expr("(swc * CAST(1000000 AS DECIMAL(38,0))) " +
+              "div CAST(sw AS DECIMAL(38,0))")).as("m_ppm"))
+      val fullMean = rows.groupBy("g")
+        .agg(sum(col("c").cast(d38)).as("sc"), count(lit(1)).as("n"))
+        .select(col("g"), col("n"),
+          expr("(sc * CAST(1000000 AS DECIMAL(38,0))) " +
+            "div CAST(n AS DECIMAL(38,0))").as("mean_ppm"))
+      repMeans.groupBy("g")
+        .agg(sort_array(collect_list(col("m_ppm"))).as("ms"))
+        .join(fullMean, "g")
+        .select(col("g").as("event_type"), col("n"),
+          col("mean_ppm").cast("long").as("mean_ppm"),
+          element_at(col("ms"), 2).cast("long").as("boot_lo_ppm"),
+          element_at(col("ms"), 31).cast("long").as("boot_hi_ppm"))
+        .orderBy("event_type")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -970,5 +1027,40 @@ object MiningQueries {
         |  FROM r JOIN tot ON r.g = tot.g)
         |SELECT g AS event_type, min(n) AS n,
         |       CAST(sum(t_ns) // min(sv) AS BIGINT) AS theil_ns
-        |FROM t GROUP BY g ORDER BY event_type""".stripMargin)
+        |FROM t GROUP BY g ORDER BY event_type""".stripMargin,
+
+    "agg_bootstrap_ci" ->
+      """WITH r AS (
+        |  SELECT event_type AS g, event_id,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |hashed AS (
+        |  SELECT g, c, b,
+        |         md5('boot:' || CAST(event_id AS VARCHAR)
+        |             || ':' || CAST(b AS VARCHAR)) AS h
+        |  FROM r, UNNEST(generate_series(1, 32)) AS t(b)),
+        |weighted AS (
+        |  SELECT g, b, c,
+        |         CASE WHEN u < 94 THEN 0 WHEN u < 188 THEN 1
+        |              WHEN u < 235 THEN 2 WHEN u < 251 THEN 3
+        |              ELSE 4 END AS w
+        |  FROM (SELECT g, c, b,
+        |          (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS u
+        |        FROM hashed)),
+        |rm AS (
+        |  SELECT g,
+        |         CASE WHEN sum(w) > 0
+        |              THEN (CAST(sum(w * c) AS HUGEINT) * 1000000) // sum(w)
+        |         END AS m_ppm
+        |  FROM weighted GROUP BY g, b),
+        |booted AS (SELECT g, list_sort(list(m_ppm)) AS ms FROM rm GROUP BY g),
+        |fa AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |         (CAST(sum(c) AS HUGEINT) * 1000000) // count(*) AS mean_ppm
+        |  FROM r GROUP BY g)
+        |SELECT g AS event_type, n, CAST(mean_ppm AS BIGINT) AS mean_ppm,
+        |       CAST(ms[2] AS BIGINT) AS boot_lo_ppm,
+        |       CAST(ms[31] AS BIGINT) AS boot_hi_ppm
+        |FROM booted JOIN fa USING (g) ORDER BY event_type""".stripMargin)
 }

@@ -121,6 +121,39 @@ class R12bOpsSpec extends SparkSuite {
     assert(got.forall(_._5 <= 1.0), "realized DCG cannot beat the ideal")
   }
 
+  test("agg_bootstrap_ci: replicate means match the brute-force hash bootstrap; CI brackets the mean") {
+    val ev = events()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def weight(eventId: Long, b: Int): Long = {
+      val h = md5hex(s"boot:$eventId:$b")
+      val hex = "0123456789abcdef"
+      val u = hex.indexOf(h(0)) * 16 + hex.indexOf(h(1))
+      if (u < 94) 0L else if (u < 188) 1L else if (u < 235) 2L
+      else if (u < 251) 3L else 4L
+    }
+    val expected = ev.groupBy(_._4).toSeq.map { case (g, es) =>
+      val cs = es.map(e => (e._1, math.floor(e._5 * 100 + 0.5).toLong))
+      val n = cs.length.toLong
+      val meanPpm = (BigInt(cs.map(_._2).sum) * 1000000 / n).toLong
+      val ms = (1 to 32).map { b =>
+        val (swc, sw) = cs.foldLeft((BigInt(0), 0L)) { case ((a, w), (id, c)) =>
+          val wi = weight(id, b)
+          (a + BigInt(wi) * c, w + wi)
+        }
+        (swc * 1000000 / sw).toLong
+      }.sorted
+      (g, n, meanPpm, ms(1), ms(30))
+    }.sortBy(_._1)
+    val got = run("agg_bootstrap_ci").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(got.forall(r => r._4 <= r._3 && r._3 <= r._5),
+      "the rank CI must bracket the full-sample mean on this fixture")
+  }
+
   test("ts_survival_km: steps match the brute-force estimator; curve is non-increasing") {
     val ev = events()
     val day = 86400000L
