@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -512,6 +513,45 @@ object GraphQueries {
           col("a2").cast("long").as("score")))
         .orderBy(col("side"), col("score").desc, col("node"))
     },
+
+    // RANDOM WALKS (r12): the node2vec/DeepWalk sampling primitive — the
+    // walk corpus a graph-embedding pipeline feeds to skip-gram. One
+    // fixed-length walk per start node, 3 steps, and the "randomness" is
+    // DETERMINISTIC and engine-portable: at each step the next neighbor
+    // is picked by rank r = fold16(md5("walk:<start>:<t>:<cur>")) mod
+    // degree(cur) + 1 against the row_number-ranked adjacency (the
+    // salted-md5 device every sampling query here uses — retries,
+    // partitioning and engines all agree, where a RAND() walk would be
+    // unreplayable). Scale shape: each step is ONE hash join of the
+    // walk frontier (|V| rows) against the ranked adjacency on the
+    // current node — co-partitioned, no window over data, the ranking
+    // window partitions by node (per-partition work bounded by degree).
+    // Walk count and length are knobs; the plan is linear in both.
+    "graph_random_walk" -> { (s, dir) =>
+      val wAdj = Window.partitionBy("u").orderBy("v")
+      val adj = bidirectional(edges(s, dir))
+        .withColumn("rn", row_number().over(wAdj).cast("long"))
+      val deg = degrees(s, dir)
+      def fold16(h: Column): Column =
+        (expr("instr('0123456789abcdef', substring(hh, 1, 1)) - 1") * 4096
+          + expr("instr('0123456789abcdef', substring(hh, 2, 1)) - 1") * 256
+          + expr("instr('0123456789abcdef', substring(hh, 3, 1)) - 1") * 16
+          + expr("instr('0123456789abcdef', substring(hh, 4, 1)) - 1"))
+          .cast("long")
+      def step(df: DataFrame, from: String, to: String, t: Int): DataFrame =
+        df.join(deg.select(col("u").as(from), col("d")), from)
+          .withColumn("hh", md5(concat_ws(":", lit("walk"),
+            col("start").cast("string"), lit(t.toString),
+            col(from).cast("string"))))
+          .withColumn("pick", fold16(col("hh")) % col("d") + 1L)
+          .join(adj.select(col("u").as(from), col("rn").as("pick"),
+            col("v").as(to)), Seq(from, "pick"))
+          .drop("d", "hh", "pick")
+      val s0 = deg.select(col("u").as("start"), col("u").as("c0"))
+      val s3 = step(step(step(s0, "c0", "s1", 1), "s1", "s2", 2), "s2", "s3", 3)
+      s3.select(col("start"), col("s1"), col("s2"), col("s3"))
+        .orderBy("start")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -719,5 +759,33 @@ object GraphQueries {
         |  UNION ALL
         |  SELECT 'authority' AS side, p AS node, CAST(a2 AS BIGINT) AS score FROM a2)
         |ORDER BY side, score DESC, node""".stripMargin,
+
+    "graph_random_walk" -> {
+      // One step of the deterministic walk as SQL text: pick the
+      // fold16(md5)-ranked neighbor of <cur>, emitting it as <nxt>.
+      def stepSql(prev: String, cur: String, nxt: String, t: Int): String =
+        s"""p$t AS (
+           |  SELECT $prev.*, dg.d,
+           |         md5('walk:' || CAST($prev.start AS VARCHAR) || ':$t:' ||
+           |             CAST($prev.$cur AS VARCHAR)) AS h
+           |  FROM $prev JOIN dg ON dg.u = $prev.$cur),
+           |s$t AS (
+           |  SELECT p$t.* EXCLUDE (d, h), adj.v AS $nxt
+           |  FROM p$t JOIN adj ON adj.u = p$t.$cur AND adj.rn =
+           |    ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+           |     + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+           |     + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+           |     + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % p$t.d + 1)""".stripMargin
+      s"""$oracleEdgeCtes,
+         |adj AS (SELECT u, v,
+         |        CAST(row_number() OVER (PARTITION BY u ORDER BY v) AS BIGINT) AS rn
+         |        FROM bi),
+         |dg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM bi GROUP BY u),
+         |s0 AS (SELECT u AS start, u AS c0 FROM dg),
+         |${stepSql("s0", "c0", "s1", 1)},
+         |${stepSql("s1", "s1", "s2", 2)},
+         |${stepSql("s2", "s2", "s3", 3)}
+         |SELECT start, s1, s2, s3 FROM s3 ORDER BY start""".stripMargin
+    },
   )
 }

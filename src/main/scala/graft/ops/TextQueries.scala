@@ -1045,6 +1045,42 @@ object TextQueries {
         .select(col("source"), col("n_s"), col("quota"),
           col("n_sampled"), col("sum_doc_ids"))
         .orderBy("source")
+    },
+
+    // HEAPS' LAW FIT (r12): vocabulary growth V(N) ≈ K·N^β — the curve
+    // every tokenizer-budget and dedup-planning decision reads (β near 1
+    // = the corpus keeps minting new tokens, dedup won't saturate; β
+    // near 0.5 = classic natural text). The growth curve needs a
+    // CORPUS PREFIX ORDER, which at 100 TB cannot be a sort: prefixes
+    // are the cumulative doc_id%10 bucket chain, and the whole curve
+    // comes from ONE scan — per term only its FIRST bucket (min) is
+    // kept, so vocab(≤t) is a cumulative sum over the 10-row
+    // first-bucket histogram, never a re-scan per prefix (the b_min
+    // trick; re-scanning 10 growing prefixes would read the corpus 10×).
+    // β is estimated per prefix as the log-log slope vs the first
+    // bucket, the only float, rounded at the end; everything upstream is
+    // exact integer counts. Windows run over the 10-row bucket domain.
+    "text_heaps_law" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tk = Tables.documents(s, dir)
+        .select((col("doc_id") % 10).as("b"), explode(toks).as("term"))
+      val tok = tk.groupBy("b").agg(count(lit(1)).as("n_tok"))
+      val voc = tk.groupBy("term").agg(min(col("b")).as("bm"))
+        .groupBy(col("bm").as("b")).agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+      val cum = tok.join(voc, Seq("b"), "left")
+        .select(col("b"),
+          sum(col("n_tok")).over(w).as("tokens_cum"),
+          sum(coalesce(col("n_new"), lit(0L))).over(w).as("vocab_cum"))
+      val first = cum.orderBy("b").limit(1)
+        .select(col("tokens_cum").as("t0"), col("vocab_cum").as("v0"))
+      cum.crossJoin(broadcast(first))
+        .select(col("b"), col("tokens_cum"), col("vocab_cum"),
+          when(col("b") === 0L, lit(null)).otherwise(
+            round(log(col("vocab_cum").cast("double") / col("v0"))
+              / log(col("tokens_cum").cast("double") / col("t0")), 4) + 0.0)
+            .as("heaps_beta_r"))
+        .orderBy("b")
     })
 
   private def langScoreSql(lang: String, markers: Seq[String]): String = {
@@ -1780,5 +1816,31 @@ object TextQueries {
         |       CAST(count(*) AS BIGINT) AS n_sampled,
         |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
         |FROM p WHERE rn <= quota
-        |GROUP BY source, n_s, quota ORDER BY source""".stripMargin)
+        |GROUP BY source, n_s, quota ORDER BY source""".stripMargin,
+
+    "text_heaps_law" ->
+      """WITH tk AS (
+        |  SELECT doc_id % 10 AS b,
+        |         unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tok AS (SELECT b, CAST(count(*) AS BIGINT) AS n_tok
+        |        FROM tk GROUP BY b),
+        |voc AS (SELECT bm AS b, CAST(count(*) AS BIGINT) AS n_new
+        |        FROM (SELECT term, min(b) AS bm FROM tk GROUP BY term)
+        |        GROUP BY bm),
+        |cum AS (
+        |  SELECT tok.b,
+        |         CAST(sum(tok.n_tok) OVER w AS BIGINT) AS tokens_cum,
+        |         CAST(sum(coalesce(voc.n_new, 0)) OVER w AS BIGINT)
+        |           AS vocab_cum
+        |  FROM tok LEFT JOIN voc USING (b)
+        |  WINDOW w AS (ORDER BY tok.b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT tokens_cum AS t0, vocab_cum AS v0 FROM cum WHERE b = 0)
+        |SELECT b, tokens_cum, vocab_cum,
+        |       CASE WHEN b = 0 THEN NULL
+        |            ELSE round(ln(CAST(vocab_cum AS DOUBLE) / v0)
+        |                 / ln(CAST(tokens_cum AS DOUBLE) / t0), 4) + 0.0
+        |       END AS heaps_beta_r
+        |FROM cum, f ORDER BY b""".stripMargin)
 }

@@ -521,6 +521,43 @@ object TimeWindowQueries {
           col("d").as("d_deaths"), (col("e") - col("d")).as("n_censored"),
           col("km_log_ns"), col("s_zero"))
         .orderBy("t_days")
+    },
+
+    // FORECAST BACKTEST (r12): the eval half of forecasting — before any
+    // model ships, the question is "does it beat the naive baselines?",
+    // and the scale-free way to answer it is MASE (Hyndman): the ratio
+    // of the candidate's MAE to the one-step-naive MAE. Candidate here
+    // is the SEASONAL-NAIVE forecast ŝ_d = s_{d−7} (the weekly-cycle
+    // baseline every events series has) scored against naive-1
+    // ŝ_d = s_{d−1}, in EXACT integers end to end: daily cents totals,
+    // absolute-error sums on DECIMAL(38,0)/HUGEINT, MASE in integer ppm.
+    // Scale shape: ONE map-side-combined aggregate collapses the corpus
+    // to the arms×days daily ledger (domain-bounded, like the cents
+    // histograms); both lag self-joins and the final aggregate run over
+    // that tiny artifact. Eval days are those with BOTH lags present —
+    // calendar self-joins, not window lag, so gaps self-exclude.
+    "ts_forecast_eval" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type").as("g"), col("ts").cast("date").as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("sc"))
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      daily.as("b")
+        .join(daily.as("l1"), col("b.g") === col("l1.g")
+          && col("l1.day") === date_sub(col("b.day"), 1))
+        .join(daily.as("l7"), col("b.g") === col("l7.g")
+          && col("l7.day") === date_sub(col("b.day"), 7))
+        .groupBy(col("b.g").as("event_type"))
+        .agg(count(lit(1)).as("n_eval_days"),
+          sum(abs(col("b.sc") - col("l1.sc")).cast(d38)).as("sae1"),
+          sum(abs(col("b.sc") - col("l7.sc")).cast(d38)).as("sae7"))
+        .select(col("event_type"), col("n_eval_days"),
+          expr("sae1 div CAST(n_eval_days AS DECIMAL(38,0))").cast("long")
+            .as("mae1_cents"),
+          expr("sae7 div CAST(n_eval_days AS DECIMAL(38,0))").cast("long")
+            .as("mae7_cents"),
+          expr("(sae7 * CAST(1000000 AS DECIMAL(38,0))) div sae1").cast("long")
+            .as("mase_ppm"))
+        .orderBy("event_type")
     })
 
   val oracles: Map[String, String] = Map(
@@ -842,5 +879,22 @@ object TimeWindowQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT t AS t_days, n_at_risk, d AS d_deaths,
         |       e - d AS n_censored, km_log_ns, s_zero
-        |FROM curve WHERE d > 0 ORDER BY t_days""".stripMargin)
+        |FROM curve WHERE d > 0 ORDER BY t_days""".stripMargin,
+
+    "ts_forecast_eval" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+        |         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sc
+        |  FROM events GROUP BY 1, 2)
+        |SELECT b.g AS event_type, CAST(count(*) AS BIGINT) AS n_eval_days,
+        |       CAST(CAST(sum(abs(b.sc - l1.sc)) AS HUGEINT) // count(*)
+        |            AS BIGINT) AS mae1_cents,
+        |       CAST(CAST(sum(abs(b.sc - l7.sc)) AS HUGEINT) // count(*)
+        |            AS BIGINT) AS mae7_cents,
+        |       CAST((CAST(sum(abs(b.sc - l7.sc)) AS HUGEINT) * 1000000)
+        |            // sum(abs(b.sc - l1.sc)) AS BIGINT) AS mase_ppm
+        |FROM daily b
+        |JOIN daily l1 ON l1.g = b.g AND l1.day = b.day - 1
+        |JOIN daily l7 ON l7.g = b.g AND l7.day = b.day - 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

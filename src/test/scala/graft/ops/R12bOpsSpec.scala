@@ -121,13 +121,103 @@ class R12bOpsSpec extends SparkSuite {
     assert(got.forall(_._5 <= 1.0), "realized DCG cannot beat the ideal")
   }
 
+  private def md5hexOf(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("graph_random_walk: every step matches the brute md5-ranked walk; steps are real edges") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).distinct.sorted }
+    def fold16(h: String): Long = {
+      val hex = "0123456789abcdef"
+      (0 until 4).map(i => hex.indexOf(h(i)).toLong * math.pow(16, 3 - i).toLong).sum
+    }
+    def pick(start: Long, t: Int, cur: Long): Long = {
+      val ns = adj(cur)
+      val r = fold16(md5hexOf(s"walk:$start:$t:$cur")) % ns.length
+      ns(r.toInt)
+    }
+    val expected = adj.keys.toSeq.sorted.map { start =>
+      val s1 = pick(start, 1, start)
+      val s2 = pick(start, 2, s1)
+      val s3 = pick(start, 3, s2)
+      (start, s1, s2, s3)
+    }
+    val got = run("graph_random_walk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // every hop is an actual edge of the graph
+    assert(got.forall { case (s0, s1, s2, s3) =>
+      adj(s0).contains(s1) && adj(s1).contains(s2) && adj(s2).contains(s3)
+    })
+  }
+
+  test("ts_forecast_eval: MAE/MASE match the brute seasonal-naive backtest") {
+    val ev = events()
+    val day = 86400000L
+    val daily = ev.groupBy(e => (e._4, e._2.getTime / day))
+      .view.mapValues(_.map(e => math.floor(e._5 * 100 + 0.5).toLong).sum)
+      .toMap
+    val expected = daily.keys.map(_._1).toSeq.distinct.sorted.flatMap { g =>
+      val evalDays = daily.keys.filter(_._1 == g).map(_._2)
+        .filter(d => daily.contains((g, d - 1)) && daily.contains((g, d - 7)))
+        .toSeq.sorted
+      if (evalDays.isEmpty) None
+      else {
+        val sae1 = evalDays.map(d => BigInt((daily((g, d)) - daily((g, d - 1))).abs).abs).sum
+        val sae7 = evalDays.map(d => BigInt((daily((g, d)) - daily((g, d - 7))).abs).abs).sum
+        val n = evalDays.length.toLong
+        Some((g, n, (sae1 / n).toLong, (sae7 / n).toLong,
+          (sae7 * 1000000 / sae1).toLong))
+      }
+    }
+    val got = run("ts_forecast_eval").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+  }
+
+  test("text_heaps_law: the one-scan b_min curve equals the 10-rescan brute prefixes") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    // The brute computes each prefix's token count and vocab by
+    // RE-SCANNING the prefix — the O(10·corpus) formulation the query's
+    // single-scan b_min trick must reproduce exactly.
+    val curve = (0 to 9).map { t =>
+      val prefix = docs.filter(d => d._1 % 10 <= t)
+      val toks = prefix.flatMap(_._2)
+      (t.toLong, toks.length.toLong, toks.distinct.length.toLong)
+    }
+    val (_, t0, v0) = curve.head
+    val expected = curve.map { case (b, tc, vc) =>
+      val beta =
+        if (b == 0L) null
+        else java.lang.Double.valueOf(
+          BigDecimal(math.log(vc.toDouble / v0) / math.log(tc.toDouble / t0))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+      (b, tc, vc, beta)
+    }
+    val got = run("text_heaps_law").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3))))
+      .toSeq
+    assert(got == expected)
+    // vocabulary growth is monotone and sub-linear on this fixture
+    assert(got.map(_._3) == got.map(_._3).sorted)
+  }
+
   test("agg_bootstrap_ci: replicate means match the brute-force hash bootstrap; CI brackets the mean") {
     val ev = events()
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     def weight(eventId: Long, b: Int): Long = {
-      val h = md5hex(s"boot:$eventId:$b")
+      val h = md5hexOf(s"boot:$eventId:$b")
       val hex = "0123456789abcdef"
       val u = hex.indexOf(h(0)) * 16 + hex.indexOf(h(1))
       if (u < 94) 0L else if (u < 188) 1L else if (u < 235) 2L
