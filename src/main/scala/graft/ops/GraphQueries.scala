@@ -86,9 +86,30 @@ object GraphQueries {
         .localCheckpoint())
   }
 
-  /** Build + materialize the session edge + degree indexes, timed for the
-    * bench (`graph_degrees` rides on the edge checkpoint, so its own wall
-    * is just the degree shuffle).
+  /** Per-node closed-triangle corner counts `(u, tri)`, materialized once
+    * per (session, dir) — r12: `graph_triangles` and
+    * `graph_clustering_coeff` each re-ran the FULL arboricity-bounded
+    * wedge enumeration (~3.3 s apiece at sf0.1, the costliest subtree in
+    * the graph family); the O(V)-row corner-count checkpoint serves both
+    * (Σ tri = 3·T exactly, since every closed triangle credits exactly
+    * its 3 corners). Same localCheckpoint policy as [[edges]].
+    */
+  private val triCornerCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def triCorners(s: SparkSession, dir: String): DataFrame = {
+    triCornerCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    triCornerCache.computeIfAbsent((s, dir), _ =>
+      closedTriangles(s, dir)
+        .select(explode(array(col("a"), col("x"), col("y"))).as("u"))
+        .groupBy("u").agg(count(lit(1)).as("tri"))
+        .localCheckpoint())
+  }
+
+  /** Build + materialize the session edge + degree + triangle-corner
+    * indexes, timed for the bench (`graph_degrees` rides on the edge
+    * checkpoint, so its own wall is just the degree shuffle; the corner
+    * build is the one wedge enumeration the whole family shares).
     */
   def warmCaches(s: SparkSession, dir: String): Seq[(String, Double)] = {
     val t0 = System.nanoTime()
@@ -96,7 +117,10 @@ object GraphQueries {
     val t1 = System.nanoTime()
     degrees(s, dir).count()
     val t2 = System.nanoTime()
-    Seq("graph_edges" -> (t1 - t0) / 1e9, "graph_degrees" -> (t2 - t1) / 1e9)
+    triCorners(s, dir).count()
+    val t3 = System.nanoTime()
+    Seq("graph_edges" -> (t1 - t0) / 1e9, "graph_degrees" -> (t2 - t1) / 1e9,
+      "graph_tri_corners" -> (t3 - t2) / 1e9)
   }
 
   /** Unpersist + drop the cached edge/degree checkpoints for one data dir
@@ -105,7 +129,7 @@ object GraphQueries {
     * pinned until the session stops.
     */
   def clearCache(s: SparkSession, dir: String): Unit =
-    Seq(edgeCache, degreeCache).foreach { cache =>
+    Seq(edgeCache, degreeCache, triCornerCache).foreach { cache =>
       Option(cache.remove((s, dir))).foreach { df =>
         org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
           .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
@@ -122,7 +146,7 @@ object GraphQueries {
     * not a packed long: packing aliases distinct nodes once ids reach
     * 2^31 — exactly the corpus sizes this module is written for.
     */
-  private def closedTriangles(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def closedTriangles(s: SparkSession, dir: String): DataFrame = {
     val e = edges(s, dir)
     val deg = degrees(s, dir)
     val rank = deg.select(col("u").as("n"),
@@ -199,7 +223,11 @@ object GraphQueries {
     "graph_triangles" -> { (s, dir) =>
       val e = edges(s, dir)
       val deg = degrees(s, dir)
-      val tri = closedTriangles(s, dir).agg(count(lit(1)).as("n_triangles"))
+      // Σ corner credits = 3·T exactly (each triangle credits 3 corners),
+      // served from the shared corner-count checkpoint instead of a
+      // second wedge enumeration (r12).
+      val tri = triCorners(s, dir)
+        .agg(expr("sum(tri) div 3").as("n_triangles"))
       val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
       val nEdges = e.agg(count(lit(1)).as("n_edges"))
       val nWedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
@@ -424,9 +452,7 @@ object GraphQueries {
     // and the top-20 order cannot flap. Total order: (coeff, n_tri,
     // node) — node is unique, so TakeOrderedAndProject is deterministic.
     "graph_clustering_coeff" -> { (s, dir) =>
-      val corners = closedTriangles(s, dir)
-        .select(explode(array(col("a"), col("x"), col("y"))).as("u"))
-        .groupBy("u").agg(count(lit(1)).as("tri"))
+      val corners = triCorners(s, dir)
       degrees(s, dir).filter(col("d") >= 2)
         .join(corners, Seq("u"), "left")
         .select(col("u").as("node"), col("d").as("degree"),
