@@ -578,6 +578,39 @@ object GraphQueries {
       s3.select(col("start"), col("s1"), col("s2"), col("s3"))
         .orderBy("start")
     },
+
+    // 2-HOP BETWEENNESS (r12): the brokerage centrality — how much
+    // shortest-path traffic routes THROUGH a node. Full betweenness
+    // needs all-pairs shortest paths; the standard bounded surrogate
+    // scores length-2 geodesics only: for every node pair (a, b) at
+    // distance exactly 2 (an OPEN wedge endpoint pair), each of its
+    // σ_ab = #common-neighbor middlemen carries 1/σ_ab of the pair's
+    // unit flow. The fraction is EXACT per pair — 10⁶ div σ in integer
+    // ppm, same truncation both engines — so the sum is order-proof.
+    // Same deg ≤ 64 center cap as the whole wedge family (hub
+    // co-neighborhoods cost O(d²) and the oracle applies the identical
+    // cap, keeping the check exact). Plan: ONE wedge enumeration (the
+    // cappedWedgeCandidates kernel with the center retained), one
+    // anti-join against the closed pairs, one σ hash aggregate joined
+    // back, one per-center sum. Nothing super-linear beyond the capped
+    // O(d²)-per-center explode every sibling already pays.
+    "graph_betweenness_2hop" -> { (s, dir) =>
+      val e = edges(s, dir)
+      val small = bidirectional(e)
+        .join(degrees(s, dir).filter(col("d") <= 64), "u")
+      val wedges = small.as("x").hint("SHUFFLE_HASH")
+        .join(small.as("y"), col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+        .select(col("x.u").as("m"), col("x.v").as("a"), col("y.v").as("b"))
+      val open = wedges
+        .join(e, wedges("a") === e("u") && wedges("b") === e("v"), "left_anti")
+      val sigma = open.groupBy("a", "b").agg(count(lit(1)).as("sigma"))
+      open.join(sigma, Seq("a", "b"))
+        .groupBy(col("m").as("node"))
+        .agg(count(lit(1)).as("n_open_wedges"),
+          sum(expr("1000000 div sigma")).as("betweenness_ppm"))
+        .orderBy(col("betweenness_ppm").desc, col("node"))
+        .limit(20)
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -813,5 +846,20 @@ object GraphQueries {
          |${stepSql("s2", "s2", "s3", 3)}
          |SELECT start, s1, s2, s3 FROM s3 ORDER BY start""".stripMargin
     },
+
+    "graph_betweenness_2hop" ->
+      s"""$oracleEdgeCtes,
+         |small AS (SELECT bi.u, bi.v FROM bi
+         |          JOIN deg ON bi.u = deg.u WHERE deg.d <= 64),
+         |w AS (SELECT x.u AS m, x.v AS a, y.v AS b
+         |      FROM small x JOIN small y ON x.u = y.u AND x.v < y.v),
+         |o AS (SELECT * FROM w WHERE NOT EXISTS
+         |        (SELECT 1 FROM e WHERE e.u = w.a AND e.v = w.b)),
+         |s AS (SELECT a, b, CAST(count(*) AS BIGINT) AS sigma
+         |      FROM o GROUP BY a, b)
+         |SELECT m AS node, CAST(count(*) AS BIGINT) AS n_open_wedges,
+         |       CAST(sum(1000000 // sigma) AS BIGINT) AS betweenness_ppm
+         |FROM o JOIN s USING (a, b)
+         |GROUP BY m ORDER BY betweenness_ppm DESC, node LIMIT 20""".stripMargin,
   )
 }

@@ -558,6 +558,36 @@ object TimeWindowQueries {
           expr("(sae7 * CAST(1000000 AS DECIMAL(38,0))) div sae1").cast("long")
             .as("mase_ppm"))
         .orderBy("event_type")
+    },
+
+    // COHORT LTV MATRIX (r12): the revenue face of `events_retention` —
+    // per (signup-day cohort, day offset ≤ 7): active users, that day's
+    // cents, and the RUNNING lifetime value (the triangle chart growth
+    // teams actually read; retention counts say who came back, LTV says
+    // what they were worth). Exact integer cents end to end, the daily
+    // sum on DECIMAL(38,0)/HUGEINT per the house overflow rule. Scale
+    // shape: one cohort aggregate + one shuffle join on user_id (the
+    // retention kernel), then everything lives on the days×8 cell
+    // DOMAIN — the cumulative window partitions per cohort over ≤ 8
+    // rows, never data.
+    "events_cohort_ltv" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      val cells = ev.join(cohort, "user_id")
+        .withColumn("day_offset",
+          datediff(col("day"), col("cohort_day")).cast("long"))
+        .filter(col("day_offset") <= 7L)
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          sum(col("c").cast(d38)).cast("long").as("cents"))
+      val w = Window.partitionBy("cohort_day").orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      cells.withColumn("cum_cents", sum(col("cents")).over(w))
+        .orderBy("cohort_day", "day_offset")
     })
 
   val oracles: Map[String, String] = Map(
@@ -896,5 +926,25 @@ object TimeWindowQueries {
         |FROM daily b
         |JOIN daily l1 ON l1.g = b.g AND l1.day = b.day - 1
         |JOIN daily l7 ON l7.g = b.g AND l7.day = b.day - 7
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |ch AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+        |cells AS (
+        |  SELECT cohort_day, CAST(day - cohort_day AS BIGINT) AS day_offset,
+        |         CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users,
+        |         CAST(sum(c) AS BIGINT) AS cents
+        |  FROM ev JOIN ch USING (user_id)
+        |  WHERE day - cohort_day <= 7
+        |  GROUP BY 1, 2)
+        |SELECT cohort_day, day_offset, n_users, cents,
+        |       CAST(sum(cents) OVER (PARTITION BY cohort_day
+        |         ORDER BY day_offset
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS cum_cents
+        |FROM cells ORDER BY cohort_day, day_offset""".stripMargin)
 }

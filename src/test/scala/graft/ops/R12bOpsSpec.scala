@@ -125,7 +125,8 @@ class R12bOpsSpec extends SparkSuite {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  test("graph_random_walk: every step matches the brute md5-ranked walk; steps are real edges") {
+  /** Brute co-purchase edge set (u < v) and sorted adjacency. */
+  private def copurchase(): (Set[(Long, Long)], Map[Long, Seq[Long]]) = {
     val li = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_partkey").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -135,6 +136,11 @@ class R12bOpsSpec extends SparkSuite {
     }.toSet
     val adj = (edges.toSeq ++ edges.toSeq.map(p => (p._2, p._1)))
       .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).distinct.sorted }
+    (edges, adj)
+  }
+
+  test("graph_random_walk: every step matches the brute md5-ranked walk; steps are real edges") {
+    val (_, adj) = copurchase()
     def fold16(h: String): Long = {
       val hex = "0123456789abcdef"
       (0 until 4).map(i => hex.indexOf(h(i)).toLong * math.pow(16, 3 - i).toLong).sum
@@ -157,6 +163,52 @@ class R12bOpsSpec extends SparkSuite {
     assert(got.forall { case (s0, s1, s2, s3) =>
       adj(s0).contains(s1) && adj(s1).contains(s2) && adj(s2).contains(s3)
     })
+  }
+
+  test("graph_betweenness_2hop: per-middleman credit matches the brute geodesic count") {
+    val (edges, adj) = copurchase()
+    val wedges = adj.toSeq
+      .filter(_._2.size <= 64)
+      .flatMap { case (m, ns) =>
+        for {
+          i <- ns.indices; j <- i + 1 until ns.length
+          if !edges.contains((ns(i), ns(j)))
+        } yield (m, ns(i), ns(j))
+      }
+    val sigma = wedges.groupBy(w => (w._2, w._3)).view.mapValues(_.size.toLong)
+    val expected = wedges.groupBy(_._1).toSeq.map { case (m, ws) =>
+      (m, ws.size.toLong, ws.map(w => 1000000L / sigma((w._2, w._3))).sum)
+    }.sortBy { case (m, _, ppm) => (-ppm, m) }.take(20)
+    val got = run("graph_betweenness_2hop").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .map { case (n, w, p) => (n, w, p) }
+    assert(got.map(t => (t._1, t._3)) == expected.map(t => (t._1, t._3)))
+    assert(got == expected)
+  }
+
+  test("events_cohort_ltv: cells and running LTV match the brute cohort matrix") {
+    val ev = events()
+    val day = 86400000L
+    val rows = ev.map(e => (e._3, e._2.getTime / day,
+      math.floor(e._5 * 100 + 0.5).toLong))
+    val cohort = rows.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cells = rows
+      .map { case (u, d, c) => (cohort(u), d - cohort(u), u, c) }
+      .filter(_._2 <= 7L)
+      .groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((cd, off), es) =>
+        (cd, off, es.map(_._3).distinct.length.toLong, es.map(_._4).sum)
+      }
+      .sortBy(t => (t._1, t._2))
+    val expected = cells.groupBy(_._1).toSeq.flatMap { case (_, cs) =>
+      cs.sortBy(_._2).scanLeft((0L, 0L, 0L, 0L, 0L)) { case (acc, c) =>
+        (c._1, c._2, c._3, c._4, acc._5 + c._4)
+      }.drop(1)
+    }.sortBy(t => (t._1, t._2))
+    val got = run("events_cohort_ltv").collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
   }
 
   test("ts_forecast_eval: MAE/MASE match the brute seasonal-naive backtest") {
