@@ -162,6 +162,42 @@ object VectorQueries {
         .orderBy("q_id", "t_id")
     },
 
+    // FILTERED VECTOR SEARCH (r12): top-k under a metadata predicate —
+    // the retrieval shape every RAG/vector store actually serves
+    // ("nearest English docs over 200 chars", not nearest anything).
+    // The ordering pitfall is PLAN-LEVEL: post-filtering an unfiltered
+    // top-k under-fills k whenever the filter is selective, so the
+    // predicate must restrict the CANDIDATE SET before ranking — here
+    // the metadata filter joins in ahead of the distance computation
+    // (and the window ranks only surviving candidates), which is also
+    // the scale-right plan: the documents-side predicate pushes to its
+    // scan, the semi-join prunes the corpus before any dot product, and
+    // at 100 TB the IVF variant would intersect posting lists with the
+    // same pre-filter. Everything else inherits the sim_cosine_topk
+    // determinism contract (bit-identical sequential cosine fold,
+    // round-6 ranking key, t_id tie-break).
+    "sim_filtered_topk" -> { (s, dir) =>
+      val e = normedCorpus(s, dir)
+      val keep = Tables.documents(s, dir)
+        .filter(col("lang") === "en" && col("n_chars") >= 200)
+        .select(col("doc_id").as("t_id"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val t = e.select(col("vec_id").as("t_id"), col("embedding").as("te"),
+        col("nrm").as("tn"))
+        .join(keep, "t_id")
+      val w = Window.partitionBy("q_id")
+        .orderBy(round(col("cos"), 6).desc, col("t_id"))
+      t.join(broadcast(q), col("q_id") =!= col("t_id"))
+        .withColumn("cos", dot(col("qe"), col("te")) / (col("qn") * col("tn")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("t_id"), round(col("cos"), 4).as("cos_r"),
+          col("rn"))
+        .orderBy("q_id", "rn")
+    },
+
     // TRIPLET MINING (r12): for each anchor, the hardest NEGATIVE (the
     // most-similar vector of a DIFFERENT label — the pair a contrastive
     // loss most needs to see) and the hardest POSITIVE (the
@@ -1372,6 +1408,23 @@ object VectorQueries {
          |  FROM q JOIN t ON q_id <> t_id)
          |SELECT q_id, t_id, round(cos, 4) AS cos_r
          |FROM scored WHERE cos >= 0.3 ORDER BY q_id, t_id""".stripMargin,
+
+    "sim_filtered_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |t AS (SELECT vec_id AS t_id, embedding AS te FROM embeddings
+         |      WHERE vec_id IN (SELECT doc_id FROM documents
+         |                       WHERE lang = 'en' AND n_chars >= 200)),
+         |scored AS (
+         |  SELECT q_id, t_id,
+         |         $dotSql / (${normSql("qe")} * ${normSql("te")}) AS cos
+         |  FROM q JOIN t ON q_id <> t_id
+         |), ranked AS (
+         |  SELECT q_id, t_id, cos,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY round(cos, 6) DESC, t_id) AS rn
+         |  FROM scored)
+         |SELECT q_id, t_id, round(cos, 4) AS cos_r, CAST(rn AS INT) AS rn
+         |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
 
     "emb_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS ql

@@ -296,6 +296,26 @@ class R12bOpsSpec extends SparkSuite {
       "the rank CI must bracket the full-sample mean on this fixture")
   }
 
+  test("sim_filtered_topk: candidates are filtered BEFORE ranking (never post-filtered)") {
+    import org.apache.spark.sql.functions.col
+    val keep = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en" && col("n_chars") >= 200)
+      .collect().map(_.getLong(0)).toSet
+    val unfilteredTop = run("sim_cosine_topk").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("t_id"))).toSet
+    val rows = run("sim_filtered_topk").collect()
+    // every hit satisfies the predicate
+    assert(rows.forall(r => keep.contains(r.getAs[Long]("t_id"))))
+    // k stays FULL under the filter (5 per query) — the post-filter
+    // anti-pattern would under-fill it
+    val perQ = rows.groupBy(_.getAs[Long]("q_id")).view.mapValues(_.length)
+    assert(perQ.values.forall(_ == 5), perQ.toMap.toString)
+    // and the fixture makes the filter bite: some filtered hit is NOT in
+    // the unfiltered top-5 (otherwise the test is vacuous)
+    assert(rows.exists(r =>
+      !unfilteredTop.contains((r.getAs[Long]("q_id"), r.getAs[Long]("t_id")))))
+  }
+
   test("ts_survival_km: steps match the brute-force estimator; curve is non-increasing") {
     val ev = events()
     val day = 86400000L
