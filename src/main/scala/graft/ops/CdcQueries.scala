@@ -26,6 +26,38 @@ object CdcQueries {
   val tableToGroup: Map[String, String] =
     Routing.invert(testGroups, Seq("grp_engage", "grp_convert"))
 
+  /** The pt-table-checksum chunk ledger over `customer` (the
+    * `cdc_snapshot_checksum` kernel): per key-range chunk, (row count,
+    * key range, order-independent content checksum — md5 over the
+    * canonical '|'-joined row with doubles pre-quantized to integer
+    * cents, folded to Σ ascii(hex_i)·i and SUM'd, so partials combine in
+    * any partition order). With `replica = true` two CDC failure modes
+    * are injected exactly, AFTER cents quantization: lost deletes
+    * (keys ≡ 0 mod 131 missing) and a one-cent skew (keys ≡ 0 mod 97).
+    */
+  private def chunkLedger(s: SparkSession, dir: String, replica: Boolean): DataFrame = {
+    val base = Tables.customer(s, dir)
+    val src = if (replica) base.filter(col("c_custkey") % 131 =!= 0) else base
+    val cents0 = floor(col("c_acctbal") * 100 + 0.5).cast("long")
+    val cents =
+      if (replica) cents0 + when(col("c_custkey") % 97 === 0, 1L).otherwise(0L)
+      else cents0
+    val canon = concat_ws("|",
+      col("c_custkey").cast("string"), col("c_name"),
+      col("c_nationkey").cast("string"), cents.cast("string"),
+      col("c_mktsegment"))
+    val h = md5(canon)
+    val folded = (1 to 32).map(i => ascii(substring(h, i, 1)) * lit(i))
+      .reduce(_ + _).cast("long")
+    src.select(expr("c_custkey div 100").as("bucket"),
+        col("c_custkey"), folded.as("rh"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("c_custkey")).as("key_min"),
+        max(col("c_custkey")).as("key_max"),
+        sum(col("rh")).as("chk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R4 + R12: group semi-filter + keyed routing, as a literal map expr that
     // stays inside whole-stage codegen (broadcast-join shape in Routing).
@@ -222,22 +254,38 @@ object CdcQueries {
     // One map-side-combined hash aggregate; at 100 TB each executor emits
     // one partial per local chunk and only the ledger moves.
     "cdc_snapshot_checksum" -> { (s, dir) =>
-      val cents = floor(col("c_acctbal") * 100 + 0.5).cast("long")
-      val canon = concat_ws("|",
-        col("c_custkey").cast("string"), col("c_name"),
-        col("c_nationkey").cast("string"), cents.cast("string"),
-        col("c_mktsegment"))
-      val h = md5(canon)
-      val folded = (1 to 32).map(i => ascii(substring(h, i, 1)) * lit(i))
-        .reduce(_ + _).cast("long")
-      Tables.customer(s, dir)
-        .select(expr("c_custkey div 100").as("bucket"),
-          col("c_custkey"), folded.as("rh"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n_rows"),
-          min(col("c_custkey")).as("key_min"),
-          max(col("c_custkey")).as("key_max"),
-          sum(col("rh")).as("chk"))
+      chunkLedger(s, dir, replica = false).orderBy("bucket")
+    },
+
+    // CHECKSUM DIVERGENCE REPORT (r12): the second half of
+    // pt-table-checksum — `cdc_snapshot_checksum` builds the per-chunk
+    // ledger; this query COMPARES master's ledger to a replica's and
+    // names each drifted chunk, which is the actual re-sync work list a
+    // repair job consumes. The replica is the master with two simulated
+    // CDC failure modes injected exactly (both applied AFTER cents
+    // quantization so the drift is integer-precise, never a float
+    // artifact): lost deletes (keys ≡ 0 mod 131 missing) and a
+    // one-cent balance skew (keys ≡ 0 mod 97). Verdict per chunk:
+    // row-count mismatch trumps checksum mismatch (a count diff makes
+    // the checksum diff uninformative). Plan: the two ledgers are
+    // independent map-side-combined aggregates; the full-outer merge
+    // joins two O(chunks) artifacts — at 100 TB only ledgers move.
+    "cdc_checksum_diff" -> { (s, dir) =>
+      val m = chunkLedger(s, dir, replica = false)
+        .select(col("bucket"), col("n_rows").as("n_master"),
+          col("chk").as("chk_master"))
+      val r = chunkLedger(s, dir, replica = true)
+        .select(col("bucket"), col("n_rows").as("n_replica"),
+          col("chk").as("chk_replica"))
+      m.join(r, Seq("bucket"), "full_outer")
+        .select(col("bucket"), col("n_master"), col("n_replica"),
+          col("chk_master"), col("chk_replica"),
+          when(col("n_master").isNull, lit("replica_only"))
+            .when(col("n_replica").isNull, lit("master_only"))
+            .when(col("n_master") =!= col("n_replica"), lit("count_mismatch"))
+            .when(col("chk_master") =!= col("chk_replica"),
+              lit("checksum_mismatch"))
+            .otherwise(lit("ok")).as("status"))
         .orderBy("bucket")
     },
 
@@ -686,5 +734,39 @@ object CdcQueries {
         |       wm
         |FROM agg, wm
         |WHERE last_delete IS NOT NULL
-        |ORDER BY pk""".stripMargin)
+        |ORDER BY pk""".stripMargin,
+
+    "cdc_checksum_diff" -> {
+      val foldedSql = (1 to 32).map(i => s"ascii(substr(h, $i, 1)) * $i").mkString(" + ")
+      s"""WITH mrows AS (
+         |  SELECT CAST(c_custkey // 100 AS BIGINT) AS bucket,
+         |         md5(concat_ws('|', CAST(c_custkey AS VARCHAR), c_name,
+         |               CAST(c_nationkey AS VARCHAR),
+         |               CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS VARCHAR),
+         |               c_mktsegment)) AS h
+         |  FROM customer),
+         |m AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_master,
+         |             CAST(sum($foldedSql) AS BIGINT) AS chk_master
+         |      FROM mrows GROUP BY bucket),
+         |rrows AS (
+         |  SELECT CAST(c_custkey // 100 AS BIGINT) AS bucket,
+         |         md5(concat_ws('|', CAST(c_custkey AS VARCHAR), c_name,
+         |               CAST(c_nationkey AS VARCHAR),
+         |               CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+         |                    + CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END
+         |                    AS VARCHAR),
+         |               c_mktsegment)) AS h
+         |  FROM customer WHERE c_custkey % 131 <> 0),
+         |r AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_replica,
+         |             CAST(sum($foldedSql) AS BIGINT) AS chk_replica
+         |      FROM rrows GROUP BY bucket)
+         |SELECT bucket, n_master, n_replica, chk_master, chk_replica,
+         |       CASE WHEN n_master IS NULL THEN 'replica_only'
+         |            WHEN n_replica IS NULL THEN 'master_only'
+         |            WHEN n_master <> n_replica THEN 'count_mismatch'
+         |            WHEN chk_master <> chk_replica THEN 'checksum_mismatch'
+         |            ELSE 'ok' END AS status
+         |FROM m FULL OUTER JOIN r USING (bucket)
+         |ORDER BY bucket""".stripMargin
+    })
 }

@@ -712,6 +712,49 @@ object MiningQueries {
           element_at(col("ms"), 31).cast("long").as("boot_hi_ppm"))
         .orderBy("event_type")
     },
+
+    // WELCH'S T-TEST (r12): the workhorse two-sample mean test every A/B
+    // readout leads with (unequal variances assumed — pooled-variance
+    // Student's t silently miscovers under variance imbalance), run over
+    // ALL PAIRS of arms like the KS/Mann-Whitney drift dashboard. The
+    // sufficient statistics (n, Σc, Σc²) come from ONE map-side-combined
+    // pass in exact DECIMAL(38,0) integer cents (the agg_moments
+    // pattern); t and the Welch–Satterthwaite df are closed-form doubles
+    // from those exact inputs, written as the IDENTICAL expression both
+    // engines evaluate (÷, ×, √ are all correctly-rounded IEEE ops, so
+    // the only cross-engine float step is deterministic), rounded last.
+    // 10 output rows; nothing after the scan touches data.
+    "agg_ttest_welch" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val c = floor(col("value") * 100 + 0.5).cast("long")
+      val stats = Tables.events(s, dir)
+        .select(col("event_type").as("et"), c.as("c"))
+        .groupBy("et")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast(d38)).as("s1"),
+          sum((col("c") * col("c")).cast(d38)).as("s2"))
+      val pairs = armPairs(s, dir)
+      def side(sfx: String) = stats.select(col("et").as(s"p$sfx"),
+        col("n").as(s"n$sfx"), col("s1").as(s"s1$sfx"), col("s2").as(s"s2$sfx"))
+      def muOf(sfx: String) =
+        col(s"s1$sfx").cast("double") / col(s"n$sfx").cast("double")
+      def vOf(sfx: String) =
+        ((col(s"s2$sfx").cast("double")
+          - col(s"s1$sfx").cast("double") * col(s"s1$sfx").cast("double")
+            / col(s"n$sfx").cast("double"))
+          / (col(s"n$sfx").cast("double") - 1.0))
+      def vnOf(sfx: String) = vOf(sfx) / col(s"n$sfx").cast("double")
+      pairs.join(broadcast(side("a")), "pa").join(broadcast(side("b")), "pb")
+        .select(col("pa").as("arm_a"), col("pb").as("arm_b"),
+          col("na").as("n_a"), col("nb").as("n_b"),
+          (round((muOf("a") - muOf("b")) / sqrt(vnOf("a") + vnOf("b")), 4)
+            + 0.0).as("t_r"),
+          (round((vnOf("a") + vnOf("b")) * (vnOf("a") + vnOf("b"))
+            / (vnOf("a") * vnOf("a") / (col("na").cast("double") - 1.0)
+              + vnOf("b") * vnOf("b") / (col("nb").cast("double") - 1.0)), 2)
+            + 0.0).as("df_welch_r"))
+        .orderBy("arm_a", "arm_b")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -1062,5 +1105,30 @@ object MiningQueries {
         |SELECT g AS event_type, n, CAST(mean_ppm AS BIGINT) AS mean_ppm,
         |       CAST(ms[2] AS BIGINT) AS boot_lo_ppm,
         |       CAST(ms[31] AS BIGINT) AS boot_hi_ppm
-        |FROM booted JOIN fa USING (g) ORDER BY event_type""".stripMargin)
+        |FROM booted JOIN fa USING (g) ORDER BY event_type""".stripMargin,
+
+    "agg_ttest_welch" ->
+      """WITH r AS (
+        |  SELECT event_type AS et,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |st AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+        |              sum(c) AS s1, sum(c * c) AS s2
+        |       FROM r GROUP BY et),
+        |d AS (SELECT et, n,
+        |             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |             (CAST(s2 AS DOUBLE)
+        |              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |                / CAST(n AS DOUBLE))
+        |             / (CAST(n AS DOUBLE) - 1.0) AS v
+        |      FROM st),
+        |dd AS (SELECT et, n, mu, v, v / CAST(n AS DOUBLE) AS vn FROM d)
+        |SELECT a.et AS arm_a, b.et AS arm_b, a.n AS n_a, b.n AS n_b,
+        |       round((a.mu - b.mu) / sqrt(a.vn + b.vn), 4) + 0.0 AS t_r,
+        |       round((a.vn + b.vn) * (a.vn + b.vn)
+        |         / (a.vn * a.vn / (CAST(a.n AS DOUBLE) - 1.0)
+        |            + b.vn * b.vn / (CAST(b.n AS DOUBLE) - 1.0)), 2) + 0.0
+        |         AS df_welch_r
+        |FROM dd a JOIN dd b ON a.et < b.et
+        |ORDER BY arm_a, arm_b""".stripMargin)
 }

@@ -296,6 +296,71 @@ class R12bOpsSpec extends SparkSuite {
       "the rank CI must bracket the full-sample mean on this fixture")
   }
 
+  test("agg_ttest_welch: t and df match the brute Welch computation; sign is antisymmetric") {
+    val ev = events()
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    def r2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val st = ev.groupBy(_._4).toSeq.map { case (g, es) =>
+      val cs = es.map(e => math.floor(e._5 * 100 + 0.5).toLong)
+      val n = cs.length.toDouble
+      val s1 = cs.sum.toDouble
+      val s2 = cs.map(c => c * c).sum.toDouble
+      val mu = s1 / n
+      val v = (s2 - s1 * s1 / n) / (n - 1.0)
+      (g, cs.length.toLong, mu, v, v / n)
+    }.sortBy(_._1)
+    val expected = for {
+      a <- st; b <- st if a._1 < b._1
+    } yield {
+      val se2 = a._5 + b._5
+      (a._1, b._1, a._2, b._2, r4((a._3 - b._3) / math.sqrt(se2)),
+        r2(se2 * se2 / (a._5 * a._5 / (a._2 - 1.0) + b._5 * b._5 / (b._2 - 1.0))))
+    }
+    val got = run("agg_ttest_welch").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected)
+  }
+
+  test("cdc_checksum_diff: chunk verdicts match the brute ledger compare") {
+    val rows = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[Number](2).longValue(), r.getDouble(3), r.getString(4)))
+    def fold(h: String): Long =
+      (1 to 32).map(i => h(i - 1).toInt.toLong * i).sum
+    def ledger(replica: Boolean): Map[Long, (Long, Long)] =
+      rows.filter(r => !replica || r._1 % 131 != 0)
+        .map { case (k, nm, nk, bal, seg) =>
+          val cents = math.floor(bal * 100 + 0.5).toLong +
+            (if (replica && k % 97 == 0) 1L else 0L)
+          (k / 100, fold(md5hexOf(s"$k|$nm|$nk|$cents|$seg")))
+        }
+        .groupBy(_._1).view
+        .mapValues(vs => (vs.length.toLong, vs.map(_._2).sum)).toMap
+    val m = ledger(replica = false)
+    val r = ledger(replica = true)
+    val expected = (m.keySet ++ r.keySet).toSeq.sorted.map { b =>
+      val status = (m.get(b), r.get(b)) match {
+        case (None, _) => "replica_only"
+        case (_, None) => "master_only"
+        case (Some((nm, _)), Some((nr, _))) if nm != nr => "count_mismatch"
+        case (Some((_, cm)), Some((_, cr))) if cm != cr => "checksum_mismatch"
+        case _ => "ok"
+      }
+      (b, status)
+    }
+    val got = run("cdc_checksum_diff").collect()
+      .map(r2 => (r2.getLong(0), r2.getString(5))).toSeq
+    assert(got == expected)
+    // the injected drift is visible (both failure modes are exercised by
+    // the DuckDB oracle at sf0.01/0.1, where buckets without a lost key
+    // exist; at sf0.001 every bucket loses a mod-131 key)
+    assert(got.nonEmpty && got.exists(_._2 != "ok"))
+    assert(got.map(_._2).contains("count_mismatch"))
+  }
+
   test("sim_filtered_topk: candidates are filtered BEFORE ranking (never post-filtered)") {
     import org.apache.spark.sql.functions.col
     val keep = Tables.documents(spark, sfDir)
