@@ -372,15 +372,21 @@ object MiningQueries {
     "agg_moments" -> { (s, dir) =>
       val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
       val c = floor(col("value") * 100 + 0.5).cast("long")
+      // Every power product rides DECIMAL(38,0) FROM THE FIRST multiply
+      // (r12, caught by the full sf0.1 sweep): the r11 form multiplied
+      // c²·c² in Int64 before the decimal cast, which wraps silently in
+      // Spark once c ≥ 55 110 cents (c⁴ > 2⁶³ — values ≥ $551 exist at
+      // sf0.1) while DuckDB raises on the same product — exactly the
+      // engine-divergence class the ADVICE flagged, one level deeper.
+      val cD = c.cast(d38)
       val m = graft.Tables.events(s, dir)
-        .select(col("event_type"), c.as("c"))
-        .withColumn("c2", col("c") * col("c"))
+        .select(col("event_type"), c.as("c"), cD.as("cd"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          sum(col("c").cast(d38)).as("s1"),
-          sum(col("c2").cast(d38)).as("s2"),
-          sum((col("c2") * col("c")).cast(d38)).as("s3"),
-          sum((col("c2") * col("c2")).cast(d38)).as("s4"))
+          sum(col("cd")).as("s1"),
+          sum(col("cd") * col("c")).as("s2"),
+          sum(col("cd") * col("c") * col("c")).as("s3"),
+          sum(col("cd") * col("c") * col("c") * col("c")).as("s4"))
       val nD = col("n").cast("double")
       val mu = col("s1").cast("double") / nD
       val m2 = col("s2").cast("double") / nD - mu * mu
@@ -887,9 +893,9 @@ object MiningQueries {
       """WITH m AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |         sum(CAST(c AS HUGEINT)) AS s1,
-        |         sum(CAST(c * c AS HUGEINT)) AS s2,
-        |         sum(CAST(c * c * c AS HUGEINT)) AS s3,
-        |         sum(CAST((c * c) * (c * c) AS HUGEINT)) AS s4
+        |         sum(CAST(c AS HUGEINT) * c) AS s2,
+        |         sum(CAST(c AS HUGEINT) * c * c) AS s3,
+        |         sum(CAST(c AS HUGEINT) * c * c * c) AS s4
         |  FROM (SELECT event_type,
         |               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
         |        FROM events)
