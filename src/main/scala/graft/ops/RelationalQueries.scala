@@ -328,6 +328,42 @@ object RelationalQueries {
           countDistinct(col("l_partkey")).as("exact_parts"))
     },
 
+    // HLL SKETCH-MERGE (r12): the shard-then-merge distinct count — THE
+    // 100 TB cardinality pattern: each shard (here 16 hash shards of the
+    // fact table; in production each day/partition/site) builds its own
+    // Datasketches HLL once, the tiny sketches are stored, and any
+    // cross-shard rollup is a register-max UNION of sketches — no
+    // re-scan, no shuffle of raw keys, mergeable across time and space
+    // (exactly what approx_count_distinct alone cannot give you: its
+    // estimate is not a stored, re-unionable artifact). HLL build and
+    // union are hash-deterministic (no RNG) and the union is
+    // commutative-associative, so the output is stable under any
+    // partitioning. No DuckDB oracle (its approx_distinct is a different
+    // sketch): `ApproxSpec` pins the union estimate EQUAL to the
+    // whole-table sketch estimate (merge associativity) and within the
+    // lgK=14 error envelope of the exact count.
+    "agg_hll_union" -> { (s, dir) =>
+      val shards = Tables.lineitem(s, dir)
+        .withColumn("shard", col("l_orderkey") % 16)
+        .groupBy("shard")
+        .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"),
+          countDistinct(col("l_partkey")).as("exact_shard"))
+      val exact = Tables.lineitem(s, dir)
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      shards
+        .agg(
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_parts"),
+          count(lit(1)).as("n_shards"),
+          sum(col("exact_shard")).as("sum_shard_distinct"))
+        .crossJoin(broadcast(exact))
+        .select(col("approx_parts"), col("exact_parts"), col("n_shards"),
+          // shard-distinct sum ≥ true distinct (keys span shards) — the
+          // double-counting a naive per-shard rollup commits
+          col("sum_shard_distinct"),
+          expr("abs(approx_parts - exact_parts) * 1000000 div exact_parts")
+            .as("err_ppm"))
+    },
+
     // Ranking windows: rank over values, row_number over a unique total order.
     "window_rank" -> { (s, dir) =>
       val byQty = Window.partitionBy("l_returnflag")

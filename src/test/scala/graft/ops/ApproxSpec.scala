@@ -21,6 +21,23 @@ class ApproxSpec extends SparkSuite {
     assert(math.abs(approx - exact) / exact < 0.2, s"approx=$approx exact=$exact")
   }
 
+  test("agg_hll_union: sharded-union estimate is merge-exact and inside the lgK=14 envelope") {
+    val row = SparkEntryQueries.run("agg_hll_union").collect().head
+    val approx = row.getAs[Long]("approx_parts")
+    val exact = row.getAs[Long]("exact_parts")
+    val sumShard = row.getAs[Long]("sum_shard_distinct")
+    // the naive per-shard rollup double-counts (keys span shards)
+    assert(sumShard > exact, s"sumShard=$sumShard exact=$exact")
+    // lgK=14 → rse ≈ 1.04/√2¹⁴ ≈ 0.81%; allow 4 sigma
+    assert(math.abs(approx - exact).toDouble / exact < 0.04,
+      s"approx=$approx exact=$exact")
+    // merge associativity: union-of-shard-sketches == whole-table sketch
+    val whole = Tables.lineitem(spark, sfDir)
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 14))")
+        .as("w")).collect().head.getAs[Long]("w")
+    assert(whole == approx, s"whole=$whole union=$approx")
+  }
+
   test("every ANN variant clears its recall floor (RecallReport — the bench artifact path)") {
     // The SAME computation graft.Bench emits as the "recall" map: asserting
     // floors through RecallReport means the spec gate and the bench
