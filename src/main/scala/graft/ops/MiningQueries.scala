@@ -668,11 +668,17 @@ object MiningQueries {
     // rows moved); the Poisson bootstrap instead gives every row an
     // independent Poisson(1) replicate weight, which is exact in the
     // n→∞ limit and needs ONE linear pass. Weights are deterministic
-    // and engine-portable: md5("boot:<event_id>:<b>") → first byte
-    // uniform on 0..255 → the quantized-Poisson(1) inverse-CDF table
-    // (94/94/47/16/5 out of 256 ≈ e⁻¹/e⁻¹/e⁻¹/2/…, mean 1.004), the
-    // same salted-md5 device as pipeline_train_val_split, so retries,
-    // partitioning and engines all agree. Replicate means are exact
+    // and engine-portable: TWO md5s per row ("boot:<event_id>:0"/":1",
+    // 64 hex chars) yield one byte per replicate — replicate b reads
+    // chars (2b−1, 2b), uniform on 0..255 → the quantized-Poisson(1)
+    // inverse-CDF table (94/94/47/16/5 out of 256 ≈ e⁻¹/e⁻¹/e⁻¹/2/…,
+    // mean 1.004), the same salted-md5 device as
+    // pipeline_train_val_split, so retries, partitioning and engines
+    // all agree. (The shared-digest form costs 2 hashes per row where
+    // the naive form pays one md5 per (row, replicate); measured at
+    // sf0.1 the query is bound by the ×32 derived-row aggregate itself
+    // — ~3 s for 3.2 M weighted rows — which IS the bootstrap's work,
+    // 0.1 s per replicate, linear in corpus × B.) Replicate means are exact
     // integer ppm-cents riding DECIMAL(38,0)/HUGEINT (house overflow
     // rule); the CI is RANK-BASED — 2nd smallest / 2nd largest of the
     // B = 32 sorted replicate means (a ~93.75 % interval) — because
@@ -687,12 +693,13 @@ object MiningQueries {
       val rows = Tables.events(s, dir)
         .select(col("event_type").as("g"), col("event_id"), cents.as("c"))
       val reps = rows
+        .withColumn("h", concat(
+          md5(concat_ws(":", lit("boot"), col("event_id").cast("string"), lit("0"))),
+          md5(concat_ws(":", lit("boot"), col("event_id").cast("string"), lit("1")))))
         .withColumn("b", explode(sequence(lit(1), lit(32))))
-        .withColumn("h", md5(concat_ws(":", lit("boot"),
-          col("event_id").cast("string"), col("b").cast("string"))))
         .withColumn("u",
-          (expr("instr('0123456789abcdef', substring(h, 1, 1)) - 1") * 16
-            + expr("instr('0123456789abcdef', substring(h, 2, 1)) - 1")))
+          (expr("instr('0123456789abcdef', substring(h, 2 * b - 1, 1)) - 1") * 16
+            + expr("instr('0123456789abcdef', substring(h, 2 * b, 1)) - 1")))
         .withColumn("w",
           when(col("u") < 94, 0L).when(col("u") < 188, 1L)
             .when(col("u") < 235, 2L).when(col("u") < 251, 3L)
@@ -1085,8 +1092,8 @@ object MiningQueries {
         |  FROM events),
         |hashed AS (
         |  SELECT g, c, b,
-        |         md5('boot:' || CAST(event_id AS VARCHAR)
-        |             || ':' || CAST(b AS VARCHAR)) AS h
+        |         md5('boot:' || CAST(event_id AS VARCHAR) || ':0')
+        |           || md5('boot:' || CAST(event_id AS VARCHAR) || ':1') AS h
         |  FROM r, UNNEST(generate_series(1, 32)) AS t(b)),
         |weighted AS (
         |  SELECT g, b, c,
@@ -1094,8 +1101,8 @@ object MiningQueries {
         |              WHEN u < 235 THEN 2 WHEN u < 251 THEN 3
         |              ELSE 4 END AS w
         |  FROM (SELECT g, c, b,
-        |          (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-        |          + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS u
+        |          (strpos('0123456789abcdef', substr(h, 2 * b - 1, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef', substr(h, 2 * b, 1)) - 1) AS u
         |        FROM hashed)),
         |rm AS (
         |  SELECT g,

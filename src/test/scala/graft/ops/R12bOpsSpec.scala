@@ -269,9 +269,9 @@ class R12bOpsSpec extends SparkSuite {
   test("agg_bootstrap_ci: replicate means match the brute-force hash bootstrap; CI brackets the mean") {
     val ev = events()
     def weight(eventId: Long, b: Int): Long = {
-      val h = md5hexOf(s"boot:$eventId:$b")
+      val h = md5hexOf(s"boot:$eventId:0") + md5hexOf(s"boot:$eventId:1")
       val hex = "0123456789abcdef"
-      val u = hex.indexOf(h(0)) * 16 + hex.indexOf(h(1))
+      val u = hex.indexOf(h(2 * b - 2)) * 16 + hex.indexOf(h(2 * b - 1))
       if (u < 94) 0L else if (u < 188) 1L else if (u < 235) 2L
       else if (u < 251) 3L else 4L
     }
