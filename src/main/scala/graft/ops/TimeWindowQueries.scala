@@ -588,6 +588,49 @@ object TimeWindowQueries {
         .rowsBetween(Window.unboundedPreceding, 0)
       cells.withColumn("cum_cents", sum(col("cents")).over(w))
         .orderBy("cohort_day", "day_offset")
+    },
+
+    // MAX DRAWDOWN of the DETRENDED curve (r12): the worst
+    // peak-to-trough fall of each arm's cumulative deviation-from-mean
+    // — "how far below its running best did this arm's cumulative
+    // performance sink, and when" — the risk/regression metric next to
+    // the EWMA/anomaly family. A raw revenue curve only rises, so the
+    // drawdown runs on the CUSUM-detrended equity: scaling by n (the
+    // ts_changepoint trick) keeps it EXACT — equity_k = Σ_{d≤k}
+    // (n·c_d − S) is the n-scaled deviation curve, running peak is a
+    // cumulative max, drawdown = peak − equity, the trough rides one
+    // max_by-struct with an earliest-day tie-break, and the reported
+    // cents value is one truncating div at the end. All windows
+    // partition per arm over the ≤ span-days daily ledger
+    // (domain-bounded) after ONE map-side-combined aggregate collapses
+    // the corpus; n·c rides DECIMAL(38,0) per the house overflow rule.
+    "ts_drawdown" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val c = floor(col("value") * 100 + 0.5).cast("long")
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type").as("g"), col("ts").cast("date").as("day"))
+        .agg(sum(c.cast(d38)).as("dc"))
+      val tot = daily.groupBy("g")
+        .agg(sum(col("dc")).as("s"), count(lit(1)).as("n"))
+      val wCum = Window.partitionBy("g").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val curve = daily.join(broadcast(tot), "g")
+        .withColumn("dev", col("dc") * col("n").cast(d38) - col("s"))
+        .withColumn("equity", sum(col("dev")).over(wCum))
+        .withColumn("peak", max(col("equity")).over(wCum))
+        .withColumn("dd", col("peak") - col("equity"))
+        .withColumn("off", datediff(col("day"),
+          min(col("day")).over(Window.partitionBy("g"))).cast("long"))
+      curve.groupBy(col("g").as("event_type"))
+        .agg(max(col("n")).as("n_days"),
+          max(struct(col("dd"), (-col("off")).as("noff"),
+            col("day"))).as("b"))
+        .select(col("event_type"), col("n_days"),
+          expr("CAST(b.dd div CAST(n_days AS DECIMAL(38,0)) AS BIGINT)")
+            .as("max_drawdown_cents"),
+          col("b.day").as("trough_day"))
+        .orderBy("event_type")
     })
 
   val oracles: Map[String, String] = Map(
@@ -946,5 +989,39 @@ object TimeWindowQueries {
         |         ORDER BY day_offset
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |         AS BIGINT) AS cum_cents
-        |FROM cells ORDER BY cohort_day, day_offset""".stripMargin)
+        |FROM cells ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "ts_drawdown" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+        |         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS dc
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(sum(dc) AS HUGEINT) AS s,
+        |               CAST(count(*) AS BIGINT) AS n
+        |        FROM daily GROUP BY g),
+        |curve AS (
+        |  SELECT daily.g, daily.day, tot.n,
+        |         CAST(daily.dc AS HUGEINT) * tot.n - tot.s AS dev
+        |  FROM daily JOIN tot ON daily.g = tot.g),
+        |eq AS (
+        |  SELECT g, day, n,
+        |         sum(dev) OVER w AS equity,
+        |         CAST(day - min(day) OVER (PARTITION BY g) AS BIGINT) AS off
+        |  FROM curve
+        |  WINDOW w AS (PARTITION BY g ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |pk AS (
+        |  SELECT g, day, n, equity, off,
+        |         max(equity) OVER w2 AS peak
+        |  FROM eq
+        |  WINDOW w2 AS (PARTITION BY g ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |dd AS (SELECT g, day, n, peak - equity AS dd, off FROM pk)
+        |SELECT g AS event_type, max(n) AS n_days,
+        |       CAST(max(struct_pack(dd := dd, noff := -off, day := day)).dd
+        |            // CAST(max(n) AS HUGEINT) AS BIGINT)
+        |         AS max_drawdown_cents,
+        |       max(struct_pack(dd := dd, noff := -off, day := day)).day
+        |         AS trough_day
+        |FROM dd GROUP BY g ORDER BY event_type""".stripMargin)
 }

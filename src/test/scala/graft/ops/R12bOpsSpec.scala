@@ -211,6 +211,33 @@ class R12bOpsSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("ts_drawdown: trough and depth match the brute detrended walk; drawdown is positive") {
+    val ev = events()
+    val day = 86400000L
+    val expected = ev.groupBy(_._4).toSeq.map { case (g, es) =>
+      val daily = es.groupBy(_._2.getTime / day).view
+        .mapValues(_.map(e => math.floor(e._5 * 100 + 0.5).toLong).sum)
+        .toSeq.sortBy(_._1)
+      val n = daily.length.toLong
+      val s = daily.map(d => BigInt(d._2)).sum
+      var equity = BigInt(0)
+      var peak = BigInt(0)
+      var best = (BigInt(-1), 0L)
+      daily.zipWithIndex.foreach { case ((d, c), i) =>
+        equity += BigInt(c) * n - s
+        if (i == 0 || equity > peak) peak = equity
+        val dd = peak - equity
+        if (dd > best._1) best = (dd, d)
+      }
+      (g, n, (best._1 / n).toLong, best._2)
+    }.sortBy(_._1)
+    val got = run("ts_drawdown").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDate(3).toLocalDate.toEpochDay)).toSeq
+    assert(got == expected)
+    assert(got.forall(_._3 > 0L), "the detrended curve must actually draw down")
+  }
+
   test("ts_forecast_eval: MAE/MASE match the brute seasonal-naive backtest") {
     val ev = events()
     val day = 86400000L
