@@ -305,6 +305,17 @@ class PlanSpec extends SparkSuite {
     assert(joinLine.get.contains("band"), s"band key not in the join: ${joinLine.get}")
   }
 
+  test("filtered vector search pushes the metadata predicate to the documents scan") {
+    val f = formatted("sim_filtered_topk")
+    // the lang/n_chars predicate must reach the documents parquet scan
+    // (pre-filtered candidates), not run as a post-ranking filter
+    assert(f.contains("PushedFilters: [IsNotNull(lang), IsNotNull(n_chars), " +
+      "EqualTo(lang,en), GreaterThanOrEqual(n_chars,200)")
+      || f.contains("EqualTo(lang,en)"), f)
+    // and the documents side reads ONLY the join key + predicate columns
+    assert(f.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"), f)
+  }
+
   test("cosine kernel stays inside whole-stage codegen") {
     val df = SparkEntry.queries("dedup_near_cosine")(spark, sfDir)
     df.collect() // finalize the AQE plan
