@@ -63,7 +63,13 @@ object ScaleProbe {
   // baskets, adjacency lists, and user histories stay replica-local:
   // growth adds new orders/users, it does not inflate existing groups —
   // the same growth model the document replicas use.
+  // r12 adds the round's two new graph kernels to the 10/30× tier: the
+  // capped-wedge betweenness (same candidate-boundedness claim as
+  // jaccard_neighbors — measured, not argued) and the random-walk
+  // frontier joins (|V|-row frontier × 3 steps — the one graph shape
+  // here whose cost is node-bounded rather than wedge-bounded).
   private val RelProbes = Seq("assoc_item_pairs", "graph_jaccard_neighbors",
+    "graph_betweenness_2hop", "graph_random_walk",
     "ts_anomaly_zscore", "events_attribution")
   private val Probes = PairProbes ++ Seq("sim_ann_knn", "text_dup_spans") ++ RelProbes
 
