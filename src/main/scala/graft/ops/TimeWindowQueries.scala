@@ -631,6 +631,73 @@ object TimeWindowQueries {
             .as("max_drawdown_cents"),
           col("b.day").as("trough_day"))
         .orderBy("event_type")
+    },
+
+    // JOURNEY PATH MINING (r12): the 3-step extension of the markov
+    // lag-1 matrix — which (s1 → s2 → s3) event-type paths do users
+    // actually walk, and what share of all observed 3-step journeys is
+    // each. Same scale shape as events_markov: the per-user sorted
+    // window keeps a 2-row lookback (lag 2 — nothing retained per
+    // user), the hash aggregate lands on the ≤ |types|³ = 125-cell
+    // path DOMAIN, and the share denominator is ONE broadcast 1-row
+    // total. The ppm share rides DECIMAL(38,0) before the ×10⁶ (house
+    // overflow rule: n·10⁶ wraps Long at ~9·10¹² path instances — a
+    // 100 TB log is exactly there).
+    "events_path" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val t = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("s1", lag(col("event_type"), 2).over(w))
+        .withColumn("s2", lag(col("event_type"), 1).over(w))
+        .filter(col("s1").isNotNull)
+      val cnt = t.groupBy(col("s1"), col("s2"), col("event_type").as("s3"))
+        .agg(count(lit(1)).as("n"))
+      cnt.crossJoin(broadcast(cnt.agg(sum(col("n")).as("tot"))))
+        .select(col("s1"), col("s2"), col("s3"), col("n"),
+          expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div " +
+            "CAST(tot AS DECIMAL(38,0)) AS BIGINT)").as("share_ppm"))
+        .orderBy("s1", "s2", "s3")
+    },
+
+    // RFM SEGMENTATION (r12): the classic customer-value cube —
+    // recency (days since last event, vs the corpus's last observed
+    // day), frequency (event count) and monetary (cents sum) per user,
+    // each cut into exact quintiles, then the 5×5×5 segment cube with
+    // user counts and revenue. Score 1 = best quintile on every axis
+    // (most recent / most frequent / highest spend). Exactness:
+    // ntile(5) over a TOTAL order (metric, then user_id) is
+    // deterministic and engine-identical, where threshold-based
+    // bucketing would be tie-sensitive. Scale shape: everything after
+    // the first aggregate lives on the USER dimension (corpus ÷ events
+    // per user); the three ntile windows are global single-partition
+    // passes over that table — the one deliberate non-distributed step,
+    // fine to billions of users as a sort, and the documented 100 TB
+    // swap is broadcast percentile_disc(0.2/0.4/0.6/0.8) thresholds
+    // (same cube, SQL-standard tie handling). Money sums ride
+    // DECIMAL(38,0) per the house overflow rule.
+    "events_rfm" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val per = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy("user_id")
+        .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+          sum(col("c").cast(d38)).cast("long").as("money"))
+      val sc = per.crossJoin(broadcast(per.agg(max(col("last_day")).as("maxd"))))
+        .withColumn("rec", datediff(col("maxd"), col("last_day")).cast("long"))
+      val nt = sc
+        .withColumn("r_score",
+          ntile(5).over(Window.orderBy(col("rec"), col("user_id"))).cast("long"))
+        .withColumn("f_score",
+          ntile(5).over(Window.orderBy(col("freq").desc, col("user_id"))).cast("long"))
+        .withColumn("m_score",
+          ntile(5).over(Window.orderBy(col("money").desc, col("user_id"))).cast("long"))
+      nt.groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("money").cast(d38)).cast("long").as("money_cents"))
+        .orderBy("r_score", "f_score", "m_score")
     })
 
   val oracles: Map[String, String] = Map(
@@ -1023,5 +1090,46 @@ object TimeWindowQueries {
         |         AS max_drawdown_cents,
         |       max(struct_pack(dd := dd, noff := -off, day := day)).day
         |         AS trough_day
-        |FROM dd GROUP BY g ORDER BY event_type""".stripMargin)
+        |FROM dd GROUP BY g ORDER BY event_type""".stripMargin,
+
+    "events_path" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type, 2) OVER w AS s1,
+        |         lag(event_type, 1) OVER w AS s2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT s1, s2, event_type AS s3, CAST(count(*) AS BIGINT) AS n
+        |  FROM t WHERE s1 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT s1, s2, s3, n,
+        |       CAST((CAST(n AS HUGEINT) * 1000000)
+        |            // (SELECT sum(n) FROM c) AS BIGINT) AS share_ppm
+        |FROM c ORDER BY s1, s2, s3""".stripMargin,
+
+    "events_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+        |         CAST(count(*) AS BIGINT) AS freq,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS money
+        |  FROM events GROUP BY 1),
+        |sc AS (
+        |  SELECT user_id, freq, money,
+        |         CAST((SELECT max(last_day) FROM per) - last_day
+        |              AS BIGINT) AS rec
+        |  FROM per),
+        |nt AS (
+        |  SELECT freq, money,
+        |         CAST(ntile(5) OVER (ORDER BY rec, user_id) AS BIGINT)
+        |           AS r_score,
+        |         CAST(ntile(5) OVER (ORDER BY freq DESC, user_id) AS BIGINT)
+        |           AS f_score,
+        |         CAST(ntile(5) OVER (ORDER BY money DESC, user_id) AS BIGINT)
+        |           AS m_score
+        |  FROM sc)
+        |SELECT r_score, f_score, m_score,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(money) AS BIGINT) AS money_cents
+        |FROM nt GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
 }
