@@ -768,6 +768,50 @@ object MiningQueries {
             + 0.0).as("df_welch_r"))
         .orderBy("arm_a", "arm_b")
     },
+
+    // CRAMÉR'S V (r12): strength of association of the event_type ×
+    // weekday contingency table — the r×c generalization of agg_chi2's
+    // 2×k test ("is behavior day-of-week dependent, and how much").
+    // The FULL grid (row-margin × col-margin cross join of two tiny
+    // broadcast tables, observed cells left-joined in) keeps
+    // zero-observed cells in the χ² where a groupBy alone would drop
+    // them. Exactness: each cell contributes the integer ppm
+    // floor((o·N − r·c)²·10⁶ / (N·r·c)) — floor BEFORE the sum, so the
+    // total is an integer sum, order-independent under partial-agg
+    // reordering where a double χ² would carry a last-ulp hazard. The
+    // numerator rides DECIMAL(38,0) (house rule): (o·N)² stays inside
+    // 38 digits up to N ≈ 3·10⁹ events — documented bound, beyond which
+    // the double path of agg_chi2 applies; Spark would null, DuckDB
+    // raise, neither silently diverges. V itself is then one
+    // closed-form double from exact integers. Scale: one map-side
+    // combined aggregate to the ≤ |types|×7 cell domain; everything
+    // after is broadcast-sized.
+    "agg_cramers_v" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val cells = Tables.events(s, dir)
+        .groupBy(col("event_type").as("et"), weekday(col("ts")).cast("long").as("dw"))
+        .agg(count(lit(1)).as("o0"))
+      val rm = cells.groupBy("et").agg(sum(col("o0")).as("r"))
+      val cm = cells.groupBy("dw").agg(sum(col("o0")).as("c"))
+      val grid = broadcast(rm).crossJoin(broadcast(cm))
+        .join(cells, Seq("et", "dw"), "left")
+        .withColumn("o", coalesce(col("o0"), lit(0L)))
+      val tot = rm.agg(sum(col("r")).as("nn"), count(lit(1)).as("k"))
+        .crossJoin(cm.agg(count(lit(1)).as("l")))
+      grid.crossJoin(broadcast(tot))
+        .withColumn("num",
+          col("o").cast(d38) * col("nn") - col("r").cast(d38) * col("c"))
+        .withColumn("cell_ppm", expr(
+          "(num * num * 1000000) div (CAST(nn AS DECIMAL(38,0)) * r * c)"))
+        .agg(min(col("nn")).as("n_total"), min(col("k")).as("n_rows"),
+          min(col("l")).as("n_cols"),
+          sum(col("cell_ppm")).cast("long").as("chi2_ppm"))
+        .select(col("n_total"), col("n_rows"), col("n_cols"), col("chi2_ppm"),
+          (round(sqrt((col("chi2_ppm").cast("double") / 1000000.0)
+            / (col("n_total").cast("double")
+              * (least(col("n_rows"), col("n_cols")).cast("double") - 1.0))), 6)
+            + 0.0).as("cramers_v_r"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -1143,5 +1187,35 @@ object MiningQueries {
         |            + b.vn * b.vn / (CAST(b.n AS DOUBLE) - 1.0)), 2) + 0.0
         |         AS df_welch_r
         |FROM dd a JOIN dd b ON a.et < b.et
-        |ORDER BY arm_a, arm_b""".stripMargin)
+        |ORDER BY arm_a, arm_b""".stripMargin,
+
+    "agg_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT event_type AS et, CAST(isodow(ts) - 1 AS BIGINT) AS dw,
+        |         CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rm AS (SELECT et, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |cm AS (SELECT dw, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |grid AS (
+        |  SELECT rm.et, cm.dw, rm.r, cm.c, coalesce(cells.o, 0) AS o
+        |  FROM rm CROSS JOIN cm
+        |  LEFT JOIN cells ON cells.et = rm.et AND cells.dw = cm.dw),
+        |tot AS (
+        |  SELECT (SELECT CAST(sum(r) AS BIGINT) FROM rm) AS nn,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM rm) AS k,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM cm) AS l),
+        |cell AS (
+        |  SELECT nn, k, l,
+        |         ((CAST(o AS HUGEINT) * nn - CAST(r AS HUGEINT) * c)
+        |          * (CAST(o AS HUGEINT) * nn - CAST(r AS HUGEINT) * c)
+        |          * 1000000) // (CAST(nn AS HUGEINT) * r * c) AS cell_ppm
+        |  FROM grid CROSS JOIN tot)
+        |SELECT min(nn) AS n_total, min(k) AS n_rows, min(l) AS n_cols,
+        |       CAST(sum(cell_ppm) AS BIGINT) AS chi2_ppm,
+        |       round(sqrt((CAST(CAST(sum(cell_ppm) AS BIGINT) AS DOUBLE)
+        |           / 1000000.0)
+        |         / (CAST(min(nn) AS DOUBLE)
+        |           * (CAST(least(min(k), min(l)) AS DOUBLE) - 1.0))), 6) + 0.0
+        |         AS cramers_v_r
+        |FROM cell""".stripMargin)
 }

@@ -1081,6 +1081,41 @@ object TextQueries {
               / log(col("tokens_cum").cast("double") / col("t0")), 4) + 0.0)
             .as("heaps_beta_r"))
         .orderBy("b")
+    },
+
+    // PMI COLLOCATIONS (r12): which adjacent word pairs co-occur far
+    // more than their token frequencies predict — the classic
+    // collocation-mining statistic (Church & Hanks) over the BIGRAM
+    // event space: pmi(a,b) = ln(n_ab·N / (n_a·_ · n_·_b)) with both
+    // margins and the total drawn from the same bigram table, so the
+    // measure is self-consistent (no unigram/bigram length mismatch at
+    // document edges). Support floor n_ab ≥ 5 kills the
+    // one-occurrence-pair noise PMI is notorious for. Scale shape: ONE
+    // token-array scan builds the bigram structs in-place (transform
+    // over the index sequence — no posexplode self-join), then three
+    // hash aggregates; the margin joins are vocab-sized, the total is a
+    // broadcast 1-row cross join. The log ratio is a double from exact
+    // integer counts, round(6) + 0.0-canonicalized (a pair at exactly
+    // its expected rate rounds to −0.0 from below otherwise).
+    "text_collocations" -> { (s, dir) =>
+      val ts = split(col("text"), " ")
+      val bg = Tables.documents(s, dir)
+        .filter(size(ts) >= 2)
+        .select(explode(transform(sequence(lit(1), size(ts) - 1),
+          i => struct(element_at(ts, i).as("a"),
+            element_at(ts, i + 1).as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val cell = bg.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      val la = bg.groupBy("a").agg(count(lit(1)).as("na"))
+      val rb = bg.groupBy("b").agg(count(lit(1)).as("nb"))
+      val tot = bg.agg(count(lit(1)).as("n"))
+      cell.filter(col("n_ab") >= 5)
+        .join(la, "a").join(rb, "b")
+        .crossJoin(broadcast(tot))
+        .select(col("a"), col("b"), col("n_ab"),
+          (round(log((col("n_ab").cast("double") * col("n"))
+            / (col("na").cast("double") * col("nb"))), 6) + 0.0).as("pmi_r"))
+        .orderBy("a", "b")
     })
 
   private def langScoreSql(lang: String, markers: Seq[String]): String = {
@@ -1842,5 +1877,23 @@ object TextQueries {
         |            ELSE round(ln(CAST(vocab_cum AS DOUBLE) / v0)
         |                 / ln(CAST(tokens_cum AS DOUBLE) / t0), 4) + 0.0
         |       END AS heaps_beta_r
-        |FROM cum, f ORDER BY b""".stripMargin)
+        |FROM cum, f ORDER BY b""".stripMargin,
+
+    "text_collocations" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        |bg AS (
+        |  SELECT ts[i] AS a, ts[i + 1] AS b
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+        |  WHERE len(ts) >= 2),
+        |cell AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM bg GROUP BY 1, 2),
+        |la AS (SELECT a, CAST(count(*) AS BIGINT) AS na FROM bg GROUP BY 1),
+        |rb AS (SELECT b, CAST(count(*) AS BIGINT) AS nb FROM bg GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg)
+        |SELECT a, b, n_ab,
+        |       round(ln((CAST(n_ab AS DOUBLE) * n)
+        |             / (CAST(na AS DOUBLE) * nb)), 6) + 0.0 AS pmi_r
+        |FROM cell JOIN la USING (a) JOIN rb USING (b) CROSS JOIN tot
+        |WHERE n_ab >= 5 ORDER BY a, b""".stripMargin)
 }

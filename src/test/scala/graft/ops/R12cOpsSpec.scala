@@ -77,4 +77,54 @@ class R12cOpsSpec extends SparkSuite {
       assert(sizes.max - sizes.min <= 1)
     }
   }
+
+  test("text_collocations: bigram counts and PMI match the brute force") {
+    // split with -1: Spark's split KEEPS trailing empty tokens
+    val bgs = Tables.documents(spark, sfDir).select("text").collect()
+      .map(_.getString(0).split(" ", -1).toSeq)
+      .filter(_.length >= 2)
+      .flatMap(_.sliding(2).map(w => (w(0), w(1))))
+    val n = bgs.length.toLong
+    val cell = bgs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val la = bgs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val rb = bgs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected = cell.filter(_._2 >= 5L).toSeq
+      .map { case ((a, b), nab) =>
+        (a, b, nab, math.log(nab.toDouble * n / (la(a).toDouble * rb(b))))
+      }.sortBy(p => (p._1, p._2))
+    val got = run("text_collocations").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got.map(g => (g._1, g._2, g._3)) == expected.map(e => (e._1, e._2, e._3)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 1e-6, s"pmi(${g._1},${g._2})")
+    }
+    // the support floor bites: at least one sub-floor pair existed
+    assert(cell.exists(_._2 < 5L))
+  }
+
+  test("agg_cramers_v: exact-ppm chi2 over the full grid matches BigInt brute force") {
+    val day = 86400000L
+    val ev = events()
+    val cells = ev.groupBy(e => (e._4, (e._2.getTime / day + 3) % 7))
+      .view.mapValues(_.length.toLong).toMap
+    val ets = cells.keySet.map(_._1)
+    val dws = cells.keySet.map(_._2)
+    val rm = ets.map(t => t -> cells.filter(_._1._1 == t).values.sum).toMap
+    val cm = dws.map(d => d -> cells.filter(_._1._2 == d).values.sum).toMap
+    val nn = rm.values.sum
+    // full grid including zero-observed cells; floor BEFORE the sum
+    val chi2 = (for { t <- ets; d <- dws } yield {
+      val o = BigInt(cells.getOrElse((t, d), 0L))
+      val num = o * nn - BigInt(rm(t)) * cm(d)
+      num * num * 1000000 / (BigInt(nn) * rm(t) * cm(d))
+    }).sum
+    val v = math.sqrt(chi2.toDouble / 1e6 /
+      (nn.toDouble * (math.min(ets.size, dws.size) - 1)))
+    val r = run("agg_cramers_v").collect()(0)
+    assert(r.getLong(0) == nn && r.getLong(1) == ets.size.toLong
+      && r.getLong(2) == dws.size.toLong)
+    assert(r.getLong(3) == chi2.toLong)
+    assert(math.abs(r.getDouble(4) - v) < 1e-6)
+  }
 }
