@@ -1091,10 +1091,13 @@ object TextQueries {
     // measure is self-consistent (no unigram/bigram length mismatch at
     // document edges). Support floor n_ab ≥ 5 kills the
     // one-occurrence-pair noise PMI is notorious for. Scale shape: ONE
-    // token-array scan builds the bigram structs in-place (transform
-    // over the index sequence — no posexplode self-join), then three
-    // hash aggregates; the margin joins are vocab-sized, the total is a
-    // broadcast 1-row cross join. The log ratio is a double from exact
+    // corpus explode feeds ONE hash aggregate to the distinct-bigram
+    // cell table; both margins are then sum-windows over that REDUCED
+    // table (vocab-bounded shuffles, never a corpus re-scan — the naive
+    // margins-from-raw-bigrams plan explodes the corpus three more
+    // times), and the total is an explode-free array-length sum,
+    // broadcast as one row. Support filter runs AFTER the margins, which
+    // must see every bigram. The log ratio is a double from exact
     // integer counts, round(6) + 0.0-canonicalized (a pair at exactly
     // its expected rate rounds to −0.0 from below otherwise).
     "text_collocations" -> { (s, dir) =>
@@ -1106,11 +1109,13 @@ object TextQueries {
             element_at(ts, i + 1).as("b")))).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
       val cell = bg.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
-      val la = bg.groupBy("a").agg(count(lit(1)).as("na"))
-      val rb = bg.groupBy("b").agg(count(lit(1)).as("nb"))
-      val tot = bg.agg(count(lit(1)).as("n"))
-      cell.filter(col("n_ab") >= 5)
-        .join(la, "a").join(rb, "b")
+      val tot = Tables.documents(s, dir)
+        .agg(sum(when(size(ts) >= 2, (size(ts) - 1).cast("long"))
+          .otherwise(0L)).as("n"))
+      cell
+        .withColumn("na", sum(col("n_ab")).over(Window.partitionBy("a")))
+        .withColumn("nb", sum(col("n_ab")).over(Window.partitionBy("b")))
+        .filter(col("n_ab") >= 5)
         .crossJoin(broadcast(tot))
         .select(col("a"), col("b"), col("n_ab"),
           (round(log((col("n_ab").cast("double") * col("n"))
