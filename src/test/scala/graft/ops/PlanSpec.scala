@@ -325,4 +325,16 @@ class PlanSpec extends SparkSuite {
     // i.e. sit inside a whole-stage-codegen region, not a fallback project
     assert("""\*\(\d+\) Project \[va""".r.findFirstIn(p).isDefined, p)
   }
+
+  test("text_collocations explodes the corpus exactly once (margins off the cell table)") {
+    // The PMI margins must come from sum-windows over the REDUCED
+    // distinct-bigram table and the total from an explode-free
+    // array-length scan — the naive plan re-exploded the corpus four
+    // times (measured r12: 3.2 -> 2.9 s at sf0.1). One Generate in the
+    // whole physical plan IS that contract.
+    val p = plan("text_collocations")
+    assert("Generate explode".r.findAllIn(p).length == 1, p)
+    // and both margin windows run over the aggregated cell table
+    assert("Window \\[sum".r.findAllIn(p).length == 2, p)
+  }
 }
