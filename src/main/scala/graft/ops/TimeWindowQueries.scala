@@ -698,6 +698,32 @@ object TimeWindowQueries {
         .agg(count(lit(1)).as("n_users"),
           sum(col("money").cast(d38)).cast("long").as("money_cents"))
         .orderBy("r_score", "f_score", "m_score")
+    },
+
+    // DAU / MAU STICKINESS (r12): daily actives, trailing-28-day
+    // monthly actives, and their ratio — the engagement staple. The
+    // scale-correct shape for a windowed COUNT DISTINCT: collapse the
+    // corpus to the distinct (user, day) table first, then each
+    // user-day CONTRIBUTES ITSELF to the 28 days it keeps the user
+    // "monthly active" for (one explode of a 28-element date sequence —
+    // bounded 28× blowup of the already-reduced table), and MAU is an
+    // ordinary hash countDistinct per day. The naive alternatives both
+    // die at scale: a 28-day range self-join is O(user-days × window)
+    // with a skewed band join, and approx_count_distinct over a sliding
+    // window isn't exact. Active-day output only (inner join with the
+    // DAU side); stickiness in exact ppm through DECIMAL(38,0).
+    "events_dau_mau" -> { (s, dir) =>
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      val dau = ud.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+      val mau = ud.select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 27))).as("day"))
+        .groupBy("day").agg(countDistinct(col("user_id")).as("mau"))
+      dau.join(mau, "day")
+        .select(col("day"), col("dau"), col("mau"),
+          expr("CAST((CAST(dau AS DECIMAL(38,0)) * 1000000) div " +
+            "CAST(mau AS DECIMAL(38,0)) AS BIGINT)").as("stickiness_ppm"))
+        .orderBy("day")
     })
 
   val oracles: Map[String, String] = Map(
@@ -1131,5 +1157,23 @@ object TimeWindowQueries {
         |SELECT r_score, f_score, m_score,
         |       CAST(count(*) AS BIGINT) AS n_users,
         |       CAST(sum(money) AS BIGINT) AS money_cents
-        |FROM nt GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+        |FROM nt GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "events_dau_mau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (
+        |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM ud GROUP BY 1),
+        |sp AS (
+        |  SELECT user_id, day + CAST(o AS INTEGER) AS day
+        |  FROM ud, LATERAL (SELECT unnest(range(0, 28)) AS o)),
+        |mau AS (
+        |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        |  FROM sp GROUP BY 1)
+        |SELECT dau.day AS day, dau.dau, mau.mau,
+        |       CAST((CAST(dau.dau AS HUGEINT) * 1000000) // mau.mau
+        |            AS BIGINT) AS stickiness_ppm
+        |FROM dau JOIN mau ON dau.day = mau.day
+        |ORDER BY day""".stripMargin)
 }

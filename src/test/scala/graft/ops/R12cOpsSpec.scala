@@ -127,4 +127,27 @@ class R12cOpsSpec extends SparkSuite {
     assert(r.getLong(3) == chi2.toLong)
     assert(math.abs(r.getDouble(4) - v) < 1e-6)
   }
+
+  test("events_dau_mau: trailing-28-day actives match the direct window brute force") {
+    val day = 86400000L
+    val ud = events().map(e => (e._3, e._2.getTime / day)).distinct.toSeq
+    val activeDays = ud.map(_._2).distinct.sorted
+    val expected = activeDays.map { d =>
+      val dau = ud.count(_._2 == d).toLong
+      val mau = ud.filter(p => p._2 <= d && p._2 > d - 28).map(_._1).distinct.length.toLong
+      (d, dau, mau, dau * 1000000L / mau)
+    }
+    val got = run("events_dau_mau").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // rows come back ordered by day, so the per-day value tuples must
+    // line up positionally with the epoch-day brute force
+    assert(got.length == expected.length)
+    assert(got.map(_._1) == got.map(_._1).sorted)
+    assert(got.map(g => (g._2, g._3, g._4)) ==
+      expected.map(e => (e._2, e._3, e._4)))
+    // MAU >= DAU always, and early days ramp: first day's MAU == its DAU
+    assert(got.forall(g => g._3 >= g._2))
+    assert(got.head._2 == got.head._3)
+  }
 }
