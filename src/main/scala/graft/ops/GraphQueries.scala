@@ -225,9 +225,11 @@ object GraphQueries {
       val deg = degrees(s, dir)
       // Σ corner credits = 3·T exactly (each triangle credits 3 corners),
       // served from the shared corner-count checkpoint instead of a
-      // second wedge enumeration (r12).
+      // second wedge enumeration (r12). coalesce: on a triangle-free
+      // graph the corner table is empty and sum() is NULL — the
+      // 0-triangles contract (and the DuckDB oracle's count) needs 0.
       val tri = triCorners(s, dir)
-        .agg(expr("sum(tri) div 3").as("n_triangles"))
+        .agg(expr("coalesce(sum(tri), 0) div 3").as("n_triangles"))
       val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
       val nEdges = e.agg(count(lit(1)).as("n_edges"))
       val nWedges = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
@@ -558,12 +560,12 @@ object GraphQueries {
       val adj = bidirectional(edges(s, dir))
         .withColumn("rn", row_number().over(wAdj).cast("long"))
       val deg = degrees(s, dir)
+      // First 16 md5 bits as a long, built from the PASSED column (r13
+      // ADVICE fix — the r12 draft hardcoded "hh" inside expr() strings,
+      // silently ignoring its parameter). conv(hex, 16, 10) is the
+      // nibble-fold in one exact integer step, same value both engines.
       def fold16(h: Column): Column =
-        (expr("instr('0123456789abcdef', substring(hh, 1, 1)) - 1") * 4096
-          + expr("instr('0123456789abcdef', substring(hh, 2, 1)) - 1") * 256
-          + expr("instr('0123456789abcdef', substring(hh, 3, 1)) - 1") * 16
-          + expr("instr('0123456789abcdef', substring(hh, 4, 1)) - 1"))
-          .cast("long")
+        conv(substring(h, 1, 4), 16, 10).cast("long")
       def step(df: DataFrame, from: String, to: String, t: Int): DataFrame =
         df.join(deg.select(col("u").as(from), col("d")), from)
           .withColumn("hh", md5(concat_ws(":", lit("walk"),

@@ -707,10 +707,17 @@ object MiningQueries {
       val repMeans = reps.groupBy("g", "b")
         .agg(sum((col("w") * col("c")).cast(d38)).as("swc"),
           sum(col("w")).as("sw"))
+        // sw = 0 (an all-zero-weight replicate, plausible on tiny arms)
+        // MUST be explicit: a NULL here is dropped by Spark's
+        // collect_list but kept by DuckDB's list(), silently shifting
+        // the ranked elements. Sentinel 0 keeps the sorted array exactly
+        // 32 elements on BOTH engines (conservatively widening the low
+        // bound on a degenerate arm; identical CASE in the oracle).
         .select(col("g"),
           when(col("sw") > 0L,
             expr("(swc * CAST(1000000 AS DECIMAL(38,0))) " +
-              "div CAST(sw AS DECIMAL(38,0))")).as("m_ppm"))
+              "div CAST(sw AS DECIMAL(38,0))"))
+            .otherwise(lit(0L).cast(d38)).as("m_ppm"))
       val fullMean = rows.groupBy("g")
         .agg(sum(col("c").cast(d38)).as("sc"), count(lit(1)).as("n"))
         .select(col("g"), col("n"),
@@ -1152,7 +1159,7 @@ object MiningQueries {
         |  SELECT g,
         |         CASE WHEN sum(w) > 0
         |              THEN (CAST(sum(w * c) AS HUGEINT) * 1000000) // sum(w)
-        |         END AS m_ppm
+        |              ELSE 0 END AS m_ppm
         |  FROM weighted GROUP BY g, b),
         |booted AS (SELECT g, list_sort(list(m_ppm)) AS ms FROM rm GROUP BY g),
         |fa AS (

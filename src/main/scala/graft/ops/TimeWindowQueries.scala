@@ -555,8 +555,12 @@ object TimeWindowQueries {
             .as("mae1_cents"),
           expr("sae7 div CAST(n_eval_days AS DECIMAL(38,0))").cast("long")
             .as("mae7_cents"),
-          expr("(sae7 * CAST(1000000 AS DECIMAL(38,0))) div sae1").cast("long")
-            .as("mase_ppm"))
+          // sae1 = 0 (a flat daily series) must be guarded IDENTICALLY on
+          // both engines: Spark's div returns NULL where DuckDB's //
+          // raises — both sides emit NULL explicitly via the same CASE.
+          when(col("sae1") > lit(0).cast(d38),
+            expr("(sae7 * CAST(1000000 AS DECIMAL(38,0))) div sae1"))
+            .cast("long").as("mase_ppm"))
         .orderBy("event_type")
     },
 
@@ -1064,8 +1068,9 @@ object TimeWindowQueries {
         |            AS BIGINT) AS mae1_cents,
         |       CAST(CAST(sum(abs(b.sc - l7.sc)) AS HUGEINT) // count(*)
         |            AS BIGINT) AS mae7_cents,
-        |       CAST((CAST(sum(abs(b.sc - l7.sc)) AS HUGEINT) * 1000000)
-        |            // sum(abs(b.sc - l1.sc)) AS BIGINT) AS mase_ppm
+        |       CAST(CASE WHEN sum(abs(b.sc - l1.sc)) > 0
+        |            THEN (CAST(sum(abs(b.sc - l7.sc)) AS HUGEINT) * 1000000)
+        |                 // sum(abs(b.sc - l1.sc)) END AS BIGINT) AS mase_ppm
         |FROM daily b
         |JOIN daily l1 ON l1.g = b.g AND l1.day = b.day - 1
         |JOIN daily l7 ON l7.g = b.g AND l7.day = b.day - 7
