@@ -111,15 +111,22 @@ object Bench {
       val vec = Future(safe("vector")(graft.ops.VectorQueries.warmCaches(spark, sfDir)))
       // graph edge index: lineitem-only, disjoint from the text/vector
       // chains, so it warms concurrently too (r10 — seven graph queries
-      // each rebuilt the ~2 s edge set before it was cached)
-      val gra = Future(safe("graph")(graft.ops.GraphQueries.warmCaches(spark, sfDir)) ++
-        safe("mining")(graft.ops.MiningQueries.warmCaches(spark, sfDir)) ++
-        // drift-histogram artifact (r12): the events-value histogram the
-        // three drift statistics serve from
-        safe("drift")(graft.ops.MiningQueries.warmCachesDrift(spark, sfDir)) ++
-        // price-quantile artifact (r11): lineitem-family like graph/mining,
-        // disjoint from the text/vector chains, so it rides this future
-        safe("price_stats")(graft.ops.AdvancedQueries.warmCaches(spark, sfDir)))
+      // each rebuilt the ~2 s edge set before it was cached).
+      // r13: graph / mining / drift / price are MUTUALLY independent
+      // artifact chains (only graph's edges→degrees→corners is a real
+      // dependency) — r12 ran them sequentially in one future and that
+      // serial chain WAS the 59.9 s phase wall (graph 19 s + assoc 11 s +
+      // drift 23 s + price 7 s back to back, each inflated by contention).
+      // Independent futures let the phase wall fall back to the slowest
+      // single chain.
+      val gra = Future(safe("graph")(graft.ops.GraphQueries.warmCaches(spark, sfDir)))
+      val min = Future(safe("mining")(graft.ops.MiningQueries.warmCaches(spark, sfDir)))
+      // drift-histogram artifact (r12): the events-value histogram the
+      // three drift statistics serve from
+      val dri = Future(safe("drift")(graft.ops.MiningQueries.warmCachesDrift(spark, sfDir)))
+      // price-quantile artifact (r11): lineitem-family like graph/mining,
+      // disjoint from the text/vector chains
+      val pri = Future(safe("price_stats")(graft.ops.AdvancedQueries.warmCaches(spark, sfDir)))
       val ded = safe("dedup")(graft.ops.DedupQueries.warmCaches(spark, sfDir)) ++
         safe("text")(graft.ops.TextQueries.warmCaches(spark, sfDir))
       val cur = safe("curation") {
@@ -127,8 +134,8 @@ object Bench {
         CurationPipeline.stages(spark, sfDir) // eager checkpoints, cached
         Seq("curation_stages" -> (System.nanoTime() - t0) / 1e9)
       }
-      ded ++ cur ++ Await.result(vec, Duration.Inf) ++
-        Await.result(gra, Duration.Inf)
+      ded ++ cur ++ Seq(vec, gra, min, dri, pri)
+        .flatMap(Await.result(_, Duration.Inf))
     }
     val indexWallSec = (System.nanoTime() - idxT0) / 1e9
     // MACHINE-SPEED CALIBRATION: identical code benched 71.2 s vs 94.2 s

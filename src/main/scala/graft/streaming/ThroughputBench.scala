@@ -63,11 +63,49 @@ object ThroughputBench {
     sink.stop()
     batch.unpersist()
 
+    // DriftMonitor throughput (r13, ADVICE #4 close-out): the full events
+    // table streamed through the stateful KS monitor in 20 micro-batches —
+    // measures the array-backed histogram merge + precomputed-CDF KS walk
+    // per touching batch, the state churn the r12 advisor flagged.
+    val (driftN, driftSec) = driftThroughput(spark, sfDir)
+
     println(
       s"""{"transform_events":$n,"transform_sec":$transformSec,""" +
         s""""transform_eps":${(n / transformSec).toLong},""" +
         s""""delivered":$delivered,"deliver_sec":$deliverSec,""" +
-        s""""deliver_eps":${(delivered / deliverSec).toLong}}""")
+        s""""deliver_eps":${(delivered / deliverSec).toLong},""" +
+        s""""drift_events":$driftN,"drift_sec":$driftSec,""" +
+        s""""drift_eps":${(driftN / driftSec).toLong}}""")
     spark.stop()
+  }
+
+  /** Events/sec through [[DriftMonitor.monitor]]: every event as an
+    * (event_type, cents) observation, reference = the purchase-arm
+    * histogram (the StreamingDriftSpec topology), 20 micro-batches via
+    * MemoryStream. Returns (events, seconds) excluding setup.
+    */
+  private def driftThroughput(spark: SparkSession, sfDir: String): (Long, Double) = {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .collect()
+    val obs = rows.map(r =>
+      DriftMonitor.Obs(r.getString(0), r.getLong(1)))
+    val ref = obs.filter(_.arm == "purchase").groupBy(_.cents).view
+      .mapValues(_.length.toLong).toMap
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DriftMonitor.Obs]
+    val q = DriftMonitor.monitor(mem.toDS(), ref)
+      .writeStream.outputMode("append").format("noop").start()
+    val t0 = System.nanoTime()
+    try {
+      obs.grouped(math.max(1, obs.length / 20)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    (obs.length.toLong, (System.nanoTime() - t0) / 1e9)
   }
 }
