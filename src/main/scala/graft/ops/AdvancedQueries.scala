@@ -128,9 +128,15 @@ object AdvancedQueries {
 
     // Argmax/argmin via max_by/min_by over a unique combined ordering key
     // (o_totalprice alone can tie; orderkey disambiguates deterministically).
+    // r13: the key is a STRUCT (cents, orderkey), not the r12 packing
+    // cents·10⁸ + orderkey — packing aliases distinct orders once keys
+    // reach 10⁸ (the graph_triangles lesson), exactly the corpus sizes
+    // this engine targets. Struct ordering is lexicographic in both
+    // engines, so values are unchanged wherever the packing was injective.
     "agg_argmax" -> { (s, dir) =>
-      val key = (round(col("o_totalprice") * 100, 0).cast("long") * 100000000L
-        + col("o_orderkey"))
+      val key = struct(
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        col("o_orderkey").as("ok"))
       Tables.orders(s, dir)
         .groupBy("o_orderpriority")
         .agg(
@@ -530,8 +536,8 @@ object AdvancedQueries {
 
     "agg_argmax" ->
       """SELECT o_orderpriority,
-        |       arg_max(o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) * 100000000 + o_orderkey) AS top_order,
-        |       arg_min(o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) * 100000000 + o_orderkey) AS bottom_order,
+        |       max(struct_pack(cents := CAST(round(o_totalprice * 100, 0) AS BIGINT), ok := o_orderkey)).ok AS top_order,
+        |       min(struct_pack(cents := CAST(round(o_totalprice * 100, 0) AS BIGINT), ok := o_orderkey)).ok AS bottom_order,
         |       round(max(o_totalprice), 2) AS top_tp
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 

@@ -167,7 +167,11 @@ object MiningQueries {
     "assoc_item_pairs" -> { (s, dir) =>
       pairSupports(s, dir)
         .select(col("a"), col("b"), col("support"), col("n_a"), col("n_b"),
-          expr("(support * n_orders * 1000000L) div (n_a * n_b)").as("lift_ppm"))
+          // support·n_orders·10⁶ wraps Long at ~3 M orders — the triple
+          // product rides DECIMAL(38,0) (the agg_moments house rule,
+          // r13 OverflowSpec audit); output stays BIGINT.
+          expr("CAST((CAST(support AS DECIMAL(38,0)) * n_orders * 1000000)" +
+            " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("lift_ppm"))
         .orderBy(col("support").desc, col("a"), col("b"))
         .limit(100)
     },
@@ -829,7 +833,8 @@ object MiningQueries {
         |p AS (SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS support
         |      FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2)
         |SELECT a, b, support, ia.n_i AS n_a, ib.n_i AS n_b,
-        |       CAST((support * n_orders * 1000000) // (ia.n_i * ib.n_i) AS BIGINT)
+        |       CAST((CAST(support AS HUGEINT) * n_orders * 1000000)
+        |            // (CAST(ia.n_i AS HUGEINT) * ib.n_i) AS BIGINT)
         |         AS lift_ppm
         |FROM p JOIN ic ia ON p.a = ia.pk JOIN ic ib ON p.b = ib.pk, no
         |ORDER BY support DESC, a, b LIMIT 100""".stripMargin,

@@ -771,7 +771,11 @@ object TextQueries {
         .join(broadcast(uni.withColumnRenamed("cu", "c_y")), col("w2") === col("term"))
         .crossJoin(broadcast(total))
         .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
-          expr("c_xy * n_total * 1000 div (c_x * c_y)").as("lift_m"))
+          // c_xy·n_total·10³ wraps Long past ~3·10⁷ tokens — the triple
+          // product and the c_x·c_y denominator ride DECIMAL(38,0) (the
+          // agg_moments house rule, r13 OverflowSpec audit).
+          expr("CAST((CAST(c_xy AS DECIMAL(38,0)) * n_total * 1000)" +
+            " div (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)").as("lift_m"))
         .orderBy(col("lift_m").desc, col("c_xy").desc, col("bigram"))
         .limit(100)
     },
@@ -1685,7 +1689,8 @@ object TextQueries {
         |  GROUP BY 1
         |), tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM uni)
         |SELECT b.bigram, b.c_xy, x.cu AS c_x, y.cu AS c_y,
-        |       CAST(b.c_xy * t.n_total * 1000 // (x.cu * y.cu) AS BIGINT) AS lift_m
+        |       CAST((CAST(b.c_xy AS HUGEINT) * t.n_total * 1000)
+        |            // (CAST(x.cu AS HUGEINT) * y.cu) AS BIGINT) AS lift_m
         |FROM cb b
         |JOIN uni x ON string_split(b.bigram, ' ')[1] = x.term
         |JOIN uni y ON string_split(b.bigram, ' ')[2] = y.term

@@ -1,0 +1,163 @@
+package graft.ops
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Table-driven audit of every scaled-multiply site on the Long path —
+  * the r12 verdict's ask #6, generalizing the `agg_moments` catch (a
+  * `cents²`-family product that silently wrapped in Spark at sf0.1 while
+  * DuckDB raised): any `× 10³⁺` that feeds a `div`-scaled integer column
+  * must either ride DECIMAL(38,0)/HUGEINT/BigInt (wide arithmetic, caught
+  * by the scan's same-line filter) or carry a STATED row-count/value
+  * bound below which Long cannot wrap.
+  *
+  * The scan greps `src/main/scala` for `* 1000`-and-up multiplies not on
+  * a wide-arithmetic line; every hit must match a table row, every table
+  * row must still match a line (no stale entries), and every `bounded`
+  * row's justification must state a numeric bound. A new scaled multiply
+  * cannot land without declaring its overflow story here.
+  */
+class OverflowSpec extends AnyFunSuite {
+
+  /** classification:
+    *  - "bounded"  Long math, safe below the STATED bound (must be numeric)
+    *  - "double"   the product is double-path (precision, not wrap; operand
+    *               magnitude keeps the product far below 2⁵³)
+    *  - "bigint"   BigInt arithmetic
+    *  - "nondata"  not row-data math (timestamps, config keys, display)
+    */
+  private case class Site(file: String, pattern: String, clazz: String, why: String)
+
+  private val sites = Seq(
+    Site("AnnSweep.scala", "math.rint(v * 1000) / 1000", "nondata",
+      "display rounding of a recall fraction in a log line"),
+    Site("ProductQuant.scala", "* 10000.0) / 10000.0", "double",
+      "centroid component quantization; |x| ~ 1e0 doubles"),
+    Site("CurationRules.scala", "($nStopCol * 10000) div $nToksCol", "bounded",
+      "n_stop <= tokens per document; wraps past 9.2e14 tokens in ONE doc"),
+    Site("DedupQueries.scala", "round(col(\"cos\") * 1000, 0)", "double",
+      "cosine in [-1,1], double path, rounded to milli"),
+    Site("DedupQueries.scala", "CAST(round(cos * 1000, 0) AS BIGINT)", "double",
+      "oracle face of the cosine milli rounding"),
+    Site("GraphQueries.scala", "(n_common * 1000000L) div", "bounded",
+      "n_common <= max degree; wraps past 9.2e12 common neighbors per pair"),
+    Site("GraphQueries.scala", "(n_common * 1000000) //", "bounded",
+      "oracle face; DuckDB additionally raises (never wraps) past 9.2e12"),
+    Site("MiningQueries.scala", "(support * 1000000L) div", "bounded",
+      "support <= n_orders; wraps past 9.2e12 orders"),
+    Site("MiningQueries.scala", "(support * 1000000) //", "bounded",
+      "oracle face of the confidence ppm; raises (never wraps) past 9.2e12"),
+    Site("MiningQueries.scala", "(n * 1000000L) div total", "bounded",
+      "benford: n <= corpus rows; wraps past 9.2e12 rows per (group,digit)"),
+    Site("MiningQueries.scala", "(n * 1000000) // total", "bounded",
+      "oracle face of the benford ppm; raises past 9.2e12"),
+    Site("MiningQueries.scala", "nv := -v)).d * 1000000", "bounded",
+      "changepoint: d is a daily-ledger count; wraps past 9.2e12 rows/day"),
+    Site("RelationalQueries.scala", "300L * 1000000L", "nondata",
+      "compile-time constant: 5-minute as-of band in microseconds"),
+    Site("RelationalQueries.scala", "abs(approx_parts - exact_parts) * 1000000", "bounded",
+      "count difference <= distinct parts; wraps past 9.2e12 distinct keys"),
+    Site("RetrievalQueries.scala", "floor(c * 10000.0 + 0.5) / 10000.0", "double",
+      "score rounding helper; |c| ~ 1e0 doubles"),
+    Site("RetrievalQueries.scala", "w_ns * 10000 div denom_ns", "bounded",
+      "w_ns = round(sqrt(n_docs)*1e9); wraps past ~8.5e11 docs per source"),
+    Site("RetrievalQueries.scala", "w_ns * 10000 // denom_ns", "bounded",
+      "oracle face of the temperature-mix draws; raises past ~8.5e11 docs"),
+    Site("RetrievalQueries.scala", "* 1000000.0", "double",
+      "BM25/NDCG scores scaled on the DOUBLE path then cast; |score| ~ 1e2"),
+    Site("RetrievalQueries.scala", "* 10000.0 + 0.5) / 10000.0", "double",
+      "oracle face of the score rounding; double path"),
+    Site("TextQueries.scala", "(sum_gap * 1000) div n_gaps", "bounded",
+      "sum_gap <= sum of in-doc positions per (source,term); wraps past 9.2e15 position-sum"),
+    Site("TextQueries.scala", "(sum_gap * 1000) // n_gaps", "bounded",
+      "oracle face of the mean gap milli; raises past 9.2e15"),
+    Site("TextQueries.scala", "(n_gaps * sumsq_gap - sum_gap * sum_gap) * 1000", "bounded",
+      "fano product; the query doc states the ~1e13 gap-pairs-per-stratum bound and the DECIMAL(38,0) escape"),
+    Site("TextQueries.scala", "(sum_toks * 100000) div sum_chars", "bounded",
+      "fertility: wraps past 9.2e13 tokens per (lang,source) stratum"),
+    Site("TextQueries.scala", "len(string_split(text, ' '))) * 100000", "bounded",
+      "oracle face of fertility; raises past 9.2e13 tokens per stratum"),
+    Site("TextQueries.scala", "(sum(kept) * 10000) div count(*)", "bounded",
+      "gopher keep-rate: kept <= docs; wraps past 9.2e14 docs"),
+    Site("TextQueries.scala", "(n_stop * 10000) //", "bounded",
+      "oracle face of the stopword bp; n_stop <= doc tokens, raises past 9.2e14"),
+    Site("TextQueries.scala", "THEN 1 ELSE 0 END) * 10000", "bounded",
+      "oracle accept-rate bp: accepted <= docs; raises past 9.2e14 docs"),
+    Site("TimeWindowQueries.scala", "(n * 1000000) div tot", "bounded",
+      "markov: n <= transitions per (src,dst); wraps past 9.2e12 rows"),
+    Site("TimeWindowQueries.scala", "(n * 1000000) // (sum(n) OVER", "bounded",
+      "oracle face of the markov ppm; raises past 9.2e12"),
+    Site("VectorQueries.scala", "* 10000 + 0.5", "double",
+      "embedding component quantization; |x| ~ 1e0 floats on the double path"),
+    Site("VectorQueries.scala", "* 1000 + intConf", "nondata",
+      "codebook cache key packing two small session confs"),
+    Site("Demo.scala", "1700000000000L + s * 1000", "nondata",
+      "demo timestamp construction"),
+    Site("DriftMonitor.scala", "best * 1000000 / (bn1 * bn2)", "bigint",
+      "KS ppm on BigInt cross products (the streaming face of agg_ks_drift)"),
+    Site("DurableQueue.scala", "15 * 60 * 1000", "nondata",
+      "15-minute stale-lease cutoff in milliseconds"),
+    Site("Funnel.scala", "ts.getTime * 1000L", "bounded",
+      "epoch micros from epoch millis; wraps in year 294471 (9.2e18 us)"),
+    Site("PatternMatch.scala", "ts.getTime * 1000L", "bounded",
+      "epoch micros from epoch millis; wraps in year 294471 (9.2e18 us)"),
+    Site("RedisQueue.scala", "timeoutSec * 1000 + 10000", "nondata",
+      "socket timeout in milliseconds"),
+    Site("RedisQueue.scala", "idleTimeoutSec * 1000 + 10000", "nondata",
+      "socket timeout in milliseconds"))
+
+  private val hazard = """\*\s*1(0{3,})(L\b|\.0)?""".r
+  // Wide arithmetic on the same line is the sanctioned escape (the
+  // agg_moments rule): DECIMAL(38,0) on the Spark side, HUGEINT in the
+  // oracle SQL, BigInt in driver/stream kernels.
+  private val wide = """DECIMAL\(38|HUGEINT|BigInt""".r
+
+  private def hazardLines: Seq[(String, Int, String)] = {
+    val root = Paths.get("src/main/scala")
+    Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .toSeq.sortBy(_.toString)
+      .flatMap { p: Path =>
+        Files.readAllLines(p).asScala.zipWithIndex.collect {
+          case (line, i)
+              if hazard.findFirstIn(line).isDefined &&
+                wide.findFirstIn(line).isEmpty &&
+                !line.trim.startsWith("//") && !line.trim.startsWith("*") =>
+            (p.getFileName.toString, i + 1, line)
+        }
+      }
+  }
+
+  test("every scaled multiply on the Long path is classified in the table") {
+    val uncovered = hazardLines.filterNot { case (f, _, line) =>
+      sites.exists(s => s.file == f && line.contains(s.pattern))
+    }
+    assert(uncovered.isEmpty,
+      "unlisted scaled-multiply sites (classify in OverflowSpec.sites — " +
+        "bounded with a stated bound, or route through DECIMAL(38,0)):\n" +
+        uncovered.map { case (f, i, l) => s"  $f:$i: ${l.trim}" }.mkString("\n"))
+  }
+
+  test("every table row still matches a source line (no stale entries)") {
+    val lines = hazardLines
+    val stale = sites.filterNot(s =>
+      lines.exists { case (f, _, line) => f == s.file && line.contains(s.pattern) })
+    assert(stale.isEmpty,
+      s"stale OverflowSpec rows:\n${stale.map(s => s"  ${s.file}: ${s.pattern}").mkString("\n")}")
+  }
+
+  test("every bounded row states a numeric bound") {
+    val unbounded = sites.filter(_.clazz == "bounded")
+      .filterNot(_.why.matches(""".*\d+(\.\d+)?e\d+.*|.*2⁶³.*|.*\d{4,}.*"""))
+    assert(unbounded.isEmpty,
+      s"bounded rows without a stated numeric bound:\n${unbounded.map(_.pattern).mkString("\n")}")
+  }
+
+  test("classifications are from the closed vocabulary") {
+    val bad = sites.filterNot(s => Set("bounded", "double", "bigint", "nondata")(s.clazz))
+    assert(bad.isEmpty, bad.map(_.pattern).mkString(","))
+  }
+}
