@@ -115,18 +115,24 @@ object AdvancedQueries {
       .agg(count(lit(1)).as("n"), sum(col("v").cast(d38)).as("tot"),
         min("v").as("lo"), max("v").as("hi"))
       .localCheckpoint()
+    // Four ranks in ONE selection pass: d / n−d+1 bound the TRIMMED drop
+    // set, d+1 / n−d are the WINSORIZED clamp values (the r13 sibling
+    // query rides the same artifact).
     val ranks = stats
       .select(col("g"), col("n"), expr("n div 20").as("d"))
       .filter(col("d") > 0)
-      .select(col("g"),
-        explode(array(col("d"), col("n") - col("d") + 1)).as("k"))
+      .select(col("g"), explode(array(col("d"), col("d") + 1,
+        col("n") - col("d"), col("n") - col("d") + 1)).as("k"))
+      .distinct()
     val picked = VectorQueries.rankedValuesByGroup(li, stats, ranks)
     picked.join(stats.select("g", "n", "tot"), "g")
       .groupBy("g")
       .agg(min("n").as("n"), min("tot").as("tot"),
         min(expr("n div 20")).as("d"),
         min(when(col("k") === expr("n div 20"), col("v"))).as("vlo"),
-        min(when(col("k") =!= expr("n div 20"), col("v"))).as("vhi"))
+        min(when(col("k") === expr("n div 20") + 1, col("v"))).as("wlo"),
+        min(when(col("k") === col("n") - expr("n div 20"), col("v"))).as("whi"),
+        min(when(col("k") === col("n") - expr("n div 20") + 1, col("v"))).as("vhi"))
   }
 
   private[ops] def trimStats(s: SparkSession, dir: String): DataFrame = {
@@ -334,6 +340,46 @@ object AdvancedQueries {
         .select(col("l_linestatus"), col("n_kept"), col("sum_cents"),
           round(col("sum_cents") / lit(100.0) / col("n_kept"), 4)
             .as("trimmed_mean_r"))
+        .orderBy("l_linestatus")
+    },
+
+    // WINSORIZED MEAN (r13): the clamp-don't-drop sibling of
+    // agg_trimmed_mean — the n/20 smallest observations are REPLACED by
+    // the value at rank d+1 and the n/20 largest by the value at rank
+    // n−d (the estimator metric pipelines prefer when sample SIZE must
+    // stay fixed, e.g. paired comparisons). Rank-clamping equals
+    // value-clamping against those two cutoffs (every rank ≤ d value is
+    // ≤ wlo, so clamping by value touches exactly the rank-trim set up
+    // to ties that contribute identical cents), so the plan is the
+    // trimmed-mean shape exactly: ONE corpus scan against the broadcast
+    // [[trimStats]] artifact (which carries wlo/whi from the same single
+    // selection pass) — winsorized sum = tot + clt·wlo − slt + cgt·whi −
+    // sgt in DECIMAL(38,0), n unchanged. No window, no second scan,
+    // nothing new at 100 TB beyond the scan every aggregate pays.
+    "agg_winsorized_mean" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val li = Tables.lineitem(s, dir).select(
+        col("l_linestatus").as("g"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("v"))
+      li.join(broadcast(trimStats(s, dir)), "g")
+        .groupBy("g")
+        .agg(
+          sum(when(col("v") < col("wlo"), col("v").cast(d38))
+            .otherwise(lit(0).cast(d38))).as("slt"),
+          sum(when(col("v") < col("wlo"), 1L).otherwise(0L)).as("clt"),
+          sum(when(col("v") > col("whi"), col("v").cast(d38))
+            .otherwise(lit(0).cast(d38))).as("sgt"),
+          sum(when(col("v") > col("whi"), 1L).otherwise(0L)).as("cgt"),
+          min(col("wlo")).as("wlo"), min(col("whi")).as("whi"),
+          min(col("n")).as("n"), min(col("tot")).as("tot"))
+        .select(col("g").as("l_linestatus"), col("n"),
+          (col("tot")
+            + col("clt").cast(d38) * col("wlo").cast(d38) - col("slt")
+            + col("cgt").cast(d38) * col("whi").cast(d38) - col("sgt"))
+            .cast("long").as("winsor_cents"))
+        .select(col("l_linestatus"), col("n"), col("winsor_cents"),
+          round(col("winsor_cents") / lit(100.0) / col("n"), 4)
+            .as("winsorized_mean_r"))
         .orderBy("l_linestatus")
     },
 
@@ -639,6 +685,33 @@ object AdvancedQueries {
         |         AS trimmed_mean_r
         |FROM t WHERE rn > n // 20 AND rn <= n - n // 20
         |GROUP BY g ORDER BY g""".stripMargin,
+
+    "agg_winsorized_mean" ->
+      """WITH t AS (
+        |  SELECT l_linestatus AS g,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        |         row_number() OVER (
+        |           PARTITION BY l_linestatus
+        |           ORDER BY CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),
+        |                    l_orderkey, l_linenumber) AS rn,
+        |         count(*) OVER (PARTITION BY l_linestatus) AS n
+        |  FROM lineitem),
+        |cuts AS (
+        |  SELECT g, min(n) AS n,
+        |         min(CASE WHEN rn = n // 20 + 1 THEN cents END) AS wlo,
+        |         min(CASE WHEN rn = n - n // 20 THEN cents END) AS whi
+        |  FROM t WHERE n // 20 > 0 GROUP BY g)
+        |SELECT t.g AS l_linestatus, c.n,
+        |       CAST(sum(CAST(CASE WHEN t.cents < c.wlo THEN c.wlo
+        |                          WHEN t.cents > c.whi THEN c.whi
+        |                          ELSE t.cents END AS HUGEINT)) AS BIGINT)
+        |         AS winsor_cents,
+        |       round(CAST(sum(CASE WHEN t.cents < c.wlo THEN c.wlo
+        |                           WHEN t.cents > c.whi THEN c.whi
+        |                           ELSE t.cents END) AS DOUBLE) / 100.0 / c.n, 4)
+        |         AS winsorized_mean_r
+        |FROM t JOIN cuts c ON t.g = c.g
+        |GROUP BY t.g, c.n ORDER BY t.g""".stripMargin,
 
     "agg_mad_outliers" ->
       s"""WITH med AS (

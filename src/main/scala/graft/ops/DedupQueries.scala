@@ -862,6 +862,33 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // CLUSTER-SIZE CENSUS (r13): the duplication-structure readout over
+    // the verified near-dup components — how many clusters of each size,
+    // how many documents they hold, and the singleton mass (docs in no
+    // cluster). This is the number a dedup pass is judged by before any
+    // row is dropped ("how much of the corpus is duplicated, and in what
+    // shape — many pairs or a few giant clusters?"), and the giant-
+    // cluster tail is the operational alarm (boilerplate/template
+    // explosions show up as one huge component). Reads the SAME
+    // session-cached component labels the other component consumers use
+    // (one label-prop fixpoint per session); everything after is ≤|docs|
+    // group-bys collapsing to a ≤|distinct sizes| histogram + one
+    // broadcast 1-row total. Nothing new at 100 TB.
+    "dedup_cluster_stats" -> { (s, dir) =>
+      val comp = componentsJaccard(s, dir, 0.5)
+      val dist = comp.groupBy("comp").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      val totals = Tables.documents(s, dir).agg(count(lit(1)).as("nd"))
+        .crossJoin(broadcast(comp.agg(count(lit(1)).as("nc"))))
+      val singles = totals.select(lit(1L).as("sz"),
+        (col("nd") - col("nc")).as("n_clusters"))
+      dist.select(col("sz"), col("n_clusters")).union(singles)
+        .groupBy("sz").agg(sum(col("n_clusters")).as("n_clusters"))
+        .select(col("sz").as("cluster_size"), col("n_clusters"),
+          (col("sz") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size")
+    },
+
     // CONTAINMENT near-dup (asymmetric): pairs where doc A's shingle set is
     // mostly inside doc B's — C(A→B) = |A∩B| / |A| ≥ 0.8. This is the
     // partial-duplication detector (quotation, excerpting, page-within-page)
@@ -1201,6 +1228,48 @@ object DedupQueries {
         |)
         |SELECT u AS doc_id, min(r) AS component
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same component construction as dedup_components, aggregated to the
+    // cluster-size census (singletons = documents outside every cluster).
+    "dedup_cluster_stats" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(ts) - 1),
+        |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+        |  FROM toks
+        |), card AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nc FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT x.doc_id AS da, y.doc_id AS db, CAST(count(*) AS BIGINT) AS ni
+        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT da, db FROM inter
+        |  JOIN card ca ON ca.doc_id = da JOIN card cb ON cb.doc_id = db
+        |  WHERE round(CAST(ni AS DOUBLE) / (ca.nc + cb.nc - ni), 3) >= 0.5
+        |), edges AS (
+        |  SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs
+        |), reach(u, r) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u
+        |), comp AS (
+        |  SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY 1
+        |), dist AS (
+        |  SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM (
+        |    SELECT component, CAST(count(*) AS BIGINT) AS sz
+        |    FROM comp GROUP BY 1) GROUP BY 1
+        |  UNION ALL
+        |  SELECT 1 AS sz,
+        |         (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp)
+        |)
+        |SELECT sz AS cluster_size,
+        |       CAST(sum(n_clusters) AS BIGINT) AS n_clusters,
+        |       CAST(sum(sz * n_clusters) AS BIGINT) AS n_docs
+        |FROM dist GROUP BY 1 ORDER BY 1""".stripMargin,
     // Exhaustive all-pairs over shingles — the prefix-filtered Spark plan
     // must produce exactly this (prefix filtering is lossless for J >= t).
     "dedup_jaccard_prefix" ->

@@ -47,6 +47,28 @@ object MultimodalQueries {
         .orderBy("media_id")
     },
 
+    // MEDIA DEDUP (r13): duplicate detection over the OPAQUE payloads —
+    // the media face of dedup_exact, bucketed the way a real pipeline
+    // does it: content-prefix digest first (a 16-byte slice is the cheap
+    // discriminator that avoids hashing petabytes of full payloads per
+    // candidate; collisions are verified downstream), scoped per
+    // modality. Emits clusters of ≥ 2 members with the representative
+    // (min media_id) and total byte mass. Scale shape: the digest is
+    // computed map-side from a bounded slice, the shuffle keys on
+    // (modality, 32-byte digest) — fixed width, never the payload — and
+    // the payload column itself never crosses an exchange.
+    "mm_dedup" -> { (s, dir) =>
+      Multimodal.mediaTable(s, dir).toDF()
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          sha2(expr("substring(content, 1, 16)"), 256).as("prefix_sha"))
+        .groupBy("modality", "prefix_sha")
+        .agg(count(lit(1)).as("n_members"),
+          min(col("media_id")).as("rep_id"),
+          sum(col("n_bytes")).as("total_bytes"))
+        .filter(col("n_members") >= 2)
+        .orderBy("modality", "rep_id")
+    },
+
     // Histogram features: raw bin counts (ints — exactly comparable; the
     // L1-normalized float vector is `featureStub`, property-tested).
     "mm_features" -> { (s, dir) =>
@@ -88,6 +110,16 @@ object MultimodalQueries {
         |       CAST(ascii(text[1]) AS INT) AS first_frame,
         |       CAST(ascii(text[CAST((length(text) - 1) // 7 * 7 + 1 AS INT)]) AS INT) AS last_frame
         |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin,
+
+    "mm_dedup" ->
+      s"""SELECT $modalitySql AS modality,
+         |       sha256(substr(text, 1, 16)) AS prefix_sha,
+         |       CAST(count(*) AS BIGINT) AS n_members,
+         |       min(doc_id) AS rep_id,
+         |       CAST(sum(length(text)) AS BIGINT) AS total_bytes
+         |FROM documents
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY modality, rep_id""".stripMargin,
 
     "mm_features" ->
       """SELECT doc_id AS media_id,

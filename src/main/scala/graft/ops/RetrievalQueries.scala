@@ -121,6 +121,43 @@ object RetrievalQueries {
     // boundaries systematically, and Spark's BigDecimal HALF_UP disagrees
     // with DuckDB's round() there — a shared floor-based convention is
     // deterministic because floor and the +,*,/ feeding it are exact IEEE.
+    // DATA CARD (r13): the per-source release summary every curated
+    // corpus ships with — documents, exact token total, mean tokens
+    // (milli), language spread (count + dominant language with a
+    // deterministic count-then-name tie-break), and the exact-duplicate
+    // rate in basis points (docs whose md5(text) appears ≥ 2× within the
+    // source). One row per source, assembled from three independent
+    // per-source aggregates JOINED on the tiny source dimension — each
+    // is one map-side-combined pass (the md5 leg keys on (source,
+    // digest): fixed-width keys, no text shuffle), so the card costs
+    // three linear scans and nothing quadratic at any corpus size. The
+    // dominant language is min(struct(-cnt, lang)) — an aggregate, not a
+    // window. Ratios ride DECIMAL(38,0).
+    "pipeline_data_card" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val docs = Tables.documents(s, dir)
+      val base = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks).cast(d38)).cast("long").as("n_tokens"))
+      val langs = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_langs"),
+          min(struct((-col("c")).as("nc"), col("lang"))).getField("lang")
+            .as("top_lang"))
+      val dups = docs.select(col("source"), md5(col("text")).as("h"))
+        .groupBy("source", "h").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_docs"))
+      base.join(langs, "source").join(dups, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000) div " +
+            "CAST(n_docs AS DECIMAL(38,0)) AS BIGINT)").as("mean_tokens_milli"),
+          col("n_langs"), col("top_lang"), col("n_dup_docs"),
+          expr("CAST((CAST(n_dup_docs AS DECIMAL(38,0)) * 10000) div " +
+            "CAST(n_docs AS DECIMAL(38,0)) AS BIGINT)").as("dup_bp"))
+        .orderBy("source")
+    },
+
     "pipeline_quality_classifier" -> { (s, dir) =>
       def r4(c: org.apache.spark.sql.Column) =
         floor(c * 10000.0 + 0.5) / 10000.0
@@ -279,6 +316,32 @@ object RetrievalQueries {
         |FROM v a JOIN v b ON a.w < b.w
         |WHERE levenshtein(a.w, b.w) <= 2
         |ORDER BY wa, wb""".stripMargin,
+
+    "pipeline_data_card" ->
+      """WITH base AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |langs AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+        |         min(struct_pack(nc := -c, lang := lang)).lang AS top_lang
+        |  FROM (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |        FROM documents GROUP BY 1, 2) GROUP BY 1),
+        |dups AS (
+        |  SELECT source,
+        |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |           AS n_dup_docs
+        |  FROM (SELECT source, md5(text) AS h, CAST(count(*) AS BIGINT) AS c
+        |        FROM documents GROUP BY 1, 2) GROUP BY 1)
+        |SELECT b.source, b.n_docs, b.n_tokens,
+        |       CAST((CAST(b.n_tokens AS HUGEINT) * 1000) // b.n_docs AS BIGINT)
+        |         AS mean_tokens_milli,
+        |       l.n_langs, l.top_lang, d.n_dup_docs,
+        |       CAST((CAST(d.n_dup_docs AS HUGEINT) * 10000) // b.n_docs
+        |            AS BIGINT) AS dup_bp
+        |FROM base b JOIN langs l ON b.source = l.source
+        |JOIN dups d ON b.source = d.source
+        |ORDER BY b.source""".stripMargin,
 
     "pipeline_quality_classifier" ->
       """WITH f AS (

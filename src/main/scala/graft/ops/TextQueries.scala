@@ -1087,6 +1087,35 @@ object TextQueries {
         .orderBy("b")
     },
 
+    // VOCABULARY OVERLAP (r13): pairwise Jaccard of per-source
+    // vocabularies — the corpus-composition readout that tells a mixing
+    // pipeline which sources are lexically redundant vs complementary
+    // (high overlap → diminishing returns from adding both; the
+    // cross-source face of dedup's document-level Jaccard). Exact ppm:
+    // |A∩B| from ONE equi-join on term of the distinct (source, term)
+    // table, margins from its per-source counts — each term fans out to
+    // ≤|sources| rows after the distinct-collapse, so candidates are
+    // bounded by vocab·sources², never corpus². Vocab is
+    // Heaps'-law-bounded, the source dimension is small by nature, and
+    // the join keys are strings Spark hash-partitions — nothing here
+    // changes shape at 100 TB. Products ride DECIMAL(38,0).
+    "text_vocab_overlap" -> { (s, dir) =>
+      val vocab = Tables.documents(s, dir)
+        .select(col("source"), explode(toks).as("term")).distinct()
+      val sizes = vocab.groupBy("source").agg(count(lit(1)).as("nv"))
+      val inter = vocab.select(col("source").as("sa"), col("term"))
+        .join(vocab.select(col("source").as("sb"), col("term")), "term")
+        .filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("ni"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("sa"), col("nv").as("na"))), "sa")
+        .join(broadcast(sizes.select(col("source").as("sb"), col("nv").as("nb"))), "sb")
+        .select(col("sa"), col("sb"), col("ni"), col("na"), col("nb"),
+          expr("CAST((CAST(ni AS DECIMAL(38,0)) * 1000000) div " +
+            "CAST(na + nb - ni AS DECIMAL(38,0)) AS BIGINT)").as("jaccard_ppm"))
+        .orderBy("sa", "sb")
+    },
+
     // PMI COLLOCATIONS (r12): which adjacent word pairs co-occur far
     // more than their token frequencies predict — the classic
     // collocation-mining statistic (Church & Hanks) over the BIGRAM
@@ -1862,6 +1891,22 @@ object TextQueries {
         |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
         |FROM p WHERE rn <= quota
         |GROUP BY source, n_s, quota ORDER BY source""".stripMargin,
+
+    "text_vocab_overlap" ->
+      """WITH vocab AS (
+        |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |sizes AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS nv FROM vocab GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS ni
+        |  FROM vocab a JOIN vocab b ON a.term = b.term AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa, sb, ni, x.nv AS na, y.nv AS nb,
+        |       CAST((CAST(ni AS HUGEINT) * 1000000) // (x.nv + y.nv - ni)
+        |            AS BIGINT) AS jaccard_ppm
+        |FROM inter JOIN sizes x ON x.source = sa JOIN sizes y ON y.source = sb
+        |ORDER BY sa, sb""".stripMargin,
 
     "text_heaps_law" ->
       """WITH tk AS (

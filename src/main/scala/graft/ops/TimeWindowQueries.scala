@@ -735,6 +735,71 @@ object TimeWindowQueries {
           expr("CAST((CAST(dau AS DECIMAL(38,0)) * 1000000) div " +
             "CAST(mau AS DECIMAL(38,0)) AS BIGINT)").as("stickiness_ppm"))
         .orderBy("day")
+    },
+
+    // POWER-USER HISTOGRAM (r13): the engagement-concentration readout —
+    // per DISTINCT-ACTIVE-DAY count: how many users sit at that
+    // engagement level, their revenue, and exact ppm shares of users and
+    // money (the "do the most-active users carry the revenue" question
+    // every growth/monetization review starts with). The histogram keys
+    // on the exact active-day count, so the output is bounded by the
+    // CALENDAR-DAY domain regardless of corpus or user count — the
+    // drift-histogram bound. Scale shape: one user aggregate (the
+    // dau_mau kernel: countDistinct(day) rides the per-user hash
+    // aggregate), one ≤|days| histogram aggregate, one broadcast 1-row
+    // total — no window anywhere. Shares ride DECIMAL(38,0).
+    "events_power_users" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      val per = ev.groupBy("user_id")
+        .agg(countDistinct(col("day")).as("days_active"),
+          sum(col("c").cast(d38)).as("money"))
+      val tot = per.agg(count(lit(1)).as("nu"),
+        sum(col("money")).as("tm"))
+      per.groupBy("days_active")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("money")).cast("long").as("money_cents"))
+        .crossJoin(broadcast(tot))
+        .select(col("days_active"), col("n_users"), col("money_cents"),
+          expr("CAST((CAST(n_users AS DECIMAL(38,0)) * 1000000) div " +
+            "CAST(nu AS DECIMAL(38,0)) AS BIGINT)").as("users_ppm"),
+          expr("CAST((CAST(money_cents AS DECIMAL(38,0)) * 1000000) div tm " +
+            "AS BIGINT)").as("money_ppm"))
+        .orderBy("days_active")
+    },
+
+    // CUSUM DRIFT MONITOR (r13): the page-style change detector over the
+    // per-arm daily revenue ledger — S_t = max(0, S_{t−1} + (x_t −
+    // target)) with target = the arm's mean daily cents (total div
+    // n_days, exact). The reset-at-zero recurrence is NOT a plain window
+    // fold, but the classic prefix identity makes it one: with P_t the
+    // prefix sum of deviations, S_t = P_t − min(0, min_{j≤t} P_j) — two
+    // cumulative windows over the arms×days DOMAIN ledger (bounded like
+    // every ts_* sibling: the windows partition per arm over ≤ a few
+    // hundred day rows, never data). Integer cents end to end; alarm =
+    // S_t exceeding the arm's own target (one mean day of excess).
+    "ts_cusum" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type").as("g"), col("ts").cast("date").as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("sc"))
+      val tgt = daily.groupBy("g")
+        .agg(expr("CAST(sum(CAST(sc AS DECIMAL(38,0))) div count(*) AS BIGINT)")
+          .as("target"))
+      val w = Window.partitionBy("g").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily.join(broadcast(tgt), "g")
+        .withColumn("p", sum((col("sc") - col("target")).cast(d38)).over(w))
+        .withColumn("cusum",
+          (col("p") - least(lit(0).cast(d38), min(col("p")).over(w)))
+            .cast("long"))
+        .select(col("g").as("event_type"), col("day"), col("sc").as("cents"),
+          col("cusum").as("cusum_cents"),
+          (col("cusum") > col("target")).as("alarm"))
+        .orderBy("event_type", "day")
     })
 
   val oracles: Map[String, String] = Map(
@@ -1187,5 +1252,50 @@ object TimeWindowQueries {
         |       CAST((CAST(dau.dau AS HUGEINT) * 1000000) // mau.mau
         |            AS BIGINT) AS stickiness_ppm
         |FROM dau JOIN mau ON dau.day = mau.day
-        |ORDER BY day""".stripMargin)
+        |ORDER BY day""".stripMargin,
+
+    "events_power_users" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |         CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_active,
+        |         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS money
+        |  FROM events GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nu,
+        |         CAST(sum(money) AS HUGEINT) AS tm FROM per)
+        |SELECT days_active,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(money) AS BIGINT) AS money_cents,
+        |       CAST((CAST(count(*) AS HUGEINT) * 1000000) // nu AS BIGINT)
+        |         AS users_ppm,
+        |       CAST((CAST(sum(money) AS HUGEINT) * 1000000) // tm AS BIGINT)
+        |         AS money_ppm
+        |FROM per, tot GROUP BY days_active, nu, tm ORDER BY days_active""".stripMargin,
+
+    "ts_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS sc
+        |  FROM events GROUP BY 1, 2),
+        |tgt AS (
+        |  SELECT g, CAST(CAST(sum(sc) AS HUGEINT) // count(*) AS BIGINT)
+        |           AS target
+        |  FROM daily GROUP BY 1),
+        |p AS (
+        |  SELECT d.g, d.day, d.sc, t.target,
+        |         sum(CAST(d.sc - t.target AS HUGEINT)) OVER w AS p
+        |  FROM daily d JOIN tgt t ON d.g = t.g
+        |  WINDOW w AS (PARTITION BY d.g ORDER BY d.day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c AS (
+        |  SELECT g, day, sc, target,
+        |         CAST(p - least(CAST(0 AS HUGEINT), min(p) OVER w)
+        |              AS BIGINT) AS cusum
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY g ORDER BY day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT g AS event_type, day, sc AS cents, cusum AS cusum_cents,
+        |       cusum > target AS alarm
+        |FROM c ORDER BY event_type, day""".stripMargin)
 }

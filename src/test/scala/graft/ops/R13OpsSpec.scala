@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSuite, Tables}
+
+/** Semantic properties of the round-13 batch operators: winsorized means,
+  * CUSUM monitors, engagement histograms, vocabulary overlap, cluster
+  * censuses, data cards and media dedup. The DuckDB oracle proves value
+  * equality against an independent engine; these pin each operator
+  * against an in-memory brute force that shares no code with the
+  * distributed plan.
+  */
+class R13OpsSpec extends SparkSuite {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("agg_winsorized_mean: equals the clamp-by-rank brute force, n unchanged") {
+    val cents = Tables.lineitem(spark, sfDir)
+      .select(col("l_linestatus"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).sorted }
+    val got = run("agg_winsorized_mean").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    cents.foreach { case (g, sorted) =>
+      val n = sorted.length
+      val d = n / 20
+      if (d > 0) {
+        val wlo = sorted(d) // rank d+1, 0-indexed
+        val whi = sorted(n - d - 1) // rank n−d
+        val win = sorted.map(v => math.max(wlo, math.min(whi, v))).sum
+        assert(got(g) == ((n.toLong, win)), s"group $g")
+      }
+    }
+    // winsorizing keeps every row: n is the raw group size
+    assert(got.values.map(_._1).sum ==
+      cents.values.map(_.length.toLong).sum)
+  }
+
+  test("ts_cusum: matches the sequential max(0, s + dev) fold per arm") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("sc"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val got = run("ts_cusum").collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate) ->
+        (r.getLong(3), r.getBoolean(4))).toMap
+    daily.groupBy(_._1).foreach { case (arm, rows) =>
+      val seq0 = rows.sortBy(_._2.toEpochDay)
+      val target = seq0.map(x => BigInt(x._3)).sum / seq0.length
+      var s = BigInt(0)
+      seq0.foreach { case (_, day, sc) =>
+        s = (s + (BigInt(sc) - target)).max(0)
+        val (cusum, alarm) = got((arm, day))
+        assert(BigInt(cusum) == s, s"$arm $day")
+        assert(alarm == (s > target), s"$arm $day alarm")
+      }
+    }
+  }
+
+  test("events_power_users: histogram equals the per-user brute force; shares sum to ~1e6") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date").as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    // .toSeq BEFORE the map — mapping a Map to (da, money) pairs would
+    // silently deduplicate users that share both values
+    val per = ev.groupBy(_._1).toSeq.map { case (_, rows) =>
+      (rows.map(_._2).distinct.size.toLong, rows.map(x => BigInt(x._3)).sum)
+    }
+    val want = per.groupBy(_._1).map { case (da, us) =>
+      da -> (us.size.toLong, us.map(_._2).sum)
+    }
+    val got = run("events_power_users").collect()
+    assert(got.map(_.getLong(0)).toSet == want.keySet)
+    got.foreach { r =>
+      val (nu, money) = want(r.getLong(0))
+      assert(r.getLong(1) == nu && BigInt(r.getLong(2)) == money, r.toString)
+    }
+    // ppm shares are floor-divided — they sum to 1e6 within the bucket count
+    val ppmSum = got.map(_.getLong(3)).sum
+    assert(ppmSum <= 1000000L && ppmSum > 1000000L - got.length, s"ppm $ppmSum")
+  }
+
+  test("text_vocab_overlap: every pair matches exact set Jaccard") {
+    val vocab = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").map(t => (r.getString(0), t)))
+      .groupBy(_._1).map { case (s0, ts) => s0 -> ts.map(_._2).toSet }
+    val got = run("text_vocab_overlap").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (a, b) = (vocab(r.getString(0)), vocab(r.getString(1)))
+      val ni = (a & b).size.toLong
+      assert(r.getLong(2) == ni, r.toString)
+      assert(r.getLong(5) == ni * 1000000L / (a.size + b.size - ni), r.toString)
+    }
+    // all source pairs with nonzero overlap are present
+    val pairs = vocab.keys.toSeq.sorted.combinations(2)
+      .count { case Seq(x, y) => (vocab(x) & vocab(y)).nonEmpty }
+    assert(got.length == pairs)
+  }
+
+  test("dedup_cluster_stats: census is a partition of the corpus") {
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val rows = run("dedup_cluster_stats").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == nDocs, "census must cover every document")
+    rows.foreach { case (sz, nc, nd) => assert(nd == sz * nc, s"size $sz") }
+    // clusters proper (size >= 2) agree with the components query
+    val comp = run("dedup_components").collect().map(_.getLong(1))
+    val sizes = comp.groupBy(identity).values.map(_.length.toLong)
+      .groupBy(identity).map { case (sz, xs) => sz -> xs.size.toLong }
+    rows.filter(_._1 >= 2).foreach { case (sz, nc, _) =>
+      assert(sizes.getOrElse(sz, 0L) == nc, s"size $sz")
+    }
+  }
+
+  test("pipeline_data_card: one source recomputed by hand matches") {
+    val card = run("pipeline_data_card").collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(card.map(_.getString(0)).toSet == docs.map(_._1).toSet)
+    val src = card.head.getString(0)
+    val mine = docs.filter(_._1 == src)
+    val row = card.head
+    assert(row.getLong(1) == mine.length.toLong)
+    assert(row.getLong(2) == mine.map(_._3.split(" ").length.toLong).sum)
+    val langCounts = mine.groupBy(_._2).map { case (l, xs) => l -> xs.length }
+    val top = langCounts.toSeq.map { case (l, c) => (-c, l) }.min._2
+    assert(row.getLong(4) == langCounts.size.toLong)
+    assert(row.getString(5) == top)
+    val dup = mine.groupBy(_._3).values.filter(_.length > 1).map(_.length).sum
+    assert(row.getLong(6) == dup.toLong)
+  }
+
+  test("mm_dedup: clusters are >= 2 members sharing a modality+prefix, disjoint reps") {
+    val rows = run("mm_dedup").collect()
+    assert(rows.forall(_.getLong(2) >= 2L))
+    // brute force: group docs by (doc_id % 3 modality, 16-byte prefix)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val clusters = docs.groupBy { case (id, t) =>
+      (id % 3, t.take(16))
+    }.values.filter(_.length > 1).toSeq
+    assert(rows.length == clusters.size)
+    assert(rows.map(_.getLong(3)).toSet ==
+      clusters.map(_.map(_._1).min).toSet)
+  }
+}
