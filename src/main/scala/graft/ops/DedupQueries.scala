@@ -736,6 +736,34 @@ object DedupQueries {
       jaccardPairsPrefix(s, dir, 0.5).orderBy("da", "db")
     },
 
+    // THRESHOLD SWEEP (r13): the dedup-tuning curve — at each candidate
+    // Jaccard threshold (0.5 … 0.9), how many verified pairs survive and
+    // how many distinct documents they touch. This is the readout that
+    // picks the production threshold (too low → false merges, too high →
+    // missed dups), computed from the SAME cached verified-pair set the
+    // whole Jaccard family reads (the t = 0.5 prefix-filter set is a
+    // superset of every stricter threshold, so one pair materialization
+    // serves the entire curve — no re-scan per point). Comparisons run
+    // on round(j·1000) integer millis, identical in both engines; the
+    // sweep is a 5× explode of a pair table that is itself tiny relative
+    // to the corpus. n_docs is countDistinct over the pairs' endpoints —
+    // pair-set-sized, never corpus-sized.
+    "pipeline_dedup_rate_curve" -> { (s, dir) =>
+      val pairs = jaccardPairsPrefix(s, dir, 0.5)
+        .select(col("da"), col("db"),
+          round(col("jaccard") * 1000, 0).cast("long").as("milli"))
+      pairs
+        .select(col("da"), col("db"), col("milli"),
+          explode(array((5 to 9).map(t => lit(t * 100L)): _*)).as("thr"))
+        .filter(col("milli") >= col("thr"))
+        .select(col("thr"), col("da"), col("db"),
+          explode(array(col("da"), col("db"))).as("doc"))
+        .groupBy("thr")
+        .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+          countDistinct(col("doc")).as("n_docs"))
+        .orderBy("thr")
+    },
+
     // Embedding-cosine near-dup, exact variant (oracle yes): all pairs above
     // the similarity threshold. This is the deliberately O(n²) EXACTNESS
     // BASELINE — the recall yardstick dedup_near_cosine_lsh (same oracle,
@@ -1270,6 +1298,39 @@ object DedupQueries {
         |       CAST(sum(n_clusters) AS BIGINT) AS n_clusters,
         |       CAST(sum(sz * n_clusters) AS BIGINT) AS n_docs
         |FROM dist GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The same all-pairs construction, swept across thresholds.
+    "pipeline_dedup_rate_curve" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), tok AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(ts) - 1),
+        |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS tok
+        |  FROM toks
+        |), card AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS ni
+        |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), m AS (
+        |  SELECT da, db,
+        |         CAST(round(round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 3)
+        |              * 1000, 0) AS BIGINT) AS milli
+        |  FROM inter JOIN card ca ON ca.doc_id = da
+        |  JOIN card cb ON cb.doc_id = db
+        |  WHERE round(CAST(ni AS DOUBLE) / (ca.n + cb.n - ni), 3) >= 0.5
+        |), hits AS (
+        |  SELECT t.thr, m.da, m.db
+        |  FROM m, (SELECT unnest([500, 600, 700, 800, 900]) AS thr) t
+        |  WHERE m.milli >= t.thr)
+        |SELECT CAST(thr AS BIGINT) AS thr,
+        |       CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+        |       CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+        |FROM (SELECT thr, unnest([da, db]) AS doc FROM hits)
+        |GROUP BY thr ORDER BY thr""".stripMargin,
+
     // Exhaustive all-pairs over shingles — the prefix-filtered Spark plan
     // must produce exactly this (prefix filtering is lossless for J >= t).
     "dedup_jaccard_prefix" ->

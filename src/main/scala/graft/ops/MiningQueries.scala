@@ -237,6 +237,52 @@ object MiningQueries {
     // against Benford's law. The digit comes from the INTEGER-CENTS
     // string (integer→string is canonical in both engines; a double
     // log10 would mis-floor at exact powers of ten), the observed share
+    // RAKING / IPF (r13): iterative proportional fitting of the
+    // (event_type × weekday) contingency table to UNIFORM target
+    // marginals — the survey-weighting / label-rebalancing primitive
+    // (adjust cell weights so every arm and every weekday carries equal
+    // mass without destroying the table's interaction structure). Two
+    // full row+column rounds unrolled into a static plan (the emb_kmeans
+    // discipline); every scale/divide is exact DECIMAL(38,0) integer
+    // arithmetic with floor division, so both engines walk the identical
+    // fixed-point trajectory — no float ever enters. Weekday is epoch-day
+    // mod 7 (engine-portable; no locale-dependent dayofweek). Scale
+    // shape: ONE corpus aggregate to the |arms|×7 ledger; all four
+    // marginal-scaling windows partition over ≤ 7-row frames of that
+    // ledger. The raked weight stays in count·10⁶ units (raked_us).
+    "agg_raking" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cells = graft.Tables.events(s, dir)
+        .select(col("event_type").as("et"),
+          pmod(datediff(col("ts").cast("date"), lit("1970-01-01")), lit(7))
+            .cast("long").as("wd"))
+        .groupBy("et", "wd").agg(count(lit(1)).as("c"))
+      val tot = cells.agg(sum(col("c")).as("t"),
+        countDistinct(col("et")).as("nr"), countDistinct(col("wd")).as("ncl"))
+      val wr = Window.partitionBy("et")
+      val wc = Window.partitionBy("wd")
+      cells.crossJoin(broadcast(tot))
+        .withColumn("w0", expr("CAST(c AS DECIMAL(38,0)) * 1000000"))
+        .withColumn("tr", expr("(CAST(t AS DECIMAL(38,0)) * 1000000) div nr"))
+        .withColumn("tc", expr("(CAST(t AS DECIMAL(38,0)) * 1000000) div ncl"))
+        // Spark's `div` yields BIGINT, so every product below must be
+        // LIFTED back to DECIMAL(38,0) before multiplying — w1·tc as
+        // Long×Long wraps at exactly sf0.1 magnitudes (caught by the
+        // sf0.1 sweep; the OverflowSpec literal scan can't see a
+        // column×column product).
+        .withColumn("rs1", sum(col("w0")).over(wr))
+        .withColumn("w1", expr("(w0 * tr) div rs1"))
+        .withColumn("cs1", sum(col("w1")).over(wc))
+        .withColumn("w2", expr("(CAST(w1 AS DECIMAL(38,0)) * tc) div cs1"))
+        .withColumn("rs2", sum(col("w2")).over(wr))
+        .withColumn("w3", expr("(CAST(w2 AS DECIMAL(38,0)) * tr) div rs2"))
+        .withColumn("cs2", sum(col("w3")).over(wc))
+        .withColumn("w4", expr("(CAST(w3 AS DECIMAL(38,0)) * tc) div cs2"))
+        .select(col("et").as("event_type"), col("wd").as("weekday"),
+          col("c").as("n"), col("w4").cast("long").as("raked_us"))
+        .orderBy("event_type", "weekday")
+    },
+
     // is exact integer ppm, and the Benford expectation is a literal
     // per-digit table (log10(1+1/d) pre-rounded to ppm) so no
     // transcendental function crosses the oracle. One map-side-combined
@@ -1140,6 +1186,32 @@ object MiningQueries {
         |SELECT g AS event_type, min(n) AS n,
         |       CAST(sum(t_ns) // min(sv) AS BIGINT) AS theil_ns
         |FROM t GROUP BY g ORDER BY event_type""".stripMargin,
+
+    "agg_raking" ->
+      """WITH cells AS (
+        |  SELECT event_type AS et,
+        |         CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS BIGINT)
+        |           AS wd,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS t,
+        |         CAST(count(DISTINCT et) AS BIGINT) AS nr,
+        |         CAST(count(DISTINCT wd) AS BIGINT) AS ncl
+        |  FROM cells),
+        |b AS (
+        |  SELECT et, wd, c,
+        |         CAST(c AS HUGEINT) * 1000000 AS w0,
+        |         (CAST(t AS HUGEINT) * 1000000) // nr AS tr,
+        |         (CAST(t AS HUGEINT) * 1000000) // ncl AS tc
+        |  FROM cells, tot),
+        |r1 AS (SELECT *, (w0 * tr) // sum(w0) OVER (PARTITION BY et) AS w1 FROM b),
+        |c1 AS (SELECT *, (w1 * tc) // sum(w1) OVER (PARTITION BY wd) AS w2 FROM r1),
+        |r2 AS (SELECT *, (w2 * tr) // sum(w2) OVER (PARTITION BY et) AS w3 FROM c1),
+        |c2 AS (SELECT *, (w3 * tc) // sum(w3) OVER (PARTITION BY wd) AS w4 FROM r2)
+        |SELECT et AS event_type, wd AS weekday, c AS n,
+        |       CAST(w4 AS BIGINT) AS raked_us
+        |FROM c2 ORDER BY event_type, weekday""".stripMargin,
 
     "agg_bootstrap_ci" ->
       """WITH r AS (

@@ -271,6 +271,34 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // AS-OF JOIN WITH TOLERANCE (r13): the feature-store variant — the
+    // latest prior click joins a purchase ONLY if it happened within the
+    // last 5 minutes; staler matches are nulled, purchases stay (left
+    // semantics). This is pandas/polars `merge_asof(tolerance=...)`, the
+    // shape online-feature backfills actually use ("the feature must be
+    // fresh"). Plan: the SAME native single-merge operator as
+    // join_asof_native — tolerance is a post-projection mask on the
+    // matched pair's timestamps, so the scale story (one shuffle per
+    // side, in-partition two-pointer merge, no window state) is
+    // unchanged; the mask adds zero exchanges.
+    "join_asof_tolerance" -> { (s, dir) =>
+      val purchases = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = Tables.events(s, dir)
+        .filter(col("event_type") === "click" && col("value").isNotNull)
+        .select(col("user_id").as("u_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_eid"), col("value").as("click_v"))
+      graft.plans.Asof.join(purchases, clicks,
+        by = Seq("user_id"), on = Seq("ts", "event_id"), exclusive = true,
+        rightBy = Seq("u_id"), rightOn = Seq("click_ts", "click_eid"))
+        .select(
+          col("event_id"), col("user_id"),
+          when(unix_micros(col("ts")) - unix_micros(col("click_ts"))
+            <= lit(300000000L), round(col("click_v"), 2)).as("asof_click_5m"))
+        .orderBy("event_id")
+    },
+
     // Exact distinct aggregation (expands to two-phase agg under the hood).
     "agg_count_distinct" -> { (s, dir) =>
       Tables.lineitem(s, dir)
@@ -672,6 +700,27 @@ object RelationalQueries {
         |           OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_v
         |  FROM events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // Tolerance face: the windowed emulation carries the matched click's
+    // TIMESTAMP alongside its value (both IGNORE-NULLS last_values pick
+    // the same row — the conditions are identical), then masks stale
+    // matches exactly like the native plan's projection.
+    "join_asof_tolerance" ->
+      """SELECT event_id, user_id,
+        |       CASE WHEN ts - asof_ts <= INTERVAL '300' SECOND
+        |            THEN round(asof_v, 2) END AS asof_click_5m
+        |FROM (
+        |  SELECT event_id, user_id, event_type, ts,
+        |         last_value(CASE WHEN event_type = 'click' AND value IS NOT NULL
+        |                         THEN value END IGNORE NULLS)
+        |           OVER w AS asof_v,
+        |         last_value(CASE WHEN event_type = 'click' AND value IS NOT NULL
+        |                         THEN ts END IGNORE NULLS)
+        |           OVER w AS asof_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     // Same result as join_asof — the native operator must be

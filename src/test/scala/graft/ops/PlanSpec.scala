@@ -338,6 +338,36 @@ class PlanSpec extends SparkSuite {
     assert("Window \\[sum".r.findAllIn(p).length == 2, p)
   }
 
+  test("text_vocab_overlap candidates come from the term equi-join, no cartesian") {
+    // the pair table must be the equi-join on term of the DISTINCT
+    // (source, term) table — a nested-loop over source pairs would be
+    // the all-pairs shape this family always refuses
+    val p = plan("text_vocab_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("pipeline_data_card never shuffles document text (fixed-width keys only)") {
+    // the dup leg must hash text map-side: any exchange carrying the
+    // text column would ship the corpus body through the shuffle
+    val df = SparkEntry.queries("pipeline_data_card")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    exchanges.foreach(e => assert(!e.contains("text#"), s"text crosses a shuffle:\n$e"))
+  }
+
+  test("mm_dedup shuffles the digest, never the payload") {
+    val df = SparkEntry.queries("mm_dedup")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, p)
+    exchanges.foreach(e =>
+      assert(!e.contains("content#"), s"payload crosses a shuffle:\n$e"))
+  }
+
   test("events_rfm quintiles are distributed: no partition-less Window survives") {
     // r12 judge finding: the three global ntile(5) windows were one task
     // holding every user. r13: DistributedRank.globalRank = range

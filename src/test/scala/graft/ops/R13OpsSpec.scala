@@ -137,6 +137,79 @@ class R13OpsSpec extends SparkSuite {
     assert(row.getLong(6) == dup.toLong)
   }
 
+  test("join_asof_tolerance: per-purchase brute force over the ordered stream") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    val byUser = ev.groupBy(_._2)
+    val want = byUser.values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      sorted.zipWithIndex.collect {
+        case ((eid, _, us, "purchase", _), i) =>
+          val lastClick = sorted.take(i).reverse
+            .find(r => r._4 == "click" && r._5.isDefined)
+          eid -> lastClick.collect {
+            case (_, _, cus, _, Some(v)) if us - cus <= 300000000L =>
+              BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          }
+      }
+    }.toMap
+    val got = run("join_asof_tolerance").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None
+        else Some(BigDecimal(r.getDouble(2))))).toMap
+    assert(got.keySet == want.keySet)
+    assert(want.values.exists(_.isDefined) && want.values.exists(_.isEmpty),
+      "fixture must exercise both fresh and stale matches")
+    want.foreach { case (eid, w) => assert(got(eid) == w, s"purchase $eid") }
+  }
+
+  test("pipeline_dedup_rate_curve: each point recomputable from the verified pair set") {
+    val pairs = run("dedup_jaccard_prefix").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1000)))
+    val got = run("pipeline_dedup_rate_curve").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set(500L, 600L, 700L, 800L, 900L))
+    got.foreach { case (thr, (np, nd)) =>
+      val hit = pairs.filter(_._3 >= thr)
+      assert(np == hit.length.toLong, s"thr $thr pairs")
+      assert(nd == hit.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong,
+        s"thr $thr docs")
+    }
+    // the curve is monotone non-increasing in the threshold
+    val curve = got.toSeq.sortBy(_._1).map(_._2._1)
+    assert(curve == curve.sorted.reverse, curve.toString)
+  }
+
+  test("agg_raking: BigInt IPF replay matches; marginals converge toward uniform") {
+    val rows = run("agg_raking").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val cells = rows.map { case (et, wd, n, _) => ((et, wd), BigInt(n)) }.toMap
+    val t = cells.values.sum
+    val ets = cells.keys.map(_._1).toSeq.distinct
+    val wds = cells.keys.map(_._2).toSeq.distinct
+    val tr = t * 1000000 / ets.size
+    val tc = t * 1000000 / wds.size
+    var w = cells.map { case (k, c) => k -> c * 1000000 }
+    for (_ <- 1 to 2) {
+      val rs = w.groupBy(_._1._1).map { case (e, m) => e -> m.values.sum }
+      w = w.map { case (k, v) => k -> v * tr / rs(k._1) }
+      val cs = w.groupBy(_._1._2).map { case (d, m) => d -> m.values.sum }
+      w = w.map { case (k, v) => k -> v * tc / cs(k._2) }
+    }
+    rows.foreach { case (et, wd, _, raked) =>
+      assert(BigInt(raked) == w((et, wd)), s"($et, $wd)")
+    }
+    // after two rounds the column marginals are exact (last step scaled
+    // them) and row marginals are within 0.2% of the uniform target
+    val rowMarg = w.groupBy(_._1._1).map(_._2.values.sum)
+    rowMarg.foreach(m =>
+      assert((m - tr).abs * 500 <= tr, s"row marginal $m vs $tr"))
+  }
+
   test("mm_dedup: clusters are >= 2 members sharing a modality+prefix, disjoint reps") {
     val rows = run("mm_dedup").collect()
     assert(rows.forall(_.getLong(2) >= 2L))
