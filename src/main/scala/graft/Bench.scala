@@ -127,15 +127,31 @@ object Bench {
       // price-quantile artifact (r11): lineitem-family like graph/mining,
       // disjoint from the text/vector chains
       val pri = Future(safe("price_stats")(graft.ops.AdvancedQueries.warmCaches(spark, sfDir)))
-      val ded = safe("dedup")(graft.ops.DedupQueries.warmCaches(spark, sfDir)) ++
-        safe("text")(graft.ops.TextQueries.warmCaches(spark, sfDir))
+      // text (ngram LM) reads only documents — independent of dedup
+      val tex = Future(safe("text")(graft.ops.TextQueries.warmCaches(spark, sfDir)))
+      // dedup's jaccard CORE returns as soon as curation's dependencies
+      // (shingles + component labels) exist; the containment/cosine side
+      // chains keep running in `dedSides` while curation builds (r13 —
+      // curation used to queue ~10 s behind side chains it never reads).
+      val (dedCore, dedSides) =
+        try graft.ops.DedupQueries.warmCachesSplit(spark, sfDir)
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] dedup index build failed (continuing): $e")
+            (Seq.empty[(String, Double)],
+              Future.successful(Seq.empty[(String, Double)]))
+        }
       val cur = safe("curation") {
         val t0 = System.nanoTime()
         CurationPipeline.stages(spark, sfDir) // eager checkpoints, cached
         Seq("curation_stages" -> (System.nanoTime() - t0) / 1e9)
       }
-      ded ++ cur ++ Seq(vec, gra, min, dri, pri)
-        .flatMap(Await.result(_, Duration.Inf))
+      dedCore ++ cur ++ Seq(dedSides, tex, vec, gra, min, dri, pri)
+        .flatMap(a => try Await.result(a, Duration.Inf) catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] index build failed (continuing): $e")
+            Seq.empty
+        })
     }
     val indexWallSec = (System.nanoTime() - idxT0) / 1e9
     // MACHINE-SPEED CALIBRATION: identical code benched 71.2 s vs 94.2 s

@@ -68,9 +68,15 @@ object ScaleProbe {
   // jaccard_neighbors — measured, not argued) and the random-walk
   // frontier joins (|V|-row frontier × 3 steps — the one graph shape
   // here whose cost is node-bounded rather than wedge-bounded).
+  // r13 adds the round's two new shapes: events_rfm (the DistributedRank
+  // range-sort + partition-offset quintiles that replaced the global
+  // ntile windows — the swap's scale claim should be measured like every
+  // other) and text_vocab_overlap (a NEW pair enumeration: per-term
+  // fanout bounded by the source dimension after the distinct collapse).
   private val RelProbes = Seq("assoc_item_pairs", "graph_jaccard_neighbors",
     "graph_betweenness_2hop", "graph_random_walk",
-    "ts_anomaly_zscore", "events_attribution")
+    "ts_anomaly_zscore", "events_attribution",
+    "events_rfm", "text_vocab_overlap")
   private val Probes = PairProbes ++ Seq("sim_ann_knn", "text_dup_spans") ++ RelProbes
 
   /** The probe set a given replication factor runs (see the scaladoc). */

@@ -224,25 +224,40 @@ object DedupQueries {
     * `warm_sec` lump made the headline total incomparable with r5).
     */
   def warmCaches(s: SparkSession, dir: String): Seq[(String, Double)] = {
-    // The build DAG has three independent chains, so they run CONCURRENTLY
-    // (Spark's scheduler interleaves their stages across the executor
-    // cores — concurrent jobs on one session are the supported pattern):
-    //
-    //   text chain:   shingles → doc_index → pairs_jaccard → comp_jaccard
-    //   text side:    (after doc_index) pairs_containment → bloom_sketch
-    //   cosine chain: pairs_cosine → comp_cosine   (embeddings only — no
-    //                 shingle dependency at all)
-    //
-    // r9 ran all eight sequentially: 22.5 s of wall for ~13 s of critical
-    // path. Each reported number is that build's own wall under
-    // concurrency; the bench reports the PHASE wall (what the suite
-    // actually waits) as index_build_sec. doc_index builds BOTH the
-    // rarity-sorted arrays and the minhash signatures in one aggregation
-    // pass (r10 — was doc_arrays + minhash_sig as two passes over the
-    // same rows).
-    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.{Await, ExecutionContext}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
+    val (core, sides) = warmCachesSplit(s, dir)
+    core ++ Await.result(sides, Duration.Inf)
+  }
+
+  /** The build DAG has three independent chains, so they run CONCURRENTLY
+    * (Spark's scheduler interleaves their stages across the executor
+    * cores — concurrent jobs on one session are the supported pattern):
+    *
+    *   text chain:   shingles → doc_index → pairs_jaccard → comp_jaccard
+    *   text side:    (after doc_index) pairs_containment → bloom_sketch
+    *   cosine chain: pairs_cosine → comp_cosine   (embeddings only — no
+    *                 shingle dependency at all)
+    *
+    * r9 ran all eight sequentially: 22.5 s of wall for ~13 s of critical
+    * path. Each reported number is that build's own wall under
+    * concurrency; the bench reports the PHASE wall (what the suite
+    * actually waits) as index_build_sec. doc_index builds BOTH the
+    * rarity-sorted arrays and the minhash signatures in one aggregation
+    * pass (r10 — was doc_arrays + minhash_sig as two passes over the
+    * same rows).
+    *
+    * r13 splits the RETURN: the caller gets the text-chain timings as
+    * soon as `comp_jaccard` lands (everything the curation pipeline
+    * depends on), with the containment/cosine side chains still running
+    * in the returned future — the bench's curation stage no longer waits
+    * ~10 s behind side chains it never reads.
+    */
+  def warmCachesSplit(s: SparkSession, dir: String)(
+      implicit ec: scala.concurrent.ExecutionContext)
+      : (Seq[(String, Double)], scala.concurrent.Future[Seq[(String, Double)]]) = {
+    import scala.concurrent.Future
     val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
     def timed(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
@@ -253,18 +268,24 @@ object DedupQueries {
       timed("pairs_cosine_0.45") { cosinePairsLsh(s, dir, 0.45).count() }
       timed("comp_cosine_0.45") { componentsCosine(s, dir, 0.45).count() }
     }
-    timed("shingles") { shingles(s, dir).count() }
-    timed("doc_index") { docIndex(s, dir).count() }
+    val core = Seq.newBuilder[(String, Double)]
+    def timedCore(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      core += name -> (System.nanoTime() - t0) / 1e9
+    }
+    timedCore("shingles") { shingles(s, dir).count() }
+    timedCore("doc_index") { docIndex(s, dir).count() }
     val containChain = Future {
       timed("pairs_containment_0.8") { containmentPairs(s, dir, 0.8).count() }
       timed("bloom_sketch") { bloomSketch(s, dir) }
     }
-    timed("pairs_jaccard_0.5") { jaccardPairsPrefix(s, dir, 0.5).count() }
-    timed("comp_jaccard_0.5") { componentsJaccard(s, dir, 0.5).count() }
-    Await.result(cosineChain, Duration.Inf)
-    Await.result(containChain, Duration.Inf)
+    timedCore("pairs_jaccard_0.5") { jaccardPairsPrefix(s, dir, 0.5).count() }
+    timedCore("comp_jaccard_0.5") { componentsJaccard(s, dir, 0.5).count() }
     import scala.jdk.CollectionConverters._
-    out.asScala.toSeq
+    val sides = for { _ <- cosineChain; _ <- containChain }
+      yield out.asScala.toSeq
+    (core.result(), sides)
   }
 
   /** Unpersist and drop every cached dedup artifact of `s` (shingle set +
