@@ -237,6 +237,44 @@ object MiningQueries {
     // against Benford's law. The digit comes from the INTEGER-CENTS
     // string (integer→string is canonical in both engines; a double
     // log10 would mis-floor at exact powers of ten), the observed share
+    // MANN-KENDALL TREND TEST (r13): the nonparametric monotone-trend
+    // monitor over each arm's daily revenue — the standard "is this
+    // metric drifting" test when nothing about the distribution can be
+    // assumed (the trend-side complement of the KS/CUSUM drift family).
+    // S = Σ_{i<j} sign(x_j − x_i) in EXACT integers from one
+    // day-ordered self-join of the arms×days ledger (O(d²) per arm on a
+    // CALENDAR-bounded domain — ~4k pairs per arm at 90 days, constant
+    // in corpus size); the variance carries the exact tie correction
+    // (var18 = d(d−1)(2d+5) − Σ t(t−1)(2t+5) over tie groups, all
+    // integer). Only the final z (with the standard ±1 continuity
+    // correction) is a double — same sqrt both engines, round(4) + 0.0
+    // canonicalized (a trendless arm lands on −0.0 otherwise).
+    "agg_mann_kendall" -> { (s, dir) =>
+      val daily = graft.Tables.events(s, dir)
+        .groupBy(col("event_type").as("g"), col("ts").cast("date").as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("sc"))
+      val sStat = daily.as("a")
+        .join(daily.as("b"),
+          col("a.g") === col("b.g") && col("a.day") < col("b.day"))
+        .groupBy(col("a.g").as("g"))
+        .agg(sum(when(col("b.sc") > col("a.sc"), 1L)
+          .when(col("b.sc") < col("a.sc"), -1L).otherwise(0L)).as("s_stat"))
+      val nd = daily.groupBy("g").agg(count(lit(1)).as("n_days"))
+      val ties = daily.groupBy(col("g"), col("sc"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy("g")
+        .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tsum"))
+      sStat.join(nd, "g").join(ties, "g")
+        .withColumn("var18",
+          expr("n_days * (n_days - 1) * (2 * n_days + 5) - tsum"))
+        .select(col("g").as("event_type"), col("n_days"), col("s_stat"),
+          col("var18"),
+          (round(when(col("s_stat") === 0L, lit(0.0)).otherwise(
+            (col("s_stat") - signum(col("s_stat"))) /
+              sqrt(col("var18") / lit(18.0))), 4) + 0.0).as("z_r"))
+        .orderBy("event_type")
+    },
+
     // RAKING / IPF (r13): iterative proportional fitting of the
     // (event_type × weekday) contingency table to UNIFORM target
     // marginals — the survey-weighting / label-rebalancing primitive
@@ -1186,6 +1224,35 @@ object MiningQueries {
         |SELECT g AS event_type, min(n) AS n,
         |       CAST(sum(t_ns) // min(sv) AS BIGINT) AS theil_ns
         |FROM t GROUP BY g ORDER BY event_type""".stripMargin,
+
+    "agg_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS sc
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.g,
+        |         CAST(sum(CASE WHEN b.sc > a.sc THEN 1
+        |                       WHEN b.sc < a.sc THEN -1 ELSE 0 END) AS BIGINT)
+        |           AS s_stat
+        |  FROM daily a JOIN daily b ON a.g = b.g AND a.day < b.day
+        |  GROUP BY 1),
+        |nd AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+        |ties AS (
+        |  SELECT g, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+        |  FROM (SELECT g, sc, CAST(count(*) AS BIGINT) AS t
+        |        FROM daily GROUP BY 1, 2) GROUP BY 1),
+        |v AS (
+        |  SELECT s.g, nd.n_days, s.s_stat,
+        |         n_days * (n_days - 1) * (2 * n_days + 5) - tsum AS var18
+        |  FROM s JOIN nd ON s.g = nd.g JOIN ties ON s.g = ties.g)
+        |SELECT g AS event_type, n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+        |       round(CASE WHEN s_stat = 0 THEN 0.0
+        |                  ELSE (s_stat - sign(s_stat))
+        |                       / sqrt(CAST(var18 AS DOUBLE) / 18.0) END, 4)
+        |         + 0.0 AS z_r
+        |FROM v ORDER BY event_type""".stripMargin,
 
     "agg_raking" ->
       """WITH cells AS (

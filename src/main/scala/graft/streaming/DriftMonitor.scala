@@ -110,9 +110,11 @@ object DriftMonitor {
 
   /** Two-pointer merge of the sorted state histogram with one micro-batch's
     * delta (collected into a primitive LongMap, then sorted): O(domain +
-    * |batch| log |batch|), allocation = the two output arrays.
+    * |batch| log |batch|), allocation = the two output arrays. Shared with
+    * [[QuantileMonitor]] — the same bounded-domain histogram state serves
+    * both monitors.
     */
-  private def merge(prev: Hist,
+  private[streaming] def merge(prev: Hist,
       delta: scala.collection.mutable.LongMap[Long], added: Long): Hist = {
     if (delta.isEmpty) return prev
     val dk = delta.keysIterator.toArray

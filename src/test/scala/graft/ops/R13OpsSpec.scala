@@ -210,6 +210,32 @@ class R13OpsSpec extends SparkSuite {
       assert((m - tr).abs * 500 <= tr, s"row marginal $m vs $tr"))
   }
 
+  test("agg_mann_kendall: pairwise sign sum and tie-corrected variance by brute force") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("sc"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay, r.getLong(2)))
+    val got = run("agg_mann_kendall").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    daily.groupBy(_._1).foreach { case (arm, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      val d = xs.length.toLong
+      val s = (for (i <- xs.indices; j <- i + 1 until xs.length)
+        yield java.lang.Long.signum(xs(j) - xs(i)).toLong).sum
+      val tsum = xs.groupBy(identity).values.map(_.length.toLong)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      val var18 = d * (d - 1) * (2 * d + 5) - tsum
+      val z = if (s == 0) 0.0
+        else (s - math.signum(s.toDouble)) / math.sqrt(var18 / 18.0)
+      val (gn, gs, gv, gz) = got(arm)
+      assert((gn, gs, gv) == ((d, s, var18)), arm)
+      assert(math.abs(gz - BigDecimal(z).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, arm)
+    }
+  }
+
   test("mm_dedup: clusters are >= 2 members sharing a modality+prefix, disjoint reps") {
     val rows = run("mm_dedup").collect()
     assert(rows.forall(_.getLong(2) >= 2L))
