@@ -91,6 +91,41 @@ object SqlQueries {
         |UNPIVOT (v FOR metric IN (l_discount AS disc, l_tax AS tax))
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, metric""".stripMargin),
 
+    // Aggregate FILTER clause (r13) — the standard-SQL conditional
+    // aggregation surface (one pass, many predicated aggregates; the
+    // pattern analysts reach for before learning CASE-in-SUM). Catalyst
+    // compiles each FILTER into the aggregate's own predicate, so the
+    // plan stays ONE map-side-combined hash aggregate — no per-predicate
+    // re-scan at any scale. Money via floor-cents (the moneySql rule).
+    "sql_filter_clause" -> q(
+      """SELECT l_linestatus,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+        |         AS n_returned,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |            FILTER (WHERE l_discount > 0.05) AS BIGINT)
+        |         AS disc_cents,
+        |       CAST(count(DISTINCT l_partkey) FILTER (WHERE l_quantity >= 40)
+        |            AS BIGINT) AS bulk_parts
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+
+    // QUALIFY-style window filter (r13): top-2 orders per customer by
+    // (price, orderkey). Spark has no QUALIFY keyword, so the Spark text
+    // nests the window in a subquery — SAME plan Catalyst emits for
+    // DuckDB's QUALIFY (window, then filter above it); the oracle uses
+    // the actual QUALIFY clause, proving the surface maps. Deterministic
+    // total order; cents-exact ordering key.
+    "sql_qualify" -> q(
+      """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (
+        |           PARTITION BY o_custkey
+        |           ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+        |                    o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin),
+
     // Lateral view explode through SQL.
     "sql_lateral_explode" -> q(
       """SELECT doc_id, pos, tok
@@ -119,6 +154,30 @@ object SqlQueries {
         |GROUP BY depth ORDER BY depth""".stripMargin))
 
   val oracles: Map[String, String] = Map(
+    "sql_filter_clause" ->
+      """SELECT l_linestatus,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+        |         AS n_returned,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |            FILTER (WHERE l_discount > 0.05) AS BIGINT)
+        |         AS disc_cents,
+        |       CAST(count(DISTINCT l_partkey) FILTER (WHERE l_quantity >= 40)
+        |            AS BIGINT) AS bulk_parts
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    // The real QUALIFY clause — the Spark side expresses the identical
+    // window-then-filter in a subquery.
+    "sql_qualify" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(row_number() OVER (
+        |         PARTITION BY o_custkey
+        |         ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+        |                  o_orderkey) AS BIGINT) AS rn
+        |FROM orders
+        |QUALIFY rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin,
+
     "sql_cte" ->
       """WITH cust_rev AS (
         |  SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY o_custkey
