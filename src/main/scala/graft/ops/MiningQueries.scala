@@ -250,9 +250,13 @@ object MiningQueries {
     // correction) is a double — same sqrt both engines, round(4) + 0.0
     // canonicalized (a trendless arm lands on −0.0 otherwise).
     "agg_mann_kendall" -> { (s, dir) =>
+      // the daily ledger feeds four consumers (both self-join sides, the
+      // day count, the tie groups) — materialize the ≤ arms×days rows
+      // once instead of four corpus scans (r13 plan audit)
       val daily = graft.Tables.events(s, dir)
         .groupBy(col("event_type").as("g"), col("ts").cast("date").as("day"))
         .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("sc"))
+        .localCheckpoint()
       val sStat = daily.as("a")
         .join(daily.as("b"),
           col("a.g") === col("b.g") && col("a.day") < col("b.day"))
@@ -295,6 +299,7 @@ object MiningQueries {
           pmod(datediff(col("ts").cast("date"), lit("1970-01-01")), lit(7))
             .cast("long").as("wd"))
         .groupBy("et", "wd").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // ≤ arms×7 rows, read by the totals and the rake
       val tot = cells.agg(sum(col("c")).as("t"),
         countDistinct(col("et")).as("nr"), countDistinct(col("wd")).as("ncl"))
       val wr = Window.partitionBy("et")

@@ -1100,8 +1100,13 @@ object TextQueries {
     // the join keys are strings Spark hash-partitions — nothing here
     // changes shape at 100 TB. Products ride DECIMAL(38,0).
     "text_vocab_overlap" -> { (s, dir) =>
+      // The distinct (source, term) table feeds FOUR consumers (both join
+      // sides + both margins) — materialize it once or the plan re-scans
+      // and re-explodes the corpus four times (caught by the r13 plan
+      // audit; the checkpoint is vocab-sized, Heaps-bounded).
       val vocab = Tables.documents(s, dir)
         .select(col("source"), explode(toks).as("term")).distinct()
+        .localCheckpoint()
       val sizes = vocab.groupBy("source").agg(count(lit(1)).as("nv"))
       val inter = vocab.select(col("source").as("sa"), col("term"))
         .join(vocab.select(col("source").as("sb"), col("term")), "term")

@@ -756,11 +756,15 @@ object TimeWindowQueries {
       val per = ev.groupBy("user_id")
         .agg(countDistinct(col("day")).as("days_active"),
           sum(col("c").cast(d38)).as("money"))
-      val tot = per.agg(count(lit(1)).as("nu"),
-        sum(col("money")).as("tm"))
-      per.groupBy("days_active")
+      val hist = per.groupBy("days_active")
         .agg(count(lit(1)).as("n_users"),
-          sum(col("money")).cast("long").as("money_cents"))
+          sum(col("money")).as("moneyd"))
+        .localCheckpoint() // ≤ |days| rows; totals derive from it — one scan
+      val tot = hist.agg(sum(col("n_users")).as("nu"),
+        sum(col("moneyd")).as("tm"))
+      hist
+        .select(col("days_active"), col("n_users"),
+          col("moneyd").cast("long").as("money_cents"))
         .crossJoin(broadcast(tot))
         .select(col("days_active"), col("n_users"), col("money_cents"),
           expr("CAST((CAST(n_users AS DECIMAL(38,0)) * 1000000) div " +
@@ -783,9 +787,11 @@ object TimeWindowQueries {
     "ts_cusum" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      // ledger read twice (targets + the windowed walk) — one scan
       val daily = Tables.events(s, dir)
         .groupBy(col("event_type").as("g"), col("ts").cast("date").as("day"))
         .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("sc"))
+        .localCheckpoint()
       val tgt = daily.groupBy("g")
         .agg(expr("CAST(sum(CAST(sc AS DECIMAL(38,0))) div count(*) AS BIGINT)")
           .as("target"))
