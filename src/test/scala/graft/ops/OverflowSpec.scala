@@ -42,6 +42,10 @@ class OverflowSpec extends AnyFunSuite {
       "cosine in [-1,1], double path, rounded to milli"),
     Site("DedupQueries.scala", "CAST(round(cos * 1000, 0) AS BIGINT)", "double",
       "oracle face of the cosine milli rounding"),
+    Site("DedupQueries.scala", "round(col(\"jaccard\") * 1000, 0)", "double",
+      "rate-curve milli threshold: jaccard in [0,1], double path"),
+    Site("DedupQueries.scala", "* 1000, 0) AS BIGINT) AS milli", "double",
+      "oracle face of the rate-curve milli threshold; ratio in [0,1]"),
     Site("GraphQueries.scala", "(n_common * 1000000L) div", "bounded",
       "n_common <= max degree; wraps past 9.2e12 common neighbors per pair"),
     Site("GraphQueries.scala", "(n_common * 1000000) //", "bounded",
