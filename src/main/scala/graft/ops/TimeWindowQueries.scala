@@ -774,6 +774,46 @@ object TimeWindowQueries {
         .orderBy("days_active")
     },
 
+    // THEIL-SEN SLOPE (r13): the robust trend ESTIMATE next to
+    // agg_mann_kendall's trend TEST — the median of all pairwise slopes
+    // (µcents/day), immune to the outlier days that wreck agg_regression's
+    // least squares. Exactness recipe: slopes in integer micro-units via
+    // sign-symmetric truncating division (sign(dy) · (|dy|·10⁶ div dx) —
+    // Spark's div truncates toward zero while DuckDB's // floors, so the
+    // division only ever sees non-negative operands and the engines
+    // can't disagree on negative slopes); dy·10⁶ rides DECIMAL(38,0) per
+    // the house rule; the median is the LOWER median by rank over the
+    // deterministic (slope, day-pair) total order. Scale shape: the
+    // O(d²) pair table lives on the CALENDAR-bounded daily ledger
+    // (~4k pairs per arm at 90 days, constant in corpus size) and the
+    // median window partitions per arm over that bounded table.
+    "ts_theil_sen" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type").as("g"), col("ts").cast("date").as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("sc"))
+        .localCheckpoint()
+      val pairs = daily.as("a")
+        .join(daily.as("b"),
+          col("a.g") === col("b.g") && col("a.day") < col("b.day"))
+        .select(col("a.g").as("g"),
+          datediff(col("b.day"), col("a.day")).cast("long").as("dx"),
+          (col("b.sc") - col("a.sc")).as("dy"),
+          col("a.day").as("di"), col("b.day").as("dj"))
+        .withColumn("q",
+          expr("CAST((CAST(abs(dy) AS DECIMAL(38,0)) * 1000000) div dx AS BIGINT)"))
+        .withColumn("slope_us",
+          when(col("dy") >= 0L, col("q")).otherwise(-col("q")))
+      val w = Window.partitionBy("g").orderBy(col("slope_us"), col("di"), col("dj"))
+      pairs
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("np", count(lit(1)).over(Window.partitionBy("g")))
+        .filter(col("rn") === expr("(np + 1) div 2"))
+        .select(col("g").as("event_type"), col("np").as("n_pairs"),
+          col("slope_us").as("ts_slope_us"))
+        .orderBy("event_type")
+    },
+
     // CUSUM DRIFT MONITOR (r13): the page-style change detector over the
     // per-arm daily revenue ledger — S_t = max(0, S_{t−1} + (x_t −
     // target)) with target = the arm's mean daily cents (total div
@@ -1277,6 +1317,35 @@ object TimeWindowQueries {
         |       CAST((CAST(sum(money) AS HUGEINT) * 1000000) // tm AS BIGINT)
         |         AS money_ppm
         |FROM per, tot GROUP BY days_active, nu, tm ORDER BY days_active""".stripMargin,
+
+    "ts_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |           AS sc
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.g, b.day - a.day AS dx, b.sc - a.sc AS dy,
+        |         a.day AS di, b.day AS dj
+        |  FROM daily a JOIN daily b ON a.g = b.g AND a.day < b.day),
+        |sl AS (
+        |  SELECT g, di, dj,
+        |         CASE WHEN dy >= 0
+        |              THEN CAST((CAST(abs(dy) AS HUGEINT) * 1000000) // dx
+        |                        AS BIGINT)
+        |              ELSE -CAST((CAST(abs(dy) AS HUGEINT) * 1000000) // dx
+        |                         AS BIGINT) END AS slope_us
+        |  FROM p),
+        |r AS (
+        |  SELECT g, slope_us,
+        |         row_number() OVER (PARTITION BY g
+        |                            ORDER BY slope_us, di, dj) AS rn,
+        |         count(*) OVER (PARTITION BY g) AS np
+        |  FROM sl)
+        |SELECT g AS event_type, CAST(np AS BIGINT) AS n_pairs,
+        |       slope_us AS ts_slope_us
+        |FROM r WHERE rn = (np + 1) // 2
+        |ORDER BY event_type""".stripMargin,
 
     "ts_cusum" ->
       """WITH daily AS (

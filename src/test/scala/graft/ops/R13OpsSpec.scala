@@ -236,6 +236,29 @@ class R13OpsSpec extends SparkSuite {
     }
   }
 
+  test("ts_theil_sen: lower-median pairwise slope by brute force") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("sc"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay, r.getLong(2)))
+    val got = run("ts_theil_sen").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    daily.groupBy(_._1).foreach { case (arm, rows) =>
+      val pts = rows.sortBy(_._2)
+      val slopes = (for {
+        i <- pts.indices; j <- i + 1 until pts.length
+      } yield {
+        val dx = pts(j)._2 - pts(i)._2
+        val dy = BigInt(pts(j)._3 - pts(i)._3)
+        val q = (dy.abs * 1000000 / dx).toLong
+        ((if (dy >= 0) q else -q), pts(i)._2, pts(j)._2)
+      }).sorted
+      val med = slopes((slopes.size + 1) / 2 - 1)._1
+      assert(got(arm) == ((slopes.size.toLong, med)), arm)
+    }
+  }
+
   test("mm_dedup: clusters are >= 2 members sharing a modality+prefix, disjoint reps") {
     val rows = run("mm_dedup").collect()
     assert(rows.forall(_.getLong(2) >= 2L))
