@@ -1121,6 +1121,41 @@ object TextQueries {
         .orderBy("sa", "sb")
     },
 
+    // RAKE KEYWORDS (r13): Rapid Automatic Keyword Extraction — the
+    // classic unsupervised keyword scorer (Rose et al. 2010): split each
+    // document into candidate PHRASES at stopword boundaries, then score
+    // every content word by degree/frequency where degree sums the
+    // lengths of the phrases it appears in (words that live in long
+    // multi-word phrases beat words that occur alone). Exact integers:
+    // score_m = (Σ phrase_len · 1000) div freq, truncating in both
+    // engines; top-50 by the (score, -freq, word) total order. Plan
+    // shape: ONE corpus posexplode; the phrase id is a running stopword
+    // count windowed PER DOCUMENT (frames bounded by doc length — the
+    // text_burstiness window discipline); phrase lengths live on the
+    // (doc, phrase) ledger and join back by its key; word stats are one
+    // map-side-combined hash aggregate; top-50 is a TakeOrdered.
+    "text_keywords_rake" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val stop = Seq("a", "the", "of")
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(toks).as(Seq("i", "w")))
+        .withColumn("is_stop", col("w").isin(stop: _*))
+      val wDoc = Window.partitionBy("doc_id").orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val phrased = tok
+        .withColumn("pid", sum(col("is_stop").cast("long")).over(wDoc))
+        .filter(!col("is_stop"))
+      val plen = phrased.groupBy("doc_id", "pid")
+        .agg(count(lit(1)).as("plen"))
+      phrased.join(plen, Seq("doc_id", "pid"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+        .select(col("w").as("word"), col("freq"), col("degree"),
+          expr("(degree * 1000) div freq").as("rake_m"))
+        .orderBy(col("rake_m").desc, col("freq").desc, col("word"))
+        .limit(50)
+    },
+
     // PMI COLLOCATIONS (r12): which adjacent word pairs co-occur far
     // more than their token frequencies predict — the classic
     // collocation-mining statistic (Church & Hanks) over the BIGRAM
@@ -1896,6 +1931,37 @@ object TextQueries {
         |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
         |FROM p WHERE rn <= quota
         |GROUP BY source, n_s, quota ORDER BY source""".stripMargin,
+
+    "text_keywords_rake" ->
+      """WITH tok AS (
+        |  SELECT doc_id, i - 1 AS i, w,
+        |         w IN ('a', 'the', 'of') AS is_stop
+        |  FROM (SELECT doc_id,
+        |               unnest(string_split(text, ' ')) AS w,
+        |               generate_subscripts(string_split(text, ' '), 1) AS i
+        |        FROM documents)),
+        |ph AS (
+        |  SELECT doc_id, i, w, is_stop,
+        |         sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY i
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS pid
+        |  FROM tok),
+        |content AS (SELECT doc_id, pid, w FROM ph WHERE NOT is_stop),
+        |plen AS (
+        |  SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen
+        |  FROM content GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT c.w AS word, CAST(count(*) AS BIGINT) AS freq,
+        |         CAST(sum(p.plen) AS BIGINT) AS degree
+        |  FROM content c JOIN plen p
+        |    ON c.doc_id = p.doc_id AND c.pid = p.pid
+        |  GROUP BY 1)
+        |SELECT word, freq, degree,
+        |       CAST((degree * 1000) // freq AS BIGINT) AS rake_m
+        |FROM stats
+        |ORDER BY rake_m DESC, freq DESC, word
+        |LIMIT 50""".stripMargin,
 
     "text_vocab_overlap" ->
       """WITH vocab AS (

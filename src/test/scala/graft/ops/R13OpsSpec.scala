@@ -259,6 +259,38 @@ class R13OpsSpec extends SparkSuite {
     }
   }
 
+  test("text_keywords_rake: degree/frequency scores match the phrase brute force") {
+    val stop = Set("a", "the", "of")
+    val docs = Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    val degree = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { t =>
+      // phrases = maximal stopword-free runs
+      val phrases = t.split(" ").foldLeft(List(List.empty[String])) {
+        case (acc, w) if stop(w) => Nil :: acc
+        case (h :: rest, w) => (w :: h) :: rest
+        case (Nil, w) => List(List(w))
+      }.filter(_.nonEmpty)
+      phrases.foreach { p =>
+        p.foreach { w =>
+          freq(w) = freq.getOrElse(w, 0L) + 1L
+          degree(w) = degree.getOrElse(w, 0L) + p.length
+        }
+      }
+    }
+    val got = run("text_keywords_rake").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (w, (f, d, m)) =>
+      assert(f == freq(w) && d == degree(w), w)
+      assert(m == d * 1000 / f, w)
+    }
+    // ranking is the declared (score desc, freq desc, word) total order
+    val key = got.map { case (w, (f, _, m)) => (-m, -f, w) }
+    assert(key.sortBy(identity).toSeq == key.toSeq)
+  }
+
   test("mm_dedup: clusters are >= 2 members sharing a modality+prefix, disjoint reps") {
     val rows = run("mm_dedup").collect()
     assert(rows.forall(_.getLong(2) >= 2L))
