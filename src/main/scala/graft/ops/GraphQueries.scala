@@ -106,6 +106,30 @@ object GraphQueries {
         .localCheckpoint())
   }
 
+  /** Per-EDGE triangle support `(u, v, support)` (u < v) — the k-truss
+    * kernel, r13: how many triangles each edge participates in. Same
+    * one-enumeration-per-session policy as [[triCorners]] (the third
+    * consumer of [[closedTriangles]]); bounded by the edge set.
+    */
+  private val triEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def triEdgeSupport(s: SparkSession, dir: String): DataFrame = {
+    triEdgeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    triEdgeCache.computeIfAbsent((s, dir), _ =>
+      closedTriangles(s, dir)
+        .select(explode(array(
+          struct(least(col("a"), col("x")).as("u"),
+            greatest(col("a"), col("x")).as("v")),
+          struct(least(col("a"), col("y")).as("u"),
+            greatest(col("a"), col("y")).as("v")),
+          struct(least(col("x"), col("y")).as("u"),
+            greatest(col("x"), col("y")).as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+        .localCheckpoint())
+  }
+
   /** Build + materialize the session edge + degree + triangle-corner
     * indexes, timed for the bench (`graph_degrees` rides on the edge
     * checkpoint, so its own wall is just the degree shuffle; the corner
@@ -119,8 +143,11 @@ object GraphQueries {
     val t2 = System.nanoTime()
     triCorners(s, dir).count()
     val t3 = System.nanoTime()
+    triEdgeSupport(s, dir).count()
+    val t4 = System.nanoTime()
     Seq("graph_edges" -> (t1 - t0) / 1e9, "graph_degrees" -> (t2 - t1) / 1e9,
-      "graph_tri_corners" -> (t3 - t2) / 1e9)
+      "graph_tri_corners" -> (t3 - t2) / 1e9,
+      "graph_tri_edges" -> (t4 - t3) / 1e9)
   }
 
   /** Unpersist + drop the cached edge/degree checkpoints for one data dir
@@ -129,7 +156,7 @@ object GraphQueries {
     * pinned until the session stops.
     */
   def clearCache(s: SparkSession, dir: String): Unit =
-    Seq(edgeCache, degreeCache, triCornerCache).foreach { cache =>
+    Seq(edgeCache, degreeCache, triCornerCache, triEdgeCache).foreach { cache =>
       Option(cache.remove((s, dir))).foreach { df =>
         org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
           .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
@@ -240,6 +267,27 @@ object GraphQueries {
           col("n_triangles"),
           round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
             .as("clustering"))
+    },
+
+    // EDGE TRIANGLE SUPPORT (r13): the k-truss kernel — per-edge
+    // triangle counts, reported as the support histogram plus the
+    // zero-support mass (edges in no triangle). This is the
+    // cohesion-structure readout truss decomposition starts from (an
+    // edge with support ≥ k−2 can sit in a k-truss; the zero-support
+    // edges are the bridges/noise a community pass prunes first). Reads
+    // the shared triangle enumeration ONCE per session via the
+    // [[triEdgeSupport]] checkpoint (the third consumer of
+    // closedTriangles); everything after is an edge-set-bounded
+    // aggregate collapsing to O(distinct supports) rows.
+    "graph_edge_support" -> { (s, dir) =>
+      val sup = triEdgeSupport(s, dir)
+      val hist = sup.groupBy("support").agg(count(lit(1)).as("n_edges"))
+      val zero = edges(s, dir).agg(count(lit(1)).as("ne"))
+        .crossJoin(broadcast(sup.agg(count(lit(1)).as("ns"))))
+        .select(lit(0L).as("support"), (col("ne") - col("ns")).as("n_edges"))
+      hist.select(col("support"), col("n_edges")).union(zero)
+        .filter(col("n_edges") > 0)
+        .orderBy("support")
     },
 
     // Three PageRank iterations (damping 0.85) in fixed-point integer
@@ -634,6 +682,25 @@ object GraphQueries {
          |       round(3.0 * (SELECT t FROM tri)
          |             / (SELECT sum(d * (d - 1) // 2) FROM deg), 6)
          |         AS clustering""".stripMargin,
+
+    "graph_edge_support" ->
+      s"""$oracleEdgeCtes,
+         |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1
+         |        JOIN e e2 ON e1.v = e2.u
+         |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |sup AS (SELECT u, v, CAST(count(*) AS BIGINT) AS support FROM (
+         |          SELECT a AS u, b AS v FROM tri
+         |          UNION ALL SELECT b AS u, c AS v FROM tri
+         |          UNION ALL SELECT a AS u, c AS v FROM tri)
+         |        GROUP BY 1, 2),
+         |hist AS (
+         |  SELECT support, CAST(count(*) AS BIGINT) AS n_edges
+         |  FROM sup GROUP BY 1
+         |  UNION ALL
+         |  SELECT 0 AS support,
+         |         (SELECT count(*) FROM e) - (SELECT count(*) FROM sup))
+         |SELECT CAST(support AS BIGINT) AS support, n_edges
+         |FROM hist WHERE n_edges > 0 ORDER BY support""".stripMargin,
 
     "graph_pagerank" ->
       s"""$oracleEdgeCtes,

@@ -291,6 +291,40 @@ class R13OpsSpec extends SparkSuite {
     assert(key.sortBy(identity).toSeq == key.toSeq)
   }
 
+  test("graph_edge_support: histogram equals the brute per-edge triangle count") {
+    val adj = bruteAdj()
+    val edges = bruteEdges()
+    val support = edges.toSeq.map { case (u, v) =>
+      (u, v) -> (adj(u) & adj(v)).size.toLong
+    }.toMap
+    val want = support.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+      .filter(_._2 > 0)
+    val got = run("graph_edge_support").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"only-got=${got.keySet -- want.keySet} " +
+      s"only-want=${want.keySet -- got.keySet}")
+    // the census covers every edge exactly once
+    assert(got.values.sum == edges.size.toLong)
+  }
+
+  /** The co-purchase edge set (u < v), brute-forced off the raw table. */
+  private def bruteEdges(): Set[(Long, Long)] = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+  }
+
+  private def bruteAdj(): Map[Long, Set[Long]] = {
+    val e = bruteEdges()
+    (e.toSeq ++ e.toSeq.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+  }
+
   test("mm_dedup: clusters are >= 2 members sharing a modality+prefix, disjoint reps") {
     val rows = run("mm_dedup").collect()
     assert(rows.forall(_.getLong(2) >= 2L))
