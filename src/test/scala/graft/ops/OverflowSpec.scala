@@ -74,6 +74,10 @@ class OverflowSpec extends AnyFunSuite {
       "BM25/NDCG scores scaled on the DOUBLE path then cast; |score| ~ 1e2"),
     Site("RetrievalQueries.scala", "* 10000.0 + 0.5) / 10000.0", "double",
       "oracle face of the score rounding; double path"),
+    Site("TextQueries.scala", "(degree * 1000) div freq", "bounded",
+      "RAKE degree <= corpus tokens; wraps past 9.2e15 tokens for one word"),
+    Site("TextQueries.scala", "(degree * 1000) // freq", "bounded",
+      "oracle face of the RAKE score; raises past 9.2e15"),
     Site("TextQueries.scala", "(sum_gap * 1000) div n_gaps", "bounded",
       "sum_gap <= sum of in-doc positions per (source,term); wraps past 9.2e15 position-sum"),
     Site("TextQueries.scala", "(sum_gap * 1000) // n_gaps", "bounded",
