@@ -774,6 +774,41 @@ object TimeWindowQueries {
         .orderBy("days_active")
     },
 
+    // CONVERSION LAG (r13): time from a user's FIRST ACTIVITY to their
+    // FIRST PURCHASE — the activation-latency distribution every funnel
+    // review pairs with the conversion rate (window_funnel says who
+    // converts; this says how long it takes). One user-keyed aggregate
+    // collapses the corpus to (first_seen, first_purchase) per user
+    // (min + conditional min in a single map-side-combined pass — no
+    // window, no self-join), converted users bucket by whole days of
+    // lag, and the cumulative share rides a window over the ≤|days|
+    // histogram. Exact integers: lag in whole days by truncating
+    // microsecond division, shares in DECIMAL(38,0) ppm.
+    "events_conversion_lag" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("first_us"),
+          min(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))).as("conv_us"))
+        .filter(col("conv_us").isNotNull)
+      val hist = per
+        .select(expr("(conv_us - first_us) div 86400000000").as("lag_days"))
+        .groupBy("lag_days").agg(count(lit(1)).as("n_users"))
+        .localCheckpoint() // ≤ |days| rows; the total derives from it
+      val tot = hist.agg(sum(col("n_users")).as("nu"))
+      val w = Window.orderBy("lag_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      hist.crossJoin(broadcast(tot))
+        .withColumn("cum", sum(col("n_users")).over(w))
+        .select(col("lag_days"), col("n_users"),
+          expr("CAST((CAST(n_users AS DECIMAL(38,0)) * 1000000) div " +
+            "CAST(nu AS DECIMAL(38,0)) AS BIGINT)").as("users_ppm"),
+          expr("CAST((CAST(cum AS DECIMAL(38,0)) * 1000000) div " +
+            "CAST(nu AS DECIMAL(38,0)) AS BIGINT)").as("cum_ppm"))
+        .orderBy("lag_days")
+    },
+
     // THEIL-SEN SLOPE (r13): the robust trend ESTIMATE next to
     // agg_mann_kendall's trend TEST — the median of all pairwise slopes
     // (µcents/day), immune to the outlier days that wreck agg_regression's
@@ -1317,6 +1352,29 @@ object TimeWindowQueries {
         |       CAST((CAST(sum(money) AS HUGEINT) * 1000000) // tm AS BIGINT)
         |         AS money_ppm
         |FROM per, tot GROUP BY days_active, nu, tm ORDER BY days_active""".stripMargin,
+
+    "events_conversion_lag" ->
+      """WITH per AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_us,
+        |         min(CASE WHEN event_type = 'purchase'
+        |                  THEN epoch_us(ts) END) AS conv_us
+        |  FROM events GROUP BY 1),
+        |hist AS (
+        |  SELECT (conv_us - first_us) // 86400000000 AS lag_days,
+        |         CAST(count(*) AS BIGINT) AS n_users
+        |  FROM per WHERE conv_us IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_users) AS HUGEINT) AS nu FROM hist),
+        |c AS (
+        |  SELECT lag_days, n_users,
+        |         sum(n_users) OVER (ORDER BY lag_days
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist)
+        |SELECT CAST(lag_days AS BIGINT) AS lag_days, n_users,
+        |       CAST((CAST(n_users AS HUGEINT) * 1000000) // nu AS BIGINT)
+        |         AS users_ppm,
+        |       CAST((CAST(cum AS HUGEINT) * 1000000) // nu AS BIGINT)
+        |         AS cum_ppm
+        |FROM c, tot ORDER BY lag_days""".stripMargin,
 
     "ts_theil_sen" ->
       """WITH daily AS (

@@ -291,6 +291,25 @@ class R13OpsSpec extends SparkSuite {
     assert(key.sortBy(identity).toSeq == key.toSeq)
   }
 
+  test("events_conversion_lag: per-user brute force; cum_ppm ends at 1e6") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val lags = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val first = rows.map(_._2).min
+      val conv = rows.filter(_._3 == "purchase").map(_._2)
+      if (conv.isEmpty) None else Some((conv.min - first) / 86400000000L)
+    }
+    val want = lags.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = run("events_conversion_lag").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSet == want.keySet)
+    got.foreach { case (d, (n, _, _)) => assert(n == want(d), s"day $d") }
+    // the cumulative share ends within floor-division slack of 1e6
+    assert(got.last._2._3 == 1000000L ||
+      got.last._2._3 > 1000000L - got.length, got.last.toString)
+  }
+
   test("graph_edge_support: histogram equals the brute per-edge triangle count") {
     val adj = bruteAdj()
     val edges = bruteEdges()
