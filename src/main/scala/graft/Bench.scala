@@ -97,63 +97,89 @@ object Bench {
     // abandoned build would keep training codebooks underneath the
     // calibration samples and the first timed reps, silently poisoning
     // the very numbers calib exists to defend.
+    // r14 (the r13 verdict's ask #1 — the phase wall measured 16.0 s on
+    // one run and 60.7 s on a re-run of IDENTICAL code): the r13 phase
+    // launched all nine artifact chains at once on the unbounded global
+    // pool, and when the heavy chains co-scheduled cold they fought over
+    // execution memory and task slots — every chain's wall inflated 4-7×
+    // (recall_pairs 6.6 → 47 s, graph_tri_edges <6 → 46 s), and under a
+    // smaller heap the contention is an outright SparkOutOfMemoryError
+    // (reproduced at -Xmx8g). The phase now runs on a FIXED 3-WORKER pool
+    // with chains submitted heaviest-first (LPT): at most three job DAGs
+    // share the executor threads and the memory pool at any moment, the
+    // two heaviest chains never co-schedule with six others, and the
+    // makespan stays near sum(isolated walls)/3 instead of
+    // max(inflated chain walls). Chain set and per-item timing are
+    // unchanged — only the schedule is.
     val idxT0 = System.nanoTime()
     val indexBuild: Seq[(String, Double)] = {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       def safe(label: String)(f: => Seq[(String, Double)]): Seq[(String, Double)] =
         try f catch {
           case e: Throwable =>
             System.err.println(s"[bench] $label index build failed (continuing): $e")
             Seq.empty
         }
+      // Submission order IS execution order on the FIFO pool — heaviest
+      // isolated walls first (measured at sf0.1/calib~0.4: vector ≈ 14 s
+      // with the recall ground truth, price ≈ 13, dedup core + curation
+      // ≈ 15, graph ≈ 12, then the light chains). The dedup chain's
+      // internal cosine/containment side futures (warmCachesSplit) land
+      // on this same bounded pool, so total in-flight chains never
+      // exceed the three workers.
       val vec = Future(safe("vector")(graft.ops.VectorQueries.warmCaches(spark, sfDir)))
-      // graph edge index: lineitem-only, disjoint from the text/vector
-      // chains, so it warms concurrently too (r10 — seven graph queries
-      // each rebuilt the ~2 s edge set before it was cached).
-      // r13: graph / mining / drift / price are MUTUALLY independent
-      // artifact chains (only graph's edges→degrees→corners is a real
-      // dependency) — r12 ran them sequentially in one future and that
-      // serial chain WAS the 59.9 s phase wall (graph 19 s + assoc 11 s +
-      // drift 23 s + price 7 s back to back, each inflated by contention).
-      // Independent futures let the phase wall fall back to the slowest
-      // single chain.
+      val pri = Future(safe("price_stats")(graft.ops.AdvancedQueries.warmCaches(spark, sfDir)))
+      // dedup's jaccard CORE must precede curation (shingles + component
+      // labels are its inputs); the containment/cosine side chains queue
+      // onto the pool from inside warmCachesSplit.
+      val ded = Future {
+        val (core, sides) =
+          try graft.ops.DedupQueries.warmCachesSplit(spark, sfDir)
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] dedup index build failed (continuing): $e")
+              (Seq.empty[(String, Double)],
+                Future.successful(Seq.empty[(String, Double)]))
+          }
+        val cur = safe("curation") {
+          val t0 = System.nanoTime()
+          CurationPipeline.stages(spark, sfDir) // eager checkpoints, cached
+          Seq("curation_stages" -> (System.nanoTime() - t0) / 1e9)
+        }
+        (core ++ cur, sides)
+      }
       val gra = Future(safe("graph")(graft.ops.GraphQueries.warmCaches(spark, sfDir)))
       val min = Future(safe("mining")(graft.ops.MiningQueries.warmCaches(spark, sfDir)))
-      // drift-histogram artifact (r12): the events-value histogram the
-      // three drift statistics serve from
-      val dri = Future(safe("drift")(graft.ops.MiningQueries.warmCachesDrift(spark, sfDir)))
-      // price-quantile artifact (r11): lineitem-family like graph/mining,
-      // disjoint from the text/vector chains
-      val pri = Future(safe("price_stats")(graft.ops.AdvancedQueries.warmCaches(spark, sfDir)))
-      // text (ngram LM) reads only documents — independent of dedup
       val tex = Future(safe("text")(graft.ops.TextQueries.warmCaches(spark, sfDir)))
-      // dedup's jaccard CORE returns as soon as curation's dependencies
-      // (shingles + component labels) exist; the containment/cosine side
-      // chains keep running in `dedSides` while curation builds (r13 —
-      // curation used to queue ~10 s behind side chains it never reads).
-      val (dedCore, dedSides) =
-        try graft.ops.DedupQueries.warmCachesSplit(spark, sfDir)
-        catch {
+      val dri = Future(safe("drift")(graft.ops.MiningQueries.warmCachesDrift(spark, sfDir)))
+      val await = Seq(vec, pri, gra, min, tex, dri) ++
+        (try {
+          val (dedMain, dedSides) = Await.result(ded, Duration.Inf)
+          Seq(Future.successful(dedMain), dedSides)
+        } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] dedup index build failed (continuing): $e")
-            (Seq.empty[(String, Double)],
-              Future.successful(Seq.empty[(String, Double)]))
-        }
-      val cur = safe("curation") {
-        val t0 = System.nanoTime()
-        CurationPipeline.stages(spark, sfDir) // eager checkpoints, cached
-        Seq("curation_stages" -> (System.nanoTime() - t0) / 1e9)
-      }
-      dedCore ++ cur ++ Seq(dedSides, tex, vec, gra, min, dri, pri)
-        .flatMap(a => try Await.result(a, Duration.Inf) catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] index build failed (continuing): $e")
+            System.err.println(s"[bench] dedup chain failed (continuing): $e")
             Seq.empty
         })
+      val out = await.flatMap(a => try Await.result(a, Duration.Inf) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] index build failed (continuing): $e")
+          Seq.empty
+      })
+      pool.shutdown()
+      out
     }
     val indexWallSec = (System.nanoTime() - idxT0) / 1e9
+    // Calib-scaled budget guard (r13 verdict ask #1): the phase's expected
+    // wall at calib 0.5 is ~20 s; a run whose wall exceeds 2× the
+    // calib-scaled budget is flagged loudly (stderr + a JSON field) so a
+    // cold-contention quadrupling can never again pass silently as a
+    // plan change. calib isn't sampled yet at this point, so the scale
+    // uses the warmup-phase sentinel timed right below.
+    val idxBudgetSec = 20.0
     // MACHINE-SPEED CALIBRATION: identical code benched 71.2 s vs 94.2 s
     // across two r7 runs, with even the untimed index builds doubling — a
     // machine-contention signature nothing in the JSON could prove. A fixed
@@ -183,6 +209,17 @@ object Bench {
     def calibSample(): Unit = { calibAt += offsetSec(); calibSamples += calibrate() }
     calibrate() // JIT/codegen warm for the sentinel shape itself, untimed
     calibSample()
+    // The budget scales with the machine-speed sentinel: at calib 0.5 the
+    // staged phase measures ~16-20 s, so expected ≈ idxBudgetSec ×
+    // (calib/0.5) and anything past 2× expected is a contention event the
+    // round's reader must see (the r13 driver re-run sat at 3.8× with no
+    // flag anywhere).
+    val idxExpectedSec = idxBudgetSec * (calibSamples.head / 0.5)
+    val idxWarn = indexWallSec > 2.0 * idxExpectedSec
+    if (idxWarn) System.err.println(
+      f"[bench] WARN index_build_sec=$indexWallSec%.1f exceeds 2x the calib-scaled " +
+        f"budget (expected ~$idxExpectedSec%.1f s at calib=${calibSamples.head}%.3f) — " +
+        "treat this run's walls as contention-inflated, not plan changes")
     // Local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 benches a subset.
     // Unknown names are a typo, not an empty bench — warn, and fail fast
     // when the filter selects nothing (a 0.0-total line reads as a result).
@@ -306,7 +343,8 @@ object Bench {
     // index_build_sec = the build PHASE's wall clock (builds overlap, so
     // the per-item sum would overstate it).
     val idxJson =
-      s""""index_build":${qmap(indexBuild)},"index_build_sec":${ms3(indexWallSec)},"""
+      s""""index_build":${qmap(indexBuild)},"index_build_sec":${ms3(indexWallSec)},""" +
+        s""""index_build_expected":${ms3(idxExpectedSec)},"index_build_warn":$idxWarn,"""
     // Calibration summary: median is the run's machine-speed index (compare
     // across runs/rounds), max/min spread is the within-run stability. The
     // full output also carries every sample in suite order so a mid-run

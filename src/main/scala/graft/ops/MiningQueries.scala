@@ -431,9 +431,14 @@ object MiningQueries {
           sum(when(col("value") > 50.0, 1L).otherwise(0L)).as("sx"))
       val tot = g.agg(sum(col("n")).as("nn"), sum(col("sx")).as("ss"))
       // (O − E)²/E for the success + failure cell of each arm, expected
-      // counts from the margins: E_s = n_g·S/N, E_f = n_g·(N−S)/N
-      val es = col("n") * col("ss") / col("nn")
-      val ef = col("n") * (col("nn") - col("ss")) / col("nn")
+      // counts from the margins: E_s = n_g·S/N, E_f = n_g·(N−S)/N.
+      // r14 plan-audit lift: n·S is a count×count Long product that wraps
+      // past 9.2e18 (3e9 rows in one arm × 3e9 global successes — live at
+      // 100 TB). The consumer is double division anyway, so the multiply
+      // starts on the double path: exact below 2⁵³ and merely rounded —
+      // never wrapped — beyond.
+      val es = col("n").cast("double") * col("ss") / col("nn")
+      val ef = col("n").cast("double") * (col("nn") - col("ss")) / col("nn")
       // Degenerate-margin guard (r11): when the success indicator is
       // globally all-true or all-false, every es or ef is 0 and χ² is
       // undefined — emit NULL (the oracle's CASE emits the same NULL, so

@@ -92,22 +92,33 @@ object SqlQueries {
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, metric""".stripMargin),
 
     // Aggregate FILTER clause (r13) — the standard-SQL conditional
-    // aggregation surface (one pass, many predicated aggregates; the
-    // pattern analysts reach for before learning CASE-in-SUM). Catalyst
-    // compiles each FILTER into the aggregate's own predicate, so the
-    // plan stays ONE map-side-combined hash aggregate — no per-predicate
-    // re-scan at any scale. Money via floor-cents (the moneySql rule).
+    // aggregation surface (one pass, many predicated aggregates). The
+    // plain FILTER aggregates compile into the aggregate's own predicate,
+    // but mixing them with `count(DISTINCT) FILTER` makes Catalyst plan an
+    // Expand (×2 of the full scan, every column duplicated per row) plus a
+    // 3-key aggregate over 2n rows — measured 1.17 s where the family norm
+    // is ~0.3 (the r13 verdict's ask #7). The r14 form is the manual
+    // distinct rewrite: one map-side-combined partial aggregate keyed
+    // (l_linestatus, l_partkey) — n rows in, ~|parts| out, no Expand —
+    // then a ~|parts|-row rollup where `count_if(has_bulk)` IS the
+    // filtered distinct count (each inner group is one distinct partkey).
+    // Same rows as the oracle's FILTER-clause text, which keeps the
+    // standard surface as the contract. Money via floor-cents (moneySql).
     "sql_filter_clause" -> q(
       """SELECT l_linestatus,
-        |       CAST(count(*) AS BIGINT) AS n,
-        |       CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
-        |         AS n_returned,
-        |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
-        |            FILTER (WHERE l_discount > 0.05) AS BIGINT)
-        |         AS disc_cents,
-        |       CAST(count(DISTINCT l_partkey) FILTER (WHERE l_quantity >= 40)
-        |            AS BIGINT) AS bulk_parts
-        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+        |       CAST(sum(cnt) AS BIGINT) AS n,
+        |       CAST(sum(cnt_ret) AS BIGINT) AS n_returned,
+        |       CAST(sum(dc) AS BIGINT) AS disc_cents,
+        |       CAST(count_if(has_bulk) AS BIGINT) AS bulk_parts
+        |FROM (
+        |  SELECT l_linestatus, l_partkey,
+        |         count(*) AS cnt,
+        |         count(*) FILTER (WHERE l_returnflag = 'R') AS cnt_ret,
+        |         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |           FILTER (WHERE l_discount > 0.05) AS dc,
+        |         max(l_quantity >= 40) AS has_bulk
+        |  FROM lineitem GROUP BY l_linestatus, l_partkey)
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
 
     // QUALIFY-style window filter (r13): top-2 orders per customer by
     // (price, orderkey). Spark has no QUALIFY keyword, so the Spark text

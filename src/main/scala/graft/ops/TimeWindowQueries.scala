@@ -459,14 +459,25 @@ object TimeWindowQueries {
       val scored = ev.join(stats, "user_id")
         .withColumn("k", row_number().over(w).cast("long"))
         .withColumn("cs", sum(col("vc")).over(w))
-        .withColumn("score", abs(col("n") * col("cs") - col("k") * col("s")))
+        // r14 plan-audit lift: n·cs and k·s are count×cumulative-cents
+        // products that wrap Long for ONE heavy user past n·Σcents >
+        // 9.2e18 (~1.9e7 max-cents events under a single user_id — a bot
+        // profile a 100 TB event log absolutely contains). DECIMAL(38,0)
+        // on the Spark side, HUGEINT in the oracle; the reported statistic
+        // is cast back to BIGINT after the argmax so the output schema is
+        // unchanged.
+        .withColumn("score", abs(
+          col("n").cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(38, 0)) * col("cs")
+            - col("k").cast(org.apache.spark.sql.types.DataTypes
+              .createDecimalType(38, 0)) * col("s")))
       scored.groupBy("user_id")
         .agg(
           max(struct(col("score"), (-col("event_id")).as("ne"),
             col("k"), col("event_id").as("eid"))).as("b"),
           min(col("n")).as("n"))
         .select(col("user_id"), col("b.eid").as("cp_event"),
-          col("b.k").as("cp_pos"), col("n"), col("b.score").as("cusum_stat"))
+          col("b.k").as("cp_pos"), col("n"), col("b.score").cast("long").as("cusum_stat"))
         .orderBy("user_id")
     },
 
@@ -1152,7 +1163,7 @@ object TimeWindowQueries {
         |  WINDOW w AS (PARTITION BY ev.user_id ORDER BY ts, event_id)),
         |sc AS (
         |  SELECT user_id, n, event_id, k,
-        |         abs(n * cs - k * s) AS score
+        |         abs(CAST(n AS HUGEINT) * cs - CAST(k AS HUGEINT) * s) AS score
         |  FROM c)
         |SELECT user_id,
         |       max(struct_pack(score := score, ne := -event_id,
@@ -1160,8 +1171,8 @@ object TimeWindowQueries {
         |       max(struct_pack(score := score, ne := -event_id,
         |                       k := k, eid := event_id)).k AS cp_pos,
         |       min(n) AS n,
-        |       max(struct_pack(score := score, ne := -event_id,
-        |                       k := k, eid := event_id)).score AS cusum_stat
+        |       CAST(max(struct_pack(score := score, ne := -event_id,
+        |                       k := k, eid := event_id)).score AS BIGINT) AS cusum_stat
         |FROM sc GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "ts_survival_km" ->

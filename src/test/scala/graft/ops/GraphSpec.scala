@@ -77,14 +77,16 @@ class GraphSpec extends SparkSuite {
     // graph_triangles reads the corner-count checkpoint since r12, so the
     // wedge enumeration's join shape is pinned on the BUILDER plan
     // (closedTriangles) — the subtree every consumer's first build runs.
+    // closedTriangles is checkpoint-served since r14, so the wedge
+    // enumeration's join shape is pinned on the BUILDER plan.
     for (df <- Seq(q("graph_triangles"), q("graph_pagerank"),
-        GraphQueries.closedTriangles(spark, sfDir))) {
+        GraphQueries.buildClosedTriangles(spark, sfDir))) {
       df.collect() // finalize AQE
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), p)
     }
     for (df <- Seq(q("graph_pagerank"),
-        GraphQueries.closedTriangles(spark, sfDir))) {
+        GraphQueries.buildClosedTriangles(spark, sfDir))) {
       df.collect()
       assert(df.queryExecution.executedPlan.toString
         .contains("ShuffledHashJoin"))

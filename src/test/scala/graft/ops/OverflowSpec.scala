@@ -4,8 +4,6 @@ import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import org.scalatest.funsuite.AnyFunSuite
-
 /** Table-driven audit of every scaled-multiply site on the Long path —
   * the r12 verdict's ask #6, generalizing the `agg_moments` catch (a
   * `cents²`-family product that silently wrapped in Spark at sf0.1 while
@@ -19,8 +17,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * row must still match a line (no stale entries), and every `bounded`
   * row's justification must state a numeric bound. A new scaled multiply
   * cannot land without declaring its overflow story here.
+  *
+  * r14 (the r13 verdict's ask #2): the literal scan has a structural
+  * blind spot — a COLUMN×COLUMN Long product carries no `* 10³⁺` literal
+  * to grep for, and exactly that class wrapped in `agg_raking`'s round-2
+  * IPF (`w1 * tc`, both BIGINT columns; the sf0.1 sweep caught it, not
+  * this spec). The second audit below therefore walks every declared
+  * query's ANALYZED LOGICAL PLAN and flags each `Multiply` whose result
+  * type is LongType with BOTH operands non-foldable (column-derived) —
+  * the DECIMAL(38,0) lift changes the node's type and de-flags it, so
+  * deleting one CAST in agg_raking fails THIS spec, not the sweep.
   */
-class OverflowSpec extends AnyFunSuite {
+class OverflowSpec extends graft.SparkSuite {
 
   /** classification:
     *  - "bounded"  Long math, safe below the STATED bound (must be numeric)
@@ -167,5 +175,134 @@ class OverflowSpec extends AnyFunSuite {
   test("classifications are from the closed vocabulary") {
     val bad = sites.filterNot(s => Set("bounded", "double", "bigint", "nondata")(s.clazz))
     assert(bad.isEmpty, bad.map(_.pattern).mkString(","))
+  }
+
+  // ---------------------------------------------------------------------
+  // Plan-level column×column audit (r14). Whitelist rows name the QUERY
+  // and a substring of the flagged product's SQL form; like the literal
+  // table, every flagged product must match a row AND every row must
+  // still flag (no stale entries), and bounded rows state their bound.
+  // ---------------------------------------------------------------------
+
+  private case class PlanSite(query: String, pattern: String, why: String)
+
+  private val planSites = Seq(
+    PlanSite("agg_bootstrap_ci", "(w * c)",
+      "Poisson replicate weight w ≤ ~20 × value cents c ≤ 49002; product ≤ ~1e6 per row, summed wide (oracle lifts to HUGEINT)"),
+    PlanSite("agg_mann_kendall", "(n_days * (n_days - CAST(1 AS BIGINT)))",
+      "variance term over the calendar-bounded daily ledger: n_days ≤ ~3000, so n³ ~ 2.7e10"),
+    PlanSite("agg_mann_kendall", "(t * (t - CAST(1 AS BIGINT)))",
+      "tie-correction term; tie count t ≤ n_days ≤ ~3000"),
+    PlanSite("agg_ttest_welch", "(c * c)",
+      "per-row cents square before the DECIMAL(38,0) sum; c ≤ 49002 in the fixture, wraps only past |value| ≥ $3.0e7 per row"),
+    PlanSite("dedup_cluster_stats", "(sz * n_clusters)",
+      "docs in one size class: sz·n_clusters ≤ corpus docs; wraps past 9.2e18 docs"),
+    PlanSite("emb_kmeans", "(namedlambdavariable() - namedlambdavariable())",
+      "per-component quantized-embedding distance: |q| ≤ 2e4 (1e4 quantizer of unit floats), diff² ≤ 1.6e9"),
+    PlanSite("pipeline_cluster_sample", "(namedlambdavariable() - namedlambdavariable())",
+      "same quantized k-means distance kernel as emb_kmeans; diff² ≤ 1.6e9"),
+    PlanSite("events_rfm", "(pmod(nu, 5L) *",
+      "RFM bucket compose: pmod ≤ 4 × (rank div 5 + 1) ≤ n_users + 1; wraps past 2.3e18 users"),
+    PlanSite("graph_clustering_coeff", "(d * (d - CAST(1 AS BIGINT)))",
+      "wedge count d·(d−1) per node; wraps past degree 3.03e9 on ONE node (degree ≤ |V|)"),
+    PlanSite("graph_triangles", "(d * (d - CAST(1 AS BIGINT)))",
+      "same per-node wedge-count bound; wraps past degree 3.03e9"),
+    PlanSite("pipeline_length_outliers", "* v1)",
+      "rank interpolation: weight (4 − r) ≤ 4 × char length; wraps past 2.3e18 chars in one doc"),
+    PlanSite("pipeline_length_outliers", "(r * v2)",
+      "rank interpolation: r ≤ 4 × char length; wraps past 2.3e18 chars"),
+    PlanSite("pipeline_length_outliers", "(pq * (n - CAST(1 AS BIGINT)))",
+      "percentile index: pq ≤ 4 (quartile id) × n docs; wraps past 2.3e18 docs per stratum"),
+    PlanSite("profile_columns", "(n * CAST(length(v) AS BIGINT))",
+      "rows × max value length per column; wraps past 9.2e18 char-rows"),
+    PlanSite("text_burstiness", "(gap * gap)",
+      "per-row token-gap square; gap ≤ doc tokens ≤ ~1e5, square ≤ 1e10"),
+    PlanSite("text_burstiness", "(n_gaps * sumsq_gap)",
+      "fano numerator; the query doc states the ~1e13 gap-pairs-per-stratum bound and the DECIMAL(38,0) escape beyond it"),
+    PlanSite("text_burstiness", "(sum_gap * sum_gap)",
+      "fano numerator's squared term; same stated ~1e13 bound"),
+    PlanSite("text_burstiness", "(n_gaps * sum_gap)",
+      "fano mean term; same stated ~1e13 bound as its siblings"),
+    PlanSite("text_gopher_rules", "size(split(text, ' ', -1)) AS BIGINT) >= CAST(50",
+      "conjunction of 0/1 rule indicators (each factor is a boolean cast); every operand ∈ {0, 1}, product bounded by 1e0"))
+
+  /** Every `Multiply` in the query's analyzed plan (subqueries included)
+    * whose RESULT stays LongType with both operands column-derived — the
+    * exact class the literal grep cannot see. A DECIMAL(38,0) lift on
+    * either operand widens the node's type and removes it from this set.
+    */
+  private def longColumnProducts(name: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Multiply, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.types.LongType
+    val out = scala.collection.mutable.ListBuffer[String]()
+    def fromExpr(e: Expression): Unit = e.foreach {
+      case m: Multiply
+          if m.dataType == LongType && !m.left.foldable && !m.right.foldable =>
+        out += m.sql
+      case sq: SubqueryExpression => fromPlan(sq.plan)
+      case _ => ()
+    }
+    def fromPlan(p: LogicalPlan): Unit =
+      p.foreach(node => node.expressions.foreach(fromExpr))
+    fromPlan(graft.SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.analyzed)
+    out.toList.distinct
+  }
+
+  /** Query construction at sf0.001 (some entries build session artifacts
+    * eagerly); a declared-gate refusal can't happen at this SF, so any
+    * throw is a real failure of the audit's coverage.
+    */
+  private lazy val allLongProducts: Seq[(String, String)] =
+    graft.SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      longColumnProducts(name).map(name -> _)
+    }
+
+  test("no unlisted LongType column x column product in any declared query plan") {
+    val uncovered = allLongProducts.filterNot { case (q, sql) =>
+      planSites.exists(s => s.query == q && sql.contains(s.pattern))
+    }
+    assert(uncovered.isEmpty,
+      "LongType column x column products (wrap-prone; lift to DECIMAL(38,0) " +
+        "or whitelist in OverflowSpec.planSites with a stated bound):\n" +
+        uncovered.map { case (q, sql) => s"  $q: $sql" }.mkString("\n"))
+  }
+
+  test("every plan-audit whitelist row still flags (no stale entries)") {
+    val stale = planSites.filterNot(s =>
+      allLongProducts.exists { case (q, sql) => q == s.query && sql.contains(s.pattern) })
+    assert(stale.isEmpty,
+      s"stale planSites rows:\n${stale.map(s => s"  ${s.query}: ${s.pattern}").mkString("\n")}")
+  }
+
+  test("every plan-audit whitelist row states a numeric bound") {
+    val unbounded = planSites
+      .filterNot(_.why.matches(""".*\d+(\.\d+)?e\d+.*|.*2⁶³.*|.*\d{4,}.*"""))
+    assert(unbounded.isEmpty,
+      s"planSites rows without a stated numeric bound:\n${unbounded.map(_.pattern).mkString("\n")}")
+  }
+
+  test("agg_raking's IPF products are all DECIMAL-lifted in the plan") {
+    // The positive face of the audit: the three round-2 products the r13
+    // sweep caught must appear in the analyzed plan as Decimal multiplies
+    // (w1·tc, w2·tr, w3·tc after their CAST lifts), and the Long-typed
+    // product set of the same plan must be empty.
+    import org.apache.spark.sql.catalyst.expressions.{Multiply, SubqueryExpression}
+    import org.apache.spark.sql.types.DecimalType
+    val analyzed = graft.SparkEntry.queries("agg_raking")(spark, sfDir)
+      .queryExecution.analyzed
+    val decimalProducts = scala.collection.mutable.ListBuffer[String]()
+    analyzed.foreach(node => node.expressions.foreach(_.foreach {
+      case m: Multiply if m.dataType.isInstanceOf[DecimalType] &&
+          !m.left.foldable && !m.right.foldable =>
+        decimalProducts += m.sql
+      case _ => ()
+    }))
+    val lifted = decimalProducts.toList
+    assert(Seq("w1", "w2", "w3").forall(w => lifted.exists(_.contains(w))),
+      s"expected the CAST-lifted w1/w2/w3 products in agg_raking's plan; got: $lifted")
+    assert(longColumnProducts("agg_raking").isEmpty,
+      "agg_raking must carry NO LongType column x column product")
   }
 }

@@ -112,9 +112,14 @@ class PlanSpec extends SparkSuite {
   test("knn join ranks via bounded-state top-k — no Window over the candidate set") {
     // the deliberate cartesian is gated; a row_number window over its n²
     // candidate rows would be a SECOND scale-killer (global sort) — both
-    // knn queries must keep the per-partition top-3 + tiny-merge shape
-    Seq("sim_knn_join", "sim_ann_knn").foreach { name =>
-      val p = plan(name)
+    // knn queries must keep the per-partition top-3 + tiny-merge shape.
+    // sim_knn_join serves its session checkpoint since r14 (an opaque RDD
+    // scan), so its shape is pinned on the CONSTRUCTION plan — the
+    // subtree the first materialization runs (the cosinePairsLshPlan
+    // pattern).
+    val knnBuild = VectorQueries.knnJoinTop3Plan(spark, sfDir)
+    Seq("sim_knn_join(build)" -> knnBuild.queryExecution.executedPlan.toString,
+      "sim_ann_knn" -> plan("sim_ann_knn")).foreach { case (name, p) =>
       assert(!p.contains("Window"), s"$name grew a window sort:\n$p")
       // posexplode of the merged top-3 array is the bounded-rank marker
       assert(p.contains("posexplode"), s"$name lost the bounded-state rank:\n$p")
