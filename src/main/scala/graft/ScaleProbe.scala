@@ -56,7 +56,15 @@ object ScaleProbe {
   // families. Replica-local order/part key shifts keep baskets and
   // adjacency lists per-replica, so growth adds new orders/parts rather
   // than inflating existing groups — real-corpus growth, not duplication.
-  private val HeavyRelProbes = Seq("assoc_item_pairs", "graph_jaccard_neighbors")
+  // r14 (verdict ask #6): the r12/r13 debut kernels graduate to the 100×
+  // tier — their README rows carried 30× numbers only. Each one's scale
+  // claim is candidate- or node-boundedness (capped 2-hop wedges, |V|-row
+  // walk frontiers, the DistributedRank range-shuffle, per-term
+  // source-bounded fanout), which is exactly what two orders of magnitude
+  // should demonstrate.
+  private val HeavyRelProbes = Seq("assoc_item_pairs", "graph_jaccard_neighbors",
+    "graph_betweenness_2hop", "graph_random_walk",
+    "events_rfm", "text_vocab_overlap", "graph_edge_support")
   // r10: the relational/event families — basket mining (per-order pair
   // enumeration), wedge-bounded graph similarity, and the per-user window
   // shapes. Replication shifts ORDER/PART/USER keys per replica, so
@@ -73,10 +81,16 @@ object ScaleProbe {
   // ntile windows — the swap's scale claim should be measured like every
   // other) and text_vocab_overlap (a NEW pair enumeration: per-term
   // fanout bounded by the source dimension after the distinct collapse).
+  // r14 adds graph_edge_support (the r13 truss kernel — artifact-backed,
+  // so its cold number times the whole edge→triangle→support chain) and
+  // graph_truss (the h-index fixpoint loop; its scale story is rounds ×
+  // one triangle-list join, with round count set by graph structure, not
+  // size — the 30× exponent measures exactly that claim).
   private val RelProbes = Seq("assoc_item_pairs", "graph_jaccard_neighbors",
     "graph_betweenness_2hop", "graph_random_walk",
     "ts_anomaly_zscore", "events_attribution",
-    "events_rfm", "text_vocab_overlap")
+    "events_rfm", "text_vocab_overlap",
+    "graph_edge_support", "graph_truss")
   private val Probes = PairProbes ++ Seq("sim_ann_knn", "text_dup_spans") ++ RelProbes
 
   /** The probe set a given replication factor runs (see the scaladoc). */

@@ -130,6 +130,128 @@ object GraphQueries {
         .localCheckpoint())
   }
 
+  /** Max-truss-per-edge labels `(u, v, t)` over the triangle edges — the
+    * k-truss decomposition proper (the r13 verdict's ask #3), computed by
+    * the LOCAL H-INDEX iteration rather than the sequential peel:
+    * t₀(e) = support(e) + 2, then
+    * tᵢ₊₁(e) = min(tᵢ(e), 2 + H({min(tᵢ(f), tᵢ(g)) − 2 : triangles
+    * (e,f,g)})) where H is the h-index. The fixpoint is UNIQUE and equals
+    * the exact truss number (validated per-edge against the batched
+    * support-peel at sf0.001 and sf0.01 in round 14's DuckDB simulation;
+    * `GraphSpec` re-proves it against a driver-side exact peel), so the
+    * driver loop can iterate to convergence in any round order and still
+    * match the oracle's fixed 32-round unroll — measured rounds: 25 / 24
+    * / 8 at sf0.001 / 0.01 / 0.1.
+    *
+    * Why h-index, not peel: the peel needs one cascade round per removal
+    * wave (62+ rounds at sf0.01, each a triangle-set semi-join); h-index
+    * converges in O(log-ish) rounds and every round is ONE uniform plan.
+    * Scale shape per round: the cached triangle triple list joins the
+    * current labels on its three canonical edge keys (equi-joins), the
+    * per-edge h-index runs on CLAMPED value buckets — m values are capped
+    * at the edge's current t, so the groupBy(u,v,mc) pre-aggregate holds
+    * ≤ t(e) distinct rows per edge and the cumulative window partitions
+    * are equally bounded: no per-edge state proportional to support, so a
+    * 100 TB hub pair with millions of triangles still carries only its
+    * ≤ t distinct buckets. Convergence detection is one aggregate:
+    * Σt is strictly monotone decreasing until the fixpoint.
+    */
+  private val trussCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Rounds the last [[trussLabels]] build took per (session, dir) —
+    * GraphSpec pins this ≤ the oracle's 32-round unroll minus margin.
+    */
+  private[ops] val trussRounds =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Int]()
+
+  private[ops] def trussLabels(s: SparkSession, dir: String): DataFrame = {
+    trussCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (s, dir)
+    var entry = trussCache.get(key)
+    if (entry == null) {
+      val fresh = buildTrussLabels(s, dir)
+      val prev = trussCache.putIfAbsent(key, fresh)
+      if (prev != null) {
+        org.apache.spark.sql.GraftColumnBridge.checkpointRdd(fresh)
+          .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
+      }
+      entry = if (prev == null) fresh else prev
+    }
+    entry
+  }
+
+  private def buildTrussLabels(s: SparkSession, dir: String): DataFrame = {
+    // Canonical (u < v) edge keys of each triangle's three edges, one
+    // cheap projection of the cached triple list (reused every round).
+    val triE = closedTriangles(s, dir).select(
+      least(col("a"), col("x")).as("e1u"), greatest(col("a"), col("x")).as("e1v"),
+      least(col("a"), col("y")).as("e2u"), greatest(col("a"), col("y")).as("e2v"),
+      least(col("x"), col("y")).as("e3u"), greatest(col("x"), col("y")).as("e3v"))
+    // statsFreeLocalCheckpoint, NOT localCheckpoint: the per-round plan
+    // references `lab` five times, so checkpoint-carried statistics
+    // compound x5 per round and around round 8 the driver hangs in
+    // BigInteger stats arithmetic (see the bridge's Scaladoc - measured
+    // on this very loop).
+    var lab = org.apache.spark.sql.GraftColumnBridge.statsFreeLocalCheckpoint(
+      triEdgeSupport(s, dir)
+        .select(col("u"), col("v"), (col("support") + lit(2L)).as("t")))
+    // Σt is strictly monotone decreasing until the fixpoint — the
+    // convergence check is one aggregate per round, no change-count join.
+    // DECIMAL sum: Σ(support+2) over |E| edges exceeds Long only past
+    // ~9.2e18 triangle-edge mass, but the lift costs nothing here.
+    def tSum(df: DataFrame): java.math.BigDecimal = df.agg(
+      sum(col("t").cast(org.apache.spark.sql.types.DataTypes
+        .createDecimalType(38, 0)))).head.getDecimal(0)
+    var prevSum = tSum(lab)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 64) {
+      val et = triE
+        .join(lab.select(col("u").as("e1u"), col("v").as("e1v"), col("t").as("ta")),
+          Seq("e1u", "e1v"))
+        .join(lab.select(col("u").as("e2u"), col("v").as("e2v"), col("t").as("tb")),
+          Seq("e2u", "e2v"))
+        .join(lab.select(col("u").as("e3u"), col("v").as("e3v"), col("t").as("tc")),
+          Seq("e3u", "e3v"))
+      val vals = et.select(explode(array(
+          struct(col("e1u").as("u"), col("e1v").as("v"),
+            least(col("tb"), col("tc")).as("m")),
+          struct(col("e2u").as("u"), col("e2v").as("v"),
+            least(col("ta"), col("tc")).as("m")),
+          struct(col("e3u").as("u"), col("e3v").as("v"),
+            least(col("ta"), col("tb")).as("m")))).as("x"))
+        .select(col("x.u").as("u"), col("x.v").as("v"), col("x.m").as("m"))
+      val buck = vals.join(lab, Seq("u", "v"))
+        .select(col("u"), col("v"), least(col("m"), col("t")).as("mc"))
+        .groupBy("u", "v", "mc").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("u", "v")
+        .orderBy(col("mc").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val h = buck.withColumn("cum", sum(col("c")).over(w))
+        .groupBy("u", "v")
+        .agg(max(least(col("mc") - 2, col("cum"))).as("h"))
+      val nxt = org.apache.spark.sql.GraftColumnBridge.statsFreeLocalCheckpoint(
+        lab.join(h, Seq("u", "v"), "left")
+          .select(col("u"), col("v"),
+            least(col("t"),
+              lit(2L) + greatest(coalesce(col("h"), lit(0L)), lit(0L))).as("t")))
+      val nxtSum = tSum(nxt)
+      converged = nxtSum.compareTo(prevSum) == 0
+      if (sys.env.contains("GRAFT_TRUSS_DEBUG")) System.err.println(
+        s"[truss] round ${rounds + 1} sum=$nxtSum converged=$converged " +
+          s"at=${System.nanoTime() / 1000000000L % 100000}")
+      prevSum = nxtSum
+      // bounded-iteration unpersist (the dedup_components pattern)
+      org.apache.spark.sql.GraftColumnBridge.checkpointRdd(lab)
+        .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
+      lab = nxt
+      rounds += 1
+    }
+    trussRounds.put((s, dir), rounds)
+    lab
+  }
+
   /** Build + materialize the session edge + degree + triangle-corner
     * indexes, timed for the bench (`graph_degrees` rides on the edge
     * checkpoint, so its own wall is just the degree shuffle; the corner
@@ -145,9 +267,12 @@ object GraphQueries {
     val t3 = System.nanoTime()
     triEdgeSupport(s, dir).count()
     val t4 = System.nanoTime()
+    trussLabels(s, dir).count()
+    val t5 = System.nanoTime()
     Seq("graph_edges" -> (t1 - t0) / 1e9, "graph_degrees" -> (t2 - t1) / 1e9,
       "graph_tri_corners" -> (t3 - t2) / 1e9,
-      "graph_tri_edges" -> (t4 - t3) / 1e9)
+      "graph_tri_edges" -> (t4 - t3) / 1e9,
+      "graph_truss_labels" -> (t5 - t4) / 1e9)
   }
 
   /** Unpersist + drop the cached edge/degree checkpoints for one data dir
@@ -157,7 +282,7 @@ object GraphQueries {
     */
   def clearCache(s: SparkSession, dir: String): Unit =
     Seq(edgeCache, degreeCache, triCornerCache, triEdgeCache,
-      triangleCache).foreach { cache =>
+      triangleCache, trussCache).foreach { cache =>
       Option(cache.remove((s, dir))).foreach { df =>
         org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
           .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
@@ -243,6 +368,63 @@ object GraphQueries {
       |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
       |deg AS (SELECT u, count(*) d FROM bi GROUP BY u)""".stripMargin
 
+  /** `graph_truss`'s oracle: the SAME h-index iteration as
+    * [[buildTrussLabels]], unrolled to a FIXED 32 rounds (past the
+    * measured fixpoint at every SF — 25 / 24 / 8 rounds at sf0.001 /
+    * 0.01 / 0.1; GraphSpec pins the Spark build's round count ≤ 30 so a
+    * fixture change that slows convergence fails the spec before it can
+    * silently diverge from this unroll). Extra rounds past the fixpoint
+    * are no-ops because t is monotone non-increasing, so the fixed-count
+    * and converge-checked trajectories are identical.
+    */
+  private def trussOracleSql: String = {
+    // Every CTE is MATERIALIZED: DuckDB 1.0 inlines CTEs by default, and
+    // 32 unrolled rounds referencing `tri` (4x/round) would inline the
+    // lineitem parquet scan hundreds of times - the compare died on
+    // "Too many open files" before materialization hints.
+    val header =
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.pk u, b.pk v FROM li a
+        |     JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |tri AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1
+        |        JOIN e e2 ON e1.v = e2.u
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |lab0 AS MATERIALIZED (SELECT u, v, CAST(count(*) + 2 AS BIGINT) AS t FROM (
+        |           SELECT a AS u, b AS v FROM tri
+        |           UNION ALL SELECT b, c FROM tri
+        |           UNION ALL SELECT a, c FROM tri) GROUP BY 1, 2)""".stripMargin
+    val rounds = (1 to 32).map { r =>
+      val p = r - 1
+      s"""et$r AS MATERIALIZED (SELECT t.a, t.b, t.c, lab.t AS tab, lbc.t AS tbc, lac.t AS tac
+         |       FROM tri t
+         |       JOIN lab$p lab ON t.a = lab.u AND t.b = lab.v
+         |       JOIN lab$p lbc ON t.b = lbc.u AND t.c = lbc.v
+         |       JOIN lab$p lac ON t.a = lac.u AND t.c = lac.v),
+         |h$r AS MATERIALIZED (SELECT u, v, max(least(mc - 2, cum)) AS h FROM (
+         |        SELECT u, v, mc,
+         |               sum(c) OVER (PARTITION BY u, v ORDER BY mc DESC) AS cum
+         |        FROM (
+         |          SELECT v2.u, v2.v, least(v2.m, l.t) AS mc, count(*) AS c
+         |          FROM (
+         |            SELECT a AS u, b AS v, least(tbc, tac) AS m FROM et$r
+         |            UNION ALL SELECT b, c, least(tab, tac) FROM et$r
+         |            UNION ALL SELECT a, c, least(tab, tbc) FROM et$r) v2
+         |          JOIN lab$p l ON v2.u = l.u AND v2.v = l.v
+         |          GROUP BY 1, 2, 3))
+         |        GROUP BY 1, 2),
+         |lab$r AS MATERIALIZED (SELECT l.u, l.v,
+         |               least(l.t, 2 + greatest(coalesce(h.h, 0), 0)) AS t
+         |        FROM lab$p l LEFT JOIN h$r h ON l.u = h.u AND l.v = h.v)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val footer =
+      """
+        |SELECT e.u, e.v, CAST(coalesce(l.t, 2) AS BIGINT) AS truss
+        |FROM e LEFT JOIN lab32 l ON e.u = l.u AND e.v = l.v
+        |ORDER BY e.u, e.v""".stripMargin
+    header + rounds + footer
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Degree distribution — the first question asked of any new graph
     // (is it skewed? does the planner need salting?). Two stacked
@@ -306,6 +488,23 @@ object GraphQueries {
       hist.select(col("support"), col("n_edges")).union(zero)
         .filter(col("n_edges") > 0)
         .orderBy("support")
+    },
+
+    // K-TRUSS DECOMPOSITION (r14, the r13 verdict's ask #3): every edge's
+    // max truss number — the largest k such that the edge survives in a
+    // subgraph where every edge closes ≥ k−2 triangles. Serves the
+    // session [[trussLabels]] fixpoint (h-index iteration over the shared
+    // triangle list; Scaladoc there has the algorithm + scale analysis);
+    // edges in no triangle are truss 2 by definition. The oracle unrolls
+    // the SAME iteration 32 rounds — past the measured fixpoint at every
+    // SF (25/24/8) — and the fixpoint's uniqueness makes the two
+    // trajectories land identically.
+    "graph_truss" -> { (s, dir) =>
+      val lab = trussLabels(s, dir)
+      edges(s, dir).join(lab, Seq("u", "v"), "left")
+        .select(col("u"), col("v"),
+          coalesce(col("t"), lit(2L)).as("truss"))
+        .orderBy("u", "v")
     },
 
     // Three PageRank iterations (damping 0.85) in fixed-point integer
@@ -682,6 +881,8 @@ object GraphQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "graph_truss" -> trussOracleSql,
+
     "graph_degree_dist" ->
       s"""$oracleEdgeCtes
          |SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes

@@ -32,6 +32,36 @@ object GraftColumnBridge {
       case _ => None
     }
 
+  /** `localCheckpoint()` with the ORIGIN STATISTICS DETACHED. Spark's
+    * checkpoint carries the optimized plan's `Statistics` into the
+    * resulting `LogicalRDD` (`originStats`), which is normally what you
+    * want — but in an ITERATIVE loop whose per-round plan references the
+    * previous checkpoint k > 1 times, `SizeInBytesOnlyStatsPlanVisitor`'s
+    * join estimate MULTIPLIES the checkpoint's size into the next round's
+    * stats k times, so the carried sizeInBytes grows doubly-exponentially
+    * in the round count (bits × k per round). Around round ~8 the
+    * optimizer's BigInteger arithmetic (InjectRuntimeFilter's
+    * `canBroadcastBySize` and every other stats consumer) does Toom-Cook
+    * multiplications on multi-megabit integers and the DRIVER, not the
+    * cluster, becomes the bottleneck — measured: the truss fixpoint loop
+    * hung minutes in `BigInteger.multiply` at sf0.001. Detaching the
+    * stats makes each checkpoint a fresh `defaultSizeInBytes` leaf, so
+    * per-round stats stay bounded regardless of round count. Single-use
+    * checkpoints (the session index caches) keep Spark's default
+    * behavior — carried stats give the planner better join sides there.
+    */
+  def statsFreeLocalCheckpoint(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    val session = ck.sparkSession.asInstanceOf[classic.SparkSession]
+    ck.queryExecution.analyzed match {
+      case l: execution.LogicalRDD =>
+        classic.Dataset.ofRows(session,
+          execution.LogicalRDD(l.output, l.rdd, l.outputPartitioning,
+            l.outputOrdering, l.isStreaming, l.stream)(session, None, None))
+      case _ => ck
+    }
+  }
+
   /** Spark's internal bounded-state top-k collector (`CollectTopK`,
     * `private[sql]` — the engine's own ML/observation helper): keeps a
     * k-element `BoundedPriorityQueue` per group and returns the k largest
