@@ -107,6 +107,46 @@ object CurationPipeline {
       .join(nearKeep.select("doc_id"), Seq("doc_id"), "left_semi")
       .localCheckpoint()
 
+    // SPAN DEDUP (r14, verdict ask #4 — the Lee-et-al pipeline's missing
+    // half): document-level near-dedup keeps one doc per cluster, but
+    // sub-document duplication (quoted passages, boilerplate) survives
+    // it. This stage removes every token position covered by a 5-gram
+    // that still appears in ≥ 2 of the SURVIVING docs, rewrites the text
+    // to the kept tokens, and recomputes the token stats the downstream
+    // stages filter on — so the resample threshold sees the doc as it
+    // will actually ship. Docs whose every token is duplicated drop out
+    // (attrition stays monotone). Same plan shape as the stand-alone
+    // `dedup_span_removal` ledger, restricted to the survivor set.
+    val spanDedup = {
+      val t = near.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val grams = t.filter(size(col("ts")) >= 5)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(ts) - 4), i -> concat_ws(' ', slice(ts, i, 5)))")))
+        .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("gram"))
+      val dup = grams.groupBy("gram")
+        .agg(countDistinct(col("doc_id")).as("ndd"))
+        .filter(col("ndd") >= 2).select("gram")
+      val covered = grams.join(dup, "gram")
+        .select(col("doc_id"), explode(sequence(col("i"), col("i") + 4)).as("p"))
+        .distinct()
+      val keptText = t
+        .select(col("doc_id"), posexplode(col("ts")))
+        .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("tok"))
+        .join(covered, Seq("doc_id", "p"), "left_anti")
+        .groupBy("doc_id")
+        .agg(array_join(expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"),
+          " ").as("text"))
+      val tokInfo = split(col("text"), " ")
+      near.drop("text", "nt", "nd", "n_stop")
+        .join(keptText, Seq("doc_id")) // inner: fully-covered docs drop
+        .withColumn("nt", size(tokInfo).cast("long"))
+        .withColumn("nd", size(array_distinct(tokInfo)).cast("long"))
+        .withColumn("n_stop", ops.CurationRules.stopCount(tokInfo))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          col("nt"), col("nd"), col("n_stop"))
+        .localCheckpoint()
+    }
+
     val sh = ops.DedupQueries.shingles(s, dir)
     val probes = sh.filter(col("doc_id") % 100 === 7).select("shingle").distinct()
     val card = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -114,7 +154,7 @@ object CurationPipeline {
       .groupBy("doc_id").agg(count(lit(1)).as("n_ov"))
     val contaminated = card.join(overlap, "doc_id")
       .filter(col("n_ov") * 2 >= col("n_sh")).select("doc_id")
-    val clean = near.filter(col("doc_id") % 100 =!= 7)
+    val clean = spanDedup.filter(col("doc_id") % 100 =!= 7)
       .join(contaminated, Seq("doc_id"), "left_anti")
       .localCheckpoint()
 
@@ -133,7 +173,8 @@ object CurationPipeline {
       .localCheckpoint()
 
     Seq("ingest" -> ingest, "quality" -> quality, "exact_dedup" -> exact,
-      "near_dedup" -> near, "decontaminate" -> clean,
+      "near_dedup" -> near, "span_dedup" -> spanDedup,
+      "decontaminate" -> clean,
       "resample" -> resampled, "split_train" -> train)
   }
 

@@ -938,6 +938,57 @@ object DedupQueries {
         .orderBy("cluster_size")
     },
 
+    // SPAN REMOVAL (r14, the r13 verdict's ask #4 — the Lee et al.
+    // "Deduplicating Training Data" pipeline's ACTION half, promoting the
+    // text_dup_spans diagnostic): per document, drop every token position
+    // covered by a 5-gram that appears in ≥ 2 distinct documents, and
+    // emit the removal ledger — total tokens, removed tokens, removed
+    // characters, and how many contiguous KEPT spans survive (the
+    // fragmentation a training pipeline actually cares about: one doc
+    // shredded into 40 slivers is worth less than its token count says).
+    // Plan shape: one positional 5-gram explode (the text family's
+    // standard corpus pass), the duplicated-gram set via one hash
+    // aggregate, coverage as a bounded explode (≤ 5 positions per dup
+    // gram) + distinct, and the span count from a per-doc window over
+    // KEPT positions only — every stage keyed by doc or gram, nothing
+    // quadratic, linear at 100 TB.
+    "dedup_span_removal" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val pos = t.select(col("doc_id"), posexplode(col("ts")))
+        .select(col("doc_id"), (col("pos") + 1).as("p"),
+          length(col("col")).as("len"))
+      val grams = t.filter(size(col("ts")) >= 5)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(ts) - 4), i -> concat_ws(' ', slice(ts, i, 5)))")))
+        .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("gram"))
+      val dup = grams.groupBy("gram")
+        .agg(countDistinct(col("doc_id")).as("ndd"))
+        .filter(col("ndd") >= 2).select("gram")
+      val covered = grams.join(dup, "gram")
+        .select(col("doc_id"), explode(sequence(col("i"), col("i") + 4)).as("p"))
+        .distinct()
+      val marked = pos.join(covered.withColumn("rm", lit(1L)), Seq("doc_id", "p"), "left")
+      val kept = marked.filter(col("rm").isNull)
+      val w = Window.partitionBy("doc_id").orderBy("p")
+      val spanStarts = kept
+        .withColumn("prev_p", lag(col("p"), 1).over(w))
+        .select(col("doc_id"),
+          when(col("prev_p").isNull || col("prev_p") =!= col("p") - 1, 1L)
+            .otherwise(0L).as("st"))
+        .groupBy("doc_id").agg(sum(col("st")).as("n_kept_spans"))
+      marked.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when(col("rm").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("rm").isNotNull, col("len")).otherwise(0L)).as("removed_chars"))
+        .join(spanStarts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"), col("n_removed"),
+          col("removed_chars"),
+          coalesce(col("n_kept_spans"), lit(0L)).as("n_kept_spans"))
+        .orderBy("doc_id")
+    },
+
     // CONTAINMENT near-dup (asymmetric): pairs where doc A's shingle set is
     // mostly inside doc B's — C(A→B) = |A∩B| / |A| ≥ 0.8. This is the
     // partial-duplication detector (quotation, excerpting, page-within-page)
@@ -1194,6 +1245,46 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash_banded" -> minhashBandedSql,
+
+    "dedup_span_removal" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |), pos AS (
+        |  SELECT doc_id, p, len(tok) AS tok_len FROM (
+        |    SELECT doc_id, generate_subscripts(ts, 1) AS p, unnest(ts) AS tok
+        |    FROM t)
+        |), gsrc AS (
+        |  SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i FROM t
+        |  WHERE len(ts) >= 5
+        |), grams AS (
+        |  SELECT doc_id, i, array_to_string(ts[i:i+4], ' ') AS gram FROM gsrc
+        |), dup AS (
+        |  SELECT gram FROM grams GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) >= 2
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT g.doc_id, unnest(range(g.i, g.i + 5)) AS p
+        |    FROM grams g JOIN dup USING (gram))
+        |), marked AS (
+        |  SELECT pos.doc_id, pos.p, pos.tok_len,
+        |         (cov.p IS NOT NULL) AS rm
+        |  FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+        |), spans AS (
+        |  SELECT doc_id, CAST(sum(st) AS BIGINT) AS n_kept_spans FROM (
+        |    SELECT doc_id,
+        |           CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+        |                     IS DISTINCT FROM p - 1 THEN 1 ELSE 0 END AS st
+        |    FROM marked WHERE NOT rm)
+        |  GROUP BY doc_id
+        |)
+        |SELECT m.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_toks,
+        |       CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |       CAST(sum(CASE WHEN rm THEN tok_len ELSE 0 END) AS BIGINT)
+        |         AS removed_chars,
+        |       CAST(coalesce(min(s.n_kept_spans), 0) AS BIGINT) AS n_kept_spans
+        |FROM marked m LEFT JOIN spans s ON m.doc_id = s.doc_id
+        |GROUP BY m.doc_id ORDER BY m.doc_id""".stripMargin,
 
     "dedup_incremental_bloom" ->
       """SELECT doc_id, n_chars

@@ -699,15 +699,16 @@ object TextQueries {
         .orderBy("source")
     },
 
-    // THE COMPOSED CURATION CHAIN, hash-verified end to end: the 8-stage
-    // ledger (ingest → quality → exact dedup → near dedup → decontaminate
-    // → resample → train split → pack) of graft.CurationPipeline, every
+    // THE COMPOSED CURATION CHAIN, hash-verified end to end: the 9-stage
+    // ledger (ingest → quality → exact dedup → near dedup → span dedup →
+    // decontaminate → resample → train split → pack) of
+    // graft.CurationPipeline, every
     // stage the same shared-rule expressions the stand-alone operators
     // declare. The DuckDB oracle replays the whole chain — including the
     // recursive-CTE connected components the near-dedup stage keys on —
     // so the composition itself (not just its parts) is oracle-pinned.
     // Scale shape: the chain adds no shuffle its stages don't already pay;
-    // the ledger is 8 one-row aggregates over survivor sets.
+    // the ledger is 9 one-row aggregates over survivor sets.
     "pipeline_curation_ledger" -> { (s, dir) =>
       graft.CurationPipeline.ledger(s, dir)
     },
@@ -1651,6 +1652,32 @@ object TextQueries {
          |), near AS (
          |  SELECT * FROM labeled
          |  WHERE doc_id IN (SELECT min(doc_id) FROM labeled GROUP BY component)
+         |), spt AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ts FROM near
+         |), spgrams AS (
+         |  SELECT doc_id, i, array_to_string(ts[i:i+4], ' ') AS gram FROM (
+         |    SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i FROM spt
+         |    WHERE len(ts) >= 5)
+         |), spdup AS (
+         |  SELECT gram FROM spgrams GROUP BY gram
+         |  HAVING count(DISTINCT doc_id) >= 2
+         |), spcov AS (
+         |  SELECT DISTINCT doc_id, p FROM (
+         |    SELECT g.doc_id, unnest(range(g.i, g.i + 5)) AS p
+         |    FROM spgrams g JOIN spdup USING (gram))
+         |), spkept AS (
+         |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.p) AS text FROM (
+         |    SELECT doc_id, generate_subscripts(ts, 1) AS p, unnest(ts) AS tok
+         |    FROM spt) t
+         |  LEFT JOIN spcov c ON t.doc_id = c.doc_id AND t.p = c.p
+         |  WHERE c.p IS NULL GROUP BY t.doc_id
+         |), span_dedup AS (
+         |  SELECT n.doc_id, n.lang, n.n_chars, k.text,
+         |         CAST(len(string_split(k.text, ' ')) AS BIGINT) AS nt,
+         |         CAST(len(list_distinct(string_split(k.text, ' '))) AS BIGINT) AS nd,
+         |         CAST(len(list_filter(string_split(k.text, ' '),
+         |              t -> t = 'a' OR t = 'the' OR t = 'of')) AS BIGINT) AS n_stop
+         |  FROM near n JOIN spkept k ON n.doc_id = k.doc_id
          |), probes AS (
          |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 7
          |), overlap AS (
@@ -1660,7 +1687,7 @@ object TextQueries {
          |  SELECT c.doc_id FROM card c JOIN overlap o ON o.doc_id = c.doc_id
          |  WHERE o.n_ov * 2 >= c.nc
          |), clean AS (
-         |  SELECT * FROM near
+         |  SELECT * FROM span_dedup
          |  WHERE doc_id % 100 <> 7
          |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          |), resampled AS (
@@ -1688,13 +1715,15 @@ object TextQueries {
          |         CAST(coalesce(sum(nt), 0) AS BIGINT) FROM exact
          |  UNION ALL SELECT CAST(4 AS INT), 'near_dedup', CAST(count(*) AS BIGINT),
          |         CAST(coalesce(sum(nt), 0) AS BIGINT) FROM near
-         |  UNION ALL SELECT CAST(5 AS INT), 'decontaminate', CAST(count(*) AS BIGINT),
+         |  UNION ALL SELECT CAST(5 AS INT), 'span_dedup', CAST(count(*) AS BIGINT),
+         |         CAST(coalesce(sum(nt), 0) AS BIGINT) FROM span_dedup
+         |  UNION ALL SELECT CAST(6 AS INT), 'decontaminate', CAST(count(*) AS BIGINT),
          |         CAST(coalesce(sum(nt), 0) AS BIGINT) FROM clean
-         |  UNION ALL SELECT CAST(6 AS INT), 'resample', CAST(count(*) AS BIGINT),
+         |  UNION ALL SELECT CAST(7 AS INT), 'resample', CAST(count(*) AS BIGINT),
          |         CAST(coalesce(sum(nt), 0) AS BIGINT) FROM resampled
-         |  UNION ALL SELECT CAST(7 AS INT), 'split_train', CAST(count(*) AS BIGINT),
+         |  UNION ALL SELECT CAST(8 AS INT), 'split_train', CAST(count(*) AS BIGINT),
          |         CAST(coalesce(sum(nt), 0) AS BIGINT) FROM train
-         |  UNION ALL SELECT CAST(8 AS INT), 'pack_256',
+         |  UNION ALL SELECT CAST(9 AS INT), 'pack_256',
          |         CAST((SELECT coalesce(sum(nt), 0) FROM train) // 256 AS BIGINT),
          |         CAST((SELECT coalesce(sum(nt), 0) FROM train) AS BIGINT)
          |) ORDER BY stage_no""".stripMargin

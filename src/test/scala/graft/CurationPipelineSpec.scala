@@ -15,7 +15,8 @@ class CurationPipelineSpec extends SparkSuite {
   test("attrition is monotone and starts from the full corpus") {
     val led = collectLedger()
     assert(led.map(_._2).toSeq == Seq("ingest", "quality", "exact_dedup",
-      "near_dedup", "decontaminate", "resample", "split_train", "pack_256"))
+      "near_dedup", "span_dedup", "decontaminate", "resample", "split_train",
+      "pack_256"))
     assert(led.head._3 == Tables.documents(spark, sfDir).count())
     // doc stages only — the pack row counts sequences, not docs
     val docStages = led.init
