@@ -299,6 +299,42 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // BUCKETED RANGE JOIN (r14): the standard rewrite that turns a
+    // value-in-interval theta join into an EQUI join — each interval of
+    // the band dimension is exploded onto a fixed grid (one row per
+    // 5000-dollar cell it overlaps), each fact row maps to its single
+    // cell, and the join runs on the cell id with the BETWEEN residual
+    // re-checked after. With a handful of bands a plain broadcast
+    // suffices, but the grid shape is what survives when the interval
+    // table is millions of rows (calendars, IP ranges, geo tiles): the
+    // theta join that would be O(facts × bands) becomes one shuffle on
+    // the grid key with per-cell fanout bounded by overlapping bands.
+    // Irregular band edges on purpose — a uniform grid would collapse
+    // into width_bucket and prove nothing.
+    "join_range_bucketed" -> { (s, dir) =>
+      import s.implicits._
+      val W = 500000L // grid cell = $5,000 in cents
+      val bands = Seq(
+        (1L, 0L, 199999L), (2L, 200000L, 499999L), (3L, 500000L, 1499999L),
+        (4L, 1500000L, 3999999L), (5L, 4000000L, 6999999L),
+        (6L, 7000000L, 99999999L))
+        .toDF("band_id", "lo_cents", "hi_cents")
+      val cells = bands.select(col("band_id"), col("lo_cents"), col("hi_cents"),
+        explode(sequence(expr(s"lo_cents div $W"), expr(s"hi_cents div $W")))
+          .as("cell"))
+      val li = Tables.lineitem(s, dir)
+        .select(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+        .withColumn("cell", expr(s"cents div $W"))
+      li.join(broadcast(cells), Seq("cell"))
+        .filter(col("cents") >= col("lo_cents") && col("cents") <= col("hi_cents"))
+        .groupBy("band_id", "lo_cents", "hi_cents")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("cents").cast(
+            org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)))
+            .cast("long").as("sum_cents"))
+        .orderBy("band_id")
+    },
+
     // Exact distinct aggregation (expands to two-phase agg under the hood).
     "agg_count_distinct" -> { (s, dir) =>
       Tables.lineitem(s, dir)
@@ -611,6 +647,22 @@ object RelationalQueries {
     "SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000"
 
   val oracles: Map[String, String] = Map(
+    "join_range_bucketed" ->
+      """WITH bands(band_id, lo_cents, hi_cents) AS (VALUES
+        |  (1, 0, 199999), (2, 200000, 499999), (3, 500000, 1499999),
+        |  (4, 1500000, 3999999), (5, 4000000, 6999999),
+        |  (6, 7000000, 99999999)),
+        |li AS (
+        |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem)
+        |SELECT CAST(band_id AS BIGINT) AS band_id,
+        |       CAST(lo_cents AS BIGINT) AS lo_cents,
+        |       CAST(hi_cents AS BIGINT) AS hi_cents,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(CAST(cents AS HUGEINT)) AS BIGINT) AS sum_cents
+        |FROM li JOIN bands ON cents BETWEEN lo_cents AND hi_cents
+        |GROUP BY 1, 2, 3 ORDER BY band_id""".stripMargin,
+
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |       round(sum(l_quantity), 2) AS sum_qty,

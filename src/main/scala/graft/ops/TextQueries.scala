@@ -526,6 +526,39 @@ object TextQueries {
     // gram), the join back is on the same key (exchange reused), and the
     // per-doc rollup recovers positions as sum(c). dup_permille is integer
     // division so no float crosses the oracle boundary.
+    // N-GRAM NOVELTY (r14): how much of each document is text the corpus
+    // has not seen in any EARLIER document (by doc_id order) — the
+    // freshness signal a curation pass reads next to dup_permille when
+    // deciding what additional data actually buys. A 5-gram's owner is
+    // its minimum doc_id; a position is novel iff its gram is owned by
+    // this document (repeats inside the owning doc stay novel — they are
+    // first exposure). One positional gram explode, one min-aggregate
+    // over the gram universe, one join back — all keyed by gram/doc,
+    // linear at 100 TB; novelty in truncated ppm so no float crosses the
+    // oracle.
+    "text_ngram_novelty" -> { (s, dir) =>
+      val grams = expr(
+        "transform(sequence(1, size(ts) - 4), i -> concat_ws(' ', slice(ts, i, 5)))")
+      val gd = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 5)
+        .select(col("doc_id"), explode(grams).as("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(count(lit(1)).as("c"))
+      val owner = gd.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+      gd.join(owner, "gram")
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), col("c")).otherwise(0L))
+            .as("n_novel_pos"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel_grams"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel_pos"),
+          col("n_novel_grams"),
+          expr("(1000000 * n_novel_pos) div n_grams").as("novelty_ppm"))
+        .orderBy("doc_id")
+    },
+
     "text_dup_spans" -> { (s, dir) =>
       val grams = expr(
         "transform(sequence(1, size(ts) - 4), i -> concat_ws(' ', slice(ts, i, 5)))")
@@ -1281,6 +1314,30 @@ object TextQueries {
         |       r_alpha, r_ttr,
         |       r_wordcount * r_wordlen * r_stopword * r_alpha * r_ttr AS pass
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5
+        |), p AS (
+        |  SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i FROM t
+        |), gd AS (
+        |  SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS gram,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM p GROUP BY 1, 2
+        |), owner AS (
+        |  SELECT gram, min(doc_id) AS first_doc FROM gd GROUP BY 1
+        |)
+        |SELECT gd.doc_id,
+        |       CAST(sum(c) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN first_doc = gd.doc_id THEN c ELSE 0 END)
+        |            AS BIGINT) AS n_novel_pos,
+        |       CAST(sum(CASE WHEN first_doc = gd.doc_id THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_novel_grams,
+        |       CAST((1000000 * sum(CASE WHEN first_doc = gd.doc_id THEN c ELSE 0 END))
+        |            // sum(c) AS BIGINT) AS novelty_ppm
+        |FROM gd JOIN owner USING (gram)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_dup_spans" ->
       """WITH t AS (

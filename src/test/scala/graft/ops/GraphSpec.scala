@@ -120,6 +120,41 @@ class GraphSpec extends SparkSuite {
     assert(rounds > 0 && rounds <= 30, s"truss build took $rounds rounds")
   }
 
+  test("coreness labels match a driver-side exact min-degree peel, rounds within unroll") {
+    val got = q("graph_coreness").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val allEdges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+    allEdges.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, scala.collection.mutable.Set()) += v
+      adj.getOrElseUpdate(v, scala.collection.mutable.Set()) += u
+    }
+    val core = scala.collection.mutable.Map[Long, Long]()
+    var level = 0L
+    while (adj.nonEmpty) {
+      val m = adj.values.map(_.size).min.toLong
+      level = math.max(level, m)
+      val drop = adj.collect { case (u, ns) if ns.size <= level => u }.toSeq
+      drop.foreach { u =>
+        core(u) = level
+        adj(u).foreach(v => if (adj.contains(v)) adj(v) -= u)
+        adj -= u
+      }
+    }
+    assert(got.size == core.size)
+    val diff = got.collect { case (u, c) if core(u) != c => (u, c, core(u)) }
+    assert(diff.isEmpty, s"${diff.size} nodes diverge, e.g. ${diff.take(5)}")
+    val rounds = GraphQueries.corenessRounds.get((spark, sfDir))
+    assert(rounds > 0 && rounds <= 44, s"coreness build took $rounds rounds")
+  }
+
   test("graph edge joins are hash joins — no cartesian product") {
     // (The 1-row stat/n assemblies are explicit broadcast crossJoins —
     // BroadcastNestedLoopJoin with a 1-row build side — and are fine;
