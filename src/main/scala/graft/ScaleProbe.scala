@@ -216,8 +216,16 @@ object ScaleProbe {
     val results = (Seq(1 -> src) ++ factors.map(f => f -> replicate(f))).map {
       case (factor, dir) =>
         val qs = if (factor == 1) baselineProbes else probesFor(factor)
+        // r14: the 10/30x tiers now include the triangle/truss chain, whose
+        // shuffled-hash builds at 32 partitions put ~400k-row maps per task
+        // under a memory pool already holding the resident artifact
+        // checkpoints - the first 10x run of graph_truss OOMed mid-build.
+        // Widening the shuffle 2x at >=10x (4x at >=100x, as before) is the
+        // executors-scale-with-data lever a real cluster applies.
         spark.conf.set("spark.sql.shuffle.partitions",
-          if (factor >= 100) (basePartitions.toInt * 4).toString else basePartitions)
+          if (factor >= 100) (basePartitions.toInt * 4).toString
+          else if (factor >= 10) (basePartitions.toInt * 2).toString
+          else basePartitions)
         // PER-FAMILY ISOLATION (r11): each probe runs cold then warm, then
         // ITS OWN family's session caches are evicted before the next
         // probe. Without this, the ×100 warm pass held every family's
@@ -248,6 +256,7 @@ object ScaleProbe {
         // own index artifacts are still resident.
         var recallKnn = Double.NaN
         qs.foreach { q =>
+          System.err.println(s"[probe] scale=$factor cold $q")
           cold(q) = time(q, dir)
           warm(q) = time(q, dir)
           if (q == "sim_ann_knn")

@@ -424,66 +424,6 @@ object MiningQueries {
     // expected counts derive from the row/column margins, so again no
     // second data pass. Exact integer observed counts; only the final
     // statistic is floating point, rounded once.
-    // GINI COEFFICIENT (r14): spend inequality across customers — the
-    // distribution-health number a data-mixing review reads next to the
-    // quota tables. Exact integer form of the rank formula
-    // G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over cents totals sorted
-    // ascending (ties broken by custkey — a total order, so both engines
-    // rank identically), reported in truncated ppm: no float enters. The
-    // global rank is [[DistributedRank.globalRank]] — a range shuffle +
-    // per-partition row_number + broadcast offsets, never a partition-less
-    // window (the events_rfm discipline); everything after is one
-    // map-side-combined aggregate over the ranked ≤|customers| table.
-    // All products ride DECIMAL(38,0): rank·cents at 1e9 customers ×
-    // 1e9 cents is 1e18·1e9 = 1e27 — Long wraps, DECIMAL(38,0) does not.
-    "agg_gini" -> { (s, dir) =>
-      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-      val spend = Tables.orders(s, dir)
-        .select(col("o_custkey"),
-          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
-        .groupBy("o_custkey")
-        .agg(sum(col("cents").cast(d38)).as("x"))
-      val ranked = DistributedRank.globalRank(spend, "rk",
-        col("x").asc, col("o_custkey").asc)
-      ranked.agg(
-          count(lit(1)).cast(d38).as("n"),
-          sum(col("x")).as("sx"),
-          sum(col("x") * col("rk").cast(d38)).as("six"))
-        .select(col("n").cast("long").as("n_customers"),
-          col("sx").cast("long").as("total_cents"),
-          expr("CAST(((2 * six - (n + 1) * sx) * CAST(1000000 AS DECIMAL(38,0))) div (n * sx) AS BIGINT)")
-            .as("gini_ppm"))
-    },
-
-    // HERFINDAHL–HIRSCHMAN INDEX (r14): spend concentration per market
-    // segment — how dominated each segment is by its biggest spenders.
-    // Shares in truncated ppm ((x·10⁶) div segment total — exact integer,
-    // engine-identical), HHI = Σ share² div 10⁶ back to the ppm scale
-    // (10⁶ = one customer owns everything). Two stacked map-side-combined
-    // aggregates around one broadcast dim join; nothing global.
-    "agg_hhi" -> { (s, dir) =>
-      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-      val per = Tables.orders(s, dir)
-        .select(col("o_custkey"),
-          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
-        .groupBy("o_custkey")
-        .agg(sum(col("cents").cast(d38)).as("x"))
-        .join(broadcast(Tables.customer(s, dir)
-          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("seg"))),
-          "o_custkey")
-      val segTot = per.groupBy("seg").agg(sum(col("x")).as("tot"),
-        count(lit(1)).as("n_cust"))
-      per.join(broadcast(segTot), "seg")
-        .select(col("seg"), col("n_cust"),
-          expr("(x * CAST(1000000 AS DECIMAL(38,0))) div tot").as("share_ppm"))
-        .groupBy("seg")
-        .agg(min(col("n_cust")).as("n_customers"),
-          expr("CAST(sum(CAST(share_ppm AS DECIMAL(38,0)) * share_ppm) div 1000000 AS BIGINT)")
-            .as("hhi_ppm"))
-        .select(col("seg").as("segment"), col("n_customers"), col("hhi_ppm"))
-        .orderBy("segment")
-    },
-
     "agg_chi2" -> { (s, dir) =>
       val g = Tables.events(s, dir)
         .groupBy("event_type")
@@ -980,41 +920,6 @@ object MiningQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    "agg_gini" ->
-      """WITH spend AS (
-        |  SELECT o_custkey,
-        |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-        |              AS HUGEINT) AS x
-        |  FROM orders GROUP BY 1),
-        |r AS (
-        |  SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS HUGEINT) AS rk
-        |  FROM spend)
-        |SELECT CAST(count(*) AS BIGINT) AS n_customers,
-        |       CAST(sum(x) AS BIGINT) AS total_cents,
-        |       CAST(((2 * sum(x * rk) - (count(*) + 1) * sum(x))
-        |             * CAST(1000000 AS HUGEINT))
-        |            // (count(*) * sum(x)) AS BIGINT) AS gini_ppm
-        |FROM r""".stripMargin,
-
-    "agg_hhi" ->
-      """WITH per AS (
-        |  SELECT o_custkey,
-        |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-        |              AS HUGEINT) AS x
-        |  FROM orders GROUP BY 1),
-        |lab AS (
-        |  SELECT c_mktsegment AS seg, x FROM per
-        |  JOIN customer ON c_custkey = o_custkey),
-        |tot AS (
-        |  SELECT seg, sum(x) AS tot, CAST(count(*) AS BIGINT) AS n_cust
-        |  FROM lab GROUP BY 1)
-        |SELECT lab.seg AS segment, min(n_cust) AS n_customers,
-        |       CAST(sum(CAST((x * CAST(1000000 AS HUGEINT)) // tot AS HUGEINT)
-        |                * ((x * CAST(1000000 AS HUGEINT)) // tot))
-        |            // 1000000 AS BIGINT) AS hhi_ppm
-        |FROM lab JOIN tot ON lab.seg = tot.seg
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
     "assoc_item_pairs" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |ic AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_i FROM b GROUP BY pk),
