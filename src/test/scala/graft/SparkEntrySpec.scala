@@ -28,6 +28,32 @@ class SparkEntrySpec extends SparkSuite {
     assert(orphans.isEmpty, orphans.toString)
   }
 
+  test("no duplicate query keys WITHIN a module's Map literal (shadowed dead code)") {
+    // A Map literal with a repeated key silently keeps the LAST entry —
+    // the cross-module collision test can't see it because the module's
+    // own Map already deduplicated. r14 shipped (and caught in review)
+    // a re-added agg_gini/agg_hhi pair that shadowed the r12 originals
+    // as dead code. Source-level guard: a declared query's `"name" ->`
+    // token may appear at most twice in its module file (query entry +
+    // oracle entry); a third occurrence is a duplicate definition.
+    val files = java.nio.file.Files.list(
+      java.nio.file.Paths.get("src/main/scala/graft/ops")).iterator()
+    val texts = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+      .filter(_.toString.endsWith(".scala"))
+      .map(p => p.getFileName.toString ->
+        new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8))
+      .toSeq
+    val offenders = SparkEntry.queries.keys.toSeq.flatMap { name =>
+      val tok = "\"" + name + "\" ->"
+      texts.collect {
+        case (f, t) if t.sliding(tok.length).count(_ == tok) > 2 =>
+          s"$f: $name appears ${t.sliding(tok.length).count(_ == tok)}x"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("flagship entry returns rows (the driver's t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
