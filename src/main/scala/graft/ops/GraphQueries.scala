@@ -403,13 +403,18 @@ object GraphQueries {
       when(col("rku") < col("rkv"), col("v")).otherwise(col("u")).as("b"),
       greatest(col("rku"), col("rkv")).as("rkb"))
     // Wedges at apex a: ordered pairs of out-neighbors; close with a
-    // third hash join against the oriented edge set.
+    // third hash join against the oriented edge set. The SHUFFLE_HASH
+    // hints sit on the EDGE sides deliberately: the hint marks the build
+    // side, and r14's first 10× scale probe OOMed because the close
+    // join's hint sat on the WEDGE side — hash-building Σ C(outdeg, 2)
+    // rows per task instead of the |E|-row edge partition (wedges are
+    // the one unbounded intermediate in this subtree; edges are the
+    // bounded one).
     oriented.as("e1").hint("SHUFFLE_HASH")
       .join(oriented.as("e2"),
         col("e1.a") === col("e2.a") && col("e1.rkb") < col("e2.rkb"))
       .select(col("e1.a").as("apex"), col("e1.b").as("x"), col("e2.b").as("y"))
-      .hint("SHUFFLE_HASH")
-      .join(oriented.as("e3"),
+      .join(oriented.as("e3").hint("SHUFFLE_HASH"),
         col("x") === col("e3.a") && col("y") === col("e3.b"))
       .select(col("apex").as("a"), col("x"), col("y"))
   }
