@@ -151,11 +151,17 @@ object Bench {
         }
         (core ++ cur, sides)
       }
-      val gra = Future(safe("graph")(graft.ops.GraphQueries.warmCaches(spark, sfDir)))
+      val gra = Future(safe("graph")(graft.ops.GraphQueries.warmCachesBase(spark, sfDir)))
       val min = Future(safe("mining")(graft.ops.MiningQueries.warmCaches(spark, sfDir)))
       val tex = Future(safe("text")(graft.ops.TextQueries.warmCaches(spark, sfDir)))
       val dri = Future(safe("drift")(graft.ops.MiningQueries.warmCachesDrift(spark, sfDir)))
-      val await = Seq(vec, pri, gra, min, tex, dri) ++
+      // the r14 truss/coreness fixpoint loops, queued LAST as two
+      // independent chains: they consume the graph base chain's caches
+      // (an early concurrent start would park a pool worker on the
+      // cache's bin lock), and they are independent of each other
+      val dtr = Future(safe("graph_truss")(graft.ops.GraphQueries.warmCachesTruss(spark, sfDir)))
+      val dco = Future(safe("graph_coreness")(graft.ops.GraphQueries.warmCachesCoreness(spark, sfDir)))
+      val await = Seq(vec, pri, gra, min, tex, dri, dtr, dco) ++
         (try {
           val (dedMain, dedSides) = Await.result(ded, Duration.Inf)
           Seq(Future.successful(dedMain), dedSides)

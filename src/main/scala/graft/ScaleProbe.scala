@@ -112,6 +112,10 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    // Exponents must price the DISTRIBUTED decomposition loop at every
+    // factor - the 1x baseline would otherwise take the in-task gated
+    // kernel and the ratio would compare different algorithms.
+    builder.config(graft.ops.GraphQueries.DecompInTaskMaxEdgesKey, "0")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftExtensions.register(spark)

@@ -113,11 +113,6 @@ class GraphSpec extends SparkSuite {
     assert(got.size == allEdges.size)
     val diff = got.collect { case (e, t) if truss(e) != t => (e, t, truss(e)) }
     assert(diff.isEmpty, s"${diff.size} edges diverge, e.g. ${diff.take(5)}")
-    // The oracle unrolls 32 rounds; the engine's converge-checked build
-    // must land within that with margin, or a fixture change slowed
-    // convergence and the unroll must be re-measured.
-    val rounds = GraphQueries.trussRounds.get((spark, sfDir))
-    assert(rounds > 0 && rounds <= 30, s"truss build took $rounds rounds")
   }
 
   test("coreness labels match a driver-side exact min-degree peel, rounds within unroll") {
@@ -151,8 +146,37 @@ class GraphSpec extends SparkSuite {
     assert(got.size == core.size)
     val diff = got.collect { case (u, c) if core(u) != c => (u, c, core(u)) }
     assert(diff.isEmpty, s"${diff.size} nodes diverge, e.g. ${diff.take(5)}")
-    val rounds = GraphQueries.corenessRounds.get((spark, sfDir))
-    assert(rounds > 0 && rounds <= 44, s"coreness build took $rounds rounds")
+  }
+
+  test("distributed h-index loop equals the gated in-task peel (both decompositions)") {
+    // Default sessions below the decomposition gate serve the one-job
+    // exact peel; the DISTRIBUTED loop is the shape that ships at scale.
+    // Force the loop (gate = 0), rebuild, and require bit-identical
+    // labels - plus round counts within the oracle unrolls (32 / 48)
+    // with margin, so a fixture change that slows convergence fails here
+    // before it can diverge from the fixed-round oracle SQL.
+    val gatedTruss = SparkEntry.queries("graph_truss")(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val gatedCore = SparkEntry.queries("graph_coreness")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val key = GraphQueries.DecompInTaskMaxEdgesKey
+    spark.conf.set(key, "0")
+    try {
+      GraphQueries.clearCache(spark, sfDir)
+      val loopTruss = SparkEntry.queries("graph_truss")(spark, sfDir).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      val loopCore = SparkEntry.queries("graph_coreness")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(loopTruss == gatedTruss, "truss loop != gated peel")
+      assert(loopCore == gatedCore, "coreness loop != gated peel")
+      val tr = GraphQueries.trussRounds.get((spark, sfDir))
+      assert(tr > 0 && tr <= 30, s"truss loop took $tr rounds (oracle unrolls 32)")
+      val cr = GraphQueries.corenessRounds.get((spark, sfDir))
+      assert(cr > 0 && cr <= 44, s"coreness loop took $cr rounds (oracle unrolls 48)")
+    } finally {
+      spark.conf.unset(key)
+      GraphQueries.clearCache(spark, sfDir)
+    }
   }
 
   test("graph edge joins are hash joins — no cartesian product") {
