@@ -197,6 +197,8 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
       java.nio.file.Files.write(manifestPath,
         manifest().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // the manifest check above may have cached loads of the OLD files
+      Tables.invalidate(spark, dir)
       dir
     }
 

@@ -10,8 +10,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-(session, dir, table) DataFrame cache (r14): `spark.read.parquet`
+    * re-lists the directory and re-reads the footer schema on EVERY call,
+    * and with 264 queries x 5 bench reps each re-loading 1-3 tables that
+    * footer tax was a measurable floor under every single query (the
+    * whole sql_* family sat on ~0.65 s of pure prologue). The cached
+    * object is just the resolved plan - immutable, shareable. Callers
+    * that REWRITE a dir inside a live session (ScaleProbe's replica
+    * builder) must [[invalidate]] it, or cached file indexes go stale.
+    */
+  private val dfCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    dfCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    dfCache.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  /** Drop the cached loads of one data dir (see [[load]]). */
+  def invalidate(spark: SparkSession, dir: String): Unit = {
+    dfCache.keySet.removeIf(k => k._1 == spark && k._2 == dir)
+    ()
+  }
 
   /** Session configs every graft session needs. `nanosAsLong` because the
     * events table carries TIMESTAMP(NANOS) parquet, which Spark has no native

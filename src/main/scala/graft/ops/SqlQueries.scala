@@ -12,12 +12,23 @@ import graft.Tables
   */
 object SqlQueries {
 
-  /** Register all testdata tables as temp views (idempotent). */
-  def registerViews(s: SparkSession, dir: String): Unit =
-    Tables.all.foreach { t =>
-      Tables.load(s, dir, t).createOrReplaceTempView(t)
-      if (t == "events") Tables.events(s, dir).createOrReplaceTempView(t)
+  /** Register all testdata tables as temp views — once per (session,
+    * dir): re-registration per query invocation re-ran 11 catalog ops
+    * under every sql_* rep (r14; the table loads themselves are cached
+    * in [[Tables.load]]). A dir switch in one session re-registers.
+    */
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  def registerViews(s: SparkSession, dir: String): Unit = {
+    registeredDir.keySet.removeIf(_.sparkContext.isStopped)
+    if (registeredDir.put(s, dir) != dir) {
+      Tables.all.foreach { t =>
+        Tables.load(s, dir, t).createOrReplaceTempView(t)
+        if (t == "events") Tables.events(s, dir).createOrReplaceTempView(t)
+      }
     }
+  }
 
   private def q(sql: String): (SparkSession, String) => DataFrame = { (s, dir) =>
     registerViews(s, dir)
