@@ -132,6 +132,12 @@ object Bench {
       // exceed the three workers.
       val vec = Future(safe("vector")(graft.ops.VectorQueries.warmCaches(spark, sfDir)))
       val pri = Future(safe("price_stats")(graft.ops.AdvancedQueries.warmCaches(spark, sfDir)))
+      // the shared n-gram corpus artifacts (r15) precede the dedup chain:
+      // the curation span stage (inside the dedup future) consumes
+      // pos_grams, and the text chain's LM trains from doc_trigrams —
+      // building them on an early worker means those chains reuse instead
+      // of blocking on a cold build mid-chain
+      val gram = Future(safe("gram_index")(graft.ops.GramIndex.warmCaches(spark, sfDir)))
       // dedup's jaccard CORE must precede curation (shingles + component
       // labels are its inputs); the containment/cosine side chains queue
       // onto the pool from inside warmCachesSplit.
@@ -161,7 +167,7 @@ object Bench {
       // cache's bin lock), and they are independent of each other
       val dtr = Future(safe("graph_truss")(graft.ops.GraphQueries.warmCachesTruss(spark, sfDir)))
       val dco = Future(safe("graph_coreness")(graft.ops.GraphQueries.warmCachesCoreness(spark, sfDir)))
-      val await = Seq(vec, pri, gra, min, tex, dri, dtr, dco) ++
+      val await = Seq(vec, pri, gram, gra, min, tex, dri, dtr, dco) ++
         (try {
           val (dedMain, dedSides) = Await.result(ded, Duration.Inf)
           Seq(Future.successful(dedMain), dedSides)

@@ -117,16 +117,21 @@ object CurationPipeline {
     // will actually ship. Docs whose every token is duplicated drop out
     // (attrition stays monotone). Same plan shape as the stand-alone
     // `dedup_span_removal` ledger, restricted to the survivor set.
+    // r15: the positional grams come from the session corpus artifact
+    // ([[ops.GramIndex.posGrams]]) semi-joined to the survivors — valid
+    // because stages 1–4 only FILTER docs, never rewrite text, so the
+    // corpus-level positions still describe the surviving documents; the
+    // duplicated-gram census below is computed over the restricted set,
+    // preserving the "≥ 2 of the SURVIVING docs" semantics.
     val spanDedup = {
       val t = near.select(col("doc_id"), split(col("text"), " ").as("ts"))
-      val grams = t.filter(size(col("ts")) >= 5)
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(1, size(ts) - 4), i -> concat_ws(' ', slice(ts, i, 5)))")))
-        .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("gram"))
+      val grams = ops.GramIndex.posGrams(s, dir)
+        .join(near.select("doc_id"), Seq("doc_id"), "left_semi")
       val dup = grams.groupBy("gram")
-        .agg(countDistinct(col("doc_id")).as("ndd"))
+        .agg(count(lit(1)).as("ndd"))
         .filter(col("ndd") >= 2).select("gram")
       val covered = grams.join(dup, "gram")
+        .select(col("doc_id"), explode(col("ps")).as("i"))
         .select(col("doc_id"), explode(sequence(col("i"), col("i") + 4)).as("p"))
         .distinct()
       val keptText = t

@@ -946,46 +946,60 @@ object DedupQueries {
     // characters, and how many contiguous KEPT spans survive (the
     // fragmentation a training pipeline actually cares about: one doc
     // shredded into 40 slivers is worth less than its token count says).
-    // Plan shape: one positional 5-gram explode (the text family's
-    // standard corpus pass), the duplicated-gram set via one hash
-    // aggregate, coverage as a bounded explode (≤ 5 positions per dup
-    // gram) + distinct, and the span count from a per-doc window over
-    // KEPT positions only — every stage keyed by doc or gram, nothing
-    // quadratic, linear at 100 TB.
+    // Plan shape (r15, the r14 verdict's ask #1): the positional 5-gram
+    // corpus pass AND the duplicated-gram census come from the session
+    // artifact ([[GramIndex.posGrams]] — shared with text_dup_spans /
+    // text_ngram_novelty / the curation span stage; `nd` is its baked-in
+    // docs-per-gram column). The coverage arithmetic is then DOC-LOCAL:
+    // each document's duplicated-gram start positions collapse to one
+    // sorted array, and a single left-to-right interval-merge fold
+    // (`aggregate` over starts, carrying the last covered end) yields the
+    // removed-position count, the removed characters (inner fold over the
+    // merged slice's token lengths via `element_at`), and the covered-run
+    // count. Kept spans follow from run arithmetic on the DENSE position
+    // domain: kept = runs + 1 − [first covered pos = 1] − [last covered
+    // end = n]. The r14 shape paid a position-grain shuffle join plus a
+    // per-doc sort window over every token; this is one artifact filter,
+    // one doc-grain aggregate, one doc-grain join — the per-doc state is
+    // bounded by the doc's own length (the same bound `split(text)`
+    // already implies), nothing position-grain crosses the wire. Only the
+    // token arrays (lengths for the ledger) scan `documents`, once.
     "dedup_span_removal" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val t = Tables.documents(s, dir)
+      val docStarts = GramIndex.posGrams(s, dir)
+        .filter(col("nd") >= 2)
+        // a position determines its gram, so start positions are unique
+        // per doc across grams — collect_list + sort is already a set
+        .select(col("doc_id"), explode(col("ps")).as("i"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("i"))).as("starts"))
+      Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      val pos = t.select(col("doc_id"), posexplode(col("ts")))
-        .select(col("doc_id"), (col("pos") + 1).as("p"),
-          length(col("col")).as("len"))
-      val grams = t.filter(size(col("ts")) >= 5)
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(1, size(ts) - 4), i -> concat_ws(' ', slice(ts, i, 5)))")))
-        .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("gram"))
-      val dup = grams.groupBy("gram")
-        .agg(countDistinct(col("doc_id")).as("ndd"))
-        .filter(col("ndd") >= 2).select("gram")
-      val covered = grams.join(dup, "gram")
-        .select(col("doc_id"), explode(sequence(col("i"), col("i") + 4)).as("p"))
-        .distinct()
-      val marked = pos.join(covered.withColumn("rm", lit(1L)), Seq("doc_id", "p"), "left")
-      val kept = marked.filter(col("rm").isNull)
-      val w = Window.partitionBy("doc_id").orderBy("p")
-      val spanStarts = kept
-        .withColumn("prev_p", lag(col("p"), 1).over(w))
+        .join(docStarts, Seq("doc_id"), "left")
+        .withColumn("starts",
+          coalesce(col("starts"), expr("CAST(array() AS ARRAY<INT>)")))
+        // interval-merge fold: each start i covers [i, i+4]; overlaps with
+        // the previously covered prefix are clipped at last_end. Starts
+        // ascend, so a clipped-empty interval (i+4 <= last_end) cannot
+        // occur — the guard keeps the fold total anyway.
+        .withColumn("st", expr(
+          """aggregate(starts,
+            |  named_struct('cnt', 0L, 'chars', 0L, 'last_end', -5, 'runs', 0L),
+            |  (acc, i) -> IF(i + 4 <= acc.last_end, acc, named_struct(
+            |    'cnt', acc.cnt + CAST(i + 4 - greatest(i, acc.last_end + 1) + 1 AS BIGINT),
+            |    'chars', acc.chars + aggregate(
+            |      sequence(greatest(i, acc.last_end + 1), i + 4), 0L,
+            |      (a, p) -> a + CAST(length(element_at(ts, p)) AS BIGINT)),
+            |    'last_end', i + 4,
+            |    'runs', acc.runs + IF(i > acc.last_end + 1, 1L, 0L))))""".stripMargin))
         .select(col("doc_id"),
-          when(col("prev_p").isNull || col("prev_p") =!= col("p") - 1, 1L)
-            .otherwise(0L).as("st"))
-        .groupBy("doc_id").agg(sum(col("st")).as("n_kept_spans"))
-      marked.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_toks"),
-          sum(when(col("rm").isNotNull, 1L).otherwise(0L)).as("n_removed"),
-          sum(when(col("rm").isNotNull, col("len")).otherwise(0L)).as("removed_chars"))
-        .join(spanStarts, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_toks"), col("n_removed"),
-          col("removed_chars"),
-          coalesce(col("n_kept_spans"), lit(0L)).as("n_kept_spans"))
+          size(col("ts")).cast("long").as("n_toks"),
+          col("st.cnt").as("n_removed"),
+          col("st.chars").as("removed_chars"),
+          (col("st.runs") + 1L
+            - when(size(col("starts")) > 0 && element_at(col("starts"), 1) === 1, 1L)
+              .otherwise(0L)
+            - when(col("st.last_end") === size(col("ts")), 1L).otherwise(0L))
+            .as("n_kept_spans"))
         .orderBy("doc_id")
     },
 

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Session-cached n-gram corpus artifacts shared across the text/dedup
+  * families (r15, the r14 verdict's asks #1 and #7).
+  *
+  * Before r15 the positional word-5-gram corpus pass — explode `documents`
+  * into 5-grams and collapse to the (doc, gram) grain — was built
+  * independently by `dedup_span_removal`, `text_dup_spans`,
+  * `text_ngram_novelty`, and the curation chain's span-dedup stage, each
+  * paying the full explode + hash aggregate per bench rep (the family's
+  * only non-shared corpus-scale artifact; `dedup_span_removal` alone sat at
+  * 2.47 s). The same held for the char-trigram pass under `text_ngram_lm`:
+  * the trained LM was cached but the SCORING side re-exploded every
+  * document per rep.
+  *
+  * Both passes now live here as session-lifetime persisted artifacts under
+  * the uniform cache policy (one build per (session, dir), timed by the
+  * bench as first-class `index_build` entries, stopped-session entries
+  * dropped lazily):
+  *
+  *   - [[posGrams]]: `(doc_id, gram, ps, c, nd, first_doc)` — every word
+  *     5-gram of every document with its ascending 1-based start positions
+  *     `ps`, occurrence count `c = size(ps)`, and the gram's CORPUS stats
+  *     baked in: `nd` = how many distinct documents carry it, `first_doc`
+  *     = its minimum doc_id (the novelty owner). One explode + ONE
+  *     (doc, gram) hash aggregate + one gram-stats join — all at BUILD
+  *     time, so the consuming queries never shuffle at the gram grain at
+  *     all: `text_dup_spans`/`text_ngram_novelty` are one per-doc
+  *     aggregate over the artifact scan, and `dedup_span_removal` reads
+  *     its duplicated-gram starts from a filter. The `ps` array is
+  *     bounded by in-document repeats of one specific 5-gram (tiny in any
+  *     natural corpus — a pathological single-token-repeated doc yields
+  *     one row with a doc-length array, still linear in the doc).
+  *     The curation span stage ignores `nd` (its census is over the
+  *     SURVIVOR subset) and recomputes docs-per-gram as `count(*)` over
+  *     the restricted grain.
+  *   - [[docTrigrams]]: `(doc_id, lang, g, cnt)` — per-document char
+  *     trigram counts, the scoring-side working set of `text_ngram_lm`
+  *     (and the grain its trained LM aggregates from: the model is
+  *     `sum(cnt)` over the even-doc half, so train and score share one
+  *     corpus pass).
+  *
+  * Scale shape: each artifact is one linear explode + one keyed aggregate,
+  * partitioned by (doc_id, gram) — the same shuffle the consuming queries
+  * already paid once each per rep. At 100 TB this is the classic
+  * amortization: N consumers × M reps of a corpus-scale pass collapse to
+  * one distributed materialization (MEMORY_AND_DISK, spills gracefully).
+  */
+object GramIndex {
+
+  /** The positional word-5-gram grain of a (doc_id, text-tokens) frame —
+    * shared builder so the session artifact and any fixture-level test
+    * reconstruction produce identical rows.
+    */
+  private def buildPosGrams(docs: DataFrame): DataFrame = {
+    val grain = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 5)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(ts) - 4), i -> concat_ws(' ', slice(ts, i, 5)))")))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("gram"))
+      .groupBy("doc_id", "gram")
+      .agg(sort_array(collect_list(col("i"))).as("ps"), count(lit(1)).as("c"))
+    // gram-grain corpus stats, joined back once at build time: the grain
+    // is distinct (doc, gram), so docs-per-gram is count(*), and the
+    // novelty owner is the min doc_id
+    val gstats = grain.groupBy("gram")
+      .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("first_doc"))
+    grain.join(gstats, "gram")
+      .select("doc_id", "gram", "ps", "c", "nd", "first_doc")
+  }
+
+  private val posGramCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** `(doc_id, gram, ps, c, nd, first_doc)` over `documents`, persisted
+    * once per (session, dir). See the object doc for grain and consumers.
+    */
+  private[graft] def posGrams(s: SparkSession, dir: String): DataFrame = {
+    posGramCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    posGramCache.computeIfAbsent((s, dir),
+      _ => buildPosGrams(Tables.documents(s, dir)).persist())
+  }
+
+  private val triCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** `(doc_id, lang, g, cnt)` char-trigram counts over `documents`,
+    * persisted once per (session, dir).
+    */
+  private[graft] def docTrigrams(s: SparkSession, dir: String): DataFrame = {
+    triCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    triCache.computeIfAbsent((s, dir), _ =>
+      Tables.documents(s, dir)
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))")).as("g"))
+        .groupBy("doc_id", "lang", "g")
+        .agg(count(lit(1)).as("cnt"))
+        .persist())
+  }
+
+  /** Build + materialize both artifacts, each timed for the bench's
+    * `index_build` map (entries `pos_grams` / `doc_trigrams`). A consumer
+    * racing this build just blocks on `computeIfAbsent` and reuses the
+    * winner's plan — the timed entry then reports the true build wall
+    * wherever it ran.
+    */
+  def warmCaches(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    val t0 = System.nanoTime()
+    posGrams(s, dir).count()
+    val tGram = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    docTrigrams(s, dir).count()
+    val tTri = (System.nanoTime() - t1) / 1e9
+    Seq("pos_grams" -> tGram, "doc_trigrams" -> tTri)
+  }
+
+  /** Unpersist and drop this session's artifacts (eager release — the same
+    * contract as `DedupQueries.clearCache`).
+    */
+  def clearCache(s: SparkSession): Unit =
+    Seq(posGramCache, triCache).foreach { cache =>
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 eq s) {
+          try e.getValue.unpersist(blocking = false)
+          catch { case _: Exception => () }
+          it.remove()
+        }
+      }
+    }
+}

@@ -405,4 +405,42 @@ class PlanSpec extends SparkSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  /** (cached-artifact scans, parquet file scans) in the optimized logical
+    * plan — tree collection, not string matching, because the plan STRING
+    * prints the InMemoryRelation's cached BUILD plan inline (which
+    * legitimately contains the one-time parquet scan) while `collect`
+    * treats the relation as the leaf it is at query time.
+    */
+  private def corpusScans(name: String): (Int, Int) = {
+    val lp = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+    val mem = lp.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r }.size
+    val file = lp.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l }.size
+    (mem, file)
+  }
+
+  test("5-gram family scans the session artifact, not documents (r15 ask #1)") {
+    // text_dup_spans / text_ngram_novelty must be pure artifact consumers
+    // (zero parquet scans — their only corpus input is the cached
+    // (doc, gram, ps, c) grain); dedup_span_removal additionally scans
+    // `documents` exactly once for the token-position/length table.
+    for (q <- Seq("text_dup_spans", "text_ngram_novelty")) {
+      val (mem, file) = corpusScans(q)
+      assert(mem >= 1, s"$q lost the artifact scan")
+      assert(file == 0, s"$q re-scans the corpus ($file parquet scans)")
+    }
+    val (mem, file) = corpusScans("dedup_span_removal")
+    assert(mem >= 1, "dedup_span_removal lost the artifact scan")
+    assert(file == 1, s"expected 1 parquet scan (token positions), saw $file")
+  }
+
+  test("text_ngram_lm scores from the trigram artifact — no corpus re-explode (r15 ask #7)") {
+    val (mem, file) = corpusScans("text_ngram_lm")
+    assert(mem >= 1, "text_ngram_lm lost the artifact scan")
+    assert(file == 0, s"scoring pass re-scans the corpus ($file parquet scans)")
+    // the trained LM still reaches the scorer as a broadcast
+    assert(plan("text_ngram_lm").contains("BroadcastHashJoin"))
+  }
 }
