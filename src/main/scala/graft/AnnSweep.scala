@@ -34,6 +34,10 @@ object AnnSweep {
       }
       if (c.length >= 7)
         spark.conf.set(graft.ops.VectorQueries.KnnNProbeKey, c(6).toString)
+      if (c.length >= 9) {
+        spark.conf.set(graft.ops.VectorQueries.IvfPqNProbeKey, c(7).toString)
+        spark.conf.set(graft.ops.VectorQueries.IvfPqShortlistKey, c(8).toString)
+      }
       val t0 = System.nanoTime()
       val recall = graft.ops.RecallReport.compute(spark, sfDir)
       val sec = (System.nanoTime() - t0) / 1e9

@@ -28,6 +28,14 @@ object VectorQueries {
   val LshTablesKey = "spark.graft.ann.lshTables"     // sign-LSH hash tables
   val LshFlipsKey = "spark.graft.ann.lshProbeFlips"  // Hamming-1 buckets probed per table (0..bandBits)
   val PqShortlistKey = "spark.graft.ann.pqShortlist" // ADC shortlist re-ranked exactly
+  // The COMPOSED IVF+PQ path owns its operating point (r15, the r14
+  // verdict's ask #2): it compounds the coarse quantizer's miss rate with
+  // ADC ranking error, so inheriting the parents' defaults left its
+  // recall@3 at 0.833 — one codebook draw above the 0.8 floor. Probing
+  // deeper and re-ranking a longer shortlist are both cheap here (the
+  // query set is 10 vectors; candidates stay (nProbe/k)·n code rows).
+  val IvfPqNProbeKey = "spark.graft.ann.ivfpq.nProbe"       // coarse cells probed
+  val IvfPqShortlistKey = "spark.graft.ann.ivfpq.shortlist" // ADC shortlist re-ranked exactly
 
   private def intConf(s: SparkSession, key: String, dflt: Int): Int =
     s.conf.get(key, dflt.toString).toInt
@@ -1150,8 +1158,15 @@ object VectorQueries {
     * probed AND ~3% of the bytes per row.
     */
   private def ivfpqQuery(s: SparkSession, dir: String): DataFrame = {
-    val nProbe = intConf(s, NProbeKey, 24)
-    val shortlist = intConf(s, PqShortlistKey, 64)
+    // r15 sweep (AnnSweep at sf0.1, base knobs at defaults): inherited
+    // (24, 64) measured recall@3 = 0.833; (32, 128) = 0.90;
+    // (48, 128) = 0.933; (64, 160) = 0.967. Shipped point (48, 128)
+    // clears the 0.9 bar with a full codebook-draw of margin at a few
+    // hundredths of a second — deeper probes saturate (the sf0.1 coarse
+    // index has ~√n ≈ 39 cells, so 48 probes them all; at production
+    // scale nProbe stays a small fraction of k).
+    val nProbe = intConf(s, IvfPqNProbeKey, 48)
+    val shortlist = intConf(s, IvfPqShortlistKey, 128)
     val cb = pqCodebook(s, dir)
     import graft.functions.ProductQuant
     val e = normedCorpus(s, dir)
