@@ -86,6 +86,30 @@ object GraphQueries {
         .localCheckpoint())
   }
 
+  /** Ranked bidirectional adjacency `(u, rn, v)` — rn = 1-based rank of v
+    * among u's neighbors ascending — cached per (session, dir) (r15, the
+    * r14 verdict's ask #4): `graph_random_walk` rebuilt the ranking
+    * window over the edge cache on every rep (the family's only
+    * per-rep window over corpus-scale rows, the one >0.04 s regression
+    * in r14's audit), and the BFS family re-derived `bidirectional` per
+    * round. One |2E|-row checkpoint serves the walk's rank join and the
+    * traversal family's adjacency scans (`rn` projected away there —
+    * the checkpoint is the same rows either way). Same localCheckpoint
+    * policy as [[edges]]; the ranking window partitions by node, so
+    * per-partition work is bounded by degree at any scale.
+    */
+  private val adjCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def rankedAdjacency(s: SparkSession, dir: String): DataFrame = {
+    adjCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    adjCache.computeIfAbsent((s, dir), _ =>
+      bidirectional(edges(s, dir))
+        .withColumn("rn", row_number()
+          .over(Window.partitionBy("u").orderBy("v")).cast("long"))
+        .localCheckpoint())
+  }
+
   /** Per-node closed-triangle corner counts `(u, tri)`, materialized once
     * per (session, dir) — r12: `graph_triangles` and
     * `graph_clustering_coeff` each re-ran the FULL arboricity-bounded
@@ -589,9 +613,12 @@ object GraphQueries {
     val t3 = System.nanoTime()
     triEdgeSupport(s, dir).count()
     val t4 = System.nanoTime()
+    rankedAdjacency(s, dir).count()
+    val t5 = System.nanoTime()
     Seq("graph_edges" -> (t1 - t0) / 1e9, "graph_degrees" -> (t2 - t1) / 1e9,
       "graph_tri_corners" -> (t3 - t2) / 1e9,
-      "graph_tri_edges" -> (t4 - t3) / 1e9)
+      "graph_tri_edges" -> (t4 - t3) / 1e9,
+      "graph_adjacency" -> (t5 - t4) / 1e9)
   }
 
   /** The r14 decomposition fixpoints (truss + coreness), as their own
@@ -621,7 +648,7 @@ object GraphQueries {
     * pinned until the session stops.
     */
   def clearCache(s: SparkSession, dir: String): Unit =
-    Seq(edgeCache, degreeCache, triCornerCache, triEdgeCache,
+    Seq(edgeCache, degreeCache, triCornerCache, triEdgeCache, adjCache,
       triangleCache, trussCache, corenessCache).foreach { cache =>
       Option(cache.remove((s, dir))).foreach { df =>
         org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
@@ -1083,7 +1110,7 @@ object GraphQueries {
     // until-fixpoint variant is `dedup_components`' kernel); the ledger
     // (round, frontier_size, n_visited) is what BFS monitoring plots.
     "graph_bfs_layers" -> { (s, dir) =>
-      val bi = bidirectional(edges(s, dir))
+      val bi = rankedAdjacency(s, dir).select("u", "v")
       var frontier = degrees(s, dir).agg(min(col("u")).as("u"))
       var visited = frontier
       def ledger(r: Int, f: DataFrame, vis: DataFrame): DataFrame =
@@ -1135,7 +1162,7 @@ object GraphQueries {
     // replays it as a recursive CTE whose UNION dedup gives the same
     // visited-set semantics.
     "graph_landmark_distance" -> { (s, dir) =>
-      val bi = bidirectional(edges(s, dir))
+      val bi = rankedAdjacency(s, dir).select("u", "v")
       val seeds = degrees(s, dir).orderBy("u").limit(3)
         .select(col("u").as("src"), col("u"))
       var reached = seeds.withColumn("dist", lit(0L))
@@ -1215,9 +1242,10 @@ object GraphQueries {
     // window partitions by node (per-partition work bounded by degree).
     // Walk count and length are knobs; the plan is linear in both.
     "graph_random_walk" -> { (s, dir) =>
-      val wAdj = Window.partitionBy("u").orderBy("v")
-      val adj = bidirectional(edges(s, dir))
-        .withColumn("rn", row_number().over(wAdj).cast("long"))
+      // r15: the ranked adjacency is the session artifact (ask #4) — the
+      // per-rep ranking window over the edge cache is gone; each step is
+      // a join against the checkpoint.
+      val adj = rankedAdjacency(s, dir)
       val deg = degrees(s, dir)
       // First 16 md5 bits as a long, built from the PASSED column (r13
       // ADVICE fix — the r12 draft hardcoded "hh" inside expr() strings,
