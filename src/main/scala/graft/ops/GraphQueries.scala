@@ -206,26 +206,36 @@ object GraphQueries {
   }
 
   /** Size gate for the single-task decomposition kernels: at or below
-    * this many triangle edges / graph edges the whole truss / coreness
-    * peel runs as ONE job (a `repartition(1)` + `mapPartitions` exact
-    * bucket-queue peel — ~200 MB task heap at the 5M default), because
-    * the distributed h-index loop's cost is JOBS, not data: 40+ fixpoint
-    * rounds × scheduler latency dwarf the seconds of actual compute on a
-    * graph this small. Above the gate the loop is the only correct
-    * shape and runs unchanged ([[trussRound]]/[[corenessRound]] —
-    * label-side broadcast below their own gate, SHUFFLE_HASH above, one
-    * shuffle per round). ScaleProbe pins this conf to 0 so every
-    * measured exponent prices the DISTRIBUTED loop, never the gated
-    * kernel; `GraphSpec` proves the two paths land on identical labels.
+    * this many STATE UNITS the whole truss / coreness peel runs as ONE
+    * job (a `repartition(1)` + `mapPartitions` exact bucket-queue peel —
+    * ~200 MB task heap at the 8M-unit default, dominated by the boxed
+    * edge-key map at ~100 B/edge plus two ints per triangle slot),
+    * because the distributed h-index loop's cost is JOBS, not data: 40+
+    * fixpoint rounds × scheduler latency dwarf the seconds of actual
+    * compute on a graph this small. State units bound what the task
+    * actually MATERIALIZES (r15 ADVICE fix — the r14 gate bounded
+    * triangle-EDGE count only, but the truss kernel's CSR holds 3 ints
+    * per TRIANGLE, and triangle count is not bounded by edge count: a
+    * ~3.2k-node clique passes a 5M edge gate with ~5.3e9 triangles):
+    * truss gates on |triangle edges| + 3·|triangles|, coreness on
+    * |V| + 2·|E|. Above the gate the
+    * loop is the only correct shape and runs unchanged
+    * ([[trussRound]]/[[corenessRound]] — label-side broadcast below the
+    * byte gate, SHUFFLE_HASH above, one shuffle per round). ScaleProbe
+    * pins this conf to 0 so every measured exponent prices the
+    * DISTRIBUTED loop, never the gated kernel; `GraphSpec` proves the
+    * two paths land on identical labels.
     */
   val DecompInTaskMaxEdgesKey = "spark.graft.graph.decompInTaskMaxEdges"
 
   private def decompGate(s: SparkSession): Long =
-    s.conf.get(DecompInTaskMaxEdgesKey, "5000000").toLong
+    s.conf.get(DecompInTaskMaxEdgesKey, "8000000").toLong
 
   private def buildTrussLabels(s: SparkSession, dir: String): DataFrame = {
     val nTriEdges = triEdgeSupport(s, dir).count()
-    if (nTriEdges <= decompGate(s)) return buildTrussLabelsInTask(s, dir)
+    val nTriangles = closedTriangles(s, dir).count()
+    if (nTriEdges + 3 * nTriangles <= decompGate(s))
+      return buildTrussLabelsInTask(s, dir)
     // Canonical (u < v) edge keys of each triangle's three edges, one
     // cheap projection of the cached triple list (reused every round).
     val triE = closedTriangles(s, dir).select(
@@ -250,13 +260,16 @@ object GraphQueries {
     var prevSum = tSum(lab)
     var rounds = 0
     var converged = false
-    // BATCHED rounds (r14 phase-budget fix): with ~2 s of real compute
-    // per round, one localCheckpoint + one convergence aggregate PER
-    // ROUND made scheduler overhead the dominant cost. Two rounds fold
-    // into each materialization; convergence is checked at batch
-    // boundaries only (monotone fixpoint - overshooting by a no-op
-    // round costs one cheap pass, never correctness).
-    val RoundsPerCkpt = 1
+    // BATCHED rounds (r15 — r14 documented this batching but shipped
+    // RoundsPerCkpt = 1; ADVICE flagged the mismatch): one
+    // localCheckpoint + one convergence aggregate per round made
+    // scheduler overhead a large share of the loop's wall. Two rounds
+    // fold into each materialization; convergence is checked at batch
+    // boundaries only (monotone fixpoint — overshooting by a no-op
+    // round costs one cheap pass, never correctness, and the recorded
+    // round count rises by at most one batch, still under the oracle
+    // unroll guard below).
+    val RoundsPerCkpt = 2
     // Label-side join strategy: the labels are the BOUNDED side (|E|
     // rows for truss, |V| for coreness). Below the broadcast gate every
     // round's label joins are broadcast-hash (map-side, ZERO shuffles) -
@@ -264,7 +277,7 @@ object GraphQueries {
     // the sf0.1 build from ~45 s to single digits. Past the gate (a
     // cluster-scale graph) the same plan degrades to SHUFFLE_HASH with
     // the label side building - never a sort, never a broadcast OOM.
-    val bcast = labelJoinSide(lab.count())
+    val bcast = labelJoinSide(s, lab.count())
     while (!converged && rounds < 64) {
       var cur = lab
       for (_ <- 1 to RoundsPerCkpt) { cur = trussRound(triE, cur, bcast) }
@@ -277,7 +290,10 @@ object GraphQueries {
       lab = nxt
       rounds += RoundsPerCkpt
     }
-    trussRounds.put((s, dir), rounds)
+    // converged ⇒ the last batch was a no-op, so rounds − batch is still
+    // an upper bound on the true convergence round (what the oracle
+    // unroll must cover); the raw counter only if the cap was hit
+    trussRounds.put((s, dir), if (converged) rounds - RoundsPerCkpt else rounds)
     lab
   }
 
@@ -288,10 +304,22 @@ object GraphQueries {
     * sort-merge - re-sorting the 3x|triangles| stream every round was
     * both the wall time and the memory blow-up of the first r14 cut.
     */
-  /** Broadcast below the gate, SHUFFLE_HASH (label side builds) above. */
-  private def labelJoinSide(n: Long): DataFrame => DataFrame =
-    if (n <= 5000000L) (df: DataFrame) => broadcast(df)
+  /** Broadcast below the byte gate, SHUFFLE_HASH (label side builds)
+    * above. r15 ADVICE fix: the decision is a byte estimate against a
+    * dedicated conf (default 64 MB), not the old hardcoded 5M-row count —
+    * each truss round references the label table 4-5 times, so near the
+    * row threshold the driver repeatedly shipped hundreds of MB and could
+    * OOM just below the in-task gate. ~48 B/row covers the three-long
+    * label rows plus hashed-relation overhead; 64 MB ≈ 1.4M label rows.
+    */
+  val DecompBroadcastMaxBytesKey = "spark.graft.graph.decompBroadcastMaxBytes"
+
+  private def labelJoinSide(s: SparkSession, n: Long): DataFrame => DataFrame = {
+    val maxBytes =
+      s.conf.get(DecompBroadcastMaxBytesKey, (64L << 20).toString).toLong
+    if (n * 48L <= maxBytes) (df: DataFrame) => broadcast(df)
     else (df: DataFrame) => df.hint("SHUFFLE_HASH")
+  }
 
   private def trussRound(triE: DataFrame, lab: DataFrame,
       side: DataFrame => DataFrame): DataFrame = {
@@ -363,7 +391,10 @@ object GraphQueries {
   }
 
   private def buildCorenessLabels(s: SparkSession, dir: String): DataFrame = {
-    if (edges(s, dir).count() <= decompGate(s))
+    // |V| + 2|E| state units (the kernel's node table + CSR adjacency)
+    val nE = edges(s, dir).count()
+    val nV = degrees(s, dir).count()
+    if (nV + 2 * nE <= decompGate(s))
       return buildCorenessLabelsInTask(s, dir)
     val bi = bidirectional(edges(s, dir))
     var lab = org.apache.spark.sql.GraftColumnBridge.statsFreeLocalCheckpoint(
@@ -374,13 +405,14 @@ object GraphQueries {
     var prevSum = cSum(lab)
     var rounds = 0
     var converged = false
-    // BATCHED rounds (see buildTrussLabels): coreness needs up to 38
-    // rounds at sf0.1 but each is tiny (the label table is |V| rows) -
-    // per-round checkpoint + convergence jobs WERE the cost. Six rounds
-    // fold into each materialization; the monotone fixpoint makes the
-    // batch-boundary convergence check exact, just coarser.
-    val RoundsPerCkpt = 1
-    val bcast = labelJoinSide(lab.count())
+    // BATCHED rounds (see buildTrussLabels; r15 ships the batching r14's
+    // comment promised): coreness needs up to 38 rounds at sf0.1 but each
+    // is tiny (the label table is |V| rows) - per-round checkpoint +
+    // convergence jobs WERE the cost. Six rounds fold into each
+    // materialization; the monotone fixpoint makes the batch-boundary
+    // convergence check exact, just coarser.
+    val RoundsPerCkpt = 6
+    val bcast = labelJoinSide(s, lab.count())
     while (!converged && rounds < 72) {
       var cur = lab
       for (_ <- 1 to RoundsPerCkpt) { cur = corenessRound(bi, cur, bcast) }
@@ -393,7 +425,9 @@ object GraphQueries {
       lab = nxt
       rounds += RoundsPerCkpt
     }
-    corenessRounds.put((s, dir), rounds)
+    // same upper-bound recording as the truss loop (no-op batch excluded)
+    corenessRounds.put((s, dir),
+      if (converged) rounds - RoundsPerCkpt else rounds)
     lab
   }
 
@@ -909,6 +943,14 @@ object GraphQueries {
     // trajectories land identically.
     "graph_truss" -> { (s, dir) =>
       val lab = trussLabels(s, dir)
+      // r15 ADVICE guard: the engine loop may run up to 64 rounds, the
+      // oracle unrolls a FIXED 32 — on data needing more, the compare
+      // would misreport a harness artifact (oracle stopped early) as an
+      // engine divergence. Fail HERE with the real cause instead. The
+      // in-task peel records no rounds (it is exact by construction).
+      Option(trussRounds.get((s, dir))).filter(_ > 32).foreach(r =>
+        sys.error(s"graph_truss converged in $r rounds > the oracle's " +
+          "32-round unroll — regenerate trussOracleSql with more rounds"))
       edges(s, dir).join(lab, Seq("u", "v"), "left")
         .select(col("u"), col("v"),
           coalesce(col("t"), lit(2L)).as("truss"))
@@ -923,8 +965,12 @@ object GraphQueries {
     // measured fixpoints 10/19/38 at the three SFs), identical by the
     // fixpoint's uniqueness + monotone no-op tail.
     "graph_coreness" -> { (s, dir) =>
-      corenessLabels(s, dir)
-        .select(col("u").as("node"), col("c").as("coreness"))
+      val lab = corenessLabels(s, dir)
+      // same oracle-unroll guard as graph_truss (48-round oracle)
+      Option(corenessRounds.get((s, dir))).filter(_ > 48).foreach(r =>
+        sys.error(s"graph_coreness converged in $r rounds > the oracle's " +
+          "48-round unroll — regenerate corenessOracleSql with more rounds"))
+      lab.select(col("u").as("node"), col("c").as("coreness"))
         .orderBy("node")
     },
 

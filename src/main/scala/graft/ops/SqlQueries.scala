@@ -22,12 +22,23 @@ object SqlQueries {
 
   def registerViews(s: SparkSession, dir: String): Unit = {
     registeredDir.keySet.removeIf(_.sparkContext.isStopped)
-    if (registeredDir.put(s, dir) != dir) {
-      Tables.all.foreach { t =>
-        Tables.load(s, dir, t).createOrReplaceTempView(t)
-        if (t == "events") Tables.events(s, dir).createOrReplaceTempView(t)
+    // Views FIRST, the dir record AFTER (r15 ADVICE): publishing the dir
+    // before registration let a concurrent caller race into `spark.sql`
+    // against not-yet-registered views, and a registration failure left a
+    // poisoned entry that permanently skipped re-registration. compute()
+    // runs the loop inside the bin lock (same-session callers block until
+    // the views exist) and leaves the mapping ABSENT if it throws, so the
+    // next caller retries instead of inheriting a half-registered catalog.
+    registeredDir.compute(s, (_, prev) => {
+      if (prev != dir) {
+        Tables.all.foreach { t =>
+          Tables.load(s, dir, t).createOrReplaceTempView(t)
+          if (t == "events") Tables.events(s, dir).createOrReplaceTempView(t)
+        }
       }
-    }
+      dir
+    })
+    ()
   }
 
   private def q(sql: String): (SparkSession, String) => DataFrame = { (s, dir) =>
