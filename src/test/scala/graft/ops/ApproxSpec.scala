@@ -53,6 +53,30 @@ class ApproxSpec extends SparkSuite {
     }
   }
 
+  test("dedup_simhash reproduces the brute-force banded-Hamming pair set exactly") {
+    // The query's declared semantics: pairs sharing >= 1 of the 4 16-bit
+    // bands whose fingerprints are within Hamming 12. Reproduce it by
+    // brute force over all C(n,2) fixture pairs from the SAME fingerprint
+    // expression — exhaustive at fixture scale, so the banded equi-join +
+    // verify pipeline is proven lossless AND precise, not just plausible.
+    val got = SparkEntryQueries.run("dedup_simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fps = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.SimHash64.simhash64(split(col("text"), " ")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def band(f: Long, b: Int): Long = (f >>> (b * 16)) & 0xffffL
+    val want = (for {
+      (da, fa) <- fps
+      (db, fb) <- fps
+      if da < db
+      hd = java.lang.Long.bitCount(fa ^ fb)
+      if hd <= 12 && (0 until 4).exists(b => band(fa, b) == band(fb, b))
+    } yield (da, db, hd)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("IVF k-NN JOIN output is structurally sound (dense ranks 1..k, k <= 3)") {
     val ann = SparkEntryQueries.run("sim_ann_knn")
     val badRanks = ann.groupBy("va").agg(collect_list("rn").as("rns"))
