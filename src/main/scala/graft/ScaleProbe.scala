@@ -62,9 +62,16 @@ object ScaleProbe {
   // walk frontiers, the DistributedRank range-shuffle, per-term
   // source-bounded fanout), which is exactly what two orders of magnitude
   // should demonstrate.
+  // r15 (verdict ask #3): the r14 debut kernels graduate to the 100× tier
+  // — graph_truss's h-index LOOP (the gate's conf is pinned to 0 below,
+  // so the exponent prices the distributed path, exactly the path that
+  // serves a corpus this size under the default gate too), the coreness
+  // loop, and dedup_span_removal (artifact-backed interval-merge fold —
+  // its cold number times the shared 5-gram artifact build).
   private val HeavyRelProbes = Seq("assoc_item_pairs", "graph_jaccard_neighbors",
     "graph_betweenness_2hop", "graph_random_walk",
-    "events_rfm", "text_vocab_overlap", "graph_edge_support")
+    "events_rfm", "text_vocab_overlap", "graph_edge_support",
+    "graph_truss", "graph_coreness", "dedup_span_removal")
   // r10: the relational/event families — basket mining (per-order pair
   // enumeration), wedge-bounded graph similarity, and the per-user window
   // shapes. Replication shifts ORDER/PART/USER keys per replica, so
@@ -86,11 +93,14 @@ object ScaleProbe {
   // graph_truss (the h-index fixpoint loop; its scale story is rounds ×
   // one triangle-list join, with round count set by graph structure, not
   // size — the 30× exponent measures exactly that claim).
+  // r15 adds graph_coreness and dedup_span_removal to the 10/30× tier —
+  // both debuted in r14 with no (or 30×-only) exponent rows.
   private val RelProbes = Seq("assoc_item_pairs", "graph_jaccard_neighbors",
     "graph_betweenness_2hop", "graph_random_walk",
     "ts_anomaly_zscore", "events_attribution",
     "events_rfm", "text_vocab_overlap",
-    "graph_edge_support", "graph_truss")
+    "graph_edge_support", "graph_truss", "graph_coreness",
+    "dedup_span_removal")
   private val Probes = PairProbes ++ Seq("sim_ann_knn", "text_dup_spans") ++ RelProbes
 
   /** The probe set a given replication factor runs (see the scaladoc). */
@@ -247,8 +257,11 @@ object ScaleProbe {
         val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
         val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
         def evictFamily(q: String): Unit = {
-          if (q.startsWith("dedup_") || q == "text_dup_spans")
+          if (q.startsWith("dedup_") || q == "text_dup_spans") {
             graft.ops.DedupQueries.clearCache(spark)
+            // the span/gram consumers read the session 5-gram artifact
+            graft.ops.GramIndex.clearCache(spark)
+          }
           if (q.startsWith("assoc_")) graft.ops.MiningQueries.clearCache(spark, dir)
           if (q.startsWith("graph_")) graft.ops.GraphQueries.clearCache(spark, dir)
           if (q.startsWith("sim_")) graft.ops.VectorQueries.clearCache(spark, dir)
@@ -286,6 +299,7 @@ object ScaleProbe {
         graft.ops.MiningQueries.clearCache(spark, dir)
         graft.ops.VectorQueries.clearCache(spark, dir)
         graft.ops.DedupQueries.clearCache(spark)
+        graft.ops.GramIndex.clearCache(spark)
         factor -> (cold, warm)
     }
     val (f1, (c1, w1)) = results.head

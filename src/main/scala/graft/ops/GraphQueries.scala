@@ -228,13 +228,41 @@ object GraphQueries {
     */
   val DecompInTaskMaxEdgesKey = "spark.graft.graph.decompInTaskMaxEdges"
 
-  private def decompGate(s: SparkSession): Long =
+  private[ops] def decompGate(s: SparkSession): Long =
     s.conf.get(DecompInTaskMaxEdgesKey, "8000000").toLong
+
+  /** Pure routing arithmetic, exposed so ScaleSpec can assert the gate
+    * decision at probe-corpus magnitudes instead of trusting prose: the
+    * truss kernel materializes the edge map plus a 3-slot CSR per
+    * triangle; the coreness kernel a node table plus a 2-slot CSR per
+    * edge.
+    */
+  private[ops] def trussUnits(nTriEdges: Long, nTriangles: Long): Long =
+    nTriEdges + 3 * nTriangles
+
+  private[ops] def corenessUnits(nV: Long, nE: Long): Long = nV + 2 * nE
+
+  /** Which path the last build took, per (session, dir, decomposition) —
+    * "in-task" | "loop". Recorded so specs assert ROUTING, not output
+    * equality alone (two paths agreeing on labels says nothing about
+    * which one served the query).
+    */
+  private[ops] val decompPath =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), String]()
+
+  /** Live-count accessors for ScaleSpec's gate-routing arithmetic. */
+  private[ops] def edgeCount(s: SparkSession, dir: String): Long =
+    edges(s, dir).count()
+
+  private[ops] def triEdgeSupportCount(s: SparkSession, dir: String): Long =
+    triEdgeSupport(s, dir).count()
 
   private def buildTrussLabels(s: SparkSession, dir: String): DataFrame = {
     val nTriEdges = triEdgeSupport(s, dir).count()
     val nTriangles = closedTriangles(s, dir).count()
-    if (nTriEdges + 3 * nTriangles <= decompGate(s))
+    val inTask = trussUnits(nTriEdges, nTriangles) <= decompGate(s)
+    decompPath.put((s, dir, "truss"), if (inTask) "in-task" else "loop")
+    if (inTask)
       return buildTrussLabelsInTask(s, dir)
     // Canonical (u < v) edge keys of each triangle's three edges, one
     // cheap projection of the cached triple list (reused every round).
@@ -394,7 +422,9 @@ object GraphQueries {
     // |V| + 2|E| state units (the kernel's node table + CSR adjacency)
     val nE = edges(s, dir).count()
     val nV = degrees(s, dir).count()
-    if (nV + 2 * nE <= decompGate(s))
+    val inTask = corenessUnits(nV, nE) <= decompGate(s)
+    decompPath.put((s, dir, "coreness"), if (inTask) "in-task" else "loop")
+    if (inTask)
       return buildCorenessLabelsInTask(s, dir)
     val bi = bidirectional(edges(s, dir))
     var lab = org.apache.spark.sql.GraftColumnBridge.statsFreeLocalCheckpoint(
