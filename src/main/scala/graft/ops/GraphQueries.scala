@@ -288,16 +288,16 @@ object GraphQueries {
     var prevSum = tSum(lab)
     var rounds = 0
     var converged = false
-    // BATCHED rounds (r15 — r14 documented this batching but shipped
-    // RoundsPerCkpt = 1; ADVICE flagged the mismatch): one
-    // localCheckpoint + one convergence aggregate per round made
-    // scheduler overhead a large share of the loop's wall. Two rounds
-    // fold into each materialization; convergence is checked at batch
-    // boundaries only (monotone fixpoint — overshooting by a no-op
-    // round costs one cheap pass, never correctness, and the recorded
-    // round count rises by at most one batch, still under the oracle
-    // unroll guard below).
-    val RoundsPerCkpt = 2
+    // ONE round per materialization — r15 MEASURED the batching an r14
+    // comment claimed ("two rounds fold"): each round references the
+    // label table FIVE times, and Spark executes an unmaterialized plan
+    // DAG as a TREE, so folding k rounds re-executes the base ~5^k
+    // times — the 1× truss loop ballooned to 41.8 s under k=2 in this
+    // round's probe. Per-round checkpointing is the cheap option here,
+    // not the overhead; the knob stays for graphs whose per-round
+    // compute dwarfs one extra pass (it is correctness-neutral: the
+    // fixpoint is monotone, convergence is checked at batch boundaries).
+    val RoundsPerCkpt = 1
     // Label-side join strategy: the labels are the BOUNDED side (|E|
     // rows for truss, |V| for coreness). Below the broadcast gate every
     // round's label joins are broadcast-hash (map-side, ZERO shuffles) -
@@ -435,13 +435,12 @@ object GraphQueries {
     var prevSum = cSum(lab)
     var rounds = 0
     var converged = false
-    // BATCHED rounds (see buildTrussLabels; r15 ships the batching r14's
-    // comment promised): coreness needs up to 38 rounds at sf0.1 but each
-    // is tiny (the label table is |V| rows) - per-round checkpoint +
-    // convergence jobs WERE the cost. Six rounds fold into each
-    // materialization; the monotone fixpoint makes the batch-boundary
-    // convergence check exact, just coarser.
-    val RoundsPerCkpt = 6
+    // ONE round per materialization (see buildTrussLabels — the same
+    // measured lesson: corenessRound references the labels 3×, so k
+    // folded rounds re-execute the base ~3^k times as an unmaterialized
+    // tree; k=6 took the 1× coreness loop to 198 s in this round's
+    // probe where per-round checkpointing is seconds).
+    val RoundsPerCkpt = 1
     val bcast = labelJoinSide(s, lab.count())
     while (!converged && rounds < 72) {
       var cur = lab
