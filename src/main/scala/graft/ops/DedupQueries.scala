@@ -597,6 +597,67 @@ object DedupQueries {
     labels
   }
 
+  /** The per-document span-removal ledger `(doc_id, lang, n_toks,
+    * n_removed, removed_chars, n_kept_spans)` — shared by
+    * `dedup_span_removal` (the doc-grain output) and `dedup_span_savings`
+    * (the per-language rollup). Plan shape (r15, the r14 verdict's ask
+    * #1): the positional 5-gram corpus pass AND the duplicated-gram
+    * census come from the session artifact ([[GramIndex.posGrams]] —
+    * shared with text_dup_spans / text_ngram_novelty / the curation span
+    * stage; `nd` is its baked-in docs-per-gram column). The coverage
+    * arithmetic is then DOC-LOCAL: each document's duplicated-gram start
+    * positions collapse to one sorted array, and a single left-to-right
+    * interval-merge fold (`aggregate` over starts, carrying the last
+    * covered end) yields the removed-position count, the removed
+    * characters (inner fold over the merged slice's token lengths via
+    * `element_at`), and the covered-run count. Kept spans follow from run
+    * arithmetic on the DENSE position domain: kept = runs + 1 − [first
+    * covered pos = 1] − [last covered end = n]. The r14 shape paid a
+    * position-grain shuffle join plus a per-doc sort window over every
+    * token; this is one artifact filter, one doc-grain aggregate, one
+    * doc-grain join — per-doc state is bounded by the doc's own length
+    * (the same bound `split(text)` already implies), nothing
+    * position-grain crosses the wire. Only the token arrays (lengths for
+    * the ledger) scan `documents`, once.
+    */
+  private def spanLedger(s: SparkSession, dir: String): DataFrame = {
+    val docStarts = GramIndex.posGrams(s, dir)
+      .filter(col("nd") >= 2)
+      // a position determines its gram, so start positions are unique
+      // per doc across grams — collect_list + sort is already a set
+      .select(col("doc_id"), explode(col("ps")).as("i"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("i"))).as("starts"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts"))
+      .join(docStarts, Seq("doc_id"), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), expr("CAST(array() AS ARRAY<INT>)")))
+      // interval-merge fold: each start i covers [i, i+4]; overlaps with
+      // the previously covered prefix are clipped at last_end. Starts
+      // ascend, so a clipped-empty interval (i+4 <= last_end) cannot
+      // occur — the guard keeps the fold total anyway.
+      .withColumn("st", expr(
+        """aggregate(starts,
+          |  named_struct('cnt', 0L, 'chars', 0L, 'last_end', -5, 'runs', 0L),
+          |  (acc, i) -> IF(i + 4 <= acc.last_end, acc, named_struct(
+          |    'cnt', acc.cnt + CAST(i + 4 - greatest(i, acc.last_end + 1) + 1 AS BIGINT),
+          |    'chars', acc.chars + aggregate(
+          |      sequence(greatest(i, acc.last_end + 1), i + 4), 0L,
+          |      (a, p) -> a + CAST(length(element_at(ts, p)) AS BIGINT)),
+          |    'last_end', i + 4,
+          |    'runs', acc.runs + IF(i > acc.last_end + 1, 1L, 0L))))""".stripMargin))
+      .select(col("doc_id"), col("lang"),
+        size(col("ts")).cast("long").as("n_toks"),
+        col("st.cnt").as("n_removed"),
+        col("st.chars").as("removed_chars"),
+        (col("st.runs") + 1L
+          - when(size(col("starts")) > 0 && element_at(col("starts"), 1) === 1, 1L)
+            .otherwise(0L)
+          - when(col("st.last_end") === size(col("ts")), 1L).otherwise(0L))
+          .as("n_kept_spans"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: duplicate-injected corpus collapsed by content hash.
     "dedup_exact" -> { (s, dir) =>
@@ -946,61 +1007,34 @@ object DedupQueries {
     // characters, and how many contiguous KEPT spans survive (the
     // fragmentation a training pipeline actually cares about: one doc
     // shredded into 40 slivers is worth less than its token count says).
-    // Plan shape (r15, the r14 verdict's ask #1): the positional 5-gram
-    // corpus pass AND the duplicated-gram census come from the session
-    // artifact ([[GramIndex.posGrams]] — shared with text_dup_spans /
-    // text_ngram_novelty / the curation span stage; `nd` is its baked-in
-    // docs-per-gram column). The coverage arithmetic is then DOC-LOCAL:
-    // each document's duplicated-gram start positions collapse to one
-    // sorted array, and a single left-to-right interval-merge fold
-    // (`aggregate` over starts, carrying the last covered end) yields the
-    // removed-position count, the removed characters (inner fold over the
-    // merged slice's token lengths via `element_at`), and the covered-run
-    // count. Kept spans follow from run arithmetic on the DENSE position
-    // domain: kept = runs + 1 − [first covered pos = 1] − [last covered
-    // end = n]. The r14 shape paid a position-grain shuffle join plus a
-    // per-doc sort window over every token; this is one artifact filter,
-    // one doc-grain aggregate, one doc-grain join — the per-doc state is
-    // bounded by the doc's own length (the same bound `split(text)`
-    // already implies), nothing position-grain crosses the wire. Only the
-    // token arrays (lengths for the ledger) scan `documents`, once.
+    // Plan shape since r15: the shared [[spanLedger]] (artifact-backed
+    // doc-local interval-merge fold — full analysis on the helper).
     "dedup_span_removal" -> { (s, dir) =>
-      val docStarts = GramIndex.posGrams(s, dir)
-        .filter(col("nd") >= 2)
-        // a position determines its gram, so start positions are unique
-        // per doc across grams — collect_list + sort is already a set
-        .select(col("doc_id"), explode(col("ps")).as("i"))
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(col("i"))).as("starts"))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("ts"))
-        .join(docStarts, Seq("doc_id"), "left")
-        .withColumn("starts",
-          coalesce(col("starts"), expr("CAST(array() AS ARRAY<INT>)")))
-        // interval-merge fold: each start i covers [i, i+4]; overlaps with
-        // the previously covered prefix are clipped at last_end. Starts
-        // ascend, so a clipped-empty interval (i+4 <= last_end) cannot
-        // occur — the guard keeps the fold total anyway.
-        .withColumn("st", expr(
-          """aggregate(starts,
-            |  named_struct('cnt', 0L, 'chars', 0L, 'last_end', -5, 'runs', 0L),
-            |  (acc, i) -> IF(i + 4 <= acc.last_end, acc, named_struct(
-            |    'cnt', acc.cnt + CAST(i + 4 - greatest(i, acc.last_end + 1) + 1 AS BIGINT),
-            |    'chars', acc.chars + aggregate(
-            |      sequence(greatest(i, acc.last_end + 1), i + 4), 0L,
-            |      (a, p) -> a + CAST(length(element_at(ts, p)) AS BIGINT)),
-            |    'last_end', i + 4,
-            |    'runs', acc.runs + IF(i > acc.last_end + 1, 1L, 0L))))""".stripMargin))
-        .select(col("doc_id"),
-          size(col("ts")).cast("long").as("n_toks"),
-          col("st.cnt").as("n_removed"),
-          col("st.chars").as("removed_chars"),
-          (col("st.runs") + 1L
-            - when(size(col("starts")) > 0 && element_at(col("starts"), 1) === 1, 1L)
-              .otherwise(0L)
-            - when(col("st.last_end") === size(col("ts")), 1L).otherwise(0L))
-            .as("n_kept_spans"))
+      spanLedger(s, dir)
+        .select("doc_id", "n_toks", "n_removed", "removed_chars",
+          "n_kept_spans")
         .orderBy("doc_id")
+    },
+
+    // SPAN-REMOVAL SAVINGS (r15): the governance rollup over the same
+    // per-doc ledger — per language: how many documents, how much of the
+    // token mass a span-dedup pass would strip (truncated ppm), and how
+    // many documents it would remove ENTIRELY (the attrition a mix plan
+    // must budget for before committing to the pass). One lang join on
+    // the doc-grain ledger + one ≤|langs|-row aggregate; scale shape is
+    // the ledger's.
+    "dedup_span_savings" -> { (s, dir) =>
+      spanLedger(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_toks"),
+          sum(col("n_removed")).as("n_removed"),
+          sum(when(col("n_removed") === col("n_toks"), 1L).otherwise(0L))
+            .as("n_docs_fully_removed"))
+        .select(col("lang"), col("n_docs"), col("n_toks"), col("n_removed"),
+          expr("(1000000 * n_removed) div n_toks").as("removed_ppm"),
+          col("n_docs_fully_removed"))
+        .orderBy("lang")
     },
 
     // CONTAINMENT near-dup (asymmetric): pairs where doc A's shingle set is
@@ -1299,6 +1333,42 @@ object DedupQueries {
         |       CAST(coalesce(min(s.n_kept_spans), 0) AS BIGINT) AS n_kept_spans
         |FROM marked m LEFT JOIN spans s ON m.doc_id = s.doc_id
         |GROUP BY m.doc_id ORDER BY m.doc_id""".stripMargin,
+
+    "dedup_span_savings" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |), pos AS (
+        |  SELECT doc_id, generate_subscripts(ts, 1) AS p FROM t
+        |), gsrc AS (
+        |  SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i FROM t
+        |  WHERE len(ts) >= 5
+        |), grams AS (
+        |  SELECT doc_id, i, array_to_string(ts[i:i+4], ' ') AS gram FROM gsrc
+        |), dup AS (
+        |  SELECT gram FROM grams GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) >= 2
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT g.doc_id, unnest(range(g.i, g.i + 5)) AS p
+        |    FROM grams g JOIN dup USING (gram))
+        |), perdoc AS (
+        |  SELECT pos.doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_toks,
+        |         CAST(sum(CASE WHEN cov.p IS NOT NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_removed
+        |  FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+        |  GROUP BY 1
+        |)
+        |SELECT d.lang,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_toks) AS BIGINT) AS n_toks,
+        |       CAST(sum(n_removed) AS BIGINT) AS n_removed,
+        |       CAST((1000000 * sum(n_removed)) // sum(n_toks) AS BIGINT)
+        |         AS removed_ppm,
+        |       CAST(sum(CASE WHEN n_removed = n_toks THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_docs_fully_removed
+        |FROM perdoc JOIN documents d USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_incremental_bloom" ->
       """SELECT doc_id, n_chars

@@ -874,6 +874,42 @@ object MiningQueries {
         .orderBy("arm_a", "arm_b")
     },
 
+    // COHEN'S D (r15): the standardized effect size next to
+    // agg_ttest_welch's significance — the number an experiment readout
+    // actually acts on (a significant t with d ≈ 0.02 ships nothing).
+    // Same shape as the t-test: ONE map-side-combined pass collects exact
+    // DECIMAL(38,0) sufficient statistics (n, Σc, Σc²) per arm, the
+    // all-pairs grid is a broadcast join of the ≤|arms| stat table, and
+    // d = (μa − μb) / s_pooled with the pooled SD from the exact inputs —
+    // closed-form IEEE ops evaluated identically by both engines, rounded
+    // last, signed-zero canonicalized. 10 rows out; linear in events.
+    "agg_cohens_d" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val c = floor(col("value") * 100 + 0.5).cast("long")
+      val stats = Tables.events(s, dir)
+        .select(col("event_type").as("et"), c.as("c"))
+        .groupBy("et")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast(d38)).as("s1"),
+          sum((col("c") * col("c")).cast(d38)).as("s2"))
+      val pairs = armPairs(s, dir)
+      def side(sfx: String) = stats.select(col("et").as(s"p$sfx"),
+        col("n").as(s"n$sfx"), col("s1").as(s"s1$sfx"), col("s2").as(s"s2$sfx"))
+      def nOf(sfx: String) = col(s"n$sfx").cast("double")
+      def muOf(sfx: String) = col(s"s1$sfx").cast("double") / nOf(sfx)
+      // (n−1)·sample variance = Σc² − (Σc)²/n, straight from the exact sums
+      def ssOf(sfx: String) =
+        col(s"s2$sfx").cast("double") -
+          col(s"s1$sfx").cast("double") * col(s"s1$sfx").cast("double") / nOf(sfx)
+      val sPooled = sqrt((ssOf("a") + ssOf("b")) / (nOf("a") + nOf("b") - 2.0))
+      pairs.join(broadcast(side("a")), "pa").join(broadcast(side("b")), "pb")
+        .select(col("pa").as("arm_a"), col("pb").as("arm_b"),
+          col("na").as("n_a"), col("nb").as("n_b"),
+          (round(sPooled / 100.0, 4) + 0.0).as("sd_pooled_r"),
+          (round((muOf("a") - muOf("b")) / sPooled, 4) + 0.0).as("cohens_d_r"))
+        .orderBy("arm_a", "arm_b")
+    },
+
     // CRAMÉR'S V (r12): strength of association of the event_type ×
     // weekday contingency table — the r×c generalization of agg_chi2's
     // 2×k test ("is behavior day-of-week dependent, and how much").
@@ -1348,6 +1384,31 @@ object MiningQueries {
         |            + b.vn * b.vn / (CAST(b.n AS DOUBLE) - 1.0)), 2) + 0.0
         |         AS df_welch_r
         |FROM dd a JOIN dd b ON a.et < b.et
+        |ORDER BY arm_a, arm_b""".stripMargin,
+
+    "agg_cohens_d" ->
+      """WITH r AS (
+        |  SELECT event_type AS et,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |st AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+        |              sum(c) AS s1, sum(c * c) AS s2
+        |       FROM r GROUP BY et),
+        |d AS (SELECT et, n,
+        |             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |             CAST(s2 AS DOUBLE)
+        |             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |               / CAST(n AS DOUBLE) AS ss
+        |      FROM st)
+        |SELECT a.et AS arm_a, b.et AS arm_b, a.n AS n_a, b.n AS n_b,
+        |       round(sqrt((a.ss + b.ss)
+        |         / (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE) - 2.0))
+        |         / 100.0, 4) + 0.0 AS sd_pooled_r,
+        |       round((a.mu - b.mu)
+        |         / sqrt((a.ss + b.ss)
+        |           / (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE) - 2.0)), 4)
+        |         + 0.0 AS cohens_d_r
+        |FROM d a JOIN d b ON a.et < b.et
         |ORDER BY arm_a, arm_b""".stripMargin,
 
     "agg_cramers_v" ->

@@ -557,6 +557,28 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // NOVELTY CURVE (r15): the corpus-level readout over the same
+    // first-exposure grain — novelty by doc_id DECILE, the "is the tail
+    // of this corpus still buying new text?" signal a curation pass reads
+    // before deciding whether more of the same source is worth ingesting
+    // (novelty_ppm decaying toward 0 across deciles = the source is
+    // exhausted). Pure artifact consumer: one broadcast 1-row max, one
+    // 10-row aggregate — nothing new at 100 TB beyond the artifact scan
+    // every sibling already pays.
+    "text_novelty_curve" -> { (s, dir) =>
+      val mx = Tables.documents(s, dir).agg(max(col("doc_id")).as("mx"))
+      GramIndex.posGrams(s, dir)
+        .crossJoin(broadcast(mx))
+        .select(expr("(doc_id * 10) div (mx + 1)").as("decile"),
+          col("c"), (col("first_doc") === col("doc_id")).as("novel"))
+        .groupBy("decile")
+        .agg(sum(col("c")).as("n_grams"),
+          sum(when(col("novel"), col("c")).otherwise(0L)).as("n_novel_pos"))
+        .select(col("decile"), col("n_grams"), col("n_novel_pos"),
+          expr("(1000000 * n_novel_pos) div n_grams").as("novelty_ppm"))
+        .orderBy("decile")
+    },
+
     // r15: same artifact treatment as text_ngram_novelty — the artifact's
     // baked-in docs-per-gram column `nd` replaces the per-rep gram census,
     // leaving one per-doc aggregate over the cached grain.
@@ -1331,6 +1353,30 @@ object TextQueries {
         |       CAST((1000000 * sum(CASE WHEN first_doc = gd.doc_id THEN c ELSE 0 END))
         |            // sum(c) AS BIGINT) AS novelty_ppm
         |FROM gd JOIN owner USING (gram)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_novelty_curve" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5
+        |), p AS (
+        |  SELECT doc_id, ts, unnest(range(1, len(ts) - 3)) AS i FROM t
+        |), gd AS (
+        |  SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS gram,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM p GROUP BY 1, 2
+        |), owner AS (
+        |  SELECT gram, min(doc_id) AS first_doc FROM gd GROUP BY 1
+        |), mx AS (
+        |  SELECT max(doc_id) AS mx FROM documents
+        |)
+        |SELECT CAST((gd.doc_id * 10) // (mx + 1) AS BIGINT) AS decile,
+        |       CAST(sum(c) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN first_doc = gd.doc_id THEN c ELSE 0 END)
+        |            AS BIGINT) AS n_novel_pos,
+        |       CAST((1000000 * sum(CASE WHEN first_doc = gd.doc_id THEN c ELSE 0 END))
+        |            // sum(c) AS BIGINT) AS novelty_ppm
+        |FROM gd JOIN owner USING (gram), mx
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_dup_spans" ->
