@@ -44,6 +44,9 @@ import graft.Tables
   *     (and the grain its trained LM aggregates from: the model is
   *     `sum(cnt)` over the even-doc half, so train and score share one
   *     corpus pass).
+  *   - [[bigramCells]] / [[termCounts]]: the adjacent-bigram and
+  *     vocabulary grains serving the collocation/PMI/top-terms/Zipf
+  *     consumers (see their Scaladoc).
   *
   * Scale shape: each artifact is one linear explode + one keyed aggregate,
   * partitioned by (doc_id, gram) — the same shuffle the consuming queries
@@ -87,6 +90,47 @@ object GramIndex {
       _ => buildPosGrams(Tables.documents(s, dir)).persist())
   }
 
+  private val bigramCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** `(a, b, n_ab)` adjacent-token bigram cells over `documents` — the
+    * collocation grain (r15): `text_collocations` re-exploded the corpus
+    * per rep for exactly this aggregate, and `text_bigram_pmi` built the
+    * same cells as concatenated strings. Unfiltered (support floors are
+    * per-consumer); total bigram positions = Σ n_ab, so consumers never
+    * need a second corpus pass for N.
+    */
+  private[graft] def bigramCells(s: SparkSession, dir: String): DataFrame = {
+    bigramCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    bigramCache.computeIfAbsent((s, dir), _ =>
+      Tables.documents(s, dir)
+        .select(split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(ts) - 1),
+            |  i -> named_struct('a', element_at(ts, i), 'b', element_at(ts, i + 1)))"""
+            .stripMargin)).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        .persist())
+  }
+
+  private val termCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** `(term, cu)` corpus unigram counts — the vocabulary grain (Heaps-law
+    * bounded) behind `text_top_terms`, `text_zipf_fit`, and
+    * `text_bigram_pmi`'s margins.
+    */
+  private[graft] def termCounts(s: SparkSession, dir: String): DataFrame = {
+    termCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    termCache.computeIfAbsent((s, dir), _ =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cu"))
+        .persist())
+  }
+
   private val triCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
@@ -105,11 +149,11 @@ object GramIndex {
         .persist())
   }
 
-  /** Build + materialize both artifacts, each timed for the bench's
-    * `index_build` map (entries `pos_grams` / `doc_trigrams`). A consumer
-    * racing this build just blocks on `computeIfAbsent` and reuses the
-    * winner's plan — the timed entry then reports the true build wall
-    * wherever it ran.
+  /** Build + materialize every artifact, each timed for the bench's
+    * `index_build` map (entries `pos_grams` / `doc_trigrams` /
+    * `bigram_cells` / `term_counts`). A consumer racing a build just
+    * blocks on `computeIfAbsent` and reuses the winner's plan — the timed
+    * entry then reports the true build wall wherever it ran.
     */
   def warmCaches(s: SparkSession, dir: String): Seq[(String, Double)] = {
     val t0 = System.nanoTime()
@@ -118,14 +162,21 @@ object GramIndex {
     val t1 = System.nanoTime()
     docTrigrams(s, dir).count()
     val tTri = (System.nanoTime() - t1) / 1e9
-    Seq("pos_grams" -> tGram, "doc_trigrams" -> tTri)
+    val t2 = System.nanoTime()
+    bigramCells(s, dir).count()
+    val tBg = (System.nanoTime() - t2) / 1e9
+    val t3 = System.nanoTime()
+    termCounts(s, dir).count()
+    val tTc = (System.nanoTime() - t3) / 1e9
+    Seq("pos_grams" -> tGram, "doc_trigrams" -> tTri,
+      "bigram_cells" -> tBg, "term_counts" -> tTc)
   }
 
   /** Unpersist and drop this session's artifacts (eager release — the same
     * contract as `DedupQueries.clearCache`).
     */
   def clearCache(s: SparkSession): Unit =
-    Seq(posGramCache, triCache).foreach { cache =>
+    Seq(posGramCache, triCache, bigramCache, termCache).foreach { cache =>
       val it = cache.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()

@@ -97,18 +97,45 @@ object GraphQueries {
     * the checkpoint is the same rows either way). Same localCheckpoint
     * policy as [[edges]]; the ranking window partitions by node, so
     * per-partition work is bounded by degree at any scale.
+    *
+    * SIZE-GATED (measured in this round's 100× probe): the deserialized
+    * checkpoint is ~50 B/row, and at the 100× replica (239M directed
+    * rows ≈ 12 GB) pinning it under the walk's own shuffles OOMed a 31 g
+    * heap — where r14's TRANSIENT per-query window ran fine (spillable
+    * execution memory instead of resident storage). Above
+    * [[AdjCacheMaxEdgesKey]] directed rows the accessor returns the
+    * uncached plan, trading per-query recompute for bounded residency —
+    * the same artifact-vs-recompute line every cache here draws, made
+    * explicit.
     */
+  val AdjCacheMaxEdgesKey = "spark.graft.graph.adjCacheMaxEdges"
+
+  private def adjCacheGate(s: SparkSession): Long =
+    s.conf.get(AdjCacheMaxEdgesKey, "50000000").toLong
+
   private val adjCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  private def rankedAdjacencyPlan(s: SparkSession, dir: String): DataFrame =
+    bidirectional(edges(s, dir))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("u").orderBy("v")).cast("long"))
+
   private def rankedAdjacency(s: SparkSession, dir: String): DataFrame = {
     adjCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    adjCache.computeIfAbsent((s, dir), _ =>
-      bidirectional(edges(s, dir))
-        .withColumn("rn", row_number()
-          .over(Window.partitionBy("u").orderBy("v")).cast("long"))
-        .localCheckpoint())
+    if (2 * edges(s, dir).count() > adjCacheGate(s))
+      return rankedAdjacencyPlan(s, dir)
+    adjCache.computeIfAbsent((s, dir),
+      _ => rankedAdjacencyPlan(s, dir).localCheckpoint())
   }
+
+  /** The plain bidirectional adjacency for the traversal family: the
+    * cached ranked checkpoint's rows below the gate, the narrow edge-cache
+    * union above it (never a window nobody's rank consumes).
+    */
+  private def adjacency(s: SparkSession, dir: String): DataFrame =
+    if (2 * edges(s, dir).count() > adjCacheGate(s)) bidirectional(edges(s, dir))
+    else rankedAdjacency(s, dir).select("u", "v")
 
   /** Per-node closed-triangle corner counts `(u, tri)`, materialized once
     * per (session, dir) — r12: `graph_triangles` and
@@ -1185,7 +1212,7 @@ object GraphQueries {
     // until-fixpoint variant is `dedup_components`' kernel); the ledger
     // (round, frontier_size, n_visited) is what BFS monitoring plots.
     "graph_bfs_layers" -> { (s, dir) =>
-      val bi = rankedAdjacency(s, dir).select("u", "v")
+      val bi = adjacency(s, dir)
       var frontier = degrees(s, dir).agg(min(col("u")).as("u"))
       var visited = frontier
       def ledger(r: Int, f: DataFrame, vis: DataFrame): DataFrame =
@@ -1237,7 +1264,7 @@ object GraphQueries {
     // replays it as a recursive CTE whose UNION dedup gives the same
     // visited-set semantics.
     "graph_landmark_distance" -> { (s, dir) =>
-      val bi = rankedAdjacency(s, dir).select("u", "v")
+      val bi = adjacency(s, dir)
       val seeds = degrees(s, dir).orderBy("u").limit(3)
         .select(col("u").as("src"), col("u"))
       var reached = seeds.withColumn("dist", lit(0L))

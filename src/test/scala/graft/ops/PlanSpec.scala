@@ -331,16 +331,20 @@ class PlanSpec extends SparkSuite {
     assert("""\*\(\d+\) Project \[va""".r.findFirstIn(p).isDefined, p)
   }
 
-  test("text_collocations explodes the corpus exactly once (margins off the cell table)") {
-    // The PMI margins must come from sum-windows over the REDUCED
-    // distinct-bigram table and the total from an explode-free
-    // array-length scan — the naive plan re-exploded the corpus four
-    // times (measured r12: 3.2 -> 2.9 s at sf0.1). One Generate in the
-    // whole physical plan IS that contract.
-    val p = plan("text_collocations")
-    assert("Generate explode".r.findAllIn(p).length == 1, p)
-    // and both margin windows run over the aggregated cell table
-    assert("Window \\[sum".r.findAllIn(p).length == 2, p)
+  test("collocation/PMI/top-terms/Zipf serve from the bigram/vocab artifacts (r15)") {
+    // r12 pinned "one corpus explode" for collocations; since r15 the
+    // bigram cell and vocabulary tables are session artifacts, so the
+    // timed plans scan NO parquet at all — the explode lives once in the
+    // artifact build.
+    for (q <- Seq("text_collocations", "text_bigram_pmi",
+        "text_top_terms", "text_zipf_fit")) {
+      val (mem, file) = corpusScans(q)
+      assert(mem >= 1, s"$q lost the artifact scan")
+      assert(file == 0, s"$q re-scans the corpus ($file parquet scans)")
+    }
+    // and the PMI margins still run as sum-windows over the REDUCED
+    // cell table (vocab-bounded shuffles, never a corpus-grain window)
+    assert("Window \\[sum".r.findAllIn(plan("text_collocations")).length == 2)
   }
 
   test("text_vocab_overlap candidates come from the term equi-join, no cartesian") {
