@@ -103,9 +103,18 @@ object ScaleProbe {
     "dedup_span_removal")
   private val Probes = PairProbes ++ Seq("sim_ann_knn", "text_dup_spans") ++ RelProbes
 
-  /** The probe set a given replication factor runs (see the scaladoc). */
-  private def probesFor(factor: Int): Seq[String] =
-    if (factor >= 100) PairProbes ++ HeavyRelProbes else Probes
+  /** The probe set a given replication factor runs (see the scaladoc).
+    * `SPARK_GRAFT_PROBE_ONLY` (comma list) restricts any tier to a subset
+    * — the recovery lever when one long tier must be re-run for a few
+    * probes without re-paying the whole set.
+    */
+  private def probesFor(factor: Int): Seq[String] = {
+    val base = if (factor >= 100) PairProbes ++ HeavyRelProbes else Probes
+    sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+      .map(only => base.filter(only.contains))
+      .getOrElse(base)
+  }
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -278,6 +287,12 @@ object ScaleProbe {
           System.err.println(s"[probe] scale=$factor cold $q")
           cold(q) = time(q, dir)
           warm(q) = time(q, dir)
+          // per-probe result line (r15): a tier that dies mid-run loses
+          // nothing already measured — the scale-end JSON stays the
+          // machine-readable artifact, these lines are the flight record
+          println(s"""{"probe":"$q","scale":$factor,""" +
+            s""""cold":${ms3(cold(q))},"warm":${ms3(warm(q))}}""")
+          System.out.flush()
           if (q == "sim_ann_knn")
             recallKnn = graft.ops.RecallReport.sampledRecall(spark, dir)
           evictFamily(q)

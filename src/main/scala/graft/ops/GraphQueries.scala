@@ -359,21 +359,36 @@ object GraphQueries {
     * sort-merge - re-sorting the 3x|triangles| stream every round was
     * both the wall time and the memory blow-up of the first r14 cut.
     */
-  /** Broadcast below the byte gate, SHUFFLE_HASH (label side builds)
-    * above. r15 ADVICE fix: the decision is a byte estimate against a
-    * dedicated conf (default 64 MB), not the old hardcoded 5M-row count —
-    * each truss round references the label table 4-5 times, so near the
-    * row threshold the driver repeatedly shipped hundreds of MB and could
-    * OOM just below the in-task gate. ~48 B/row covers the three-long
-    * label rows plus hashed-relation overhead; 64 MB ≈ 1.4M label rows.
+  /** Three-tier label-side join strategy. r15 ADVICE fix + this round's
+    * 100× probe lesson:
+    *
+    *   - BROADCAST below a byte estimate against a dedicated conf
+    *     (default 64 MB ≈ 1.4M label rows at ~48 B/row) — not the old
+    *     hardcoded 5M-row count, which near the threshold repeatedly
+    *     shipped hundreds of MB through the driver (each truss round
+    *     references the labels 4-5 times);
+    *   - SHUFFLE_HASH while the per-task hash build stays trivially small
+    *     (≤ 32M label rows ≈ 12 MB/task at 128 partitions) — the fast
+    *     path that cut the r14 loop to single digits at sf0.1;
+    *   - SHUFFLE_MERGE above that: a shuffled-hash build is NOT spillable,
+    *     and the 100× probe (119.6M truss labels under ~27 GB of resident
+    *     chain artifacts) OOMed exactly there — the sort-merge join pays
+    *     a re-sort per round but every byte of it spills, which is the
+    *     property that survives at cluster scale.
     */
   val DecompBroadcastMaxBytesKey = "spark.graft.graph.decompBroadcastMaxBytes"
+
+  /** Max label rows for the SHUFFLE_HASH middle tier. */
+  val DecompHashJoinMaxRowsKey = "spark.graft.graph.decompHashJoinMaxRows"
 
   private def labelJoinSide(s: SparkSession, n: Long): DataFrame => DataFrame = {
     val maxBytes =
       s.conf.get(DecompBroadcastMaxBytesKey, (64L << 20).toString).toLong
+    val maxHashRows =
+      s.conf.get(DecompHashJoinMaxRowsKey, "32000000").toLong
     if (n * 48L <= maxBytes) (df: DataFrame) => broadcast(df)
-    else (df: DataFrame) => df.hint("SHUFFLE_HASH")
+    else if (n <= maxHashRows) (df: DataFrame) => df.hint("SHUFFLE_HASH")
+    else (df: DataFrame) => df.hint("SHUFFLE_MERGE")
   }
 
   private def trussRound(triE: DataFrame, lab: DataFrame,
