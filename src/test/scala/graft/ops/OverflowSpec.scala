@@ -195,6 +195,8 @@ class OverflowSpec extends graft.SparkSuite {
       "tie-correction term; tie count t ≤ n_days ≤ ~3000"),
     PlanSite("agg_ttest_welch", "(c * c)",
       "per-row cents square before the DECIMAL(38,0) sum; c ≤ 49002 in the fixture, wraps only past |value| ≥ $3.0e7 per row"),
+    PlanSite("agg_cohens_d", "(c * c)",
+      "the identical per-row cents square (shares the t-test's sufficient-statistics pass); same ≤ 49002 fixture bound, wraps only past |value| ≥ $3.0e7 per row"),
     PlanSite("dedup_cluster_stats", "(sz * n_clusters)",
       "docs in one size class: sz·n_clusters ≤ corpus docs; wraps past 9.2e18 docs"),
     PlanSite("emb_kmeans", "(namedlambdavariable() - namedlambdavariable())",
