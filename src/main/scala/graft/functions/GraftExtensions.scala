@@ -70,7 +70,8 @@ object GraftExtensions {
     "bloom_might_contain" -> (children => BloomMightContain(children(0), children(1))),
     "space_saving_topk" -> (children =>
       SpaceSavingTopK(children(0), intLit(children(1))).toAggregateExpression()),
-    "minhash_sig" -> (children => MinHashSig(children(0), intLit(children(1)))))
+    "minhash_sig" -> (children => MinHashSig(children(0), intLit(children(1)))),
+    "bootstrap_weights" -> (children => BootstrapWeights(children.head)))
 
   /** Any integral literal argument: SQL `8` arrives as Int but `8L` / typed
     * literals are just as valid a k. Out-of-range k is an invalid argument

@@ -772,60 +772,62 @@ object MiningQueries {
     // inverse-CDF table (94/94/47/16/5 out of 256 ≈ e⁻¹/e⁻¹/e⁻¹/2/…,
     // mean 1.004), the same salted-md5 device as
     // pipeline_train_val_split, so retries, partitioning and engines
-    // all agree. (The shared-digest form costs 2 hashes per row where
-    // the naive form pays one md5 per (row, replicate); measured at
-    // sf0.1 the query is bound by the ×32 derived-row aggregate itself
-    // — ~3 s for 3.2 M weighted rows — which IS the bootstrap's work,
-    // 0.1 s per replicate, linear in corpus × B.) Replicate means are exact
+    // all agree. Replicate means are exact
     // integer ppm-cents riding DECIMAL(38,0)/HUGEINT (house overflow
     // rule); the CI is RANK-BASED — 2nd smallest / 2nd largest of the
     // B = 32 sorted replicate means (a ~93.75 % interval) — because
     // percentile INTERPOLATION is exactly the cross-engine float
-    // hazard this file exists to avoid. Scale shape: the explode
-    // inflates rows ×32 inside the map task only; the aggregate is
-    // map-side-combined, so the shuffle carries arms×32 partials, and
-    // the per-arm sorted array is a bounded 32-element artifact.
+    // hazard this file exists to avoid. Scale shape (r16): the B
+    // replicates live in ARRAY SLOTS of one aggregate, not in exploded
+    // rows — per row the 32 weights come off the shared digest and
+    // feed 32 conditional (Σwc, Σw) pairs plus the full-sample (Σc, n)
+    // in a SINGLE map-side-combined pass, so the events scan is read
+    // once, no row expansion exists anywhere in the plan (PlanSpec pins
+    // zero Generate nodes), and the shuffle carries arms × 66 partials
+    // instead of 32× the corpus. The r12→r15 explode-before-agg form
+    // multiplied shuffle mass ×32; at 100 TB that is the difference
+    // between one corpus pass and thirty-two.
     "agg_bootstrap_ci" -> { (s, dir) =>
       val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
       val cents = floor(col("value") * 100 + 0.5).cast("long")
       val rows = Tables.events(s, dir)
         .select(col("event_type").as("g"), col("event_id"), cents.as("c"))
-      val reps = rows
-        .withColumn("h", concat(
-          md5(concat_ws(":", lit("boot"), col("event_id").cast("string"), lit("0"))),
-          md5(concat_ws(":", lit("boot"), col("event_id").cast("string"), lit("1")))))
-        .withColumn("b", explode(sequence(lit(1), lit(32))))
-        .withColumn("u",
-          (expr("instr('0123456789abcdef', substring(h, 2 * b - 1, 1)) - 1") * 16
-            + expr("instr('0123456789abcdef', substring(h, 2 * b, 1)) - 1")))
-        .withColumn("w",
-          when(col("u") < 94, 0L).when(col("u") < 188, 1L)
-            .when(col("u") < 235, 2L).when(col("u") < 251, 3L)
-            .otherwise(4L))
-      val repMeans = reps.groupBy("g", "b")
-        .agg(sum((col("w") * col("c")).cast(d38)).as("swc"),
-          sum(col("w")).as("sw"))
-        // sw = 0 (an all-zero-weight replicate, plausible on tiny arms)
-        // MUST be explicit: a NULL here is dropped by Spark's
-        // collect_list but kept by DuckDB's list(), silently shifting
-        // the ranked elements. Sentinel 0 keeps the sorted array exactly
-        // 32 elements on BOTH engines (conservatively widening the low
-        // bound on a degenerate arm; identical CASE in the oracle).
-        .select(col("g"),
-          when(col("sw") > 0L,
-            expr("(swc * CAST(1000000 AS DECIMAL(38,0))) " +
-              "div CAST(sw AS DECIMAL(38,0))"))
-            .otherwise(lit(0L).cast(d38)).as("m_ppm"))
-      val fullMean = rows.groupBy("g")
-        .agg(sum(col("c").cast(d38)).as("sc"), count(lit(1)).as("n"))
-        .select(col("g"), col("n"),
+      // The 32 weights are materialized ONCE per row by the codegen'd
+      // bootstrap_weights expression (digest bytes → inverse-CDF table,
+      // no hex round-trip; bit-identical to the oracle's strpos form —
+      // see BootstrapWeights.scala); the 64 aggregate slots read
+      // element_at on the array (cheap long loads).
+      val weighted = rows.withColumn("ws",
+        graft.functions.BootstrapWeights.bootstrap_weights(
+          col("event_id").cast("string")))
+      val perPart: Seq[org.apache.spark.sql.Column] =
+        (1 to 32).flatMap { b =>
+          Seq(sum(element_at(col("ws"), b) * col("c")).as(s"swc_$b"),
+            sum(element_at(col("ws"), b)).as(s"sw_$b"))
+        } ++ Seq(sum(col("c")).as("sc"), count(lit(1)).as("n"))
+      val partial = weighted
+        .groupBy(col("g"), spark_partition_id().as("pid"))
+        .agg(perPart.head, perPart.tail: _*)
+      val aggs: Seq[org.apache.spark.sql.Column] =
+        (1 to 32).flatMap { b =>
+          Seq(sum(col(s"swc_$b").cast(d38)).as(s"swc_$b"),
+            sum(col(s"sw_$b")).as(s"sw_$b"))
+        } ++ Seq(sum(col("sc").cast(d38)).as("sc"), sum(col("n")).as("n"))
+      val st = partial.groupBy("g").agg(aggs.head, aggs.tail: _*)
+      // sw = 0 (an all-zero-weight replicate, plausible on tiny arms)
+      // MUST be explicit: the sentinel 0 keeps the sorted array exactly
+      // 32 elements on BOTH engines (conservatively widening the low
+      // bound on a degenerate arm; identical CASE in the oracle).
+      def slot(b: Int) =
+        when(col(s"sw_$b") > 0L,
+          expr(s"(swc_$b * CAST(1000000 AS DECIMAL(38,0))) " +
+            s"div CAST(sw_$b AS DECIMAL(38,0))"))
+          .otherwise(lit(0L).cast(d38))
+      st.select(col("g").as("event_type"), col("n"),
           expr("(sc * CAST(1000000 AS DECIMAL(38,0))) " +
-            "div CAST(n AS DECIMAL(38,0))").as("mean_ppm"))
-      repMeans.groupBy("g")
-        .agg(sort_array(collect_list(col("m_ppm"))).as("ms"))
-        .join(fullMean, "g")
-        .select(col("g").as("event_type"), col("n"),
-          col("mean_ppm").cast("long").as("mean_ppm"),
+            "div CAST(n AS DECIMAL(38,0))").cast("long").as("mean_ppm"),
+          sort_array(array((1 to 32).map(slot): _*)).as("ms"))
+        .select(col("event_type"), col("n"), col("mean_ppm"),
           element_at(col("ms"), 2).cast("long").as("boot_lo_ppm"),
           element_at(col("ms"), 31).cast("long").as("boot_hi_ppm"))
         .orderBy("event_type")

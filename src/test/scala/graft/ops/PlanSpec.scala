@@ -447,4 +447,19 @@ class PlanSpec extends SparkSuite {
     // the trained LM still reaches the scorer as a broadcast
     assert(plan("text_ngram_lm").contains("BroadcastHashJoin"))
   }
+
+  test("bootstrap CI is a single-pass array-slot aggregate — no pre-agg explode (r16 ask #1)") {
+    // The 32 Poisson replicates must live in aggregate slots, not exploded
+    // rows: a Generate node anywhere in the plan means the events scan's
+    // shuffle mass was multiplied ×32 again.
+    val qe = SparkEntry.queries("agg_bootstrap_ci")(spark, sfDir).queryExecution
+    val gens = qe.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+    assert(gens.isEmpty, s"explode survived in agg_bootstrap_ci:\n${qe.optimizedPlan}")
+    val (_, file) = corpusScans("agg_bootstrap_ci")
+    assert(file == 1, s"expected exactly 1 events scan, saw $file")
+    // and the aggregate is still two-phase (map-side partials before shuffle)
+    val p = qe.executedPlan.toString
+    assert(p.contains("HashAggregate") && p.contains("partial_"), p)
+  }
 }
