@@ -45,20 +45,39 @@ object AdvancedQueries {
     val li = Tables.lineitem(s, dir)
       .select(col("l_linestatus").as("g"),
         col("l_extendedprice").cast("double").as("v"))
-    val qs = VectorQueries.exactPercentilesByGroup(li, Seq(0.25, 0.5))
+    // r16 (verdict ask #4 — this was the second-heaviest index build):
+    // the MAD chain no longer checkpoints the |li|-row deviation table or
+    // re-scans it for ITS OWN stats pass. The deviation selection's
+    // (n, lo, hi) derive from the value stats already scanned — n is the
+    // same rows, lo = 0, hi = max(hi − med, med − lo) ≥ max|v − med| —
+    // and a conservative range only widens the bucket grid (selection
+    // stays exact; see exactPercentilesByGroup's stats-supplied face).
+    // 7 corpus passes + a corpus-sized checkpoint write → 5 passes, none
+    // materialized: stats, value histogram, value pick, deviation
+    // histogram, deviation pick. Interpolation arithmetic is untouched,
+    // so med/p25/mad — and every consumer's oracle hash — are
+    // bit-identical.
+    val stats = li.groupBy("g")
+      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+      .localCheckpoint()
+    // qs is ≤ 2·|groups| rows but its PLAN is two corpus scans — the
+    // checkpoint pins it so med's five downstream references (dev map,
+    // devStats, and the selection's own stats joins) replay a 6-row
+    // table, not the histogram+pick passes.
+    val qs = VectorQueries.exactPercentilesByGroup(li, Seq(0.25, 0.5), stats)
+      .localCheckpoint()
     val med = qs.filter(col("p") === 0.5).select(col("g"), col("pct").as("med"))
     val dev = li.join(broadcast(med), "g")
       .select(col("g"), abs(col("v") - col("med")).as("v"))
-      .localCheckpoint()
-    val mad = VectorQueries.exactPercentileByGroup(dev, 0.5)
+    val devStats = stats.join(med, "g")
+      .select(col("g"), col("n"), lit(0.0).as("lo"),
+        greatest(col("hi") - col("med"), col("med") - col("lo")).as("hi"))
+    val mad = VectorQueries.exactPercentilesByGroup(dev, Seq(0.5), devStats)
       .select(col("g"), col("pct").as("mad"))
-    val out = qs.filter(col("p") === 0.25)
+    qs.filter(col("p") === 0.25)
       .select(col("g"), col("pct").as("p25"))
       .join(med, "g").join(mad, "g")
-    val materialized = out.localCheckpoint() // evaluate BEFORE dropping dev
-    org.apache.spark.sql.GraftColumnBridge.checkpointRdd(dev)
-      .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
-    materialized
+      .localCheckpoint()
   }
 
   private[ops] def priceStats(s: SparkSession, dir: String): DataFrame = {

@@ -25,7 +25,9 @@ import graft.Tables
   *
   *   - [[posGrams]]: `(doc_id, gram, ps, c, nd, first_doc)` — every word
   *     5-gram of every document with its ascending 1-based start positions
-  *     `ps`, occurrence count `c = size(ps)`, and the gram's CORPUS stats
+  *     `ps` (NULL where `nd = 1` — no consumer reads unique-gram
+  *     positions; r16 ask #7), occurrence count `c` (= the position
+  *     count), and the gram's CORPUS stats
   *     baked in: `nd` = how many distinct documents carry it, `first_doc`
   *     = its minimum doc_id (the novelty owner). One explode + ONE
   *     (doc, gram) hash aggregate + one gram-stats join — all at BUILD
@@ -74,8 +76,18 @@ object GramIndex {
     // novelty owner is the min doc_id
     val gstats = grain.groupBy("gram")
       .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("first_doc"))
+    // r16 (the r15 verdict's ask #7): the positions array is carried ONLY
+    // where something reads it. Every ps consumer is duplication-scoped —
+    // spanLedger filters nd >= 2 before exploding, and the curation span
+    // stage explodes only grams duplicated within the survivor SUBSET
+    // (which implies nd >= 2 corpus-wide) — while the other three
+    // consumers read scalars (c, nd, first_doc). Nulling ps on the
+    // unique-gram mass (most 5-grams in any natural corpus) shrinks the
+    // resident artifact by roughly that fraction of its widest column.
     grain.join(gstats, "gram")
-      .select("doc_id", "gram", "ps", "c", "nd", "first_doc")
+      .select(col("doc_id"), col("gram"),
+        when(col("nd") >= 2, col("ps")).as("ps"),
+        col("c"), col("nd"), col("first_doc"))
   }
 
   private val posGramCache =

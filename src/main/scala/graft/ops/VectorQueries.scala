@@ -724,11 +724,23 @@ object VectorQueries {
     * histogram scan, pick scan — 3 total, independent of how many
     * percentiles ride the histogram.
     */
-  private[ops] def exactPercentilesByGroup(vals: DataFrame, ps: Seq[Double]): DataFrame = {
-    val nb = 1024
-    val stats = vals.groupBy("g")
-      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
-      .localCheckpoint()
+  private[ops] def exactPercentilesByGroup(vals: DataFrame, ps: Seq[Double]): DataFrame =
+    exactPercentilesByGroup(vals, ps,
+      vals.groupBy("g")
+        .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+        .localCheckpoint())
+
+  /** The stats-supplied face (r16, verdict ask #4): callers that already
+    * KNOW `(g, n, lo, hi)` — exactly (the MAD chain derives the deviation
+    * range from the value range it just scanned: n is the same rows,
+    * lo = 0, hi ≥ max|v − med| by triangle arithmetic) — skip this
+    * selection's own stats scan. Any lo ≤ min(v) / hi ≥ max(v) bound is
+    * VALID, not just the tight one: the bounds only set the bucket grid
+    * (a looser grid means slightly fuller target buckets in pass 2, never
+    * a wrong pick), while `n` must be exact because the ranks index it.
+    */
+  private[ops] def exactPercentilesByGroup(vals: DataFrame, ps: Seq[Double],
+      stats: DataFrame): DataFrame = {
     // Per-(group, p) rank parameters — identical arithmetic to Spark's
     // Percentile: pos0 = p·(n−1), ranks floor(pos0)+1 / +2 (clamped).
     val pp = stats.select(col("g"), col("n"),

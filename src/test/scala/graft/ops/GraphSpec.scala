@@ -161,6 +161,12 @@ class GraphSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     val key = GraphQueries.DecompInTaskMaxEdgesKey
     spark.conf.set(key, "0")
+    // r16: force delta-round ELIGIBILITY too (the fixture adjacency sits
+    // far under the production DeltaMinAdjRows), so the forced loop
+    // serves most rounds through the delta path and the label equality
+    // below proves delta ≡ dense ≡ exact peel on real data, not by
+    // argument alone.
+    spark.conf.set(GraphQueries.DeltaMinAdjRowsKey, "0")
     try {
       GraphQueries.clearCache(spark, sfDir)
       val loopTruss = SparkEntry.queries("graph_truss")(spark, sfDir).collect()
@@ -173,8 +179,13 @@ class GraphSpec extends SparkSuite {
       assert(tr > 0 && tr <= 30, s"truss loop took $tr rounds (oracle unrolls 32)")
       val cr = GraphQueries.corenessRounds.get((spark, sfDir))
       assert(cr > 0 && cr <= 44, s"coreness loop took $cr rounds (oracle unrolls 48)")
+      val dr = GraphQueries.deltaRounds.get((spark, sfDir, "coreness"))
+      assert(dr != null && dr >= 1,
+        s"coreness loop ran $dr delta rounds — the delta path never engaged")
+      assert(dr <= cr, s"delta rounds $dr exceed recorded rounds $cr")
     } finally {
       spark.conf.unset(key)
+      spark.conf.unset(GraphQueries.DeltaMinAdjRowsKey)
       GraphQueries.clearCache(spark, sfDir)
     }
   }

@@ -76,6 +76,12 @@ class ScaleSpec extends SparkSuite {
     // triangle edges as 100 x the FIXTURE's triangle edges scaled by the
     // measured edge ratio. Both sides are live counts, no constants.
     val sf01 = "/root/testdata/sf0.1"
+    // The sf0.1 fixture is the one data dependency in the unit suite
+    // beyond sf0.001/sf0.01 (r15 ADVICE): cancel the probe-arithmetic
+    // half gracefully on machines without it rather than failing the
+    // whole suite — the routing half above already ran on the fixture.
+    assume(new java.io.File(s"$sf01/lineitem.parquet").exists(),
+      s"$sf01 not present — skipping the 100x probe-corpus arithmetic")
     val e01 = Tables.lineitem(spark, sf01)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     val edges01 = e01.as("a").join(e01.as("b"),
