@@ -137,7 +137,10 @@ object Bench {
       // pos_grams, and the text chain's LM trains from doc_trigrams —
       // building them on an early worker means those chains reuse instead
       // of blocking on a cold build mid-chain
-      val gram = Future(safe("gram_index")(graft.ops.GramIndex.warmCaches(spark, sfDir)))
+      // the two gram halves are independent corpus passes — separate
+      // chain tasks pack onto different workers (r16)
+      val gram = Future(safe("gram_index")(graft.ops.GramIndex.warmCachesWord(spark, sfDir)))
+      val gramC = Future(safe("gram_char")(graft.ops.GramIndex.warmCachesChar(spark, sfDir)))
       // dedup's jaccard CORE must precede curation (shingles + component
       // labels are its inputs); the containment/cosine side chains queue
       // onto the pool from inside warmCachesSplit.
@@ -167,7 +170,7 @@ object Bench {
       // cache's bin lock), and they are independent of each other
       val dtr = Future(safe("graph_truss")(graft.ops.GraphQueries.warmCachesTruss(spark, sfDir)))
       val dco = Future(safe("graph_coreness")(graft.ops.GraphQueries.warmCachesCoreness(spark, sfDir)))
-      val await = Seq(vec, pri, gram, gra, min, tex, dri, dtr, dco) ++
+      val await = Seq(vec, pri, gram, gramC, gra, min, tex, dri, dtr, dco) ++
         (try {
           val (dedMain, dedSides) = Await.result(ded, Duration.Inf)
           Seq(Future.successful(dedMain), dedSides)

@@ -167,21 +167,34 @@ object GramIndex {
     * blocks on `computeIfAbsent` and reuses the winner's plan — the timed
     * entry then reports the true build wall wherever it ran.
     */
-  def warmCaches(s: SparkSession, dir: String): Seq[(String, Double)] = {
+  def warmCaches(s: SparkSession, dir: String): Seq[(String, Double)] =
+    warmCachesWord(s, dir) ++ warmCachesChar(s, dir)
+
+  /** The WORD-grain half (5-gram positions + bigram cells) — split from
+    * the char half in r16 so the bench pool can pack the two ~4 s corpus
+    * passes onto different workers instead of serializing an ~8 s chain
+    * (the artifacts are independent; consumers block on whichever cache
+    * they need).
+    */
+  def warmCachesWord(s: SparkSession, dir: String): Seq[(String, Double)] = {
     val t0 = System.nanoTime()
     posGrams(s, dir).count()
     val tGram = (System.nanoTime() - t0) / 1e9
-    val t1 = System.nanoTime()
-    docTrigrams(s, dir).count()
-    val tTri = (System.nanoTime() - t1) / 1e9
     val t2 = System.nanoTime()
     bigramCells(s, dir).count()
     val tBg = (System.nanoTime() - t2) / 1e9
+    Seq("pos_grams" -> tGram, "bigram_cells" -> tBg)
+  }
+
+  /** The CHAR-grain half (trigram counts + vocabulary). */
+  def warmCachesChar(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    val t1 = System.nanoTime()
+    docTrigrams(s, dir).count()
+    val tTri = (System.nanoTime() - t1) / 1e9
     val t3 = System.nanoTime()
     termCounts(s, dir).count()
     val tTc = (System.nanoTime() - t3) / 1e9
-    Seq("pos_grams" -> tGram, "doc_trigrams" -> tTri,
-      "bigram_cells" -> tBg, "term_counts" -> tTc)
+    Seq("doc_trigrams" -> tTri, "term_counts" -> tTc)
   }
 
   /** Unpersist and drop this session's artifacts (eager release — the same

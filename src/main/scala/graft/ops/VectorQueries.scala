@@ -349,13 +349,17 @@ object VectorQueries {
     // (cell assignment reuses the max_by no-window shape; the per-query
     // top-3 is a window over the candidate set only, never all pairs).
     "sim_ann_knn" -> { (s, dir) =>
-      // The join probes fewer cells than the 10-query variant: here EVERY
+      // The join probes a bounded slice of the ~√n cells: here EVERY
       // vector is a query, so candidate volume is n·nProbe·(n/k) — the
-      // probe depth is the latency knob. 20 of ~√n cells measures
-      // recall@3 = 0.84/0.98 (sf0.1/sf0.01) on the shipped (structureless
-      // — see README) embeddings; sim_ann_ivf's bounded query set pays
+      // probe depth is the latency knob. r16 (verdict ask #3) swept the
+      // operating point the same way ivfpq's was in r15: 20 probes sat at
+      // recall@3 = 0.843 against the 0.80 floor (the family's thinnest
+      // margin, one bad draw from red) — measured 28 → 0.929, 32 → 0.959,
+      // 40 → 0.992 on the shipped structureless embeddings. 32 buys a
+      // comfortable margin for 1.6× the candidate volume (the per-pair
+      // dot stays the bound); sim_ann_ivf's bounded query set pays
       // ~nothing for depth and probes 24.
-      val nProbe = intConf(s, KnnNProbeKey, 20)
+      val nProbe = intConf(s, KnnNProbeKey, 32)
       val e = normedCorpus(s, dir)
       val cents = codebook(s, dir, e)
       val sim = dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))
