@@ -115,7 +115,13 @@ object Bench {
     val indexBuild: Seq[(String, Double)] = {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      // pool width is a measured knob (SPARK_GRAFT_IDX_WORKERS): r14
+      // fixed it at 3 when the chains were fewer and heavier; the r16
+      // chain set (split gram halves, merged price selection, leaner
+      // decomposition kernels) repacks better at 4 — re-measure when the
+      // chain set changes materially
+      val nWorkers = sys.env.getOrElse("SPARK_GRAFT_IDX_WORKERS", "4").toInt
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nWorkers)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       def safe(label: String)(f: => Seq[(String, Double)]): Seq[(String, Double)] =
         try f catch {
@@ -188,13 +194,22 @@ object Bench {
       out
     }
     val indexWallSec = (System.nanoTime() - idxT0) / 1e9
-    // Calib-scaled budget guard (r13 verdict ask #1): the phase's expected
-    // wall at calib 0.5 is ~20 s; a run whose wall exceeds 2× the
-    // calib-scaled budget is flagged loudly (stderr + a JSON field) so a
-    // cold-contention quadrupling can never again pass silently as a
-    // plan change. calib isn't sampled yet at this point, so the scale
-    // uses the warmup-phase sentinel timed right below.
-    val idxBudgetSec = 20.0
+    // Calib-scaled budget guard (r13 verdict ask #1): a run whose wall
+    // exceeds 2× the calib-scaled budget is flagged loudly (stderr + a
+    // JSON field) so a cold-contention quadrupling can never again pass
+    // silently as a plan change. calib isn't sampled yet at this point,
+    // so the scale uses the warmup-phase sentinel timed right below.
+    // r16 (verdict ask #4): the budget is RE-FIT to the r15/r16 artifact
+    // set — the phase is 30 artifacts now and measured 22.0 s at calib
+    // 0.397 (r16 driver-comparable run) and 23.3/24.8 s at calib ~0.38
+    // across two r16 builder runs, i.e. ~26 s normalized to calib 0.5;
+    // the old 20 s budget was fit to the r13 phase and had drifted to
+    // 1.4-1.8× under-prediction, which is exactly the wolf-crying zone
+    // the guard exists to avoid. The phase is CPU-work-bound (makespan
+    // tracks Σ isolated walls / pool width at any width 3-6), so the
+    // number moves only when artifact WORK moves — re-fit it when the
+    // chain set changes materially.
+    val idxBudgetSec = 26.0
     // MACHINE-SPEED CALIBRATION: identical code benched 71.2 s vs 94.2 s
     // across two r7 runs, with even the untimed index builds doubling — a
     // machine-contention signature nothing in the JSON could prove. A fixed
@@ -224,11 +239,10 @@ object Bench {
     def calibSample(): Unit = { calibAt += offsetSec(); calibSamples += calibrate() }
     calibrate() // JIT/codegen warm for the sentinel shape itself, untimed
     calibSample()
-    // The budget scales with the machine-speed sentinel: at calib 0.5 the
-    // staged phase measures ~16-20 s, so expected ≈ idxBudgetSec ×
-    // (calib/0.5) and anything past 2× expected is a contention event the
-    // round's reader must see (the r13 driver re-run sat at 3.8× with no
-    // flag anywhere).
+    // The budget scales with the machine-speed sentinel: expected ≈
+    // idxBudgetSec × (calib/0.5), and anything past 2× expected is a
+    // contention event the round's reader must see (the r13 driver re-run
+    // sat at 3.8× with no flag anywhere).
     val idxExpectedSec = idxBudgetSec * (calibSamples.head / 0.5)
     val idxWarn = indexWallSec > 2.0 * idxExpectedSec
     if (idxWarn) System.err.println(

@@ -151,6 +151,12 @@ object GramIndex {
     */
   private[graft] def docTrigrams(s: SparkSession, dir: String): DataFrame = {
     triCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    // (r16 measured a shuffle-free per-doc run-length HOF rewrite of this
+    // build at sf0.1 and REVERTED it: 5.2 s vs 3.5 s — partial
+    // aggregation already collapses the explode to the ~0.7M final rows
+    // before the exchange, so the shuffle this would remove is small,
+    // while the array_sort + lambda evaluation costs more CPU than the
+    // hash aggregate it replaces.)
     triCache.computeIfAbsent((s, dir), _ =>
       Tables.documents(s, dir)
         .filter(length(col("text")) >= 3)

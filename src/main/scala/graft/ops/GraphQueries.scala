@@ -306,8 +306,13 @@ object GraphQueries {
     val nTriangles = closedTriangles(s, dir).count()
     val inTask = trussUnits(nTriEdges, nTriangles) <= decompGate(s)
     decompPath.put((s, dir, "truss"), if (inTask) "in-task" else "loop")
-    if (inTask)
+    if (inTask) {
+      // the exact peel records no rounds — drop any stale loop-path entry
+      // so the oracle-unroll guard can't fire against a build that never
+      // happened under this gate configuration (r16 ADVICE)
+      trussRounds.remove((s, dir))
       return buildTrussLabelsInTask(s, dir)
+    }
     // Canonical (u < v) edge keys of each triangle's three edges, one
     // cheap projection of the cached triple list (reused every round).
     val triE = closedTriangles(s, dir).select(
@@ -507,8 +512,11 @@ object GraphQueries {
     val nV = degrees(s, dir).count()
     val inTask = corenessUnits(nV, nE) <= decompGate(s)
     decompPath.put((s, dir, "coreness"), if (inTask) "in-task" else "loop")
-    if (inTask)
+    if (inTask) {
+      // same stale-rounds drop as the truss in-task branch (r16 ADVICE)
+      corenessRounds.remove((s, dir))
       return buildCorenessLabelsInTask(s, dir)
+    }
     val bi = bidirectional(edges(s, dir))
     val init = degrees(s, dir).select(col("u"), col("d").as("c"))
     deltaRounds.put((s, dir, "coreness"), 0)
@@ -529,7 +537,7 @@ object GraphQueries {
     // serves the few heavy early rounds; delta serves the long
     // shrinking-frontier tail, which is where the ~39-round convergence
     // actually spends its rounds.
-    val frontierCap = math.min(deltaFrontierMax(s), nV / 8)
+    val frontierCap = frontierCapFor(s, nV)
     val res = runLabelFixpoint(s, init, Seq("u"), "c", maxRounds = 72,
       step = (lab, frontier, side) => frontier match {
         // DELTA round (r16, verdict ask #2): recompute only nodes with a
@@ -561,8 +569,19 @@ object GraphQueries {
     */
   val DeltaFrontierMaxRowsKey = "spark.graft.graph.deltaFrontierMaxRows"
 
-  private def deltaFrontierMax(s: SparkSession): Long =
-    s.conf.get(DeltaFrontierMaxRowsKey, "200000").toLong
+  /** The effective frontier cap: by DEFAULT min(200k, |V|/8) — absolute
+    * broadcast budget AND the relative "a frontier that is most of the
+    * graph re-touches every edge anyway" clamp. An EXPLICITLY-set conf is
+    * taken as the absolute operating point (no relative clamp): the
+    * operator who sets it knows their graph, and specs use it to force
+    * the delta path on fixtures whose fast convergence never produces a
+    * sub-|V|/8 frontier.
+    */
+  private def frontierCapFor(s: SparkSession, nV: Long): Long =
+    s.conf.getOption(DeltaFrontierMaxRowsKey) match {
+      case Some(v) => v.toLong
+      case None => math.min(200000L, nV / 8)
+    }
 
   /** Minimum adjacency size (directed rows, 2|E|) for delta rounds to be
     * worth their extra per-round operators — below this the dense round's
@@ -646,6 +665,97 @@ object GraphQueries {
       .groupBy("u").agg(max(least(col("mc"), col("cum"))).as("h"))
   }
 
+  /** Per-node WEAKLY-CONNECTED-COMPONENT labels `(u, comp)` — comp = the
+    * minimum node id reachable from u — computed by min-label propagation
+    * through the shared [[runLabelFixpoint]] runner (r16): c₀(u) = u,
+    * cᵢ₊₁(u) = min(cᵢ(u), min{cᵢ(v) : v ∈ N(u)}). The label is monotone
+    * non-increasing and the fixpoint is exactly the per-component min id,
+    * reached after ecc(argmin) rounds — diameter-bounded, which on a
+    * co-purchase graph (dense overlap through popular parts) is a handful
+    * of rounds, not the Θ(|V|) chain worst case. Per round: one
+    * adjacency⨝label join + a min aggregate — the same 2|E|-row shuffle
+    * economics as one coreness round, with the identical delta-round
+    * escape at scale (only neighbors of last round's changed nodes can
+    * drop, so the shrinking-frontier tail runs as broadcast semi-joins).
+    * `graph_label_prop` is the fixed-3-round community-size readout of
+    * this recurrence; this is the exact fixpoint at the node grain.
+    */
+  private val componentCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[ops] val componentRounds =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Int]()
+
+  private[ops] def componentLabels(s: SparkSession, dir: String): DataFrame = {
+    componentCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (s, dir)
+    var entry = componentCache.get(key)
+    if (entry == null) {
+      val fresh = buildComponentLabels(s, dir)
+      val prev = componentCache.putIfAbsent(key, fresh)
+      if (prev != null) {
+        org.apache.spark.sql.GraftColumnBridge.checkpointRdd(fresh)
+          .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
+      }
+      entry = if (prev == null) fresh else prev
+    }
+    entry
+  }
+
+  private def buildComponentLabels(s: SparkSession, dir: String): DataFrame = {
+    val bi = bidirectional(edges(s, dir))
+    val init = degrees(s, dir).select(col("u"), col("u").as("comp"))
+    deltaRounds.put((s, dir, "components"), 0)
+    // same delta-eligibility economics as coreness (measured there): the
+    // extra broadcast semi-joins only pay off once the dense round's
+    // 2|E|-row shuffle is expensive and the frontier is broadcast-small
+    val deltaEligible = 2 * edgeCount(s, dir) >= deltaMinAdjRows(s)
+    val frontierCap = frontierCapFor(s, degrees(s, dir).count())
+    val res = runLabelFixpoint(s, init, Seq("u"), "comp", maxRounds = 64,
+      step = (lab, frontier, side) => frontier match {
+        case Some((chg, n)) if deltaEligible && n <= frontierCap =>
+          deltaRounds.merge((s, dir, "components"), Int.box(1),
+            (a: Integer, b: Integer) => Int.box(a.intValue + b.intValue))
+          componentRoundDelta(bi, lab, chg, side)
+        case _ => componentRoundDense(bi, lab, side)
+      })
+    componentRounds.put((s, dir), res.rounds)
+    res.labels
+  }
+
+  /** One DENSE min-propagation round: every node takes the min of its own
+    * label and its neighbors' labels.
+    */
+  private def componentRoundDense(bi: DataFrame, lab: DataFrame,
+      side: DataFrame => DataFrame): DataFrame = {
+    val nb = bi
+      .join(side(lab.select(col("u").as("v"), col("comp").as("m"))), "v")
+      .groupBy("u").agg(min(col("m")).as("h"))
+    lab.join(side(nb), Seq("u"), "left")
+      .select(col("u"),
+        least(col("comp"), coalesce(col("h"), col("comp"))).as("comp"),
+        col("comp").as("prev_comp"))
+  }
+
+  /** One DELTA min-propagation round: a label can only drop when a
+    * neighbor's label dropped last round (min over an otherwise-unchanged
+    * neighborhood is a no-op), so candidates = neighbors of the changed
+    * set; their min recomputes over their FULL neighborhoods. Same
+    * broadcast-only frontier contract as [[corenessRoundDelta]].
+    */
+  private def componentRoundDelta(bi: DataFrame, lab: DataFrame,
+      chg: DataFrame, side: DataFrame => DataFrame): DataFrame = {
+    val cand = bi.join(broadcast(chg.select(col("u").as("v"))), Seq("v"), "leftsemi")
+      .select("u").distinct()
+    val nb = bi.join(broadcast(cand), Seq("u"), "leftsemi")
+      .join(side(lab.select(col("u").as("v"), col("comp").as("m"))), "v")
+      .groupBy("u").agg(min(col("m")).as("h"))
+    lab.join(broadcast(nb), Seq("u"), "left")
+      .select(col("u"),
+        least(col("comp"), coalesce(col("h"), col("comp"))).as("comp"),
+        col("comp").as("prev_comp"))
+  }
+
   /** Build + materialize the session edge + degree + triangle-corner
     * indexes, timed for the bench (`graph_degrees` rides on the edge
     * checkpoint, so its own wall is just the degree shuffle; the corner
@@ -673,7 +783,11 @@ object GraphQueries {
     // counts — the kernel's tables are presized, never grown
     val nE0 = triEdgeSupport(s, dir).count()
     val nT0 = closedTriangles(s, dir).count()
-    val out = triples.repartition(1).rdd.mapPartitions { rows =>
+    // coalesce, not repartition: the triples come off an in-memory
+    // checkpoint, so merging partitions into the one kernel task skips
+    // the shuffle write/read of the whole triple list (measured ~2x on
+    // the drain at sf0.1, r16)
+    val out = triples.coalesce(1).rdd.mapPartitions { rows =>
       // r16 (verdict ask #4 — this was the heaviest index build at
       // 6.8+ s): the ingest maps are presized open-addressed
       // primitive tables ([[LongIntMap]]), not boxed HashMaps. Nodes
@@ -783,7 +897,9 @@ object GraphQueries {
         org.apache.spark.sql.types.LongType, nullable = false)))
     val nE0 = edgeCount(s, dir)
     val nV0 = degrees(s, dir).count()
-    val out = edges(s, dir).repartition(1).rdd.mapPartitions { rows =>
+    // coalesce, not repartition: same no-shuffle single-task drain as the
+    // truss kernel (the edges come off the in-memory checkpoint)
+    val out = edges(s, dir).coalesce(1).rdd.mapPartitions { rows =>
       // presized primitive ingest, same reasoning as the truss kernel (r16)
       val nodeId = new LongIntMap(nV0)
       val nodeKeys = new Array[Long](nV0.toInt)
@@ -906,7 +1022,7 @@ object GraphQueries {
     */
   def clearCache(s: SparkSession, dir: String): Unit = {
     Seq(edgeCache, degreeCache, triCornerCache, triEdgeCache, adjCache,
-      triangleCache, trussCache, corenessCache).foreach { cache =>
+      triangleCache, trussCache, corenessCache, componentCache).foreach { cache =>
       Option(cache.remove((s, dir))).foreach { df =>
         org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
           .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
@@ -919,7 +1035,8 @@ object GraphQueries {
     edgeCountCache.remove((s, dir))
     trussRounds.remove((s, dir))
     corenessRounds.remove((s, dir))
-    Seq("truss", "coreness").foreach { d =>
+    componentRounds.remove((s, dir))
+    Seq("truss", "coreness", "components").foreach { d =>
       decompPath.remove((s, dir, d))
       deltaRounds.remove((s, dir, d))
     }
@@ -1051,6 +1168,38 @@ object GraphQueries {
       """
         |SELECT u AS node, CAST(c AS BIGINT) AS coreness
         |FROM lab48 ORDER BY node""".stripMargin
+    header + rounds + footer
+  }
+
+  /** `graph_components`' oracle: the min-label propagation unrolled to a
+    * FIXED 12 rounds — convergence is bounded by the eccentricity of each
+    * component's min-id node (measured fixpoints are 2-4 rounds at the
+    * shipped SFs; the query's guard fails loudly past 12 before a
+    * slow-converging fixture could silently diverge). Extra rounds past
+    * the fixpoint are no-ops by monotonicity, exactly like the truss /
+    * coreness unrolls. MATERIALIZED CTEs for the same DuckDB-inlining
+    * reason as the truss oracle.
+    */
+  private def componentsOracleSql: String = {
+    val header =
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.pk u, b.pk v FROM li a
+        |     JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |bi AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |lab0 AS MATERIALIZED (
+        |  SELECT DISTINCT u, CAST(u AS BIGINT) AS c FROM bi)""".stripMargin
+    val rounds = (1 to 12).map { r =>
+      val p = r - 1
+      s"""h$r AS MATERIALIZED (SELECT bi.u, min(l2.c) AS h
+         |      FROM bi JOIN lab$p l2 ON bi.v = l2.u GROUP BY bi.u),
+         |lab$r AS MATERIALIZED (SELECT l.u, least(l.c, coalesce(h.h, l.c)) AS c
+         |      FROM lab$p l LEFT JOIN h$r h ON l.u = h.u)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val footer =
+      """
+        |SELECT u AS node, CAST(c AS BIGINT) AS component
+        |FROM lab12 ORDER BY node""".stripMargin
     header + rounds + footer
   }
 
@@ -1206,6 +1355,24 @@ object GraphQueries {
         sys.error(s"graph_coreness converged in $r rounds > the oracle's " +
           "48-round unroll — regenerate corenessOracleSql with more rounds"))
       lab.select(col("u").as("node"), col("c").as("coreness"))
+        .orderBy("node")
+    },
+
+    // EXACT WEAKLY-CONNECTED COMPONENTS (r16): per-node component id =
+    // the min node id reachable — the partitioning primitive under
+    // cluster-dedup, per-community sampling, and any "process each
+    // connected group together" pipeline stage. Served by the session
+    // [[componentLabels]] min-propagation fixpoint through the shared
+    // label-loop runner (Scaladoc there); oracle = the same recurrence
+    // unrolled 12 fixed rounds (measured fixpoints are diameter-bounded:
+    // 2-4 rounds at the shipped SFs; the guard below fails loudly before
+    // a slow-converging fixture could silently diverge from the unroll).
+    "graph_components" -> { (s, dir) =>
+      val lab = componentLabels(s, dir)
+      Option(componentRounds.get((s, dir))).filter(_ > 12).foreach(r =>
+        sys.error(s"graph_components converged in $r rounds > the oracle's " +
+          "12-round unroll — regenerate componentsOracleSql with more rounds"))
+      lab.select(col("u").as("node"), col("comp").as("component"))
         .orderBy("node")
     },
 
@@ -1586,6 +1753,7 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "graph_truss" -> trussOracleSql,
     "graph_coreness" -> corenessOracleSql,
+    "graph_components" -> componentsOracleSql,
 
     "graph_degree_dist" ->
       s"""$oracleEdgeCtes

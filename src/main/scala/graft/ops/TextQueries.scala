@@ -145,6 +145,61 @@ object TextQueries {
         .limit(20)
     },
 
+    // VOCABULARY RICHNESS — Chao1 (r16): the capture-recapture estimate of
+    // each language's TRUE vocabulary size from its observed frequency
+    // spectrum — D + f1(f1−1)/(2(f2+1)) (bias-corrected form), the
+    // standard "how much vocabulary haven't we crawled yet" readout a
+    // corpus-coverage review reads next to Heaps' law. Sufficient stats
+    // are three exact integers per language (distinct terms, singletons,
+    // doubletons) off one (lang, term) aggregate — two keyed shuffles
+    // total, the second over the Heaps-bounded vocabulary grain.
+    "text_vocab_chao1" -> { (s, dir) =>
+      val tc = Tables.documents(s, dir)
+        .select(col("lang"), explode(toks).as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("n"))
+      tc.groupBy("lang").agg(
+          count(lit(1)).as("n_distinct"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("n") === 2, 1L).otherwise(0L)).as("f2"))
+        .select(col("lang"), col("n_distinct"), col("f1"), col("f2"),
+          round(col("n_distinct") +
+            col("f1") * (col("f1") - 1) / (lit(2.0) * (col("f2") + 1)), 4)
+            .as("chao1"))
+        .orderBy("lang")
+    },
+
+    // READABILITY — Flesch reading ease per (lang, source) (r16): the
+    // classic quality-filter signal (token-length ratios live in
+    // text_quality; this adds the sentence/syllable axes). Per-doc
+    // sufficient statistics are exact INTEGERS — words, sentences
+    // (punctuation-run count, floored at 1), syllables (vowel-group count
+    // per token, floored at 1) — so the group sums are order-independent
+    // and the one double division happens once per group, not per row:
+    // macro Flesch = 206.835 − 1.015·(W/S) − 84.6·(Y/W). One corpus scan
+    // (all three counters are codegen'd regexp/HOF column expressions),
+    // one bounded (lang × source) aggregate.
+    "text_readability" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(
+        col("lang"), col("source"),
+        size(toks).cast("long").as("nw"),
+        greatest(lit(1L), expr("regexp_count(text, '[.!?]+')").cast("long")).as("ns"),
+        expr("""aggregate(transform(split(text, ' '),
+               |  t -> greatest(1, regexp_count(t, '[aeiouy]+'))),
+               |  0L, (a, x) -> a + CAST(x AS BIGINT))""".stripMargin).as("ny"))
+      d.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("n_words"),
+          sum(col("ns")).as("n_sents"),
+          sum(col("ny")).as("n_syll"))
+        .select(col("lang"), col("source"), col("n_docs"),
+          col("n_words"), col("n_sents"), col("n_syll"),
+          (round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sents"))
+            - lit(84.6) * (col("n_syll").cast("double") / col("n_words")), 3)
+            + lit(0.0)).as("flesch"))
+        .orderBy("lang", "source")
+    },
+
     // Quality scoring: type-token ratio, stopword ratio, a composite score.
     "text_quality" -> { (s, dir) =>
       val nToks = size(toks)
@@ -1624,6 +1679,46 @@ object TextQueries {
       """SELECT term, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "text_vocab_chao1" ->
+      """WITH tc AS (
+        |  SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT lang,
+        |       CAST(count(*) AS BIGINT) AS n_distinct,
+        |       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |       CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |       round(count(*) +
+        |             sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+        |             * (sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) - 1)
+        |             / (2.0 * (sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) + 1)),
+        |             4) AS chao1
+        |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_readability" ->
+      """WITH d AS (
+        |  SELECT lang, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |         greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |                     AS BIGINT)) AS ns,
+        |         CAST(list_sum(list_transform(string_split(text, ' '),
+        |              t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+')))))
+        |              AS BIGINT) AS ny
+        |  FROM documents
+        |)
+        |SELECT lang, source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(nw) AS BIGINT) AS n_words,
+        |       CAST(sum(ns) AS BIGINT) AS n_sents,
+        |       CAST(sum(ny) AS BIGINT) AS n_syll,
+        |       round(206.835
+        |             - 1.015 * (CAST(sum(nw) AS DOUBLE) / sum(ns))
+        |             - 84.6 * (CAST(sum(ny) AS DOUBLE) / sum(nw)), 3)
+        |         + 0.0 AS flesch
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id,

@@ -722,6 +722,45 @@ object TimeWindowQueries {
         .orderBy("r_score", "f_score", "m_score")
     },
 
+    // GROWTH ACCOUNTING (r16): the weekly new / retained / resurrected /
+    // churned user ledger — the canonical growth decomposition (every
+    // weekly active is exactly one of new/retained/resurrected, and every
+    // lapsed week emits one churn event at week+7), so the four series
+    // reconcile: WAU_w = new + retained + resurrected and
+    // WAU_w − WAU_{w+7} = churned_{w+7} − (new + resurrected)_{w+7}.
+    // Scale shape: collapse to the distinct (user, week) table first (the
+    // dau_mau kernel), then ONE user-partitioned window pass computes
+    // both lag and lead — state classification and churn attribution ride
+    // the same sort — and one bounded (weeks × 4)-row aggregate finishes.
+    // The data-horizon guard (no churn verdict past the last observed
+    // week) is a broadcast 1-row max, not a driver collect.
+    "events_growth_accounting" -> { (s, dir) =>
+      val wk = Tables.events(s, dir)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("week")
+      val st = wk
+        .withColumn("prev", lag(col("week"), 1).over(w))
+        .withColumn("nxt", lead(col("week"), 1).over(w))
+      val states = st.select(col("week"),
+        when(col("prev").isNull, lit("new"))
+          .when(datediff(col("week"), col("prev")) === 7, lit("retained"))
+          .otherwise(lit("resurrected")).as("state"),
+        col("user_id"))
+      val churn = st
+        .filter(col("nxt").isNull || datediff(col("nxt"), col("week")) > 7)
+        .select(date_add(col("week"), 7).as("week"), col("user_id"))
+        .crossJoin(broadcast(wk.agg(max(col("week")).as("mxw"))))
+        .filter(col("week") <= col("mxw"))
+        .select(col("week"), lit("churned").as("state"), col("user_id"))
+      states.unionByName(churn)
+        .groupBy("week", "state")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("week", "state")
+    },
+
     // DAU / MAU STICKINESS (r12): daily actives, trailing-28-day
     // monthly actives, and their ratio — the engagement staple. The
     // scale-correct shape for a windowed COUNT DISTINCT: collapse the
@@ -895,6 +934,32 @@ object TimeWindowQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "events_growth_accounting" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week
+        |  FROM events
+        |), st AS (
+        |  SELECT user_id, week,
+        |         lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev,
+        |         lead(week) OVER (PARTITION BY user_id ORDER BY week) AS nxt
+        |  FROM wk
+        |), states AS (
+        |  SELECT week,
+        |         CASE WHEN prev IS NULL THEN 'new'
+        |              WHEN week - prev = 7 THEN 'retained'
+        |              ELSE 'resurrected' END AS state,
+        |         user_id
+        |  FROM st
+        |  UNION ALL
+        |  SELECT week + 7 AS week, 'churned' AS state, user_id
+        |  FROM st
+        |  WHERE (nxt IS NULL OR nxt - week > 7)
+        |    AND week + 7 <= (SELECT max(week) FROM wk)
+        |)
+        |SELECT week, state, CAST(count(*) AS BIGINT) AS n_users
+        |FROM states GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "events_retention" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events

@@ -190,6 +190,66 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("component labels match a driver-side union-find, delta ≡ dense, rounds within unroll") {
+    // Exact yardstick: driver-side union-find over the collected edge
+    // list (the fixture edge set is test-sized; the ENGINE never
+    // collects edges).
+    val edges = q("graph_triangles") // just to warm caches deterministically
+    edges.collect()
+    val es = GraphQueries.componentLabels(spark, sfDir) // ensure built
+    es.count()
+    val edgeRows = graft.Tables.lineitem(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("l_orderkey").as("ok"),
+        org.apache.spark.sql.functions.col("l_partkey").as("pk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = edgeRows.groupBy(_._1).values
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    for (grp <- byOrder; Seq((_, a), (_, b)) <- grp.map(x => (x._1, x._2)).toSeq
+        .sortBy(_._2).sliding(2) if grp.size >= 2)
+      union(a, b)
+    // min-id normalization: component = min node reachable
+    val expected = parent.keys.map(u => u -> find(u)).toMap
+    val got = SparkEntry.queries("graph_components")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // nodes with no co-purchased sibling never enter the graph; compare
+    // on the engine's node universe
+    assert(got.nonEmpty)
+    got.foreach { case (u, c) =>
+      assert(expected.getOrElse(u, u) == c,
+        s"node $u: engine component $c != union-find ${expected.getOrElse(u, u)}")
+    }
+    val rounds = GraphQueries.componentRounds.get((spark, sfDir))
+    assert(rounds > 0 && rounds <= 10,
+      s"components converged in $rounds rounds (oracle unrolls 12)")
+    // delta ≡ dense on real data: force delta eligibility AND an absolute
+    // frontier cap (the fixture converges in 2 rounds, so no natural
+    // frontier ever drops under the default |V|/8 clamp), rebuild, and
+    // require identical labels plus at least one delta round served
+    spark.conf.set(GraphQueries.DeltaMinAdjRowsKey, "0")
+    spark.conf.set(GraphQueries.DeltaFrontierMaxRowsKey, "10000000")
+    try {
+      GraphQueries.clearCache(spark, sfDir)
+      val loop = SparkEntry.queries("graph_components")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(loop == got, "delta-round component labels != dense labels")
+      val dr = GraphQueries.deltaRounds.get((spark, sfDir, "components"))
+      assert(dr != null && dr >= 1,
+        s"components loop ran $dr delta rounds — the delta path never engaged")
+    } finally {
+      spark.conf.unset(GraphQueries.DeltaMinAdjRowsKey)
+      spark.conf.unset(GraphQueries.DeltaFrontierMaxRowsKey)
+      GraphQueries.clearCache(spark, sfDir)
+    }
+  }
+
   test("graph edge joins are hash joins — no cartesian product") {
     // (The 1-row stat/n assemblies are explicit broadcast crossJoins —
     // BroadcastNestedLoopJoin with a 1-row build side — and are fine;

@@ -187,8 +187,10 @@ class OverflowSpec extends graft.SparkSuite {
   private case class PlanSite(query: String, pattern: String, why: String)
 
   private val planSites = Seq(
-    PlanSite("agg_bootstrap_ci", "(w * c)",
-      "Poisson replicate weight w ≤ ~20 × value cents c ≤ 49002; product ≤ ~1e6 per row, summed wide (oracle lifts to HUGEINT)"),
+    PlanSite("agg_bootstrap_ci", "(element_at(ws, ",
+      "Poisson replicate weight ws[i] ≤ ~20 × value cents c ≤ 49002; product ≤ ~1e6 per row, summed wide (oracle lifts to HUGEINT) — 32 array-slot sites, one per replicate (the r16 single-pass rewrite)"),
+    PlanSite("text_vocab_chao1", "(f1 * (f1 - CAST(1 AS BIGINT)))",
+      "Chao1 numerator: singleton-term count f1 ≤ vocabulary (Heaps-bounded); f1·(f1−1) wraps only past 3.03e9 singleton terms in ONE language"),
     PlanSite("agg_mann_kendall", "(n_days * (n_days - CAST(1 AS BIGINT)))",
       "variance term over the calendar-bounded daily ledger: n_days ≤ ~3000, so n³ ~ 2.7e10"),
     PlanSite("agg_mann_kendall", "(t * (t - CAST(1 AS BIGINT)))",
