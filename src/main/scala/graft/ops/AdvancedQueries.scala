@@ -73,11 +73,12 @@ object AdvancedQueries {
         .agg(count(lit(1)).as("n"), sum(col("v").cast(d38)).as("tot"),
           min("v").as("lo"), max("v").as("hi"))
         .localCheckpoint()
-      // price ranks: k1/k2 of p ∈ {0.25, 0.5} (Spark-Percentile rank
-      // arithmetic, same formulas as exactPercentilesByGroup's pp)
+      // price ranks: k1/k2 of p ∈ {0.25, 0.5, 0.75} (Spark-Percentile
+      // rank arithmetic, same formulas as exactPercentilesByGroup's pp;
+      // 0.75 serves agg_tukey_outliers' IQR fences, r16)
       val priceRanks = stats
         .select(col("g"), col("n"),
-          explode(array(lit(0.25), lit(0.5))).as("p"))
+          explode(array(lit(0.25), lit(0.5), lit(0.75))).as("p"))
         .withColumn("pos0", col("p") * (col("n") - 1).cast("double"))
         .select(col("g"), explode(array(
           (floor(col("pos0")) + 1).cast("long"),
@@ -117,7 +118,7 @@ object AdvancedQueries {
     // Net: the old 5-pass build is now 2 corpus passes + tiny local joins.
     val (statsC, picked) = centsSelection(s, dir)
     val pp = statsC.select(col("g"), col("n"),
-        explode(array(lit(0.25), lit(0.5))).as("p"))
+        explode(array(lit(0.25), lit(0.5), lit(0.75))).as("p"))
       .withColumn("pos0", col("p") * (col("n") - 1).cast("double"))
       .withColumn("k1", (floor(col("pos0")) + 1).cast("long"))
       .withColumn("k2", least((floor(col("pos0")) + 2).cast("long"), col("n")))
@@ -147,6 +148,8 @@ object AdvancedQueries {
     qs.filter(col("p") === 0.25)
       .select(col("g"), col("pct").as("p25"))
       .join(med, "g").join(mad, "g")
+      .join(qs.filter(col("p") === 0.75)
+        .select(col("g"), col("pct").as("p75")), "g")
       .localCheckpoint()
   }
 
@@ -356,6 +359,33 @@ object AdvancedQueries {
     // artifact (one 1024-bucket histogram pass feeds this p25, the MAD
     // query's median, and the approx-percentile yardstick), so the
     // per-run cost here is the qty aggregate alone.
+    // TUKEY FENCES (r16): per-group outlier counts beyond the 1.5·IQR
+    // fences — the boxplot rule every data-quality profile starts with.
+    // p25/p75 ride the session [[priceStats]] artifact (the shared
+    // cents-grain selection picks the 0.75 rank in the same pass), so the
+    // query itself is ONE corpus scan against a broadcast 3-row fence
+    // table. Fence arithmetic and the strict < / > comparisons run on
+    // identical doubles in both engines (the cents/100.0
+    // correctly-rounded argument in centsSelection's doc).
+    "agg_tukey_outliers" -> { (s, dir) =>
+      val f = priceStats(s, dir)
+        .select(col("g"), col("p25"), col("p75"))
+        .withColumn("iqr", col("p75") - col("p25"))
+        .withColumn("lo", col("p25") - lit(1.5) * col("iqr"))
+        .withColumn("hi", col("p75") + lit(1.5) * col("iqr"))
+      Tables.lineitem(s, dir)
+        .select(col("l_linestatus").as("g"),
+          col("l_extendedprice").cast("double").as("v"))
+        .join(broadcast(f), "g")
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_below"),
+          sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_above"),
+          (round(min(col("lo")), 4) + lit(0.0)).as("lo_fence"),
+          (round(max(col("hi")), 4) + lit(0.0)).as("hi_fence"))
+        .orderBy("g")
+    },
+
     "agg_percentile" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
       val qty = li.groupBy("l_linestatus")
@@ -742,6 +772,26 @@ object AdvancedQueries {
         |       round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qe,
         |       round(var_samp(l_quantity), 4) AS var_q
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_tukey_outliers" ->
+      """WITH q AS (
+        |  SELECT l_linestatus AS g,
+        |         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS p25,
+        |         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS p75
+        |  FROM lineitem GROUP BY 1
+        |), f AS (
+        |  SELECT g, p25 - 1.5 * (p75 - p25) AS lo, p75 + 1.5 * (p75 - p25) AS hi
+        |  FROM q
+        |)
+        |SELECT li.l_linestatus AS g, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN CAST(l_extendedprice AS DOUBLE) < f.lo
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |       CAST(sum(CASE WHEN CAST(l_extendedprice AS DOUBLE) > f.hi
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |       round(f.lo, 4) + 0.0 AS lo_fence,
+        |       round(f.hi, 4) + 0.0 AS hi_fence
+        |FROM lineitem li JOIN f ON li.l_linestatus = f.g
+        |GROUP BY 1, f.lo, f.hi ORDER BY 1""".stripMargin,
 
     "agg_percentile" ->
       """SELECT l_linestatus,

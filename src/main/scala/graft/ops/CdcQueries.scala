@@ -81,6 +81,32 @@ object CdcQueries {
         .orderBy("event_id")
     },
 
+    // ORDERING AUDIT (r16): the binlog-position-vs-commit-time
+    // monotonicity check every CDC operator runs when replication lags —
+    // per stream (event_type as the table analog): how many events
+    // arrived with a commit timestamp BEHIND the high-water mark of
+    // earlier log positions (event_id = the position analog), and the
+    // worst observed lateness. One per-stream sorted window pass (the
+    // running max excludes the current row so an event can't mask its own
+    // lateness), one bounded aggregate — the shape a 100 TB replication
+    // fleet audit would run per table.
+    "cdc_ordering_audit" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          expr("unix_micros(ts)").as("t"))
+        .withColumn("hwm", max(col("t")).over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("hwm").isNotNull && col("t") < col("hwm"), 1L)
+            .otherwise(0L)).as("n_late"),
+          coalesce(max(when(col("hwm").isNotNull && col("t") < col("hwm"),
+            col("hwm") - col("t"))), lit(0L)).as("max_lateness_us"))
+        .orderBy("event_type")
+    },
+
     // R10 + R11: envelope struct + to_json with nulls kept (json.Marshal
     // semantics, `main.go:80-88`).
     "cdc_envelope" -> { (s, dir) =>
@@ -518,6 +544,24 @@ object CdcQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "cdc_ordering_audit" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) AS t FROM events
+        |), h AS (
+        |  SELECT event_type, t,
+        |         max(t) OVER (PARTITION BY event_type ORDER BY event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING
+        |                               AND 1 PRECEDING) AS hwm
+        |  FROM e
+        |)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN hwm IS NOT NULL AND t < hwm
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |       coalesce(max(CASE WHEN hwm IS NOT NULL AND t < hwm
+        |                    THEN hwm - t END), 0) AS max_lateness_us
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "cdc_route_filter" ->
       """SELECT CASE WHEN event_type IN ('click','view') THEN 'grp_engage'
         |            WHEN event_type IN ('purchase','signup') THEN 'grp_convert' END AS grp,

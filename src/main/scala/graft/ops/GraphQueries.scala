@@ -1358,6 +1358,41 @@ object GraphQueries {
         .orderBy("node")
     },
 
+    // RICH-CLUB COEFFICIENT (r16): at each degree threshold k, the edge
+    // density of the subgraph induced by nodes with degree > k — the
+    // "do the hubs preferentially connect to each other" structure
+    // readout (assortativity's thresholded sibling). One explode of a
+    // 6-element threshold array over the cached degree table and over
+    // the degree-annotated edge list — |V|·6 and |E|·6 rows, both
+    // map-side-combined into a 6-row output; density in exact ppm
+    // through DECIMAL(38,0), NULL where the club has < 2 members.
+    "graph_rich_club" -> { (s, dir) =>
+      val ks = Seq(1L, 2L, 4L, 8L, 16L, 32L)
+      val kArr = array(ks.map(lit): _*)
+      val deg = degrees(s, dir)
+      val nk = deg.select(col("d"), explode(kArr).as("k"))
+        .filter(col("d") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+      val ek = edges(s, dir)
+        .join(deg.select(col("u"), col("d").as("du")), "u")
+        .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+        .select(least(col("du"), col("dv")).as("dmin"))
+        .select(col("dmin"), explode(kArr).as("k"))
+        .filter(col("dmin") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_edges"))
+      import s.implicits._
+      val kdim = ks.toDF("k")
+      kdim.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+        .select(col("k"),
+          coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+        .withColumn("phi_ppm",
+          when(col("n_nodes") >= 2,
+            expr("CAST((CAST(n_edges AS DECIMAL(38,0)) * 2000000) div " +
+              "(CAST(n_nodes AS DECIMAL(38,0)) * (n_nodes - 1)) AS BIGINT)")))
+        .orderBy("k")
+    },
+
     // EXACT WEAKLY-CONNECTED COMPONENTS (r16): per-node component id =
     // the min node id reachable — the partitioning primitive under
     // cluster-dedup, per-community sampling, and any "process each
@@ -1754,6 +1789,27 @@ object GraphQueries {
     "graph_truss" -> trussOracleSql,
     "graph_coreness" -> corenessOracleSql,
     "graph_components" -> componentsOracleSql,
+
+    "graph_rich_club" ->
+      s"""$oracleEdgeCtes,
+         |ks AS (SELECT CAST(unnest([1, 2, 4, 8, 16, 32]) AS BIGINT) AS k),
+         |nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+         |       FROM deg, ks WHERE d > k GROUP BY 1),
+         |ek AS (SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+         |       FROM (SELECT least(d1.d, d2.d) AS dmin FROM e
+         |             JOIN deg d1 ON e.u = d1.u
+         |             JOIN deg d2 ON e.v = d2.u), ks
+         |       WHERE dmin > k GROUP BY 1)
+         |SELECT ks.k,
+         |       coalesce(nk.n_nodes, 0) AS n_nodes,
+         |       coalesce(ek.n_edges, 0) AS n_edges,
+         |       CASE WHEN coalesce(nk.n_nodes, 0) >= 2 THEN
+         |         CAST((CAST(coalesce(ek.n_edges, 0) AS HUGEINT) * 2000000)
+         |              // (CAST(nk.n_nodes AS HUGEINT) * (nk.n_nodes - 1))
+         |              AS BIGINT)
+         |       END AS phi_ppm
+         |FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)
+         |ORDER BY ks.k""".stripMargin,
 
     "graph_degree_dist" ->
       s"""$oracleEdgeCtes

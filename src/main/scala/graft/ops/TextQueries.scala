@@ -168,6 +168,46 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // LOG-ODDS TERM MARKEDNESS (r16): which terms are most
+    // over-represented in each language vs the REST of the corpus — the
+    // Monroe et al. "Fightin' Words" log-odds-ratio with a Dirichlet
+    // prior (uniform α = 0.5 per term), z-scored by the delta's variance
+    // 1/(y+α) + 1/(y_rest+α), support floor 5, top-5 terms per language
+    // by (z, term). The corpus-comparison primitive behind contamination
+    // screens and domain-mix audits. All counts are exact integers off
+    // one (lang, term) aggregate; the joins are one broadcast of the
+    // |langs|-row margins + one vocabulary-grain equi-join on term + a
+    // broadcast 1-row grand total — nothing beyond the Heaps-bounded
+    // vocabulary ever shuffles. ln at the very end, rounded at 4 (the
+    // house float-parity contract).
+    "text_log_odds" -> { (s, dir) =>
+      val tc = Tables.documents(s, dir)
+        .select(col("lang"), explode(toks).as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("y"))
+      val lt = tc.groupBy("lang").agg(sum(col("y")).as("nl"))
+      val tt = tc.groupBy("term").agg(sum(col("y")).as("yw"))
+      val gt = tc.agg(sum(col("y")).as("nn"),
+        countDistinct(col("term")).as("v"))
+      val j = tc.join(broadcast(lt), "lang").join(tt, "term")
+        .crossJoin(broadcast(gt))
+        .filter(col("y") >= 5)
+      val a = lit(0.5)
+      val y = col("y").cast("double")
+      val ry = (col("yw") - col("y")).cast("double")
+      val fgA = a * col("v")
+      val delta = log((y + a) / (col("nl") + fgA - y - a)) -
+        log((ry + a) / (col("nn") - col("nl") + fgA - ry - a))
+      val z = delta / sqrt(lit(1.0) / (y + a) + lit(1.0) / (ry + a))
+      val scored = j.select(col("lang"), col("term"), col("y"),
+        (round(z, 4) + lit(0.0)).as("z"))
+      val w = Window.partitionBy("lang").orderBy(col("z").desc, col("term"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("lang"), col("rnk").cast("long").as("rnk"),
+          col("term"), col("y"), col("z"))
+        .orderBy("lang", "rnk")
+    },
+
     // READABILITY — Flesch reading ease per (lang, source) (r16): the
     // classic quality-filter signal (token-length ratios live in
     // text_quality; this adds the sentence/syllable axes). Per-doc
@@ -1697,6 +1737,36 @@ object TextQueries {
         |             / (2.0 * (sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) + 1)),
         |             4) AS chao1
         |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_log_odds" ->
+      """WITH tc AS (
+        |  SELECT lang, term, CAST(count(*) AS BIGINT) AS y
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), lt AS (SELECT lang, CAST(sum(y) AS BIGINT) AS nl FROM tc GROUP BY 1),
+        |tt AS (SELECT term, CAST(sum(y) AS BIGINT) AS yw FROM tc GROUP BY 1),
+        |gt AS (SELECT CAST(sum(y) AS BIGINT) AS nn,
+        |              CAST(count(DISTINCT term) AS BIGINT) AS v FROM tc),
+        |sc AS (
+        |  SELECT tc.lang, tc.term, tc.y,
+        |    round(
+        |      (ln((CAST(tc.y AS DOUBLE) + 0.5) /
+        |           (lt.nl + (0.5 * gt.v) - CAST(tc.y AS DOUBLE) - 0.5))
+        |       - ln((CAST(tt.yw - tc.y AS DOUBLE) + 0.5) /
+        |            (gt.nn - lt.nl + (0.5 * gt.v)
+        |             - CAST(tt.yw - tc.y AS DOUBLE) - 0.5)))
+        |      / sqrt((1.0 / (CAST(tc.y AS DOUBLE) + 0.5))
+        |             + (1.0 / (CAST(tt.yw - tc.y AS DOUBLE) + 0.5))),
+        |      4) + 0.0 AS z
+        |  FROM tc JOIN lt USING (lang) JOIN tt USING (term) CROSS JOIN gt
+        |  WHERE tc.y >= 5
+        |)
+        |SELECT lang, CAST(rnk AS BIGINT) AS rnk, term, y, z
+        |FROM (SELECT *, row_number() OVER (PARTITION BY lang
+        |                                   ORDER BY z DESC, term) AS rnk
+        |      FROM sc)
+        |WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
 
     "text_readability" ->
       """WITH d AS (

@@ -761,6 +761,48 @@ object TimeWindowQueries {
         .orderBy("week", "state")
     },
 
+    // PARETO / LORENZ CONCENTRATION (r16): revenue share by spend decile
+    // — the "what share do the top 10% carry" readout next to agg_gini's
+    // scalar. Users rank by exact integer cents through
+    // [[DistributedRank.globalRank]] (range-partitioned distributed sort,
+    // never a partition-less window), deciles via the ntile-identical
+    // rank arithmetic, then the cumulative share is a triangular
+    // self-join over the TEN-row decile table (windowless on metadata-
+    // sized input, the DistributedRank offset pattern). Shares in exact
+    // ppm through DECIMAL(38,0) truncating division.
+    "events_pareto" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val per = Tables.events(s, dir)
+        .select(col("user_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy("user_id")
+        .agg(sum(col("c").cast(d38)).cast("long").as("cents"))
+      val sc = per.crossJoin(broadcast(per.agg(
+        count(lit(1)).as("nu"), sum(col("cents").cast(d38)).as("tot"))))
+      val r = DistributedRank.globalRank(sc, "rnk",
+        col("cents").desc, col("user_id"))
+      val byDec = r
+        .withColumn("decile",
+          DistributedRank.ntileFromRank(col("rnk"), col("nu"), 10))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("cents").cast(d38)).as("dec_cents"),
+          min(col("tot")).as("tot"))
+        .localCheckpoint() // 10 rows; the self-join below must not replay
+                           // the whole rank subtree twice
+      byDec.as("a")
+        .join(byDec.as("b").select(col("b.decile").as("bd"),
+          col("b.dec_cents").as("bc")), col("bd") <= col("a.decile"))
+        .groupBy(col("a.decile").as("decile"))
+        .agg(min(col("a.n_users")).as("n_users"),
+          min(col("a.dec_cents").cast("long")).as("cents"),
+          expr("CAST((min(a.dec_cents) * 1000000) div min(a.tot) AS BIGINT)")
+            .as("share_ppm"),
+          expr("CAST((sum(bc) * 1000000) div min(a.tot) AS BIGINT)")
+            .as("cum_share_ppm"))
+        .orderBy("decile")
+    },
+
     // DAU / MAU STICKINESS (r12): daily actives, trailing-28-day
     // monthly actives, and their ratio — the engagement staple. The
     // scale-correct shape for a windowed COUNT DISTINCT: collapse the
@@ -931,9 +973,147 @@ object TimeWindowQueries {
           col("cusum").as("cusum_cents"),
           (col("cusum") > col("target")).as("alarm"))
         .orderBy("event_type", "day")
+    },
+
+    // WALD–WOLFOWITZ RUNS TEST (r16): is each event type's value series
+    // random around its mean, or does it trend/oscillate? Signs are exact
+    // integer facts (cents·n vs the exact DECIMAL sum — no float mean, no
+    // tie ambiguity: rows AT the mean drop, as the test prescribes), the
+    // run count is one lag over the per-type ordered sign sequence, and
+    // the z-score is computed ONCE per group from the three sufficient
+    // integers (R, n1, n2) — identical double arithmetic on both engines,
+    // rounded at 4. One sort-shuffle per type + one bounded aggregate.
+    "ts_runs_test" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val e = Tables.events(s, dir).select(col("event_type"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      val st = e.groupBy("event_type")
+        .agg(sum(col("c").cast(d38)).as("sc"), count(lit(1)).as("n"))
+      val sgn = e.join(broadcast(st), "event_type")
+        .filter(col("c").cast(d38) * col("n") =!= col("sc"))
+        .select(col("event_type"), col("event_id"),
+          when(col("c").cast(d38) * col("n") > col("sc"), 1L).otherwise(0L)
+            .as("sgn"))
+      val w = Window.partitionBy("event_type").orderBy("event_id")
+      val runs = sgn.withColumn("prev", lag(col("sgn"), 1).over(w))
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("prev").isNull || col("prev") =!= col("sgn"), 1L)
+            .otherwise(0L)).as("r"),
+          sum(col("sgn")).as("n1"),
+          sum(lit(1L) - col("sgn")).as("n2"))
+      val m = (col("n1") + col("n2")).cast("double")
+      val p = lit(2.0) * col("n1") * col("n2")
+      runs.filter(col("n1") > 0 && col("n2") > 0)
+        .select(col("event_type"), col("r"), col("n1"), col("n2"),
+          (round((col("r") - (lit(1.0) + p / m)) /
+            sqrt(p * (p - m) / (m * m * (m - lit(1.0)))), 4) + lit(0.0))
+            .as("z"))
+        .orderBy("event_type")
+    },
+
+    // INTER-ARRIVAL PROFILE (r16): the distribution of per-user gaps
+    // between consecutive same-type events, bucketed by decimal MAGNITUDE
+    // (digit count of the µs gap — an exact integer bucket both engines
+    // render identically, where a log-bucket would ride libm). The
+    // burstiness/session-boundary readout: one (user, type) sorted window
+    // pass, one bounded (type × ≤20 digit-classes) aggregate.
+    "events_interarrival" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("t", "event_id")
+      val g = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("unix_micros(ts)").as("t"))
+        .withColumn("prev", lag(col("t"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"), (col("t") - col("prev")).as("gap_us"))
+      g.groupBy(col("event_type"),
+          length(col("gap_us").cast("string")).cast("int").as("gap_digits"))
+        .agg(count(lit(1)).as("n"),
+          min("gap_us").as("min_gap_us"), max("gap_us").as("max_gap_us"))
+        .orderBy("event_type", "gap_digits")
     })
 
   val oracles: Map[String, String] = Map(
+    "events_pareto" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM events GROUP BY 1
+        |), nt AS (
+        |  SELECT cents,
+        |         CAST(ntile(10) OVER (ORDER BY cents DESC, user_id)
+        |              AS BIGINT) AS decile
+        |  FROM per
+        |), bd AS (
+        |  SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+        |         CAST(sum(cents) AS BIGINT) AS dec_cents
+        |  FROM nt GROUP BY 1
+        |), tt AS (SELECT CAST(sum(cents) AS HUGEINT) AS tot FROM per)
+        |SELECT a.decile, a.n_users, a.dec_cents AS cents,
+        |       CAST((CAST(a.dec_cents AS HUGEINT) * 1000000) // tt.tot
+        |            AS BIGINT) AS share_ppm,
+        |       CAST((CAST(sum(b.dec_cents) AS HUGEINT) * 1000000) // tt.tot
+        |            AS BIGINT) AS cum_share_ppm
+        |FROM bd a JOIN bd b ON b.decile <= a.decile CROSS JOIN tt
+        |GROUP BY a.decile, a.n_users, a.dec_cents, tt.tot
+        |ORDER BY a.decile""".stripMargin,
+
+    "events_interarrival" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS t FROM events
+        |), g AS (
+        |  SELECT event_type,
+        |         t - lag(t) OVER (PARTITION BY user_id, event_type
+        |                          ORDER BY t, event_id) AS gap_us
+        |  FROM e
+        |)
+        |SELECT event_type,
+        |       CAST(length(CAST(gap_us AS VARCHAR)) AS INT) AS gap_digits,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ts_runs_test" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events
+        |), st AS (
+        |  SELECT event_type, sum(CAST(c AS DECIMAL(38,0))) AS sc,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1
+        |), sgn AS (
+        |  SELECT e.event_type, e.event_id,
+        |         CASE WHEN CAST(e.c AS DECIMAL(38,0)) * st.n > st.sc
+        |              THEN 1 ELSE 0 END AS sgn
+        |  FROM e JOIN st USING (event_type)
+        |  WHERE CAST(e.c AS DECIMAL(38,0)) * st.n <> st.sc
+        |), runs AS (
+        |  SELECT event_type,
+        |         CAST(sum(CASE WHEN prev IS NULL OR prev <> sgn
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS r,
+        |         CAST(sum(sgn) AS BIGINT) AS n1,
+        |         CAST(sum(1 - sgn) AS BIGINT) AS n2
+        |  FROM (SELECT event_type, sgn,
+        |               lag(sgn) OVER (PARTITION BY event_type
+        |                              ORDER BY event_id) AS prev
+        |        FROM sgn)
+        |  GROUP BY 1
+        |)
+        |SELECT event_type, r, n1, n2,
+        |       round((r - (1.0 + (2.0 * n1 * n2) / CAST(n1 + n2 AS DOUBLE))) /
+        |             sqrt(((2.0 * n1 * n2) *
+        |                   ((2.0 * n1 * n2) - CAST(n1 + n2 AS DOUBLE))) /
+        |                  ((CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE))
+        |                   * (CAST(n1 + n2 AS DOUBLE) - 1.0))), 4)
+        |         + 0.0 AS z
+        |FROM runs WHERE n1 > 0 AND n2 > 0 ORDER BY event_type""".stripMargin,
+
     "events_growth_accounting" ->
       """WITH wk AS (
         |  SELECT DISTINCT user_id,

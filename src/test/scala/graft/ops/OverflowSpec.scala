@@ -104,6 +104,10 @@ class OverflowSpec extends graft.SparkSuite {
       "oracle accept-rate bp: accepted <= docs; raises past 9.2e14 docs"),
     Site("TimeWindowQueries.scala", "(n * 1000000) div tot", "bounded",
       "markov: n <= transitions per (src,dst); wraps past 9.2e12 rows"),
+    Site("TimeWindowQueries.scala", "(min(a.dec_cents) * 1000000) div min(a.tot)", "bounded",
+      "pareto share ppm on the DECIMAL(38,0) path: decile cents * 1e6 <= ~1e19 <<< the 1e38 decimal ceiling"),
+    Site("TimeWindowQueries.scala", "(sum(bc) * 1000000) div min(a.tot)", "bounded",
+      "pareto cumulative share ppm, same DECIMAL(38,0) path; <= ~1e19 <<< 1e38"),
     Site("TimeWindowQueries.scala", "(n * 1000000) // (sum(n) OVER", "bounded",
       "oracle face of the markov ppm; raises past 9.2e12"),
     Site("VectorQueries.scala", "* 10000 + 0.5", "double",

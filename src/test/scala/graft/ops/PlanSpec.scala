@@ -410,6 +410,32 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("agg_tukey_outliers is one scan against the broadcast fence artifact") {
+    // p25/p75 come from the shared cents-grain selection inside the
+    // priceStats session artifact (r16) — the timed plan must be a single
+    // corpus scan joined to a broadcast 3-row fence table; a Window or a
+    // second scan means the percentile machinery leaked into the query.
+    val df = SparkEntry.queries("agg_tukey_outliers")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Window"), s"window sort came back:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("events_pareto ranks through the distributed sort — no partition-less window") {
+    // the decile rank must ride DistributedRank's range exchange; any
+    // empty-partition-spec Window here is the single-task global sort the
+    // r12 events_rfm finding banned. (The cumulative share join runs over
+    // the checkpointed TEN-row decile table, so no window is needed there
+    // either.)
+    val df = SparkEntry.queries("events_pareto")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val windows = "Window \\[[^\\]]*\\], \\[[^\\]]*\\]".r.findAllIn(p).toList
+    windows.foreach(w => assert(w.contains("__pid#"), s"partition-less window:\n$w\n$p"))
+  }
+
   /** (cached-artifact scans, parquet file scans) in the optimized logical
     * plan — tree collection, not string matching, because the plan STRING
     * prints the InMemoryRelation's cached BUILD plan inline (which
