@@ -336,6 +336,52 @@ object AdvancedQueries {
     },
 
     // Correlation / covariance / variance.
+    // SPEARMAN RANK CORRELATION (r16): the monotone-association sibling
+    // of agg_corr's Pearson — tie-corrected (Pearson over average ranks),
+    // which the 1−6Σd²/n(n²−1) shortcut gets WRONG on tied data like
+    // integral quantities. Scale-correct ranking: per-group ranks ride
+    // [[DistributedRank.globalRank]] over the (g, value) total order
+    // (range exchange — never a group-sized window sort), collapsed to
+    // the VALUE-GRAIN average-rank table (2r̄ = 2·min_rank + ties − 1,
+    // an exact integer), and each row picks its two ranks back up by
+    // equi-join. All five sufficient statistics are exact DECIMAL(38,0)
+    // sums of integer products, so ρ is one double expression per group —
+    // order-independent, engine-identical, rounded at 4.
+    "agg_spearman" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val li = Tables.lineitem(s, dir).select(
+        col("l_linestatus").as("g"),
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("q"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("p"))
+      def rank2(valCol: String): DataFrame = {
+        val r = DistributedRank.globalRank(
+          li.select(col("g"), col(valCol).as("v")), "rn", col("g"), col("v"))
+        val off = r.groupBy("g").agg((min(col("rn")) - 1).as("off"))
+        r.groupBy("g", "v")
+          .agg(min(col("rn")).as("mn"), count(lit(1)).as("c"))
+          .join(broadcast(off), "g")
+          .select(col("g"), col("v"),
+            (lit(2) * (col("mn") - col("off")) + col("c") - 1).as("r2"))
+      }
+      val rq = rank2("q").withColumnsRenamed(Map("v" -> "q", "r2" -> "xq"))
+      val rp = rank2("p").withColumnsRenamed(Map("v" -> "p", "r2" -> "yp"))
+      val suff = li.join(rq, Seq("g", "q")).join(rp, Seq("g", "p"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          sum(col("xq").cast(d38)).as("sx"),
+          sum(col("yp").cast(d38)).as("sy"),
+          sum(col("xq").cast(d38) * col("yp")).as("sxy"),
+          sum(col("xq").cast(d38) * col("xq")).as("sxx"),
+          sum(col("yp").cast(d38) * col("yp")).as("syy"))
+      suff.select(col("g"), col("n"),
+          (round(
+            expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)") /
+            sqrt(expr("CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)") *
+              expr("CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)")),
+            4) + lit(0.0)).as("rho"))
+        .orderBy("g")
+    },
+
     "agg_corr" -> { (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
@@ -765,6 +811,41 @@ object AdvancedQueries {
         |SELECT l_returnflag, min(qty) AS w_median, max(tw) AS total_w
         |FROM c WHERE cw * 2 >= tw
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_spearman" ->
+      """WITH li AS (
+        |  SELECT l_linestatus AS g,
+        |         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p
+        |  FROM lineitem
+        |), rq AS (
+        |  SELECT DISTINCT g, q,
+        |         CAST(2 * rank() OVER (PARTITION BY g ORDER BY q)
+        |              + count(*) OVER (PARTITION BY g, q) - 1
+        |              AS BIGINT) AS xq
+        |  FROM li
+        |), rp AS (
+        |  SELECT DISTINCT g, p,
+        |         CAST(2 * rank() OVER (PARTITION BY g ORDER BY p)
+        |              + count(*) OVER (PARTITION BY g, p) - 1
+        |              AS BIGINT) AS yp
+        |  FROM li
+        |), suff AS (
+        |  SELECT li.g, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(xq AS HUGEINT)) AS sx,
+        |         sum(CAST(yp AS HUGEINT)) AS sy,
+        |         sum(CAST(xq AS HUGEINT) * yp) AS sxy,
+        |         sum(CAST(xq AS HUGEINT) * xq) AS sxx,
+        |         sum(CAST(yp AS HUGEINT) * yp) AS syy
+        |  FROM li JOIN rq USING (g, q) JOIN rp USING (g, p)
+        |  GROUP BY 1
+        |)
+        |SELECT g, n,
+        |       round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+        |             sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) *
+        |                  CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)),
+        |             4) + 0.0 AS rho
+        |FROM suff ORDER BY g""".stripMargin,
 
     "agg_corr" ->
       """SELECT l_returnflag,

@@ -1358,6 +1358,25 @@ object GraphQueries {
         .orderBy("node")
     },
 
+    // LOCAL BRIDGES (r16): edges whose endpoints share NO common neighbor
+    // — deleting one lengthens its endpoints' distance past 2 (the
+    // Granovetter "weak tie" census; the spanning-structure health
+    // readout next to the component count). Pure consumer of the session
+    // triangle-support artifact: a local bridge is exactly an edge absent
+    // from [[triEdgeSupport]], so the census is one anti-join of two
+    // cached checkpoints + two bounded 1-row aggregates — zero new
+    // corpus-scale work at any size.
+    "graph_local_bridges" -> { (s, dir) =>
+      val e = edges(s, dir)
+      val lb = e.join(triEdgeSupport(s, dir).select("u", "v"),
+        Seq("u", "v"), "left_anti")
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(lb.agg(count(lit(1)).as("n_local_bridges"))))
+        .select(col("n_edges"), col("n_local_bridges"),
+          expr("CAST((n_local_bridges * 1000000L) div n_edges AS BIGINT)")
+            .as("bridge_ppm"))
+    },
+
     // RICH-CLUB COEFFICIENT (r16): at each degree threshold k, the edge
     // density of the subgraph induced by nodes with degree > k — the
     // "do the hubs preferentially connect to each other" structure
@@ -1789,6 +1808,19 @@ object GraphQueries {
     "graph_truss" -> trussOracleSql,
     "graph_coreness" -> corenessOracleSql,
     "graph_components" -> componentsOracleSql,
+
+    "graph_local_bridges" ->
+      s"""$oracleEdgeCtes
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM e x
+         |        WHERE NOT EXISTS (
+         |          SELECT 1 FROM bi a JOIN bi b ON a.v = b.v
+         |          WHERE a.u = x.u AND b.u = x.v)) AS n_local_bridges,
+         |       CAST(((SELECT CAST(count(*) AS HUGEINT) FROM e x
+         |              WHERE NOT EXISTS (
+         |                SELECT 1 FROM bi a JOIN bi b ON a.v = b.v
+         |                WHERE a.u = x.u AND b.u = x.v)) * 1000000)
+         |            // (SELECT count(*) FROM e) AS BIGINT) AS bridge_ppm""".stripMargin,
 
     "graph_rich_club" ->
       s"""$oracleEdgeCtes,

@@ -56,6 +56,10 @@ class OverflowSpec extends graft.SparkSuite {
       "oracle face of the rate-curve milli threshold; ratio in [0,1]"),
     Site("GraphQueries.scala", "(n_common * 1000000L) div", "bounded",
       "n_common <= max degree; wraps past 9.2e12 common neighbors per pair"),
+    Site("GraphQueries.scala", "(n_local_bridges * 1000000L) div n_edges", "bounded",
+      "local-bridge ppm: n_local_bridges <= |E|; wraps past 9.2e12 edges"),
+    Site("GraphQueries.scala", "WHERE a.u = x.u AND b.u = x.v)) * 1000000)", "bounded",
+      "oracle face of the local-bridge ppm on HUGEINT; raises (never wraps) past 9.2e12"),
     Site("GraphQueries.scala", "(n_common * 1000000) //", "bounded",
       "oracle face; DuckDB additionally raises (never wraps) past 9.2e12"),
     Site("MiningQueries.scala", "(support * 1000000L) div", "bounded",
