@@ -340,6 +340,40 @@ object VectorQueries {
       knnJoinTop3(s, dir).orderBy("va", "rn")
     },
 
+    // INTRINSIC DIMENSION — TwoNN (r16): the Facco et al. estimator of
+    // the embedding manifold's intrinsic dimensionality from nothing but
+    // each point's two nearest-neighbor distances — ID ≈ n / Σ ln(d2/d1).
+    // The collapse/anisotropy diagnostic an embedding-quality review
+    // reads next to recall: a 64-dim space whose TwoNN reads ~10 is
+    // concentrating on a low-dimensional sheet. Pure consumer of the
+    // session exact-kNN artifact (one scan of the checkpointed top-3
+    // rows, two filters, one 1-row aggregate); distances derive from the
+    // artifact's 1e-4-grid rounded cosines so both engines fold identical
+    // doubles, and points whose nearest distance rounds to zero are
+    // excluded (the estimator's own r1 > 0 requirement). Same size gate
+    // as sim_knn_join — the ground-truth join it rides is the deliberate
+    // O(n²) yardstick; at corpus scale the estimator runs on a sample or
+    // on ANN distances instead.
+    "emb_intrinsic_dim" -> { (s, dir) =>
+      val cap = s.conf.get(DedupQueries.ExactCosineCapKey, "20000").toLong
+      val probed = Tables.embeddings(s, dir).select("vec_id")
+        .limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count()
+      require(probed <= cap,
+        s"emb_intrinsic_dim rides the O(n²) exact-kNN yardstick: the corpus " +
+          s"exceeds the ${DedupQueries.ExactCosineCapKey}=$cap row gate. " +
+          "Sample, or estimate from ANN distances, at scale.")
+      val top = knnJoinTop3(s, dir)
+      val d1 = top.filter(col("rn") === 1)
+        .select(col("va"), (lit(1.0) - col("cos_r")).as("d1"))
+      val d2 = top.filter(col("rn") === 2)
+        .select(col("va"), (lit(1.0) - col("cos_r")).as("d2"))
+      d1.join(d2, "va")
+        .filter(col("d1") > 0)
+        .agg(count(lit(1)).as("n_used"),
+          (round(count(lit(1)) / sum(log(col("d2") / col("d1"))), 3) + lit(0.0))
+            .as("id_twonn"))
+    },
+
     // The sub-quadratic k-NN join (no DuckDB oracle — recall
     // property-tested against sim_knn_join): every vector probes its
     // nProbe (default 8) nearest IVF cells and ranks only the vectors
@@ -802,6 +836,14 @@ object VectorQueries {
       coalesce(sum("c").over(Window.partitionBy("g").orderBy("b")
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     // The bucket holding rank k: cum_before < k <= cum_before + c.
+    // The checkpoint is the SCALE-correct shape, kept deliberately: r16
+    // measured dropping it at −2.3 s on the sf0.1 price chain (the
+    // materialization job goes away and the broadcast builds re-execute
+    // the histogram subtree instead — cheap on a 600k-row corpus), but
+    // pass 2 references targets TWICE, so at cluster scale the un-pinned
+    // plan pays two extra full corpus scans per selection. One bounded
+    // materialization beats re-scanning the corpus; local job overhead is
+    // not the thing this kernel optimizes for.
     val targets = cum.join(ranks, Seq("g"))
       .filter(col("k") > col("cum_before") && col("k") <= col("cum_before") + col("c"))
       .select(col("g"), col("b"), col("k"), col("cum_before"))
@@ -1510,6 +1552,29 @@ object VectorQueries {
          |UNION ALL SELECT q_id, CAST(3 AS BIGINT), p3, round(score3, 4) + 0.0 FROM s3
          |ORDER BY q_id, rn""".stripMargin
     },
+
+    "emb_intrinsic_dim" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings),
+         |t AS (SELECT vec_id AS t_id, embedding AS te FROM embeddings),
+         |scored AS (
+         |  SELECT q_id, t_id,
+         |         $dotSql / (${normSql("qe")} * ${normSql("te")}) AS cos
+         |  FROM q JOIN t ON q_id <> t_id
+         |), ranked AS (
+         |  SELECT q_id, t_id, cos,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY round(cos, 6) DESC, t_id) AS rn
+         |  FROM scored
+         |), top AS (
+         |  SELECT q_id AS va, rn, round(cos, 4) AS cos_r
+         |  FROM ranked WHERE rn <= 2
+         |), dd AS (
+         |  SELECT a.va, 1.0 - a.cos_r AS d1, 1.0 - b.cos_r AS d2
+         |  FROM top a JOIN top b ON a.va = b.va AND a.rn = 1 AND b.rn = 2
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_used,
+         |       round(count(*) / sum(ln(d2 / d1)), 3) + 0.0 AS id_twonn
+         |FROM dd WHERE d1 > 0""".stripMargin,
 
     "sim_knn_join" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings),

@@ -37,6 +37,12 @@ class StreamingGrowthSpec extends SparkSuite {
         r.getLong(2))
       .toMap
 
+  /** Set by [[runStream]]: whether the last run emitted any retraction
+    * (delta = −1) — the reverse-arrival test asserts the path is LIVE,
+    * not just harmless.
+    */
+  private var sawRetraction = false
+
   private def runStream(xs: Seq[GrowthAccounting.Seen], nSplits: Int)
       : Map[(Long, String), Long] = {
     implicit val sqlCtx = spark.sqlContext
@@ -58,6 +64,7 @@ class StreamingGrowthSpec extends SparkSuite {
       q.processAllAvailable()
     } finally q.stop()
     val horizon = xs.map(_.week).max
+    sawRetraction = out.synchronized(out.exists(_.delta < 0))
     out.synchronized(out.toSeq)
       .groupBy(d => (d.week, d.state))
       .view.mapValues(_.map(_.delta.toLong).sum).toMap
@@ -82,11 +89,13 @@ class StreamingGrowthSpec extends SparkSuite {
     // Weeks arrive NEWEST-FIRST per user: every earlier week's arrival
     // reclassifies its successor (new -> retained/resurrected) and
     // retracts previously-emitted churn candidates — the ledger must
-    // still sum to the batch counts, and the retraction path must
-    // actually fire (asserted via a negative delta existing in the raw
-    // stream for this order on the fixture).
+    // still sum to the batch counts, AND the retraction path must have
+    // actually fired (a reverse-order fixture with multi-week users
+    // cannot converge without negative deltas).
     val xs = seen().sortBy(x => (x.user_id, -x.week))
     assert(runStream(xs, 5) == batchRows())
+    assert(sawRetraction, "reverse arrival emitted no retraction — the " +
+      "out-of-order path never exercised")
   }
 
   test("the fold kernel retracts exactly what out-of-order insertion invalidates") {
