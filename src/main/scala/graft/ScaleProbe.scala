@@ -68,15 +68,18 @@ object ScaleProbe {
   // serves a corpus this size under the default gate too), the coreness
   // loop, and dedup_span_removal (artifact-backed interval-merge fold —
   // its cold number times the shared 5-gram artifact build).
-  // r16 adds graph_components to BOTH tiers: the min-propagation fixpoint
-  // shares the coreness loop's shuffle economics (2|E| rows x rounds) but
-  // its round count is DIAMETER-bounded, so its 100x story should be the
-  // cheap one of the family — measured, not argued.
+  // r16 adds graph_components and events_growth_accounting to BOTH
+  // tiers: the min-propagation fixpoint shares the coreness loop's
+  // shuffle economics (2|E| rows x rounds) but its round count is
+  // DIAMETER-bounded, so its 100x story should be the cheap one of the
+  // family — measured, not argued (0.78/0.49 at 100x); growth accounting
+  // is one distinct-collapse + one user-window pass, measured 0.08/0.35
+  // at 100x (fixed overhead dominates its 1x wall).
   private val HeavyRelProbes = Seq("assoc_item_pairs", "graph_jaccard_neighbors",
     "graph_betweenness_2hop", "graph_random_walk",
     "events_rfm", "text_vocab_overlap", "graph_edge_support",
     "graph_truss", "graph_coreness", "dedup_span_removal",
-    "graph_components")
+    "graph_components", "events_growth_accounting")
   // r10: the relational/event families — basket mining (per-order pair
   // enumeration), wedge-bounded graph similarity, and the per-user window
   // shapes. Replication shifts ORDER/PART/USER keys per replica, so
