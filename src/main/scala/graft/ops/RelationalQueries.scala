@@ -299,6 +299,57 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // NEAREST-EVENT JOIN (r16): each purchase enriched with its NEAREST
+    // click in time — either direction, ties to the earlier one — the
+    // merge_asof(direction='nearest') shape sensor/feature pipelines ask
+    // for next to plain as-of. Composed from TWO passes of the native
+    // [[graft.plans.Asof]] operator: the backward pass as-is, the forward
+    // pass as a backward pass over NEGATED integer keys (earliest-after ≡
+    // latest-before under order reversal, exclusive both ways), then a
+    // per-row argmin of the two candidate distances. Scale story is the
+    // operator's own twice: one shuffle per side per direction,
+    // in-partition two-pointer merges, no window state.
+    "join_nearest_event" -> { (s, dir) =>
+      val purchases = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("t"))
+      val clicks = Tables.events(s, dir)
+        .filter(col("event_type") === "click" && col("value").isNotNull)
+        .select(col("user_id").as("u_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_eid"), col("value").as("click_v"))
+      val back = graft.plans.Asof.join(purchases, clicks,
+          by = Seq("user_id"), on = Seq("ts", "event_id"), exclusive = true,
+          rightBy = Seq("u_id"), rightOn = Seq("click_ts", "click_eid"))
+        .select(col("event_id"), col("user_id"), col("t"),
+          col("click_v").as("bv"), unix_micros(col("click_ts")).as("bt"))
+      val pf = purchases
+        .withColumn("nt", -col("t"))
+        .withColumn("neid", -col("event_id"))
+      val cf = clicks
+        .withColumn("nct", -unix_micros(col("click_ts")))
+        .withColumn("nceid", -col("click_eid"))
+      val fwd = graft.plans.Asof.join(pf, cf,
+          by = Seq("user_id"), on = Seq("nt", "neid"), exclusive = true,
+          rightBy = Seq("u_id"), rightOn = Seq("nct", "nceid"))
+        .select(col("event_id").as("eid2"),
+          col("click_v").as("fv"), unix_micros(col("click_ts")).as("ft"))
+      back.join(fwd, col("event_id") === col("eid2"), "left")
+        .select(col("event_id"), col("user_id"),
+          round(
+            when(col("bt").isNull && col("ft").isNull, lit(null))
+              .when(col("ft").isNull, col("bv"))
+              .when(col("bt").isNull, col("fv"))
+              .when(col("t") - col("bt") <= col("ft") - col("t"), col("bv"))
+              .otherwise(col("fv")), 2).as("nearest_click"),
+          when(col("bt").isNull && col("ft").isNull, lit("none"))
+            .when(col("ft").isNull, lit("prev"))
+            .when(col("bt").isNull, lit("next"))
+            .when(col("t") - col("bt") <= col("ft") - col("t"), lit("prev"))
+            .otherwise(lit("next")).as("direction"))
+        .orderBy("event_id")
+    },
+
     // BUCKETED RANGE JOIN (r14): the standard rewrite that turns a
     // value-in-interval theta join into an EQUI join — each interval of
     // the band dimension is exploded onto a fixed grid (one row per
@@ -774,6 +825,43 @@ object RelationalQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "join_nearest_event" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS t
+        |  FROM events
+        |), w AS (
+        |  SELECT event_id, user_id, event_type, t,
+        |    last_value(CASE WHEN event_type = 'click' AND value IS NOT NULL
+        |               THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY t, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bv,
+        |    last_value(CASE WHEN event_type = 'click' AND value IS NOT NULL
+        |               THEN t END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY t, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bt,
+        |    first_value(CASE WHEN event_type = 'click' AND value IS NOT NULL
+        |                THEN value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY t, event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fv,
+        |    first_value(CASE WHEN event_type = 'click' AND value IS NOT NULL
+        |                THEN t END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY t, event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ft
+        |  FROM e
+        |)
+        |SELECT event_id, user_id,
+        |       round(CASE WHEN bt IS NULL AND ft IS NULL THEN NULL
+        |                  WHEN ft IS NULL THEN bv
+        |                  WHEN bt IS NULL THEN fv
+        |                  WHEN t - bt <= ft - t THEN bv
+        |                  ELSE fv END, 2) AS nearest_click,
+        |       CASE WHEN bt IS NULL AND ft IS NULL THEN 'none'
+        |            WHEN ft IS NULL THEN 'prev'
+        |            WHEN bt IS NULL THEN 'next'
+        |            WHEN t - bt <= ft - t THEN 'prev'
+        |            ELSE 'next' END AS direction
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     // Same result as join_asof — the native operator must be
     // indistinguishable from the windowed emulation.
