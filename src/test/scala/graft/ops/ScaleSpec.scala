@@ -114,6 +114,12 @@ class ScaleSpec extends SparkSuite {
         graft.SparkEntry.queries("dedup_near_cosine")(spark, sfDir)
       }
       assert(e.getMessage.contains("dedup_near_cosine_lsh"), e.getMessage)
+      // every rider of the same yardstick must refuse under the same gate
+      // (r16: the TwoNN estimator consumes the exact-kNN artifact)
+      val e2 = intercept[IllegalArgumentException] {
+        graft.SparkEntry.queries("emb_intrinsic_dim")(spark, sfDir)
+      }
+      assert(e2.getMessage.contains("emb_intrinsic_dim"), e2.getMessage)
     } finally spark.conf.unset(DedupQueries.ExactCosineCapKey)
     // back under the default cap, the baseline runs
     assert(graft.SparkEntry.queries("dedup_near_cosine")(spark, sfDir).count() >= 0)
