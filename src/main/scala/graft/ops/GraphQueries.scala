@@ -433,7 +433,16 @@ object GraphQueries {
       converged = nChanged == 0
       if (!converged) rounds += 1
     }
-    FixpointResult(lab, rounds)
+    // The RESULT must be a BARE checkpoint, not a Project over one (r16
+    // review): callers cache it, and both clearCache's eviction and the
+    // putIfAbsent race-loser unpersist find the RDD by pattern-matching a
+    // bare LogicalRDD — a Project on top turns them into silent no-ops
+    // and every rebuild leaks a corpus-scale label table. One extra
+    // narrow materialization of the final labels, then the wide
+    // (prev-carrying) round checkpoint is dropped.
+    val labFinal = ckpt(lab)
+    drop(labCkpt)
+    FixpointResult(labFinal, rounds)
   }
 
   private def trussRound(triE: DataFrame, lab: DataFrame,
@@ -549,7 +558,8 @@ object GraphQueries {
         // then map-side scans of `bi` (broadcast semi-joins) + aggregates
         // over frontier-incident rows — the ~39-round tail at 100× stops
         // paying two 239M-row shuffles per round.
-        case Some((chg, n)) if deltaEligible && n <= frontierCap =>
+        case Some((chg, n)) if deltaEligible && n <= frontierCap &&
+            frontierDegreeMass(s, dir, chg) <= deltaCandMax(s) =>
           deltaRounds.merge((s, dir, "coreness"), Int.box(1),
             (a: Integer, b: Integer) => Int.box(a.intValue + b.intValue))
           corenessRoundDelta(bi, lab, chg, side)
@@ -590,6 +600,30 @@ object GraphQueries {
     * of the sf0.1 co-purchase graph.
     */
   val DeltaMinAdjRowsKey = "spark.graft.graph.deltaMinAdjRows"
+
+  /** Upper bound on the delta round's CANDIDATE mass (frontier-incident
+    * directed edges = Σ deg over the changed set) — the r16 review's hub
+    * guard: [[DeltaFrontierMaxRowsKey]] caps only the frontier's ROW
+    * count, but the candidate set the round force-broadcasts is
+    * neighborhood-sized, and one changed hub of degree ~10M would blow
+    * the broadcast budget at exactly the scales where delta rounds
+    * engage. The mass is measured from the cached degree table (one
+    * frontier-sized broadcast semi-join + a 1-row aggregate per delta
+    * round); past the cap the DENSE round serves — correct either way.
+    * Default 4M rows ≈ the house 64 MB broadcast budget at ~16 B/row.
+    */
+  val DeltaCandMaxRowsKey = "spark.graft.graph.deltaCandMaxRows"
+
+  private def deltaCandMax(s: SparkSession): Long =
+    s.conf.get(DeltaCandMaxRowsKey, "4000000").toLong
+
+  /** Σ deg over the changed set — the exact directed-edge mass the delta
+    * round's candidate semi-joins touch (candidates ≤ this by union).
+    */
+  private def frontierDegreeMass(s: SparkSession, dir: String,
+      chg: DataFrame): Long =
+    degrees(s, dir).join(broadcast(chg), "u")
+      .agg(coalesce(sum(col("d")), lit(0L))).head.getLong(0)
 
   private def deltaMinAdjRows(s: SparkSession): Long =
     s.conf.get(DeltaMinAdjRowsKey, "16000000").toLong
@@ -713,7 +747,8 @@ object GraphQueries {
     val frontierCap = frontierCapFor(s, degrees(s, dir).count())
     val res = runLabelFixpoint(s, init, Seq("u"), "comp", maxRounds = 64,
       step = (lab, frontier, side) => frontier match {
-        case Some((chg, n)) if deltaEligible && n <= frontierCap =>
+        case Some((chg, n)) if deltaEligible && n <= frontierCap &&
+            frontierDegreeMass(s, dir, chg) <= deltaCandMax(s) =>
           deltaRounds.merge((s, dir, "components"), Int.box(1),
             (a: Integer, b: Integer) => Int.box(a.intValue + b.intValue))
           componentRoundDelta(bi, lab, chg, side)

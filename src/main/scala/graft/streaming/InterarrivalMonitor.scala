@@ -62,21 +62,28 @@ object InterarrivalMonitor {
         else hi = mid
       }
       val ins = lo
-      val hasPrev = ins > 0
-      val hasNext = ins < ts.length
-      if (hasPrev && hasNext) out += GapDelta(typ, ts(ins) - ts(ins - 1), -1)
-      if (hasPrev) out += GapDelta(typ, t - ts(ins - 1), 1)
-      if (hasNext) out += GapDelta(typ, ts(ins) - t, 1)
-      val nts = new Array[Long](ts.length + 1)
-      val nids = new Array[Long](ids.length + 1)
-      System.arraycopy(ts, 0, nts, 0, ins)
-      System.arraycopy(ids, 0, nids, 0, ins)
-      nts(ins) = t
-      nids(ins) = id
-      System.arraycopy(ts, ins, nts, ins + 1, ts.length - ins)
-      System.arraycopy(ids, ins, nids, ins + 1, ids.length - ins)
-      ts = nts
-      ids = nids
+      // at-least-once re-delivery of an already-spliced (t, id) is a
+      // NO-OP (r16 review) — splicing a duplicate would emit a phantom
+      // 0-gap and a wrong split/retract pair the batch recompute never
+      // shows, and grow state without bound
+      val duplicate = ins < ts.length && ts(ins) == t && ids(ins) == id
+      if (!duplicate) {
+        val hasPrev = ins > 0
+        val hasNext = ins < ts.length
+        if (hasPrev && hasNext) out += GapDelta(typ, ts(ins) - ts(ins - 1), -1)
+        if (hasPrev) out += GapDelta(typ, t - ts(ins - 1), 1)
+        if (hasNext) out += GapDelta(typ, ts(ins) - t, 1)
+        val nts = new Array[Long](ts.length + 1)
+        val nids = new Array[Long](ids.length + 1)
+        System.arraycopy(ts, 0, nts, 0, ins)
+        System.arraycopy(ids, 0, nids, 0, ins)
+        nts(ins) = t
+        nids(ins) = id
+        System.arraycopy(ts, ins, nts, ins + 1, ts.length - ins)
+        System.arraycopy(ids, ins, nids, ins + 1, ids.length - ins)
+        ts = nts
+        ids = nids
+      }
     }
     (out.result(), Timeline(ts, ids))
   }

@@ -102,12 +102,20 @@ object NearestEventMonitor {
       System.arraycopy(ids, ins, nids, ins + 1, ids.length - ins)
       (nts, nids, ins)
     }
+    def spliced(ts: Array[Long], ids: Array[Long], t: Long, id: Long): Boolean = {
+      val i = lowerBound(ts, ids, t, id)
+      i < ts.length && ts(i) == t && ids(i) == id
+    }
     arriving.sortBy(o => (o.t, o.event_id)).foreach { o =>
       if (o.kind == "purchase") {
-        val (nts, nids, _) = insert(st.pt, st.pid, o.t, o.event_id)
-        st = st.copy(pt = nts, pid = nids)
-        out += o.event_id -> verdictOf(st, o.t, o.event_id, user)
-      } else { // click
+        // at-least-once re-delivery is a NO-OP (r16 review): re-splicing
+        // grows state without bound
+        if (!spliced(st.pt, st.pid, o.t, o.event_id)) {
+          val (nts, nids, _) = insert(st.pt, st.pid, o.t, o.event_id)
+          st = st.copy(pt = nts, pid = nids)
+          out += o.event_id -> verdictOf(st, o.t, o.event_id, user)
+        }
+      } else if (!spliced(st.ct, st.cid, o.t, o.event_id)) { // fresh click
         val ins = lowerBound(st.ct, st.cid, o.t, o.event_id)
         val ncv = new Array[Double](st.cv.length + 1)
         System.arraycopy(st.cv, 0, ncv, 0, ins)

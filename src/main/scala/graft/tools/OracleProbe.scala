@@ -42,7 +42,10 @@ object OracleProbe {
       val sf = dir.split("/").last
       val df = graft.SparkEntry.queries(name)(spark, dir)
       df.coalesce(1).write.mode("overwrite").parquet(s"$out/$sf/$name.parquet")
-      println(s"[probe] wrote $sf/$name rows=${df.count()}")
+      // count the WRITTEN parquet, not the plan — re-executing the query
+      // for a log line doubles every probe iteration (r16 review)
+      val n = spark.read.parquet(s"$out/$sf/$name.parquet").count()
+      println(s"[probe] wrote $sf/$name rows=$n")
     }
     val sqls = names.filter(graft.SparkEntry.oracleSql.contains).map(n =>
       s""""$n": ${esc(graft.SparkEntry.oracleSql(n))}""").mkString("{", ",", "}")

@@ -73,11 +73,16 @@ class MonitorFoldPropertySpec extends AnyFunSuite {
       .toSeq.groupBy(identity).view.mapValues(_.size).toMap
   }
 
+  /** Deliberately NOT distinct: at-least-once re-delivery of the same
+    * (t, id) must be a fold no-op (the r16 review's duplicate guard) —
+    * the batch recompute below distincts, so any phantom 0-gap or split
+    * from a re-spliced duplicate fails the property.
+    */
   private val obsSeq: Gen[List[(Long, Long)]] =
     Gen.listOfN(14, for {
       t <- Gen.choose(0L, 40L)
       id <- Gen.choose(0L, 9L)
-    } yield (t, id)).map(_.distinct)
+    } yield (t, id))
 
   test("property: interarrival fold deltas reconstruct the exact gap multiset") {
     samples(obsSeq, 400).foreach { obs =>

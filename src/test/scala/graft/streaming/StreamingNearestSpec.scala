@@ -119,8 +119,15 @@ class StreamingNearestSpec extends SparkSuite {
     assert(v2.toSet == Set(Verdict(7, 1, 1.5, "next"), Verdict(7, 2, 1.5, "prev")))
     // a second click at t=90 can only steal purchases in (60, +inf):
     // purchase 1 (t=10) must NOT be re-verdicted
-    val (v3, _) = fold(st2, 7L, Seq(Obs(7, "click", 90, 4, 2.5)))
+    val (v3, st3) = fold(st2, 7L, Seq(Obs(7, "click", 90, 4, 2.5)))
     assert(v3 == Seq(Verdict(7, 2, 2.5, "prev")),
       s"expected only the t=100 purchase re-verdicted, got $v3")
+    // at-least-once re-delivery of a spliced click OR purchase is a
+    // no-op: no emissions, no state growth (r16 review)
+    val (v4, st4) = fold(st3, 7L,
+      Seq(Obs(7, "click", 90, 4, 2.5), Obs(7, "purchase", 10, 1, 0.0)))
+    assert(v4.isEmpty, s"duplicate delivery emitted $v4")
+    assert(st4.ct.length == st3.ct.length && st4.pt.length == st3.pt.length,
+      "duplicate delivery grew state")
   }
 }
