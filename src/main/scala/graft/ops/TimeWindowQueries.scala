@@ -791,8 +791,8 @@ object TimeWindowQueries {
         .localCheckpoint() // 10 rows; the self-join below must not replay
                            // the whole rank subtree twice
       byDec.as("a")
-        .join(byDec.as("b").select(col("b.decile").as("bd"),
-          col("b.dec_cents").as("bc")), col("bd") <= col("a.decile"))
+        .join(broadcast(byDec.as("b").select(col("b.decile").as("bd"),
+          col("b.dec_cents").as("bc"))), col("bd") <= col("a.decile"))
         .groupBy(col("a.decile").as("decile"))
         .agg(min(col("a.n_users")).as("n_users"),
           min(col("a.dec_cents").cast("long")).as("cents"),
