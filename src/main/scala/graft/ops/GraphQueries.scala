@@ -576,6 +576,13 @@ object GraphQueries {
     * changed nodes ≈ a few MB frontier; its distinct neighborhood at
     * this graph's densities stays well under the house 64 MB broadcast
     * budget. Above the cap the dense round runs — correct either way.
+    *
+    * Conf semantics (r16 ADVICE — this changed in r16): an
+    * EXPLICITLY-set value is the ABSOLUTE cap; the |V|/8 relative clamp
+    * applies only to the default. An operator who previously set this
+    * high while relying on the clamp now admits larger frontiers, with
+    * the broadcast bounded only by [[DeltaCandMaxRowsKey]]'s
+    * degree-mass guard (see [[frontierCapFor]]).
     */
   val DeltaFrontierMaxRowsKey = "spark.graft.graph.deltaFrontierMaxRows"
 
@@ -1405,10 +1412,14 @@ object GraphQueries {
       val e = edges(s, dir)
       val lb = e.join(triEdgeSupport(s, dir).select("u", "v"),
         Seq("u", "v"), "left_anti")
+      // empty-graph guard (r16 ADVICE): without it Spark's div yields a
+      // NULL ppm while DuckDB's // raises — the degenerate fixture must
+      // agree on both faces (NULL ppm over 0 edges, explicitly)
       e.agg(count(lit(1)).as("n_edges"))
         .crossJoin(broadcast(lb.agg(count(lit(1)).as("n_local_bridges"))))
         .select(col("n_edges"), col("n_local_bridges"),
-          expr("CAST((n_local_bridges * 1000000L) div n_edges AS BIGINT)")
+          when(col("n_edges") > 0,
+            expr("CAST((n_local_bridges * 1000000L) div n_edges AS BIGINT)"))
             .as("bridge_ppm"))
     },
 
@@ -1855,7 +1866,8 @@ object GraphQueries {
          |              WHERE NOT EXISTS (
          |                SELECT 1 FROM bi a JOIN bi b ON a.v = b.v
          |                WHERE a.u = x.u AND b.u = x.v)) * 1000000)
-         |            // (SELECT count(*) FROM e) AS BIGINT) AS bridge_ppm""".stripMargin,
+         |            // nullif((SELECT count(*) FROM e), 0)
+         |            AS BIGINT) AS bridge_ppm""".stripMargin,
 
     "graph_rich_club" ->
       s"""$oracleEdgeCtes,

@@ -458,13 +458,24 @@ object RelationalQueries {
     // whole-table sketch estimate (merge associativity) and within the
     // lgK=14 error envelope of the exact count.
     "agg_hll_union" -> { (s, dir) =>
-      val shards = Tables.lineitem(s, dir)
-        .withColumn("shard", col("l_orderkey") % 16)
+      // ONE corpus pass (r17, verdict ask #7): the deduplicated
+      // (shard, key) GRAIN is the only corpus-scale shuffle. HLL
+      // insertion is idempotent and hash-deterministic, so the per-shard
+      // sketch built over the grain is byte-identical to one built over
+      // the raw rows; the per-shard exact count is the grain's row count;
+      // the global exact distinct is one more ledger-sized dedup of the
+      // grain (AQE serves both consumers from the reused grain exchange).
+      // The r16 shape paid a second corpus scan plus two raw-key
+      // distinct-Expand shuffles for the same output (1.93 s → ~0.8 s).
+      val grain = Tables.lineitem(s, dir)
+        .select((col("l_orderkey") % 16).as("shard"), col("l_partkey"))
+        .distinct()
+      val shards = grain
         .groupBy("shard")
         .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"),
-          countDistinct(col("l_partkey")).as("exact_shard"))
-      val exact = Tables.lineitem(s, dir)
-        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+          count(lit(1)).as("exact_shard"))
+      val exact = grain.select("l_partkey").distinct()
+        .agg(count(lit(1)).as("exact_parts"))
       shards
         .agg(
           expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_parts"),

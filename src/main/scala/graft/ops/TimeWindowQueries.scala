@@ -772,11 +772,15 @@ object TimeWindowQueries {
     // ppm through DECIMAL(38,0) truncating division.
     "events_pareto" -> { (s, dir) =>
       val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      // cents coalesce to 0 (r16 ADVICE): a user whose every value is
+      // NULL must rank as a zero-spend user in BOTH engines, not ride on
+      // Spark desc and DuckDB DESC happening to agree on NULLS LAST
       val per = Tables.events(s, dir)
         .select(col("user_id"),
           floor(col("value") * 100 + 0.5).cast("long").as("c"))
         .groupBy("user_id")
-        .agg(sum(col("c").cast(d38)).cast("long").as("cents"))
+        .agg(coalesce(sum(col("c").cast(d38)), lit(0).cast(d38))
+          .cast("long").as("cents"))
       val sc = per.crossJoin(broadcast(per.agg(
         count(lit(1)).as("nu"), sum(col("cents").cast(d38)).as("tot"))))
       val r = DistributedRank.globalRank(sc, "rnk",
@@ -1040,7 +1044,7 @@ object TimeWindowQueries {
     "events_pareto" ->
       """WITH per AS (
         |  SELECT user_id,
-        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |         CAST(coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)), 0)
         |              AS BIGINT) AS cents
         |  FROM events GROUP BY 1
         |), nt AS (

@@ -1088,7 +1088,13 @@ object VectorQueries {
     * vectors (the standard PQ-then-rerank topology).
     */
   private def pqQuery(s: SparkSession, dir: String): DataFrame = {
-    val shortlist = intConf(s, PqShortlistKey, 64)
+    // r17 (verdict ask #5 — pq was the family's thinnest margin at 0.900
+    // on the 0.8 floor): AnnSweep at sf0.1, all other knobs at defaults —
+    // shortlist 64 → 0.900, 96/128 → 0.933, 192 → 0.967. The shortlist
+    // only widens the exact re-rank (q × shortlist fetched vectors, a
+    // bounded final merge), so 192 buys the two-notch margin at
+    // negligible query cost.
+    val shortlist = intConf(s, PqShortlistKey, 192)
     val cb = pqCodebook(s, dir)
     import graft.functions.ProductQuant
     val e = normedCorpus(s, dir)

@@ -20,9 +20,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *   - a CLICK can only steal purchases lying strictly between its OWN
   *     neighboring clicks — a purchase outside that span is strictly
   *     closer to the boundary click than to the newcomer — so the fold
-  *     re-verdicts just that slice and emits only the verdicts that
-  *     CHANGED (update semantics: a consumer keeps the last verdict per
-  *     purchase, exactly [[SpanMonitor]]'s contract).
+  *     re-verdicts just that slice and re-emits the WHOLE slice (update
+  *     semantics, not change notifications: the state keeps no prior
+  *     verdicts to diff against, so a slice purchase whose verdict is
+  *     unchanged is re-emitted too — r16 ADVICE. A consumer keeps the
+  *     last verdict per purchase, exactly [[SpanMonitor]]'s contract;
+  *     counting emissions does NOT count changes).
   *
   * `StreamingNearestSpec` pins the converged verdict table EQUAL to the
   * batch query under any micro-batch split and any arrival order
@@ -30,8 +33,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Scale: state per user is that user's own event history (the
   * sessionization bound); a click's re-verdict slice is bounded by the
-  * purchases between two consecutive clicks; emissions are per-change,
-  * never per-state.
+  * purchases between two consecutive clicks; emissions are per affected
+  * slice, never per-state.
   */
 object NearestEventMonitor {
 

@@ -156,6 +156,27 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("collect_top_k"), p) // the bounded top-k level
   }
 
+  test("agg_spearman is ONE corpus shuffle — value-grain ranks, no row-grain range sort") {
+    // r17 (the r16 verdict's #1 ask): ranks ride value grains — the
+    // quantity grain's bounded-domain window and the bucketed price grain
+    // (expBucket + driver-side bucket offsets). The pin: NO
+    // repartitionByRange anywhere in the plan (the r16 shape paid two
+    // row-grain range sorts), exactly ONE explicit hash repartition (the
+    // (g, bucket) exchange every downstream op rides), and the only
+    // rangepartitioning is the 2-row output ORDER BY that Catalyst
+    // inserts (ENSURE_REQUIREMENTS, never a REPARTITION origin). Both
+    // windows are partitioned (bounded frames) — none over the world.
+    val p = plan("agg_spearman")
+    val ranges = p.linesIterator.filter(_.contains("rangepartitioning")).toSeq
+    assert(ranges.size == 1 && ranges.head.contains("ENSURE_REQUIREMENTS"),
+      s"row-grain range exchange crept back in:\n$p")
+    assert("REPARTITION_BY_NUM".r.findAllIn(p).size == 1,
+      s"expected exactly one explicit hash repartition:\n$p")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("windowspecdefinition(g#")),
+      s"partition-less window crept in:\n$p")
+  }
+
   test("text_repetition argmax is aggregates only — no per-doc window sort") {
     val p = plan("text_repetition")
     assert(!p.contains("Window"), s"row_number window crept back in:\n$p")
