@@ -452,6 +452,103 @@ object AdvancedQueries {
         .orderBy("l_returnflag")
     },
 
+    // KRUSKAL–WALLIS H (r17): the k-group rank test — "do the return
+    // flags draw quantity from the same distribution" without any
+    // normality assumption (the nonparametric face of agg_anova, the
+    // rank sibling of agg_mannwhitney's two groups). Ranks ride the
+    // POOLED quantity VALUE grain (≤ ~50 distinct cents at any corpus —
+    // the bounded-measure-domain argument agg_spearman's x side uses):
+    // one map-side-combined (g, v) aggregate, the pooled per-value
+    // average rank by a windowless triangular prefix over the ≤50-row
+    // value table (2r̄ = 2·(mass before v) + ties + 1, exact), then each
+    // group's rank sum 2R_g = Σ cnt·2r̄ in exact DECIMAL(38,0). H and
+    // its tie-corrected form are one double expression from the exact
+    // ledger — identical text in the oracle, round(4) + 0.0.
+    "agg_kruskal_wallis" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val li = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("g"),
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("v"))
+      val gv = li.groupBy("g", "v").agg(count(lit(1)).as("cg"))
+      val vg = gv.groupBy("v").agg(sum(col("cg")).as("c"))
+      val prior = vg.select(col("v").as("__v2"), col("c").as("__c2"))
+      val rk = vg.join(broadcast(prior), col("__v2") < col("v"), "left")
+        .groupBy("v", "c")
+        .agg(coalesce(sum(col("__c2")), lit(0L)).as("cum"))
+        .select(col("v"), col("c"),
+          (lit(2) * col("cum") + col("c") + 1).as("r2"))
+      val rg = gv.join(broadcast(rk.select("v", "r2")), "v")
+        .groupBy("g")
+        .agg(sum(col("cg")).as("ng"),
+          sum(col("cg").cast(d38) * col("r2")).as("r2sum"))
+      val ties = vg.agg(sum(col("c")).as("n"),
+        sum(col("c").cast(d38) * col("c") * col("c") - col("c")).as("t3"))
+      rg.crossJoin(broadcast(ties))
+        .agg(count(lit(1)).as("k"), min(col("n")).as("n"),
+          (round(expr(
+            "12.0 * sum(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE)" +
+              " / (4.0 * ng)) / (CAST(min(n) AS DOUBLE) * (min(n) + 1))" +
+              " - 3.0 * (min(n) + 1)"), 4) + lit(0.0)).as("h_r"),
+          (round(expr(
+            "(12.0 * sum(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE)" +
+              " / (4.0 * ng)) / (CAST(min(n) AS DOUBLE) * (min(n) + 1))" +
+              " - 3.0 * (min(n) + 1))" +
+              " / (1.0 - CAST(min(t3) AS DOUBLE)" +
+              " / (CAST(min(n) AS DOUBLE) * min(n) * min(n) - min(n)))"), 4)
+            + lit(0.0)).as("h_adj_r"))
+    },
+
+    // BOWLEY QUANTILE SKEWNESS (r17): the robust skew readout —
+    // (p75 − 2·med + p25)/(p75 − p25) per group over l_extendedprice —
+    // served ENTIRELY from the session [[priceStats]] artifact (the
+    // p25/med/p75 the shared cents-grain selection already picked): the
+    // query itself scans nothing. NULL when the quartiles coincide
+    // (both engines' CASE). The interpolants are the artifact's exact
+    // (1−f)·v1 + f·v2 doubles; the oracle reproduces that association
+    // verbatim from windowed cent ranks, so the division compares
+    // identical IEEE inputs, round(4) + 0.0.
+    "agg_quantile_skew" -> { (s, dir) =>
+      priceStats(s, dir)
+        .select(col("g"), round(col("p25"), 4).as("p25_r"),
+          round(col("med"), 4).as("med_r"), round(col("p75"), 4).as("p75_r"),
+          (round(
+            when(col("p75") > col("p25"),
+              (col("p75") - lit(2.0) * col("med") + col("p25")) /
+                (col("p75") - col("p25"))), 4) + lit(0.0)).as("bowley_r"))
+        .orderBy("g")
+    },
+
+    // BROWN–FORSYTHE LEVENE TEST (r17): variance homogeneity across
+    // groups — the gatekeeper stat for anova-family comparisons — as the
+    // one-way ANOVA of z = |x − median_g|, with the group medians served
+    // by the session [[priceStats]] artifact. z rides EXACT half-cents:
+    // the artifact median is a half-cent rational (cent-grid interpolant
+    // at frac ∈ {0, ½}), so med2 = ⌊med·200 + ½⌋ recovers its exact
+    // integer and z2 = |2·cents − med2| makes every sufficient statistic
+    // an exact DECIMAL(38,0) sum — order-independent where summing raw
+    // double deviations would not be. W from the exact ledger in one
+    // double expression, identical text in the oracle, round(4) + 0.0.
+    "agg_levene" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val med2 = priceStats(s, dir)
+        .select(col("g"), floor(col("med") * 200 + 0.5).cast("long").as("med2"))
+      val z = Tables.lineitem(s, dir)
+        .select(col("l_linestatus").as("g"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+        .join(broadcast(med2), "g")
+        .select(col("g"), abs(lit(2) * col("cents") - col("med2")).as("z2"))
+      val gz = z.groupBy("g").agg(count(lit(1)).as("ng"),
+        sum(col("z2").cast(d38)).as("sg"),
+        sum(col("z2").cast(d38) * col("z2")).as("qg"))
+      gz.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+          (round(expr(
+            "((sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng)" +
+              " - CAST(sum(sg) AS DOUBLE) * CAST(sum(sg) AS DOUBLE) / sum(ng))" +
+              " / (count(*) - 1))" +
+              " / ((sum(CAST(qg AS DOUBLE)) - sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng))" +
+              " / (sum(ng) - count(*)))"), 4) + lit(0.0)).as("w_r"))
+    },
+
     // Correlation / covariance / variance.
     // SPEARMAN RANK CORRELATION (r16; re-planned r17 — the verdict's #1
     // ask): the monotone-association sibling of agg_corr's Pearson —
@@ -889,6 +986,108 @@ object AdvancedQueries {
         |       CAST(-(max(struct_pack(n := n, negu := -user_id)).negu) AS BIGINT) AS mode_user,
         |       max(struct_pack(n := n, negu := -user_id)).n AS n_events
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_kruskal_wallis" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS g,
+        |         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem
+        |), vg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY 1
+        |), rk AS (
+        |  SELECT a.v,
+        |         CAST(2 * (SELECT coalesce(sum(b.c), 0) FROM vg b WHERE b.v < a.v)
+        |              + a.c + 1 AS BIGINT) AS r2
+        |  FROM vg a
+        |), gv AS (
+        |  SELECT g, v, CAST(count(*) AS BIGINT) AS cg FROM li GROUP BY 1, 2
+        |), rg AS (
+        |  SELECT g, CAST(sum(cg) AS BIGINT) AS ng,
+        |         sum(CAST(cg AS HUGEINT) * r2) AS r2sum
+        |  FROM gv JOIN rk USING (v) GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n,
+        |         sum(CAST(c AS HUGEINT) * c * c - c) AS t3
+        |  FROM vg
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS k, CAST(min(n) AS BIGINT) AS n,
+        |       round(12.0 * sum(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE)
+        |               / (4.0 * ng)) / (CAST(min(n) AS DOUBLE) * (min(n) + 1))
+        |             - 3.0 * (min(n) + 1), 4) + 0.0 AS h_r,
+        |       round((12.0 * sum(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE)
+        |               / (4.0 * ng)) / (CAST(min(n) AS DOUBLE) * (min(n) + 1))
+        |             - 3.0 * (min(n) + 1))
+        |             / (1.0 - CAST(min(t3) AS DOUBLE)
+        |               / (CAST(min(n) AS DOUBLE) * min(n) * min(n) - min(n))),
+        |             4) + 0.0 AS h_adj_r
+        |FROM rg CROSS JOIN tot""".stripMargin,
+
+    "agg_quantile_skew" ->
+      """WITH t AS (
+        |  SELECT l_linestatus AS g,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        |         row_number() OVER (
+        |           PARTITION BY l_linestatus
+        |           ORDER BY CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS rn,
+        |         count(*) OVER (PARTITION BY l_linestatus) AS n
+        |  FROM lineitem
+        |), pp AS (
+        |  SELECT g, n, p, p * (n - 1) AS pos0
+        |  FROM (SELECT DISTINCT g, n FROM t)
+        |  CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75]) AS p)
+        |), q AS (
+        |  SELECT pp.g, pp.p,
+        |         (1.0 - (pp.pos0 - floor(pp.pos0)))
+        |           * min(CASE WHEN t.rn = CAST(floor(pp.pos0) AS BIGINT) + 1
+        |                      THEN t.cents / 100.0 END)
+        |         + (pp.pos0 - floor(pp.pos0))
+        |           * coalesce(
+        |               min(CASE WHEN t.rn = least(CAST(floor(pp.pos0) AS BIGINT) + 2,
+        |                                          pp.n)
+        |                          AND t.rn <> CAST(floor(pp.pos0) AS BIGINT) + 1
+        |                        THEN t.cents / 100.0 END),
+        |               min(CASE WHEN t.rn = CAST(floor(pp.pos0) AS BIGINT) + 1
+        |                        THEN t.cents / 100.0 END)) AS pct
+        |  FROM pp JOIN t ON t.g = pp.g
+        |  GROUP BY pp.g, pp.p, pp.pos0, pp.n
+        |), w AS (
+        |  SELECT g,
+        |         min(CASE WHEN p = 0.25 THEN pct END) AS p25,
+        |         min(CASE WHEN p = 0.5 THEN pct END) AS med,
+        |         min(CASE WHEN p = 0.75 THEN pct END) AS p75
+        |  FROM q GROUP BY g
+        |)
+        |SELECT g, round(p25, 4) AS p25_r, round(med, 4) AS med_r,
+        |       round(p75, 4) AS p75_r,
+        |       round(CASE WHEN p75 > p25
+        |                  THEN (p75 - 2.0 * med + p25) / (p75 - p25) END, 4)
+        |         + 0.0 AS bowley_r
+        |FROM w ORDER BY g""".stripMargin,
+
+    "agg_levene" ->
+      """WITH m AS (
+        |  SELECT l_linestatus AS g,
+        |         CAST(floor(quantile_cont(l_extendedprice, 0.5) * 200 + 0.5)
+        |              AS BIGINT) AS med2
+        |  FROM lineitem GROUP BY 1
+        |), z AS (
+        |  SELECT li.l_linestatus AS g,
+        |         abs(2 * CAST(floor(li.l_extendedprice * 100 + 0.5) AS BIGINT)
+        |             - m.med2) AS z2
+        |  FROM lineitem li JOIN m ON li.l_linestatus = m.g
+        |), gz AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |         sum(CAST(z2 AS HUGEINT)) AS sg,
+        |         sum(CAST(z2 AS HUGEINT) * z2) AS qg
+        |  FROM z GROUP BY 1
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        |       round(((sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng)
+        |               - CAST(sum(sg) AS DOUBLE) * CAST(sum(sg) AS DOUBLE) / sum(ng))
+        |              / (count(*) - 1))
+        |             / ((sum(CAST(qg AS DOUBLE)) - sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng))
+        |              / (sum(ng) - count(*))), 4) + 0.0 AS w_r
+        |FROM gz""".stripMargin,
 
     "agg_weighted_median" ->
       """WITH h AS (

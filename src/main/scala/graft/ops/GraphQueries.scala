@@ -321,10 +321,164 @@ object GraphQueries {
       least(col("x"), col("y")).as("e3u"), greatest(col("x"), col("y")).as("e3v"))
     val init = triEdgeSupport(s, dir)
       .select(col("u"), col("v"), (col("support") + lit(2L)).as("t"))
+    // Delta-round eligibility mirrors coreness (r17, verdict ask #2):
+    // the dense round's recurring mass is the 3-slot triangle incidence
+    // (3|T| label lookups + the explode), so only past the same
+    // [[DeltaMinAdjRowsKey]] row threshold is buying it out worth the
+    // delta round's extra operators. The frontier cap reuses
+    // [[frontierCapFor]] over the triangle-EDGE count (the label grain).
+    val deltaEligible = 3 * nTriangles >= deltaMinAdjRows(s)
+    val frontierCap = frontierCapFor(s, nTriEdges)
+    deltaRounds.put((s, dir, "truss"), 0)
+    // Per-round candidate checkpoints (the delta round materializes its
+    // frontier-derived candidate edge set once for its many consumers);
+    // dropped together after the fixpoint — each is frontier-capped.
+    val roundTemps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val res = runLabelFixpoint(s, init, Seq("u", "v"), "t", maxRounds = 64,
-      step = (lab, _, side) => trussRound(triE, lab, side))
+      step = (lab, frontier, side) => {
+        val delta = frontier match {
+          case Some((chg, n)) if deltaEligible && n <= frontierCap &&
+              frontierTriMass(s, dir, chg) <= trussDeltaWorkMax(s) =>
+            trussRoundDelta(s, dir, triE, lab, chg, roundTemps)
+          case _ => None
+        }
+        delta match {
+          case Some(d) =>
+            deltaRounds.merge((s, dir, "truss"), Int.box(1),
+              (a: Integer, b: Integer) => Int.box(a.intValue + b.intValue))
+            d
+          case None => trussRound(triE, lab, side)
+        }
+      })
+    roundTemps.foreach(df =>
+      org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
+        .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () }))
     trussRounds.put((s, dir), res.rounds)
     res.labels
+  }
+
+  /** Upper bound on the truss delta round's WORK mass, in triangle-slot
+    * rows: gates (a) Σ support over the frontier (bounds the triangles a
+    * changed edge touches → the candidate-edge construction), and
+    * (b) Σ support over the candidate edges (bounds the re-aggregated
+    * triangle slice and the broadcast label slice — ≤ 3× this many edge
+    * keys ≈ 48 MB at the 1M default, inside the house broadcast budget).
+    * Past either bound the DENSE round serves — correct either way, like
+    * the coreness [[DeltaCandMaxRowsKey]] guard.
+    */
+  val TrussDeltaWorkMaxRowsKey = "spark.graft.graph.trussDeltaWorkMaxRows"
+
+  private def trussDeltaWorkMax(s: SparkSession): Long =
+    s.conf.get(TrussDeltaWorkMaxRowsKey, "1000000").toLong
+
+  /** Σ support over an edge set — the exact triangle-slot mass incident
+    * to it (each incident triangle counted once per contained member
+    * edge). One broadcast semi-join against the cached support artifact
+    * + a 1-row aggregate, the truss analog of [[frontierDegreeMass]].
+    */
+  private def frontierTriMass(s: SparkSession, dir: String,
+      es: DataFrame): Long =
+    triEdgeSupport(s, dir).join(broadcast(es.select("u", "v")), Seq("u", "v"))
+      .agg(coalesce(sum(col("support")), lit(0L))).head.getLong(0)
+
+  /** One DELTA truss round (r17, verdict ask #2 — the shared runner's
+    * frontier finally serves the truss step): only an edge sharing a
+    * triangle with a CHANGED edge can see a different support histogram
+    * (its bucket values are minima over the other two edges' labels,
+    * clamped by its own — all unchanged otherwise), so the round
+    * re-aggregates exactly the frontier-incident candidate set over its
+    * full incident-triangle slice and everyone else keeps their label by
+    * construction — provably the dense round's output (GraphSpec pins
+    * delta ≡ dense ≡ the exact peel).
+    *
+    * Shuffle ledger: the cached triple list is scanned MAP-SIDE three
+    * times (chained broadcast left-join flags — one pass marks
+    * frontier-touching triangles, two serve the candidate-incident
+    * sweep and its label-slice build; never shuffled); the only
+    * exchanges are candidate-sized — the candidate-edge distinct, the
+    * work-edge distinct, and the bucket aggregate over the re-scored
+    * slice. All per-round joins against
+    * labels read a BROADCAST work-edge label slice (bounded by the
+    * [[TrussDeltaWorkMaxRowsKey]] mass gate), so the ~25-round
+    * convergence tail stops paying the dense round's 3|T|-row label join
+    * + 9|T|-row explode shuffle. Returns None when the stage-2 mass gate
+    * says the candidate neighborhood is too heavy — the dense round then
+    * serves (same economics as the coreness hub guard).
+    */
+  private def trussRoundDelta(
+      s: SparkSession, dir: String, triE: DataFrame, lab: DataFrame,
+      chg: DataFrame, temps: scala.collection.mutable.ArrayBuffer[DataFrame])
+    : Option[DataFrame] = {
+    def flagJoin(base: DataFrame, keys: DataFrame, tag: String): DataFrame = {
+      // chained broadcast LEFT joins — one codegen pass over `base`,
+      // flag per slot; keys are unique (u, v) so no row multiplication
+      var out = base
+      for ((su, sv, i) <- Seq(("e1u", "e1v", 1), ("e2u", "e2v", 2), ("e3u", "e3v", 3)))
+        out = out.join(
+          broadcast(keys.select(col("u").as(su), col("v").as(sv),
+            lit(1).as(s"__$tag$i"))),
+          Seq(su, sv), "left")
+      out.filter(col(s"__${tag}1").isNotNull || col(s"__${tag}2").isNotNull ||
+          col(s"__${tag}3").isNotNull)
+        .select("e1u", "e1v", "e2u", "e2v", "e3u", "e3v")
+    }
+    def edgesOf(tris: DataFrame): DataFrame = tris
+      .select(explode(array(
+        struct(col("e1u").as("u"), col("e1v").as("v")),
+        struct(col("e2u").as("u"), col("e2v").as("v")),
+        struct(col("e3u").as("u"), col("e3v").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v")).distinct()
+    // stage 1: edges to re-score = all edges of frontier-touching
+    // triangles; materialized once (ckpt) — it feeds the mass gate, the
+    // work-triangle flags, the vals filter, and the merge
+    val candE = org.apache.spark.sql.GraftColumnBridge
+      .statsFreeLocalCheckpoint(edgesOf(flagJoin(triE, chg.select("u", "v"), "c")))
+    temps += candE
+    // stage 2 gate: the candidates' own triangle-slot mass bounds the
+    // re-aggregated slice AND the broadcast work-edge label slice
+    if (frontierTriMass(s, dir, candE) > trussDeltaWorkMax(s)) return None
+    val triW = flagJoin(triE, candE, "w")
+    // the work-edge label slice feeds FOUR differently-projected
+    // broadcasts (three slot joins + the clamp) — materialize it once or
+    // each broadcast re-runs the O(|T|) work-edge sweep underneath
+    val labW = org.apache.spark.sql.GraftColumnBridge.statsFreeLocalCheckpoint(
+      lab.select("u", "v", "t")
+        .join(broadcast(edgesOf(triW)), Seq("u", "v"), "leftsemi"))
+    temps += labW
+    val et = triW
+      .join(broadcast(labW.select(col("u").as("e1u"), col("v").as("e1v"),
+        col("t").as("ta"))), Seq("e1u", "e1v"))
+      .join(broadcast(labW.select(col("u").as("e2u"), col("v").as("e2v"),
+        col("t").as("tb"))), Seq("e2u", "e2v"))
+      .join(broadcast(labW.select(col("u").as("e3u"), col("v").as("e3v"),
+        col("t").as("tc"))), Seq("e3u", "e3v"))
+    val vals = et.select(explode(array(
+        struct(col("e1u").as("u"), col("e1v").as("v"),
+          least(col("tb"), col("tc")).as("m")),
+        struct(col("e2u").as("u"), col("e2v").as("v"),
+          least(col("ta"), col("tc")).as("m")),
+        struct(col("e3u").as("u"), col("e3v").as("v"),
+          least(col("ta"), col("tb")).as("m")))).as("x"))
+      .select(col("x.u").as("u"), col("x.v").as("v"), col("x.m").as("m"))
+      .join(broadcast(candE), Seq("u", "v"), "leftsemi")
+    val buck = vals.join(broadcast(labW), Seq("u", "v"))
+      .select(col("u"), col("v"), least(col("m"), col("t")).as("mc"))
+      .groupBy("u", "v", "mc").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("u", "v")
+      .orderBy(col("mc").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h = buck.withColumn("cum", sum(col("c")).over(w))
+      .groupBy("u", "v")
+      .agg(max(least(col("mc") - 2, col("cum"))).as("h"))
+    // candidates take min(t, 2 + max(h, 0)) — every candidate has ≥ 1
+    // incident triangle (it came off a triangle slot), so its h row
+    // exists; non-candidates carry no h row and keep t by construction
+    Some(lab.join(broadcast(h), Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        when(col("h").isNotNull,
+          least(col("t"), lit(2L) + greatest(col("h"), lit(0L))))
+          .otherwise(col("t")).as("t"),
+        col("t").as("prev_t")))
   }
 
   /** One h-index round of the truss iteration: labels in, labels out.
@@ -1222,7 +1376,10 @@ object GraphQueries {
     * coreness unrolls. MATERIALIZED CTEs for the same DuckDB-inlining
     * reason as the truss oracle.
     */
-  private def componentsOracleSql: String = {
+  /** The 12-round min-propagation unroll, shared by the components and
+    * modularity oracles (r17) — ends with `lab12` holding (u, c).
+    */
+  private def componentsCtes: String = {
     val header =
       """WITH li AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
@@ -1238,12 +1395,27 @@ object GraphQueries {
          |lab$r AS MATERIALIZED (SELECT l.u, least(l.c, coalesce(h.h, l.c)) AS c
          |      FROM lab$p l LEFT JOIN h$r h ON l.u = h.u)""".stripMargin
     }.mkString(",\n", ",\n", "")
-    val footer =
+    header + rounds
+  }
+
+  private def componentsOracleSql: String =
+    componentsCtes +
       """
         |SELECT u AS node, CAST(c AS BIGINT) AS component
         |FROM lab12 ORDER BY node""".stripMargin
-    header + rounds + footer
-  }
+
+  private def modularityOracleSql: String =
+    componentsCtes +
+      """,
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM bi GROUP BY 1),
+        |dc AS (SELECT l.c AS comp, sum(CAST(d.d AS HUGEINT)) AS dcm
+        |       FROM lab12 l JOIN deg d ON l.u = d.u GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e)
+        |SELECT CAST(count(*) AS BIGINT) AS n_components,
+        |       CAST(min(m.m) AS BIGINT) AS n_edges,
+        |       CAST((sum(dcm * dcm) * 1000000) // (4 * CAST(min(m.m) AS HUGEINT) * min(m.m)) AS BIGINT) AS null_mass_ppm,
+        |       CAST(1000000 - (sum(dcm * dcm) * 1000000) // (4 * CAST(min(m.m) AS HUGEINT) * min(m.m)) AS BIGINT) AS q_ppm
+        |FROM dc CROSS JOIN m""".stripMargin
 
   private def trussOracleSql: String = {
     // Every CTE is MATERIALIZED: DuckDB 1.0 inlines CTEs by default, and
@@ -1474,6 +1646,32 @@ object GraphQueries {
           "12-round unroll — regenerate componentsOracleSql with more rounds"))
       lab.select(col("u").as("node"), col("comp").as("component"))
         .orderBy("node")
+    },
+
+    // MODULARITY OF THE COMPONENT PARTITION (r17): Q = 1 − Σ_c (d_c/2m)²
+    // — with connected components as the partition every edge is
+    // intra-community, so Q reduces to one minus the null-model mass:
+    // the FRAGMENTATION index (Q → 0 when one island owns all degree,
+    // → 1 − 1/C for C balanced islands) a corpus-graph health review
+    // reads next to the component count. Pure consumer of two session
+    // artifacts (component labels ⨝ degrees — one |V|-row join), with
+    // per-component degree masses in exact DECIMAL(38,0) and both ppm
+    // outputs by truncating division; no double anywhere.
+    "graph_modularity" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val lab = componentLabels(s, dir)
+      val m = edgeCount(s, dir)
+      val dc = degrees(s, dir).join(lab, "u")
+        .groupBy("comp").agg(sum(col("d").cast(d38)).as("dcm"))
+      // 4m² rides DECIMAL(38,0) — as a long literal product it wraps at
+      // m > 1.5e9, live at 100 TB edge counts
+      dc.agg(count(lit(1)).as("n_components"),
+          sum(col("dcm") * col("dcm")).as("s2"))
+        .select(col("n_components"), lit(m).as("n_edges"),
+          expr(s"CAST((s2 * 1000000) div (CAST(${m} AS DECIMAL(38,0)) * ${m} * 4) AS BIGINT)")
+            .as("null_mass_ppm"),
+          expr(s"CAST(1000000 - (s2 * 1000000) div (CAST(${m} AS DECIMAL(38,0)) * ${m} * 4) AS BIGINT)")
+            .as("q_ppm"))
     },
 
     // Three PageRank iterations (damping 0.85) in fixed-point integer
@@ -1854,6 +2052,7 @@ object GraphQueries {
     "graph_truss" -> trussOracleSql,
     "graph_coreness" -> corenessOracleSql,
     "graph_components" -> componentsOracleSql,
+    "graph_modularity" -> modularityOracleSql,
 
     "graph_local_bridges" ->
       s"""$oracleEdgeCtes

@@ -178,6 +178,41 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    // INTERVAL-OVERLAP JOIN (r17): pairs of intervals that intersect —
+    // the third member of the temporal-join family next to point-lookup
+    // (join_asof) and bounded-range (join_range). Interval = each line's
+    // order-to-ship exposure [o_orderdate, l_shipdate]; the question is
+    // "for each part, which pairs of its lines were simultaneously
+    // open", and the answer joins on the NATURAL partition key (the
+    // part), with the overlap predicate and a total-order pair tie-break
+    // as residual conditions — a hash equi-join whose per-key candidate
+    // set is bounded by lines-per-part (a data-model constant, the
+    // assoc_item_pairs argument), never a cartesian (PlanSpec-pinned).
+    // Overlap length in exact integer days; the output is the bounded
+    // (overlap-days → pair count, parts touched) histogram.
+    "join_interval_overlap" -> { (s, dir) =>
+      val iv = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("p"),
+          struct(col("l_orderkey"), col("l_linenumber"), col("l_suppkey")).as("k"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("s"),
+          datediff(col("l_shipdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("r"))
+      val a = iv.select(col("p"), col("k").as("ka"), col("s").as("sa"), col("r").as("ra"))
+      val b = iv.select(col("p"), col("k").as("kb"), col("s").as("sb"), col("r").as("rb"))
+      a.join(b, Seq("p"))
+        .filter(col("ka") < col("kb") &&
+          col("sa") <= col("rb") && col("sb") <= col("ra"))
+        .select(col("p"),
+          (least(col("ra"), col("rb")) - greatest(col("sa"), col("sb")) + 1)
+            .as("ov_days"))
+        .groupBy("ov_days")
+        .agg(count(lit(1)).as("n_pairs"), countDistinct(col("p")).as("n_parts"))
+        .orderBy("ov_days")
+    },
+
     // BLOOM RUNTIME-FILTER JOIN (r10): the join-pruning pattern that
     // matters when the dim side is too big to broadcast but its KEY SET
     // still compresses — build an exact-size bloom over the selective
@@ -804,6 +839,24 @@ object RelationalQueries {
         |  ON e1.user_id = e2.user_id
         | AND e2.ts > e1.ts
         | AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "join_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT l_partkey AS p,
+        |         ROW(l_orderkey, l_linenumber, l_suppkey) AS k,
+        |         datediff('day', DATE '1970-01-01',
+        |                  CAST(o_orderdate AS DATE)) AS s,
+        |         datediff('day', DATE '1970-01-01',
+        |                  CAST(l_shipdate AS DATE)) AS r
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |)
+        |SELECT CAST(least(a.r, b.r) - greatest(a.s, b.s) + 1 AS BIGINT)
+        |         AS ov_days,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(count(DISTINCT a.p) AS BIGINT) AS n_parts
+        |FROM iv a JOIN iv b
+        |  ON a.p = b.p AND a.k < b.k AND a.s <= b.r AND b.s <= a.r
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "join_asof" ->

@@ -1102,6 +1102,33 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // SIMPSON LEXICAL DIVERSITY (r17): per language — the probability
+    // that two token draws coincide, λ = Σ c(c−1) / (N(N−1)), plus its
+    // inverse (the "effective vocabulary", the Hill number of order 2) —
+    // the concentration face next to text_entropy (order 1) and
+    // text_vocab_chao1 (order 0). One token explode to the (lang, term)
+    // grain (map-side combined: the shuffle is the per-language
+    // vocabulary, not the token stream), then exact DECIMAL(38,0)
+    // collision mass; λ lands in exact ppm by truncating division and
+    // only the inverse is a double, round(2) + 0.0.
+    "text_simpson_diversity" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("c"))
+        .groupBy("lang")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_vocab"),
+          sum(col("c").cast(d38) * (col("c") - 1)).as("coll"))
+        .select(col("lang"), col("n_tokens"), col("n_vocab"),
+          expr("CAST((coll * 1000000) div (CAST(n_tokens AS DECIMAL(38,0))" +
+            " * (n_tokens - 1)) AS BIGINT)").as("simpson_ppm"),
+          (round(expr(
+            "CAST(CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1) AS DOUBLE)" +
+              " / CAST(coll AS DOUBLE)"), 2) + lit(0.0)).as("inv_simpson_r"))
+        .orderBy("lang")
+    },
+
     // N-GRAM LANGUAGE-MODEL SCORING — the CCNet/KenLM-style perplexity
     // quality gate: train an add-one-smoothed char-trigram LM on half the
     // corpus (even doc_ids), score every document by average trigram
@@ -2192,6 +2219,25 @@ object TextQueries {
         |       CAST(count(*) AS BIGINT) AS n_alphabet,
         |       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy_r
         |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_simpson_diversity" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tc AS (
+        |  SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_vocab,
+        |         sum(CAST(c AS HUGEINT) * (c - 1)) AS coll
+        |  FROM tc GROUP BY 1
+        |)
+        |SELECT lang, n_tokens, n_vocab,
+        |       CAST((coll * 1000000) // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+        |            AS BIGINT) AS simpson_ppm,
+        |       round(CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1) AS DOUBLE)
+        |             / CAST(coll AS DOUBLE), 2) + 0.0 AS inv_simpson_r
+        |FROM agg ORDER BY lang""".stripMargin,
 
     "pipeline_quota_sample" ->
       """WITH d AS (

@@ -1038,6 +1038,41 @@ object TimeWindowQueries {
         .agg(count(lit(1)).as("n"),
           min("gap_us").as("min_gap_us"), max("gap_us").as("max_gap_us"))
         .orderBy("event_type", "gap_digits")
+    },
+
+    // BURSTINESS COEFFICIENT (r17): B = (σ − μ)/(σ + μ) over each arm's
+    // interarrival gaps — the one-number "Poisson (B≈0) vs bursty (B→1)
+    // vs metronome (B→−1)" readout next to events_interarrival's digit
+    // histogram. Same per-(user, arm) lag as the histogram (one user
+    // shuffle, per-task state = one user's stream), then the arm's
+    // moment ledger in EXACT integer-µs sums (Σg, Σg² in DECIMAL(38,0)
+    // — order-independent where double gap sums would not be); σ is the
+    // population form and B one double expression from the exact ledger,
+    // identical text in the oracle, round(4) + 0.0.
+    "events_burstiness" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("t", "event_id")
+      val g = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("unix_micros(ts)").as("t"))
+        .withColumn("prev", lag(col("t"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"), (col("t") - col("prev")).as("gap_us"))
+      g.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("gap_us").cast(d38)).as("sg"),
+          sum(col("gap_us").cast(d38) * col("gap_us")).as("qg"))
+        .select(col("event_type"), col("n"),
+          (round(expr(
+            "(sqrt(CAST(qg AS DOUBLE) / n" +
+              " - (CAST(sg AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / n))" +
+              " - CAST(sg AS DOUBLE) / n)" +
+              " / (sqrt(CAST(qg AS DOUBLE) / n" +
+              " - (CAST(sg AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / n))" +
+              " + CAST(sg AS DOUBLE) / n)"), 4) + lit(0.0)).as("b_r"))
+        .orderBy("event_type")
     })
 
   val oracles: Map[String, String] = Map(
@@ -1081,6 +1116,29 @@ object TimeWindowQueries {
         |       min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_burstiness" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS t FROM events
+        |), g AS (
+        |  SELECT event_type,
+        |         t - lag(t) OVER (PARTITION BY user_id, event_type
+        |                          ORDER BY t, event_id) AS gap_us
+        |  FROM e
+        |), s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(gap_us AS HUGEINT)) AS sg,
+        |         sum(CAST(gap_us AS HUGEINT) * gap_us) AS qg
+        |  FROM g WHERE gap_us IS NOT NULL GROUP BY 1
+        |)
+        |SELECT event_type, n,
+        |       round((sqrt(CAST(qg AS DOUBLE) / n
+        |                - (CAST(sg AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / n))
+        |              - CAST(sg AS DOUBLE) / n)
+        |             / (sqrt(CAST(qg AS DOUBLE) / n
+        |                - (CAST(sg AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / n))
+        |              + CAST(sg AS DOUBLE) / n), 4) + 0.0 AS b_r
+        |FROM s ORDER BY event_type""".stripMargin,
 
     "ts_runs_test" ->
       """WITH e AS (

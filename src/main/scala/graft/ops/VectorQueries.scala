@@ -1177,9 +1177,12 @@ object VectorQueries {
   private val knnCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  /** The exact join's CONSTRUCTION plan, un-checkpointed — what
-    * [[knnJoinTop3]] materializes; PlanSpec pins the bounded-rank shape
-    * on this subtree (the served checkpoint is an opaque RDD scan).
+  /** The exact join's declarative CONSTRUCTION plan, un-checkpointed —
+    * since r17 the artifact itself materializes through
+    * [[knnJoinTop3Kernel]]; this subtree remains as the arithmetic
+    * REFERENCE (`ApproxSpec` pins kernel ≡ plan row-for-row on the
+    * fixture) and as the shape PlanSpec's bounded-rank pin reads — it is
+    * also what a cluster beyond the broadcast gate would run, sharded.
     */
   private[ops] def knnJoinTop3Plan(s: SparkSession, dir: String): DataFrame = {
     val e = normedCorpus(s, dir)
@@ -1190,6 +1193,103 @@ object VectorQueries {
     knnTop3(scored)
   }
 
+  /** The same exact top-3, computed by a BLOCK KERNEL instead of the
+    * row-grain cartesian (r17, verdict ask #4 — `recall_pairs` was the
+    * heaviest index build at ~5.9 s isolated for a 2000-vector corpus:
+    * ~0.5 GFLOP of dot products buried under 4M joined rows' worth of
+    * array copying). The corpus rides the [[DedupQueries.ExactCosineCapKey]]
+    * gate, so the whole normed table broadcasts as primitive arrays
+    * (≤ cap rows × d floats ≈ 5 MB at the default gate — the codebook
+    * contract), and one `mapPartitions` scores each partition's vectors
+    * against the broadcast block in a tight primitive loop with a 3-slot
+    * insertion heap. Arithmetic is REPLICATED from the declarative plan
+    * so the artifact is bit-identical: the dot is [[graft.functions.VectorDot]]'s
+    * sequential float→double MAC, cos = dot/(na·nb) in that association,
+    * ranking key = java BigDecimal HALF_UP round(cos, 6) with ties by
+    * ascending vb (the collect_top_k ordering struct), output cos_r =
+    * the same rounding at 4 — and Spark's Round passes NaN/Inf through,
+    * mirrored here. `ApproxSpec` pins kernel ≡ declarative plan row-set
+    * on the fixture; the sim_knn_join oracle hash-checks it at every SF.
+    * [[knnJoinTop3Plan]] stays as the declarative reference (PlanSpec
+    * pins its bounded-rank shape) and as the spec's yardstick.
+    */
+  private[ops] def knnJoinTop3Kernel(s: SparkSession, dir: String): DataFrame = {
+    val e = normedCorpus(s, dir).select("vec_id", "embedding", "nrm")
+    val all = e.collect()
+    val n = all.length
+    val ids = new Array[Long](n)
+    val nrms = new Array[Double](n)
+    val vecs = new Array[Array[Float]](n)
+    var i = 0
+    while (i < n) {
+      val r = all(i)
+      ids(i) = r.getLong(0)
+      vecs(i) = r.getSeq[Float](1).toArray
+      nrms(i) = r.getDouble(2)
+      i += 1
+    }
+    val bc = s.sparkContext.broadcast((ids, vecs, nrms))
+    def round6(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("va",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rn",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("vb",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cos_r",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val out = e.rdd.mapPartitions { rows =>
+      val (tIds, tVecs, tNrms) = bc.value
+      val m = tIds.length
+      rows.flatMap { r =>
+        val va = r.getLong(0)
+        val q = r.getSeq[Float](1).toArray
+        val qn = r.getDouble(2)
+        val d = q.length
+        // 3-slot insertion heap on (round6 desc, vb asc)
+        val hk = new Array[Double](3); val hr = new Array[Double](3)
+        val hv = new Array[Long](3); var filled = 0
+        var j = 0
+        while (j < m) {
+          if (tIds(j) != va) {
+            val t = tVecs(j)
+            var sum = 0.0
+            var x = 0
+            while (x < d) { sum += q(x).toDouble * t(x).toDouble; x += 1 }
+            val cos = sum / (qn * tNrms(j))
+            val k6 = round6(cos)
+            val vb = tIds(j)
+            // better than slot s ⟺ k6 > hk(s) or (k6 == hk(s) and vb < hv(s))
+            var pos = filled
+            while (pos > 0 && (k6 > hk(pos - 1) ||
+                (k6 == hk(pos - 1) && vb < hv(pos - 1)))) pos -= 1
+            if (pos < 3) {
+              var sft = math.min(filled, 2)
+              while (sft > pos) {
+                hk(sft) = hk(sft - 1); hr(sft) = hr(sft - 1); hv(sft) = hv(sft - 1)
+                sft -= 1
+              }
+              hk(pos) = k6; hr(pos) = cos; hv(pos) = vb
+              if (filled < 3) filled += 1
+            }
+          }
+          j += 1
+        }
+        (0 until filled).iterator.map { p =>
+          val cr = if (hr(p).isNaN || hr(p).isInfinite) hr(p)
+            else java.math.BigDecimal.valueOf(hr(p))
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          org.apache.spark.sql.Row(va, p + 1, hv(p), cr)
+        }
+      }
+    }
+    s.createDataFrame(out, schema)
+  }
+
   private[ops] def knnJoinTop3(s: SparkSession, dir: String): DataFrame = {
     knnCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val key = (s, dir)
@@ -1198,7 +1298,7 @@ object VectorQueries {
     // racing duplicate build is benign and loses to putIfAbsent.
     var entry = knnCache.get(key)
     if (entry == null) {
-      val fresh = knnJoinTop3Plan(s, dir).localCheckpoint()
+      val fresh = knnJoinTop3Kernel(s, dir).localCheckpoint()
       val prev = knnCache.putIfAbsent(key, fresh)
       if (prev != null) {
         org.apache.spark.sql.GraftColumnBridge.checkpointRdd(fresh)

@@ -77,6 +77,22 @@ class ApproxSpec extends SparkSuite {
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("exact-kNN block kernel ≡ the declarative cartesian plan, row for row") {
+    // r17: the session exact-top-3 artifact materializes through the
+    // broadcast block kernel (gated corpus, primitive loop); the
+    // declarative plan stays the arithmetic reference. Every (va, rn,
+    // vb, cos_r) must agree — rank order included, since the kernel
+    // re-implements the (round(cos,6) desc, vb asc) tie-break.
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val kernel = rows(VectorQueries.knnJoinTop3Kernel(spark, sfDir))
+    val plan = rows(VectorQueries.knnJoinTop3Plan(spark, sfDir))
+    assert(kernel == plan,
+      s"missing=${(plan -- kernel).take(5)} extra=${(kernel -- plan).take(5)}")
+  }
+
   test("IVF k-NN JOIN output is structurally sound (dense ranks 1..k, k <= 3)") {
     val ann = SparkEntryQueries.run("sim_ann_knn")
     val badRanks = ann.groupBy("va").agg(collect_list("rn").as("rns"))

@@ -183,6 +183,14 @@ class GraphSpec extends SparkSuite {
       assert(dr != null && dr >= 1,
         s"coreness loop ran $dr delta rounds — the delta path never engaged")
       assert(dr <= cr, s"delta rounds $dr exceed recorded rounds $cr")
+      // r17: the truss step consumes the frontier too — the label
+      // equality above already proved delta ≡ dense ≡ exact peel; here
+      // pin that the delta path actually SERVED rounds (the convergence
+      // tail's frontiers sit under the default caps on this fixture)
+      val dtr = GraphQueries.deltaRounds.get((spark, sfDir, "truss"))
+      assert(dtr != null && dtr >= 1,
+        s"truss loop ran $dtr delta rounds — the delta path never engaged")
+      assert(dtr <= tr, s"truss delta rounds $dtr exceed recorded rounds $tr")
     } finally {
       spark.conf.unset(key)
       spark.conf.unset(GraphQueries.DeltaMinAdjRowsKey)
