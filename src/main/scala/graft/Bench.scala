@@ -399,9 +399,12 @@ object Bench {
     // Report-time re-check of the budget gate over the WHOLE calib
     // timeline (r17): the emitted expectation and warn use the run-wide
     // sample median — the robust statistic the r16 verdict asked for.
+    // The JSON warn derives ONLY from fields the JSON itself carries
+    // (wall, budget×run-median expectation), so a reader re-deriving the
+    // gate always reproduces it; the early 3-sample gate above is a
+    // provisional stderr signal, never persisted.
     val idxExpectedSec = idxExpected(idxBudgetSec, calibSamples.toSeq)
-    val idxWarn = idxWarnEarly ||
-      idxWarnGate(indexWallSec, idxBudgetSec, calibSamples.toSeq)
+    val idxWarn = idxWarnGate(indexWallSec, idxBudgetSec, calibSamples.toSeq)
     if (idxWarn && !idxWarnEarly) System.err.println(
       f"[bench] WARN index_build_sec=$indexWallSec%.1f exceeds 2x the calib-scaled " +
         f"budget against the run-wide calib median (expected ~$idxExpectedSec%.1f s) — " +

@@ -313,7 +313,6 @@ object AdvancedQueries {
       .select(col("g"), col("v").as("q"),
         (lit(2) * col("cum") + col("cnt") + 1).as("xq"), col("cnt"))
     val suffQ = xqTab.groupBy("g").agg(
-      sum(col("cnt")).as("wg"),
       sum(col("cnt").cast(d38) * col("xq")).as("sx"),
       sum(col("cnt").cast(d38) * col("xq") * col("xq")).as("sxx"))
     // bounded driver artifact: per-(g, bucket) weight totals → offsets

@@ -331,11 +331,22 @@ object GraphQueries {
     val frontierCap = frontierCapFor(s, nTriEdges)
     deltaRounds.put((s, dir, "truss"), 0)
     // Per-round candidate checkpoints (the delta round materializes its
-    // frontier-derived candidate edge set once for its many consumers);
-    // dropped together after the fixpoint — each is frontier-capped.
+    // frontier-derived candidate-edge set and label slice once for their
+    // many consumers). A round's temps are DEAD as soon as the runner
+    // checkpoints that round's result — drop them at the next step entry,
+    // or ~72 MB × rounds of pinned storage accumulates and the 100×
+    // probe OOMs a 31 g heap (measured r17: two probe attempts died in
+    // exactly this storage creep before this drop existed).
     val roundTemps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def dropTemps(): Unit = {
+      roundTemps.foreach(df =>
+        org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
+          .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () }))
+      roundTemps.clear()
+    }
     val res = runLabelFixpoint(s, init, Seq("u", "v"), "t", maxRounds = 64,
       step = (lab, frontier, side) => {
+        dropTemps()
         val delta = frontier match {
           case Some((chg, n)) if deltaEligible && n <= frontierCap &&
               frontierTriMass(s, dir, chg) <= trussDeltaWorkMax(s) =>
@@ -350,9 +361,7 @@ object GraphQueries {
           case None => trussRound(triE, lab, side)
         }
       })
-    roundTemps.foreach(df =>
-      org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
-        .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () }))
+    dropTemps()
     trussRounds.put((s, dir), res.rounds)
     res.labels
   }
@@ -361,15 +370,20 @@ object GraphQueries {
     * rows: gates (a) Σ support over the frontier (bounds the triangles a
     * changed edge touches → the candidate-edge construction), and
     * (b) Σ support over the candidate edges (bounds the re-aggregated
-    * triangle slice and the broadcast label slice — ≤ 3× this many edge
-    * keys ≈ 48 MB at the 1M default, inside the house broadcast budget).
-    * Past either bound the DENSE round serves — correct either way, like
-    * the coreness [[DeltaCandMaxRowsKey]] guard.
+    * triangle slice and the broadcast label slice — ≤ 3× this many
+    * (u, v, t) rows ≈ 19 MB at the 256k default). Past either bound the
+    * DENSE round serves — correct either way, like the coreness
+    * [[DeltaCandMaxRowsKey]] guard. The default is sized for the 100×
+    * single-box probe envelope (31 g heap, the dense rounds' sort-merge
+    * label joins resident alongside): a 1M cap measured ~72 MB label
+    * broadcasts × four join slots per round and OOMed the probe where
+    * 256k completes — on a real cluster with per-executor memory, size
+    * UP via this conf.
     */
   val TrussDeltaWorkMaxRowsKey = "spark.graft.graph.trussDeltaWorkMaxRows"
 
   private def trussDeltaWorkMax(s: SparkSession): Long =
-    s.conf.get(TrussDeltaWorkMaxRowsKey, "1000000").toLong
+    s.conf.get(TrussDeltaWorkMaxRowsKey, "262144").toLong
 
   /** Σ support over an edge set — the exact triangle-slot mass incident
     * to it (each incident triangle counted once per contained member
@@ -539,8 +553,10 @@ object GraphQueries {
     * neighborhood provably lands on the identical label table.
     * `frontier` arrives with its exact row count (one action on the
     * already-checkpointed parent — no extra job); `None` on round 1 means
-    * recompute everything. Steps are free to ignore the frontier (the
-    * truss step does — its 100× economics are already priced dense).
+    * recompute everything. All three fixpoints now consume it —
+    * coreness/components via [[corenessRoundDelta]], truss via
+    * [[trussRoundDelta]] (r17) — each behind its own mass gate, with the
+    * dense round as the always-correct fallback.
     *
     * Scaffolding decisions the runner owns, all MEASURED in r14/r15:
     * statsFreeLocalCheckpoint per round (checkpoint-carried stats
@@ -1412,7 +1428,7 @@ object GraphQueries {
         |       FROM lab12 l JOIN deg d ON l.u = d.u GROUP BY 1),
         |m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e)
         |SELECT CAST(count(*) AS BIGINT) AS n_components,
-        |       CAST(min(m.m) AS BIGINT) AS n_edges,
+        |       (SELECT CAST(m AS BIGINT) FROM m) AS n_edges,
         |       CAST((sum(dcm * dcm) * 1000000) // (4 * CAST(min(m.m) AS HUGEINT) * min(m.m)) AS BIGINT) AS null_mass_ppm,
         |       CAST(1000000 - (sum(dcm * dcm) * 1000000) // (4 * CAST(min(m.m) AS HUGEINT) * min(m.m)) AS BIGINT) AS q_ppm
         |FROM dc CROSS JOIN m""".stripMargin

@@ -502,7 +502,10 @@ object RelationalQueries {
       // grain (AQE serves both consumers from the reused grain exchange).
       // The r16 shape paid a second corpus scan plus two raw-key
       // distinct-Expand shuffles for the same output (1.93 s → ~0.8 s).
+      // NULL keys stay excluded (countDistinct semantics — the r16 shape;
+      // a NULL would otherwise survive the grain and inflate the exacts)
       val grain = Tables.lineitem(s, dir)
+        .where(col("l_partkey").isNotNull)
         .select((col("l_orderkey") % 16).as("shard"), col("l_partkey"))
         .distinct()
       val shards = grain

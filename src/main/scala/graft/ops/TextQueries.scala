@@ -1120,12 +1120,16 @@ object TextQueries {
         .agg(sum(col("c")).as("n_tokens"),
           count(lit(1)).as("n_vocab"),
           sum(col("c").cast(d38) * (col("c") - 1)).as("coll"))
+        // degenerate guards (the local_bridges lesson): one token → the
+        // n(n−1) denominator is zero (Spark div NULLs, DuckDB // raises —
+        // nullif both); all-unique tokens → coll = 0 and the inverse is
+        // +Inf on the double path — NULL on both faces instead
         .select(col("lang"), col("n_tokens"), col("n_vocab"),
-          expr("CAST((coll * 1000000) div (CAST(n_tokens AS DECIMAL(38,0))" +
-            " * (n_tokens - 1)) AS BIGINT)").as("simpson_ppm"),
-          (round(expr(
+          expr("CAST((coll * 1000000) div nullif(CAST(n_tokens AS DECIMAL(38,0))" +
+            " * (n_tokens - 1), 0) AS BIGINT)").as("simpson_ppm"),
+          (round(when(col("coll") > 0, expr(
             "CAST(CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1) AS DOUBLE)" +
-              " / CAST(coll AS DOUBLE)"), 2) + lit(0.0)).as("inv_simpson_r"))
+              " / CAST(coll AS DOUBLE)")), 2) + lit(0.0)).as("inv_simpson_r"))
         .orderBy("lang")
     },
 
@@ -2233,10 +2237,11 @@ object TextQueries {
         |  FROM tc GROUP BY 1
         |)
         |SELECT lang, n_tokens, n_vocab,
-        |       CAST((coll * 1000000) // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+        |       CAST((coll * 1000000) // nullif(CAST(n_tokens AS HUGEINT) * (n_tokens - 1), 0)
         |            AS BIGINT) AS simpson_ppm,
-        |       round(CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1) AS DOUBLE)
-        |             / CAST(coll AS DOUBLE), 2) + 0.0 AS inv_simpson_r
+        |       round(CASE WHEN coll > 0 THEN
+        |             CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1) AS DOUBLE)
+        |             / CAST(coll AS DOUBLE) END, 2) + 0.0 AS inv_simpson_r
         |FROM agg ORDER BY lang""".stripMargin,
 
     "pipeline_quota_sample" ->

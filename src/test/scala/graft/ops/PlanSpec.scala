@@ -177,6 +177,17 @@ class PlanSpec extends SparkSuite {
       s"partition-less window crept in:\n$p")
   }
 
+  test("join_interval_overlap is a hash equi-join on the part key — never a cartesian") {
+    // the overlap predicate and pair tie-break must stay RESIDUAL
+    // conditions on the partkey equi-join (per-key candidates bounded by
+    // lines-per-part); a planner regression to a nested-loop over the
+    // interval predicate would be quadratic in the table
+    val df = SparkEntry.queries("join_interval_overlap")(spark, sfDir)
+    df.collect() // finalize the AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("text_repetition argmax is aggregates only — no per-doc window sort") {
     val p = plan("text_repetition")
     assert(!p.contains("Window"), s"row_number window crept back in:\n$p")
