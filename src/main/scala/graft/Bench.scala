@@ -229,7 +229,13 @@ object Bench {
     // the guard exists to avoid. The phase is CPU-work-bound (makespan
     // tracks Σ isolated walls / pool width at any width 3-6), so the
     // number moves only when artifact WORK moves — re-fit it when the
-    // chain set changes materially.
+    // chain set changes materially. r17 cut the recall_pairs build
+    // ~5.9 → ~0.7 s isolated (block kernel) and measured the phase at
+    // 21.8 s under a drifting 0.54 calib (~20 normalized); the budget
+    // deliberately stays 26 until the remaining heavy builds
+    // (graph_truss_labels ~6-7 s, graph_tri_corners ~6 s) move — a
+    // mildly loose ceiling only weakens the gate by the same factor it
+    // avoids re-fitting churn.
     val idxBudgetSec = 26.0
     // MACHINE-SPEED CALIBRATION: identical code benched 71.2 s vs 94.2 s
     // across two r7 runs, with even the untimed index builds doubling — a

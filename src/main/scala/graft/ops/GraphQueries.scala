@@ -321,13 +321,20 @@ object GraphQueries {
       least(col("x"), col("y")).as("e3u"), greatest(col("x"), col("y")).as("e3v"))
     val init = triEdgeSupport(s, dir)
       .select(col("u"), col("v"), (col("support") + lit(2L)).as("t"))
-    // Delta-round eligibility mirrors coreness (r17, verdict ask #2):
-    // the dense round's recurring mass is the 3-slot triangle incidence
-    // (3|T| label lookups + the explode), so only past the same
-    // [[DeltaMinAdjRowsKey]] row threshold is buying it out worth the
-    // delta round's extra operators. The frontier cap reuses
-    // [[frontierCapFor]] over the triangle-EDGE count (the label grain).
-    val deltaEligible = 3 * nTriangles >= deltaMinAdjRows(s)
+    // Delta-round eligibility (r17, verdict ask #2): the dense round's
+    // recurring mass is the 3-slot triangle incidence (3|T| label
+    // lookups + the 9|T| explode), and the delta round buys it out with
+    // ~5 map-side artifact sweeps + two gate jobs per round — a trade
+    // that pays once the dense shuffles dwarf the sweeps. MEASURED in a
+    // same-session A/B at 30× (99M slots, 16 threads, 31 g, identical
+    // code, only this gate flipped): dense 854.5 s cold / 18.7 warm vs
+    // delta-tail 732.0 / 14.6 — −14 % cold, −22 % warm. Truss still
+    // carries its OWN threshold (the sweep-vs-shuffle crossover sits
+    // higher than coreness's adjacency gate because the artifact being
+    // re-scanned is the 3|T| triple list, not 2|E| edges); 1×/10× run
+    // dense below it. The frontier cap reuses [[frontierCapFor]] over
+    // the triangle-EDGE count (the label grain).
+    val deltaEligible = 3 * nTriangles >= trussDeltaMinTriSlots(s)
     val frontierCap = frontierCapFor(s, nTriEdges)
     deltaRounds.put((s, dir, "truss"), 0)
     // Per-round candidate checkpoints (the delta round materializes its
@@ -384,6 +391,20 @@ object GraphQueries {
 
   private def trussDeltaWorkMax(s: SparkSession): Long =
     s.conf.get(TrussDeltaWorkMaxRowsKey, "262144").toLong
+
+  /** Minimum triangle-slot count (3|T|) for truss delta rounds — the
+    * truss analog of [[DeltaMinAdjRowsKey]], sized from the r17 30×
+    * A/B (99M slots: delta −14 % cold / −22 % warm vs dense): 64M sits
+    * safely below the measured-beneficial point while keeping the
+    * unmeasured small tiers (1×/10×, ≤ ~33M slots) on the dense path
+    * whose cost is already scan-bound there. GraphSpec zeroes it to
+    * force the delta path on the fixture and prove delta ≡ dense ≡ the
+    * exact peel.
+    */
+  val TrussDeltaMinTriSlotsKey = "spark.graft.graph.trussDeltaMinTriSlots"
+
+  private def trussDeltaMinTriSlots(s: SparkSession): Long =
+    s.conf.get(TrussDeltaMinTriSlotsKey, "64000000").toLong
 
   /** Σ support over an edge set — the exact triangle-slot mass incident
     * to it (each incident triangle counted once per contained member

@@ -167,6 +167,7 @@ class GraphSpec extends SparkSuite {
     // below proves delta ≡ dense ≡ exact peel on real data, not by
     // argument alone.
     spark.conf.set(GraphQueries.DeltaMinAdjRowsKey, "0")
+    spark.conf.set(GraphQueries.TrussDeltaMinTriSlotsKey, "0")
     try {
       GraphQueries.clearCache(spark, sfDir)
       val loopTruss = SparkEntry.queries("graph_truss")(spark, sfDir).collect()
@@ -194,6 +195,7 @@ class GraphSpec extends SparkSuite {
     } finally {
       spark.conf.unset(key)
       spark.conf.unset(GraphQueries.DeltaMinAdjRowsKey)
+      spark.conf.unset(GraphQueries.TrussDeltaMinTriSlotsKey)
       GraphQueries.clearCache(spark, sfDir)
     }
   }
