@@ -259,6 +259,18 @@ object ScaleProbe {
           if (factor >= 100) (basePartitions.toInt * 4).toString
           else if (factor >= 10) (basePartitions.toInt * 2).toString
           else basePartitions)
+        // r18 (the r17 verdict's ask #3): at the 100× tier the graph
+        // chain's resident checkpoints (~27 GB: edges + triangle triples +
+        // per-edge support + two label generations) sat on the 31 g heap
+        // at MEMORY_AND_DISK and OOMed three r17 probe attempts — the
+        // unified pool's protected storage fraction starves execution.
+        // DISK_ONLY moves that residency to the OS page cache (off-heap,
+        // evictable; this box has 4× the heap in RAM), which is the same
+        // bounded-executor-heap residency contract a real cluster runs
+        // under. Smaller tiers keep Spark's default level — their walls
+        // stay comparable with every prior round's rows.
+        spark.conf.set(org.apache.spark.sql.GraftColumnBridge.CheckpointLevelKey,
+          if (factor >= 100) "DISK_ONLY" else "MEMORY_AND_DISK")
         // PER-FAMILY ISOLATION (r11): each probe runs cold then warm, then
         // ITS OWN family's session caches are evicted before the next
         // probe. Without this, the ×100 warm pass held every family's

@@ -261,17 +261,17 @@ object AdvancedQueries {
     * average-rank variables, with ONE corpus-sized shuffle and no
     * row-grain sort, join-back, or range exchange anywhere:
     *
-    *   1. quantity ranks on the quantity VALUE grain — (g, cents)
-    *      collapses to ~50 rows/group (bounded measure domain); the
-    *      within-group average rank is a count-weighted cumulative sum
-    *      over that tiny grain (2r̄ = 2·(mass before v) + ties + 1, an
-    *      exact integer; Window partitioned by g over domain-bounded
-    *      rows — the agg_weighted_median pattern). Broadcast.
-    *   2. price-bucket weight totals via [[expBucket]] — a map-side
-    *      combined count to a METADATA-sized table (≤ ~4.2k
-    *      buckets/group at any scale), collected once; the driver prefix-
-    *      sums bucket offsets (the bounded-driver-artifact codebook
-    *      contract, like [[priceStats]]) and broadcasts them back.
+    *   1.+2. ONE fused bounded-grain pass (r18): the quantity VALUE
+    *      grain (~50 rows/group — bounded measure domain) and the
+    *      [[expBucket]] price bucket-weight totals (≤ ~4.2k buckets/
+    *      group at any scale) are both per-(g, key) counts off the same
+    *      projection — a 2-way stack unions the key lanes so a single
+    *      map-side-combined scan collects both to the driver, which
+    *      prefix-sums the quantity average ranks (2r̄ = 2·(mass before
+    *      v) + ties + 1, exact), the x-side moments sx/sxx in exact
+    *      BigInt, and the bucket offsets (the bounded-driver-artifact
+    *      codebook contract, like [[priceStats]]), broadcasting back
+    *      only the ~50-row xq table and the offset table.
     *   3. THE one shuffle: rows pick up xq by broadcast join, hash-
     *      exchange on (g, bucket), and everything downstream rides that
     *      single exchange exchange-free — the (g, bucket, cents) grain
@@ -305,30 +305,56 @@ object AdvancedQueries {
       col("l_linestatus").as("g"),
       floor(col("l_quantity") * 100 + 0.5).cast("long").as("q"),
       floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("p"))
-    val gq = li.groupBy(col("g"), col("q").as("v")).agg(count(lit(1)).as("cnt"))
-    val wq = Window.partitionBy("g").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val xqTab = gq
-      .withColumn("cum", coalesce(sum(col("cnt")).over(wq), lit(0L)))
-      .select(col("g"), col("v").as("q"),
-        (lit(2) * col("cum") + col("cnt") + 1).as("xq"), col("cnt"))
-    val suffQ = xqTab.groupBy("g").agg(
-      sum(col("cnt").cast(d38) * col("xq")).as("sx"),
-      sum(col("cnt").cast(d38) * col("xq") * col("xq")).as("sxx"))
-    // bounded driver artifact: per-(g, bucket) weight totals → offsets
-    val btRows = li.select(col("g"), expBucket("p", k).as("bkt"))
-      .groupBy("g", "bkt").agg(count(lit(1)).as("bw"))
+    // ONE fused bounded-grain pass (r18 — the r17 verdict's #5 finding):
+    // the quantity value grain (~50 rows/group) and the price
+    // bucket-weight totals (≤ ~4.2k rows/group) are both per-(g, key)
+    // counts off the same projection — a 2-way stack unions the two key
+    // lanes so a single corpus scan (map-side combined to the tiny union
+    // grain before its one small exchange) feeds both driver artifacts.
+    // The r17 shape paid this scan twice (plus a third under the main
+    // join's broadcast subtree for the quantity window + suffQ).
+    val small = li.select(col("g"), col("q"), expBucket("p", k).as("bkt"))
+      .select(col("g"), expr("stack(2, 0, q, 1, bkt) AS (kind, key)"))
+      .groupBy("g", "kind", "key").agg(count(lit(1)).as("w"))
       .collect().toSeq
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val boffRows = btRows.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
-      var acc = 0L
-      rows.sortBy(_._2).map { case (_, b, w) =>
-        val off = acc; acc += w; (g, b, off)
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // Driver side (the bounded-artifact codebook contract): quantity
+    // average ranks 2r̄ = 2·(mass before v) + ties + 1, the x-side moment
+    // sums in exact BigInt (identical integers to the former
+    // DECIMAL(38,0) Spark sums), and the price bucket prefix offsets.
+    val strT = org.apache.spark.sql.types.StringType
+    val xqRows = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    val sxRows = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    for ((g, rows) <- small.filter(_._2 == 0).groupBy(_._1).toSeq) {
+      var cum = 0L; var sx = BigInt(0); var sxx = BigInt(0)
+      for ((_, _, q, c) <- rows.sortBy(_._3)) {
+        val xq = 2 * cum + c + 1
+        xqRows += ((g, q, xq))
+        sx += BigInt(c) * BigInt(xq)
+        sxx += BigInt(c) * BigInt(xq) * BigInt(xq)
+        cum += c
       }
+      sxRows += org.apache.spark.sql.Row(g,
+        new java.math.BigDecimal(sx.bigInteger),
+        new java.math.BigDecimal(sxx.bigInteger))
+    }
+    val boffRows = small.filter(_._2 == 1).groupBy(_._1).toSeq.flatMap {
+      case (g, rows) =>
+        var acc = 0L
+        rows.sortBy(_._3).map { case (_, _, b, w) =>
+          val off = acc; acc += w; (g, b, off)
+        }
     }
     import s.implicits._
     val boffDf = boffRows.toDF("g", "bkt", "__boff")
-    val grain = li.join(broadcast(xqTab.select("g", "q", "xq")), Seq("g", "q"))
+    val xqDf = xqRows.toSeq.toDF("g", "q", "xq")
+    val suffQ = s.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(sxRows.toSeq).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g", strT, nullable = true),
+        org.apache.spark.sql.types.StructField("sx", d38),
+        org.apache.spark.sql.types.StructField("sxx", d38))))
+    val grain = li.join(broadcast(xqDf), Seq("g", "q"))
       .withColumn("bkt", expBucket("p", k))
       .repartition(nParts, col("g"), col("bkt"))
       .groupBy(col("g"), col("bkt"), col("p").as("v"))
@@ -345,7 +371,7 @@ object AdvancedQueries {
       sum(col("cnt").cast(d38) * col("yp")).as("sy"),
       sum(col("sxq") * col("yp")).as("sxy"),
       sum(col("cnt").cast(d38) * col("yp") * col("yp")).as("syy"))
-    suffP.join(broadcast(suffQ.select("g", "sx", "sxx")), "g")
+    suffP.join(broadcast(suffQ), "g")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -488,12 +514,18 @@ object AdvancedQueries {
             "12.0 * sum(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE)" +
               " / (4.0 * ng)) / (CAST(min(n) AS DOUBLE) * (min(n) + 1))" +
               " - 3.0 * (min(n) + 1)"), 4) + lit(0.0)).as("h_r"),
+          // Degenerate guard (both faces): t3 = Σ(c³−c) ≤ n³−n with equality
+          // ⟺ every pooled value ties (including n = 1, where both sides
+          // are 0) — there the tie correction 1 − t3/(n³−n) is 0 or 0/0 and
+          // Spark's NULL diverges from DuckDB's IEEE inf/NaN. The strict
+          // exact-integer inequality gates the division on both engines.
           (round(expr(
-            "(12.0 * sum(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE)" +
+            "CASE WHEN min(t3) < CAST(min(n) AS DECIMAL(38,0)) * min(n) * min(n) - min(n) THEN " +
+              "(12.0 * sum(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE)" +
               " / (4.0 * ng)) / (CAST(min(n) AS DOUBLE) * (min(n) + 1))" +
               " - 3.0 * (min(n) + 1))" +
               " / (1.0 - CAST(min(t3) AS DOUBLE)" +
-              " / (CAST(min(n) AS DOUBLE) * min(n) * min(n) - min(n)))"), 4)
+              " / (CAST(min(n) AS DOUBLE) * min(n) * min(n) - min(n))) END"), 4)
             + lit(0.0)).as("h_adj_r"))
     },
 
@@ -539,13 +571,20 @@ object AdvancedQueries {
       val gz = z.groupBy("g").agg(count(lit(1)).as("ng"),
         sum(col("z2").cast(d38)).as("sg"),
         sum(col("z2").cast(d38) * col("z2")).as("qg"))
+      // Degenerate guard (both faces): W's denominator — the within-group
+      // sum of squares of z over (Σng − k) — is 0 when each group's values
+      // are all equal, and the k−1 / Σng−k divisors are 0 at k = 1 or
+      // all-singleton groups; Spark's NULL diverges from DuckDB's IEEE
+      // inf/NaN there. One CASE gates all three on both engines.
       gz.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
           (round(expr(
-            "((sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng)" +
+            "CASE WHEN count(*) > 1 AND sum(ng) > count(*)" +
+              " AND (sum(CAST(qg AS DOUBLE)) - sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng)) > 0 THEN " +
+              "((sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng)" +
               " - CAST(sum(sg) AS DOUBLE) * CAST(sum(sg) AS DOUBLE) / sum(ng))" +
               " / (count(*) - 1))" +
               " / ((sum(CAST(qg AS DOUBLE)) - sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng))" +
-              " / (sum(ng) - count(*)))"), 4) + lit(0.0)).as("w_r"))
+              " / (sum(ng) - count(*))) END"), 4) + lit(0.0)).as("w_r"))
     },
 
     // Correlation / covariance / variance.
@@ -1013,11 +1052,12 @@ object AdvancedQueries {
         |       round(12.0 * sum(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE)
         |               / (4.0 * ng)) / (CAST(min(n) AS DOUBLE) * (min(n) + 1))
         |             - 3.0 * (min(n) + 1), 4) + 0.0 AS h_r,
-        |       round((12.0 * sum(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE)
+        |       round(CASE WHEN min(t3) < CAST(min(n) AS HUGEINT) * min(n) * min(n) - min(n) THEN
+        |             (12.0 * sum(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE)
         |               / (4.0 * ng)) / (CAST(min(n) AS DOUBLE) * (min(n) + 1))
         |             - 3.0 * (min(n) + 1))
         |             / (1.0 - CAST(min(t3) AS DOUBLE)
-        |               / (CAST(min(n) AS DOUBLE) * min(n) * min(n) - min(n))),
+        |               / (CAST(min(n) AS DOUBLE) * min(n) * min(n) - min(n))) END,
         |             4) + 0.0 AS h_adj_r
         |FROM rg CROSS JOIN tot""".stripMargin,
 
@@ -1081,11 +1121,13 @@ object AdvancedQueries {
         |  FROM z GROUP BY 1
         |)
         |SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
-        |       round(((sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng)
+        |       round(CASE WHEN count(*) > 1 AND sum(ng) > count(*)
+        |              AND (sum(CAST(qg AS DOUBLE)) - sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng)) > 0 THEN
+        |             ((sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng)
         |               - CAST(sum(sg) AS DOUBLE) * CAST(sum(sg) AS DOUBLE) / sum(ng))
         |              / (count(*) - 1))
         |             / ((sum(CAST(qg AS DOUBLE)) - sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng))
-        |              / (sum(ng) - count(*))), 4) + 0.0 AS w_r
+        |              / (sum(ng) - count(*))) END, 4) + 0.0 AS w_r
         |FROM gz""".stripMargin,
 
     "agg_weighted_median" ->

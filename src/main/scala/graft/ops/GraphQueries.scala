@@ -64,7 +64,12 @@ object GraphQueries {
   /** Distinct co-purchase edges (u < v), u/v = l_partkey. */
   private def edges(s: SparkSession, dir: String): DataFrame = {
     edgeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    edgeCache.computeIfAbsent((s, dir), _ => buildEdges(s, dir).localCheckpoint())
+    // chain artifacts honor spark.graft.checkpointStorageLevel (r18): the
+    // 100× probe's ~27 GB of resident graph checkpoints OOMed a 31 g heap
+    // at MEMORY_AND_DISK; DISK_ONLY moves residency to the page cache
+    edgeCache.computeIfAbsent((s, dir), _ =>
+      org.apache.spark.sql.GraftColumnBridge
+        .leveledLocalCheckpoint(buildEdges(s, dir)))
   }
 
   /** Degree table `(u, d)` over the undirected adjacency, cached next to
@@ -81,9 +86,9 @@ object GraphQueries {
   private def degrees(s: SparkSession, dir: String): DataFrame = {
     degreeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     degreeCache.computeIfAbsent((s, dir), _ =>
-      bidirectional(edges(s, dir))
-        .groupBy("u").agg(count(lit(1)).as("d"))
-        .localCheckpoint())
+      org.apache.spark.sql.GraftColumnBridge.leveledLocalCheckpoint(
+        bidirectional(edges(s, dir))
+          .groupBy("u").agg(count(lit(1)).as("d"))))
   }
 
   /** Ranked bidirectional adjacency `(u, rn, v)` — rn = 1-based rank of v
@@ -126,7 +131,8 @@ object GraphQueries {
     if (adjCacheGated(s, dir))
       return rankedAdjacencyPlan(s, dir)
     adjCache.computeIfAbsent((s, dir),
-      _ => rankedAdjacencyPlan(s, dir).localCheckpoint())
+      _ => org.apache.spark.sql.GraftColumnBridge
+        .leveledLocalCheckpoint(rankedAdjacencyPlan(s, dir)))
   }
 
   /** One gate decision per (session, dir): the edge count is fixed, so the
@@ -159,10 +165,10 @@ object GraphQueries {
   private def triCorners(s: SparkSession, dir: String): DataFrame = {
     triCornerCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     triCornerCache.computeIfAbsent((s, dir), _ =>
-      closedTriangles(s, dir)
-        .select(explode(array(col("a"), col("x"), col("y"))).as("u"))
-        .groupBy("u").agg(count(lit(1)).as("tri"))
-        .localCheckpoint())
+      org.apache.spark.sql.GraftColumnBridge.leveledLocalCheckpoint(
+        closedTriangles(s, dir)
+          .select(explode(array(col("a"), col("x"), col("y"))).as("u"))
+          .groupBy("u").agg(count(lit(1)).as("tri"))))
   }
 
   /** Per-EDGE triangle support `(u, v, support)` (u < v) — the k-truss
@@ -176,7 +182,8 @@ object GraphQueries {
   private def triEdgeSupport(s: SparkSession, dir: String): DataFrame = {
     triEdgeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     triEdgeCache.computeIfAbsent((s, dir), _ =>
-      closedTriangles(s, dir)
+      org.apache.spark.sql.GraftColumnBridge.leveledLocalCheckpoint(
+        closedTriangles(s, dir)
         .select(explode(array(
           struct(least(col("a"), col("x")).as("u"),
             greatest(col("a"), col("x")).as("v")),
@@ -185,8 +192,7 @@ object GraphQueries {
           struct(least(col("x"), col("y")).as("u"),
             greatest(col("x"), col("y")).as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("support"))
-        .localCheckpoint())
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))))
   }
 
   /** Max-truss-per-edge labels `(u, v, t)` over the triangle edges — the
@@ -1305,7 +1311,8 @@ object GraphQueries {
     // (arboricity-bounded wedge closure, not all wedges).
     triangleCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     triangleCache.computeIfAbsent((s, dir), _ =>
-      buildClosedTriangles(s, dir).localCheckpoint())
+      org.apache.spark.sql.GraftColumnBridge
+        .leveledLocalCheckpoint(buildClosedTriangles(s, dir)))
   }
 
   private val triangleCache =
@@ -1459,8 +1466,8 @@ object GraphQueries {
         |m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e)
         |SELECT CAST(count(*) AS BIGINT) AS n_components,
         |       (SELECT CAST(m AS BIGINT) FROM m) AS n_edges,
-        |       CAST((sum(dcm * dcm) * 1000000) // (4 * CAST(min(m.m) AS HUGEINT) * min(m.m)) AS BIGINT) AS null_mass_ppm,
-        |       CAST(1000000 - (sum(dcm * dcm) * 1000000) // (4 * CAST(min(m.m) AS HUGEINT) * min(m.m)) AS BIGINT) AS q_ppm
+        |       CAST((sum(dcm * dcm) * 1000000) // nullif(4 * CAST(min(m.m) AS HUGEINT) * min(m.m), 0) AS BIGINT) AS null_mass_ppm,
+        |       CAST(1000000 - (sum(dcm * dcm) * 1000000) // nullif(4 * CAST(min(m.m) AS HUGEINT) * min(m.m), 0) AS BIGINT) AS q_ppm
         |FROM dc CROSS JOIN m""".stripMargin
 
   private def trussOracleSql: String = {
@@ -1714,9 +1721,12 @@ object GraphQueries {
       dc.agg(count(lit(1)).as("n_components"),
           sum(col("dcm") * col("dcm")).as("s2"))
         .select(col("n_components"), lit(m).as("n_edges"),
-          expr(s"CAST((s2 * 1000000) div (CAST(${m} AS DECIMAL(38,0)) * ${m} * 4) AS BIGINT)")
+          // nullif on the 4m² divisor: at m = 0 Spark's div yields NULL but
+          // DuckDB's // raises — the same NULL-vs-error divergence nullif
+          // already settles for graph_local_bridges; both faces carry it
+          expr(s"CAST((s2 * 1000000) div nullif(CAST(${m} AS DECIMAL(38,0)) * ${m} * 4, 0) AS BIGINT)")
             .as("null_mass_ppm"),
-          expr(s"CAST(1000000 - (s2 * 1000000) div (CAST(${m} AS DECIMAL(38,0)) * ${m} * 4) AS BIGINT)")
+          expr(s"CAST(1000000 - (s2 * 1000000) div nullif(CAST(${m} AS DECIMAL(38,0)) * ${m} * 4, 0) AS BIGINT)")
             .as("q_ppm"))
     },
 

@@ -220,8 +220,37 @@ object MiningQueries {
     // expand just stops hashing and shipping 3M strings, and the column
     // tag rides as an int id rendered back to its name on the 5-row
     // ledger (2.0 → ~1.2 s).
+    // r18 (the r17 verdict's #2 ask): the 5× stack expand feeds ONLY the
+    // distinct count — the one aggregate that genuinely needs the
+    // (column, value) pair grain. Everything else (n_rows, n_nulls,
+    // min/max, mean length) is a plain per-column aggregate over the
+    // UNEXPANDED table: one scan, 21 struct-of-aggregates folded into a
+    // single row, unpivoted by a 1-row stack. The r17 plan shipped the
+    // whole corpus through the expand to compute stats the flat table
+    // already carries. Rendered lanes are identical bijections
+    // (long→string, date_format), so every output value is bit-for-bit
+    // unchanged; the expand lane drops its rendering CASE entirely
+    // (distinct-of-pairs ≡ distinct-of-rendered under a per-lane
+    // bijection). Both lanes materialize inside one job via the final
+    // 5-row broadcast join.
     "profile_columns" -> { (s, dir) =>
-      Tables.lineitem(s, dir)
+      val li = Tables.lineitem(s, dir).select(
+        expr("CAST(CAST(l_partkey AS BIGINT) AS STRING)").as("v0"),
+        expr("CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS STRING)").as("v1"),
+        expr("CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS STRING)").as("v2"),
+        col("l_returnflag").as("v3"),
+        expr("date_format(CAST(l_shipdate AS DATE), 'yyyy-MM-dd')").as("v4"))
+      val statAggs = (0 until 5).flatMap { i =>
+        val v = col(s"v$i")
+        Seq(count(v).as(s"nn$i"), min(v).as(s"mn$i"), max(v).as(s"mx$i"),
+          sum(length(v)).as(s"sl$i"))
+      }
+      val flat = li.agg(count(lit(1)).as("nr"), statAggs: _*)
+      val stats = flat.select(expr(
+        (0 until 5).map(i =>
+          s"$i, nr, nr - nn$i, mn$i, mx$i, round(sl$i / nn$i, 2)").mkString(
+          "stack(5, ", ", ", ") AS (cid, n_rows, n_nulls, v_min, v_max, avg_len)")))
+      val dist = Tables.lineitem(s, dir)
         .select(expr(
           """stack(5,
             |  0, CAST(l_partkey AS BIGINT), CAST(NULL AS STRING),
@@ -230,22 +259,14 @@ object MiningQueries {
             |  3, CAST(NULL AS BIGINT), l_returnflag,
             |  4, CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT), CAST(NULL AS STRING))
             |  AS (cid, vl, vs)""".stripMargin))
-        .groupBy("cid", "vl", "vs")
-        .agg(count(lit(1)).as("n"))
-        .withColumn("v", expr(
-          """CASE WHEN cid = 4 AND vl IS NOT NULL
-            |       THEN date_format(date_add(DATE '1970-01-01', CAST(vl AS INT)), 'yyyy-MM-dd')
-            |     WHEN vl IS NOT NULL THEN CAST(vl AS STRING)
-            |     ELSE vs END""".stripMargin))
+        .distinct()
         .groupBy("cid")
-        .agg(
-          sum(col("n")).as("n_rows"),
-          coalesce(sum(when(col("v").isNull, col("n"))), lit(0L)).as("n_nulls"),
-          count(col("v")).as("n_distinct"),
-          min(col("v")).as("v_min"),
-          max(col("v")).as("v_max"),
-          round(sum(when(col("v").isNotNull, col("n") * length(col("v"))))
-            / sum(when(col("v").isNotNull, col("n"))), 2).as("avg_len"))
+        .agg(count(when(col("vl").isNotNull || col("vs").isNotNull, lit(1)))
+          .as("n_distinct"))
+      // n_rows > 0 gate: over an empty table the oracle's unioned groups
+      // vanish (0 rows) while the 1-row aggregate would still unpivot
+      stats.filter(col("n_rows") > 0)
+        .join(broadcast(dist), Seq("cid"))
         .withColumn("col_name", expr(
           "element_at(array('l_partkey', 'l_quantity', 'l_extendedprice', " +
             "'l_returnflag', 'l_shipdate'), CAST(cid AS INT) + 1)"))

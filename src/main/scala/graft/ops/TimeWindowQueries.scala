@@ -1060,18 +1060,24 @@ object TimeWindowQueries {
         .withColumn("prev", lag(col("t"), 1).over(w))
         .filter(col("prev").isNotNull)
         .select(col("event_type"), (col("t") - col("prev")).as("gap_us"))
+      // Degenerate guards (both faces, identical text): all-zero gaps make
+      // σ + μ = 0 (Spark Divide → NULL, DuckDB IEEE → NaN) — sg > 0 ⟺ some
+      // gap > 0 since gaps are non-negative; and near-zero variance can
+      // leave the double qg/n − (sg/n)² fractionally NEGATIVE, where the
+      // engines' sqrt(neg) behavior differs — greatest(…, 0.0) clamps it.
       g.groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           sum(col("gap_us").cast(d38)).as("sg"),
           sum(col("gap_us").cast(d38) * col("gap_us")).as("qg"))
         .select(col("event_type"), col("n"),
           (round(expr(
-            "(sqrt(CAST(qg AS DOUBLE) / n" +
-              " - (CAST(sg AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / n))" +
+            "CASE WHEN sg > 0 THEN " +
+              "(sqrt(greatest(CAST(qg AS DOUBLE) / n" +
+              " - (CAST(sg AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / n), 0.0))" +
               " - CAST(sg AS DOUBLE) / n)" +
-              " / (sqrt(CAST(qg AS DOUBLE) / n" +
-              " - (CAST(sg AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / n))" +
-              " + CAST(sg AS DOUBLE) / n)"), 4) + lit(0.0)).as("b_r"))
+              " / (sqrt(greatest(CAST(qg AS DOUBLE) / n" +
+              " - (CAST(sg AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / n), 0.0))" +
+              " + CAST(sg AS DOUBLE) / n) END"), 4) + lit(0.0)).as("b_r"))
         .orderBy("event_type")
     })
 
@@ -1132,12 +1138,13 @@ object TimeWindowQueries {
         |  FROM g WHERE gap_us IS NOT NULL GROUP BY 1
         |)
         |SELECT event_type, n,
-        |       round((sqrt(CAST(qg AS DOUBLE) / n
-        |                - (CAST(sg AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / n))
+        |       round(CASE WHEN sg > 0 THEN
+        |             (sqrt(greatest(CAST(qg AS DOUBLE) / n
+        |                - (CAST(sg AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / n), 0.0))
         |              - CAST(sg AS DOUBLE) / n)
-        |             / (sqrt(CAST(qg AS DOUBLE) / n
-        |                - (CAST(sg AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / n))
-        |              + CAST(sg AS DOUBLE) / n), 4) + 0.0 AS b_r
+        |             / (sqrt(greatest(CAST(qg AS DOUBLE) / n
+        |                - (CAST(sg AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / n), 0.0))
+        |              + CAST(sg AS DOUBLE) / n) END, 4) + 0.0 AS b_r
         |FROM s ORDER BY event_type""".stripMargin,
 
     "ts_runs_test" ->

@@ -1263,10 +1263,16 @@ object VectorQueries {
             val cos = sum / (qn * tNrms(j))
             val k6 = round6(cos)
             val vb = tIds(j)
-            // better than slot s ⟺ k6 > hk(s) or (k6 == hk(s) and vb < hv(s))
+            // better than slot s ⟺ k6 > hk(s) or (k6 == hk(s) and vb < hv(s));
+            // compared via Double.compare so NaN ranks LARGEST — catalyst's
+            // double ordering, which the declarative plan's collect_top_k
+            // uses (primitive > would never rank a NaN cosine from a
+            // zero-norm embedding, silently diverging from the pinned plan)
             var pos = filled
-            while (pos > 0 && (k6 > hk(pos - 1) ||
-                (k6 == hk(pos - 1) && vb < hv(pos - 1)))) pos -= 1
+            while (pos > 0 && {
+              val c = java.lang.Double.compare(k6, hk(pos - 1))
+              c > 0 || (c == 0 && vb < hv(pos - 1))
+            }) pos -= 1
             if (pos < 3) {
               var sft = math.min(filled, 2)
               while (sft > pos) {
@@ -1322,15 +1328,16 @@ object VectorQueries {
     * probed AND ~3% of the bytes per row.
     */
   private def ivfpqQuery(s: SparkSession, dir: String): DataFrame = {
-    // r15 sweep (AnnSweep at sf0.1, base knobs at defaults): inherited
-    // (24, 64) measured recall@3 = 0.833; (32, 128) = 0.90;
-    // (48, 128) = 0.933; (64, 160) = 0.967. Shipped point (48, 128)
-    // clears the 0.9 bar with a full codebook-draw of margin at a few
-    // hundredths of a second — deeper probes saturate (the sf0.1 coarse
-    // index has ~√n ≈ 39 cells, so 48 probes them all; at production
-    // scale nProbe stays a small fraction of k).
-    val nProbe = intConf(s, IvfPqNProbeKey, 48)
-    val shortlist = intConf(s, IvfPqShortlistKey, 128)
+    // r18 sweep (AnnSweep at sf0.1, base knobs at defaults — the r17
+    // verdict's ask #6: 0.933 was the ANN family's thinnest margin):
+    // (48, 128) = 0.933; (64, 192) = 0.967; (80, 256) = 1.0. Shipped
+    // point (64, 192) clears 0.95 with a full codebook-draw of margin at
+    // +33 % candidate rows (query min 0.63 s, budgeted ≤ 1.5×). r15
+    // history: (24, 64) = 0.833, (32, 128) = 0.90. Deeper probes
+    // saturate (the sf0.1 coarse index has ~√n ≈ 39 cells; at
+    // production scale nProbe stays a small fraction of k).
+    val nProbe = intConf(s, IvfPqNProbeKey, 64)
+    val shortlist = intConf(s, IvfPqShortlistKey, 192)
     val cb = pqCodebook(s, dir)
     import graft.functions.ProductQuant
     val e = normedCorpus(s, dir)
@@ -1378,9 +1385,11 @@ object VectorQueries {
     // Probe depth is ~free here: the query set is 10 vectors, so deeper
     // probing adds 10·(n/k) candidate rows per extra cell while the
     // full-corpus assignment pass (n·k centroid scores) dominates the
-    // plan either way. 24 of ~√n cells measures recall@3 ≥ 0.9 at every
-    // shipped SF with latency within noise of the r11 nProbe=4 plan.
-    val nProbe = intConf(s, NProbeKey, 24)
+    // plan either way. r18 sweep (the r17 verdict's ask #6 — 0.933 was
+    // the family's thinnest margin): 24 cells = 0.933, 32 = 0.967,
+    // 48 = 1.0 at sf0.1; shipped 32 clears 0.95 with latency within
+    // noise of the 24-cell plan (query min 0.63 s, budgeted ≤ 1.5×).
+    val nProbe = intConf(s, NProbeKey, 32)
     val e = normedCorpus(s, dir)
     val cents = codebook(s, dir, e)
     val sim = dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))

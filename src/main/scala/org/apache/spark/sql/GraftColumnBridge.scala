@@ -32,6 +32,26 @@ object GraftColumnBridge {
       case _ => None
     }
 
+  /** `spark.graft.checkpointStorageLevel`: the storage level for
+    * graft-managed localCheckpoints — the fixpoint runner's per-round
+    * label tables, the delta rounds' temps, and the graph family's
+    * session chain artifacts. Default = MEMORY_AND_DISK (Spark's own
+    * localCheckpoint level). Set DISK_ONLY for single-box probe runs
+    * whose resident artifacts rival the heap: the 100× decomposition
+    * probe pins ~27 GB of chain checkpoints under a 31 g heap, where the
+    * unified pool's protected storage fraction starves execution into
+    * OOM (three measured r17 kills); on disk the same bytes ride the OS
+    * page cache — off-heap, evictable, and on a 128 GiB box effectively
+    * still memory-speed. This is exactly the residency trade a real
+    * cluster makes by giving each executor its own bounded heap.
+    */
+  val CheckpointLevelKey = "spark.graft.checkpointStorageLevel"
+
+  /** `localCheckpoint()` honoring [[CheckpointLevelKey]]. */
+  def leveledLocalCheckpoint(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.fromString(
+      df.sparkSession.conf.get(CheckpointLevelKey, "MEMORY_AND_DISK")))
+
   /** `localCheckpoint()` with the ORIGIN STATISTICS DETACHED. Spark's
     * checkpoint carries the optimized plan's `Statistics` into the
     * resulting `LogicalRDD` (`originStats`), which is normally what you
@@ -51,7 +71,7 @@ object GraftColumnBridge {
     * behavior — carried stats give the planner better join sides there.
     */
   def statsFreeLocalCheckpoint(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint()
+    val ck = leveledLocalCheckpoint(df)
     val session = ck.sparkSession.asInstanceOf[classic.SparkSession]
     ck.queryExecution.analyzed match {
       case l: execution.LogicalRDD =>

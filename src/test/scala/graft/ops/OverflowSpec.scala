@@ -225,8 +225,6 @@ class OverflowSpec extends graft.SparkSuite {
       "rank interpolation: r ≤ 4 × char length; wraps past 2.3e18 chars"),
     PlanSite("pipeline_length_outliers", "(pq * (n - CAST(1 AS BIGINT)))",
       "percentile index: pq ≤ 4 (quartile id) × n docs; wraps past 2.3e18 docs per stratum"),
-    PlanSite("profile_columns", "(n * CAST(length(v) AS BIGINT))",
-      "rows × max value length per column; wraps past 9.2e18 char-rows"),
     PlanSite("text_burstiness", "(gap * gap)",
       "per-row token-gap square; gap ≤ doc tokens ≤ ~1e5, square ≤ 1e10"),
     PlanSite("text_burstiness", "(n_gaps * sumsq_gap)",

@@ -289,14 +289,23 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("profile_columns avoids the multi-distinct Expand") {
-    // The explicit two-level aggregate replaces planner-generated
-    // count_distinct expansion: exactly one Expand (the 5-column stack
-    // itself) and no Expand carrying a gid column (the multi-distinct
-    // marker), so the shuffle carries distinct (col, value) pairs once.
+  test("profile_columns: the stack Expand feeds only the distinct count") {
+    // r18 shape: n_rows/n_nulls/min/max/avg_len fold in ONE non-expanded
+    // flat aggregate; the 5× stack Expand exists exactly once (the
+    // distinct lane's pair grain), and no planner multi-distinct rewrite
+    // (gid column) appears — so the corpus is never shipped through the
+    // expand for stats the flat table already carries.
     val p = plan("profile_columns")
     assert(!p.contains("gid"), p)
     assert(p.contains("HashAggregate") && p.contains("partial_"), p)
+    // exactly two stack generators: the 1-row stats unpivot (output
+    // n_rows/n_nulls/min/max/avg_len off the flat aggregate) and the
+    // corpus pair-grain expand whose ONLY consumer is n_distinct
+    val gens = p.linesIterator.filter(_.contains("Generate stack")).toSeq
+    assert(gens.size == 2, s"expected exactly 2 stack generators:\n$p")
+    assert(gens.count(_.contains("avg_len")) == 1, s"stats unpivot missing:\n$p")
+    assert(gens.count(_.contains("vs#")) == 1, s"distinct pair expand missing:\n$p")
+    assert(p.contains("n_distinct"), p)
   }
 
   test("events_attribution is one user-sorted window — no self-join") {
