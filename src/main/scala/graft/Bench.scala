@@ -165,10 +165,26 @@ object Bench {
       // and the dedicated thread spends most of its life in narrow or
       // single-task stages.
       val graphPool = java.util.concurrent.Executors.newFixedThreadPool(1)
+      lazy val sharedEc: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val gra = Future {
-        safe("graph")(graft.ops.GraphQueries.warmCachesBase(spark, sfDir)) ++
-          safe("graph_truss")(graft.ops.GraphQueries.warmCachesTruss(spark, sfDir)) ++
-          safe("graph_coreness")(graft.ops.GraphQueries.warmCachesCoreness(spark, sfDir))
+        val core = safe("graph_core")(graft.ops.GraphQueries.warmCachesCore(spark, sfDir))
+        // the light independent leg — ranked adjacency + the coreness
+        // peel, both needing only edges+degrees — packs onto the SHARED
+        // pool so the spine below (triangles → support → truss, the
+        // phase's measured critical path: 19.0 s when fully serial) is
+        // 2-3 s shorter on the dedicated thread
+        val side = Future(
+          safe("graph_adj")(graft.ops.GraphQueries.warmCachesAdjacency(spark, sfDir)) ++
+            safe("graph_coreness")(graft.ops.GraphQueries.warmCachesCoreness(spark, sfDir)))(sharedEc)
+        val spine =
+          safe("graph_tri")(graft.ops.GraphQueries.warmCachesTriangles(spark, sfDir)) ++
+            safe("graph_truss")(graft.ops.GraphQueries.warmCachesTruss(spark, sfDir))
+        core ++ spine ++
+          (try Await.result(side, Duration.Inf) catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] graph side leg failed (continuing): $e")
+              Seq.empty
+          })
       }(ExecutionContext.fromExecutor(graphPool))
       // Submission order IS execution order on the FIFO pool — heaviest
       // isolated walls first (measured at sf0.1/calib~0.4: vector ≈ 14 s

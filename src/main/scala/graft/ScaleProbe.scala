@@ -312,6 +312,15 @@ object ScaleProbe {
           // machine-readable artifact, these lines are the flight record
           println(s"""{"probe":"$q","scale":$factor,""" +
             s""""cold":${ms3(cold(q))},"warm":${ms3(warm(q))}}""")
+          // decomposition flight record (r18): which path served and how
+          // many delta rounds engaged — the gate-validation evidence the
+          // wall alone can't carry
+          if (q == "graph_truss" || q == "graph_coreness") {
+            val (path, dr) = graft.ops.GraphQueries
+              .decompFlightRecord(spark, dir, q.stripPrefix("graph_"))
+            println(s"""{"probe":"$q","scale":$factor,"path":"$path",""" +
+              s""""delta_rounds":$dr}""")
+          }
           System.out.flush()
           if (q == "sim_ann_knn")
             recallKnn = graft.ops.RecallReport.sampledRecall(spark, dir)

@@ -401,6 +401,37 @@ object AdvancedQueries {
         .orderBy("o_orderkey")
     },
 
+    // MOVING MEDIAN (r18): the robust smoothing window — per user, the
+    // exact median of the last 5 event values ordered by (ts, event_id)
+    // — the order-statistic sibling of the mean frames in
+    // window_rows_frame (a single spike moves a moving mean, never a
+    // moving median; the despiking pre-pass a metrics pipeline runs
+    // before drift checks). Exact by construction: integer cents in a
+    // ≤ 5-row frame, and the median of ≤ 5 ints is the middle element
+    // (odd) or the average of the two middles (even) — every result an
+    // exact .0/.5 double, identical to DuckDB's frame median. Spark's
+    // median aggregate rejects window FRAMES, so the frame rides a
+    // bounded collect_list (state = the 5-row frame) and the order
+    // statistic is one array expression. The one shuffle is the user
+    // partition, identical to events_interarrival's.
+    "window_moving_median" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          col("ts"), floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+        .withColumn("fr", collect_list(col("vc")).over(w))
+        .select(col("user_id"), col("event_id"),
+          (expr(
+            "CASE WHEN size(fr) % 2 = 1" +
+              " THEN CAST(element_at(sort_array(fr), CAST((size(fr) + 1) div 2 AS INT)) AS DOUBLE)" +
+              " ELSE (element_at(sort_array(fr), CAST(size(fr) div 2 AS INT))" +
+              " + element_at(sort_array(fr), CAST(size(fr) div 2 + 1 AS INT))) / 2.0 END")
+            + lit(0.0)).as("mm5"),
+          expr("CAST(size(fr) AS BIGINT)").as("n_frame"))
+        .orderBy("user_id", "event_id")
+    },
+
     // Ordered list aggregation, emitted as a joined string (array column
     // renderings differ across engines; the string is canonical).
     "agg_collect_sorted" -> { (s, dir) =>
@@ -475,6 +506,46 @@ object AdvancedQueries {
         .groupBy("l_returnflag")
         .agg(min(col("qty")).as("w_median"), max(col("tw")).as("total_w"))
         .orderBy("l_returnflag")
+    },
+
+    // HODGES–LEHMANN ESTIMATOR (r18): the rank-based robust location
+    // estimate — the weighted median of all Walsh averages (x_i + x_j)/2
+    // over row pairs i ≤ j — the location sibling of agg_mannwhitney's
+    // rank test (HL is the estimator that test inverts) and the robust
+    // alternative to the trimmed/winsorized means. Exact and bounded:
+    // quantity cents ride the ≤ ~50-value-per-group VALUE grain (the
+    // agg_weighted_median argument), so the Walsh support is ≤ ~1.3k
+    // (g, v_a + v_b) points per group with pair MULTIPLICITIES in exact
+    // DECIMAL(38,0) — c_a·c_b for v_a < v_b, c·(c+1)/2 for v_a = v_b
+    // (i ≤ j row pairs) — where the naive row-pair enumeration is O(n²)
+    // at any scale. The pick is the lower weighted median (first point
+    // with 2·cum ≥ W, the agg_weighted_median contract); only the final
+    // cents-sum → dollars render (w2/200, a 3-decimal rational) is a
+    // double, round(4) + 0.0 on both faces.
+    "agg_hodges_lehmann" -> { (s, dir) =>
+      val gq = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("g"),
+          floor(col("l_quantity") * 100 + 0.5).cast("long").as("v"))
+        .groupBy("g", "v").agg(count(lit(1)).as("c"))
+      val b = gq.select(col("g").as("__g"), col("v").as("vb"), col("c").as("cb"))
+      val walsh = gq
+        .join(broadcast(b), col("g") === col("__g") && col("v") <= col("vb"))
+        .select(col("g"), (col("v") + col("vb")).as("w2"),
+          when(col("v") === col("vb"),
+            expr("CAST(c AS DECIMAL(38,0)) * (c + 1) div 2"))
+            .otherwise(expr("CAST(c AS DECIMAL(38,0)) * cb")).as("wt"))
+        .groupBy("g", "w2").agg(sum(col("wt")).as("wt"))
+      val win = Window.partitionBy("g").orderBy("w2")
+      walsh
+        .withColumn("cw", sum(col("wt")).over(win))
+        .withColumn("tw", sum(col("wt")).over(Window.partitionBy("g")))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy("g")
+        .agg(min(col("w2")).as("w2m"), max(col("tw")).as("twm"))
+        .select(col("g"),
+          (round(col("w2m") / 200.0, 4) + lit(0.0)).as("hl_r"),
+          col("twm").cast("double").as("n_pairs"))
+        .orderBy("g")
     },
 
     // KRUSKAL–WALLIS H (r17): the k-group rank test — "do the return
@@ -1001,6 +1072,37 @@ object AdvancedQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "window_moving_median" ->
+      """SELECT user_id, event_id,
+        |       median(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w + 0.0 AS mm5,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_frame
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "agg_hodges_lehmann" ->
+      """WITH gq AS (
+        |  SELECT l_returnflag AS g,
+        |         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS v,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2
+        |), walsh AS (
+        |  SELECT a.g, a.v + b.v AS w2,
+        |         sum(CASE WHEN a.v = b.v THEN CAST(a.c AS HUGEINT) * (a.c + 1) // 2
+        |                  ELSE CAST(a.c AS HUGEINT) * b.c END) AS wt
+        |  FROM gq a JOIN gq b ON a.g = b.g AND a.v <= b.v
+        |  GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT g, w2, wt,
+        |         sum(wt) OVER (PARTITION BY g ORDER BY w2
+        |                       ROWS UNBOUNDED PRECEDING) AS cw,
+        |         sum(wt) OVER (PARTITION BY g) AS tw
+        |  FROM walsh)
+        |SELECT g, round(min(w2) / 200.0, 4) + 0.0 AS hl_r,
+        |       CAST(max(tw) AS DOUBLE) AS n_pairs
+        |FROM cum WHERE cw * 2 >= tw GROUP BY g ORDER BY g""".stripMargin,
 
     "agg_collect_sorted" ->
       """SELECT n_regionkey,

@@ -1219,27 +1219,49 @@ object GraphQueries {
     * family's longest builds — pack against other families instead of
     * serializing behind their own prerequisites' timing slot.
     */
-  def warmCachesBase(s: SparkSession, dir: String): Seq[(String, Double)] = {
+  def warmCachesBase(s: SparkSession, dir: String): Seq[(String, Double)] =
+    warmCachesCore(s, dir) ++ warmCachesTriangles(s, dir) ++
+      warmCachesAdjacency(s, dir)
+
+  /** Edges + degrees — the prerequisites of EVERY other graph artifact;
+    * split out (r18) so the bench can fork the independent legs the
+    * moment these exist: the triangle→truss spine is the phase's
+    * critical path, and the adjacency/coreness leg (which needs only
+    * these two) packs onto the shared pool instead of serializing
+    * inside the spine's thread.
+    */
+  def warmCachesCore(s: SparkSession, dir: String): Seq[(String, Double)] = {
     val t0 = System.nanoTime()
     edges(s, dir).count()
     val t1 = System.nanoTime()
     degrees(s, dir).count()
-    val t2 = System.nanoTime()
+    Seq("graph_edges" -> (t1 - t0) / 1e9,
+      "graph_degrees" -> (System.nanoTime() - t1) / 1e9)
+  }
+
+  /** Triangle corners + per-edge support (both off the one shared wedge
+    * enumeration) — the middle of the decomposition critical path.
+    */
+  def warmCachesTriangles(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    val t0 = System.nanoTime()
     triCorners(s, dir).count()
-    val t3 = System.nanoTime()
+    val t1 = System.nanoTime()
     triEdgeSupport(s, dir).count()
-    val t4 = System.nanoTime()
-    // Above the adjacency cache gate the accessor returns the transient
-    // per-query plan — warming would execute (and then discard) the full
-    // |2E| ranking window for an artifact that is never retained (r15
-    // ADVICE), so the warm step mirrors the gate and skips.
-    val adjEntry = if (adjCacheGated(s, dir)) Seq.empty else {
-      rankedAdjacency(s, dir).count()
-      Seq("graph_adjacency" -> (System.nanoTime() - t4) / 1e9)
-    }
-    Seq("graph_edges" -> (t1 - t0) / 1e9, "graph_degrees" -> (t2 - t1) / 1e9,
-      "graph_tri_corners" -> (t3 - t2) / 1e9,
-      "graph_tri_edges" -> (t4 - t3) / 1e9) ++ adjEntry
+    Seq("graph_tri_corners" -> (t1 - t0) / 1e9,
+      "graph_tri_edges" -> (System.nanoTime() - t1) / 1e9)
+  }
+
+  /** The ranked adjacency, gate-respecting: above the adjacency cache
+    * gate the accessor returns the transient per-query plan — warming
+    * would execute (and then discard) the full |2E| ranking window for
+    * an artifact that is never retained (r15 ADVICE), so the warm step
+    * mirrors the gate and skips.
+    */
+  def warmCachesAdjacency(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    if (adjCacheGated(s, dir)) return Seq.empty
+    val t0 = System.nanoTime()
+    rankedAdjacency(s, dir).count()
+    Seq("graph_adjacency" -> (System.nanoTime() - t0) / 1e9)
   }
 
   /** The r14 decomposition fixpoints (truss + coreness), as their own
@@ -1262,6 +1284,15 @@ object GraphQueries {
     corenessLabels(s, dir).count()
     Seq("graph_coreness_labels" -> (System.nanoTime() - t0) / 1e9)
   }
+
+  /** Probe-facing flight record: (path, delta-rounds-engaged) for one
+    * decomposition ("truss" | "coreness" | "components") — the
+    * gate-validation evidence a scale probe's wall numbers alone can't
+    * carry (r18).
+    */
+  def decompFlightRecord(s: SparkSession, dir: String, d: String): (String, Int) =
+    (Option(decompPath.get((s, dir, d))).getOrElse("?"),
+      Option(deltaRounds.get((s, dir, d))).map(_.intValue).getOrElse(0))
 
   /** Unpersist + drop the cached edge/degree checkpoints for one data dir
     * — ScaleProbe runs many replica dirs through a single session, and

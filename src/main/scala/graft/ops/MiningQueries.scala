@@ -250,6 +250,10 @@ object MiningQueries {
         (0 until 5).map(i =>
           s"$i, nr, nr - nn$i, mn$i, mx$i, round(sl$i / nn$i, 2)").mkString(
           "stack(5, ", ", ", ") AS (cid, n_rows, n_nulls, v_min, v_max, avg_len)")))
+      // (r18 A/B, rejected alternative: five per-lane single-distinct
+      // aggregates unioned — narrower keys and pruned per-lane scans,
+      // but the 5 scans' fixed per-plan overhead ate the win: 1.48 vs
+      // 1.40 s min isolated. The one-scan stack stays.)
       val dist = Tables.lineitem(s, dir)
         .select(expr(
           """stack(5,

@@ -1294,6 +1294,48 @@ object TextQueries {
         .orderBy("sa", "sb")
     },
 
+    // JENSEN–SHANNON DIVERGENCE (r18): the symmetric, bounded [0, 1]-bit
+    // distance between each source pair's unigram distributions — the
+    // mixing-weight diagnostic next to text_vocab_overlap's set Jaccard
+    // (overlap says which WORDS are shared; JSD says whether they are
+    // used at the same RATES — the signal that actually predicts whether
+    // two sources are interchangeable in a training mix). Decomposed so
+    // only SHARED terms are ever joined: terms on one side only have
+    // m = p/2, so their whole contribution is ½·p·log2(2) = ½·p, and
+    // JSD = ½(1 − Sa) + ½(1 − Sb) + ½·Σ_shared [p·log2(2p/(p+q)) +
+    // q·log2(2q/(p+q))] with Sa/Sb the shared probability masses — no
+    // full-outer join, no per-pair vocabulary union. The (source, term)
+    // count table is one map-side-combined explode (vocab-sized,
+    // Heaps-bounded) checkpointed for its three consumers; p and q are
+    // doubles from exact integers and the formula text is identical in
+    // the oracle, round(4) + 0.0.
+    "text_js_divergence" -> { (s, dir) =>
+      val tc = Tables.documents(s, dir)
+        .select(col("source"), explode(toks).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val tot = tc.groupBy("source").agg(sum(col("c")).as("nt"))
+      val shared = tc.select(col("source").as("sa"), col("term"), col("c").as("ca"))
+        .join(tc.select(col("source").as("sb"), col("term"), col("c").as("cb")),
+          "term")
+        .filter(col("sa") < col("sb"))
+        .join(broadcast(tot.select(col("source").as("sa"), col("nt").as("na"))), "sa")
+        .join(broadcast(tot.select(col("source").as("sb"), col("nt").as("nb"))), "sb")
+      shared.groupBy("sa", "sb")
+        .agg(count(lit(1)).as("n_shared"),
+          sum(expr("CAST(ca AS DOUBLE) / na")).as("ma"),
+          sum(expr("CAST(cb AS DOUBLE) / nb")).as("mb"),
+          sum(expr(
+            "CAST(ca AS DOUBLE) / na * log2(2.0 * (CAST(ca AS DOUBLE) / na)" +
+              " / (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb))" +
+              " + CAST(cb AS DOUBLE) / nb * log2(2.0 * (CAST(cb AS DOUBLE) / nb)" +
+              " / (CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb))")).as("sh"))
+        .select(col("sa"), col("sb"), col("n_shared"),
+          (round((lit(1.0) - col("ma")) * 0.5 + (lit(1.0) - col("mb")) * 0.5
+            + col("sh") * 0.5, 4) + lit(0.0)).as("jsd_r"))
+        .orderBy("sa", "sb")
+    },
+
     // RAKE KEYWORDS (r13): Rapid Automatic Keyword Extraction — the
     // classic unsupervised keyword scorer (Rose et al. 2010): split each
     // document into candidate PHRASES at stopword boundaries, then score
@@ -2316,6 +2358,32 @@ object TextQueries {
         |            AS BIGINT) AS jaccard_ppm
         |FROM inter JOIN sizes x ON x.source = sa JOIN sizes y ON y.source = sb
         |ORDER BY sa, sb""".stripMargin,
+
+    "text_js_divergence" ->
+      """WITH tc AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM tc GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS nt FROM cnt GROUP BY 1),
+        |sh AS (
+        |  SELECT a.source AS sa, b.source AS sb,
+        |         CAST(count(*) AS BIGINT) AS n_shared,
+        |         sum(CAST(a.c AS DOUBLE) / x.nt) AS ma,
+        |         sum(CAST(b.c AS DOUBLE) / y.nt) AS mb,
+        |         sum(CAST(a.c AS DOUBLE) / x.nt * log2(2.0 * (CAST(a.c AS DOUBLE) / x.nt)
+        |              / (CAST(a.c AS DOUBLE) / x.nt + CAST(b.c AS DOUBLE) / y.nt))
+        |            + CAST(b.c AS DOUBLE) / y.nt * log2(2.0 * (CAST(b.c AS DOUBLE) / y.nt)
+        |              / (CAST(a.c AS DOUBLE) / x.nt + CAST(b.c AS DOUBLE) / y.nt))) AS s
+        |  FROM cnt a JOIN cnt b ON a.term = b.term AND a.source < b.source
+        |  JOIN tot x ON x.source = a.source
+        |  JOIN tot y ON y.source = b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa, sb, n_shared,
+        |       round((1.0 - ma) * 0.5 + (1.0 - mb) * 0.5 + s * 0.5, 4) + 0.0 AS jsd_r
+        |FROM sh ORDER BY sa, sb""".stripMargin,
 
     "text_heaps_law" ->
       """WITH tk AS (

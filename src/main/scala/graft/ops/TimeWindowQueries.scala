@@ -439,6 +439,77 @@ object TimeWindowQueries {
         .orderBy("src", "dst")
     },
 
+    // MARKOV ENTROPY RATE (r18): per source state, the Shannon entropy of
+    // its outgoing transition distribution — "how predictable is the next
+    // event given this one", the one-number sequel to events_markov's
+    // matrix (H → 0: deterministic funnel; H → log2(k): uniform noise) —
+    // plus the stationary weight π of each state in exact ppm. Same
+    // one-user-shuffle lag as events_markov, then everything runs on the
+    // ≤ k² transition ledger; the entropy uses text_entropy's exact
+    // identity H = log2(tot) − Σ n·log2(n) / tot, so the float sum
+    // crosses only the ≤ k per-state rows and the identical integers
+    // feed the identical formula in the oracle, round(4) + 0.0.
+    "events_entropy_rate" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val t = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("src", lag(col("event_type"), 1).over(w))
+        .filter(col("src").isNotNull)
+      val cnt = t.groupBy(col("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("n"))
+      val per = cnt.groupBy("src").agg(
+        sum(col("n")).as("tot"),
+        count(lit(1)).as("n_dst"),
+        sum(col("n").cast("double") * log2(col("n"))).as("nlg"))
+      val total = cnt.agg(sum(col("n")).as("all"))
+      per.crossJoin(broadcast(total))
+        .select(col("src"), col("tot"), col("n_dst"),
+          expr("CAST((CAST(tot AS DECIMAL(38,0)) * 1000000) div `all` AS BIGINT)")
+            .as("pi_ppm"),
+          (round(log2(col("tot")) - col("nlg") / col("tot"), 4) + lit(0.0))
+            .as("h_bits_r"))
+        .orderBy("src")
+    },
+
+    // VARIANCE-RATIO TEST (r18, Lo–MacKinlay form on population
+    // variances): per event arm, Var(q-period value change) / (q ·
+    // Var(1-period change)) at q = 4 — the classic "is this series a
+    // random walk" diagnostic (VR ≈ 1: uncorrelated increments; < 1:
+    // mean-reverting; > 1: trending), the hypothesis-test face next to
+    // ts_autocorr's correlogram. One arm-partitioned sorted window pass
+    // computes both lags (per-task state = a 4-row lookback), then the
+    // exact DECIMAL(38,0) moment ledgers (Σd, Σd² per lag) make VR one
+    // double expression — with the zero-variance guard as an EXACT
+    // integer test (n·Σd² − (Σd)² > 0 in decimal), where a double-side
+    // test could disagree between engines, round(4) + 0.0.
+    "ts_variance_ratio" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      val t = Tables.events(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+        .withColumn("d1", col("vc") - lag(col("vc"), 1).over(w))
+        .withColumn("d4", col("vc") - lag(col("vc"), 4).over(w))
+      t.groupBy("event_type")
+        .agg(count(col("d1")).as("n1"),
+          sum(col("d1").cast(d38)).as("s1"),
+          sum(col("d1").cast(d38) * col("d1")).as("q1"),
+          count(col("d4")).as("n4"),
+          sum(col("d4").cast(d38)).as("s4"),
+          sum(col("d4").cast(d38) * col("d4")).as("q4"))
+        .select(col("event_type"), col("n1"), col("n4"),
+          (round(expr(
+            "CASE WHEN n4 > 0 AND CAST(n1 AS DECIMAL(38,0)) * q1 - s1 * s1 > 0 THEN " +
+              "(greatest(CAST(q4 AS DOUBLE) / n4" +
+              " - (CAST(s4 AS DOUBLE) / n4) * (CAST(s4 AS DOUBLE) / n4), 0.0) / 4.0)" +
+              " / (CAST(q1 AS DOUBLE) / n1" +
+              " - (CAST(s1 AS DOUBLE) / n1) * (CAST(s1 AS DOUBLE) / n1)) END"), 4)
+            + lit(0.0)).as("vr_r"))
+        .orderBy("event_type")
+    },
+
     // CUSUM CHANGEPOINT (r11): per user, the point where the cumulative
     // deviation from the user's mean value peaks — the classic
     // change-detection statistic, in EXACT INTEGERS: with S = Σ cents and
@@ -1457,6 +1528,52 @@ object TimeWindowQueries {
         |       CAST((n * 1000000) // (sum(n) OVER (PARTITION BY src))
         |            AS BIGINT) AS p_ppm
         |FROM c ORDER BY src, dst""".stripMargin,
+
+    "events_entropy_rate" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS src
+        |  FROM events),
+        |c AS (
+        |  SELECT src, event_type AS dst, CAST(count(*) AS BIGINT) AS n
+        |  FROM t WHERE src IS NOT NULL GROUP BY 1, 2),
+        |per AS (
+        |  SELECT src, CAST(sum(n) AS BIGINT) AS tot,
+        |         CAST(count(*) AS BIGINT) AS n_dst,
+        |         sum(CAST(n AS DOUBLE) * log2(n)) AS nlg
+        |  FROM c GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS "all" FROM c)
+        |SELECT src, tot, n_dst,
+        |       CAST((CAST(tot AS HUGEINT) * 1000000) // "all" AS BIGINT) AS pi_ppm,
+        |       round(log2(tot) - nlg / tot, 4) + 0.0 AS h_bits_r
+        |FROM per CROSS JOIN tt ORDER BY src""".stripMargin,
+
+    "ts_variance_ratio" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+        |         vc - lag(vc, 1) OVER w AS d1,
+        |         vc - lag(vc, 4) OVER w AS d4
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT event_type,
+        |         CAST(count(d1) AS BIGINT) AS n1,
+        |         sum(CAST(d1 AS HUGEINT)) AS s1,
+        |         sum(CAST(d1 AS HUGEINT) * d1) AS q1,
+        |         CAST(count(d4) AS BIGINT) AS n4,
+        |         sum(CAST(d4 AS HUGEINT)) AS s4,
+        |         sum(CAST(d4 AS HUGEINT) * d4) AS q4
+        |  FROM t GROUP BY 1)
+        |SELECT event_type, n1, n4,
+        |       round(CASE WHEN n4 > 0 AND CAST(n1 AS HUGEINT) * q1 - s1 * s1 > 0 THEN
+        |             (greatest(CAST(q4 AS DOUBLE) / n4
+        |              - (CAST(s4 AS DOUBLE) / n4) * (CAST(s4 AS DOUBLE) / n4), 0.0) / 4.0)
+        |             / (CAST(q1 AS DOUBLE) / n1
+        |              - (CAST(s1 AS DOUBLE) / n1) * (CAST(s1 AS DOUBLE) / n1)) END, 4)
+        |         + 0.0 AS vr_r
+        |FROM g ORDER BY event_type""".stripMargin,
 
     "ts_changepoint" ->
       """WITH ev AS (
