@@ -600,6 +600,49 @@ object AdvancedQueries {
             + lit(0.0)).as("h_adj_r"))
     },
 
+    // FRIEDMAN TEST (r18): the BLOCKED rank test — arms ranked within
+    // each day, rank sums compared across arms (χ²_{k−1} under the
+    // null). Kruskal–Wallis pools every observation into one ranking and
+    // so confuses day-to-day drift with arm differences; Friedman
+    // blocks by day (each day is its own mini-ranking), which is the
+    // right design for "same arms measured repeatedly" metric panels.
+    // Complete blocks only (the standard test is undefined on missing
+    // cells): a day enters iff all k arms reported, enforced with an
+    // exact per-day count against the global arm count. Average ranks
+    // carry ties exactly as 2r̄ = 2·rank_min + ties − 1 (the
+    // kruskal-wallis integer-doubling trick), so every rank sum is an
+    // exact integer and Q = 3·Σ(2R_j)²/(n·k·(k+1)) − 3·n·(k+1) is one
+    // double expression from the exact ledger, identical text in the
+    // oracle. Degenerate guard: no complete block (or an empty corpus)
+    // leaves the arm ledger empty — the CASE emits NULL on both faces.
+    // Scale shape: ONE corpus exchange (the daily aggregate); every
+    // window and join after it runs on the ≤ arms×days ledger.
+    "agg_friedman" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type").as("g"), col("ts").cast("date").as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("sc"))
+        .localCheckpoint() // feeds arm count + ranked pass (mann_kendall precedent)
+      val karm = daily.agg(countDistinct(col("g")).as("k"))
+      val ranked = daily
+        .withColumn("nb", count(lit(1)).over(Window.partitionBy("day")))
+        .withColumn("rmin", rank().over(Window.partitionBy("day").orderBy("sc")))
+        .withColumn("ties", count(lit(1)).over(Window.partitionBy("day", "sc")))
+      val rg = ranked.crossJoin(broadcast(karm))
+        .filter(col("nb") === col("k"))
+        .select(col("g"), (lit(2) * col("rmin") + col("ties") - 1).as("r2"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("nb"), sum(col("r2").cast(d38)).as("r2sum"))
+      rg.crossJoin(broadcast(karm))
+        .agg(min(col("k")).as("k"), min(col("nb")).as("n_blocks"),
+          (round(expr(
+            "CASE WHEN count(*) > 0 AND min(nb) > 0 THEN " +
+              "3.0 * sum(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE))" +
+              " / (CAST(min(nb) AS DOUBLE) * min(k) * (min(k) + 1))" +
+              " - 3.0 * min(nb) * (min(k) + 1) END"), 4)
+            + lit(0.0)).as("q_r"))
+    },
+
     // BOWLEY QUANTILE SKEWNESS (r17): the robust skew readout —
     // (p75 − 2·med + p25)/(p75 − p25) per group over l_extendedprice —
     // served ENTIRELY from the session [[priceStats]] artifact (the
@@ -1162,6 +1205,31 @@ object AdvancedQueries {
         |               / (CAST(min(n) AS DOUBLE) * min(n) * min(n) - min(n))) END,
         |             4) + 0.0 AS h_adj_r
         |FROM rg CROSS JOIN tot""".stripMargin,
+
+    "agg_friedman" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+        |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM events GROUP BY 1, 2
+        |), ka AS (
+        |  SELECT CAST(count(DISTINCT g) AS BIGINT) AS k FROM daily
+        |), ranked AS (
+        |  SELECT g, day, sc,
+        |         count(*) OVER (PARTITION BY day) AS nb,
+        |         rank() OVER (PARTITION BY day ORDER BY sc) AS rmin,
+        |         count(*) OVER (PARTITION BY day, sc) AS ties
+        |  FROM daily
+        |), rg AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS nb,
+        |         sum(CAST(2 * rmin + ties - 1 AS HUGEINT)) AS r2sum
+        |  FROM ranked CROSS JOIN ka WHERE ranked.nb = ka.k GROUP BY g
+        |)
+        |SELECT CAST(min(k) AS BIGINT) AS k, CAST(min(nb) AS BIGINT) AS n_blocks,
+        |       round(CASE WHEN count(*) > 0 AND min(nb) > 0 THEN
+        |             3.0 * sum(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE))
+        |             / (CAST(min(nb) AS DOUBLE) * min(k) * (min(k) + 1))
+        |             - 3.0 * min(nb) * (min(k) + 1) END, 4) + 0.0 AS q_r
+        |FROM rg CROSS JOIN ka""".stripMargin,
 
     "agg_quantile_skew" ->
       """WITH t AS (

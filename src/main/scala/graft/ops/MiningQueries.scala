@@ -546,6 +546,51 @@ object MiningQueries {
         .orderBy("event_type")
     },
 
+    // JARQUE–BERA NORMALITY TEST (r18): the one-number "is this column
+    // Gaussian" screen — JB = n/6·(S² + K²/4) over skewness S and excess
+    // kurtosis K (χ²₂ under normality) — per market segment over account
+    // balances, the classic near-symmetric-but-uniform fixture (JB
+    // rejects on kurtosis, not skew). Same exact-power-sum discipline as
+    // agg_moments, on a column agg_moments doesn't touch: balances are
+    // SIGNED cents up to |c| ≈ 10⁶, so c⁴ ≈ 10²⁴ forces DECIMAL(38,0)
+    // from the FIRST multiply (the r12 lesson — Int64 wraps silently at
+    // c ≥ 55 110 where DuckDB raises). Central moments and JB are
+    // closed-form doubles from the exact sums, identical expression text
+    // in the oracle; the zero-variance degenerate (all balances equal in
+    // a segment) gates on the EXACT integer test n·s2 − s1² > 0, where a
+    // double-side m2 > 0 could disagree between engines. One map-side-
+    // combined aggregate at any corpus size.
+    "agg_jarque_bera" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val c = floor(col("c_acctbal") * 100 + 0.5).cast("long")
+      val cD = c.cast(d38)
+      val m = graft.Tables.customer(s, dir)
+        .select(col("c_mktsegment").as("g"), c.as("c"), cD.as("cd"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cd")).as("s1"),
+          sum(col("cd") * col("c")).as("s2"),
+          sum(col("cd") * col("c") * col("c")).as("s3"),
+          sum(col("cd") * col("c") * col("c") * col("c")).as("s4"))
+      val nD = col("n").cast("double")
+      val mu = col("s1").cast("double") / nD
+      val r2 = col("s2").cast("double") / nD
+      val r3 = col("s3").cast("double") / nD
+      val r4 = col("s4").cast("double") / nD
+      val m2 = r2 - mu * mu
+      val m3 = r3 - lit(3.0) * mu * r2 + lit(2.0) * mu * mu * mu
+      val m4 = r4 - lit(4.0) * mu * r3 + lit(6.0) * mu * mu * r2 -
+        lit(3.0) * mu * mu * mu * mu
+      val sk = m3 / (m2 * sqrt(m2))
+      val ek = m4 / (m2 * m2) - lit(3.0)
+      m.select(col("g"), col("n"),
+          (round(when(
+            expr("CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1 > 0"),
+            nD / lit(6.0) * (sk * sk + ek * ek / lit(4.0))), 4)
+            + lit(0.0)).as("jb_r"))
+        .orderBy("g")
+    },
+
     // HERFINDAHL–HIRSCHMAN INDEX (r11): source concentration per language
     // over the document corpus — the mix-diversity number a curation
     // dashboard tracks next to the Gini (HHI = Σ share², 10⁶·Σn_s²/N² in
@@ -1160,6 +1205,42 @@ object MiningQueries {
         |       round(m3 / (m2 * sqrt(m2)), 4) + 0.0 AS skew_r,
         |       round(m4 / (m2 * m2) - 3.0, 4) + 0.0 AS exkurt_r
         |FROM c ORDER BY event_type""".stripMargin,
+
+    "agg_jarque_bera" ->
+      """WITH m AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(c AS HUGEINT)) AS s1,
+        |         sum(CAST(c AS HUGEINT) * c) AS s2,
+        |         sum(CAST(c AS HUGEINT) * c * c) AS s3,
+        |         sum(CAST(c AS HUGEINT) * c * c * c) AS s4
+        |  FROM (SELECT c_mktsegment AS g,
+        |               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS c
+        |        FROM customer)
+        |  GROUP BY g),
+        |d AS (
+        |  SELECT g, n, s1, s2,
+        |         CAST(s1 AS DOUBLE) / n AS mu,
+        |         CAST(s2 AS DOUBLE) / n AS r2,
+        |         CAST(s3 AS DOUBLE) / n AS r3,
+        |         CAST(s4 AS DOUBLE) / n AS r4
+        |  FROM m),
+        |c AS (
+        |  SELECT g, n, s1, s2,
+        |         r2 - mu * mu AS m2,
+        |         r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+        |         r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+        |           - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM d),
+        |s AS (
+        |  SELECT g, n, s1, s2, m2,
+        |         m3 / (m2 * sqrt(m2)) AS sk,
+        |         m4 / (m2 * m2) - 3.0 AS ek
+        |  FROM c)
+        |SELECT g, n,
+        |       round(CASE WHEN CAST(n AS HUGEINT) * s2 - s1 * s1 > 0 THEN
+        |             CAST(n AS DOUBLE) / 6.0 * (sk * sk + ek * ek / 4.0) END, 4)
+        |         + 0.0 AS jb_r
+        |FROM s ORDER BY g""".stripMargin,
 
     // The HUGEINT casts mirror the Spark side's DECIMAL(38,0) routing
     // (r12): both engines stay exact to ~10¹⁵ rows per group instead of

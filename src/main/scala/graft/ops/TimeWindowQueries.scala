@@ -510,6 +510,114 @@ object TimeWindowQueries {
         .orderBy("event_type")
     },
 
+    // POOLED BOX–PIERCE PORTMANTEAU (r18): per event arm, the joint
+    // whiteness test over lags 1–5 of the per-user value series —
+    // ts_autocorr answers "is lag 1 correlated", this answers "is the
+    // correlogram AS A WHOLE flat" (Q = Σ_k n_k·ρ_k², the Box–Pierce
+    // statistic pooled over user sequences, χ²₅ under the null). ONE
+    // user-partitioned sorted window derives all five lags (per-task
+    // state = a 5-row lookback), then one hash aggregate computes the
+    // five corr pairs — corr skips null lag rows in both engines, so the
+    // per-lag pair counts n_k fall out of the same pass. A degenerate arm
+    // (zero variance at any lag) yields NaN from Spark's corr but NULL
+    // from DuckDB's — the isnan guard maps both faces to NULL Q. corr is
+    // scale-invariant (the ts_autocorr argument) and the n_k·ρ_k²
+    // amplification of last-ulp corr drift is ~1e-8 at this n, far
+    // inside round(4).
+    "ts_ljung_box" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val lagged = (1 to 5).foldLeft(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"))) { (df, k) =>
+        df.withColumn(s"l$k", lag(col("value"), k).over(w))
+      }
+      val terms = (1 to 5).map { k =>
+        val c = corr(col("value"), col(s"l$k"))
+        val safe = when(isnan(c), lit(null)).otherwise(c)
+        (count(col(s"l$k")).cast("double") * safe * safe).as(s"t$k")
+      }
+      lagged.groupBy("event_type")
+        .agg(count(col("l1")).as("n1"), count(col("l5")).as("n5"),
+          (round(terms.reduce(_ + _), 4) + lit(0.0)).as("q_bp_r"))
+        .orderBy("event_type")
+    },
+
+    // PERMUTATION ENTROPY (r18, Bandt–Pompe order 3): per event arm, the
+    // Shannon entropy of the ordinal-pattern distribution over sliding
+    // value triples within each user's sequence — the complexity measure
+    // that sees STRUCTURE where variance-based tests see noise (a strict
+    // sawtooth has two patterns, H = 1 bit; white noise fills all six,
+    // H → log2 6). Comparisons run on EXACT integer cents; ties break by
+    // position (the standard Bandt–Pompe stabilization: the earlier
+    // element ranks lower), so the pattern of every triple is
+    // deterministic and engine-identical — no doubles anywhere until the
+    // final entropy, which reuses events_entropy_rate's exact identity
+    // H = log2(n) − Σ c·log2(c)/n over the ≤ 6-row pattern ledger.
+    // One user-partitioned sorted window (2-row lookback), one
+    // map-side-combined (arm, pattern) aggregate, then arm-level folds.
+    "ts_permutation_entropy" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val t = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v2"))
+        .withColumn("v1", lag(col("v2"), 1).over(w))
+        .withColumn("v0", lag(col("v2"), 2).over(w))
+        .filter(col("v0").isNotNull)
+      // rank of element i = |{j : v_j < v_i, or v_j = v_i and j < i}|
+      val r0 = (col("v1") < col("v0")).cast("int") +
+        (col("v2") < col("v0")).cast("int")
+      val r1 = (col("v0") <= col("v1")).cast("int") +
+        (col("v2") < col("v1")).cast("int")
+      val r2 = (col("v0") <= col("v2")).cast("int") +
+        (col("v1") <= col("v2")).cast("int")
+      val cnt = t
+        .select(col("event_type"),
+          concat(r0.cast("string"), r1.cast("string"), r2.cast("string"))
+            .as("pattern"))
+        .groupBy("event_type", "pattern").agg(count(lit(1)).as("n"))
+      cnt.groupBy("event_type")
+        .agg(sum(col("n")).as("n_triples"), count(lit(1)).as("n_patterns"),
+          sum(col("n").cast("double") * log2(col("n"))).as("nlg"))
+        .select(col("event_type"), col("n_triples"), col("n_patterns"),
+          (round(log2(col("n_triples")) - col("nlg") / col("n_triples"), 4)
+            + lit(0.0)).as("h_bits_r"))
+        .orderBy("event_type")
+    },
+
+    // RUNNING DISTINCT (r18): per (user, active day), how many DISTINCT
+    // event types the user has touched so far — the engagement-breadth
+    // curve behind activation dashboards ("day N reached 3 features").
+    // Exact cumulative distinct without carrying per-row sets: a type
+    // contributes at its FIRST day only (min is order-independent), so
+    // ONE corpus exchange on the (user, type, day) grain feeds both the
+    // per-day event counts and the first-seen ledger, and the cumulative
+    // count is a prefix sum of first-seen flags over each user's ≤ span
+    // active days. At 100 TB the shuffle carries the (user, type, day)
+    // grain — bounded by users × types × days, already far below the raw
+    // corpus — and the window state is one running sum. Streaming face:
+    // streaming/RunningDistinctMonitor (state = the same min-day ledger,
+    // Σ = users × types).
+    "window_running_distinct" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val daily = g.groupBy("user_id", "day")
+        .agg(sum(col("n")).as("n_events"))
+      val novel = g.groupBy("user_id", "event_type")
+        .agg(min(col("day")).as("day"))
+        .groupBy("user_id", "day").agg(count(lit(1)).as("novel"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+      daily.join(novel, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), col("n_events"),
+          sum(coalesce(col("novel"), lit(0L))).over(w).as("cum_types"))
+        .orderBy("user_id", "day")
+    },
+
     // CUSUM CHANGEPOINT (r11): per user, the point where the cumulative
     // deviation from the user's mean value peaks — the classic
     // change-detection statistic, in EXACT INTEGERS: with S = Σ cents and
@@ -1574,6 +1682,67 @@ object TimeWindowQueries {
         |              - (CAST(s1 AS DOUBLE) / n1) * (CAST(s1 AS DOUBLE) / n1)) END, 4)
         |         + 0.0 AS vr_r
         |FROM g ORDER BY event_type""".stripMargin,
+
+    "ts_ljung_box" ->
+      """WITH l AS (
+        |  SELECT event_type, value,
+        |         lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+        |         lag(value, 3) OVER w AS l3, lag(value, 4) OVER w AS l4,
+        |         lag(value, 5) OVER w AS l5
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |SELECT event_type,
+        |       CAST(count(l1) AS BIGINT) AS n1, CAST(count(l5) AS BIGINT) AS n5,
+        |       round(count(l1) * corr(value, l1) * corr(value, l1)
+        |           + count(l2) * corr(value, l2) * corr(value, l2)
+        |           + count(l3) * corr(value, l3) * corr(value, l3)
+        |           + count(l4) * corr(value, l4) * corr(value, l4)
+        |           + count(l5) * corr(value, l5) * corr(value, l5), 4)
+        |         + 0.0 AS q_bp_r
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ts_permutation_entropy" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v2,
+        |         lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 1) OVER w AS v1,
+        |         lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 2) OVER w AS v0
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |p AS (
+        |  SELECT event_type,
+        |         CAST(CAST((v1 < v0)::INT + (v2 < v0)::INT AS VARCHAR)
+        |           || CAST((v0 <= v1)::INT + (v2 < v1)::INT AS VARCHAR)
+        |           || CAST((v0 <= v2)::INT + (v1 <= v2)::INT AS VARCHAR)
+        |           AS VARCHAR) AS pattern
+        |  FROM t WHERE v0 IS NOT NULL),
+        |c AS (
+        |  SELECT event_type, pattern, CAST(count(*) AS BIGINT) AS n
+        |  FROM p GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_triples,
+        |       CAST(count(*) AS BIGINT) AS n_patterns,
+        |       round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 4) + 0.0
+        |         AS h_bits_r
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "window_running_distinct" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |daily AS (
+        |  SELECT user_id, day, CAST(sum(n) AS BIGINT) AS n_events
+        |  FROM g GROUP BY 1, 2),
+        |novel AS (
+        |  SELECT user_id, day, CAST(count(*) AS BIGINT) AS novel
+        |  FROM (SELECT user_id, event_type, min(day) AS day
+        |        FROM g GROUP BY 1, 2)
+        |  GROUP BY 1, 2)
+        |SELECT d.user_id, d.day, d.n_events,
+        |       CAST(sum(COALESCE(v.novel, 0)) OVER (
+        |         PARTITION BY d.user_id ORDER BY d.day) AS BIGINT) AS cum_types
+        |FROM daily d LEFT JOIN novel v USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
 
     "ts_changepoint" ->
       """WITH ev AS (

@@ -539,6 +539,56 @@ object VectorQueries {
         .orderBy("label", "rn")
     },
 
+    // LABEL SILHOUETTE (r18): the one-number label-coherence audit —
+    // per label, the mean simplified silhouette s = (b − a)/max(a, b)
+    // with a = distance to the OWN label centroid and b = the nearest
+    // OTHER label centroid (s → 1: tight, well-separated cluster; s ≤ 0:
+    // vectors sit closer to a foreign centroid — the mislabel smell
+    // emb_centroid_outliers finds pointwise, summarized per class).
+    // Exactness recipe: the emb_centroid_outliers grid verbatim —
+    // integer-quantized components, the ONE double division per centroid
+    // mean, per-row distances folded in index order — then a and b are
+    // identical doubles on both faces (b is a min over ≤ labels values,
+    // order-independent), the k = 1 degenerate (no other label) emits
+    // NULL through the same CASE text, and only the final ≤ per-label
+    // mean crosses engines as a float sum, round(4) + 0.0. Scale shape:
+    // centroid build is the posexplode partial agg (labels·dim rows per
+    // task); ALL label centroids then ride ONE collected 1-row broadcast
+    // so the per-vector a/b pass is a single projection over the corpus
+    // — no per-vector shuffle, no crossJoin blowup (labels, not rows).
+    "emb_silhouette_label" -> { (s, dir) =>
+      val qv = transform(col("embedding"),
+        x => floor(x.cast("double") * 10000 + 0.5))
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), qv.as("qv"))
+      val cent = e
+        .select(col("label"), posexplode(col("qv")).as(Seq("p", "q")))
+        .groupBy("label", "p")
+        .agg((sum(col("q")) / count(lit(1))).as("m"))
+        .groupBy("label")
+        .agg(collect_list(struct(col("p"), col("m"))).as("pm"))
+        .select(col("label").as("cl"),
+          transform(array_sort(col("pm")), x => x.getField("m")).as("cv"))
+      val call = cent.agg(collect_list(struct(col("cl"), col("cv"))).as("cents"))
+      e.crossJoin(broadcast(call))
+        .withColumn("ds", transform(col("cents"), c =>
+          struct(c.getField("cl").as("cl"),
+            (sqrt(aggregate(zip_with(col("qv"), c.getField("cv"),
+              (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
+              / 10000.0).as("d"))))
+        .withColumn("a", expr("filter(ds, x -> x.cl = label)[0].d"))
+        .withColumn("b",
+          expr("array_min(transform(filter(ds, x -> x.cl <> label), x -> x.d))"))
+        .withColumn("sil", expr(
+          "CASE WHEN b IS NULL THEN NULL" +
+            " WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)" +
+            " ELSE 0.0 END"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          (round(avg(col("sil")), 4) + lit(0.0)).as("sil_r"))
+        .orderBy("label")
+    },
+
     // K-MEANS (Lloyd's, 2 unrolled iterations, k=8) — the clustering pass
     // embedding-space curation runs before intra-cluster work (SemDeDup
     // clusters before deduping inside each cluster; cluster-balanced
@@ -1558,6 +1608,42 @@ object VectorQueries {
         |        ORDER BY round(dist, 6) DESC, vec_id) AS INT) AS rn
         |      FROM d)
         |WHERE rn <= 5 ORDER BY label, rn""".stripMargin,
+
+    "emb_silhouette_label" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding,
+        |           x -> floor(CAST(x AS DOUBLE) * 10000 + 0.5)) AS qv
+        |  FROM embeddings
+        |), comp AS (
+        |  SELECT label, unnest(range(1, len(qv) + 1)) AS pos, qv FROM e
+        |), cent AS (
+        |  SELECT label, pos, sum(qv[pos]) / count(*) AS m
+        |  FROM comp GROUP BY 1, 2
+        |), carr AS (
+        |  SELECT label AS cl, list(m ORDER BY pos) AS cv FROM cent GROUP BY 1
+        |), d AS (
+        |  SELECT e.vec_id, e.label, c.cl,
+        |         sqrt(list_reduce(
+        |           list_prepend(CAST(0 AS DOUBLE),
+        |             list_transform(range(1, len(e.qv) + 1),
+        |               i -> (e.qv[i] - c.cv[i]) * (e.qv[i] - c.cv[i]))),
+        |           (a, b) -> a + b)) / 10000 AS dist
+        |  FROM e CROSS JOIN carr c
+        |), ab AS (
+        |  SELECT vec_id, label,
+        |         min(CASE WHEN cl = label THEN dist END) AS a,
+        |         min(CASE WHEN cl <> label THEN dist END) AS b
+        |  FROM d GROUP BY 1, 2
+        |), s AS (
+        |  SELECT label,
+        |         CASE WHEN b IS NULL THEN NULL
+        |              WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+        |              ELSE 0.0 END AS sil
+        |  FROM ab)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       round(avg(sil), 4) + 0.0 AS sil_r
+        |FROM s GROUP BY label ORDER BY label""".stripMargin,
 
     "emb_random_projection" ->
       s"""SELECT vec_id,
