@@ -643,6 +643,63 @@ object AdvancedQueries {
             + lit(0.0)).as("q_r"))
     },
 
+    // WILCOXON SIGNED-RANK (r18): the PAIRED two-sample test — daily
+    // click revenue vs daily purchase revenue, differenced WITHIN each
+    // day, so day-to-day drift cancels where agg_mannwhitney's unpaired
+    // ranks would absorb it (the paired complement; agg_friedman
+    // generalizes the same blocking to k arms). Textbook form: zero
+    // differences drop, |d| gets average ranks (tie-exact as
+    // 2r̄ = 2·rank_min + ties − 1, all integers), W⁺ doubles to the
+    // integer w2_plus, and z = (2W⁺ − n(n+1)/2)/√(n(n+1)(2n+1)/6 −
+    // Σ(t³−t)/12) — the tie-corrected normal approximation as ONE double
+    // expression from exact integers (identical text in the oracle; the
+    // t³ terms stay in longs because n is CALENDAR-bounded — ≤ days, not
+    // corpus-sized, the agg_mann_kendall argument). Degenerate guard:
+    // no nonzero pairs (n = 0), or every |d| tied in one group AND n ≤ 1
+    // (variance 0 requires n ≤ 1: with one tie group 4σ² = n(n+1)²/4),
+    // gated by the exact integer variance test on both faces. ONE corpus
+    // exchange (the daily pivot); ranks ride the ≤ days-row ledger.
+    "agg_wilcoxon_signed_rank" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(
+          sum(when(col("event_type") === "click",
+            floor(col("value") * 100 + 0.5).cast("long"))).as("sc_c"),
+          sum(when(col("event_type") === "purchase",
+            floor(col("value") * 100 + 0.5).cast("long"))).as("sc_p"))
+        .filter(col("sc_c").isNotNull && col("sc_p").isNotNull)
+        .select((col("sc_c") - col("sc_p")).as("d"))
+        .filter(col("d") =!= 0)
+      // |d| VALUE grain (≤ days rows), checkpointed because both the rank
+      // prefix and its broadcast prior read it (the mann_kendall pattern);
+      // average ranks by the kruskal windowless triangular prefix:
+      // 2r̄(v) = 2·(mass below v) + ties + 1, all exact integers
+      val vg = daily
+        .groupBy(abs(col("d")).as("absd"))
+        .agg(count(lit(1)).as("t"),
+          sum(when(col("d") > 0, 1L).otherwise(0L)).as("tp"))
+        .localCheckpoint()
+      val prior = vg.select(col("absd").as("__v"), col("t").as("__t"))
+      val rk = vg.join(broadcast(prior), col("__v") < col("absd"), "left")
+        .groupBy("absd", "t", "tp")
+        .agg(coalesce(sum(col("__t")), lit(0L)).as("cum"))
+        .select(col("t"), col("tp"),
+          (lit(2) * col("cum") + col("t") + 1).as("r2"))
+      rk.agg(
+          sum(col("t")).as("n_pairs"),
+          sum(col("tp") * col("r2")).as("w2_plus"),
+          sum(col("t") * col("t") * col("t") - col("t")).as("tt"))
+        .select(col("n_pairs"), col("w2_plus"),
+          (round(expr(
+            "CASE WHEN n_pairs > 0 AND " +
+              "2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) - tt > 0 THEN " +
+              "CAST(w2_plus - n_pairs * (n_pairs + 1) div 2 AS DOUBLE)" +
+              " / sqrt(CAST(n_pairs AS DOUBLE) * (n_pairs + 1) * (2 * n_pairs + 1)" +
+              " / 6.0 - CAST(tt AS DOUBLE) / 12.0) END"), 4)
+            + lit(0.0)).as("z_r"))
+    },
+
     // BOWLEY QUANTILE SKEWNESS (r17): the robust skew readout —
     // (p75 − 2·med + p25)/(p75 − p25) per group over l_extendedprice —
     // served ENTIRELY from the session [[priceStats]] artifact (the
@@ -1230,6 +1287,39 @@ object AdvancedQueries {
         |             / (CAST(min(nb) AS DOUBLE) * min(k) * (min(k) + 1))
         |             - 3.0 * min(nb) * (min(k) + 1) END, 4) + 0.0 AS q_r
         |FROM rg CROSS JOIN ka""".stripMargin,
+
+    "agg_wilcoxon_signed_rank" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         sum(CASE WHEN event_type = 'click'
+        |             THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END) AS sc_c,
+        |         sum(CASE WHEN event_type = 'purchase'
+        |             THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END) AS sc_p
+        |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+        |), d AS (
+        |  SELECT sc_c - sc_p AS d FROM daily
+        |  WHERE sc_c IS NOT NULL AND sc_p IS NOT NULL AND sc_c - sc_p <> 0
+        |), vg AS (
+        |  SELECT abs(d) AS absd, CAST(count(*) AS BIGINT) AS t,
+        |         CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        |  FROM d GROUP BY 1
+        |), rk AS (
+        |  SELECT a.t, a.tp,
+        |         2 * (SELECT coalesce(sum(b.t), 0) FROM vg b
+        |              WHERE b.absd < a.absd) + a.t + 1 AS r2
+        |  FROM vg a
+        |), agg AS (
+        |  SELECT CAST(sum(t) AS BIGINT) AS n_pairs,
+        |         CAST(sum(tp * r2) AS BIGINT) AS w2_plus,
+        |         CAST(sum(t * t * t - t) AS BIGINT) AS tt
+        |  FROM rk)
+        |SELECT n_pairs, w2_plus,
+        |       round(CASE WHEN n_pairs > 0 AND
+        |             2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) - tt > 0 THEN
+        |             CAST(w2_plus - n_pairs * (n_pairs + 1) // 2 AS DOUBLE)
+        |             / sqrt(CAST(n_pairs AS DOUBLE) * (n_pairs + 1) * (2 * n_pairs + 1)
+        |                    / 6.0 - CAST(tt AS DOUBLE) / 12.0) END, 4) + 0.0 AS z_r
+        |FROM agg""".stripMargin,
 
     "agg_quantile_skew" ->
       """WITH t AS (

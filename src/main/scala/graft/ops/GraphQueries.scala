@@ -2011,6 +2011,36 @@ object GraphQueries {
         .orderBy("src", "dist")
     },
 
+    // ECCENTRICITY LOWER BOUNDS (r18): the landmark-BFS read the distance
+    // oracles actually serve — ecc(u) ≥ max_L d(u, L) for every node the
+    // landmarks reach (the BoundingDiameters/landmark-embedding bound;
+    // exact eccentricity is all-pairs BFS, O(n·E), refused at corpus
+    // scale). Same 3-landmark bounded-hop BFS as graph_landmark_distance
+    // (one |E|-bounded hash join + anti-join per round against the cached
+    // adjacency), then per node the MAX landmark distance, restricted to
+    // nodes all 3 landmarks reached (a partial view would understate the
+    // bound), reported as the bound histogram. Everything exact integers;
+    // the oracle replays the identical walk as a recursive CTE.
+    "graph_eccentricity" -> { (s, dir) =>
+      val bi = adjacency(s, dir)
+      val seeds = degrees(s, dir).orderBy("u").limit(3)
+        .select(col("u").as("src"), col("u"))
+      var reached = seeds.withColumn("dist", lit(0L))
+      var frontier = seeds
+      for (r <- 1 to 3) {
+        val next = bi.join(frontier, "u")
+          .select(col("src"), col("v").as("u")).distinct()
+          .join(reached.select("src", "u"), Seq("src", "u"), "left_anti")
+        reached = reached.unionByName(next.withColumn("dist", lit(r.toLong)))
+        frontier = next
+      }
+      reached.groupBy("u")
+        .agg(max(col("dist")).as("ecc_lb"), count(lit(1)).as("n_landmarks"))
+        .filter(col("n_landmarks") === 3)
+        .groupBy("ecc_lb").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("ecc_lb")
+    },
+
     // DEGREE ASSORTATIVITY (r10): Newman's r — the Pearson correlation
     // of endpoint degrees over the directed edge list (both directions,
     // the standard undirected convention). Do high-degree products
@@ -2368,6 +2398,24 @@ object GraphQueries {
          |SELECT src, CAST(dist AS BIGINT) AS dist,
          |       CAST(count(*) AS BIGINT) AS n_nodes
          |FROM md GROUP BY src, dist ORDER BY src, dist""".stripMargin,
+
+    "graph_eccentricity" ->
+      s"""${oracleEdgeCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |seeds AS (SELECT u FROM deg ORDER BY u LIMIT 3),
+         |walk(src, node, dist) AS (
+         |  SELECT u, u, 0 FROM seeds
+         |  UNION
+         |  SELECT w.src, bi.v, w.dist + 1
+         |  FROM walk w JOIN bi ON bi.u = w.node WHERE w.dist < 3),
+         |md AS (SELECT src, node, min(dist) AS dist
+         |       FROM walk GROUP BY src, node),
+         |ecc AS (SELECT node, max(dist) AS ecc_lb,
+         |               count(*) AS n_landmarks
+         |        FROM md GROUP BY node)
+         |SELECT CAST(ecc_lb AS BIGINT) AS ecc_lb,
+         |       CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM ecc WHERE n_landmarks = 3
+         |GROUP BY ecc_lb ORDER BY ecc_lb""".stripMargin,
 
     "graph_label_prop" ->
       s"""$oracleEdgeCtes,

@@ -168,6 +168,29 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // PER-DOCUMENT HAPAX RATIO (r18): lexical richness at the DOC grain —
+    // the share of a document's distinct terms that occur exactly once in
+    // it. Template-stamped and looping machine text reuses its vocabulary
+    // (low hapax share); natural prose keeps minting one-off words (high)
+    // — the per-document cousin of text_vocab_chao1's corpus-level f1
+    // (which this deliberately does NOT duplicate: that one asks "how
+    // much vocabulary is uncrawled", this flags individual documents for
+    // the quality funnel). All exact integers: one (doc, term) aggregate,
+    // one doc-grain fold, ratio in integer ppm — nothing beyond the
+    // per-doc vocabulary grain ever shuffles, and the engines agree
+    // bit-for-bit.
+    "text_hapax_ratio" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(toks).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_types"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("doc_id"), col("n_types"), col("n_hapax"),
+          expr("(n_hapax * 1000000) div n_types").as("hapax_ppm"))
+        .orderBy("doc_id")
+    },
+
     // LOG-ODDS TERM MARKEDNESS (r16): which terms are most
     // over-represented in each language vs the REST of the corpus — the
     // Monroe et al. "Fightin' Words" log-odds-ratio with a Dirichlet
@@ -1810,6 +1833,21 @@ object TextQueries {
         |             / (2.0 * (sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) + 1)),
         |             4) AS chao1
         |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_hapax_ratio" ->
+      """WITH tc AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), d AS (
+        |  SELECT doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_types,
+        |         CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |  FROM tc GROUP BY doc_id)
+        |SELECT doc_id, n_types, n_hapax,
+        |       CAST(n_hapax * 1000000 // n_types AS BIGINT) AS hapax_ppm
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "text_log_odds" ->
       """WITH tc AS (

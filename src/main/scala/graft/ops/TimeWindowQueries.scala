@@ -587,6 +587,40 @@ object TimeWindowQueries {
         .orderBy("event_type")
     },
 
+    // SEASONAL STRENGTH (r18): per arm, how much of the value variance
+    // the hour-of-day explains — the ANOVA R² over 24 hour blocks
+    // (strength → 0: no diurnal pattern; → 1: the clock IS the signal),
+    // the one-number companion to ts_seasonality's per-hour profile (that
+    // shows the SHAPE; this says whether the shape matters). The
+    // between/total decomposition rides exact integer ledgers: per
+    // (arm, hour) n/Σc/Σc² in DECIMAL(38,0), then strength =
+    // (Σ_h s_h²/n_h − S²/N)/(Q − S²/N) is one double expression from the
+    // ≤ 24-row ledger — with the zero-variance degenerate gated by the
+    // EXACT integer test N·Q − S² > 0 (the ts_variance_ratio precedent).
+    // One corpus exchange on (arm, hour); everything after is 24 rows.
+    "ts_seasonal_strength" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val c = floor(col("value") * 100 + 0.5).cast("long")
+      val h = Tables.events(s, dir)
+        .select(col("event_type").as("g"), hour(col("ts")).cast("long").as("hod"),
+          c.as("c"), c.cast(d38).as("cd"))
+        .groupBy("g", "hod")
+        .agg(count(lit(1)).as("nh"), sum(col("cd")).as("sh"),
+          sum(col("cd") * col("c")).as("qh"))
+      h.groupBy("g")
+        .agg(sum(col("nh")).as("n"), count(lit(1)).as("n_hours"),
+          sum(col("sh")).as("s"), sum(col("qh")).as("q"),
+          sum(col("sh").cast("double") * col("sh").cast("double") / col("nh"))
+            .as("b"))
+        .select(col("g"), col("n"), col("n_hours"),
+          (round(expr(
+            "CASE WHEN CAST(n AS DECIMAL(38,0)) * q - s * s > 0 THEN " +
+              "(b - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)" +
+              " / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)" +
+              " END"), 4) + lit(0.0)).as("strength_r"))
+        .orderBy("g")
+    },
+
     // RUNNING DISTINCT (r18): per (user, active day), how many DISTINCT
     // event types the user has touched so far — the engagement-breadth
     // curve behind activation dashboards ("day N reached 3 features").
@@ -602,10 +636,16 @@ object TimeWindowQueries {
     // Σ = users × types).
     "window_running_distinct" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      // the (user, type, day) ledger feeds BOTH consumers (per-day counts
+      // + first-seen); materialize it once — AQE does NOT reuse the
+      // aggregate across the two branches (measured: 4 parquet scans
+      // without this), and the ledger is bounded by users × types × days
+      // (the mann_kendall daily-ledger precedent)
       val g = Tables.events(s, dir)
         .groupBy(col("user_id"), col("event_type"),
           to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
       val daily = g.groupBy("user_id", "day")
         .agg(sum(col("n")).as("n_events"))
       val novel = g.groupBy("user_id", "event_type")
@@ -1724,6 +1764,27 @@ object TimeWindowQueries {
         |       round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 4) + 0.0
         |         AS h_bits_r
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ts_seasonal_strength" ->
+      """WITH h AS (
+        |  SELECT event_type AS g, hour(ts) AS hod,
+        |         CAST(count(*) AS BIGINT) AS nh,
+        |         sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS sh,
+        |         sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)
+        |             * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS qh
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT g, CAST(sum(nh) AS BIGINT) AS n,
+        |         CAST(count(*) AS BIGINT) AS n_hours,
+        |         sum(sh) AS s, sum(qh) AS q,
+        |         sum(CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE) / nh) AS b
+        |  FROM h GROUP BY 1)
+        |SELECT g, n, n_hours,
+        |       round(CASE WHEN CAST(n AS HUGEINT) * q - s * s > 0 THEN
+        |             (b - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        |             / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        |             END, 4) + 0.0 AS strength_r
+        |FROM g ORDER BY g""".stripMargin,
 
     "window_running_distinct" ->
       """WITH g AS (

@@ -83,6 +83,47 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("collect_top_k"), p) // the bounded-state rank (r12: native CollectTopK)
   }
 
+  test("ts_ljung_box is one window pass + one aggregate — 5 lags, 1 Window, 3 shuffles") {
+    // all five lag columns must collapse into ONE Window exec over the one
+    // user-key sort (a per-lag window would re-sort the corpus 5x), and the
+    // plan is exactly: user exchange -> window -> partial agg -> type
+    // exchange -> final agg -> output range sort. No join anywhere.
+    val p = plan("ts_ljung_box")
+    assert(!p.contains("Join"), p)
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1, s"expected 1 Window exec, saw $windows:\n$p")
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+    assert(shuffles == 3, s"expected 3 shuffles, saw $shuffles:\n$p")
+  }
+
+  test("window_running_distinct reads the corpus once — both ledgers fan out " +
+    "of the one (user, type, day) exchange") {
+    // daily event counts and the first-seen ledger both derive from the
+    // same (user, type, day) aggregate, which is materialized ONCE as a
+    // localCheckpoint (AQE does not reuse the stage across the branches —
+    // measured 4 parquet scans without it). The served plan must read the
+    // checkpointed ledger, never the parquet again.
+    val df = SparkEntry.queries("window_running_distinct")(spark, sfDir)
+    df.collect() // finalize the AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 0, s"expected the checkpointed ledger, saw $scans parquet scans:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("emb_silhouette_label: centroids ride one broadcast; no per-vector shuffle, no window") {
+    // the per-vector a/b distances are a single projection against the
+    // collected 1-row centroid array (broadcast nested-loop of a 1-row
+    // side) — a per-(vector, centroid) shuffle join or a rank window here
+    // would put the corpus grain on the wire labels-times over.
+    val df = SparkEntry.queries("emb_silhouette_label")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window ["), s"silhouette grew a window:\n$p")
+  }
+
   test("prefix-Jaccard pair construction is equi-join + positional filter, no cartesian") {
     val df = DedupQueries.jaccardPairsPrefixPlan(spark, sfDir, 0.5)
     df.collect()
