@@ -75,11 +75,16 @@ object ScaleProbe {
   // family — measured, not argued (0.78/0.49 at 100x); growth accounting
   // is one distinct-collapse + one user-window pass, measured 0.08/0.35
   // at 100x (fixed overhead dominates its 1x wall).
+  // r18 adds window_running_distinct to both tiers: its scale claim is
+  // that ONE corpus exchange lands on the (user, type, day) ledger grain
+  // and everything downstream is ledger-sized — the same
+  // bounded-after-first-shuffle story growth accounting measured cheap.
   private val HeavyRelProbes = Seq("assoc_item_pairs", "graph_jaccard_neighbors",
     "graph_betweenness_2hop", "graph_random_walk",
     "events_rfm", "text_vocab_overlap", "graph_edge_support",
     "graph_truss", "graph_coreness", "dedup_span_removal",
-    "graph_components", "events_growth_accounting")
+    "graph_components", "events_growth_accounting",
+    "window_running_distinct")
   // r10: the relational/event families — basket mining (per-order pair
   // enumeration), wedge-bounded graph similarity, and the per-user window
   // shapes. Replication shifts ORDER/PART/USER keys per replica, so
@@ -108,7 +113,8 @@ object ScaleProbe {
     "ts_anomaly_zscore", "events_attribution",
     "events_rfm", "text_vocab_overlap",
     "graph_edge_support", "graph_truss", "graph_coreness",
-    "dedup_span_removal", "graph_components", "events_growth_accounting")
+    "dedup_span_removal", "graph_components", "events_growth_accounting",
+    "window_running_distinct")
   private val Probes = PairProbes ++ Seq("sim_ann_knn", "text_dup_spans") ++ RelProbes
 
   /** The probe set a given replication factor runs (see the scaladoc).
