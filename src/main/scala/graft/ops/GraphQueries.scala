@@ -151,6 +151,37 @@ object GraphQueries {
     if (adjCacheGated(s, dir)) bidirectional(edges(s, dir))
     else rankedAdjacency(s, dir).select("u", "v")
 
+  /** Landmark-BFS reached set `(src, u, dist ≤ 3)` over the 3 lowest-id
+    * seeds, materialized once per (session, dir) — r18:
+    * `graph_landmark_distance` and `graph_eccentricity` each re-ran the
+    * identical 3-seed × 3-round frontier expansion (~1.8 s apiece on the
+    * pooled board); the ≤ 3·|V|-row checkpoint serves both (one is the
+    * per-landmark histogram, the other the per-node max — different folds
+    * of the same reached set). Same localCheckpoint policy as [[edges]].
+    */
+  private val landmarkCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def landmarkReached(s: SparkSession, dir: String): DataFrame = {
+    landmarkCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    landmarkCache.computeIfAbsent((s, dir), _ =>
+      org.apache.spark.sql.GraftColumnBridge.leveledLocalCheckpoint {
+        val bi = adjacency(s, dir)
+        val seeds = degrees(s, dir).orderBy("u").limit(3)
+          .select(col("u").as("src"), col("u"))
+        var reached = seeds.withColumn("dist", lit(0L))
+        var frontier = seeds
+        for (r <- 1 to 3) {
+          val next = bi.join(frontier, "u")
+            .select(col("src"), col("v").as("u")).distinct()
+            .join(reached.select("src", "u"), Seq("src", "u"), "left_anti")
+          reached = reached.unionByName(next.withColumn("dist", lit(r.toLong)))
+          frontier = next
+        }
+        reached
+      })
+  }
+
   /** Per-node closed-triangle corner counts `(u, tri)`, materialized once
     * per (session, dir) — r12: `graph_triangles` and
     * `graph_clustering_coeff` each re-ran the FULL arboricity-bounded
@@ -1991,23 +2022,14 @@ object GraphQueries {
     // distance histogram. Each round is one hash join of the frontier
     // against the cached adjacency + one anti-join against the reached
     // set, all keyed on (src, u) — 3 seeds × 4 rounds of |E|-bounded
-    // shuffles, the textbook Pregel step expressed as joins. The oracle
-    // replays it as a recursive CTE whose UNION dedup gives the same
-    // visited-set semantics.
+    // shuffles, the textbook Pregel step expressed as joins; since r18
+    // the reached set is the shared [[landmarkReached]] checkpoint
+    // (graph_eccentricity folds the same rows). The oracle replays it as
+    // a recursive CTE whose UNION dedup gives the same visited-set
+    // semantics.
     "graph_landmark_distance" -> { (s, dir) =>
-      val bi = adjacency(s, dir)
-      val seeds = degrees(s, dir).orderBy("u").limit(3)
-        .select(col("u").as("src"), col("u"))
-      var reached = seeds.withColumn("dist", lit(0L))
-      var frontier = seeds
-      for (r <- 1 to 3) {
-        val next = bi.join(frontier, "u")
-          .select(col("src"), col("v").as("u")).distinct()
-          .join(reached.select("src", "u"), Seq("src", "u"), "left_anti")
-        reached = reached.unionByName(next.withColumn("dist", lit(r.toLong)))
-        frontier = next
-      }
-      reached.groupBy("src", "dist").agg(count(lit(1)).as("n_nodes"))
+      landmarkReached(s, dir)
+        .groupBy("src", "dist").agg(count(lit(1)).as("n_nodes"))
         .orderBy("src", "dist")
     },
 
@@ -2015,26 +2037,15 @@ object GraphQueries {
     // oracles actually serve — ecc(u) ≥ max_L d(u, L) for every node the
     // landmarks reach (the BoundingDiameters/landmark-embedding bound;
     // exact eccentricity is all-pairs BFS, O(n·E), refused at corpus
-    // scale). Same 3-landmark bounded-hop BFS as graph_landmark_distance
-    // (one |E|-bounded hash join + anti-join per round against the cached
-    // adjacency), then per node the MAX landmark distance, restricted to
+    // scale). Folds the shared [[landmarkReached]] checkpoint (the same
+    // 3-landmark bounded-hop BFS graph_landmark_distance histograms),
+    // then per node the MAX landmark distance, restricted to
     // nodes all 3 landmarks reached (a partial view would understate the
     // bound), reported as the bound histogram. Everything exact integers;
     // the oracle replays the identical walk as a recursive CTE.
     "graph_eccentricity" -> { (s, dir) =>
-      val bi = adjacency(s, dir)
-      val seeds = degrees(s, dir).orderBy("u").limit(3)
-        .select(col("u").as("src"), col("u"))
-      var reached = seeds.withColumn("dist", lit(0L))
-      var frontier = seeds
-      for (r <- 1 to 3) {
-        val next = bi.join(frontier, "u")
-          .select(col("src"), col("v").as("u")).distinct()
-          .join(reached.select("src", "u"), Seq("src", "u"), "left_anti")
-        reached = reached.unionByName(next.withColumn("dist", lit(r.toLong)))
-        frontier = next
-      }
-      reached.groupBy("u")
+      landmarkReached(s, dir)
+        .groupBy("u")
         .agg(max(col("dist")).as("ecc_lb"), count(lit(1)).as("n_landmarks"))
         .filter(col("n_landmarks") === 3)
         .groupBy("ecc_lb").agg(count(lit(1)).as("n_nodes"))

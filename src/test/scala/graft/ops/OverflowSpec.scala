@@ -62,6 +62,10 @@ class OverflowSpec extends graft.SparkSuite {
       "oracle face of the local-bridge ppm on HUGEINT; raises (never wraps) past 9.2e12"),
     Site("GraphQueries.scala", "(n_common * 1000000) //", "bounded",
       "oracle face; DuckDB additionally raises (never wraps) past 9.2e12"),
+    Site("TextQueries.scala", "(n_hapax * 1000000) div n_types", "bounded",
+      "n_hapax <= distinct terms in ONE document; wraps past 9.2e12 types per doc"),
+    Site("TextQueries.scala", "n_hapax * 1000000 // n_types", "bounded",
+      "oracle face of the hapax ppm; raises (never wraps) past 9.2e12"),
     Site("MiningQueries.scala", "(support * 1000000L) div", "bounded",
       "support <= n_orders; wraps past 9.2e12 orders"),
     Site("MiningQueries.scala", "(support * 1000000) //", "bounded",
@@ -199,6 +203,14 @@ class OverflowSpec extends graft.SparkSuite {
       "Poisson replicate weight ws[i] ≤ ~20 × value cents c ≤ 49002; product ≤ ~1e6 per row, summed wide (oracle lifts to HUGEINT) — 32 array-slot sites, one per replicate (the r16 single-pass rewrite)"),
     PlanSite("text_vocab_chao1", "(f1 * (f1 - CAST(1 AS BIGINT)))",
       "Chao1 numerator: singleton-term count f1 ≤ vocabulary (Heaps-bounded); f1·(f1−1) wraps only past 3.03e9 singleton terms in ONE language"),
+    PlanSite("agg_wilcoxon_signed_rank", "(n_pairs * (n_pairs + CAST(1 AS BIGINT)))",
+      "expectation/variance terms over the calendar-bounded pair ledger: n_pairs ≤ days ≤ ~3000, so 2n(n+1)(2n+1) ~ 1.1e11"),
+    PlanSite("agg_wilcoxon_signed_rank", "((CAST(2 AS BIGINT) * n_pairs) * (n_pairs + CAST(1 AS BIGINT)))",
+      "the exact integer variance gate 2n(n+1)(2n+1) − tt; n_pairs ≤ days ≤ ~3000, product ~ 1.1e11"),
+    PlanSite("agg_wilcoxon_signed_rank", "(tp * r2)",
+      "rank-sum contribution: tp ≤ ties ≤ n_pairs ≤ ~3000 and 2r̄ = r2 ≤ 2n+1; product ≤ ~1.8e7"),
+    PlanSite("agg_wilcoxon_signed_rank", "(t * t)",
+      "tie-correction t³ term; tie count t ≤ n_pairs ≤ ~3000, t³ ~ 2.7e10"),
     PlanSite("agg_mann_kendall", "(n_days * (n_days - CAST(1 AS BIGINT)))",
       "variance term over the calendar-bounded daily ledger: n_days ≤ ~3000, so n³ ~ 2.7e10"),
     PlanSite("agg_mann_kendall", "(t * (t - CAST(1 AS BIGINT)))",
