@@ -1990,7 +1990,13 @@ object GraphQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       s.range(4).select(col("id").as("round"))
         .join(broadcast(hist), col("round") === col("dist"), "left")
-        .select(col("round"), coalesce(col("fs"), lit(0L)).as("frontier_size"))
+        // round 0 is pinned to 1: the seed row exists even on an edge-free
+        // corpus (the oracle's SELECT min(u) subquery keeps its NULL row,
+        // and the pre-r18 single-row min-aggregate frontier counted it too)
+        // — on any non-empty graph hist's dist-0 count is exactly 1 anyway
+        .select(col("round"),
+          when(col("round") === 0, lit(1L))
+            .otherwise(coalesce(col("fs"), lit(0L))).as("frontier_size"))
         .withColumn("n_visited", sum(col("frontier_size")).over(w))
         .orderBy("round")
     },

@@ -524,7 +524,7 @@ object TimeWindowQueries {
     // scale-invariant (the ts_autocorr argument) and the n_k·ρ_k²
     // amplification of last-ulp corr drift is ~1e-8 at this n, far
     // inside round(4).
-    "ts_ljung_box" -> { (s, dir) =>
+    "ts_box_pierce" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("event_id")
       val lagged = (1 to 5).foldLeft(
@@ -1723,7 +1723,7 @@ object TimeWindowQueries {
         |         + 0.0 AS vr_r
         |FROM g ORDER BY event_type""".stripMargin,
 
-    "ts_ljung_box" ->
+    "ts_box_pierce" ->
       """WITH l AS (
         |  SELECT event_type, value,
         |         lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,

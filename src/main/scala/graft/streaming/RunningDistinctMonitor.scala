@@ -64,17 +64,11 @@ object RunningDistinctMonitor {
           state.update(Ledger(sortedTypes.map(_._1), sortedTypes.map(_._2),
             days.toSeq))
           // replay the curve from the ledger: cum at day d = number of
-          // types whose min day is <= d (the batch prefix sum, re-derived)
-          val firstDays = sortedTypes.map(_._2).sorted
-          days.iterator.map { d =>
-            var lo = 0
-            var hi = firstDays.length
-            while (lo < hi) {
-              val mid = (lo + hi) >>> 1
-              if (firstDays(mid) <= d) lo = mid + 1 else hi = mid
-            }
-            CurvePoint(user, d, lo)
-          }
+          // types whose min day is <= d (the batch prefix sum, re-derived;
+          // the ledger is types x days — a linear count is already free)
+          val firstDays = sortedTypes.map(_._2)
+          days.iterator.map(d =>
+            CurvePoint(user, d, firstDays.count(_ <= d)))
       }
   }
 }

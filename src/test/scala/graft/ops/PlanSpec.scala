@@ -83,12 +83,12 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("collect_top_k"), p) // the bounded-state rank (r12: native CollectTopK)
   }
 
-  test("ts_ljung_box is one window pass + one aggregate — 5 lags, 1 Window, 3 shuffles") {
+  test("ts_box_pierce is one window pass + one aggregate — 5 lags, 1 Window, 3 shuffles") {
     // all five lag columns must collapse into ONE Window exec over the one
     // user-key sort (a per-lag window would re-sort the corpus 5x), and the
     // plan is exactly: user exchange -> window -> partial agg -> type
     // exchange -> final agg -> output range sort. No join anywhere.
-    val p = plan("ts_ljung_box")
+    val p = plan("ts_box_pierce")
     assert(!p.contains("Join"), p)
     val windows = p.linesIterator.count(_.contains("Window ["))
     assert(windows == 1, s"expected 1 Window exec, saw $windows:\n$p")
