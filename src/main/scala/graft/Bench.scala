@@ -40,13 +40,20 @@ object Bench {
     budgetSec * (s(s.size / 2) / 0.5)
   }
 
-  /** The warn gate: a phase wall at or past 2× the robust expectation is
-    * a contention event the round's reader must see. `>=` so an exactly-
-    * doubled phase at flat calib flags.
+  /** The warn gate: a phase wall at or past 1.3× the robust expectation
+    * flags. r19 (the r18 verdict's #2 ask — the old 2× ceiling let a
+    * 31 %-over-budget run pass `warn:false`, making the budget
+    * decorative): the factor sits just ABOVE the worst genuine
+    * historical driver artifact (r16's 31.18 s at expected 24.86 —
+    * 1.254×, the cold-start era) and BELOW the r18 driver overrun
+    * (27.79 s at expected 21.20 — 1.311×) that motivated the ask, so
+    * every committed genuine run stays quiet and the r18 shape flags.
+    * `>=` so an exactly-1.3× phase at flat calib flags.
     */
+  private[graft] val idxWarnFactor = 1.3
   private[graft] def idxWarnGate(
       wallSec: Double, budgetSec: Double, calib: Seq[Double]): Boolean =
-    wallSec >= 2.0 * idxExpected(budgetSec, calib)
+    wallSec >= idxWarnFactor * idxExpected(budgetSec, calib)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -306,7 +313,7 @@ object Bench {
     calibSample(); calibSample(); calibSample()
     val idxWarnEarly = idxWarnGate(indexWallSec, idxBudgetSec, calibSamples.toSeq)
     if (idxWarnEarly) System.err.println(
-      f"[bench] WARN index_build_sec=$indexWallSec%.1f exceeds 2x the calib-scaled " +
+      f"[bench] WARN index_build_sec=$indexWallSec%.1f exceeds ${idxWarnFactor}x the calib-scaled " +
         f"budget (expected ~${idxExpected(idxBudgetSec, calibSamples.toSeq)}%.1f s at early " +
         f"calib median ${calibSamples.toSeq.sorted.apply(calibSamples.size / 2)}%.3f) — " +
         "treat this run's walls as contention-inflated, not plan changes")
@@ -442,7 +449,7 @@ object Bench {
     val idxExpectedSec = idxExpected(idxBudgetSec, calibSamples.toSeq)
     val idxWarn = idxWarnGate(indexWallSec, idxBudgetSec, calibSamples.toSeq)
     if (idxWarn && !idxWarnEarly) System.err.println(
-      f"[bench] WARN index_build_sec=$indexWallSec%.1f exceeds 2x the calib-scaled " +
+      f"[bench] WARN index_build_sec=$indexWallSec%.1f exceeds ${idxWarnFactor}x the calib-scaled " +
         f"budget against the run-wide calib median (expected ~$idxExpectedSec%.1f s) — " +
         "treat this run's walls as contention-inflated, not plan changes")
     val idxJson =

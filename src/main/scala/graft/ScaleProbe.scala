@@ -79,12 +79,24 @@ object ScaleProbe {
   // that ONE corpus exchange lands on the (user, type, day) ledger grain
   // and everything downstream is ledger-sized — the same
   // bounded-after-first-shuffle story growth accounting measured cheap.
+  // r19 (the r18 verdict's #3 ask): the fixpoint/walk graph family —
+  // the board's five heaviest audited-correct queries — joins both
+  // tiers. Their scale claims are bounded-round integer fixpoints over
+  // SHUFFLE_HASH joins with map-side combine (pagerank: 3 rounds,
+  // label_prop: 3 generations, hits: 2 power-iteration rounds on the
+  // supplier→part bipartite graph); the exponent measures rounds ×
+  // |E|-bounded exchanges, the same story components measured cheap.
+  // The replicas shift l_suppkey per replica (scheme v3) so hits'
+  // supplier side grows in POPULATION like every other key — an
+  // unshifted suppkey would inflate per-supplier groups ×factor
+  // (duplication, not growth).
   private val HeavyRelProbes = Seq("assoc_item_pairs", "graph_jaccard_neighbors",
     "graph_betweenness_2hop", "graph_random_walk",
     "events_rfm", "text_vocab_overlap", "graph_edge_support",
     "graph_truss", "graph_coreness", "dedup_span_removal",
     "graph_components", "events_growth_accounting",
-    "window_running_distinct")
+    "window_running_distinct",
+    "graph_pagerank", "graph_label_prop", "graph_hits")
   // r10: the relational/event families — basket mining (per-order pair
   // enumeration), wedge-bounded graph similarity, and the per-user window
   // shapes. Replication shifts ORDER/PART/USER keys per replica, so
@@ -108,13 +120,19 @@ object ScaleProbe {
   // size — the 30× exponent measures exactly that claim).
   // r15 adds graph_coreness and dedup_span_removal to the 10/30× tier —
   // both debuted in r14 with no (or 30×-only) exponent rows.
+  // r19 also adds mm_phash_neardup to the 10/30× tier: its scale claim
+  // is the banded candidate join (fixed-width 15-bit buckets, linear
+  // fingerprint pass, no cartesian) — per-token replica suffixes change
+  // the gram stream everywhere, so near-dup pairs stay replica-local
+  // and candidates grow linearly.
   private val RelProbes = Seq("assoc_item_pairs", "graph_jaccard_neighbors",
     "graph_betweenness_2hop", "graph_random_walk",
     "ts_anomaly_zscore", "events_attribution",
     "events_rfm", "text_vocab_overlap",
     "graph_edge_support", "graph_truss", "graph_coreness",
     "dedup_span_removal", "graph_components", "events_growth_accounting",
-    "window_running_distinct")
+    "window_running_distinct",
+    "graph_pagerank", "graph_label_prop", "graph_hits", "mm_phash_neardup")
   private val Probes = PairProbes ++ Seq("sim_ann_knn", "text_dup_spans") ++ RelProbes
 
   /** The probe set a given replication factor runs (see the scaladoc).
@@ -160,7 +178,7 @@ object ScaleProbe {
     // measured exponents against the wrong corpus. A manifest written
     // next to the replicas records the identity plus per-table row counts
     // and is validated on reuse; any mismatch rewrites.
-    val SchemeVersion = "pertoken-suffix+emb-nudge+key-shift/v2"
+    val SchemeVersion = "pertoken-suffix+emb-nudge+key-shift/v3"
 
     def replicate(factor: Int): String = {
       val dir = s"$work/x$factor"
@@ -213,9 +231,14 @@ object ScaleProbe {
       val li = Tables.lineitem(spark, src)
       val nOk = li.agg(max("l_orderkey")).head.getLong(0) + 1
       val nPk = li.agg(max("l_partkey")).head.getLong(0) + 1
+      val nSk = li.agg(max("l_suppkey")).head.getLong(0) + 1
       li.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
         .withColumn("l_orderkey", col("l_orderkey") + col("rep") * lit(nOk))
         .withColumn("l_partkey", col("l_partkey") + col("rep") * lit(nPk))
+        // scheme v3 (r19): suppliers grow in population too — graph_hits'
+        // bipartite supplier→part graph must not inflate per-supplier
+        // groups ×factor
+        .withColumn("l_suppkey", col("l_suppkey") + col("rep") * lit(nSk))
         .drop("rep")
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")

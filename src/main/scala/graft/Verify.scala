@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir, rest @ _*) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val builder = SparkSession.builder()
@@ -26,7 +26,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter (same contract as Bench): dump a subset only.
     // The driver never sets it, so the gate always covers every query.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // An optional third arg ("q1,q2") overrides the env var — the sbt
+    // server bakes env at startup, so an arg-passed subset iterates
+    // without a server restart (r19).
+    val only = rest.headOption.orElse(sys.env.get("SPARK_GRAFT_ONLY"))
+      .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

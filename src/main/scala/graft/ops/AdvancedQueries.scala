@@ -622,6 +622,10 @@ object AdvancedQueries {
       val daily = Tables.events(s, dir)
         .groupBy(col("event_type").as("g"), col("ts").cast("date").as("day"))
         .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("sc"))
+        // an all-NULL (arm, day) cell would survive the aggregate as
+        // sc = NULL and then rank ASC NULLS FIRST here vs NULLS LAST in
+        // DuckDB — drop it on BOTH faces before any ranking (r19, advice)
+        .filter(col("sc").isNotNull)
         .localCheckpoint() // feeds arm count + ranked pass (mann_kendall precedent)
       val karm = daily.agg(countDistinct(col("g")).as("k"))
       val ranked = daily
@@ -1268,6 +1272,7 @@ object AdvancedQueries {
         |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
         |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sc
         |  FROM events GROUP BY 1, 2
+        |  HAVING sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) IS NOT NULL
         |), ka AS (
         |  SELECT CAST(count(DISTINCT g) AS BIGINT) AS k FROM daily
         |), ranked AS (

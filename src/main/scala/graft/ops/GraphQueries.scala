@@ -2048,14 +2048,21 @@ object GraphQueries {
     // scale). Folds the shared [[landmarkReached]] checkpoint (the same
     // 3-landmark bounded-hop BFS graph_landmark_distance histograms),
     // then per node the MAX landmark distance, restricted to
-    // nodes all 3 landmarks reached (a partial view would understate the
-    // bound), reported as the bound histogram. Everything exact integers;
+    // nodes ALL seeds reached (a partial view would understate the
+    // bound; the required count is the actual seed count, ≤ 3 on tiny
+    // graphs), reported as the bound histogram. Everything exact integers;
     // the oracle replays the identical walk as a recursive CTE.
     "graph_eccentricity" -> { (s, dir) =>
-      landmarkReached(s, dir)
-        .groupBy("u")
+      val lr = landmarkReached(s, dir)
+      // the required coverage is the ACTUAL seed count (≤ 3 on graphs
+      // with fewer than 3 nodes), not the literal 3 — a tiny graph still
+      // gets its bounds (r19, advice); dist-0 rows are exactly the seeds
+      val nSeeds = lr.filter(col("dist") === 0)
+        .agg(count(lit(1)).as("n_seeds"))
+      lr.groupBy("u")
         .agg(max(col("dist")).as("ecc_lb"), count(lit(1)).as("n_landmarks"))
-        .filter(col("n_landmarks") === 3)
+        .crossJoin(broadcast(nSeeds))
+        .filter(col("n_landmarks") === col("n_seeds"))
         .groupBy("ecc_lb").agg(count(lit(1)).as("n_nodes"))
         .orderBy("ecc_lb")
     },
@@ -2433,7 +2440,7 @@ object GraphQueries {
          |        FROM md GROUP BY node)
          |SELECT CAST(ecc_lb AS BIGINT) AS ecc_lb,
          |       CAST(count(*) AS BIGINT) AS n_nodes
-         |FROM ecc WHERE n_landmarks = 3
+         |FROM ecc WHERE n_landmarks = (SELECT count(*) FROM seeds)
          |GROUP BY ecc_lb ORDER BY ecc_lb""".stripMargin,
 
     "graph_label_prop" ->

@@ -220,40 +220,87 @@ object MiningQueries {
     // expand just stops hashing and shipping 3M strings, and the column
     // tag rides as an int id rendered back to its name on the 5-row
     // ledger (2.0 → ~1.2 s).
-    // r18 (the r17 verdict's #2 ask): the 5× stack expand feeds ONLY the
-    // distinct count — the one aggregate that genuinely needs the
-    // (column, value) pair grain. Everything else (n_rows, n_nulls,
-    // min/max, mean length) is a plain per-column aggregate over the
-    // UNEXPANDED table: one scan, 21 struct-of-aggregates folded into a
-    // single row, unpivoted by a 1-row stack. The r17 plan shipped the
-    // whole corpus through the expand to compute stats the flat table
-    // already carries. Rendered lanes are identical bijections
-    // (long→string, date_format), so every output value is bit-for-bit
-    // unchanged; the expand lane drops its rendering CASE entirely
-    // (distinct-of-pairs ≡ distinct-of-rendered under a per-lane
-    // bijection). Both lanes materialize inside one job via the final
-    // 5-row broadcast join.
+    // r18 (the r17 verdict's #2 ask): the expand feeds ONLY the distinct
+    // count — the one aggregate that genuinely needs the (column, value)
+    // pair grain. Everything else (n_rows, n_nulls, min/max, mean
+    // length) is a plain per-column aggregate over the UNEXPANDED table.
+    // r18 ran these as two scans (flat + a hand-rolled stack→distinct
+    // branch); r19 fuses them — see the in-query note.
     "profile_columns" -> { (s, dir) =>
-      val li = Tables.lineitem(s, dir).select(
-        expr("CAST(CAST(l_partkey AS BIGINT) AS STRING)").as("v0"),
-        expr("CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS STRING)").as("v1"),
-        expr("CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS STRING)").as("v2"),
-        col("l_returnflag").as("v3"),
-        expr("date_format(CAST(l_shipdate AS DATE), 'yyyy-MM-dd')").as("v4"))
-      val statAggs = (0 until 5).flatMap { i =>
-        val v = col(s"v$i")
-        Seq(count(v).as(s"nn$i"), min(v).as(s"mn$i"), max(v).as(s"mx$i"),
-          sum(length(v)).as(s"sl$i"))
-      }
-      val flat = li.agg(count(lit(1)).as("nr"), statAggs: _*)
+      // r19 (the r18 verdict's #2 finding — 1.63 s vs the ~1.2 bar): the
+      // FLAT stats scan goes fully numeric — the r18 flat branch rendered
+      // 3M strings (decimal casts + date_format at the corpus grain) just
+      // to take min/max/length, and was 1.70 s of the query's 1.57-1.7 s
+      // isolated wall. The same outputs derive from longs:
+      //   • length of a rendered nonneg integer = its digit count — an
+      //     exact 18-branch CASE ladder (a double log10 mis-floors at
+      //     exact powers of ten);
+      //   • LEXICOGRAPHIC min/max of rendered nonneg integers = struct
+      //     ordering on (value right-zero-padded to 18 digits, digit
+      //     count): char-by-char comparison of digit strings IS
+      //     comparison of their right-zero-padded forms, with the
+      //     shorter-is-a-prefix tie going to fewer digits for min —
+      //     exactly the (p, l) struct's lexicographic order. Only the
+      //     final 1-row winners are rendered back to strings.
+      //   • the date lane's yyyy-MM-dd rendering is fixed-width, so its
+      //     lex order IS epoch-day order and its length is the constant
+      //     10; l_returnflag stays a genuine (1-char) string aggregate.
+      // Domain precondition (holds for these five lanes at any SF): the
+      // numeric lanes are NONNEGATIVE integers — a sign character would
+      // break the padding isomorphism. Measured 1.70 → 0.30 s for the
+      // flat branch; whole query 1.57 → ~1.05 isolated at sf0.1.
+      // (r19 A/B, rejected: folding the five distinct counts into the
+      // flat aggregate as planner multi-distinct — one scan total —
+      // forces the min/max buffers through the grouped pair-grain
+      // aggregate, which sort-aggregates the 6×-expanded corpus: 8.7 s.
+      // A flat multi-distinct as its own second scan also loses to the
+      // hand stack below: 1.13 vs 1.01 isolated — wider all-lane keys.)
+      // Overflow audit: pad = d · 10^(18−len(d)) < 10^18 < Long.MAX by
+      // construction (d has exactly len(d) digits).
+      def dlen(c: String): String =
+        (1 to 18).map(k => s"WHEN $c < ${"1" + "0" * k}L THEN $k")
+          .mkString(s"CASE WHEN $c IS NULL THEN NULL ", " ", " ELSE 19 END")
+      def pad18(c: String, l: String): String =
+        s"$c * element_at(array(${(0 to 17).map(k => ("1" + "0" * k) + "L").mkString(",")}), 19 - $l)"
+      val liL = Tables.lineitem(s, dir).select(
+          expr("CAST(l_partkey AS BIGINT)").as("d0"),
+          expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)").as("d1"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("d2"),
+          col("l_returnflag").as("d3"),
+          expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+            .as("d4"))
+        .withColumn("l0", expr(dlen("d0")))
+        .withColumn("l1", expr(dlen("d1")))
+        .withColumn("l2", expr(dlen("d2")))
+      val statAggs = Seq(0, 1, 2).flatMap { i =>
+        val d = s"d$i"; val l = s"l$i"
+        // the struct must be NULL itself on a NULL value (a non-null
+        // struct of null fields would participate in min/max and sort
+        // NULLS-FIRST past every real value)
+        val st = s"CASE WHEN $d IS NOT NULL THEN " +
+          s"struct(${pad18(d, l)} AS p, $l AS l, $d AS d) END"
+        Seq(count(col(d)).as(s"nn$i"),
+          min(expr(st)).as(s"mn$i"), max(expr(st)).as(s"mx$i"),
+          sum(col(l).cast("long")).as(s"sl$i"))
+      } ++ Seq(
+        count(col("d3")).as("nn3"), min(col("d3")).as("mn3"),
+        max(col("d3")).as("mx3"), sum(length(col("d3"))).as("sl3"),
+        count(col("d4")).as("nn4"), min(col("d4")).as("mn4"),
+        max(col("d4")).as("mx4"), (count(col("d4")) * 10).as("sl4"))
+      val flat = liL.agg(count(lit(1)).as("nr"), statAggs: _*)
+        .selectExpr("nr",
+          "nn0", "CAST(mn0.d AS STRING) AS mns0", "CAST(mx0.d AS STRING) AS mxs0", "sl0",
+          "nn1", "CAST(mn1.d AS STRING) AS mns1", "CAST(mx1.d AS STRING) AS mxs1", "sl1",
+          "nn2", "CAST(mn2.d AS STRING) AS mns2", "CAST(mx2.d AS STRING) AS mxs2", "sl2",
+          "nn3", "mn3 AS mns3", "mx3 AS mxs3", "sl3",
+          "nn4",
+          "date_format(date_add(DATE '1970-01-01', CAST(mn4 AS INT)), 'yyyy-MM-dd') AS mns4",
+          "date_format(date_add(DATE '1970-01-01', CAST(mx4 AS INT)), 'yyyy-MM-dd') AS mxs4",
+          "sl4")
       val stats = flat.select(expr(
         (0 until 5).map(i =>
-          s"$i, nr, nr - nn$i, mn$i, mx$i, round(sl$i / nn$i, 2)").mkString(
+          s"$i, nr, nr - nn$i, mns$i, mxs$i, round(sl$i / nn$i, 2)").mkString(
           "stack(5, ", ", ", ") AS (cid, n_rows, n_nulls, v_min, v_max, avg_len)")))
-      // (r18 A/B, rejected alternative: five per-lane single-distinct
-      // aggregates unioned — narrower keys and pruned per-lane scans,
-      // but the 5 scans' fixed per-plan overhead ate the win: 1.48 vs
-      // 1.40 s min isolated. The one-scan stack stays.)
       val dist = Tables.lineitem(s, dir)
         .select(expr(
           """stack(5,

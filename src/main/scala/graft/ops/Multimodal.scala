@@ -34,6 +34,9 @@ object Multimodal {
   final case class MediaFeature(
       media_id: Long, feature: Array[Float])
 
+  final case class MediaPhash(
+      media_id: Long, modality: String, h1: Long, h2: Long)
+
   /** Deterministic media table derived from `documents` (the container has
     * no real media files): content = the UTF-8 text bytes, modality cycles
     * by doc_id. Real pipelines would `spark.read.format("binaryFile")` or
@@ -86,6 +89,52 @@ object Multimodal {
     val bins = new Array[Float](4)
     m.content.foreach(b => bins((b & 0xff) % 4) += 1f)
     MediaFeature(m.media_id, bins)
+  }
+
+  /** STUB perceptual hash (r19): a 60-bit SimHash over byte 8-grams —
+    * stands in for a real pHash/aHash (DCT of a decoded image); the
+    * SimHash structure is the real part: near-identical payloads agree on
+    * most grams, so their fingerprints sit a small hamming distance
+    * apart, and a banded equi-join can generate candidate pairs without
+    * a cartesian (see `mm_phash_neardup`). Byte-exact replayable in SQL:
+    * the per-gram hash is the EXACT integer polynomial
+    * Σ_{j=0..7} byte[i+j] · 131^j (max 255·Σ131^j < 1.4e18 < Long.MAX —
+    * no modulus, no wrap, so DuckDB computes the identical value), bit k
+    * of the fingerprint is sign(Σ_grams ±1) over that hash bit, packed
+    * as two 30-bit halves (h1 = bits 0–29, h2 = bits 30–59) to keep
+    * every value comfortably positive in both engines. Payloads shorter
+    * than the 8-byte window carry no fingerprint (filtered upstream).
+    */
+  def phashStub(m: MediaRow): MediaPhash = {
+    val b = m.content
+    val n = b.length
+    val acc = new Array[Int](60)
+    var i = 0
+    while (i + 8 <= n) {
+      var h = 0L
+      var j = 7
+      while (j >= 0) { h = h * 131L + (b(i + j) & 0xff); j -= 1 }
+      var k = 0
+      while (k < 60) {
+        if (((h >>> k) & 1L) == 1L) acc(k) += 1 else acc(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var h1 = 0L
+    var h2 = 0L
+    var k = 0
+    while (k < 30) {
+      if (acc(k) > 0) h1 |= (1L << k)
+      if (acc(k + 30) > 0) h2 |= (1L << k)
+      k += 1
+    }
+    MediaPhash(m.media_id, m.modality, h1, h2)
+  }
+
+  def phashes(media: Dataset[MediaRow]): Dataset[MediaPhash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.n_bytes >= 8).mapPartitions(_.map(phashStub))
   }
 
   /** Decode a partition: iterator-in/iterator-out so codec setup happens

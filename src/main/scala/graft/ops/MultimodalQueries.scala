@@ -69,6 +69,49 @@ object MultimodalQueries {
         .orderBy("modality", "rep_id")
     },
 
+    // PERCEPTUAL-HASH NEAR-DUP (r19, verdict ask #5): the media face of
+    // near-duplicate detection — mm_dedup catches byte-exact copies via
+    // content digests; this catches NEAR-copies via a 60-bit SimHash
+    // fingerprint (`Multimodal.phashStub` — the stub stands in for a
+    // real DCT pHash; the banding structure below is the real operator).
+    // Candidate generation is the minhash-banding pattern on the
+    // fingerprint: 4 bands × 15 bits, equi-join on (modality, band,
+    // band_value). By pigeonhole this is EXHAUSTIVE for the hamming ≤ 3
+    // ball — ≤ 3 differing bits can touch at most 3 of the 4 bands, so
+    // every qualifying pair shares at least one exact band — the banded
+    // join is a lossless index, not an approximation, and the DuckDB
+    // oracle can state the ground truth as a plain all-pairs hamming
+    // predicate. Scale shape: fingerprints are computed map-side behind
+    // the typed mapPartitions boundary (payloads never shuffle), the
+    // join keys are fixed-width (modality, band, 15-bit value) buckets,
+    // multi-band hits dedup AFTER the ≤ 3 filter on the tiny survivor
+    // set, and the two join sides reuse one exchange. No cartesian
+    // anywhere (PlanSpec-pinned).
+    "mm_phash_neardup" -> { (s, dir) =>
+      val ph = Multimodal.phashes(Multimodal.mediaTable(s, dir)).toDF()
+      val banded = ph.select(col("media_id"), col("modality"),
+          col("h1"), col("h2"),
+          explode(expr("array(" +
+            "struct(0 AS band, h1 & 32767 AS bv), " +
+            "struct(1 AS band, shiftright(h1, 15) & 32767 AS bv), " +
+            "struct(2 AS band, h2 & 32767 AS bv), " +
+            "struct(3 AS band, shiftright(h2, 15) & 32767 AS bv))")).as("b"))
+        .select(col("media_id"), col("modality"),
+          col("h1"), col("h2"), col("b.band"), col("b.bv"))
+      val lhs = banded.select(col("modality"), col("band"), col("bv"),
+        col("media_id").as("id_a"), col("h1").as("h1a"), col("h2").as("h2a"))
+      val rhs = banded.select(col("modality"), col("band"), col("bv"),
+        col("media_id").as("id_b"), col("h1").as("h1b"), col("h2").as("h2b"))
+      lhs.join(rhs, Seq("modality", "band", "bv"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("modality"), col("id_a"), col("id_b"),
+          expr("CAST(bit_count(h1a ^ h1b) + bit_count(h2a ^ h2b) AS BIGINT)")
+            .as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
+        .orderBy("modality", "id_a", "id_b")
+    },
+
     // Histogram features: raw bin counts (ints — exactly comparable; the
     // L1-normalized float vector is `featureStub`, property-tested).
     "mm_features" -> { (s, dir) =>
@@ -120,6 +163,37 @@ object MultimodalQueries {
          |FROM documents
          |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY modality, rep_id""".stripMargin,
+
+    // Ground truth for the banded near-dup join: ALL pairs at hamming ≤ 3
+    // (the banding is exhaustive for that ball — see the query comment),
+    // with the identical exact-integer polynomial gram hash and sign-of-
+    // sum bit derivation. The 60 per-bit sums / 2×30-bit packs are
+    // generated programmatically below.
+    "mm_phash_neardup" -> {
+      val bitsums = (0 until 60).map(k =>
+        s"sum(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS s$k")
+        .mkString(", ")
+      val pack1 = (0 until 30).map(k =>
+        s"(CASE WHEN s$k > 0 THEN (1::BIGINT << $k) ELSE 0 END)").mkString(" + ")
+      val pack2 = (0 until 30).map(k =>
+        s"(CASE WHEN s${k + 30} > 0 THEN (1::BIGINT << $k) ELSE 0 END)").mkString(" + ")
+      // 131^j stays exact in Double up to j = 7 (131^7 ≈ 6.6e14 < 2^53)
+      val poly = (0 until 8).map(j =>
+        s"CAST(ascii(text[CAST(i + $j AS INT)]) AS BIGINT) * ${math.pow(131, j).toLong}")
+        .mkString(" + ")
+      s"""WITH pos AS (
+         |  SELECT doc_id, $modalitySql AS modality, text,
+         |         unnest(range(1, length(text) - 6)) AS i
+         |  FROM documents WHERE length(text) >= 8),
+         |g AS (SELECT doc_id, modality, ($poly) AS h FROM pos),
+         |b AS (SELECT doc_id, modality, $bitsums FROM g GROUP BY 1, 2),
+         |h AS (SELECT doc_id, modality, $pack1 AS h1, $pack2 AS h2 FROM b)
+         |SELECT a.modality, a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS BIGINT) AS hamming
+         |FROM h a JOIN h b ON a.modality = b.modality AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3
+         |ORDER BY a.modality, id_a, id_b""".stripMargin
+    },
 
     "mm_features" ->
       """SELECT doc_id AS media_id,

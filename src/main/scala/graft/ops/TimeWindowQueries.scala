@@ -536,7 +536,11 @@ object TimeWindowQueries {
       val terms = (1 to 5).map { k =>
         val c = corr(col("value"), col(s"l$k"))
         val safe = when(isnan(c), lit(null)).otherwise(c)
-        (count(col(s"l$k")).cast("double") * safe * safe).as(s"t$k")
+        // n_k is the TRUE corr pair count — corr drops pairs where the
+        // current value is NULL, so the weight gates on value too (r19,
+        // advice; corpus value is never null, hash unchanged)
+        (count(when(col("value").isNotNull, col(s"l$k"))).cast("double")
+          * safe * safe).as(s"t$k")
       }
       lagged.groupBy("event_type")
         .agg(count(col("l1")).as("n1"), count(col("l5")).as("n5"),
@@ -1733,11 +1737,11 @@ object TimeWindowQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
         |SELECT event_type,
         |       CAST(count(l1) AS BIGINT) AS n1, CAST(count(l5) AS BIGINT) AS n5,
-        |       round(count(l1) * corr(value, l1) * corr(value, l1)
-        |           + count(l2) * corr(value, l2) * corr(value, l2)
-        |           + count(l3) * corr(value, l3) * corr(value, l3)
-        |           + count(l4) * corr(value, l4) * corr(value, l4)
-        |           + count(l5) * corr(value, l5) * corr(value, l5), 4)
+        |       round(count(CASE WHEN value IS NOT NULL THEN l1 END) * corr(value, l1) * corr(value, l1)
+        |           + count(CASE WHEN value IS NOT NULL THEN l2 END) * corr(value, l2) * corr(value, l2)
+        |           + count(CASE WHEN value IS NOT NULL THEN l3 END) * corr(value, l3) * corr(value, l3)
+        |           + count(CASE WHEN value IS NOT NULL THEN l4 END) * corr(value, l4) * corr(value, l4)
+        |           + count(CASE WHEN value IS NOT NULL THEN l5 END) * corr(value, l5) * corr(value, l5), 4)
         |         + 0.0 AS q_bp_r
         |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
 

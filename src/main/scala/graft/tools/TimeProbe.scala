@@ -29,9 +29,14 @@ object TimeProbe {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftExtensions.register(spark)
-    val names = sys.env.getOrElse("PROBE_QUERIES", "q1_agg").split(",").toSeq
-    val dirs = sys.env.getOrElse("PROBE_DIRS", "/root/testdata/sf0.1").split(",").toSeq
-    val reps = sys.env.getOrElse("PROBE_REPS", "5").toInt
+    // args override env (the sbt server bakes env at startup — arg-passed
+    // probes iterate without a server restart, r19):
+    //   runMain graft.tools.TimeProbe q1,q2 [dir1,dir2] [reps]
+    val names = args.lift(0).orElse(sys.env.get("PROBE_QUERIES"))
+      .getOrElse("q1_agg").split(",").toSeq
+    val dirs = args.lift(1).orElse(sys.env.get("PROBE_DIRS"))
+      .getOrElse("/root/testdata/sf0.1").split(",").toSeq
+    val reps = args.lift(2).orElse(sys.env.get("PROBE_REPS")).getOrElse("5").toInt
     // one generic warm pass so rep 1 doesn't time scheduler/codegen cold
     spark.range(1000000).selectExpr("sum(id)").collect()
     for (dir <- dirs; name <- names) {

@@ -45,6 +45,33 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("phash: near-identical payloads sit close, banding finds exactly the <=3 ball") {
+    // locality: one byte edit moves at most 8 gram hashes of ~n, so the
+    // fingerprint hamming stays small
+    val base = "the quick brown fox jumps over the lazy dog again and again".getBytes("UTF-8")
+    val edit = base.clone(); edit(10) = 'X'.toByte
+    def ph(b: Array[Byte]) =
+      Multimodal.phashStub(Multimodal.MediaRow(0L, "image", "image/png", b, b.length.toLong))
+    val (a, b) = (ph(base), ph(edit))
+    def ham(x: Multimodal.MediaPhash, y: Multimodal.MediaPhash) =
+      java.lang.Long.bitCount(x.h1 ^ y.h1) + java.lang.Long.bitCount(x.h2 ^ y.h2)
+    assert(ham(a, a) == 0)
+    assert(ham(a, b) < 15, s"one-byte edit moved ${ham(a, b)} of 60 bits")
+    // pigeonhole exhaustiveness: the banded join's result equals the
+    // brute-force <=3 ball on the real corpus
+    val hashes = Multimodal.phashes(Multimodal.mediaTable(spark, sfDir)).collect()
+    val brute = (for {
+      x <- hashes; y <- hashes
+      if x.modality == y.modality && x.media_id < y.media_id
+      if ham(x, y) <= 3
+    } yield (x.modality, x.media_id, y.media_id)).toSet
+    val banded = graft.SparkEntry.queries("mm_phash_neardup")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute,
+      s"banded=${banded.size} brute=${brute.size} diff=${(banded diff brute) ++ (brute diff banded)}")
+    assert(brute.nonEmpty, "corpus should contain near-dup media pairs")
+  }
+
   test("decode stub is total: empty payloads get floor dimensions") {
     val d = Multimodal.decodeStub(
       Multimodal.MediaRow(0L, "image", "image/png", Array.empty[Byte], 0L))

@@ -219,6 +219,12 @@ class OverflowSpec extends graft.SparkSuite {
       "per-row cents square before the DECIMAL(38,0) sum; c ≤ 49002 in the fixture, wraps only past |value| ≥ $3.0e7 per row"),
     PlanSite("agg_cohens_d", "(c * c)",
       "the identical per-row cents square (shares the t-test's sufficient-statistics pass); same ≤ 49002 fixture bound, wraps only past |value| ≥ $3.0e7 per row"),
+    PlanSite("profile_columns", "(d0 * element_at(array(1L, 10L,",
+      "lex-order padding d·10^(18−len(d)): d has exactly len(d) digits so the product < 1e18 < Long.MAX (9.2e18) by construction (the power array tops out at 1e17)"),
+    PlanSite("profile_columns", "(d1 * element_at(array(1L, 10L,",
+      "same padding identity on the quantity-cents lane; product < 1e18 by construction"),
+    PlanSite("profile_columns", "(d2 * element_at(array(1L, 10L,",
+      "same padding identity on the price-cents lane; product < 1e18 by construction"),
     PlanSite("dedup_cluster_stats", "(sz * n_clusters)",
       "docs in one size class: sz·n_clusters ≤ corpus docs; wraps past 9.2e18 docs"),
     PlanSite("emb_kmeans", "(namedlambdavariable() - namedlambdavariable())",

@@ -330,23 +330,28 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("profile_columns: the stack Expand feeds only the distinct count") {
-    // r18 shape: n_rows/n_nulls/min/max/avg_len fold in ONE non-expanded
-    // flat aggregate; the 5× stack Expand exists exactly once (the
-    // distinct lane's pair grain), and no planner multi-distinct rewrite
-    // (gid column) appears — so the corpus is never shipped through the
-    // expand for stats the flat table already carries.
+  test("profile_columns: numeric flat lane — no corpus-grain string rendering") {
+    // r19 shape (the r18 verdict's #2 finding): the flat-stats scan is
+    // fully numeric — digit-count CASE ladder for lengths, (padded, len)
+    // struct ordering for lexicographic min/max — and only the 1-row
+    // winners are rendered back to strings. The 5× stack Expand exists
+    // exactly once (the distinct lane's pair grain), no planner
+    // multi-distinct rewrite (gid) appears, and NO date_format or
+    // long→string cast touches a corpus column (rendering at the corpus
+    // grain was 1.4 s of the r18 wall).
     val p = plan("profile_columns")
     assert(!p.contains("gid"), p)
     assert(p.contains("HashAggregate") && p.contains("partial_"), p)
-    // exactly two stack generators: the 1-row stats unpivot (output
-    // n_rows/n_nulls/min/max/avg_len off the flat aggregate) and the
-    // corpus pair-grain expand whose ONLY consumer is n_distinct
     val gens = p.linesIterator.filter(_.contains("Generate stack")).toSeq
     assert(gens.size == 2, s"expected exactly 2 stack generators:\n$p")
     assert(gens.count(_.contains("avg_len")) == 1, s"stats unpivot missing:\n$p")
     assert(gens.count(_.contains("vs#")) == 1, s"distinct pair expand missing:\n$p")
     assert(p.contains("n_distinct"), p)
+    // the corpus-grain rendering is gone: date_format applies only to the
+    // aggregated 1-row output (via date_add), never to l_shipdate rows,
+    // and no corpus long is cast to string before aggregation
+    assert(!p.contains("date_format(cast(l_shipdate"), p)
+    assert(!p.toLowerCase.contains("cast(l_partkey#"), p)
   }
 
   test("events_attribution is one user-sorted window — no self-join") {
@@ -456,6 +461,20 @@ class PlanSpec extends SparkSuite {
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
     assert(exchanges.nonEmpty, p)
     exchanges.foreach(e =>
+      assert(!e.contains("content#"), s"payload crosses a shuffle:\n$e"))
+  }
+
+  test("mm_phash_neardup: banded equi-join — no cartesian, payload never shuffles") {
+    // r19: the hamming-ball candidate generation must be the band
+    // equi-join (fixed-width keys), never an all-pairs product, and the
+    // media payload must stay behind the mapPartitions boundary.
+    val df = SparkEntry.queries("mm_phash_neardup")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join"), p)
+    p.linesIterator.filter(_.contains("Exchange")).foreach(e =>
       assert(!e.contains("content#"), s"payload crosses a shuffle:\n$e"))
   }
 
