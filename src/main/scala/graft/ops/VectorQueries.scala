@@ -389,11 +389,14 @@ object VectorQueries {
       // operating point the same way ivfpq's was in r15: 20 probes sat at
       // recall@3 = 0.843 against the 0.80 floor (the family's thinnest
       // margin, one bad draw from red) — measured 28 → 0.929, 32 → 0.959,
-      // 40 → 0.992 on the shipped structureless embeddings. 32 buys a
-      // comfortable margin for 1.6× the candidate volume (the per-pair
-      // dot stays the bound); sim_ann_ivf's bounded query set pays
-      // ~nothing for depth and probes 24.
-      val nProbe = intConf(s, KnnNProbeKey, 32)
+      // 40 → 0.992 on the shipped structureless embeddings. r19 (verdict
+      // ask #6 — 0.959 had become the family's thinnest margin): the
+      // sweep re-run on current code measured 32 → 0.959, 36 → 0.980,
+      // 40 → 0.992; the default moves to 40 — recall 0.992 for 1.25× the
+      // candidate volume (the per-pair dot stays the bound), inside the
+      // ask's ≤ 1.5× latency budget. sim_ann_ivf's bounded query set
+      // pays ~nothing for depth and probes 24.
+      val nProbe = intConf(s, KnnNProbeKey, 40)
       val e = normedCorpus(s, dir)
       val cents = codebook(s, dir, e)
       val sim = dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))
