@@ -811,6 +811,39 @@ object AdvancedQueries {
             + lit(0.0)).as("q_r"))
     },
 
+    // GRUBBS STATISTIC (r19): the single-outlier screen — per group, the
+    // maximum studentized deviation G = max|v − v̄| / s (sample s). The
+    // complement of the robust fences (agg_mad_outliers / agg_tukey flag
+    // SETS of outliers against robust spread; Grubbs asks whether the
+    // single most extreme point is surprising under normality — the
+    // classic lab-QC gate). ONE aggregate pass: max|v − v̄| =
+    // max(max(v) − v̄, v̄ − min(v)) — the extreme deviation is always at
+    // an endpoint — so no second scan after the mean. Sums ride exact
+    // DECIMAL(38,0) cents (the agg_moments house rule: n·Q ≈ 3.6e25 at
+    // sf0.1, far inside 38 digits), the zero-variance degenerate is the
+    // EXACT integer gate n·Q − S² > 0 (a double-side test could disagree
+    // between engines), and G's scale invariance keeps everything in
+    // cents. round(4) + 0.0 canonicalizes.
+    "agg_grubbs" -> { (s, dir) =>
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      Tables.lineitem(s, dir)
+        .select(col("l_linestatus").as("g"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"), sum(col("c").cast(d38)).as("sc"),
+          sum(col("c").cast(d38) * col("c")).as("q"),
+          min("c").as("mn"), max("c").as("mx"))
+        .select(col("g"), col("n"),
+          (round(expr(
+            "CASE WHEN n > 1 AND CAST(n AS DECIMAL(38,0)) * q - sc * sc > 0 THEN " +
+              "greatest(CAST(mx AS DOUBLE) - CAST(sc AS DOUBLE) / n, " +
+              "CAST(sc AS DOUBLE) / n - CAST(mn AS DOUBLE)) " +
+              "/ sqrt(CAST(CAST(n AS DECIMAL(38,0)) * q - sc * sc AS DOUBLE) " +
+              "/ (CAST(n AS DOUBLE) * (n - 1))) END"), 4)
+            + lit(0.0)).as("g_max_r"))
+        .orderBy("g")
+    },
+
     // WILCOXON SIGNED-RANK (r18): the PAIRED two-sample test — daily
     // click revenue vs daily purchase revenue, differenced WITHIN each
     // day, so day-to-day drift cancels where agg_mannwhitney's unpaired
@@ -1456,6 +1489,24 @@ object AdvancedQueries {
         |             / (CAST(min(nb) AS DOUBLE) * min(k) * (min(k) + 1))
         |             - 3.0 * min(nb) * (min(k) + 1) END, 4) + 0.0 AS q_r
         |FROM rg CROSS JOIN ka""".stripMargin,
+
+    "agg_grubbs" ->
+      """WITH a AS (
+        |  SELECT l_linestatus AS g, CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS sc,
+        |         sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS HUGEINT)
+        |             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS q,
+        |         min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS mn,
+        |         max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS mx
+        |  FROM lineitem GROUP BY 1)
+        |SELECT g, n,
+        |       round(CASE WHEN n > 1 AND CAST(n AS HUGEINT) * q - sc * sc > 0 THEN
+        |             greatest(CAST(mx AS DOUBLE) - CAST(sc AS DOUBLE) / n,
+        |             CAST(sc AS DOUBLE) / n - CAST(mn AS DOUBLE))
+        |             / sqrt(CAST(CAST(n AS HUGEINT) * q - sc * sc AS DOUBLE)
+        |             / (CAST(n AS DOUBLE) * (n - 1))) END, 4)
+        |         + 0.0 AS g_max_r
+        |FROM a ORDER BY g""".stripMargin,
 
     "agg_wilcoxon_signed_rank" ->
       """WITH daily AS (

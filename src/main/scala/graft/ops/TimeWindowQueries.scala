@@ -517,8 +517,9 @@ object TimeWindowQueries {
     // statistic pooled over user sequences, χ²₅ under the null). ONE
     // user-partitioned sorted window derives all five lags (per-task
     // state = a 5-row lookback), then one hash aggregate computes the
-    // five corr pairs — corr skips null lag rows in both engines, so the
-    // per-lag pair counts n_k fall out of the same pass. A degenerate arm
+    // five corr pairs — corr drops a pair when EITHER side is null in
+    // both engines, so the n_k weights count exactly the corr pairs
+    // (value AND lag non-null, r19) and fall out of the same pass. A degenerate arm
     // (zero variance at any lag) yields NaN from Spark's corr but NULL
     // from DuckDB's — the isnan guard maps both faces to NULL Q. corr is
     // scale-invariant (the ts_autocorr argument) and the n_k·ρ_k²
@@ -588,6 +589,39 @@ object TimeWindowQueries {
         .select(col("event_type"), col("n_triples"), col("n_patterns"),
           (round(log2(col("n_triples")) - col("nlg") / col("n_triples"), 4)
             + lit(0.0)).as("h_bits_r"))
+        .orderBy("event_type")
+    },
+
+    // TURNING POINTS (r19): the peak/trough randomness screen — per event
+    // arm, the share of interior points in each user's value sequence
+    // that are STRICT local extrema (v0 < v1 > v2 or v0 > v1 < v2),
+    // pooled over users. An i.i.d. series turns at 2/3 of interior
+    // points; a trending or mean-reverting one departs — the
+    // sign-pattern complement of ts_runs_test (runs watch the median
+    // crossing; turning points watch local shape, the same lens
+    // ts_permutation_entropy refines to full ordinal patterns).
+    // Comparisons run on EXACT integer cents, ties break NOT-a-turn
+    // (strict inequalities — deterministic and engine-identical), and
+    // the output ratio is integer ppm, so there is no double anywhere.
+    // One user-partitioned sorted window (2-row lookback — the
+    // permutation-entropy shape) and one hash aggregate.
+    "ts_turning_points" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v2"))
+        .withColumn("v1", lag(col("v2"), 1).over(w))
+        .withColumn("v0", lag(col("v2"), 2).over(w))
+        .filter(col("v0").isNotNull)
+        .select(col("event_type"),
+          (((col("v0") < col("v1")) && (col("v1") > col("v2"))) ||
+            ((col("v0") > col("v1")) && (col("v1") < col("v2"))))
+            .cast("long").as("turn"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_interior"), sum(col("turn")).as("n_turning"))
+        .select(col("event_type"), col("n_interior"), col("n_turning"),
+          expr("(n_turning * 1000000) div n_interior").as("turn_ppm"))
         .orderBy("event_type")
     },
 
@@ -1768,6 +1802,24 @@ object TimeWindowQueries {
         |       round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 4) + 0.0
         |         AS h_bits_r
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ts_turning_points" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v2,
+        |         lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 1) OVER w AS v1,
+        |         lag(CAST(floor(value * 100 + 0.5) AS BIGINT), 2) OVER w AS v0
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |p AS (
+        |  SELECT event_type,
+        |         CAST(CASE WHEN (v0 < v1 AND v1 > v2) OR (v0 > v1 AND v1 < v2)
+        |              THEN 1 ELSE 0 END AS BIGINT) AS turn
+        |  FROM t WHERE v0 IS NOT NULL)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_interior,
+        |       CAST(sum(turn) AS BIGINT) AS n_turning,
+        |       CAST((sum(turn) * 1000000) // count(*) AS BIGINT) AS turn_ppm
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "ts_seasonal_strength" ->
       """WITH h AS (

@@ -112,6 +112,10 @@ class OverflowSpec extends graft.SparkSuite {
       "oracle accept-rate bp: accepted <= docs; raises past 9.2e14 docs"),
     Site("TimeWindowQueries.scala", "(n * 1000000) div tot", "bounded",
       "markov: n <= transitions per (src,dst); wraps past 9.2e12 rows"),
+    Site("TimeWindowQueries.scala", "(n_turning * 1000000) div n_interior", "bounded",
+      "turning-point ppm: n_turning <= interior triples per arm; wraps past 9.2e12 rows"),
+    Site("TimeWindowQueries.scala", "(sum(turn) * 1000000) // count(*)", "bounded",
+      "oracle face of the turning-point ppm; DuckDB raises (never wraps) past 9.2e12"),
     Site("TimeWindowQueries.scala", "(min(a.dec_cents) * 1000000) div min(a.tot)", "bounded",
       "pareto share ppm on the DECIMAL(38,0) path: decile cents * 1e6 <= ~1e19 <<< the 1e38 decimal ceiling"),
     Site("TimeWindowQueries.scala", "(sum(bc) * 1000000) div min(a.tot)", "bounded",
