@@ -191,6 +191,35 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // MEAN SEGMENTAL TYPE-TOKEN RATIO (r19): per language, the mean TTR
+    // over consecutive 25-token segments (trailing partials dropped) —
+    // the length-controlled lexical-diversity metric: raw TTR collapses
+    // as documents grow (Heaps), so curation pipelines compare diversity
+    // on FIXED-size windows (MSTTR is the standard fix next to
+    // text_simpson_diversity's probabilistic one and text_vocab_chao1's
+    // richness estimate). Fully integer: MSTTR_ppm = Σ distinct-per-
+    // segment · 10⁶ div (25 · n_segments) — the per-segment divisions
+    // never happen, so there is no double anywhere. One explode +
+    // (doc, segment, token) distinct collapse (the planner's two-level
+    // single-distinct aggregate — map-side partial dedup, one shuffle
+    // of distinct triples) + a ≤ langs-row fold.
+    "text_msttr" -> { (s, dir) =>
+      val segLen = 25
+      Tables.documents(s, dir)
+        .withColumn("nt", size(split(col("text"), " ")).cast("long"))
+        .select(col("doc_id"), col("lang"), col("nt"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("seg", expr(s"pos div $segLen"))
+        .filter(col("seg") < expr(s"nt div $segLen"))
+        .groupBy("lang", "doc_id", "seg")
+        .agg(countDistinct(col("tok")).as("d"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_segments"), sum(col("d")).as("sum_d"))
+        .select(col("lang"), col("n_segments"),
+          expr(s"(sum_d * 1000000) div ($segLen * n_segments)").as("msttr_ppm"))
+        .orderBy("lang")
+    },
+
     // LOG-ODDS TERM MARKEDNESS (r16): which terms are most
     // over-represented in each language vs the REST of the corpus — the
     // Monroe et al. "Fightin' Words" log-odds-ratio with a Dirichlet
@@ -1848,6 +1877,22 @@ object TextQueries {
         |SELECT doc_id, n_types, n_hapax,
         |       CAST(n_hapax * 1000000 // n_types AS BIGINT) AS hapax_ppm
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "text_msttr" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+        |), tok AS (
+        |  SELECT doc_id, lang, unnest(range(1, len(ts) + 1)) AS i, ts,
+        |         CAST(len(ts) AS BIGINT) AS nt
+        |  FROM t
+        |), segd AS (
+        |  SELECT lang, doc_id, (i - 1) // 25 AS seg,
+        |         CAST(count(DISTINCT ts[CAST(i AS INT)]) AS BIGINT) AS d
+        |  FROM tok WHERE (i - 1) // 25 < nt // 25
+        |  GROUP BY 1, 2, 3)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_segments,
+        |       CAST((sum(d) * 1000000) // (25 * count(*)) AS BIGINT) AS msttr_ppm
+        |FROM segd GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_log_odds" ->
       """WITH tc AS (

@@ -62,6 +62,10 @@ class OverflowSpec extends graft.SparkSuite {
       "oracle face of the local-bridge ppm on HUGEINT; raises (never wraps) past 9.2e12"),
     Site("GraphQueries.scala", "(n_common * 1000000) //", "bounded",
       "oracle face; DuckDB additionally raises (never wraps) past 9.2e12"),
+    Site("TextQueries.scala", "(sum_d * 1000000) div", "bounded",
+      "MSTTR ppm: sum of per-segment distinct counts <= corpus tokens per lang; wraps past 9.2e12 tokens"),
+    Site("TextQueries.scala", "(sum(d) * 1000000) // (25", "bounded",
+      "oracle face of the MSTTR ppm; DuckDB raises (never wraps) past 9.2e12"),
     Site("TextQueries.scala", "(n_hapax * 1000000) div n_types", "bounded",
       "n_hapax <= distinct terms in ONE document; wraps past 9.2e12 types per doc"),
     Site("TextQueries.scala", "n_hapax * 1000000 // n_types", "bounded",
