@@ -765,6 +765,84 @@ object MiningQueries {
         .orderBy("arm_a", "arm_b")
     },
 
+    // BRUNNER–MUNZEL (r19): the heteroscedastic upgrade of the rank-sum
+    // screen — Mann–Whitney's z assumes equal variances under the null;
+    // Brunner–Munzel studentizes the rank difference with EACH sample's
+    // own rank variance (the Behrens–Fisher situation in ranks), the
+    // test modern A/B practice reaches for when arms differ in spread.
+    // W = n₁n₂(R̄₂ − R̄₁) / ((n₁+n₂)·√(n₁S₁² + n₂S₂²)) with
+    // S_i² = Σ(R − R*_i − R̄_i + (n_i+1)/2)²/(n_i−1), plus the effect
+    // size p̂ = (R̄₂ − (n₂+1)/2)/n₁ (P(X₁ < X₂) + ½·ties).
+    //
+    // Everything stays EXACT at the value grain by the doubled-midrank
+    // trick, with two identities doing the work: (a) the combined-minus-
+    // within rank difference collapses to the OTHER group's prefix —
+    // 2(R − R*₁)(v) = 2·cum₂ + c₂ ≡ A₁ — so no second within-group
+    // ranking pass exists; (b) the centered square expands so the
+    // unknown-at-row-time constants (n_i+1 and R̄_i) factor out:
+    // with C = A + n_i + 1,  n_i·ΣcC² − 2P_iΣcC + P_i²  =
+    // 4·n_i(n_i−1)·S_i² exactly, needing only ΣcA, ΣcA², P_i = Σc·2R —
+    // three DECIMAL(38,0) ledger sums (magnitudes ≲ 1e24, well inside
+    // 38 digits). The zero-variance degenerate (every value tied within
+    // both arms) is the exact integer gate V₁ + V₂ > 0; n_i ≤ 1 NULLs.
+    // Same one-scan histogram + broadcast pair expansion as the KS/MW
+    // screens; everything after the scan is bounded by arms²·domain.
+    "agg_brunner_munzel" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = driftHist(s, dir)
+      val pairs = armPairs(s, dir)
+      val hp = h.join(broadcast(pairs), col("et") === col("pa") || col("et") === col("pb"))
+        .groupBy("pa", "pb", "v")
+        .agg(sum(when(col("et") === col("pa"), col("c")).otherwise(0L)).as("c1"),
+          sum(when(col("et") === col("pb"), col("c")).otherwise(0L)).as("c2"))
+      val w = Window.partitionBy("pa", "pb").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val cum = hp
+        .withColumn("cum1", coalesce(sum(col("c1")).over(w), lit(0L)))
+        .withColumn("cum2", coalesce(sum(col("c2")).over(w), lit(0L)))
+        .select(col("pa"), col("pb"), col("c1"), col("c2"),
+          (lit(2L) * (col("cum1") + col("cum2")) + col("c1") + col("c2") + 1L)
+            .cast(d38).as("r2"),
+          (lit(2L) * col("cum2") + col("c2")).cast(d38).as("a1"),
+          (lit(2L) * col("cum1") + col("c1")).cast(d38).as("a2"))
+      val r = cum.groupBy("pa", "pb").agg(
+        sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1").cast(d38) * col("r2")).as("p1"),
+        sum(col("c2").cast(d38) * col("r2")).as("p2"),
+        sum(col("c1").cast(d38) * col("a1")).as("sa1"),
+        sum(col("c1").cast(d38) * col("a1") * col("a1")).as("sq1"),
+        sum(col("c2").cast(d38) * col("a2")).as("sa2"),
+        sum(col("c2").cast(d38) * col("a2") * col("a2")).as("sq2"))
+      r.select(col("pa").as("arm_a"), col("pb").as("arm_b"),
+          col("n1").as("n_a"), col("n2").as("n_b"),
+          expr(
+            "CAST(n1 AS DECIMAL(38,0)) * (sq1 + 2 * (n1 + 1) * sa1" +
+              " + CAST(n1 + 1 AS DECIMAL(38,0)) * (n1 + 1) * n1)" +
+              " - 2 * p1 * (sa1 + CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)) + p1 * p1")
+            .as("v1"),
+          expr(
+            "CAST(n2 AS DECIMAL(38,0)) * (sq2 + 2 * (n2 + 1) * sa2" +
+              " + CAST(n2 + 1 AS DECIMAL(38,0)) * (n2 + 1) * n2)" +
+              " - 2 * p2 * (sa2 + CAST(n2 AS DECIMAL(38,0)) * (n2 + 1)) + p2 * p2")
+            .as("v2"),
+          col("p1"), col("p2"))
+        .select(col("arm_a"), col("arm_b"), col("n_a"), col("n_b"),
+          (round(expr(
+            "CASE WHEN n_a > 1 AND n_b > 1 THEN " +
+              "(CAST(p2 AS DOUBLE) / (2.0 * n_b) - (n_b + 1) / 2.0) / n_a END"), 4)
+            + lit(0.0)).as("p_hat_r"),
+          (round(expr(
+            "CASE WHEN n_a > 1 AND n_b > 1 AND v1 + v2 > 0 THEN " +
+              "CAST(n_a AS DOUBLE) * n_b" +
+              " * (CAST(p2 AS DOUBLE) / (2.0 * n_b) - CAST(p1 AS DOUBLE) / (2.0 * n_a))" +
+              " / ((CAST(n_a AS DOUBLE) + n_b)" +
+              " * sqrt(CAST(n_a AS DOUBLE) * (CAST(v1 AS DOUBLE) / (4.0 * n_a * (n_a - 1)))" +
+              " + CAST(n_b AS DOUBLE) * (CAST(v2 AS DOUBLE) / (4.0 * n_b * (n_b - 1))))) END"), 4)
+            + lit(0.0)).as("w_bm_r"))
+        .orderBy("arm_a", "arm_b")
+    },
+
     // POPULATION STABILITY INDEX (r12): the third face of the drift
     // dashboard — KS reports the worst CDF gap, Mann–Whitney the rank
     // shift, PSI the industry-standard binned divergence
@@ -1369,6 +1447,65 @@ object MiningQueries {
         |             / sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) / 12.0),
         |             4) + 0.0 AS z_r
         |FROM r ORDER BY arm_a, arm_b""".stripMargin,
+
+    "agg_brunner_munzel" ->
+      """WITH h AS (
+        |  SELECT event_type AS et,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |arms AS (SELECT DISTINCT et FROM h),
+        |pairs AS (SELECT a.et AS pa, b.et AS pb
+        |          FROM arms a JOIN arms b ON a.et < b.et),
+        |hp AS (
+        |  SELECT pa, pb, v,
+        |         CAST(sum(CASE WHEN et = pa THEN c ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN et = pb THEN c ELSE 0 END) AS BIGINT) AS c2
+        |  FROM pairs JOIN h ON et = pa OR et = pb
+        |  GROUP BY 1, 2, 3),
+        |cw AS (
+        |  SELECT pa, pb, c1, c2,
+        |         coalesce(CAST(sum(c1) OVER (PARTITION BY pa, pb ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS BIGINT), 0) AS cum1,
+        |         coalesce(CAST(sum(c2) OVER (PARTITION BY pa, pb ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS BIGINT), 0) AS cum2
+        |  FROM hp),
+        |g AS (
+        |  SELECT pa, pb, c1, c2,
+        |         CAST(2 * (cum1 + cum2) + c1 + c2 + 1 AS HUGEINT) AS r2,
+        |         CAST(2 * cum2 + c2 AS HUGEINT) AS a1,
+        |         CAST(2 * cum1 + c1 AS HUGEINT) AS a2
+        |  FROM cw),
+        |r AS (
+        |  SELECT pa, pb, CAST(sum(c1) AS BIGINT) AS n1,
+        |         CAST(sum(c2) AS BIGINT) AS n2,
+        |         sum(c1 * r2) AS p1, sum(c2 * r2) AS p2,
+        |         sum(c1 * a1) AS sa1, sum(c1 * a1 * a1) AS sq1,
+        |         sum(c2 * a2) AS sa2, sum(c2 * a2 * a2) AS sq2
+        |  FROM g GROUP BY 1, 2),
+        |vv AS (
+        |  SELECT pa, pb, n1, n2, p1, p2,
+        |         CAST(n1 AS HUGEINT) * (sq1 + 2 * (n1 + 1) * sa1
+        |           + CAST(n1 + 1 AS HUGEINT) * (n1 + 1) * n1)
+        |           - 2 * p1 * (sa1 + CAST(n1 AS HUGEINT) * (n1 + 1)) + p1 * p1 AS v1,
+        |         CAST(n2 AS HUGEINT) * (sq2 + 2 * (n2 + 1) * sa2
+        |           + CAST(n2 + 1 AS HUGEINT) * (n2 + 1) * n2)
+        |           - 2 * p2 * (sa2 + CAST(n2 AS HUGEINT) * (n2 + 1)) + p2 * p2 AS v2
+        |  FROM r)
+        |SELECT pa AS arm_a, pb AS arm_b, n1 AS n_a, n2 AS n_b,
+        |       round(CASE WHEN n1 > 1 AND n2 > 1 THEN
+        |             (CAST(p2 AS DOUBLE) / (2.0 * n2) - (n2 + 1) / 2.0) / n1 END, 4)
+        |         + 0.0 AS p_hat_r,
+        |       round(CASE WHEN n1 > 1 AND n2 > 1 AND v1 + v2 > 0 THEN
+        |             CAST(n1 AS DOUBLE) * n2
+        |             * (CAST(p2 AS DOUBLE) / (2.0 * n2) - CAST(p1 AS DOUBLE) / (2.0 * n1))
+        |             / ((CAST(n1 AS DOUBLE) + n2)
+        |             * sqrt(CAST(n1 AS DOUBLE) * (CAST(v1 AS DOUBLE) / (4.0 * n1 * (n1 - 1)))
+        |             + CAST(n2 AS DOUBLE) * (CAST(v2 AS DOUBLE) / (4.0 * n2 * (n2 - 1))))) END,
+        |             4) + 0.0 AS w_bm_r
+        |FROM vv ORDER BY arm_a, arm_b""".stripMargin,
 
     "agg_psi_drift" ->
       """WITH h0 AS (
