@@ -109,6 +109,10 @@ object CdcQueries {
 
     // R10 + R11: envelope struct + to_json with nulls kept (json.Marshal
     // semantics, `main.go:80-88`).
+    // Envelope rendering ABOVE the sort (r19): the range exchange's
+    // sampling pass re-runs the child, so rendering below the sort
+    // serializes every row to JSON twice and ships the ~200 B envelope
+    // string through the exchange where the narrow base row suffices.
     "cdc_envelope" -> { (s, dir) =>
       val after = map(
         lit("event_id"), col("event_id").cast("string"),
@@ -116,24 +120,36 @@ object CdcQueries {
         lit("props"), col("props"),
         lit("user_id"), col("user_id").cast("string"))
       Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("props"), col("user_id"))
+        .orderBy("event_id")
         .select(
           col("event_id"),
           Envelope.toJsonColumn(
             Envelope.envelope(Envelope.nullBefore, after, lit("events")))
             .as("envelope"))
-        .orderBy("event_id")
     },
 
     // R8 booleans: tinyint(1) semantics incl. else→false (H9).
+    // The normalization projections in this family sit ABOVE the global
+    // sort (r19): the range exchange's sampling pass re-executes the
+    // exchange child, so a projection below the sort is evaluated twice
+    // and its rendered/normalized columns ride the exchange where the
+    // narrow base columns suffice. Sort keys are plain base columns, so
+    // row order is unchanged.
     "cdc_type_norm_bool" -> { (s, dir) =>
       Tables.lineitem(s, dir)
         .select(
           col("l_orderkey"),
           col("l_linenumber"),
           col("l_partkey"),
+          col("l_suppkey"))
+        .orderBy(RelationalQueries.liKey.map(col): _*)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_partkey"),
           col("l_suppkey"),
           Normalize.normBool(col("l_linenumber")).as("b"))
-        .orderBy(RelationalQueries.liKey.map(col): _*)
     },
 
     // R8 dates: date → RFC3339 with midnight time part (`main.go:147-154`).
@@ -144,8 +160,14 @@ object CdcQueries {
           col("l_linenumber"),
           col("l_partkey"),
           col("l_suppkey"),
-          Normalize.normDateTyped(col("l_shipdate")).as("ship_rfc3339"))
+          col("l_shipdate"))
         .orderBy(RelationalQueries.liKey.map(col): _*)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_partkey"),
+          col("l_suppkey"),
+          Normalize.normDateTyped(col("l_shipdate")).as("ship_rfc3339"))
     },
 
     // R8 numerics: int→int64, float/decimal→float64 (`main.go:183-194`).
@@ -156,10 +178,18 @@ object CdcQueries {
           col("l_linenumber"),
           col("l_partkey"),
           col("l_suppkey"),
+          col("l_quantity"),
+          col("l_extendedprice"),
+          col("l_discount"))
+        .orderBy(RelationalQueries.liKey.map(col): _*)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_partkey"),
+          col("l_suppkey"),
           Normalize.normInt(col("l_linenumber")).as("ln_i64"),
           Normalize.normFloat(col("l_quantity")).as("qty_f64"),
           RelationalQueries.money(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_r"))
-        .orderBy(RelationalQueries.liKey.map(col): _*)
     },
 
     // R8 text: strict-base64 round trip + passthrough (H1). '#' in customer
@@ -174,13 +204,16 @@ object CdcQueries {
         .orderBy("c_custkey")
     },
 
-    // R16: JSON field extraction (`$.source.table` analog).
+    // R16: JSON field extraction (`$.source.table` analog). Extraction
+    // ABOVE the sort (r19) — one JSON parse per row, not two (the range
+    // exchange's sampling pass re-runs anything below the sort).
     "cdc_json_extract" -> { (s, dir) =>
       Tables.events(s, dir)
+        .select(col("event_id"), col("props"))
+        .orderBy("event_id")
         .select(
           col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .orderBy("event_id")
     },
 
     // R7: update before/after pairing via lag over the per-key change order.

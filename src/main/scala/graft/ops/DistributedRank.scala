@@ -38,7 +38,26 @@ object DistributedRank {
   /** Adds `rankCol` (1-based Long global rank) under the total order
     * `sort`. Input must not contain columns named `__pid`/`__c`/`__off`.
     */
-  def globalRank(df: DataFrame, rankCol: String, sort: Column*): DataFrame = {
+  def globalRank(df: DataFrame, rankCol: String, sort: Column*): DataFrame =
+    globalRankImpl(df, rankCol, checkpoint = true, sort: _*)
+
+  /** [[globalRank]] WITHOUT the internal localCheckpoint (r19): for a
+    * caller whose input is already materialized (a checkpoint or session
+    * artifact) and who does NOT chain ranks, the checkpoint is a pure
+    * eager-materialization tax — the range exchange below the sort is
+    * reused between the offset-count consumer and the main join, several
+    * independent rank branches schedule CONCURRENTLY inside one query
+    * DAG (eager checkpoints would serialize them), and the sampling pass
+    * above the materialized input re-runs only the narrow per-partition
+    * sort. Chained callers keep [[globalRank]]: without the checkpoint
+    * every later rank re-derives the whole earlier subtree (measured
+    * 1.98 → 4.4 s on the 3-rank events_rfm chain).
+    */
+  def globalRankLazy(df: DataFrame, rankCol: String, sort: Column*): DataFrame =
+    globalRankImpl(df, rankCol, checkpoint = false, sort: _*)
+
+  private def globalRankImpl(
+      df: DataFrame, rankCol: String, checkpoint: Boolean, sort: Column*): DataFrame = {
     val nParts =
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // The checkpoint is load-bearing: chained globalRank calls nest, so
@@ -46,11 +65,11 @@ object DistributedRank {
     // (measured 1.98 → 4.4 s on the 3-rank events_rfm when removed) —
     // and the counts consumer reads the materialized sort instead of
     // re-running the exchange.
-    val sorted = df
+    val sortedPlan = df
       .repartitionByRange(nParts, sort: _*)
       .sortWithinPartitions(sort: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+    val sorted = if (checkpoint) sortedPlan.localCheckpoint() else sortedPlan
     // counts reads the materialized sort and feeds exactly one consumer
     // (offs) — no checkpoint; one extra ≤nParts-row aggregate job is
     // cheaper than materializing it.

@@ -125,6 +125,15 @@ object GraphQueries {
     bidirectional(edges(s, dir))
       .withColumn("rn", row_number()
         .over(Window.partitionBy("u").orderBy("v")).cast("long"))
+      // d = degree of u, in the SAME window pass (same partition+order
+      // spec, whole-partition frame — one WindowExec computes both).
+      // r19: carrying the degree on the adjacency row lets the random
+      // walk pick its neighbor with ONE equi-join on u per step (rank
+      // match as an integer residual) instead of a degree join plus a
+      // (u, rank)-keyed join — two corpus exchanges fewer per step.
+      .withColumn("d", count(lit(1))
+        .over(Window.partitionBy("u").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
 
   private def rankedAdjacency(s: SparkSession, dir: String): DataFrame = {
     adjCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
@@ -1811,10 +1820,16 @@ object GraphQueries {
       var r = deg.crossJoin(broadcast(nn))
         .select(col("u"), expr("1000000000000 div n").as("r"))
       for (_ <- 1 to 3) {
-        val contrib = bi.hint("SHUFFLE_HASH").join(r, "u")
-          .hint("SHUFFLE_HASH").join(deg, "u")
+        // r19: the per-node share (r·85) div (100·d) is computed on the
+        // NODE grain first (r ⨝ deg, both |V|-sized and u-partitioned),
+        // so the corpus-sized edge stream passes through ONE join per
+        // round instead of two and the division runs |V| times, not |E|
+        // times. Σ_v of per-u integer terms is unchanged — bit-exact.
+        val share = r.hint("SHUFFLE_HASH").join(deg, "u")
+          .select(col("u"), expr("(r * 85) div (100 * d)").as("sh"))
+        val contrib = bi.hint("SHUFFLE_HASH").join(share, "u")
           .groupBy(col("v"))
-          .agg(sum(expr("(r * 85) div (100 * d)")).as("m"))
+          .agg(sum(col("sh")).as("m"))
         r = deg.join(contrib, deg("u") === contrib("v"), "left")
           .crossJoin(broadcast(nn))
           .select(deg("u"),
@@ -2110,10 +2125,14 @@ object GraphQueries {
         .groupBy("s").agg(sum(col("a1")).as("h1"))
       val a2 = sp.hint("SHUFFLE_HASH").join(h1, "s")
         .groupBy("p").agg(sum(col("h1")).as("a2"))
+      // r19: materialize the supplier+part-dim union before the global
+      // sort — the range exchange's sampling pass otherwise re-executes
+      // both propagation join stages a second time.
       h1.select(lit("hub").as("side"), col("s").as("node"),
           col("h1").cast("long").as("score"))
         .unionByName(a2.select(lit("authority").as("side"), col("p").as("node"),
           col("a2").cast("long").as("score")))
+        .localCheckpoint()
         .orderBy(col("side"), col("score").desc, col("node"))
     },
 
@@ -2142,18 +2161,34 @@ object GraphQueries {
       // nibble-fold in one exact integer step, same value both engines.
       def fold16(h: Column): Column =
         conv(substring(h, 1, 4), 16, 10).cast("long")
-      def step(df: DataFrame, from: String, to: String, t: Int): DataFrame =
-        df.join(deg.select(col("u").as(from), col("d")), from)
-          .withColumn("hh", md5(concat_ws(":", lit("walk"),
+      // r19: ONE equi-join per step. The artifact now carries the degree
+      // on every adjacency row, so the neighbor pick — rn = fold16 % d + 1,
+      // previously a degree join followed by a (node, rank)-keyed join
+      // that re-shuffled the adjacency per step — becomes an integer
+      // RESIDUAL on a join keyed by the node alone: the md5 fold rides
+      // the frontier side (|V| hashes per step, same as before), the
+      // adjacency's one hash-exchange on u is identical across steps
+      // (reused), and exactly one neighbor satisfies the residual, so
+      // the picked walk is unchanged. SHUFFLE_HASH with the frontier as
+      // build side — never a broadcast of the corpus-sized adjacency.
+      def step(df: DataFrame, from: String, to: String, t: Int): DataFrame = {
+        val ad = adj.select(col("u").as("__ju"), col("rn").as("__jrn"),
+          col("v").as(to), col("d").as("__jd"))
+        df.withColumn("__pb", fold16(md5(concat_ws(":", lit("walk"),
             col("start").cast("string"), lit(t.toString),
-            col(from).cast("string"))))
-          .withColumn("pick", fold16(col("hh")) % col("d") + 1L)
-          .join(adj.select(col("u").as(from), col("rn").as("pick"),
-            col("v").as(to)), Seq(from, "pick"))
-          .drop("d", "hh", "pick")
+            col(from).cast("string")))))
+          .hint("SHUFFLE_HASH")
+          .join(ad, col(from) === col("__ju") &&
+            col("__jrn") === col("__pb") % col("__jd") + 1L)
+          .drop("__pb", "__ju", "__jrn", "__jd")
+      }
       val s0 = deg.select(col("u").as("start"), col("u").as("c0"))
       val s3 = step(step(step(s0, "c0", "s1", 1), "s1", "s2", 2), "s2", "s3", 3)
+      // r19: materialize the |V|-row walk table before the global sort —
+      // the range exchange's sampling pass otherwise re-executes the
+      // step-3 join stage a second time.
       s3.select(col("start"), col("s1"), col("s2"), col("s3"))
+        .localCheckpoint()
         .orderBy("start")
     },
 

@@ -28,6 +28,11 @@ object HofQueries {
 
     // Map higher-order functions: transform_values / map_filter /
     // map_zip_with over a per-row measure map.
+    // Map-HOF projection ABOVE the global sort (r19): the range
+    // exchange's sampling pass re-runs the child, so the lambda chain
+    // below the sort executes twice per row; the sort keys are plain base
+    // columns, so ordering is unchanged and only the 2 source doubles
+    // ride the exchange.
     "scalar_map_hof" -> { (s, dir) =>
       val m = map(
         lit("q"), col("l_quantity"),
@@ -38,10 +43,13 @@ object HofQueries {
       Tables.lineitem(s, dir)
         .select(
           col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_discount"))
+        .orderBy(RelationalQueries.liKey.map(col): _*)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
           round(element_at(doubled, "q"), 2).as("q2"),
           size(big).as("n_big"),
           round(element_at(zipped, "d"), 4).as("d_delta"))
-        .orderBy(RelationalQueries.liKey.map(col): _*)
     },
 
     // regexp_extract_all (array result joined to a canonical string).

@@ -529,6 +529,12 @@ object RelationalQueries {
     },
 
     // Ranking windows: rank over values, row_number over a unique total order.
+    // r19: the filtered output is BOUNDED (≤ 5 rows per returnflag, flags
+    // a data-model constant), but the global orderBy's range-exchange
+    // sampling pass re-executes its child — i.e. the full corpus window —
+    // a second time. localCheckpoint materializes the bounded survivor
+    // set once (the window runs distributed, exactly once); the tail sort
+    // then orders a handful of rows.
     "window_rank" -> { (s, dir) =>
       val byQty = Window.partitionBy("l_returnflag")
         .orderBy(col("l_quantity").desc)
@@ -542,6 +548,7 @@ object RelationalQueries {
           dense_rank().over(byQty).as("drnk"),
           row_number().over(unique).as("rn"))
         .filter(col("rn") <= 5)
+        .localCheckpoint()
         .orderBy("l_returnflag", "rn")
     },
 
@@ -634,9 +641,13 @@ object RelationalQueries {
         .orderBy("c_custkey")
     },
 
-    // Scalar date functions.
+    // Scalar date functions. Projection ABOVE the sort (r19, same
+    // contract as scalar_math): one evaluation of the date renders, and
+    // the exchange carries (key, date) instead of 6 derived columns.
     "scalar_date" -> { (s, dir) =>
       Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .orderBy("o_orderkey")
         .select(
           col("o_orderkey"),
           year(col("o_orderdate")).as("yr"),
@@ -645,12 +656,20 @@ object RelationalQueries {
           quarter(col("o_orderdate")).as("qtr"),
           date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("mon_start"),
           datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).cast("long").as("days_since"))
-        .orderBy("o_orderkey")
     },
 
-    // Scalar math functions.
+    // Scalar math functions. The computed columns sit ABOVE the global
+    // sort (r19): the range exchange's sampling pass re-executes the
+    // exchange child, so any projection below the sort is evaluated twice
+    // (8 round()s = 8 BigDecimal allocations per row), and its 8 computed
+    // doubles would ride the exchange where the 3 base columns suffice —
+    // the sort keys are plain base columns, so ordering is unchanged.
     "scalar_math" -> { (s, dir) =>
       Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_tax"), col("l_discount"))
+        .orderBy(liKey.map(col): _*)
         .select(
           col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
           round(sqrt(col("l_quantity")), 4).as("sqrt_q"),
@@ -661,7 +680,6 @@ object RelationalQueries {
           (col("l_orderkey") % 7).as("mod7"),
           round(exp(col("l_discount")), 6).as("exp_d"),
           round(log(lit(1) + col("l_quantity")), 6).as("ln_q"))
-        .orderBy(liKey.map(col): _*)
     },
 
     // Array functions over tokenized text.
@@ -692,13 +710,18 @@ object RelationalQueries {
     },
 
     // from_json → typed struct → field access (R16 typed variant).
+    // JSON parse ABOVE the sort (r19, same contract as scalar_math): the
+    // sampling pass below a range exchange re-runs the child, so parsing
+    // below the sort runs twice and ships the parsed field instead of the
+    // base row.
     "json_from_json" -> { (s, dir) =>
       Tables.events(s, dir)
+        .select(col("event_id"), col("props"))
+        .orderBy("event_id")
         .select(
           col("event_id"),
           from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
             .getField("k").cast("long").as("k"))
-        .orderBy("event_id")
     },
 
     // Z-ORDER LAYOUT — the multi-dimensional clustering key behind file

@@ -106,12 +106,19 @@ object SqlQueries {
         |ORDER BY o_orderpriority""".stripMargin),
 
     // UNPIVOT / stack: wide → long over the lineitem charge columns.
+    // r19: round() ABOVE the sort (outer projection over the ordered
+    // subquery — Catalyst keeps the subquery Sort; plan-checked): the
+    // range exchange's sampling pass re-executes its child, so a
+    // projection below the sort pays the 1.2M-row BigDecimal round
+    // twice. The oracle keeps the single-block ORDER BY text.
     "sql_unpivot" -> q(
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, metric,
         |       round(v, 2) AS v_r
-        |FROM lineitem
-        |UNPIVOT (v FOR metric IN (l_discount AS disc, l_tax AS tax))
-        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, metric""".stripMargin),
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, metric, v
+        |  FROM lineitem
+        |  UNPIVOT (v FOR metric IN (l_discount AS disc, l_tax AS tax))
+        |  ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, metric)""".stripMargin),
 
     // Aggregate FILTER clause (r13) — the standard-SQL conditional
     // aggregation surface (one pass, many predicated aggregates). The

@@ -949,6 +949,17 @@ object TimeWindowQueries {
     // windows. Output hash-identical to the r12 ntile (PlanSpec pins no
     // partition-less Window survives in the plan). Money sums ride
     // DECIMAL(38,0) per the house overflow rule.
+    // r19 restructure of the rank passes: the r13 shape CHAINED the three
+    // globalRank calls, so each call's internal eager localCheckpoint
+    // serialized a range sort of the increasingly wide (metrics + prior
+    // ranks) row — three materialization barriers back to back. The three
+    // ranks are independent columns of the same user table: materialize
+    // the per-user table ONCE, run three NARROW (user_id, metric) lazy
+    // rank branches that Spark schedules concurrently inside the one
+    // query DAG (each branch's range exchange is reused between its
+    // offset counts and its rank join), and join the three rank columns
+    // back on user_id. Hash-identical output: identical total orders,
+    // identical NTILE arithmetic.
     "events_rfm" -> { (s, dir) =>
       val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
       val per = Tables.events(s, dir)
@@ -960,13 +971,20 @@ object TimeWindowQueries {
       val sc = per.crossJoin(broadcast(per.agg(
           max(col("last_day")).as("maxd"), count(lit(1)).as("nu"))))
         .withColumn("rec", datediff(col("maxd"), col("last_day")).cast("long"))
-      val r1 = DistributedRank.globalRank(sc, "r_rnk",
-        col("rec"), col("user_id"))
-      val r2 = DistributedRank.globalRank(r1, "f_rnk",
-        col("freq").desc, col("user_id"))
-      val r3 = DistributedRank.globalRank(r2, "m_rnk",
-        col("money").desc, col("user_id"))
-      val nt = r3
+        .localCheckpoint()
+      val r1 = DistributedRank.globalRankLazy(
+        sc.select(col("user_id").as("u_r"), col("rec")), "r_rnk",
+        col("rec"), col("u_r")).select(col("u_r"), col("r_rnk"))
+      val r2 = DistributedRank.globalRankLazy(
+        sc.select(col("user_id").as("u_f"), col("freq")), "f_rnk",
+        col("freq").desc, col("u_f")).select(col("u_f"), col("f_rnk"))
+      val r3 = DistributedRank.globalRankLazy(
+        sc.select(col("user_id").as("u_m"), col("money")), "m_rnk",
+        col("money").desc, col("u_m")).select(col("u_m"), col("m_rnk"))
+      val nt = sc
+        .join(r1, col("user_id") === col("u_r"))
+        .join(r2, col("user_id") === col("u_f"))
+        .join(r3, col("user_id") === col("u_m"))
         .withColumn("r_score",
           DistributedRank.ntileFromRank(col("r_rnk"), col("nu"), 5))
         .withColumn("f_score",
