@@ -1301,7 +1301,10 @@ object GraphQueries {
     if (adjCacheGated(s, dir)) return Seq.empty
     val t0 = System.nanoTime()
     rankedAdjacency(s, dir).count()
-    Seq("graph_adjacency" -> (System.nanoTime() - t0) / 1e9)
+    val t1 = System.nanoTime()
+    wedgeCandidates(s, dir).count()
+    Seq("graph_adjacency" -> (t1 - t0) / 1e9,
+      "graph_wedge_candidates" -> (System.nanoTime() - t1) / 1e9)
   }
 
   /** The r14 decomposition fixpoints (truss + coreness), as their own
@@ -1341,7 +1344,8 @@ object GraphQueries {
     */
   def clearCache(s: SparkSession, dir: String): Unit = {
     Seq(edgeCache, degreeCache, triCornerCache, triEdgeCache, adjCache,
-      triangleCache, trussCache, corenessCache, componentCache).foreach { cache =>
+      wedgeCache, triangleCache, trussCache, corenessCache,
+      componentCache).foreach { cache =>
       Option(cache.remove((s, dir))).foreach { df =>
         org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
           .foreach(r => try r.unpersist(blocking = false) catch { case _: Exception => () })
@@ -1437,6 +1441,33 @@ object GraphQueries {
         col("x.u") === col("y.u") && col("x.v") < col("y.v"))
       .select(col("x.v").as("a"), col("y.v").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+  }
+
+  /** The aggregated capped-wedge candidate table `(a, b, n_common)` as a
+    * session artifact (r19): `graph_common_neighbors` and
+    * `graph_jaccard_neighbors` each re-ran the full wedge enumeration —
+    * the costliest subtree either query has — per rep; both consume
+    * exactly this aggregate. SIZE-GATED like [[rankedAdjacency]]: the
+    * candidate count is bounded by C(64,2)·|V| which outgrows any
+    * sensible residency at the 100× probe tier, so above the adjacency
+    * gate the accessor returns the transient plan (per-query recompute,
+    * bounded memory — the same artifact-vs-recompute line every cache
+    * here draws). `graph_betweenness_2hop` keeps its own enumeration:
+    * it needs the wedge CENTER, a different grain.
+    */
+  private val wedgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def wedgeCandidatesPlan(s: SparkSession, dir: String): DataFrame =
+    cappedWedgeCandidates(bidirectional(edges(s, dir)), degrees(s, dir))
+
+  private def wedgeCandidates(s: SparkSession, dir: String): DataFrame = {
+    wedgeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    if (adjCacheGated(s, dir))
+      return wedgeCandidatesPlan(s, dir)
+    wedgeCache.computeIfAbsent((s, dir), _ =>
+      org.apache.spark.sql.GraftColumnBridge
+        .leveledLocalCheckpoint(wedgeCandidatesPlan(s, dir)))
   }
 
   private val oracleEdgeCtes: String =
@@ -1851,7 +1882,7 @@ object GraphQueries {
     // anti-join against the edge set.
     "graph_common_neighbors" -> { (s, dir) =>
       val e = edges(s, dir)
-      val cand = cappedWedgeCandidates(bidirectional(e), degrees(s, dir))
+      val cand = wedgeCandidates(s, dir) // shared session artifact (r19)
       cand.join(e, cand("a") === e("u") && cand("b") === e("v"), "left_anti")
         .orderBy(col("n_common").desc, col("a"), col("b"))
         .limit(50)
@@ -1869,9 +1900,8 @@ object GraphQueries {
     // engine-portable. Unlike the link-prediction query, existing edges
     // are kept: similarity is meaningful between connected nodes too.
     "graph_jaccard_neighbors" -> { (s, dir) =>
-      val bi = bidirectional(edges(s, dir))
       val deg = degrees(s, dir)
-      cappedWedgeCandidates(bi, deg)
+      wedgeCandidates(s, dir) // shared session artifact (r19)
         .join(broadcast(deg.select(col("u").as("a"), col("d").as("d_a"))), "a")
         .join(broadcast(deg.select(col("u").as("b"), col("d").as("d_b"))), "b")
         .select(col("a"), col("b"), col("n_common"), col("d_a"), col("d_b"),
@@ -1966,14 +1996,21 @@ object GraphQueries {
     // 3 — the partially-converged community structure.
     "graph_label_prop" -> { (s, dir) =>
       val bi = bidirectional(edges(s, dir))
-      var lbl = degrees(s, dir).select(col("u"), col("u").as("lbl"))
+      val deg = degrees(s, dir)
+      // r19: SELF-LOOPS folded into the propagation relation — per round,
+      // min over (self ∪ neighbors) ≡ least(lbl, coalesce(min-neighbor,
+      // lbl)), so the per-round left join back onto the label table (one
+      // join + one exchange + one stage barrier × 3 rounds) is gone: each
+      // round is exactly one hash join + one min-aggregate. The unioned
+      // relation's exchange on the neighbor key is identical across
+      // rounds and reused. Labels only ever decrease, so the self row
+      // carries the current label into the same integer min — bit-exact.
+      val biSelf = bi.unionByName(deg.select(col("u"), col("u").as("v")))
+      var lbl = deg.select(col("u"), col("u").as("lbl"))
       for (_ <- 1 to 3) {
-        val nb = bi.hint("SHUFFLE_HASH")
+        lbl = biSelf.hint("SHUFFLE_HASH")
           .join(lbl.withColumnsRenamed(Map("u" -> "v", "lbl" -> "vl")), "v")
-          .groupBy("u").agg(min(col("vl")).as("nl"))
-        lbl = lbl.join(nb, Seq("u"), "left")
-          .select(col("u"),
-            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+          .groupBy("u").agg(min(col("vl")).as("lbl"))
       }
       lbl.groupBy("lbl").agg(count(lit(1)).as("n_members"))
         .orderBy("lbl")
@@ -2216,7 +2253,16 @@ object GraphQueries {
         .select(col("x.u").as("m"), col("x.v").as("a"), col("y.v").as("b"))
       val open = wedges
         .join(e, wedges("a") === e("u") && wedges("b") === e("v"), "left_anti")
-      val sigma = open.groupBy("a", "b").agg(count(lit(1)).as("sigma"))
+      // r19: σ_ab is served from the shared [[wedgeCandidates]] artifact
+      // (n_common of a non-adjacent pair IS its open-wedge middleman
+      // count — same deg ≤ 64 cap, same enumeration) instead of a
+      // groupBy over `open`, which made the whole wedge-enumeration
+      // subtree execute TWICE (duplicated in the before plan: the
+      // open-wedge chain appears under both the σ aggregate and the
+      // attribution join).
+      val sigma = wedgeCandidates(s, dir)
+        .join(e, col("a") === e("u") && col("b") === e("v"), "left_anti")
+        .select(col("a"), col("b"), col("n_common").as("sigma"))
       open.join(sigma, Seq("a", "b"))
         .groupBy(col("m").as("node"))
         .agg(count(lit(1)).as("n_open_wedges"),

@@ -715,6 +715,11 @@ object MiningQueries {
           expr("(b.d * CAST(1000000 AS DECIMAL(38,0))) div " +
             "(CAST(n1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0)))").as("ks_ppm"),
           (-col("b.nv")).as("ks_at_cents"))
+        // r19: materialize the bounded pair-grain result before the
+        // final sort — the range exchange's sampling pass otherwise
+        // re-executes the whole post-shuffle segment (pair window +
+        // joins + aggregate) a second time.
+        .localCheckpoint()
         .orderBy("arm_a", "arm_b")
     },
 
@@ -762,6 +767,11 @@ object MiningQueries {
       r.select(col("pa").as("arm_a"), col("pb").as("arm_b"),
         col("n1").as("n_a"), col("n2").as("n_b"),
         u2x.cast("long").as("u1_x2"), (round(z, 4) + 0.0).as("z_r"))
+        // r19: materialize the bounded pair-grain result before the
+        // final sort — the range exchange's sampling pass otherwise
+        // re-executes the whole post-shuffle segment (pair window +
+        // joins + aggregate) a second time.
+        .localCheckpoint()
         .orderBy("arm_a", "arm_b")
     },
 
@@ -840,6 +850,11 @@ object MiningQueries {
               " * sqrt(CAST(n_a AS DOUBLE) * (CAST(v1 AS DOUBLE) / (4.0 * n_a * (n_a - 1)))" +
               " + CAST(n_b AS DOUBLE) * (CAST(v2 AS DOUBLE) / (4.0 * n_b * (n_b - 1))))) END"), 4)
             + lit(0.0)).as("w_bm_r"))
+        // r19: materialize the bounded pair-grain result before the
+        // final sort — the range exchange's sampling pass otherwise
+        // re-executes the whole post-shuffle segment (pair window +
+        // joins + aggregate) a second time.
+        .localCheckpoint()
         .orderBy("arm_a", "arm_b")
     },
 

@@ -200,13 +200,18 @@ object RelationalQueries {
             lit("1970-01-01").cast("date")).cast("long").as("s"),
           datediff(col("l_shipdate").cast("date"),
             lit("1970-01-01").cast("date")).cast("long").as("r"))
-      val a = iv.select(col("p"), col("k").as("ka"), col("s").as("sa"), col("r").as("ra"))
-      val b = iv.select(col("p"), col("k").as("kb"), col("s").as("sb"), col("r").as("rb"))
-      a.join(b, Seq("p"))
-        .filter(col("ka") < col("kb") &&
-          col("sa") <= col("rb") && col("sb") <= col("ra"))
-        .select(col("p"),
-          (least(col("ra"), col("rb")) - greatest(col("sa"), col("sb")) + 1)
+      // r19: SELF-join on the identical subtree — the r17 shape renamed
+      // the two sides' columns BELOW the join, which broke plan
+      // canonicalization and executed the interval build twice (two
+      // lineitem scans, two orders broadcasts, two exchanges on p —
+      // plans/r19/join_interval_overlap_before.txt). With both sides the
+      // same plan, the exchange is built once and the second side is a
+      // ReusedExchange (§2.4). Same rows, same predicate, same output.
+      iv.as("a").join(iv.as("b"), col("a.p") === col("b.p"))
+        .filter(col("a.k") < col("b.k") &&
+          col("a.s") <= col("b.r") && col("b.s") <= col("a.r"))
+        .select(col("a.p").as("p"),
+          (least(col("a.r"), col("b.r")) - greatest(col("a.s"), col("b.s")) + 1)
             .as("ov_days"))
         .groupBy("ov_days")
         .agg(count(lit(1)).as("n_pairs"), countDistinct(col("p")).as("n_parts"))
@@ -564,6 +569,10 @@ object RelationalQueries {
     },
 
     // ROWS frame: running sum + trailing moving average.
+    // r19: raw window sums → localCheckpoint → global sort → rounds. The
+    // range exchange's sampling pass re-executes its child, so without
+    // the materialization the corpus window runs twice per action; the
+    // rounds above the sort run once instead of riding the exchange.
     "window_rows_frame" -> { (s, dir) =>
       // l_partkey completes a total order — (suppkey, shipdate, orderkey,
       // linenumber) ties exist at sf0.1, making running sums ambiguous
@@ -574,12 +583,20 @@ object RelationalQueries {
       Tables.lineitem(s, dir)
         .select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          round(sum(col("l_quantity")).over(running), 2).as("run_qty"),
-          round(avg(col("l_quantity")).over(trailing), 2).as("ma4_qty"))
+          sum(col("l_quantity")).over(running).as("run_raw"),
+          avg(col("l_quantity")).over(trailing).as("ma4_raw"))
+        .localCheckpoint()
         .orderBy(liKey.map(col): _*)
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          round(col("run_raw"), 2).as("run_qty"),
+          round(col("ma4_raw"), 2).as("ma4_qty"))
     },
 
     // RANGE frame over a numeric ordering column.
+    // r19: same materialize-before-sort contract as window_rows_frame —
+    // the corpus range-frame window runs once, not twice under the
+    // sampling pass, and the round moves above the sort.
     "window_range_frame" -> { (s, dir) =>
       val w = Window.partitionBy("l_returnflag")
         .orderBy(col("l_quantity"))
@@ -589,8 +606,14 @@ object RelationalQueries {
           col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
           col("l_returnflag"), col("l_quantity"),
           count(lit(1)).over(w).as("n_in_band"),
-          round(sum(col("l_quantity")).over(w), 2).as("qty_in_band"))
+          sum(col("l_quantity")).over(w).as("band_raw"))
+        .localCheckpoint()
         .orderBy(liKey.map(col): _*)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_returnflag"), col("l_quantity"),
+          col("n_in_band"),
+          round(col("band_raw"), 2).as("qty_in_band"))
     },
 
     // Global sort + limit → TakeOrderedAndProject (no full sort at scale).

@@ -479,9 +479,15 @@ object TextQueries {
       // corpus size stays inside the plan (1-row broadcast cross join) so
       // building this DataFrame triggers no eager action
       val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      // r19: tf is (doc_id, term)-UNIQUE by construction, so df =
+      // count(*) over it — identical to countDistinct(doc_id) but
+      // without the distinct's Expand over the pair grain (an A/B also
+      // tried materializing tf with localCheckpoint: no gain — AQE
+      // already reuses the canonically-equal tf shuffle stage at
+      // runtime, so the explode runs once either way; kept lazy).
       val tf = docs.select(col("doc_id"), explode(toks).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df_ = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("term"))
       tf.join(df_, "term")

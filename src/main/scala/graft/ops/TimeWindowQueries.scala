@@ -222,6 +222,10 @@ object TimeWindowQueries {
           abs((col("value") - col("m")) / col("sd")) > 2.5)
         .select(col("event_id"), col("user_id"), col("event_type"),
           round((col("value") - col("m")) / col("sd"), 3).as("z_r"))
+        // r19: materialize the anomaly set (the query's own output rows)
+        // before the global sort — the range exchange's sampling pass
+        // otherwise re-runs the full corpus rolling window a second time.
+        .localCheckpoint()
         .orderBy("event_id")
     },
 
@@ -1056,9 +1060,15 @@ object TimeWindowQueries {
         .groupBy("user_id")
         .agg(coalesce(sum(col("c").cast(d38)), lit(0).cast(d38))
           .cast("long").as("cents"))
+      // r19: materialize the user table once and rank LAZILY (same
+      // contract as events_rfm) — the eager checkpoint inside
+      // globalRank serialized an extra materialization per rep; with a
+      // checkpointed input the rank's range exchange is reused between
+      // its offset counts and the rank join.
       val sc = per.crossJoin(broadcast(per.agg(
         count(lit(1)).as("nu"), sum(col("cents").cast(d38)).as("tot"))))
-      val r = DistributedRank.globalRank(sc, "rnk",
+        .localCheckpoint()
+      val r = DistributedRank.globalRankLazy(sc, "rnk",
         col("cents").desc, col("user_id"))
       val byDec = r
         .withColumn("decile",

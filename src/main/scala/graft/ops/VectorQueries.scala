@@ -91,17 +91,26 @@ object VectorQueries {
     val c0 = pts.orderBy("vec_id").limit(k)
       .select((row_number().over(Window.orderBy("vec_id")) - 1)
         .cast("long").as("j"), col("xq").as("cvec"))
+    // r19: the per-point argmin rides ONE long code dist·8 + j (dist =
+    // Σ diff² ≤ 64·1.6e9 ≈ 1e11, ×8 + 7 ≪ 2^63; j < 8 = k), so the
+    // minimum is a plain hash-aggregable long min with map-side combine.
+    // The r12 shape aggregated min(struct(dist, j, xq)) — the whole
+    // quantized VECTOR rode the aggregation buffer and forced a
+    // SortAggregate over the k×-expanded candidate rows. xq is constant
+    // per vec_id (it is the point's own vector), so the struct min ≡ the
+    // (dist, j) min and the code min is bit-identical; the centroid
+    // recompute re-attaches xq by joining the narrow points projection.
     def assign(cents: DataFrame): DataFrame =
       pts.crossJoin(broadcast(cents))
         .withColumn("dist",
           aggregate(zip_with(col("xq"), col("cvec"),
             (a, b) => (a - b) * (a - b)), lit(0L), (acc, v) => acc + v))
         .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("j"), col("xq"))).as("m"))
-        .select(col("vec_id"), col("m.xq").as("xq"),
-          col("m.j").as("j"), col("m.dist").as("dist"))
+        .agg(min(col("dist") * 8L + col("j")).as("mcode"))
+        .select(col("vec_id"), (col("mcode") % 8L).as("j"),
+          expr("mcode div 8").as("dist"))
     def recompute(assigned: DataFrame): DataFrame =
-      assigned
+      assigned.join(pts, "vec_id")
         .select(col("j"), posexplode(col("xq")).as(Seq("pos", "x")))
         .groupBy("j", "pos")
         .agg(sum("x").as("sx"), count(lit(1)).as("c"))
@@ -109,7 +118,7 @@ object VectorQueries {
         .groupBy("j")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cq")))),
           e => e.getField("cq")).as("cvec"))
-    assign(recompute(assign(c0))).drop("xq")
+    assign(recompute(assign(c0)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
