@@ -1287,8 +1287,13 @@ object AdvancedQueries {
     },
 
     // Date function family, second batch.
+    // Projection ABOVE the sort (r19, the scalar_math contract): the
+    // three date_format renders run once, not twice under the sampling
+    // pass, and the exchange carries (key, date) not 5 derived columns.
     "scalar_date2" -> { (s, dir) =>
       Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .orderBy("o_orderkey")
         .select(
           col("o_orderkey"),
           date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
@@ -1296,7 +1301,6 @@ object AdvancedQueries {
           date_format(date_add(col("o_orderdate").cast("date"), 45), "yyyy-MM-dd").as("plus45d"),
           dayofyear(col("o_orderdate")).cast("int").as("doy"),
           unix_timestamp(col("o_orderdate")).as("epoch_s"))
-        .orderBy("o_orderkey")
     },
 
     // String function family, third batch.
@@ -1328,9 +1332,16 @@ object AdvancedQueries {
         .orderBy("event_id")
     },
 
-    // Conditional / null handling.
+    // Conditional / null handling. Projection ABOVE the global sort
+    // (r19, the scalar_math contract): computed once — the range
+    // exchange's sampling pass re-runs anything below the sort — and the
+    // exchange carries the narrow base row.
     "scalar_conditional" -> { (s, dir) =>
       Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_tax"), col("l_discount"), col("l_returnflag"))
+        .orderBy(liKey.map(col): _*)
         .select(
           col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
           when(col("l_quantity") < 10, "low")
@@ -1339,12 +1350,14 @@ object AdvancedQueries {
           greatest(col("l_tax"), col("l_discount")).as("max_rate"),
           least(col("l_tax"), col("l_discount")).as("min_rate"),
           coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("rf_or_none"))
-        .orderBy(liKey.map(col): _*)
     },
 
-    // Bit operations.
+    // Bit operations. Same projection-above-sort contract (r19).
     "scalar_bitops" -> { (s, dir) =>
       Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        .orderBy(liKey.map(col): _*)
         .select(
           col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
           (col("l_orderkey").bitwiseAND(lit(255L))).as("and255"),
@@ -1352,7 +1365,6 @@ object AdvancedQueries {
           (col("l_orderkey").bitwiseXOR(col("l_partkey"))).as("xor_pk"),
           shiftleft(col("l_linenumber"), 2).cast("long").as("shl2"),
           shiftright(col("l_partkey"), 1).as("shr1"))
-        .orderBy(liKey.map(col): _*)
     },
 
     // Hash family (md5/sha2 — engine-portable digests; sha1/xxhash64 exist

@@ -14,8 +14,13 @@ object HofQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // transform / filter / exists / forall / aggregate over token arrays.
+    // HOF chain ABOVE the global sort (r19, the scalar_math contract):
+    // the tokenize + lambda folds run once per row, not twice under the
+    // range exchange's sampling pass.
     "scalar_hof" -> { (s, dir) =>
       Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
         .select(
           col("doc_id"),
           element_at(transform(toks, t => upper(t)), 1).as("first_upper"),
@@ -23,7 +28,6 @@ object HofQueries {
           exists(toks, t => t === "data").as("has_data"),
           forall(toks, t => length(t) > 0).as("all_nonempty"),
           aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("total_chars"))
-        .orderBy("doc_id")
     },
 
     // Map higher-order functions: transform_values / map_filter /

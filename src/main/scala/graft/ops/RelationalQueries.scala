@@ -557,15 +557,21 @@ object RelationalQueries {
         .orderBy("l_returnflag", "rn")
     },
 
-    // lag/lead.
+    // lag/lead. r19: the rounds ride ABOVE the final sort (the window
+    // itself must stay below — its partitioning differs), so the
+    // BigDecimal rounding runs once, not twice under the sampling pass.
     "window_lag_lead" -> { (s, dir) =>
       val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
       Tables.orders(s, dir)
         .select(
           col("o_orderkey"), col("o_custkey"),
-          round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_tp"),
-          round(lead(col("o_totalprice"), 1).over(w), 2).as("next_tp"))
+          lag(col("o_totalprice"), 1).over(w).as("prev_raw"),
+          lead(col("o_totalprice"), 1).over(w).as("next_raw"))
         .orderBy("o_orderkey")
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          round(col("prev_raw"), 2).as("prev_tp"),
+          round(col("next_raw"), 2).as("next_tp"))
     },
 
     // ROWS frame: running sum + trailing moving average.

@@ -503,14 +503,19 @@ object TextQueries {
     // h = (h * 31 + code) mod 2^31 — a streaming-friendly content hash
     // computable without materializing the text twice. Sequential integer
     // fold → identical in any engine.
+    // r19: the char-split + fold (the costliest per-row projection in
+    // the scalar family) moves ABOVE the sort — the range exchange's
+    // sampling pass re-runs anything below it, so the hash was computed
+    // twice per document.
     "text_rolling_hash" -> { (s, dir) =>
       val codes = transform(split(col("text"), ""), ch => ascii(ch).cast("long"))
       Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
         .select(
           col("doc_id"),
           aggregate(codes, lit(0L), (h, c) => pmod(h * 31 + c, lit(2147483648L)))
             .as("rhash"))
-        .orderBy("doc_id")
     },
 
     // DETERMINISTIC stratified sampling — the reproducible-corpus-mixing
