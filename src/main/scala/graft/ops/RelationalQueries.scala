@@ -575,10 +575,11 @@ object RelationalQueries {
     },
 
     // ROWS frame: running sum + trailing moving average.
-    // r19: raw window sums → localCheckpoint → global sort → rounds. The
-    // range exchange's sampling pass re-executes its child, so without
-    // the materialization the corpus window runs twice per action; the
-    // rounds above the sort run once instead of riding the exchange.
+    // r19: rounds ABOVE the global sort (run once, and the exchange
+    // carries the raw doubles only). A localCheckpoint before the sort
+    // was A/B'd like window_range_frame's and REVERTED: here it benched
+    // +0.13 s (the materialization of the corpus-width window output
+    // costs more than the sampling pass's re-run of this cheaper frame).
     "window_rows_frame" -> { (s, dir) =>
       // l_partkey completes a total order — (suppkey, shipdate, orderkey,
       // linenumber) ties exist at sf0.1, making running sums ambiguous
@@ -591,7 +592,6 @@ object RelationalQueries {
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           sum(col("l_quantity")).over(running).as("run_raw"),
           avg(col("l_quantity")).over(trailing).as("ma4_raw"))
-        .localCheckpoint()
         .orderBy(liKey.map(col): _*)
         .select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
